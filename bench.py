@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Methodology: one warm-up run of the first query (JVM/codegen warm-up, file
+listing), then each headline query timed once end-to-end (plan + execute +
+collect-to-count). Queries are the suite's TPC-H-shaped set — the same
+scan/join/agg/window shapes the reference's perf suite exercises
+(reference: ql/src/test/queries/clientpositive/perf/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: keep to the expensive, representative shapes.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "window_rank_top_parts",
+    "agg_rollup_order_priority",
+    "dedup_minhash_near_duplicates",
+    "similarity_topk_bruteforce",
+]
+
+
+def main() -> None:
+    from hive_2_3_2_spark.session import get_spark
+    from hive_2_3_2_spark.suite import load_all
+
+    registry = load_all()
+    spark = get_spark(app_name="hive232-bench")
+    names = [n for n in HEADLINE if n in registry] or sorted(registry)[:5]
+
+    # Warm-up (not timed): triggers codegen, parquet footer reads, JIT.
+    registry[names[0]].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = 0.1
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            sf = float(base[2:])
+        except ValueError:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

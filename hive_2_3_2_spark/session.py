@@ -1,0 +1,86 @@
+"""SparkSession factory with Hive-2.3.2-parity configuration.
+
+The reference engine (Apache Hive 2.3.2 fork at /root/reference) evaluates
+queries with permissive, non-ANSI semantics — e.g. string/number comparisons
+coerce to double and ``int / int`` yields double
+(reference: ql/src/java/org/apache/hadoop/hive/ql/exec/FunctionRegistry.java:337
+registers ``/`` as GenericUDFOPDivide which always returns double).
+Spark 4 defaults to ANSI mode, so we turn it off to match Hive semantics.
+
+Scale posture: every config below is chosen for a multi-executor cluster at
+~100 TB, then merely *exercised* on local[32]:
+
+- AQE on (runtime re-plan = Hive's CommonJoinResolver / SkewJoinResolver,
+  reference: ql/.../optimizer/physical/PhysicalOptimizer.java:50-100).
+- AQE skew-join on (= runtime skew handling in
+  ql/.../exec/SkewJoinHandler.java:74).
+- Broadcast threshold ~32 MB (= hive.mapjoin.smalltable.filesize auto
+  map-join conversion, ql/.../optimizer/ConvertJoinMapJoin.java:78).
+- Dynamic partition pruning on (= Hive's AppMasterEventOperator DPP events,
+  ql/.../exec/AppMasterEventOperator.java:46).
+- Shuffle partitions default 200 but AQE coalesces; at 100 TB you would
+  raise ``spark.sql.shuffle.partitions`` to O(#cores * 2-3) — AQE's
+  coalescing makes the initial number non-critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that matter at 100 TB; identical semantics at sf0.001.
+ENGINE_CONFS: dict[str, str] = {
+    # Hive-permissive semantics (not ANSI).
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime adaptivity — replaces Hive's physical resolvers (§4.3 SURVEY).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast (map-join) conversion threshold.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Partition pruning at runtime (Hive DPP parity).
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # Arrow for the Pandas-UDF slow path (only used where JVM exprs can't).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Scan sizing: 128 MB splits is the right grain for 100 TB parquet.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Bucketed-table support (Hive bucketCols parity,
+    # metastore/if/hive_metastore.thrift:285-286).
+    "spark.sql.sources.bucketing.enabled": "true",
+    # Hive writes legacy-style partition dirs; keep overwrite dynamic so
+    # INSERT OVERWRITE only replaces touched partitions (Hive semantics).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "hive-2.3.2-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for tests; on a real
+    cluster the caller passes the cluster master / relies on spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{default_parallelism()}]"
+    builder = builder.master(master)
+    confs = dict(ENGINE_CONFS)
+    # Local runs: modest shuffle parallelism; cluster runs keep Spark default
+    # (200) + AQE coalescing, or the operator explicitly repartitions.
+    if master.startswith("local"):
+        confs.setdefault("spark.sql.shuffle.partitions", str(default_parallelism()))
+        confs.setdefault("spark.driver.memory", "8g")
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,73 @@
+"""Query suite registry — the correctness matrix for SURVEY.md §2.
+
+Every implemented operator/capability registers one or more named queries:
+a PySpark DataFrame callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) an equivalent ANSI-SQL oracle string that DuckDB runs on
+the same parquet tables. The driver hash-compares the two at sf0.01; this
+mirrors the reference's golden-file `.q`/`.q.out` strategy
+(reference: itests/util/.../QTestUtil.java:140) with a live oracle.
+
+Conventions (driver contract):
+- alias every computed column identically in Spark code and oracle SQL;
+- ROUND floating aggregates (double summation order differs between
+  engines — same trick as QTestUtil's DigestPrintStream);
+- CAST integer aggregates in the oracle to BIGINT (DuckDB sum() returns
+  INT128, which would mismatch Spark's bigint schema).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a suite query (+ optional DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate suite query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+_MODULES = [
+    "tpch",
+    "joins",
+    "aggregates",
+    "windows",
+    "setops",
+    "sorts",
+    "subqueries",
+    "lateral",
+    "functions_scalar",
+    "llm_text",
+    "llm_dedup",
+    "llm_similarity",
+    "events_windows",
+]
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every suite module (side effect: fills REGISTRY)."""
+    for mod in _MODULES:
+        importlib.import_module(f"hive_2_3_2_spark.suite.{mod}")
+    return REGISTRY
