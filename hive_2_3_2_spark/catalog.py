@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import os
 
+import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The driver's synthetic star schema (TESTDATA.md).
 STAR_TABLES = (
@@ -29,9 +31,34 @@ STAR_TABLES = (
 )
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) in ``path``.
+
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the reader surfaces them as
+    int64 nanos, and we normalize back to (microsecond) timestamps below.
+    """
+    try:
+        schema = _pq.read_schema(path)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table from ``sf_dir`` as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one star-schema table from ``sf_dir`` as a DataFrame.
+
+    Nanosecond-timestamp columns are normalized to TimestampType. The
+    conversion uses integer ``DIV`` — float division would silently lose
+    precision (epoch nanos ~1.7e18 exceed double's 53-bit mantissa).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_cols(path):
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
+        )
+    return df
 
 
 def register_star_schema(
@@ -48,7 +75,7 @@ def register_star_schema(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         dfs[name] = df
     return dfs

@@ -52,6 +52,10 @@ ENGINE_CONFS: dict[str, str] = {
     # Hive writes legacy-style partition dirs; keep overwrite dynamic so
     # INSERT OVERWRITE only replaces touched partitions (Hive semantics).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Parquet TIMESTAMP(NANOS) (events.ts in the testdata) is otherwise
+    # rejected by Spark's reader; read as int64 nanos and let the catalog
+    # normalize to microsecond timestamps (catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
