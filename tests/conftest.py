@@ -54,6 +54,8 @@ def _norm(v):
             return "NaN"
         # collapse float noise: compare at 9 significant-ish digits
         return f"{v:.9g}"
+    if hasattr(v, "asDict"):  # pyspark Row (struct) → dict for parity
+        return _norm(v.asDict())
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
