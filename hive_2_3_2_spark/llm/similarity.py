@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, score JVM-side (zip_with/aggregate), per-query
+  top-k via window. Corpus is scanned once; no corpus self-join. This is
+  the correctness baseline and is already the right shape for "few queries
+  × huge corpus" at 100 TB (queries broadcast; one shuffle keyed by
+  query_id for the top-k heap).
+- ``lsh_topk`` — the scale path for "many queries": random-hyperplane LSH
+  buckets both sides; scoring happens only within matching buckets, with
+  multi-probe (flip one bit) to recover recall. Bucket join replaces the
+  cross product — shuffle is keyed on the bucket id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k, excluding
+    self-matches. ``queries`` is broadcast — it must be the small side.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i). JVM-side dot
+    products against literal plane arrays — no Python per row."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (_dot(vec, lit_plane) > 0).cast("long")
+        bucket = bucket + bit * (1 << i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH (L tables × b planes).
+
+    Classic LSH amplification: a neighbor is a candidate if it collides
+    with the query in ANY of the ``n_tables`` independent hash tables
+    (P[candidate] = 1-(1-p^b)^L, p = 1-θ/π). Multi-probe additionally
+    checks every 1-bit-flip bucket per table, trading compute for recall
+    without more tables. Scoring happens only on the candidate union.
+
+    Scale shape: the join is an equi-join on (table_id, bucket) — the
+    corpus is hashed once per table in one projection pass (no shuffle:
+    queries broadcast), and at "many queries" scale the corpus side can be
+    written out bucketed on (table_id, bucket) so repeated query batches
+    prune to matching buckets.
+    """
+    c_sel = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ]
+    q_sel = [
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ]
+    tables = [
+        hyperplanes(dim, n_planes, seed=1000 + 7 * t) for t in range(n_tables)
+    ]
+    c = corpus.select(
+        *c_sel,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
+                            "bkt"
+                        ),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    q = queries.select(
+        *q_sel,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
+                            "bkt0"
+                        ),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt0").alias("bkt0"))
+    if multiprobe:
+        probes = F.array(
+            F.col("bkt0"),
+            *[F.col("bkt0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+    else:
+        probes = F.array(F.col("bkt0"))
+    q_probed = q.select(
+        "query_id", "qv", "tbl", F.explode(probes).alias("bkt")
+    )
+    candidates = (
+        c.join(F.broadcast(q_probed), ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

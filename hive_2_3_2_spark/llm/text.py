@@ -1,0 +1,141 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All four are pure JVM column expressions (pyspark.sql.functions only) —
+they run inside whole-stage codegen with zero Python in the executor path,
+so throughput is parquet-scan-bound at any corpus size. Each returns a
+Column so callers compose them into selects without extra passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: word pieces, numbers, and single non-space symbols —
+# the pre-tokenizer split GPT-style BPE vocabularies assume.
+_BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# (A production langid would use char-trigram profiles; the operator shape —
+# score per language from JVM regexp counts, argmax — is the same.)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Number of whitespace-delimited tokens (bigint)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(trimmed, r"\s+")).cast("long")
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count: count of pre-tokenizer pieces
+    (letters runs / digit runs / single symbols) — the standard cheap
+    proxy for LLM token budgeting at corpus scale."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_SPLIT_RE), 0)).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are (English, by default) stopwords —
+    high-quality natural text sits in a characteristic band."""
+    words = _LANG_MARKERS[lang]
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(toks)
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total / F.size(toks)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score from length / punctuation / stopword
+    signals (Gopher-rules-style heuristics, expressed as one JVM column)."""
+    n_chars = F.length(text)
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.3, 1.0).otherwise(0.0)
+    stop = stopword_ratio(text)
+    stop_ok = F.when((stop > 0.01) & (stop < 0.6), 1.0).otherwise(0.0)
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + stop_ok + mwl_ok) / 4.0
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (the scoring half of language ID)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+        for lang, words in _LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language marker counts,
+    'und' (undetermined) when no marker hits. Deterministic tie-break by
+    language code order en < es < de < fr via greatest-struct trick."""
+    scores = lang_scores(text)
+    # struct(score, -index) argmax: highest score wins; ties → earliest lang.
+    candidates = [
+        F.struct(
+            score.alias("s"), F.lit(-i).alias("pri"), F.lit(lang).alias("lang")
+        )
+        for i, (lang, score) in enumerate(scores.items())
+    ]
+    best = F.greatest(*candidates)
+    return F.when(best.getField("s") == 0, F.lit("und")).otherwise(
+        best.getField("lang")
+    )
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Canonical form for near-exact matching: lowercase, strip
+    non-alphanumerics to single spaces, trim."""
+    return F.trim(
+        F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
+    )
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — the exact-dedup
+    key (normalization absorbs whitespace/punct/case variance)."""
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def rolling_shingle_fingerprint(text: Column, k: int = 5) -> Column:
+    """Rolling fingerprint: xor-free order-insensitive combination of
+    word-k-shingle hashes (bigint). Equal fingerprints ⇒ same shingle
+    multiset mod collisions; cheap pre-filter before pairwise Jaccard."""
+    toks = F.split(normalize_for_fingerprint(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.hash(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return F.aggregate(
+        shingles,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + h.cast("long"),
+    )

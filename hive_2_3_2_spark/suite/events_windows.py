@@ -1,1 +1,163 @@
-"""(filled in progressively this round)"""
+"""Event-time windowing over the events table (batch form).
+
+The reference has no stream engine (SURVEY §2.10) — these are the
+Spark-native extras the north star asks for: tumbling/sliding/session
+windows + dedup, expressed with the same F.window/F.session_window
+operators Structured Streaming uses (identical semantics in batch mode;
+the streaming wiring — readStream/watermark/writeStream — lives in
+hive_2_3_2_spark/streaming/ and is exercised in tests/test_streaming.py).
+
+Scale: event-time windows groupBy (window, key) — shuffle is keyed on the
+window bucket, so parallelism scales with #buckets × #keys. Session
+windows merge per key; the partitionBy(user_id) shuffle is the same one
+applyInPandasWithState would use in a live stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.suite import query
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate (F.window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT CAST(to_timestamp((FLOOR(epoch(ts) / 1800) - k) * 1800) AS TIMESTAMP)
+             AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events, UNNEST([0, 1]) AS u(k)
+    GROUP BY 1
+    """,
+)
+def sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): each event lands in
+    exactly window/slide = 2 buckets; Spark materializes the duplication
+    inside WindowExec's generator. The oracle replicates it with an
+    explicit 2-offset unnest over the slide grid."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM islands
+    GROUP BY user_id, sess
+    """,
+)
+def session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user
+    (F.session_window — Spark merges overlapping [ts, ts+gap) intervals;
+    window.end = last event + gap). Oracle: classic gaps-and-islands."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "events_dedup_distinct",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a projection — the batch twin of streaming
+    watermark dedup (streaming/ wires the withWatermark variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+@query(
+    "events_rate_per_type_share",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + window-over-aggregate composition (share-of-total)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6).alias(
+            "share"
+        ),
+    )

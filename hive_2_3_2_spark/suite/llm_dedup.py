@@ -1,1 +1,102 @@
-"""(filled in progressively this round)"""
+"""Deduplication suite queries (implementations: hive_2_3_2_spark/llm/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.llm import dedup as D
+from hive_2_3_2_spark.suite import query
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-content fingerprint
+    (llm/dedup.py exact_dedup)."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(FLOOR(length(text) / 200) AS BIGINT) AS blk,
+             list_distinct(list_transform(
+               range(greatest(len(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(trim(regexp_replace(
+                 lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), i + 1, i + 3), ' ')
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.12
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs, blocked by length bucket
+    (llm/dedup.py jaccard_pairs) — the exact scorer behind MinHash."""
+    return D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.12
+    )
+
+
+@query("dedup_minhash_near_duplicates", oracle=None)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join
+    (llm/dedup.py minhash_lsh_candidates). Uses Spark xxhash64 ⇒
+    rows-only driver check; recall-vs-Jaccard is asserted in
+    tests/test_llm.py against the exact jaccard_pairs."""
+    return D.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), num_perm=32, bands=8
+    )
+
+
+@query("dedup_simhash_near_duplicates", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs blocked on the 16-bit prefix
+    (llm/dedup.py simhash_near_dups)."""
+    return D.simhash_near_dups(
+        load_table(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST(embedding[1] > 0 AS INT) AS blk
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign blocks
+    (llm/dedup.py embedding_near_dups)."""
+    return D.embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )

@@ -1,0 +1,98 @@
+"""Quality/behavior tests for the LLM-pipeline operators that the oracle
+can't check: MinHash recall vs exact Jaccard, LSH recall vs brute force,
+SimHash determinism, multimodal Arrow plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.llm import dedup as D
+from hive_2_3_2_spark.llm import multimodal as M
+from hive_2_3_2_spark.llm import similarity as S
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in D.jaccard_pairs(
+            docs, block_col=F.lit(0), threshold=0.5
+        ).collect()
+    }
+    cand = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in D.minhash_lsh_candidates(docs, num_perm=32, bands=8).collect()
+    }
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        # 8 bands × 4 rows: P[candidate | j=0.5] = 1-(1-0.5^4)^8 ≈ 0.40 per
+        # band config — across真 duplicates (j≥0.5, mostly ≫0.5) empirical
+        # recall should clear 0.6; exact dups (j=1.0) are always caught.
+        assert recall >= 0.6, f"minhash recall too low: {recall}"
+    # exact duplicates must always be candidates
+    exact_dups = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in D.jaccard_pairs(docs, block_col=F.lit(0), threshold=0.999).collect()
+    }
+    assert exact_dups <= cand
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).collect()
+    approx = S.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=8).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # multi-table multi-probe LSH measures ≈0.9 on this data; assert a
+    # floor that catches wiring bugs (random buckets ⇒ recall ≈ k/n ≈ 0.01)
+    assert recall >= 0.6, f"lsh recall too low: {recall}"
+
+
+def test_simhash_deterministic_and_blocked(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    a = docs.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()
+    b = docs.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # identical text ⇒ identical simhash ⇒ hamming 0
+    dup = docs.select(F.lit("same text here").alias("text"), F.col("doc_id"))
+    pairs = D.simhash_near_dups(dup, max_hamming=0).collect()
+    n = dup.count()
+    assert len(pairs) == n * (n - 1) // 2
+
+
+def test_multimodal_pipeline_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = M.attach_media(
+        docs.select("doc_id", F.col("text").cast("binary").alias("payload")),
+        "payload",
+        "doc_id",
+        "text/fake-image",
+    )
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r.mime == "text/fake-image"
+        assert r.n_bytes > 0
+        assert "x" in r.feat_head
+    frames = M.frame_sample(media, every_n_bytes=64)
+    assert frames.count() >= 50
+
+
+def test_token_count_edge_cases(spark):
+    from hive_2_3_2_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("a b  c",), ("hi! 42 x",)], ["text"]
+    )
+    rows = df.select(
+        T.whitespace_token_count(F.col("text")).alias("ws"),
+        T.bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r.ws for r in rows] == [0, 0, 1, 3, 3]
+    # "hi! 42 x" → pieces: hi, !, 42, x
+    assert rows[4].bpe == 4
+    assert rows[0].bpe == 0
