@@ -1,0 +1,97 @@
+"""MatchPath — row-sequence pattern matching over partitions.
+
+Reference: ql/src/java/org/apache/hadoop/hive/ql/udf/ptf/MatchPath.java
+(registered as MATCH_PATH_TABLE_FUNCTION, FunctionRegistry.java:521) — a
+PTF that matches a symbol-pattern (regex over row predicates) against the
+ordered rows of each partition and emits one row per match, ≈ a restricted
+MATCH_RECOGNIZE.
+
+Spark has no native equivalent (SURVEY §2.6) → applyInPandas: partitions
+arrive as ordered pandas frames (Arrow batches); the symbol regex runs on
+a per-row symbol string. Partition sizes bound memory — same constraint
+as Hive's PTFPartition spill container (exec/persistence/PTFRowContainer).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def match_path(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    symbols: dict[str, Callable[[pd.DataFrame], pd.Series]],
+    pattern: str,
+    result_cols: list[str],
+) -> DataFrame:
+    """Match ``pattern`` (regex over single-char symbol names) against each
+    partition's ordered rows; emit the first row of each match plus
+    match_start/match_end/match_len.
+
+    symbols: single-char symbol → vectorized predicate over the partition
+    frame (pandas). Example (MatchPath.java's flight example)::
+
+        match_path(df, "userid", "ts",
+                   {"L": lambda p: p["lateness"] > 60,
+                    "O": lambda p: p["lateness"] <= 60},
+                   pattern="LO*L",
+                   result_cols=["userid", "ts"])
+    """
+    for s in symbols:
+        if len(s) != 1:
+            raise ValueError(f"symbols must be single chars, got {s!r}")
+    rx = re.compile(pattern)
+    out_fields = [df.schema[c] for c in result_cols]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(out_fields)
+        + [
+            StructField("match_start", LongType()),
+            StructField("match_end", LongType()),
+            StructField("match_len", LongType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        # per-row symbol string: first symbol whose predicate is true
+        sym = pd.Series([""] * len(pdf))
+        assigned = pd.Series([False] * len(pdf))
+        for s, pred in symbols.items():
+            hit = pred(pdf).fillna(False).astype(bool) & ~assigned
+            sym[hit] = s
+            assigned |= hit
+        seq = "".join(sym.replace("", ".").tolist())
+        rows = []
+        pos = 0
+        while pos < len(seq):
+            m = rx.search(seq, pos)
+            if not m or m.start() == m.end():
+                break
+            first = pdf.iloc[m.start()]
+            rows.append(
+                [first[c] for c in result_cols]
+                + [m.start(), m.end() - 1, m.end() - m.start()]
+            )
+            pos = m.end()
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.groupBy(partition_col).applyInPandas(run, schema)
+
+
+def windowing_udaf_over(
+    df: DataFrame, agg: Column, partition_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Any-UDAF-over-window helper (WindowFunctionInfo parity: every
+    registered UDAF is window-capable in Hive — same in Spark)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn("window_value", agg.over(w))

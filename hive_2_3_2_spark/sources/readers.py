@@ -1,0 +1,115 @@
+"""Readers — the reference's SerDe/InputFormat surface on Spark sources.
+
+Mapping (SURVEY §2.2):
+- LazySimpleSerDe (serde/.../lazy/LazySimpleSerDe.java:76) → csv/text with
+  delimiter options (schema-on-read: malformed fields → null, Hive-style).
+- OpenCSVSerde (serde/.../OpenCSVSerde.java:55) → csv with quote/escape.
+- RegexSerDe (serde/.../RegexSerDe.java:75) → text + regexp_extract.
+- Orc/Parquet/Avro input formats → native Spark readers (predicate
+  pushdown + vectorized scan built in — richer than the reference's
+  VectorizedRowBatch path).
+- JdbcStorageHandler (jdbc-handler/.../JdbcStorageHandler.java) →
+  spark.read.jdbc with partitioned reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro (serde/.../avro/AvroSerDe.java:50). The avro package is an
+    optional Spark module; raise a clear error when absent."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "spark-avro module not on the classpath; add "
+            "org.apache.spark:spark-avro to spark.jars.packages"
+        ) from exc
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = False,
+    quote: str = '"',
+    escape: str = "\\",
+    schema: str | None = None,
+) -> DataFrame:
+    """Delimited text (LazySimpleSerDe / OpenCSVSerde parity). Hive is
+    schema-on-read and never fails on malformed rows → mode=PERMISSIVE."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", header)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.text(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON lines (Hive: DelimitedJSONSerDe / get_json_object over a
+    string column). Spark infers or takes an explicit schema."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_regex_text(
+    spark: SparkSession, path: str, pattern: str, out_cols: list[str]
+) -> DataFrame:
+    """RegexSerDe parity: each line parsed by ``pattern``'s capture groups
+    into ``out_cols`` (null on non-match — same as RegexSerDe)."""
+    df = spark.read.text(path)
+    return df.select(
+        *[
+            F.regexp_extract("value", pattern, i + 1).alias(name)
+            for i, name in enumerate(out_cols)
+        ]
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC external table (JdbcStorageHandler parity). Always pass a
+    partition_column for big tables — otherwise the read is single-task."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

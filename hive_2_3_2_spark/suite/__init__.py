@@ -63,6 +63,7 @@ _MODULES = [
     "llm_dedup",
     "llm_similarity",
     "events_windows",
+    "operators_misc",
 ]
 
 

@@ -1,0 +1,133 @@
+"""Suite queries for the operators/ + functions/ package surface:
+TRANSFORM scripts, ngrams, masking, salted skew join, MatchPath."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.functions import mask, mask_hash, mask_show_first_n, ngrams
+from hive_2_3_2_spark.operators import match_path, salted_skew_join, transform_script
+from hive_2_3_2_spark.suite import query
+
+
+@query(
+    "op_transform_script",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS k,
+           o_orderpriority AS prio
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def op_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM ... USING 'cat' (ScriptOperator parity,
+    ql/.../exec/ScriptOperator.java:66): rows piped tab-delimited through
+    an external process; outputs are strings (default SerDe)."""
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 100
+    ).createOrReplaceTempView("orders_small")
+    return transform_script(
+        spark, "orders_small", ["o_orderkey", "o_orderpriority"], "cat", ["k", "prio"]
+    )
+
+
+@query(
+    "op_ngrams_top20",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT UNNEST(list_transform(
+        range(greatest(len(t) - 1, 1)),
+        i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')
+      )) AS ngram
+      FROM toks
+    )
+    SELECT ngram, CAST(COUNT(*) AS DOUBLE) AS estfrequency
+    FROM grams GROUP BY ngram
+    ORDER BY estfrequency DESC, ngram
+    LIMIT 20
+    """,
+)
+def op_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngrams UDAF (GenericUDAFnGrams parity) — top-20 bigrams over
+    documents (functions/gaps.py ngrams; exact counts, better than the
+    reference's heap estimator)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    return ngrams(docs, F.col("toks"), 2, 20)
+
+
+@query(
+    "op_masking_family",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked,
+           sha256(c_name) AS hashed,
+           concat(substr(c_name, 1, 4),
+             regexp_replace(regexp_replace(regexp_replace(substr(c_name, 5),
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'))
+             AS partial
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def op_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masking functions (GenericUDFMask* family,
+    FunctionRegistry.java:531-536) via functions/gaps.py wrappers."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        mask(F.col("c_name")).alias("masked"),
+        mask_hash(F.col("c_name")).alias("hashed"),
+        mask_show_first_n(F.col("c_name"), 4).alias("partial"),
+    )
+
+
+@query(
+    "op_salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted skew join (operators/joins.py salted_skew_join =
+    compile-time SkewJoinOptimizer parity) — result identical to the
+    plain join, shuffle keys spread over 8 salt buckets."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    return (
+        salted_skew_join(li, orders, "k", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("op_match_path_sessions", oracle=None)
+def op_match_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath PTF (udf/ptf/MatchPath.java parity via applyInPandas):
+    find purchase-after-views patterns per user in the events stream.
+    Non-SQL-expressible (row-sequence regex) ⇒ rows-only check; exact
+    semantics pinned in tests/test_operators.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return match_path(
+        ev,
+        "user_id",
+        "ts",
+        {
+            "V": lambda p: p["event_type"] == "view",
+            "P": lambda p: p["event_type"] == "purchase",
+        },
+        pattern="V+P",
+        result_cols=["user_id", "ts"],
+    )

@@ -1,0 +1,152 @@
+"""Operator helper tests: salted joins, top-k, MatchPath, TRANSFORM,
+plan-property assertions (pushdown/broadcast/pruning), sampling bounds."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.operators import (
+    cluster_by,
+    match_path,
+    salted_skew_join,
+    top_k_per_group,
+    transform_script,
+)
+from hive_2_3_2_spark.operators.transform import transform_pandas
+from hive_2_3_2_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    scan_read_schema,
+)
+
+
+def test_salted_skew_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).count()
+    salted = salted_skew_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        "k",
+        salt_buckets=8,
+    ).count()
+    assert plain == salted
+
+
+def test_top_k_per_group_matches_window_query(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    got = top_k_per_group(
+        part, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], 3
+    )
+    # every brand has ≤3 rows and they are the max-price ones
+    agg = got.groupBy("p_brand").count().collect()
+    assert all(r["count"] <= 3 for r in agg)
+    top1 = {
+        (r.p_brand, r.p_partkey)
+        for r in top_k_per_group(
+            part, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], 1
+        ).collect()
+    }
+    oracle_top1 = {
+        (r.p_brand, r.p_partkey)
+        for r in part.groupBy("p_brand")
+        .agg(
+            F.min_by(
+                "p_partkey", F.struct(-F.col("p_retailprice"), F.col("p_partkey"))
+            ).alias("p_partkey")
+        )
+        .collect()
+    }
+    assert top1 == oracle_top1
+
+
+def test_match_path_flight_pattern(spark):
+    """MatchPath.java's canonical example: runs of late events."""
+    rows = [
+        (1, 1, 70), (1, 2, 10), (1, 3, 80), (1, 4, 90), (1, 5, 20),
+        (2, 1, 10), (2, 2, 20),
+    ]
+    df = spark.createDataFrame(rows, ["userid", "ts", "lateness"])
+    out = match_path(
+        df,
+        "userid",
+        "ts",
+        {"L": lambda p: p["lateness"] > 60, "O": lambda p: p["lateness"] <= 60},
+        pattern="L+",
+        result_cols=["userid", "ts"],
+    ).collect()
+    got = {(r.userid, r.ts, r.match_len) for r in out}
+    assert got == {(1, 1, 1), (1, 3, 2)}
+
+
+def test_transform_script_and_pandas(spark, sf_dir):
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    out = transform_script(
+        spark,
+        "region",
+        ["r_regionkey", "r_name"],
+        "cat",
+        ["k", "name"],
+    ).collect()
+    assert len(out) == 5
+    assert {r.name for r in out} == {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    }
+    df = load_table(spark, sf_dir, "region")
+    out2 = transform_pandas(
+        df,
+        lambda pdf: pd.DataFrame({"n": pdf["r_name"].str.lower()}),
+        "n string",
+    ).collect()
+    assert {r.n for r in out2} == {
+        "africa", "america", "asia", "europe", "middle east"
+    }
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey")
+    assert_pushed_filters(li, "l_quantity", "l_returnflag")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = scan_read_schema(li)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    from hive_2_3_2_spark.suite.tpch import q3
+
+    assert_broadcast_join(q3(spark, sf_dir), expect=1)
+    assert_no_cartesian(q3(spark, sf_dir))
+
+
+def test_cluster_by_clusters_partitions(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    out = cluster_by(li, "l_suppkey", n=8)
+
+    def check(it):
+        seen = set()
+        prev = None
+        for row in it:
+            if row.l_suppkey != prev:
+                assert row.l_suppkey not in seen, "not clustered"
+                seen.add(row.l_suppkey)
+                prev = row.l_suppkey
+        return iter([])
+
+    out.rdd.mapPartitions(lambda it: check(it)).count()
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()
+    n = li.sample(fraction=0.1, seed=42).count()
+    assert 0.07 * total < n < 0.13 * total
