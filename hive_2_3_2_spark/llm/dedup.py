@@ -13,13 +13,28 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from hive_2_3_2_spark.llm.text import md5_fingerprint, normalize_for_fingerprint
 
 # MinHash universal-hash family: h_i(x) = (a_i * x + b_i) mod P, P Mersenne.
 _P = (1 << 61) - 1
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of CPU-heavy per-row work.
+
+    A small corpus arrives as one parquet split → one task → one core; the
+    shingling/signature projections are compute-bound, so spread them over
+    the cluster first. At 100 TB the scan already has thousands of splits
+    and this repartition is a cheap no-op guard (cost: shuffling raw text
+    once, far below the per-row compute it parallelizes)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -52,6 +67,32 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
         word_shingles(text, k),
         lambda s: F.abs(F.xxhash64(s)) % _P,
     )
+
+
+def _minhash_fold_udf(num_perm: int):
+    """Arrow-vectorized MinHash fold: per row, min over shingle hashes of
+    (a_i*h + b_i) mod P for each permutation i. uint64 wrap-around
+    multiply (same family as the Column version; deterministic)."""
+    params = _perm_params(num_perm)
+    A = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.uint64)[:, None]
+    P = np.uint64(_P)
+
+    @pandas_udf("array<bigint>")
+    def fold(hh: pd.Series) -> pd.Series:
+        out = []
+        empty = np.full(num_perm, _P, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for row in hh:
+                if row is None or len(row) == 0:
+                    out.append(empty)
+                    continue
+                h = np.asarray(row, dtype=np.uint64)[None, :]
+                vals = (A * h + B) % P
+                out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return fold
 
 
 def minhash_signature(text: Column, num_perm: int = 32, k: int = 3) -> Column:
@@ -105,26 +146,19 @@ def minhash_lsh_candidates(
     """
     rows = num_perm // bands
 
-    def perm(a: int, b: int):
-        return lambda h: (h * a + b) % _P
-
-    # Materialize shingle hashes behind a projection boundary FIRST: the
-    # per-permutation mins then reference the bound `hh` attribute, so the
-    # shingling pipeline (normalize→split→slice→hash→distinct) runs once
-    # per row instead of once per permutation (32× less work — measured
-    # 269s → ~8s at sf0.1).
-    hashed = df.select(
+    # Shingle+hash JVM-side (codegen-friendly string work), then fold the
+    # num_perm permutation-mins in ONE Arrow-vectorized pandas UDF. The
+    # pure-Column formulation (num_perm × array_min(transform(...))) is
+    # correct but exceeds whole-stage-codegen limits and falls back to
+    # interpreted expression walking — measured 3.1s for the fold at
+    # sf0.1 vs ~0.2s for this numpy version. This is the sanctioned
+    # Pandas-UDF case: built-ins express the semantics but not the speed.
+    hashed = _spread(df).select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), k).alias("hh"),
     )
     sig = hashed.select(
-        "id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("hh"), perm(a, b)))
-                for a, b in _perm_params(num_perm)
-            ]
-        ).alias("sig"),
+        "id", _minhash_fold_udf(num_perm)(F.col("hh")).alias("sig")
     )
     banded = sig.select(
         "id",
@@ -142,6 +176,13 @@ def minhash_lsh_candidates(
             )
         ).alias("pos", "bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Materialize the banded signatures before the self-join: both join
+    # sides read the cached (id, band, bh) rows — 3 longs per row — instead
+    # of re-running the 32-permutation projection per side (the projection
+    # is too large for whole-stage codegen and dominates otherwise; at
+    # corpus scale you'd persist the signature table to storage anyway and
+    # reuse it across dedup runs). Measured 13.3s → ~4s at sf0.1.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -175,11 +216,11 @@ def jaccard_pairs(
     """
     if block_col is None:
         block_col = F.floor(F.length(F.col(text_col)) / 200)
-    docs = df.select(
+    docs = _spread(df).select(
         F.col(id_col).alias("id"),
         block_col.alias("blk"),
         word_shingles(F.col(text_col), k).alias("sh"),
-    )
+    ).persist()  # shingle once; both join sides scan the cached arrays
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -195,6 +236,27 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _simhash_fold_udf():
+    """Arrow-vectorized SimHash fold: per row, bit i of the output is the
+    sign of Σ over shingle hashes of (bit_i(h) ? +1 : -1)."""
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+
+    @pandas_udf("long")
+    def fold(hh: pd.Series) -> pd.Series:
+        out = np.zeros(len(hh), dtype=np.uint64)
+        for i, row in enumerate(hh):
+            if row is None or len(row) == 0:
+                continue
+            h = np.asarray(row, dtype=np.uint64)[:, None]
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+            out[i] = np.packbits(
+                (bits.sum(axis=0) > 0)[::-1], bitorder="big"
+            ).view(">u8")[0]
+        return pd.Series(out.astype(np.int64))
+
+    return fold
 
 
 def simhash64(text: Column, k: int = 2) -> Column:
@@ -236,33 +298,20 @@ def simhash_near_dups(
     at web scale; one table suffices for the suite), then filter by exact
     Hamming distance via bit_count(xor)."""
 
-    def bit_sum(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    # Same projection-boundary trick as minhash: hash the shingles once,
-    # then fold the 64 per-bit sums over the bound `hh` attribute instead
-    # of re-shingling the text 64 times.
-    hashed = df.select(
+    # Shingle-hash JVM-side; fold the 64 per-bit ±1 sums in one Arrow-
+    # vectorized pandas UDF (the 64-aggregate Column formulation falls out
+    # of codegen — same rationale as the MinHash fold).
+    hashed = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), 2), lambda s: F.xxhash64(s)
         ).alias("hh"),
     )
-    bits = [
-        F.when(
-            F.aggregate(F.col("hh"), F.lit(0).cast("long"), bit_sum(i)) > 0,
-            F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    sh_expr = bits[0]
-    for bcol in bits[1:]:
-        sh_expr = sh_expr.bitwiseOR(bcol)
-    sh = hashed.select("id", sh_expr.alias("sh")).withColumn(
+    sh = hashed.select("id", _simhash_fold_udf()(F.col("hh")).alias("sh")).withColumn(
         "blk", F.shiftrightunsigned(F.col("sh"), 64 - prefix_bits)
     )
+    # materialize once for both join sides (see minhash_lsh_candidates)
+    sh = sh.persist()
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
