@@ -51,6 +51,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 _MODULES = [
     "tpch",
+    "tpch_extra",
+    "functions_scalar2",
     "joins",
     "aggregates",
     "windows",

@@ -1,0 +1,295 @@
+"""Remaining TPC-H query shapes (adapted to the driver's star-schema
+columns). Together with tpch.py this covers every plan shape the
+reference's perf corpus exercises: correlated subqueries, EXISTS counts,
+nation-pair matrices, market-share CASE aggs, CTE+max, disjunctive
+pushdown, large-order HAVING-IN, multi-level semi-join chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table, register_star_schema
+from hive_2_3_2_spark.suite import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    register_star_schema(spark, sf_dir)
+    return spark.sql(q)
+
+
+_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", oracle=_Q4)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: EXISTS-filtered priority counts (correlated exists → semi
+    join; Spark date interval arithmetic matches DuckDB)."""
+    return _sql(spark, sf_dir, _Q4)
+
+
+_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_volume_shipping", oracle=_Q7)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: nation-pair trade matrix — two aliases of the same dim table
+    in one join tree (Hive resolves via RowResolver aliasing; Spark by
+    plan-id)."""
+    return _sql(spark, sf_dir, _Q7)
+
+
+_Q8 = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n.n_name AS nation
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation n ON s_nationkey = n.n_nationkey
+) t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("tpch_q8_market_share", oracle=_Q8)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: market share via conditional aggregation (CASE inside SUM)."""
+    return _sql(spark, sf_dir, _Q8)
+
+
+_Q12 = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS returned_lines,
+       CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("tpch_q12_shipmode_case_agg", oracle=_Q12)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: dual conditional counts per group."""
+    return _sql(spark, sf_dir, _Q12)
+
+
+_Q14 = """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+@query("tpch_q14_promo_effect", oracle=_Q14)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share — broadcast part join + CASE ratio."""
+    return _sql(spark, sf_dir, _Q14)
+
+
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=_Q15)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: CTE used twice (revenue + its max) — exchange/CTE reuse."""
+    return _sql(spark, sf_dir, _Q15)
+
+
+_Q16 = """
+SELECT p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_type NOT IN ('PROMO', 'ECONOMY') AND p_size IN (1, 4, 7, 10)
+GROUP BY p_type, p_size
+ORDER BY supplier_cnt DESC, p_type, p_size
+"""
+
+
+@query("tpch_q16_parts_supplier_counts", oracle=_Q16)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: NOT IN + IN filters + COUNT(DISTINCT) per group."""
+    return _sql(spark, sf_dir, _Q16)
+
+
+_Q17 = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = part.p_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_quantity", oracle=_Q17)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: correlated scalar AVG subquery against the outer join —
+    decorrelates to an aggregate joined back on partkey."""
+    return _sql(spark, sf_dir, _Q17)
+
+
+_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 200
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("tpch_q18_large_volume", oracle=_Q18)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: IN over an aggregated-HAVING subquery (semi join against an
+    aggregate) + top-100."""
+    return _sql(spark, sf_dir, _Q18)
+
+
+_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("tpch_q19_discounted_revenue", oracle=_Q19)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunctive (OR-of-ANDs) mixed-table predicates — Catalyst
+    splits the common join key out and pushes per-table residuals (Hive:
+    PointLookupOptimizer + PPD, optimizer/Optimizer.java:91,108)."""
+    return _sql(spark, sf_dir, _Q19)
+
+
+_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 100
+)
+ORDER BY s_name
+"""
+
+
+@query("tpch_q20_promo_suppliers", oracle=_Q20)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: semi-join chain through an aggregated subquery."""
+    return _sql(spark, sf_dir, _Q20)
+
+
+_Q22 = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query("tpch_q22_global_sales_opportunity", oracle=_Q22)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: scalar-subquery threshold + anti join + aggregate."""
+    return _sql(spark, sf_dir, _Q22)
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name, ROUND(s.s_acctbal, 2) AS bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (
+      SELECT MIN(s2.s_acctbal) FROM supplier s2
+      WHERE s2.s_nationkey = s.s_nationkey
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated MIN subquery (per-nation minimum) — the
+    classic decorrelation-to-aggregate-join pattern."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s.s_suppkey, s.s_name, n.n_name, ROUND(s.s_acctbal, 2) AS bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal = (
+          SELECT MIN(s2.s_acctbal) FROM supplier s2
+          WHERE s2.s_nationkey = s.s_nationkey
+        )
+        ORDER BY s.s_suppkey
+        """,
+    )
