@@ -1,0 +1,77 @@
+"""Negative-path tests (clientnegative corpus parity, SURVEY §5.1: 802
+expected-error .q files) — the engine must fail *cleanly* with typed
+analysis/parse errors, not crash or silently mis-execute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors.exceptions.captured import (
+    AnalysisException,
+    ParseException,
+)
+
+from hive_2_3_2_spark import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return Engine(spark=spark, sf_dir=sf_dir)
+
+
+def test_syntax_error(eng):
+    with pytest.raises(ParseException):
+        eng.sql("SELEC * FROM lineitem")
+
+
+def test_unknown_table(eng):
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        eng.sql("SELECT * FROM does_not_exist")
+
+
+def test_unknown_column(eng):
+    with pytest.raises(AnalysisException, match="UNRESOLVED_COLUMN"):
+        eng.sql("SELECT no_such_col FROM lineitem").collect()
+
+
+def test_unknown_function(eng):
+    with pytest.raises(AnalysisException, match="UNRESOLVED_ROUTINE"):
+        eng.sql("SELECT not_a_function(1)").collect()
+
+
+def test_ambiguous_column(eng):
+    with pytest.raises(AnalysisException, match="AMBIGUOUS"):
+        eng.sql(
+            """SELECT o_orderkey FROM orders a
+               JOIN orders b ON a.o_orderkey = b.o_orderkey"""
+        ).collect()
+
+
+def test_group_by_missing_column(eng):
+    with pytest.raises(AnalysisException, match="MISSING_AGGREGATION|GROUP"):
+        eng.sql(
+            "SELECT o_custkey, o_totalprice FROM orders GROUP BY o_custkey"
+        ).collect()
+
+
+def test_union_arity_mismatch(eng):
+    with pytest.raises(AnalysisException, match="NUM_COLUMNS_MISMATCH|UNION"):
+        eng.sql(
+            "SELECT 1 UNION ALL SELECT 1, 2"
+        ).collect()
+
+
+def test_invalid_cast_yields_null_not_error(eng):
+    """Hive permissiveness: a *value* that can't cast gives NULL (only
+    structural errors raise) — the positive twin of the negative corpus."""
+    row = eng.sql("SELECT CAST('not_a_number' AS INT) AS v").collect()[0]
+    assert row.v is None
+
+
+def test_scalar_subquery_multiple_rows_errors(eng):
+    """sq_count_check parity (FunctionRegistry.java:253): a scalar
+    subquery returning >1 row is a runtime error in both engines."""
+    with pytest.raises(Exception, match="SCALAR_SUBQUERY_TOO_MANY_ROWS"):
+        eng.sql(
+            """SELECT * FROM nation
+               WHERE n_nationkey = (SELECT n_nationkey FROM nation)"""
+        ).collect()
