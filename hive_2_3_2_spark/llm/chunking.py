@@ -1,0 +1,138 @@
+"""Document chunking + sequence packing — training-data pipeline staples.
+
+- ``chunk_documents``: split long documents into overlapping token
+  windows (context-window preparation). Pure JVM: tokenize once, emit
+  windows via posexplode over a window-start sequence — map-side only,
+  no shuffle, linear in corpus size.
+- ``pack_sequences``: greedily pack documents into fixed-token-budget
+  groups (training batch packing). Greedy packing is inherently
+  sequential per partition — implemented as applyInPandas over a
+  partition key so each partition packs independently in parallel
+  (the standard distributed formulation: global greedy is not
+  parallelizable, per-shard greedy is what production pipelines do).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between consecutive
+    chunks. Returns (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Stride = chunk_tokens - overlap; windows start at 0, stride, 2*stride,
+    ... while start < n_tokens (every token appears in ≥1 chunk; the final
+    window may be short)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - 1) / stride).cast("int") * stride, F.lit(0)
+        ),
+        F.lit(stride),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(
+                F.size("__toks") - F.col("start"), F.lit(chunk_tokens)
+            ).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pack_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("pack_fill", LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+    text_col: str = "text",
+    shards: int = 32,
+) -> DataFrame:
+    """Greedy first-fit packing of documents into token-budget groups.
+
+    Documents are sharded by hash(doc_id) % shards; within each shard,
+    docs are processed in doc_id order and appended to the current pack
+    until the budget would overflow, then a new pack starts. Returns
+    (doc_id, pack_id, n_tokens, pack_fill) where pack_id is globally
+    unique (shard * 2^40 + local) and pack_fill is the pack's total.
+
+    Oversized docs (> budget) get a dedicated pack — chunk first with
+    chunk_documents if that's not wanted.
+    """
+    tok = (
+        tokens_col
+        if tokens_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tok.cast("long").alias("n_tokens"),
+        (F.crc32(F.col(id_col).cast("string")) % shards).cast("long").alias(
+            "shard"
+        ),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        pack_ids, fills = [], {}
+        current, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                current += 1
+                fill = 0
+            fill += n
+            pack_ids.append(current)
+            fills[current] = fill
+        gid = [shard * (1 << 40) + p for p in pack_ids]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "pack_id": gid,
+                "n_tokens": pdf["n_tokens"],
+                "pack_fill": [fills[p] for p in pack_ids],
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)

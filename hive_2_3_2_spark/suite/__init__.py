@@ -64,6 +64,7 @@ _MODULES = [
     "llm_text",
     "llm_dedup",
     "llm_similarity",
+    "llm_chunking",
     "events_windows",
     "operators_misc",
 ]

@@ -259,3 +259,33 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("max_total"),
         F.round(F.min("o_totalprice"), 2).alias("min_total"),
     )
+
+
+@query(
+    "agg_regression_family",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4)      AS avgx,
+           ROUND(REGR_AVGY(l_extendedprice, l_quantity), 4)      AS avgy
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression UDAFs (FunctionRegistry.java:419-427: regr_slope,
+    regr_intercept, regr_r2, regr_count, regr_avgx, regr_avgy) — Spark
+    natives since 3.4/3.5, single-pass moment aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_avgx(y, x), 4).alias("avgx"),
+        F.round(F.regr_avgy(y, x), 4).alias("avgy"),
+    )

@@ -1,0 +1,52 @@
+"""Chunking / packing suite queries (implementations: llm/chunking.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.llm.chunking import chunk_documents, pack_sequences
+from hive_2_3_2_spark.suite import query
+
+
+@query(
+    "chunk_documents_overlapping",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             CAST(UNNEST(range(0,
+               greatest(CAST(FLOOR((len(toks) - 1) / 48) AS BIGINT) * 48, 0)
+               + 1, 48)) AS BIGINT) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+             AS chunk_text
+    FROM starts
+    WHERE len(toks) - start > 0
+    """,
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16 overlap →
+    stride 48) — context-window prep, map-side only (no shuffle)."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@query("pack_sequences_greedy", oracle=None)
+def pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing, sharded for parallelism
+    (llm/chunking.py pack_sequences). Per-shard sequential algorithm ⇒
+    not SQL-expressible → rows-only check; invariants (no pack over
+    budget, every doc packed exactly once) asserted in tests/test_llm.py."""
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=512
+    )

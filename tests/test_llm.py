@@ -96,3 +96,42 @@ def test_token_count_edge_cases(spark):
     # "hi! 42 x" → pieces: hi, !, 42, x
     assert rows[4].bpe == 4
     assert rows[0].bpe == 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from hive_2_3_2_spark.llm.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=512).collect()
+    assert len(packed) == docs.count()  # every doc packed exactly once
+    fills = {}
+    for r in packed:
+        fills.setdefault(r.pack_id, 0)
+        fills[r.pack_id] += r.n_tokens
+    for pid, total in fills.items():
+        # budget respected unless a single oversized doc owns the pack
+        members = [r for r in packed if r.pack_id == pid]
+        assert total <= 512 or len(members) == 1, (pid, total)
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    from hive_2_3_2_spark.llm.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150)))], ["doc_id", "text"]
+    )
+    chunks = sorted(
+        chunk_documents(df, chunk_tokens=64, overlap=16).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stride 48 over 150 tokens → starts 0,48,96,144 → 4 chunks
+    assert [c.chunk_id for c in chunks] == [0, 1, 2, 3]
+    assert chunks[0].n_tokens == 64 and chunks[3].n_tokens == 6
+    # consecutive chunks overlap by 16 tokens
+    a, b = chunks[0].chunk_text.split(), chunks[1].chunk_text.split()
+    assert a[-16:] == b[:16]
+    # full token sequence is reconstructible from stride-sized prefixes
+    rebuilt = []
+    for c in chunks:
+        rebuilt.extend(c.chunk_text.split()[:48])
+    assert rebuilt == [f"t{i}" for i in range(150)]

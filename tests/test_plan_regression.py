@@ -1,0 +1,94 @@
+"""Physical-plan regression suite — the Spark analogue of the reference's
+compiler plan goldens (ql/src/test/results/compiler/ and the TPC-DS
+explain-only perf suite, CorePerfCliDriver.java:34).
+
+Rather than brittle full-plan diffs, we pin the *scale-critical
+properties* of each headline plan: filters pushed to scans, dimension
+joins broadcast, no cartesian products, no unexpected extra shuffles.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_2_3_2_spark.plans import explain_str
+from hive_2_3_2_spark.suite import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, sf_dir, name):
+    return explain_str(REGISTRY[name].fn(spark, sf_dir))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q10_returned_items",
+    ],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns reach the scan
+    assert "l_comment" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"):
+        assert col in read
+    assert "o_orderkey" not in read
+
+
+def test_q6_fully_pushed_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({frag})" in plan or frag in plan
+    assert "PushedFilters" in plan
+    # single aggregate, no join, no wide shuffle
+    assert "Join" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_topk_pushdown")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rank_filter_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_rank_top_parts")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_whole_stage_codegen_covers_q1(spark, sf_dir):
+    """The hot aggregation pipeline must be inside WholeStageCodegen
+    (Hive's template vectorization equivalent — SURVEY §4.3)."""
+    # AQE hides codegen markers until execution: run the query, then read
+    # the executed plan (codegen'd operators carry "*(n)" stage markers).
+    df = REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark operators compiled into WholeStageCodegen stages
+    import re
+
+    assert re.search(r"\*\(\d+\) (HashAggregate|Sort|Project|Filter)", executed), (
+        executed
+    )
+
+
+def test_minhash_no_cartesian_and_blocked(spark, sf_dir):
+    """The LSH self-join must be an equi-join on the bucket key (blocked),
+    never a cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_near_duplicates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
