@@ -31,13 +31,17 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # fine. The notable gap: Hive allows `sort_array_by` (no Spark native) —
     # handled in functions/, not here.
     # Hive: SELECT ... FROM t TABLESAMPLE(BUCKET x OUT OF y ON col)
-    #   → deterministic modulo filter (SURVEY §2.7).
+    #   → deterministic modulo filter (genSamplePredicate,
+    #   parse/SemanticAnalyzer.java:10268). Hive's bucket hash of an
+    #   integral column IS the value (ObjectInspectorUtils.hashCode), so
+    #   pmod(col, y) = x-1 reproduces Hive's exact bucket row set for int
+    #   keys (string keys would need Java String.hashCode — unsupported).
     (
         re.compile(
             r"TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)\s+ON\s+([\w.]+)\s*\)",
             re.IGNORECASE,
         ),
-        r"WHERE pmod(hash(\3), \2) = (\1 - 1)",
+        r"WHERE pmod(\3, \2) = (\1 - 1)",
     ),
 ]
 

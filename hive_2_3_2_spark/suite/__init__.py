@@ -67,6 +67,7 @@ _MODULES = [
     "llm_chunking",
     "events_windows",
     "operators_misc",
+    "hiveql_dialect",
 ]
 
 
