@@ -65,6 +65,7 @@ _MODULES = [
     "llm_dedup",
     "llm_similarity",
     "llm_chunking",
+    "llm_multimodal",
     "events_windows",
     "operators_misc",
     "hiveql_dialect",

@@ -289,3 +289,21 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 4).alias("avgx"),
         F.round(F.regr_avgy(y, x), 4).alias("avgy"),
     )
+
+
+@query("agg_histogram_numeric", oracle=None)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_numeric (GenericUDAFHistogramNumeric,
+    FunctionRegistry.java:430) — Spark native since 3.3. Approximate
+    (adaptive bin placement) ⇒ rows-only check; bin-count and coverage
+    sanity asserted here via the schema (array of (x, y) structs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("histogram_numeric(l_extendedprice, 10)").alias("hist"))
+        .select(
+            "l_returnflag",
+            F.size("hist").alias("n_bins"),
+            F.round(F.element_at("hist", 1).getField("x"), 0).alias("first_x"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""Multimodal-column suite queries (implementations: llm/multimodal.py).
+
+The container has no image/audio libraries, so payloads are synthesized
+from document text (deterministic) — the Spark-side plumbing (binary
+columns, typed metadata structs, Arrow batch decode, frame sampling) is
+the real, tested surface; the decoder body is the documented stub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.llm import multimodal as M
+from hive_2_3_2_spark.suite import query
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.attach_media(
+        docs.select("doc_id", F.col("text").cast("binary").alias("payload")),
+        "payload",
+        "doc_id",
+        "text/fake-image",
+    )
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/fake-image' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct: the ingest-time metadata
+    (byte length, mime) is exact and oracle-checkable."""
+    return _media(spark, sf_dir).select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query("multimodal_feature_extract", oracle=None)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode + feature extraction via mapInPandas
+    (llm/multimodal.py extract_features — stub decoder, real batch
+    plumbing). Python-side decode ⇒ rows-only check; determinism and
+    schema pinned in tests/test_llm.py."""
+    return M.extract_features(_media(spark, sf_dir))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(UNNEST(range(greatest(
+             CAST(FLOOR(octet_length(encode(text)) / 64) AS BIGINT), 1)))
+             AS BIGINT) AS frame_no
+    FROM documents
+    """,
+)
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per fixed-size payload window
+    (JVM-side posexplode — the video frame-step plan shape)."""
+    return M.frame_sample(_media(spark, sf_dir), every_n_bytes=64)
