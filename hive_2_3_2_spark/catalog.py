@@ -31,6 +31,33 @@ STAR_TABLES = (
 )
 
 
+# Runtime-settable confs the engine's semantics depend on. The driver (or
+# any embedding application) may hand us a vanilla SparkSession — without
+# these, events.parquet (TIMESTAMP NANOS) fails to read, ANSI mode breaks
+# Hive-permissive casts, and a non-UTC session timezone shifts timestamps.
+_REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable session confs idempotently.
+
+    Called from every load path so the suite behaves identically under
+    an externally-created SparkSession (driver contract) and our own
+    session factory (which also sets the static confs)."""
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static-only conf in this build — session factory covers it
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) in ``path``.
 
@@ -52,6 +79,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     conversion uses integer ``DIV`` — float division would silently lose
     precision (epoch nanos ~1.7e18 exceed double's 53-bit mantissa).
     """
+    ensure_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_cols(path):
