@@ -53,6 +53,7 @@ _MODULES = [
     "tpch",
     "tpch_extra",
     "functions_scalar2",
+    "functions_scalar3",
     "joins",
     "aggregates",
     "windows",
