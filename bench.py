@@ -31,6 +31,9 @@ HEADLINE = [
     "agg_rollup_order_priority",
     "dedup_minhash_near_duplicates",
     "similarity_topk_bruteforce",
+    "join_skew_salted",
+    "events_session_window",
+    "chunk_documents_overlapping",
 ]
 
 
