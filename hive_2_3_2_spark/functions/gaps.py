@@ -98,8 +98,6 @@ def in_file(value: Column, path_col: Column) -> Column:
     the caller should join against ``spark.read.text(path)`` for real
     scale; this expression form supports only literal paths by inlining
     the file's lines (suitable for small allow/deny lists)."""
-    import pyspark.sql.util  # noqa: F401  (keeps import surface explicit)
-
     raise NotImplementedError(
         "use engine.ops.in_file_join(df, col, path) — expression form would "
         "require reading the file at plan time; the join form scales"
