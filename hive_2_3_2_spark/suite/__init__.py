@@ -70,6 +70,7 @@ _MODULES = [
     "events_windows",
     "operators_misc",
     "hiveql_dialect",
+    "misc_extra",
 ]
 
 
