@@ -71,6 +71,7 @@ _MODULES = [
     "operators_misc",
     "hiveql_dialect",
     "misc_extra",
+    "analytics_extra",
 ]
 
 
