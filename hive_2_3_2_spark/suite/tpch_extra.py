@@ -293,3 +293,96 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.s_suppkey
         """,
     )
+
+
+_Q9 = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("tpch_q9_product_profit", oracle=_Q9)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-type profit by nation and year — 5-way join with
+    a LIKE filter on the part dimension and an expression aggregate
+    (revenue minus a supply-cost proxy; the driver schema has no
+    partsupp, so 0.6*p_retailprice*l_quantity stands in for
+    ps_supplycost). Plan shape matches the reference's Q9: dim broadcasts
+    into the fact, one shuffle on the (nation, year) groupBy."""
+    return _sql(spark, sf_dir, _Q9)
+
+
+_Q11 = """
+SELECT l_partkey,
+       ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice * l_quantity) > (
+  SELECT 0.001 * SUM(l_extendedprice * l_quantity)
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@query("tpch_q11_important_stock", oracle=_Q11)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part inventory value gated by a scalar subquery over
+    the same aggregate (HAVING sum > fraction-of-global-sum). No partsupp
+    table in the driver schema, so lineitem value stands in for
+    ps_supplycost*ps_availqty. Decorrelates to a scalar-agg cross join —
+    the global sum is a 1-row broadcast, so at 100 TB the only wide
+    shuffle is the partkey groupBy (computed once; Catalyst reuses the
+    exchange for both branches)."""
+    return _sql(spark, sf_dir, _Q11)
+
+
+_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name = 'NATION_7'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("tpch_q21_waiting_suppliers", oracle=_Q21)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the hardest TPC-H plan — a correlated EXISTS plus a
+    correlated NOT EXISTS against the same fact table (sole-blocking-
+    supplier pattern; l_returnflag='R' stands in for receipt>commit since
+    the driver schema has no commit/receipt dates). Compiles to a
+    left-semi then left-anti join, both on l_orderkey — Catalyst plans
+    both against the same exchange of lineitem."""
+    return _sql(spark, sf_dir, _Q21)
