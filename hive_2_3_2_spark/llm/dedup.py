@@ -367,3 +367,77 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    (node, component) with component = min node id reachable.
+
+    This is the step that turns pairwise near-dup hits into dedup
+    *clusters* (keep min-id per component, drop the rest) — the reference
+    exposes only pairwise semijoin-style dedup; at corpus scale the
+    transitive closure is what you actually need.
+
+    Algorithm: distributed min-label propagation (Pregel-style, the same
+    fixpoint GraphX `connectedComponents` computes): every node starts
+    labeled with itself; each round every node takes the min label among
+    itself and its neighbors; stop when no label changed. Rounds =
+    graph diameter; near-dup graphs are unions of small cliques/paths, so
+    this converges in a handful of rounds. Each round is one shuffle join
+    on node id — at 100 TB the edge list is hash-partitioned on `u` and
+    the join co-locates with the label table's partitioning, so rounds
+    reuse the exchange. `localCheckpoint` truncates the logical plan every
+    round: without it the lineage doubles per iteration and Catalyst
+    re-optimization time explodes by round ~15.
+    """
+    und = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    und = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    labels = (
+        und.select(F.col("u").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["v"] == labels["node"]).select(
+            und["u"].alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-dup clustering: exact n-gram Jaccard pairs →
+    connected components → (doc_id, component)."""
+    pairs = jaccard_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col)
+    cc = connected_components(pairs, src=f"{id_col}_a", dst=f"{id_col}_b")
+    return cc.select(
+        F.col("node").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy(id_col)

@@ -100,3 +100,43 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dups(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+@query(
+    "dedup_connected_clusters",
+    oracle=r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             CAST(FLOOR(length(text) / 200) AS BIGINT) AS blk,
+             list_distinct(list_transform(
+               range(greatest(len(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(trim(regexp_replace(
+                 lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), i + 1, i + 3), ' ')
+             )) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.12
+    ), und AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ), walk(node, reach) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT w.node, u.dst FROM walk w JOIN und u ON u.src = w.reach
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(reach) AS BIGINT) AS component
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard pairs → distributed min-label
+    propagation to a fixpoint (llm/dedup.py connected_components — the
+    transitive-closure step pairwise dedup lacks). Oracle computes the
+    same components with a recursive CTE; the Spark side is the
+    Pregel-style iterative-join algorithm that scales."""
+    return D.dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.12)

@@ -135,3 +135,23 @@ def test_chunk_documents_reconstructs_text(spark):
     for c in chunks:
         rebuilt.extend(c.chunk_text.split()[:48])
     assert rebuilt == [f"t{i}" for i in range(150)]
+
+
+def test_connected_components_handmade_graph(spark):
+    """Path 1-2-3-4 (diameter 3 → needs real iteration), triangle 10-11-12,
+    isolated edge 20-21."""
+    from hive_2_3_2_spark.llm import dedup as D
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {
+        (r.node, r.component)
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
