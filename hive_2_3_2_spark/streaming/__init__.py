@@ -19,8 +19,14 @@ from hive_2_3_2_spark.streaming.ingest import (
     stream_ingest,
     windowed_counts,
 )
+from hive_2_3_2_spark.streaming.stateful import (
+    running_totals,
+    sessionize_stateful,
+)
 
 __all__ = [
+    "running_totals",
+    "sessionize_stateful",
     "sessionized_stream",
     "stream_dedup",
     "stream_ingest",

@@ -161,3 +161,53 @@ def type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@query(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py running_totals) run end-to-end: stage events as
+    a file-source stream, run with Trigger.AvailableNow into a memory
+    sink, return the final per-user state. Single input file → one
+    micro-batch → update-mode output equals the batch aggregate (the
+    cross-micro-batch state carry is asserted in
+    tests/test_streaming.py with maxFilesPerTrigger=1)."""
+    import tempfile
+    import uuid
+
+    from hive_2_3_2_spark.streaming import running_totals
+
+    tmp = tempfile.mkdtemp(prefix="stateful_rt_")
+    src = f"{tmp}/src"
+    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(src)
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_totals(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.round(F.max("total"), 2).alias("total"))
+        .orderBy("user_id")
+    )

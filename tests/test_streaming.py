@@ -114,3 +114,128 @@ def test_stream_dedup_and_sessions_run(spark, sf_dir, tmp_path):
         .start()
     )
     q2.awaitTermination(120)
+
+
+def test_stateful_running_totals_across_microbatches(spark, sf_dir, tmp_path):
+    """State must persist across micro-batches: 4 input files, 1 per
+    trigger — the final emitted (n, total) per user equals the batch
+    aggregate over all files."""
+    from hive_2_3_2_spark.streaming import running_totals
+
+    src = str(tmp_path / "rt_src")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"rt_{int(time.time())}"
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    updates = spark.table(name)
+    # n is monotonically increasing per user: the max-n row is the final state
+    from pyspark.sql import Window
+
+    final = (
+        updates.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n"))
+            ),
+        )
+        .filter("rk = 1")
+        .select("user_id", "n", "total")
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"), F.sum("value").alias("total")
+        )
+    )
+    j = final.join(batch, "user_id", "full").collect()
+    assert j, "no rows emitted"
+    for r in j:
+        assert r["n"] is not None and r["n"] == r[3], r
+        assert abs(r["total"] - r[4]) < 1e-6, r
+    # and state genuinely crossed batches: some user got >1 update
+    multi = updates.groupBy("user_id").count().filter("count > 1").count()
+    assert multi > 0
+
+
+def test_stateful_sessionizer_closed_sessions_match_session_window(
+    spark, sf_dir, tmp_path
+):
+    """Every session the EventTimeTimeout sessionizer closes must exactly
+    match a row of the batch F.session_window aggregation."""
+    from hive_2_3_2_spark.streaming import sessionize_stateful
+
+    src = str(tmp_path / "ss_src")
+    events = load_table(spark, sf_dir, "events")
+    # order files by time so the watermark advances across micro-batches
+    events.sort("ts").coalesce(1).write.parquet(src)
+    # re-split into 4 time-ordered files
+    part1 = spark.read.parquet(src).sort("ts")
+    src2 = str(tmp_path / "ss_src2")
+    n = events.count()
+    pdf = part1.toPandas()
+    import os
+
+    os.makedirs(src2)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+        spark.createDataFrame(chunk, schema=EVENTS_SCHEMA).coalesce(1).write.parquet(
+            src2 + f"/f{i}", mode="overwrite"
+        )
+    paths = [src2 + f"/f{i}" for i in range(4)]
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2 + "/f*")
+    )
+    name = f"ss_{int(time.time())}"
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table(name).collect()
+    assert got, "no sessions closed — watermark never advanced"
+    batch = {
+        (r.user_id, r.start, r.end): (r.n, round(r.total, 6))
+        for r in events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"),
+            "n",
+            "total",
+        )
+        .collect()
+    }
+    for r in got:
+        key = (
+            r.user_id,
+            r.session_start,
+            # session_window end = last_ts + gap
+            r.session_end + __import__("datetime").timedelta(seconds=1800),
+        )
+        assert key in batch, (key, sorted(batch)[:3])
+        assert batch[key][0] == r.n_events
+        assert abs(batch[key][1] - r.sum_value) < 1e-6
