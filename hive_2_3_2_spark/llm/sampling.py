@@ -1,0 +1,64 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across runs and
+engines; training pipelines need *content-addressed* sampling — the same
+doc lands in the same split on every engine, every run, every re-shard.
+These operators key every decision on a hash of a stable id:
+
+- ``hash_split``: train/eval split by md5-prefix threshold. Adding data
+  never moves an existing doc between splits (per-doc decision, no
+  global ordering).
+- ``stratified_take``: exactly-k-per-group sample, ordered by hash —
+  deterministic, uniform within group, no RNG.
+
+Scale: both are embarrassingly parallel — md5 + compare/row_number are
+JVM-side; the only shuffle is stratified_take's partitionBy(group), and
+that one is bounded by WindowGroupLimit pushdown (rank filter prunes to
+k per group before the full sort materializes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_key(col: Column) -> Column:
+    """16-bit hex bucket key: first 4 hex chars of md5 of the value's
+    string form. Stable across engines (md5 is md5) — unlike
+    xxhash64/hash whose seeds are Spark-specific."""
+    return F.substring(F.md5(col.cast("string")), 1, 4)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'train' or 'eval' by deterministic hash threshold.
+
+    P(train) = round(train_frac * 65536) / 65536 (≈ train_frac to 2e-5).
+    """
+    threshold = format(round(train_frac * 65536), "04x")
+    return df.withColumn(
+        split_col,
+        F.when(hash_key(F.col(id_col)) < F.lit(threshold), F.lit("train"))
+        .otherwise(F.lit("eval")),
+    )
+
+
+def stratified_take(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by hash order —
+    a deterministic stratified sample (md5 collisions on distinct ids
+    are impossible in practice, so the order is total)."""
+    w = Window.partitionBy(group_col).orderBy(hash_key(F.col(id_col)), id_col)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -67,6 +67,7 @@ _MODULES = [
     "llm_similarity",
     "llm_chunking",
     "llm_multimodal",
+    "llm_sampling",
     "events_windows",
     "operators_misc",
     "hiveql_dialect",

@@ -1,0 +1,58 @@
+"""Deterministic sampling suite entries (llm/sampling.py) — the
+reproducible train/eval-split and stratified-sample primitives a
+training-data pipeline needs; both fully oracle-checkable because every
+decision is content-addressed (md5), not RNG-based."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.llm import sampling as S
+from hive_2_3_2_spark.suite import query
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train-eval split by md5 prefix threshold —
+    same assignment on any engine/run (llm/sampling.py hash_split)."""
+    return (
+        S.hash_split(load_table(spark, sf_dir, "documents"), train_frac=0.8)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified_per_lang",
+    oracle="""
+    SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    WHERE sample_rank <= 5
+    ORDER BY lang, sample_rank
+    """,
+)
+def stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-language deterministic stratified sample
+    (llm/sampling.py stratified_take; WindowGroupLimit prunes the sort)."""
+    return (
+        S.stratified_take(load_table(spark, sf_dir, "documents"), k=5)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
