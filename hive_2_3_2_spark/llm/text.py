@@ -139,3 +139,44 @@ def rolling_shingle_fingerprint(text: Column, k: int = 5) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: acc + h.cast("long"),
     )
+
+
+def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top-k keywords by smoothed tf-idf:
+    score = tf * ln((N+1)/(df+1)).
+
+    Ranking is on the *integer* pair (tf DESC, df ASC, term ASC) — the
+    same order tf-idf induces for a fixed corpus, but free of
+    cross-engine floating-point tie ambiguity; the float score is
+    emitted for consumers.
+
+    Scale: two shuffles (term-level df aggregate; per-doc window). The
+    corpus size N is a 1-row broadcast. df table is term-keyed —
+    heavy-hitter terms are fine because df is a pre-aggregated count,
+    not a row explosion.
+    """
+    from pyspark.sql import DataFrame, Window  # local: avoid cycle at import
+
+    spark_df: DataFrame = df
+    toks = spark_df.select(
+        id_col, F.explode(F.split(text_col, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = spark_df.select(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("df"), F.asc("tok"))
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "tok", "tf", "df", "score")
+    )

@@ -150,3 +150,34 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.rolling_shingle_fingerprint(F.col("text")).alias("rfp"),
     )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, tf, df, score FROM (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             ROUND(t.tf * ln((nd.n_docs + 1.0) / (d.df + 1.0)), 6) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.tok ASC
+             ) AS rn
+      FROM tf t JOIN dfreq d USING (tok) CROSS JOIN nd
+    ) WHERE rn <= 3
+    ORDER BY doc_id, tok
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by smoothed tf-idf (llm/text.py
+    tfidf_top_terms) — integer-deterministic ranking, float score."""
+    return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3).orderBy(
+        "doc_id", "tok"
+    )
