@@ -395,10 +395,21 @@ def connected_components(
     round: without it the lineage doubles per iteration and Catalyst
     re-optimization time explodes by round ~15.
     """
-    und = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-    und = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    # Persist the directed edge list first: the undirected union reads it
+    # twice, and upstream edge generation (e.g. Jaccard pair scoring) is
+    # the most expensive stage of the whole clustering. localCheckpoint
+    # then truncates the (possibly huge) upstream plan before iteration.
+    directed = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).persist()
+    und = (
+        directed.unionByName(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    directed.unpersist()
     labels = (
         und.select(F.col("u").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
@@ -423,7 +434,6 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    und.unpersist()
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
