@@ -185,3 +185,134 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cell id of the nearest centroid (euclidean) — array-of-structs
+    argmin, all JVM-side against literal centroid arrays."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(dists)["cell"]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Coarse-quantizer centroids via Lloyd iterations, DataFrame-native.
+
+    Init is deterministic (first n_cells vectors by id — reproducible
+    across runs, unlike RNG seeding that varies with partitioning). Each
+    iteration: assign cells against broadcast centroid literals (k×dim
+    doubles — trivially broadcastable), then per-(cell, dim) mean via
+    posexplode + groupBy. Only the centroids (k×dim values) ever reach
+    the driver — the standard k-means topology at any scale.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    centroids = [
+        r.v for r in v.orderBy("id").limit(n_cells).collect()
+    ]
+    for _ in range(n_iter):
+        assigned = v.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .select("cell", F.col("ms.m").alias("centroid"))
+            .collect()
+        )
+        new = {r.cell: r.centroid for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means coarse
+    quantizer → corpus partitioned into cells → each query scores only
+    its ``nprobe`` nearest cells.
+
+    Scale shape: the cell assignment is a projection (no shuffle); at
+    corpus scale you write the assigned table out partitioned/bucketed BY
+    cell once and reuse it across query batches — each query batch then
+    touches nprobe/n_cells of the data (partition pruning on the cell
+    join). Complements sign-LSH: IVF adapts to the data distribution
+    (learned centroids) where LSH is data-oblivious.
+    """
+    centroids = kmeans_centroids(
+        corpus, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cell", _nearest_cell(F.col("cv"), centroids))
+    # nprobe nearest cells per query: argmin-k over the same centroid dists
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(float(x)) for x in cc]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cc in enumerate(centroids)
+        ]
+    )
+    q_probed = q.withColumn(
+        "cell", F.explode(F.slice(F.array_sort(dists)["cell"], 1, nprobe))
+    )
+    scored = (
+        c.join(F.broadcast(q_probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -51,3 +51,17 @@ def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=8)
+
+
+@query("similarity_topk_ivf", oracle=None)
+def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index (llm/similarity.py ivf_topk):
+    DataFrame-native Lloyd k-means coarse quantizer (deterministic init),
+    corpus partitioned into 32 cells, queries probe their 8 nearest —
+    ~25% of the corpus scanned, measured recall ≈0.83 vs brute force at
+    sf0.01 (64-dim near-isotropic vectors are the hard case for IVF).
+    Approximate ⇒ rows-only driver check; recall floor asserted in
+    tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=5, n_cells=32, nprobe=8, n_iter=3)

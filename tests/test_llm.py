@@ -155,3 +155,24 @@ def test_connected_components_handmade_graph(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            emb, queries, k=5, n_cells=32, nprobe=8, n_iter=3
+        ).collect()
+    }
+    assert exact, "no exact neighbors"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
