@@ -92,3 +92,36 @@ def test_minhash_no_cartesian_and_blocked(spark, sf_dir):
 def test_similarity_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "similarity_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q9_all_dims_broadcast_single_agg_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q9_product_profit")
+    # AQE explain renders initial+final plans; 4 broadcast joins per copy
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # part dim scan keeps only the 3 needed columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "p_partkey" in ln]
+    assert read and "p_size" not in read[0], read
+
+
+def test_q21_compiles_to_semi_and_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_take_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sample_stratified_per_lang")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_hash_split_is_scan_plus_project_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sample_hash_split")
+    assert "Join" not in plan and "Exchange hashpartitioning" not in plan, plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_tfidf_keywords")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
