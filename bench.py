@@ -29,11 +29,15 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "window_rank_top_parts",
     "agg_rollup_order_priority",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
     "dedup_minhash_near_duplicates",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
     "join_skew_salted",
     "events_session_window",
     "chunk_documents_overlapping",
+    "text_tfidf_keywords",
 ]
 
 
