@@ -22,10 +22,12 @@ from hive_2_3_2_spark.streaming.ingest import (
 from hive_2_3_2_spark.streaming.stateful import (
     running_totals,
     sessionize_stateful,
+    stream_stream_interval_join,
 )
 
 __all__ = [
     "running_totals",
+    "stream_stream_interval_join",
     "sessionize_stateful",
     "sessionized_stream",
     "stream_dedup",

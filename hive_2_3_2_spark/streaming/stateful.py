@@ -19,6 +19,7 @@ from typing import Iterable
 
 import pandas as pd  # noqa: F401  (needed at module top for pandas UDF type hints)
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -136,4 +137,34 @@ def sessionize_stateful(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events that occur
+    within ``within`` AFTER a matching left event (attribution shape —
+    e.g. purchases within an hour of a click).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time range, so Spark can size the join state store and evict
+    rows once the watermark passes their match window — without the
+    range bound, stream-stream join state grows forever. State is keyed
+    by (key, time bucket): the shuffle is the same equi-join exchange a
+    batch join would use, executed incrementally.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") > F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}")),
+        "inner",
     )

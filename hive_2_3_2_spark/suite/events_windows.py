@@ -211,3 +211,48 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").alias("n"), F.round(F.max("total"), 2).alias("total"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_click_purchase_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, b.event_id AS buy_id,
+           ROUND(b.value, 2) AS buy_value
+    FROM events c
+    JOIN events b
+      ON c.user_id = b.user_id
+     AND b.ts > c.ts
+     AND b.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+    ORDER BY click_id, buy_id
+    """,
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (attribution): purchases within 1h after
+    a click by the same user — the batch semantics of
+    streaming/stateful.py stream_stream_interval_join (streaming parity
+    asserted in tests/test_streaming.py). Equi-join on user_id with a
+    range residual — Catalyst plans the equi part as the shuffle key, so
+    no cross product forms; the range bound is what lets the streaming
+    form evict state."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bts"),
+        F.col("event_id").alias("buy_id"), F.col("value"),
+    )
+    return (
+        clicks.join(
+            buys,
+            (F.col("cu") == F.col("bu"))
+            & (F.col("bts") > F.col("cts"))
+            & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id", "buy_id", F.round(F.col("value"), 2).alias("buy_value")
+        )
+        .orderBy("click_id", "buy_id")
+    )

@@ -239,3 +239,59 @@ def test_stateful_sessionizer_closed_sessions_match_session_window(
         assert key in batch, (key, sorted(batch)[:3])
         assert batch[key][0] == r.n_events
         assert abs(batch[key][1] - r.sum_value) < 1e-6
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming click→purchase attribution join must produce exactly the
+    batch interval-join rows (inner join; all input available, so the
+    watermark never drops a match)."""
+    from hive_2_3_2_spark.streaming import stream_stream_interval_join
+
+    src = _events_source(spark, sf_dir, tmp_path)
+    clicks_s = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .filter("event_type = 'click'")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    buys_s = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .filter("event_type = 'purchase'")
+        .select("user_id", "ts", F.col("event_id").alias("buy_id"))
+    )
+    joined = stream_stream_interval_join(clicks_s, buys_s).select(
+        "click_id", "buy_id"
+    )
+    sink = str(tmp_path / "ssj_sink")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.click_id, r.buy_id) for r in spark.read.parquet(sink).collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    expected = {
+        (r.click_id, r.buy_id)
+        for r in clicks.join(
+            buys,
+            (F.col("cu") == F.col("bu"))
+            & (F.col("bts") > F.col("cts"))
+            & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert expected, "no attribution pairs in fixture"
+    assert got == expected
