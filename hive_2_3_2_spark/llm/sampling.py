@@ -62,3 +62,29 @@ def stratified_take(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-source subsampling at configured rates — the training-mix
+    reweighting step ("keep 30% of crawl, 100% of books"), deterministic
+    via the same md5-threshold trick as hash_split: a doc survives iff
+    its hash bucket falls under its source's rate. Upsampling (>1.0) is
+    out of scope here (that's repetition at batch-assembly time, not a
+    filter).
+
+    Scale: a scan-local filter — no shuffle, no RNG, reproducible across
+    engines/runs, stable under corpus growth (per-doc decision).
+    """
+    expr = F.lit(format(round(default_rate * 65536), "04x"))
+    for src, rate in rates.items():
+        expr = F.when(
+            F.col(source_col) == src,
+            F.lit(format(round(min(rate, 1.0) * 65536), "04x")),
+        ).otherwise(expr)
+    return df.filter(hash_key(F.col(id_col)) < expr)

@@ -6,6 +6,7 @@ decision is content-addressed (md5), not RNG-based."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_2_3_2_spark.catalog import load_table
 from hive_2_3_2_spark.llm import sampling as S
@@ -55,4 +56,37 @@ def stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.stratified_take(load_table(spark, sf_dir, "documents"), k=5)
         .select("lang", "doc_id", "sample_rank")
         .orderBy("lang", "sample_rank")
+    )
+
+
+@query(
+    "sample_mixture_rates",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE source
+            WHEN 'src0' THEN '4ccd'
+            WHEN 'src1' THEN '8000'
+            WHEN 'src2' THEN '0000'
+            ELSE 'ffff'
+          END
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix reweighting: keep 30% of src0, 50% of src1, 0% of
+    src2, ~100% of the rest — deterministic per-doc hash decision
+    (llm/sampling.py mixture_sample). Note 'ffff' ≈ 65535/65536 ≈ 1.0
+    (the 1/65536 shave is the price of the threshold encoding; exact-1.0
+    callers skip the filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = S.mixture_sample(
+        docs, rates={"src0": 0.3, "src1": 0.5, "src2": 0.0}, default_rate=65535 / 65536
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
     )
