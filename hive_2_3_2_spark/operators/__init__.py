@@ -7,7 +7,11 @@ semantics (ORDER/SORT/DISTRIBUTE/CLUSTER BY), top-k per group, MatchPath,
 TRANSFORM, and grouping-set utilities.
 """
 
-from hive_2_3_2_spark.operators.joins import broadcast_join, salted_skew_join
+from hive_2_3_2_spark.operators.joins import (
+    asof_join,
+    broadcast_join,
+    salted_skew_join,
+)
 from hive_2_3_2_spark.operators.ptf import match_path
 from hive_2_3_2_spark.operators.sorts import (
     cluster_by,
@@ -19,6 +23,7 @@ from hive_2_3_2_spark.operators.sorts import (
 from hive_2_3_2_spark.operators.transform import transform_script
 
 __all__ = [
+    "asof_join",
     "broadcast_join",
     "cluster_by",
     "distribute_by",

@@ -55,3 +55,64 @@ def salted_skew_join(
         how,
     )
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: for every left row, the values from the latest right
+    row with right.ts <= left.ts on the same key (timeseries
+    point-in-time lookup — e.g. "the last click before each view", "the
+    prevailing price at each trade").
+
+    Spark has no ASOF JOIN operator; the naive range join explodes
+    (every left row matches all earlier right rows, then a max-filter).
+    This is the scalable formulation: UNION both sides tagged, one
+    shuffle on (key), one ordered window pass carrying the right-side
+    values forward with last(ignorenulls) — O(n log n) per key group,
+    no intermediate blow-up, same shape at any scale. Ties
+    (right.ts == left.ts) take the right row (sorted before the left row
+    at equal ts).
+
+    Returns left's columns plus ``right_cols`` (null when no right row
+    precedes).
+    """
+    from pyspark.sql import Window
+
+    l_tagged = left.withColumn("_is_left", F.lit(1))
+    for c in right_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    r_tagged = right.select(
+        key_col, ts_col, *right_cols
+    ).withColumn("_is_left", F.lit(0))
+    for c in left.columns:
+        if c not in (key_col, ts_col):
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    u = l_tagged.select(*l_tagged.columns).unionByName(
+        r_tagged.select(*l_tagged.columns)
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[c for c in left.columns],
+        "_is_left",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .drop("_is_left", *right_cols)
+        .select(
+            *left.columns,
+            *[F.col(f"_asof_{c}").alias(c) for c in right_cols],
+        )
+    )

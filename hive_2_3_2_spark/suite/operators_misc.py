@@ -131,3 +131,50 @@ def op_match_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="V+P",
         result_cols=["user_id", "ts"],
     )
+
+
+@query(
+    "op_asof_join_last_click",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id AS view_id, NULL AS click_id, 1 AS is_left
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, NULL, event_id, 0
+      FROM events WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT user_id, ts, view_id, is_left,
+             LAST_VALUE(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, is_left
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS click_id
+      FROM u
+    )
+    SELECT CAST(view_id AS BIGINT) AS view_id,
+           CAST(click_id AS BIGINT) AS click_id
+    FROM w WHERE is_left = 1
+    ORDER BY view_id
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py asof_join): for every 'view' event
+    the latest 'click' by the same user at-or-before it. The union+window
+    formulation — one key shuffle, one ordered pass, no range-join
+    blow-up (the naive formulation is O(views × prior clicks) before its
+    max-filter; this is O(n log n) per user at any scale)."""
+    from hive_2_3_2_spark.operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return (
+        asof_join(views, clicks, "user_id", "ts", ["click_id"])
+        .select("view_id", "click_id")
+        .orderBy("view_id")
+    )

@@ -150,3 +150,23 @@ def test_sample_fraction_bounds(spark, sf_dir):
     total = li.count()
     n = li.sample(fraction=0.1, seed=42).count()
     assert 0.07 * total < n < 0.13 * total
+
+
+def test_asof_join_handmade_edges(spark):
+    """Tie at equal ts matches the right row; left rows before any right
+    row get null; carries per-key independently."""
+    from hive_2_3_2_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k int, ts int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 11, 211)],
+        "k int, ts int, rv int",
+    )
+    got = {
+        r.lv: r.rv
+        for r in asof_join(left, right, "k", "ts", ["rv"]).collect()
+    }
+    assert got == {"a": 100, "b": 150, "c": None, "d": None}
