@@ -43,6 +43,15 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         ),
         r"WHERE pmod(\3, \2) = (\1 - 1)",
     ),
+    # Hive virtual columns (parse/VirtualColumn.java): INPUT__FILE__NAME
+    # maps 1:1 to Spark's input_file_name(). BLOCK__OFFSET__INSIDE__FILE /
+    # ROW__OFFSET__INSIDE__BLOCK have no parquet-scan equivalent in Spark
+    # (the closest row-identity primitive is monotonically_increasing_id,
+    # a different contract) — left unsupported, surfaced as a parse error.
+    (
+        re.compile(r"\bINPUT__FILE__NAME\b", re.IGNORECASE),
+        "input_file_name()",
+    ),
 ]
 
 

@@ -120,3 +120,16 @@ def test_map_keys_values_size(spark):
     # size(NULL) = -1: Hive's GenericUDFSize semantics (the session's
     # non-ANSI mode keeps Spark's legacy sizeOfNull behavior — exact parity)
     assert _one(spark, "size(CAST(NULL AS ARRAY<INT>))") == -1
+
+
+def test_hive_virtual_column_input_file_name(spark, sf_dir):
+    """Hive's INPUT__FILE__NAME virtual column (parse/VirtualColumn.java)
+    rewrites to Spark's input_file_name() through Engine.sql."""
+    from hive_2_3_2_spark import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "SELECT DISTINCT regexp_extract(INPUT__FILE__NAME,"
+        " '([a-z]+)\\\\.parquet', 1) AS f FROM nation"
+    ).collect()
+    assert [r.f for r in rows] == ["nation"]
