@@ -88,3 +88,36 @@ def mixture_sample(
             F.lit(format(round(min(rate, 1.0) * 65536), "04x")),
         ).otherwise(expr)
     return df.filter(hash_key(F.col(id_col)) < expr)
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic proportional interleave: a global ordering in which
+    each source appears at a rate proportional to its weight (the batch-
+    assembly ordering of a training mix — "2 parts src0 to 1 part src1").
+
+    Each row's position is rank_within_source / weight, where the
+    within-source rank is hash-ordered (deterministic); sorting by
+    position yields the interleaved stream. Weight 2.0 → rows land at
+    0.5, 1.0, 1.5… (twice as dense as weight 1.0). At scale the sort is
+    a range partition (sortWithinPartitions after repartitionByRange) —
+    no single-node bottleneck.
+    """
+    w = Window.partitionBy(source_col).orderBy(hash_key(F.col(id_col)), id_col)
+    weight_expr = F.lit(float(default_weight))
+    for src, wt in weights.items():
+        weight_expr = F.when(
+            F.col(source_col) == src, F.lit(float(wt))
+        ).otherwise(weight_expr)
+    return (
+        df.withColumn("src_rank", F.row_number().over(w))
+        .withColumn(
+            "interleave_pos", F.round(F.col("src_rank") / weight_expr, 6)
+        )
+        .orderBy("interleave_pos", id_col)
+    )

@@ -90,3 +90,37 @@ def mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
     )
+
+
+@query(
+    "sample_interleave_weighted",
+    oracle="""
+    SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank,
+           ROUND(src_rank / CASE source
+               WHEN 'src0' THEN 3.0
+               WHEN 'src1' THEN 1.5
+               ELSE 1.0 END, 6) AS interleave_pos
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+             ) AS src_rank
+      FROM documents
+    )
+    ORDER BY interleave_pos, doc_id
+    LIMIT 100
+    """,
+)
+def interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted proportional interleave of sources (llm/sampling.py
+    interleave_by_weight): src0 at 3×, src1 at 1.5× the base rate —
+    the deterministic batch-assembly ordering of a training mix."""
+    return (
+        S.interleave_by_weight(
+            load_table(spark, sf_dir, "documents"),
+            weights={"src0": 3.0, "src1": 1.5},
+        )
+        .select("doc_id", "source", "src_rank", "interleave_pos")
+        .limit(100)
+    )
