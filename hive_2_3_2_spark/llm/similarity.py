@@ -248,15 +248,14 @@ def kmeans_centroids(
     centroids = [
         r.v for r in v.orderBy("id").limit(n_cells).collect()
     ]
+    dim = len(centroids[0])
     for _ in range(n_iter):
         assigned = v.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        # per-dim avg aggregates: map-side partial aggregation shuffles
+        # only k×dim partials per task (vs exploding n×dim rows)
         means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
-            .select("cell", F.col("ms.m").alias("centroid"))
+            assigned.groupBy("cell")
+            .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("centroid"))
             .collect()
         )
         new = {r.cell: r.centroid for r in means}
