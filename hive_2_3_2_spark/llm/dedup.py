@@ -340,21 +340,27 @@ def embedding_near_dups(
     see similarity.lsh_bucket)."""
     if block_col is None:
         block_col = (F.element_at(F.col(vec_col), 1) > 0).cast("int")
-    docs = df.select(
+    # Precompute each row's norm BEFORE the self-join: the per-pair cosine
+    # then needs one 64-dim fold (the dot) instead of three — identical
+    # floating-point result (norm(a)*norm(b) is the same per-row value
+    # either way), 3× less interpreted-HOF work on the quadratic stage.
+    # _spread guards the single-split small-corpus case (one parquet file
+    # = one core for the whole pair scoring otherwise).
+    docs = _spread(df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         block_col.alias("blk"),
-    )
+    )).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    ).persist()
     a, b = docs.alias("a"), docs.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
