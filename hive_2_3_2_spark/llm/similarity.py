@@ -91,6 +91,27 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _lsh_buckets_udf(tables: list[list[list[float]]]):
+    """Arrow-vectorized sign-LSH bucketing: all tables' buckets in one
+    matmul per batch — (n, dim) @ (dim, L*b) -> sign bits -> L bucket
+    ids. The Column version (L×b literal-array dots per row) exceeds
+    codegen limits and runs interpreted (measured 8.7s → ~1.5s for the
+    LSH path at sf0.1)."""
+    P = np.concatenate([np.asarray(t, dtype=np.float64) for t in tables])  # (L*b, dim)
+    n_planes = len(tables[0])
+    n_tables = len(tables)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (V @ P.T) > 0  # (n, L*b)
+        out = bits.reshape(len(V), n_tables, n_planes) @ weights  # (n, L)
+        return pd.Series(list(out.astype(np.int64)))
+
+    return buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,38 +148,22 @@ def lsh_topk(
     tables = [
         hyperplanes(dim, n_planes, seed=1000 + 7 * t) for t in range(n_tables)
     ]
-    c = corpus.select(
-        *c_sel,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
-                            "bkt"
-                        ),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("neighbor_id", "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
-    q = queries.select(
-        *q_sel,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col(vec_col).cast("array<double>"), planes).alias(
-                            "bkt0"
-                        ),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt0").alias("bkt0"))
+    bucketer = _lsh_buckets_udf(tables)
+    c = (
+        _spread(corpus)
+        .select(*c_sel)
+        .withColumn("bkts", bucketer(F.col("cv")))
+        .select(
+            "neighbor_id",
+            "cv",
+            F.posexplode("bkts").alias("tbl", "bkt"),
+        )
+    )
+    q = (
+        queries.select(*q_sel)
+        .withColumn("bkts", bucketer(F.col("qv")))
+        .select("query_id", "qv", F.posexplode("bkts").alias("tbl", "bkt0"))
+    )
     if multiprobe:
         probes = F.array(
             F.col("bkt0"),
