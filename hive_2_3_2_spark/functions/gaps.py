@@ -10,6 +10,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _window_starts(tokens: Column, n: int) -> Column:
+    """0-based start indices of every length-n window over ``tokens``,
+    empty when the array has fewer than n elements. Spark's
+    sequence(0, -1) returns [0, -1] (a descending sequence), not [] —
+    the stray -1 index made slice() throw on short/empty documents, so
+    guard explicitly instead of relying on greatest(size-n, -1)."""
+    return F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(0), F.size(tokens) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def ngrams(df: DataFrame, tokens: Column, n: int, k: int) -> DataFrame:
     """Top-k word n-grams with frequencies.
 
@@ -22,9 +33,7 @@ def ngrams(df: DataFrame, tokens: Column, n: int, k: int) -> DataFrame:
 
     ``tokens``: array<string> column. Returns DataFrame(ngram, estfrequency).
     """
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))
-    )
+    idx = _window_starts(tokens, n)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
     return (
         df.select(F.explode(grams).alias("ngram"))
@@ -46,7 +55,7 @@ def context_ngrams(
     Returns DataFrame(ngram, estfrequency) where ngram is the filled holes.
     """
     n = len(context)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
+    idx = _window_starts(tokens, n)
     windows = F.transform(idx, lambda i: F.slice(tokens, i + 1, n))
     matches = F.filter(
         windows,

@@ -30,6 +30,22 @@ def hash_key(col: Column) -> Column:
     return F.substring(F.md5(col.cast("string")), 1, 4)
 
 
+def hash_bucket(col: Column) -> Column:
+    """Integer bucket in [0, 65536): the md5 16-bit prefix as a number.
+
+    Numeric (not lexical) comparison against ``round(rate * 65536)`` is
+    correct for every rate INCLUDING 1.0 — the hex-string compare used
+    previously broke at rate >= 1.0 because its threshold '10000' is 5
+    chars and lexically keeps only hashes starting with '0' (~6%)."""
+    return F.conv(hash_key(col), 16, 10).cast("int")
+
+
+def _threshold(rate: float) -> int:
+    """Integer keep-threshold: bucket < threshold survives. rate >= 1.0
+    yields 65536 (> max bucket 65535) = keep everything; <= 0 keeps none."""
+    return max(0, min(65536, round(rate * 65536)))
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -38,13 +54,15 @@ def hash_split(
 ) -> DataFrame:
     """Tag every row 'train' or 'eval' by deterministic hash threshold.
 
-    P(train) = round(train_frac * 65536) / 65536 (≈ train_frac to 2e-5).
+    P(train) = round(train_frac * 65536) / 65536 (≈ train_frac to 2e-5);
+    train_frac >= 1.0 puts every row in 'train'.
     """
-    threshold = format(round(train_frac * 65536), "04x")
     return df.withColumn(
         split_col,
-        F.when(hash_key(F.col(id_col)) < F.lit(threshold), F.lit("train"))
-        .otherwise(F.lit("eval")),
+        F.when(
+            hash_bucket(F.col(id_col)) < F.lit(_threshold(train_frac)),
+            F.lit("train"),
+        ).otherwise(F.lit("eval")),
     )
 
 
@@ -80,14 +98,16 @@ def mixture_sample(
 
     Scale: a scan-local filter — no shuffle, no RNG, reproducible across
     engines/runs, stable under corpus growth (per-doc decision).
+
+    Rates >= 1.0 (including the default_rate=1.0 default) keep every row
+    of that source: the integer threshold 65536 exceeds every bucket.
     """
-    expr = F.lit(format(round(default_rate * 65536), "04x"))
+    expr = F.lit(_threshold(default_rate))
     for src, rate in rates.items():
         expr = F.when(
-            F.col(source_col) == src,
-            F.lit(format(round(min(rate, 1.0) * 65536), "04x")),
+            F.col(source_col) == src, F.lit(_threshold(rate))
         ).otherwise(expr)
-    return df.filter(hash_key(F.col(id_col)) < expr)
+    return df.filter(hash_bucket(F.col(id_col)) < expr)
 
 
 def interleave_by_weight(

@@ -42,7 +42,19 @@ def salted_skew_join(
 
     Prefer AQE skew handling (on by default in our session) — use this
     only when one key dominates a single upstream task's output.
+
+    Only ``inner`` and ``left`` are salt-safe: the right side is
+    replicated B times, so right/full outer would emit every unmatched
+    right row B times, and semi/anti flip per-salt instead of per-key.
+    Other join types raise rather than silently multiply rows.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_skew_join supports how='inner'/'left' only, got {how!r}: "
+            "the right side is replicated per salt bucket, which duplicates "
+            "unmatched right rows under right/full outer and breaks "
+            "semi/anti semantics. Use AQE skew-join handling for those."
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -64,12 +64,11 @@ def stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
     FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-          CASE source
-            WHEN 'src0' THEN '4ccd'
-            WHEN 'src1' THEN '8000'
-            WHEN 'src2' THEN '0000'
-            ELSE 'ffff'
+    WHERE CASE source
+            WHEN 'src0' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4ccd'
+            WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+            WHEN 'src2' THEN FALSE
+            ELSE TRUE
           END
     GROUP BY source
     ORDER BY source
@@ -77,13 +76,12 @@ def stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix reweighting: keep 30% of src0, 50% of src1, 0% of
-    src2, ~100% of the rest — deterministic per-doc hash decision
-    (llm/sampling.py mixture_sample). Note 'ffff' ≈ 65535/65536 ≈ 1.0
-    (the 1/65536 shave is the price of the threshold encoding; exact-1.0
-    callers skip the filter)."""
+    src2, 100% of the rest — deterministic per-doc hash decision
+    (llm/sampling.py mixture_sample). default_rate=1.0 exercises the
+    keep-everything path (integer threshold 65536 > every 16-bit bucket)."""
     docs = load_table(spark, sf_dir, "documents")
     kept = S.mixture_sample(
-        docs, rates={"src0": 0.3, "src1": 0.5, "src2": 0.0}, default_rate=65535 / 65536
+        docs, rates={"src0": 0.3, "src1": 0.5, "src2": 0.0}, default_rate=1.0
     )
     return (
         kept.groupBy("source")

@@ -46,6 +46,20 @@ def test_ngrams_counts(spark):
     assert out["b x"] == 1.0
 
 
+def test_ngrams_short_documents_yield_no_grams(spark):
+    """Regression: documents with fewer than n tokens (incl. empty arrays)
+    must contribute zero n-grams, not crash — sequence(0,-1) is [0,-1] in
+    Spark, and the -1 start made slice() throw."""
+    df = spark.createDataFrame(
+        [("one",), ("",), ("a b c",)], ["text"]
+    ).select(F.split("text", " ").alias("toks"))
+    out = {r.ngram: r.estfrequency for r in ngrams(df, F.col("toks"), 2, 10).collect()}
+    assert out == {"a b": 1.0, "b c": 1.0}
+    # context form on the same short docs: no crash, only full-length windows
+    ctx = context_ngrams(df, F.col("toks"), ["a", None, "c"], 5).collect()
+    assert [(r.ngram, r.estfrequency) for r in ctx] == [("b", 1.0)]
+
+
 def test_context_ngrams(spark):
     df = spark.createDataFrame(
         [("i love spark",), ("i love sql",), ("i love spark",)], ["text"]

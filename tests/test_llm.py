@@ -157,6 +157,28 @@ def test_connected_components_handmade_graph(spark):
     }
 
 
+def test_sampling_rate_one_keeps_everything(spark, sf_dir):
+    """Regression: rate >= 1.0 must keep 100% of rows. The old hex-string
+    threshold encoded 1.0 as the 5-char '10000', which lexically kept only
+    hashes starting with '0' (~6%)."""
+    from hive_2_3_2_spark.llm import sampling as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    # hash_split at train_frac=1.0: every row is 'train'
+    split = S.hash_split(docs, train_frac=1.0)
+    assert split.filter(F.col("split") == "train").count() == n
+    # mixture_sample: a source absent from `rates` falls to default_rate=1.0
+    kept = S.mixture_sample(docs, rates={"no_such_source": 0.5})
+    assert kept.count() == n
+    # explicit rate 1.0 for every source present
+    srcs = [r.source for r in docs.select("source").distinct().collect()]
+    kept_all = S.mixture_sample(docs, rates={s: 1.0 for s in srcs}, default_rate=0.0)
+    assert kept_all.count() == n
+    # rate 0.0 drops everything
+    assert S.mixture_sample(docs, rates={}, default_rate=0.0).count() == 0
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from hive_2_3_2_spark.catalog import load_table
     from hive_2_3_2_spark.llm import similarity as S

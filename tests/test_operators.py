@@ -38,6 +38,27 @@ def test_salted_skew_join_matches_plain_join(spark, sf_dir):
     assert plain == salted
 
 
+def test_salted_skew_join_rejects_unsafe_join_types(spark, sf_dir):
+    """Right/full outer and semi/anti would multiply unmatched right rows
+    by the salt factor — must raise, not silently return wrong rows."""
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    for how in ("right", "full", "left_semi", "left_anti", "outer"):
+        with pytest.raises(ValueError, match="salt"):
+            salted_skew_join(li, orders, "k", how=how)
+    # left outer stays allowed (unmatched LEFT rows are not replicated)
+    assert (
+        salted_skew_join(li, orders, "k", how="left").count()
+        == li.join(orders, "k", "left").count()
+    )
+
+
 def test_top_k_per_group_matches_window_query(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     got = top_k_per_group(
