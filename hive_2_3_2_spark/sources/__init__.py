@@ -12,13 +12,16 @@ from hive_2_3_2_spark.sources.readers import (
     read_text,
 )
 from hive_2_3_2_spark.sources.writers import (
+    delete_where,
     insert_overwrite_partitions,
     merge_upsert,
+    update_where,
     write_bucketed_table,
     write_partitioned,
 )
 
 __all__ = [
+    "delete_where",
     "insert_overwrite_partitions",
     "merge_upsert",
     "read_avro",
@@ -29,6 +32,7 @@ __all__ = [
     "read_parquet",
     "read_regex_text",
     "read_text",
+    "update_where",
     "write_bucketed_table",
     "write_partitioned",
 ]

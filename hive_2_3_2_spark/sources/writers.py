@@ -14,6 +14,8 @@ partitions — plain parquet has no transaction log; see SURVEY §7.4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +73,27 @@ def insert_overwrite_partitions(
     )
 
 
+def _staging_dir(target_path: str) -> str:
+    """Deterministic-per-call staging sibling of the target directory."""
+    import uuid
+
+    return f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:12]}"
+
+
+def _swap_dirs(target_path: str, staging: str) -> None:
+    """Replace target dir with staging dir via rename — the MoveTask
+    pattern (reference exec/MoveTask.java: write to scratch, fs.rename
+    into place). Local-FS implementation; on HDFS/object stores the same
+    two renames go through the Hadoop FileSystem API."""
+    import shutil
+
+    old = f"{target_path.rstrip('/')}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(target_path, old)
+    os.rename(staging, target_path)
+    shutil.rmtree(old)
+
+
 def merge_upsert(
     spark,
     target_path: str,
@@ -87,11 +110,24 @@ def merge_upsert(
     onto ACID base+delta files with background compaction
     (ql/.../txn/compactor/). Plain parquet has no delta log, so the
     emulation rewrites affected data: full-outer join target↔updates on
-    the keys, prefer the update side, then atomically-per-partition
-    rewrite (dynamic overwrite writes only partitions containing matches
-    when ``partition_cols`` is set — the non-atomicity across partitions
-    is inherent and documented; ACID parity needs a table format with a
-    log, e.g. Delta/Iceberg, out of scope per SURVEY §7.4).
+    the keys, matched rows take the update side's columns WHOLLY (a NULL
+    update column overwrites, matching Hive UPDATE SET c = NULL — not
+    per-column coalesce), and ``delete_condition`` applies to MATCHED
+    rows only (Hive WHEN MATCHED AND cond THEN DELETE never touches
+    unmatched target rows). The condition is evaluated over the merged
+    row values (update-side values for matched rows).
+
+    Durability: the merged result is STAGED to a sibling directory and
+    only then moved/copied over the target — never cache-then-overwrite
+    the path being read. Spark's cache is not durable (eviction or
+    executor loss triggers recomputation, which would re-read the
+    truncated target mid-overwrite = silent data loss; at 100 TB the
+    merged table cannot be fully cached, so eviction is the normal
+    case). Unpartitioned targets swap directories (one write, two
+    renames — MoveTask parity); partitioned targets stage only the
+    touched partitions, then swap those partition directories into
+    place (non-atomicity across partitions is inherent to log-less
+    parquet, see SURVEY §7.4).
     """
     target = spark.read.parquet(target_path)
     cols = target.columns
@@ -99,30 +135,162 @@ def merge_upsert(
     u = updates.alias("u")
     cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in key_cols]
     joined = t.join(u, cond, "full_outer")
+    has_update = F.col(f"u.{key_cols[0]}").isNotNull()
+    matched = has_update & F.col(f"t.{key_cols[0]}").isNotNull()
     merged = joined.select(
         *[
-            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            F.when(has_update, F.col(f"u.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
             for c in cols
-        ]
+        ],
+        matched.alias("__matched"),
     )
     if delete_condition is not None:
-        merged = merged.filter(~delete_condition | F.col(key_cols[0]).isNull())
-    # Rewrite. For partitioned targets + dynamic overwrite, only partitions
-    # present in `merged` are replaced; since merged contains all rows the
-    # whole table rewrites — restrict first when updates touch few
-    # partitions:
+        merged = merged.filter(
+            ~(F.col("__matched") & delete_condition)
+        )
+    merged = merged.drop("__matched")
+
     if partition_cols:
+        # Only partitions containing updated keys need rewriting.
         touched = updates.select(*partition_cols).distinct()
         merged = merged.join(F.broadcast(touched), partition_cols, "left_semi")
-        out = merged.repartition(*partition_cols).write.partitionBy(
-            *partition_cols
-        )
+        _staged_rewrite(spark, target_path, merged, partition_cols, touched)
     else:
-        out = merged.write
-    # Stage to a temp subdir then swap would give single-dir atomicity;
-    # Spark's overwrite commits via the Hadoop committer (temp + rename),
-    # which is what Hive's MoveTask does too (exec/MoveTask.java).
-    merged.cache()
-    merged.count()  # materialize before overwriting the input path
-    out.mode("overwrite").parquet(target_path)
-    merged.unpersist()
+        _staged_rewrite(spark, target_path, merged, None, None)
+
+
+def _partition_rel_dir(partition_cols: list[str], values) -> str:
+    """Relative partition directory for one partition-value tuple, using
+    Hive's layout (col=value/...; NULL → __HIVE_DEFAULT_PARTITION__)."""
+    parts = []
+    for c, v in zip(partition_cols, values):
+        sv = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        parts.append(f"{c}={sv}")
+    return os.path.join(*parts)
+
+
+def _staged_rewrite(
+    spark,
+    target_path: str,
+    df: DataFrame,
+    partition_cols: list[str] | None,
+    touched: DataFrame | None,
+) -> None:
+    """Durably rewrite the table at ``target_path`` with ``df`` (whose
+    lineage reads target_path): stage to a sibling dir first, so the
+    source is never truncated while still being read — never
+    cache-then-overwrite (Spark's cache is not durable; eviction or
+    executor loss during the overwrite would recompute from the
+    truncated source = silent data loss, and at 100 TB the staged data
+    can't be fully cached anyway).
+
+    Unpartitioned: whole-directory swap (one write + two renames — the
+    MoveTask pattern, reference exec/MoveTask.java). Partitioned: swap
+    only the TOUCHED partition directories — a touched partition whose
+    staged result is empty (all rows deleted) is removed outright,
+    which dynamic partition overwrite cannot express (no staged files →
+    nothing to overwrite the stale dir with). ``touched`` must list the
+    distinct partition tuples being rewritten (small: metadata-sized
+    collect, not data)."""
+    import shutil
+
+    staging = _staging_dir(target_path)
+    if partition_cols:
+        (
+            df.repartition(*partition_cols)
+            .write.partitionBy(*partition_cols)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        rels = {
+            _partition_rel_dir(partition_cols, tuple(r))
+            for r in touched.collect()
+        }
+        for rel in sorted(rels):
+            tgt_dir = os.path.join(target_path, rel)
+            stg_dir = os.path.join(staging, rel)
+            shutil.rmtree(tgt_dir, ignore_errors=True)
+            if os.path.isdir(stg_dir):
+                os.makedirs(os.path.dirname(tgt_dir), exist_ok=True)
+                os.rename(stg_dir, tgt_dir)
+        shutil.rmtree(staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
+        _swap_dirs(target_path, staging)
+
+
+def delete_where(
+    spark,
+    target_path: str,
+    condition: Column,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Standalone ``DELETE FROM t WHERE cond`` over a parquet table.
+
+    Reference: parse/UpdateDeleteSemanticAnalyzer.java:80 compiles DELETE
+    to an insert of surviving ROW__IDs into ACID delete deltas; log-less
+    parquet instead rewrites survivors via the staged-rewrite machinery.
+    Rows where the condition is NULL survive (Hive/SQL WHERE semantics:
+    only condition=TRUE deletes). Partitioned targets rewrite ONLY the
+    partitions that actually contain deleted rows — at 100 TB a DELETE
+    touching one day of data rewrites one partition, not the table.
+    """
+    target = spark.read.parquet(target_path)
+    survivors = target.filter(~F.coalesce(condition, F.lit(False)))
+    if partition_cols:
+        touched = (
+            target.filter(F.coalesce(condition, F.lit(False)))
+            .select(*partition_cols)
+            .distinct()
+        )
+        survivors = survivors.join(
+            F.broadcast(touched), partition_cols, "left_semi"
+        )
+        _staged_rewrite(spark, target_path, survivors, partition_cols, touched)
+    else:
+        _staged_rewrite(spark, target_path, survivors, None, None)
+
+
+def update_where(
+    spark,
+    target_path: str,
+    set_exprs: dict[str, Column],
+    condition: Column,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Standalone ``UPDATE t SET c = expr, ... WHERE cond``.
+
+    Reference: parse/UpdateDeleteSemanticAnalyzer.java:62 — UPDATE
+    compiles to a rewrite of matched rows; partition columns may not be
+    updated (same restriction as Hive: moving a row between partitions
+    is a delete+insert, not an update). Rows where the condition is NULL
+    are untouched. Partitioned targets rewrite only partitions
+    containing matched rows.
+    """
+    if partition_cols:
+        bad = sorted(set(set_exprs) & set(partition_cols))
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE partition column(s) {bad}: Hive forbids it "
+                "(UpdateDeleteSemanticAnalyzer); use delete + insert instead"
+            )
+    target = spark.read.parquet(target_path)
+    hit = F.coalesce(condition, F.lit(False))
+    updated = target.select(
+        *[
+            F.when(hit, set_exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in target.columns
+        ]
+    )
+    if partition_cols:
+        touched = target.filter(hit).select(*partition_cols).distinct()
+        updated = updated.join(
+            F.broadcast(touched), partition_cols, "left_semi"
+        )
+        _staged_rewrite(spark, target_path, updated, partition_cols, touched)
+    else:
+        _staged_rewrite(spark, target_path, updated, None, None)

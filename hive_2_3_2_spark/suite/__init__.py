@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 _MODULES = [
+    "dml",
     "tpch",
     "tpch_extra",
     "functions_scalar2",

@@ -115,3 +115,85 @@ def test_merge_upsert(spark, tmp_path):
     merge_upsert(spark, tgt, updates, key_cols=["id"], partition_cols=["part"])
     got = {(r.id, r.val) for r in spark.read.parquet(tgt).collect()}
     assert got == {(1, "a"), (2, "B-upd"), (3, "c"), (9, "new")}
+    # no staging leftovers
+    assert [p for p in tmp_path.iterdir()] == [tmp_path / "merge_target"]
+
+
+def test_merge_upsert_unpartitioned_swap_and_null_overwrite(spark, tmp_path):
+    """Unpartitioned path uses the staged directory swap; matched rows take
+    update columns WHOLLY — a NULL update column overwrites the target
+    value (Hive UPDATE SET c = NULL), not coalesce-keeps it."""
+    tgt = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    ).write.parquet(tgt)
+    updates = spark.createDataFrame([(2, None), (4, "d")], ["id", "val"])
+    merge_upsert(spark, tgt, updates, key_cols=["id"])
+    got = {(r.id, r.val) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, "a"), (2, None), (3, "c"), (4, "d")}
+    assert [p.name for p in tmp_path.iterdir()] == ["t"]
+
+
+def test_merge_upsert_delete_condition_matched_only(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN DELETE must not delete unmatched
+    target rows that happen to satisfy cond."""
+    from pyspark.sql import functions as F
+
+    tgt = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "drop"), (2, "keep"), (3, "drop")], ["id", "val"]
+    ).write.parquet(tgt)
+    # id=1 matched (and marked drop) → deleted; id=3 is 'drop' but NOT
+    # matched → must survive; id=2 matched, not drop → updated.
+    updates = spark.createDataFrame([(1, "drop"), (2, "KEEP")], ["id", "val"])
+    merge_upsert(
+        spark,
+        tgt,
+        updates,
+        key_cols=["id"],
+        delete_condition=F.col("val") == "drop",
+    )
+    got = {(r.id, r.val) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(2, "KEEP"), (3, "drop")}
+
+
+def test_delete_where_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.sources import delete_where
+
+    tgt = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10, "p0"), (2, 60, "p0"), (3, 70, "p1"), (4, 5, "p2"), (5, None, "p2")],
+        "id long, v long, part string",
+    ).write.partitionBy("part").parquet(tgt)
+    delete_where(spark, tgt, F.col("v") > 50, partition_cols=["part"])
+    got = {(r.id, r.v) for r in spark.read.parquet(tgt).collect()}
+    # NULL condition (id=5) survives; untouched partition p2 intact
+    assert got == {(1, 10), (4, 5), (5, None)}
+
+
+def test_update_where_roundtrip_and_partition_guard(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.sources import update_where
+
+    tgt = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10, "p0"), (2, 60, "p0"), (3, 70, "p1")],
+        "id long, v long, part string",
+    ).write.partitionBy("part").parquet(tgt)
+    update_where(
+        spark,
+        tgt,
+        {"v": F.col("v") * 2},
+        F.col("v") >= 60,
+        partition_cols=["part"],
+    )
+    got = {(r.id, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {(1, 10), (2, 120), (3, 140)}
+    with pytest.raises(ValueError, match="partition column"):
+        update_where(
+            spark, tgt, {"part": F.lit("p9")}, F.lit(True), partition_cols=["part"]
+        )
