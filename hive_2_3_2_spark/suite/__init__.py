@@ -51,6 +51,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 _MODULES = [
     "dml",
+    "aggregates_sketch",
     "tpch",
     "tpch_extra",
     "functions_scalar2",

@@ -207,34 +207,12 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     native ``percentile`` with linear interpolation matches DuckDB's
     quantile_cont. (approx_percentile exists for the 100 TB path where an
     exact sort-based percentile is too expensive — see
-    agg_approx_percentile, rows-only check.)"""
+    agg_approx_percentile in aggregates_sketch.py, now hash-checked via
+    exact-value + error-bound-boolean formulation.)"""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95"),
-    )
-
-
-@query("agg_approx_percentile", oracle=None)
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (FunctionRegistry.java:431) → approx_percentile
-    (KLL/GK-sketch based; mergeable ⇒ scales to 100 TB with one shuffle of
-    constant-size sketches). Approximate ⇒ rows-only driver check; bounds
-    asserted in tests/test_operators.py."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx")
-    )
-
-
-@query("agg_approx_count_distinct", oracle=None)
-def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct = HLL++; reference's NDV estimator is
-    Flajolet-Martin (ql/.../udf/generic/NumDistinctValueEstimator.java:30).
-    Mergeable sketch — the 100 TB formulation of COUNT(DISTINCT)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
     )
 
 
