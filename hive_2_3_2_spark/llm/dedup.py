@@ -238,6 +238,58 @@ def jaccard_pairs(
     )
 
 
+def minhash_verified_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """The full production near-dup pipeline: LSH candidate generation
+    followed by exact-Jaccard verification of ONLY the candidate pairs.
+
+    Candidate generation never forms all-pairs (banded bucket join);
+    verification joins each candidate pair back to the two shingle sets —
+    O(candidates), not O(Σblock²). Output is deterministic AND
+    oracle-checkable: for thresholds where banded-LSH recall is 1.0
+    (candidate probability 1-(1-s^r)^b ≈ 1 for s ≥ 0.5 at r=4, b=8),
+    the result equals the brute-force pairs-over-threshold set that
+    DuckDB can compute — a hashable end-to-end check of the whole
+    shingle→minhash→band→verify pipeline.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, k)
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).persist()  # shingle once; probed twice (once per pair side)
+    return (
+        cands.join(
+            sh.select(
+                F.col("id").alias("doc_id_a"), F.col("sh").alias("a_sh")
+            ).alias("a_t"),
+            "doc_id_a",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("doc_id_b"), F.col("sh").alias("b_sh")
+            ).alias("b_t"),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+                / F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _simhash_fold_udf():
     """Arrow-vectorized SimHash fold: per row, bit i of the output is the
     sign of Σ over shingle hashes of (bit_i(h) ? +1 : -1)."""

