@@ -157,6 +157,33 @@ def test_connected_components_handmade_graph(spark):
     }
 
 
+def test_ivf_prebuilt_matches_inline_and_recall(spark, sf_dir, tmp_path):
+    """build_ivf_index + ivf_topk_prebuilt must equal the inline ivf_topk
+    (same seeded build) and clear the recall floor — the amortized-build
+    split the suite/bench uses."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, n_cells=32, n_iter=3)
+    pre = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivf_topk_prebuilt(spark, idx, queries, k=5, nprobe=8).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivf_topk(
+            emb, queries, k=5, n_cells=32, nprobe=8, n_iter=3
+        ).collect()
+    }
+    assert pre == inline
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & {(q, n) for q, n, _ in pre}) / len(exact)
+    assert recall >= 0.8, f"IVF prebuilt recall too low: {recall}"
+
+
 def test_sampling_rate_one_keeps_everything(spark, sf_dir):
     """Regression: rate >= 1.0 must keep 100% of rows. The old hex-string
     threshold encoded 1.0 as the 5-char '10000', which lexically kept only
