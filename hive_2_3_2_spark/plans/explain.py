@@ -2,14 +2,22 @@
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    """The EXPLAIN text (exec/ExplainTask.java:117 parity)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    """The EXPLAIN text (exec/ExplainTask.java:117 parity).
+
+    Captures ``DataFrame.explain`` output rather than calling the
+    private ``PythonSQLUtils`` py4j bridge — works identically under
+    classic PySpark and Spark Connect (where there is no py4j at all)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
 
 
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:

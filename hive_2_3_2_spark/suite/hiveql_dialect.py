@@ -18,7 +18,7 @@ from hive_2_3_2_spark.suite import query
 
 def _hql(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
     register_star_schema(spark, sf_dir)
-    return spark.sql(rewrite_hiveql(q))
+    return spark.sql(rewrite_hiveql(q, spark=spark))
 
 
 @query(

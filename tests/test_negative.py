@@ -75,3 +75,44 @@ def test_scalar_subquery_multiple_rows_errors(eng):
             """SELECT * FROM nation
                WHERE n_nationkey = (SELECT n_nationkey FROM nation)"""
         ).collect()
+
+
+def test_tablesample_string_key_raises(eng):
+    """Hive buckets string keys with Java String.hashCode; pmod on the
+    value would silently return a different row set — must raise."""
+    from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
+    with pytest.raises(HiveQLUnsupportedError, match="non-integral"):
+        eng.sql(
+            "SELECT COUNT(*) AS n FROM orders "
+            "TABLESAMPLE(BUCKET 1 OUT OF 4 ON o_orderpriority)"
+        )
+
+
+def test_tablesample_survives_where_alias_join(eng):
+    """The subquery rewrite must compose with an existing WHERE clause,
+    an alias, and a following join (the appended-WHERE rewrite broke all
+    three)."""
+    n = eng.sql(
+        """
+        SELECT COUNT(*) AS n
+        FROM lineitem TABLESAMPLE(BUCKET 1 OUT OF 4 ON l_orderkey) li
+        JOIN orders o ON li.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 0
+        """
+    ).collect()[0].n
+    expected = eng.sql(
+        """
+        SELECT COUNT(*) AS n FROM lineitem li
+        JOIN orders o ON li.l_orderkey = o.o_orderkey
+        WHERE pmod(li.l_orderkey, 4) = 0 AND o.o_totalprice > 0
+        """
+    ).collect()[0].n
+    assert n == expected and n > 0
+
+
+def test_virtual_block_offset_raises_typed(eng):
+    from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
+    with pytest.raises(HiveQLUnsupportedError, match="BLOCK__OFFSET"):
+        eng.sql("SELECT BLOCK__OFFSET__INSIDE__FILE FROM lineitem")
