@@ -9,6 +9,7 @@ from hive_2_3_2_spark.sources.readers import (
     read_orc,
     read_parquet,
     read_regex_text,
+    read_sequencefile,
     read_text,
 )
 from hive_2_3_2_spark.sources.writers import (
@@ -31,6 +32,7 @@ __all__ = [
     "read_orc",
     "read_parquet",
     "read_regex_text",
+    "read_sequencefile",
     "read_text",
     "update_where",
     "write_bucketed_table",

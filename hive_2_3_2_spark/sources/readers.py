@@ -90,6 +90,49 @@ def read_regex_text(
     )
 
 
+def read_sequencefile(
+    spark: SparkSession,
+    path: str,
+    schema: str = "value string",
+    sep: str = "\x01",
+) -> DataFrame:
+    """Hadoop SequenceFile → DataFrame bridge (the last in-scope §2.2
+    format; reference fixture ``src_sequencefile``,
+    data/scripts/q_test_init.sql:46).
+
+    Hive lays out a SequenceFile table as (NullWritable/ignored key,
+    Text value) where the value is the LazySimpleSerDe-delimited row
+    (default field separator \\x01, serde/.../lazy/LazySimpleSerDe.java:76).
+    Spark has no DataFrame SequenceFile source, so this is the one
+    sanctioned RDD bridge: ``sc.sequenceFile`` for the container format,
+    then everything downstream is DataFrame ops (the split/cast
+    projection is JVM-side Column work — the Python RDD hop is only the
+    (key, value) pair extraction).
+
+    ``schema`` is a DDL string (e.g. "key string, value string"); fields
+    are split out of the value text in order and cast Hive-style
+    (malformed → null, schema-on-read).
+    """
+    import re as _re
+
+    rdd = spark.sparkContext.sequenceFile(path).map(
+        lambda kv: (None if kv[1] is None else str(kv[1]),)
+    )
+    raw = spark.createDataFrame(rdd, "__seq_value string")
+    fields = spark.createDataFrame([], schema).schema.fields
+    if len(fields) == 1:
+        return raw.select(
+            F.col("__seq_value").cast(fields[0].dataType).alias(fields[0].name)
+        )
+    parts = F.split(F.col("__seq_value"), _re.escape(sep), -1)
+    return raw.select(
+        *[
+            parts.getItem(i).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(fields)
+        ]
+    )
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -197,3 +197,26 @@ def test_update_where_roundtrip_and_partition_guard(spark, tmp_path):
         update_where(
             spark, tgt, {"part": F.lit("p9")}, F.lit(True), partition_cols=["part"]
         )
+
+
+def test_sequencefile_roundtrip(spark, tmp_path):
+    """SequenceFile bridge: write Hive-style (ignored key, \\x01-delimited
+    Text value) records via the RDD API, read back through
+    read_sequencefile with a typed schema — src_sequencefile fixture
+    semantics (reference data/scripts/q_test_init.sql:46)."""
+    from hive_2_3_2_spark.sources import read_sequencefile
+
+    path = str(tmp_path / "seq")
+    rows = [(i, f"{i}\x01val_{i}") for i in range(100)]
+    spark.sparkContext.parallelize(rows, 4).saveAsSequenceFile(path)
+    df = read_sequencefile(spark, path, schema="key int, value string")
+    got = sorted((r.key, r.value) for r in df.collect())
+    assert got == [(i, f"val_{i}") for i in range(100)]
+    # single-column schema takes the raw value text
+    raw = read_sequencefile(spark, path, schema="value string")
+    assert raw.count() == 100
+    # malformed rows (missing field) -> null, Hive schema-on-read
+    path2 = str(tmp_path / "seq2")
+    spark.sparkContext.parallelize([(0, "only_key")], 1).saveAsSequenceFile(path2)
+    r = read_sequencefile(spark, path2, schema="key string, value string").collect()[0]
+    assert r.key == "only_key" and r.value is None
