@@ -49,32 +49,42 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Module order drives REGISTRY insertion order, and the round driver's
+# CORRECTNESS gate samples the FIRST 50 registry entries — so each round
+# the not-yet-driver-verified families go first and the order ROTATES:
+#   r1 window (verified): tpch, tpch_extra, functions_scalar2/3, joins,
+#     aggregates[0:10].
+#   r2 window (this order, exactly 50): dml(5) + aggregates_sketch(2) +
+#     llm_*(24) + windows(6) + setops(6) + sorts(7).
+#   r3 plan: rotate subqueries(7), lateral(6), functions_scalar(8),
+#     events_windows(7), operators_misc(6), hiveql_dialect(7),
+#     misc_extra(4), analytics_extra(3) to the front (48 entries).
 _MODULES = [
     "dml",
     "aggregates_sketch",
-    "tpch",
-    "tpch_extra",
-    "functions_scalar2",
-    "functions_scalar3",
-    "joins",
-    "aggregates",
+    "llm_sampling",
+    "llm_dedup",
+    "llm_similarity",
+    "llm_text",
+    "llm_chunking",
+    "llm_multimodal",
     "windows",
     "setops",
     "sorts",
     "subqueries",
     "lateral",
     "functions_scalar",
-    "llm_text",
-    "llm_dedup",
-    "llm_similarity",
-    "llm_chunking",
-    "llm_multimodal",
-    "llm_sampling",
     "events_windows",
     "operators_misc",
     "hiveql_dialect",
     "misc_extra",
     "analytics_extra",
+    "tpch",
+    "tpch_extra",
+    "functions_scalar2",
+    "functions_scalar3",
+    "joins",
+    "aggregates",
 ]
 
 
