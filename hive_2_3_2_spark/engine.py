@@ -51,14 +51,19 @@ _INTEGRAL_TYPES = {"byte", "short", "int", "integer", "long", "bigint",
                    "smallint", "tinyint"}
 
 
-def _rewrite_tablesample(m: re.Match[str]) -> str:
+def _rewrite_tablesample(m: re.Match[str], col_type: str | None = None) -> str:
     table, x, y, col = m.group(1), m.group(2), m.group(3), m.group(4)
     alias = m.group(6) or table.split(".")[-1]
     bare_col = col.split(".")[-1]
-    return (
-        f"(SELECT * FROM {table} WHERE pmod({bare_col}, {y}) = {int(x) - 1}) "
-        f"{alias}"
-    )
+    if col_type == "string":
+        # Hive buckets strings with the signed-UTF-8-byte fold
+        # (ObjectInspectorUtils.hashCode:673) then
+        # (hash & Integer.MAX_VALUE) % y (getBucketNumber:625) —
+        # hive_bucket_hash reproduces the fold exactly.
+        pred = f"(hive_bucket_hash({bare_col}) & 2147483647) % {y} = {int(x) - 1}"
+    else:
+        pred = f"pmod({bare_col}, {y}) = {int(x) - 1}"
+    return f"(SELECT * FROM {table} WHERE {pred}) {alias}"
 
 
 # Other Hive-isms Spark's parser rejects → portable rewrites. Kept
@@ -128,6 +133,7 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
             "INPUT__FILE__NAME or monotonically_increasing_id() depending "
             "on intent"
         )
+    col_types: dict[int, str | None] = {}
     if spark is not None:
         for m in _TABLESAMPLE.finditer(query):
             table, col = m.group(1), m.group(4).split(".")[-1]
@@ -137,15 +143,26 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
                 continue  # unregistered table — cannot resolve, let it run
             for f in schema.fields:
                 if f.name.lower() == col.lower():
-                    if f.dataType.simpleString() not in _INTEGRAL_TYPES:
+                    t = f.dataType.simpleString()
+                    if t in ("string", "varchar", "char"):
+                        # full Hive parity via the hive_bucket_hash UDF
+                        from hive_2_3_2_spark.functions.hive_hash import (
+                            register_hive_hash,
+                        )
+
+                        register_hive_hash(spark)
+                        col_types[m.start()] = "string"
+                    elif t not in _INTEGRAL_TYPES:
                         raise HiveQLUnsupportedError(
                             f"TABLESAMPLE(BUCKET ... ON {col}): column type "
-                            f"{f.dataType.simpleString()} is non-integral; "
-                            "Hive buckets such keys with Java "
-                            "String.hashCode, which this engine does not "
-                            "reproduce — sample on an integral column"
+                            f"{t} has no Hive bucket-hash emulation here "
+                            "(integral keys use the value, string keys the "
+                            "UTF-8 byte fold) — sample on an integral or "
+                            "string column"
                         )
-    out = _TABLESAMPLE.sub(_rewrite_tablesample, query)
+    out = _TABLESAMPLE.sub(
+        lambda m: _rewrite_tablesample(m, col_types.get(m.start())), query
+    )
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     return out

@@ -138,6 +138,36 @@ def hql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hiveql_tablesample_bucket_string",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def hql_tablesample_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE(BUCKET 2 OUT OF 4 ON o_orderpriority) on a STRING key:
+    Hive hashes strings with the signed-UTF-8-byte fold
+    (ObjectInspectorUtils.hashCode:673, reproduced by functions/
+    hive_hash.py) then (hash & MAX_INT) % 4. For the fixed TPC-H
+    priority domain, bucket 2's members are exactly {'1-URGENT'
+    (-1002256291), '2-HIGH' (1475233373)} — both ≡ 1 mod 4 — which the
+    oracle states literally."""
+    return _hql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders TABLESAMPLE(BUCKET 2 OUT OF 4 ON o_orderpriority)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )
+
+
+@query(
     "hiveql_union_mixed",
     oracle="""
     SELECT 'big' AS kind, CAST(COUNT(*) AS BIGINT) AS n

@@ -150,3 +150,23 @@ def test_hive_div_and_coercion_semantics(spark):
     assert row.i == 3
     assert row.eq is True
     assert row.bad is None  # Hive: invalid cast → NULL, not error
+
+
+def test_hive_bucket_hash_java_vectors(spark):
+    """Known Java String.hashCode values (ASCII ⇒ byte fold == hashCode):
+    'abc'=96354, 'hello'=99162322, ''=0; int32 wraparound goes negative
+    for '1-URGENT' (-1002256291) — reference ObjectInspectorUtils.java:673."""
+    from hive_2_3_2_spark.functions.hive_hash import hive_bucket_hash
+
+    df = spark.createDataFrame(
+        [("abc",), ("hello",), ("",), ("1-URGENT",), (None,)], ["s"]
+    )
+    got = {
+        r.s: r.h
+        for r in df.select("s", hive_bucket_hash("s").alias("h")).collect()
+    }
+    assert got["abc"] == 96354
+    assert got["hello"] == 99162322
+    assert got[""] == 0
+    assert got["1-URGENT"] == -1002256291
+    assert got[None] is None

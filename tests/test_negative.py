@@ -77,16 +77,28 @@ def test_scalar_subquery_multiple_rows_errors(eng):
         ).collect()
 
 
-def test_tablesample_string_key_raises(eng):
-    """Hive buckets string keys with Java String.hashCode; pmod on the
-    value would silently return a different row set — must raise."""
+def test_tablesample_unhashable_key_raises(eng):
+    """Non-integral, non-string bucket keys (date/double/...) have no
+    Hive hash emulation — must raise typed, not silently mis-sample."""
     from hive_2_3_2_spark.engine import HiveQLUnsupportedError
 
-    with pytest.raises(HiveQLUnsupportedError, match="non-integral"):
+    with pytest.raises(HiveQLUnsupportedError, match="bucket-hash"):
         eng.sql(
             "SELECT COUNT(*) AS n FROM orders "
-            "TABLESAMPLE(BUCKET 1 OUT OF 4 ON o_orderpriority)"
+            "TABLESAMPLE(BUCKET 1 OUT OF 4 ON o_orderdate)"
         )
+
+
+def test_tablesample_string_key_hive_hash_parity(eng):
+    """String bucket keys use the ObjectInspectorUtils.hashCode byte fold
+    ((hash & MAX_INT) % y). For the fixed TPC-H priority domain the
+    bucket-2-of-4 members are exactly {'1-URGENT','2-HIGH'} (hashes
+    -1002256291 and 1475233373, both ≡ 1 mod 4 after the sign mask)."""
+    got = eng.sql(
+        "SELECT DISTINCT o_orderpriority AS p FROM orders "
+        "TABLESAMPLE(BUCKET 2 OUT OF 4 ON o_orderpriority) ORDER BY p"
+    ).collect()
+    assert [r.p for r in got] == ["1-URGENT", "2-HIGH"]
 
 
 def test_tablesample_survives_where_alias_join(eng):
