@@ -45,12 +45,31 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract", oracle=None)
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT media_id, 'text/fake-image' AS mime, CAST(nb AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(least(nb, 64)),
+                  i -> ascii(substring(text, CAST(i + 1 AS INT), 1))))
+                // greatest(least(nb, 64), 1) AS BIGINT) AS feat_mean,
+           CAST(64 + nb % 577 AS VARCHAR) || 'x' ||
+             CAST(64 + (nb * 31) % 421 AS VARCHAR) AS feat_head
+    FROM m
+    """,
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode + feature extraction via mapInPandas
-    (llm/multimodal.py extract_features — stub decoder, real batch
-    plumbing). Python-side decode ⇒ rows-only check; determinism and
-    schema pinned in tests/test_llm.py."""
+    (llm/multimodal.py extract_features). The decoder is the documented
+    deterministic stub (no image libs in container): pseudo-dims
+    64+(n%577) × 64+(31n%421), mean of the first 64 payload bytes —
+    pure arithmetic over ASCII text bytes, so DuckDB reproduces every
+    value and the mapInPandas plumbing gets a full hash-checked row.
+    Batch-shape/schema invariants additionally pinned in tests/test_llm.py."""
     return M.extract_features(_media(spark, sf_dir))
 
 
