@@ -269,19 +269,91 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_histogram_numeric", oracle=None)
+@query(
+    "agg_histogram_numeric",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           10 AS n_bins, TRUE AS weight_ok, TRUE AS centers_in_range
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram_numeric (GenericUDAFHistogramNumeric,
-    FunctionRegistry.java:430) — Spark native since 3.3. Approximate
-    (adaptive bin placement) ⇒ rows-only check; bin-count and coverage
-    sanity asserted here via the schema (array of (x, y) structs)."""
+    FunctionRegistry.java:430) — Spark native since 3.3. Bin CENTERS are
+    merge-order-dependent (adaptive placement), so the hash-checkable
+    surface is the sketch's invariants, which hold for every merge
+    order: bin count = 10, Σ bin weights = row count exactly, all
+    centers inside [min, max]. Any wiring bug (lost bins, dropped
+    weight, out-of-range centroids) flips a value. The exact
+    deterministic histogram lives in agg_histogram_equiwidth."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.expr("histogram_numeric(l_extendedprice, 10)").alias("hist"))
+        .agg(
+            F.expr("histogram_numeric(l_extendedprice, 10)").alias("hist"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
         .select(
             "l_returnflag",
+            "n",
             F.size("hist").alias("n_bins"),
-            F.round(F.element_at("hist", 1).getField("x"), 0).alias("first_x"),
+            (
+                F.round(
+                    F.expr("aggregate(hist, 0D, (acc, b) -> acc + b.y)"), 3
+                )
+                == F.col("n").cast("double")
+            ).alias("weight_ok"),
+            F.expr("forall(hist, b -> b.x >= mn AND b.x <= mx)").alias(
+                "centers_in_range"
+            ),
         )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_histogram_equiwidth",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, MIN(l_extendedprice) AS mn,
+             MAX(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag AS l_returnflag,
+           CAST(LEAST(CAST(FLOOR((l.l_extendedprice - s.mn)
+                 / (s.mx - s.mn) * 10) AS INT), 9) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-bucket equi-width histogram — the deterministic
+    complement to histogram_numeric's adaptive sketch. Two-pass shape
+    that scales: per-group min/max stats (tiny) broadcast back onto the
+    scan, bucket index computed JVM-side, one groupBy shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+            * 10
+        ).cast("int"),
+        F.lit(9),
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select("l_returnflag", bucket.alias("bucket"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "bucket")
     )

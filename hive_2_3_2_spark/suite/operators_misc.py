@@ -113,12 +113,43 @@ def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("op_match_path_sessions", oracle=None)
+@query(
+    "op_match_path_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, ts, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM e WHERE event_type = 'view'
+    ),
+    runs AS (
+      SELECT user_id, grp, MIN(rn) AS start_rn, MAX(rn) AS end_rn,
+             MIN(ts) AS start_ts
+      FROM v GROUP BY user_id, grp
+    )
+    SELECT r.user_id AS user_id, r.start_ts AS ts,
+           CAST(r.start_rn AS BIGINT) AS match_start,
+           CAST(r.end_rn + 1 AS BIGINT) AS match_end,
+           CAST(r.end_rn + 2 - r.start_rn AS BIGINT) AS match_len
+    FROM runs r
+    JOIN e p ON p.user_id = r.user_id AND p.rn = r.end_rn + 1
+            AND p.event_type = 'purchase'
+    ORDER BY r.user_id, ts
+    """,
+)
 def op_match_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatchPath PTF (udf/ptf/MatchPath.java parity via applyInPandas):
     find purchase-after-views patterns per user in the events stream.
-    Non-SQL-expressible (row-sequence regex) ⇒ rows-only check; exact
-    semantics pinned in tests/test_operators.py."""
+    The general PTF is a row-sequence regex (not SQL-expressible), but
+    THIS pattern (V+P, leftmost non-overlapping ⇒ every maximal view-run
+    immediately followed by a purchase) has an exact gaps-and-islands
+    oracle, giving the applyInPandas path a hash-checked row. Greedy/
+    non-overlap semantics for richer patterns pinned in
+    tests/test_operators.py."""
     ev = load_table(spark, sf_dir, "events")
     return match_path(
         ev,
