@@ -71,6 +71,8 @@ _MODULES = [
     "windows",
     "setops",
     "sorts",
+    # --- 50-entry r2 window ends here ---
+    "llm_cleaning",
     "subqueries",
     "lateral",
     "functions_scalar",

@@ -1,0 +1,170 @@
+"""Cleaning/filtering suite entries (implementations: llm/cleaning.py) —
+the pretraining-corpus hygiene passes: PII scrubbing, Gopher quality
+rules, MassiveText repetition stats, benchmark decontamination. All four
+are fully DuckDB-oracle-checked (deterministic regex/arithmetic/set
+logic — no hashing, no RNG)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.llm import cleaning as C
+from hive_2_3_2_spark.suite import query
+
+
+@query(
+    "clean_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' mail user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com tel 555-123-4567 ip 10.0.0.1',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+             AS scrubbed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (llm/cleaning.py scrub_pii): chained JVM
+    regexp_replace for emails/phones/IPv4 — a fused map pass, zero
+    Python. The corpus text is deterministic-salted with one of each PII
+    kind so the scrub provably fires on every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" mail user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-123-4567 ip 10.0.0.1"),
+    )
+    return docs.select(
+        "doc_id", C.scrub_pii(salted).alias("scrubbed")
+    ).orderBy("doc_id")
+
+
+@query(
+    "clean_quality_flags",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS w,
+             length(text) AS lc,
+             length(regexp_replace(text, '[#…]', '', 'g')) AS lc_nosym,
+             length(regexp_replace(text, '\.\.\.', '', 'g')) AS lc_noell
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(w) AS n_words,
+             CASE WHEN len(w) > 0 THEN
+               ROUND(list_sum(list_transform(w, x -> length(x)))
+                     * 1.0 / len(w), 4)
+             ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(w) > 0 THEN
+               ROUND(((lc - lc_nosym)
+                      + 2 * ((lc - lc_noell) // 3)) * 1.0 / len(w), 4)
+             ELSE 0.0 END AS symbol_ratio
+      FROM m
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+           symbol_ratio,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND (symbol_ratio <= 0.1) AS overall
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (llm/cleaning.py quality_flags): word
+    count bounds, mean word length, symbol-to-word ratio — auditable
+    struct (measurements + verdict), all scan-local expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = C.quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q.getField("n_words").alias("n_words"),
+        q.getField("mean_word_len").alias("mean_word_len"),
+        q.getField("symbol_ratio").alias("symbol_ratio"),
+        q.getField("overall").alias("overall"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "clean_repetition_topgram",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(greatest(len(t) - 1, 0)),
+               i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS g
+      FROM tok
+    ),
+    c AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g
+    ),
+    s AS (
+      SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_c
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           ROUND(COALESCE(s.top_c * 1.0 / s.n_grams, 0.0), 4) AS top_share
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    ORDER BY doc_id
+    """,
+)
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText repetition filter (llm/cleaning.py top_ngram_share):
+    most-frequent-bigram share per document via linear explode +
+    map-side-combined groupBys (the per-row array formulation is
+    quadratic in doc length — see the implementation docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.top_ngram_share(docs, n=2).orderBy("doc_id")
+
+
+@query(
+    "clean_decontaminate",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(greatest(len(t) - 7, 0)),
+               i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))) AS g
+      FROM tok
+    ),
+    bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+    bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (g))
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_clean
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/cleaning.py decontaminate): drop
+    every document sharing any word 8-gram with the benchmark set (here:
+    doc_id % 97 = 0 as a stand-in eval set, which guarantees hits — the
+    benchmark docs themselves plus their near-duplicates). Benchmark
+    grams broadcast; corpus scanned once, no self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = C.decontaminate(docs, bench, n=8)
+    return (
+        clean.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_clean"))
+        .orderBy("lang")
+    )

@@ -225,3 +225,28 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert exact, "no exact neighbors"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_cleaning_edge_cases_and_decontaminate(spark):
+    from hive_2_3_2_spark.llm import cleaning as C
+    from hive_2_3_2_spark.plans import assert_broadcast_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob@corp.io or 555-123-4567 now"),
+            (2, ""),
+            (3, "one two one two one two"),  # top bigram 'one two' 3/5
+        ],
+        ["doc_id", "text"],
+    )
+    scrub = {r.doc_id: r.s for r in df.select("doc_id", C.scrub_pii(F.col("text")).alias("s")).collect()}
+    assert scrub[1] == "reach me at <EMAIL> or <PHONE> now"
+    assert scrub[2] == ""
+    shares = {r.doc_id: (r.n_grams, r.top_share) for r in C.top_ngram_share(df).collect()}
+    assert shares[3] == (5, 0.6)
+    assert shares[2][0] == 0  # empty doc still emits a row
+    # decontamination: doc 3 shares its 2-grams with the 'benchmark' doc 4
+    bench = spark.createDataFrame([(4, "xxx one two yyy")], ["doc_id", "text"])
+    clean = C.decontaminate(df, bench, n=2)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert_broadcast_join(clean)
