@@ -1,14 +1,17 @@
 """Text analysis operators: token counting, quality scoring, language ID,
 document fingerprinting.
 
-All four are pure JVM column expressions (pyspark.sql.functions only) —
-they run inside whole-stage codegen with zero Python in the executor path,
-so throughput is parquet-scan-bound at any corpus size. Each returns a
-Column so callers compose them into selects without extra passes.
+All are pure JVM column expressions (pyspark.sql.functions only) — they
+run inside whole-stage codegen with zero Python in the executor path, so
+throughput is parquet-scan-bound at any corpus size — except the portable
+rolling fingerprint, whose Hive-parity 31-fold has no Spark built-in and
+rides an Arrow batch instead (see its docstring). Each returns a Column
+so callers compose them into selects without extra passes.
 """
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: pandas_udf str-hints must resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -127,7 +130,11 @@ def md5_fingerprint(text: Column) -> Column:
 def rolling_shingle_fingerprint(text: Column, k: int = 5) -> Column:
     """Rolling fingerprint: xor-free order-insensitive combination of
     word-k-shingle hashes (bigint). Equal fingerprints ⇒ same shingle
-    multiset mod collisions; cheap pre-filter before pairwise Jaccard."""
+    multiset mod collisions; cheap pre-filter before pairwise Jaccard.
+
+    Uses Spark's engine hash (Murmur3) — the throughput path (stays in
+    codegen). Values are engine-specific; for a cross-engine-reproducible
+    fingerprint use :func:`rolling_shingle_fingerprint_portable`."""
     toks = F.split(normalize_for_fingerprint(text), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -139,6 +146,50 @@ def rolling_shingle_fingerprint(text: Column, k: int = 5) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: acc + h.cast("long"),
     )
+
+
+def _portable_rfp_udf(k: int):
+    """Arrow pandas UDF computing the portable rolling fingerprint: sum of
+    Java-``String.hashCode``-style 31-folds of each word-k-shingle of the
+    normalized text. Engine-independent arithmetic (int32 wraparound fold,
+    int64 sum) so an external system — or the DuckDB oracle — reproduces
+    it bit-for-bit. Factory form per repo convention (module-level
+    @pandas_udf breaks executor-side imports)."""
+
+    def _shingle_hash(s: str) -> int:
+        h = 0
+        for byte in s.encode("utf-8"):
+            h = (h * 31 + (byte - 256 if byte > 127 else byte)) & 0xFFFFFFFF
+        return h - 0x100000000 if h >= 0x80000000 else h
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def rfp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            acc = 0
+            for i in range(max(len(toks) - k, 0) + 1):
+                acc += _shingle_hash(" ".join(toks[i : i + k]))
+            out.append(acc)
+        return pd.Series(out, dtype="int64")
+
+    return rfp
+
+
+def rolling_shingle_fingerprint_portable(text: Column, k: int = 5) -> Column:
+    """Cross-engine-reproducible twin of
+    :func:`rolling_shingle_fingerprint`: same shingle windows (indexes
+    0..max(n-k,0), so short docs yield one partial shingle), but each
+    shingle is hashed with the Hive/Java 31-byte-fold
+    (ObjectInspectorUtils.hashCode — see functions/hive_hash.py) instead
+    of Spark's Murmur3, and summed as int64. Any engine can verify the
+    values — this is the form the DuckDB oracle checks. Python is
+    unavoidable here (Spark exposes no 31-fold built-in) so it rides an
+    Arrow batch, still map-side only; prefer the engine-hash twin when
+    the fingerprint never leaves Spark."""
+    return _portable_rfp_udf(k)(normalize_for_fingerprint(text))
 
 
 def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):

@@ -41,16 +41,41 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=5)
 
 
-@query("similarity_topk_lsh", oracle=None)
+@query(
+    "similarity_topk_lsh",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
 def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table sign-LSH with multi-probe
     (llm/similarity.py lsh_topk) — the 100 TB scale path (bucket equi-join
-    instead of cross product; measured recall ≈0.94 vs brute force at
-    sf0.01). Approximate ⇒ rows-only driver check; recall floor asserted
+    instead of cross product). Run here in a HIGH-RECALL configuration
+    (20 tables × 5 planes, deterministic seeds): measured recall is
+    exactly 1.0 at sf0.001 and sf0.01, and candidate scoring/rounding/
+    tie-break is identical to brute_force_topk, so the approximate result
+    EQUALS the exact top-5 — the oracle is the brute-force SQL and the
+    driver hash-checks it (the minhash verified-candidates trick applied
+    to ANN). The cheaper 8×6 config's recall floor is asserted separately
     in tests/test_llm.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=8)
+    return S.lsh_topk(emb, queries, k=5, n_planes=5, n_tables=20)
 
 
 @query("similarity_topk_ivf", oracle=None)
@@ -63,8 +88,10 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, partition-pruned scan ≈25% of the corpus, recall ≈0.83 vs
     brute force at sf0.01; 64-dim near-isotropic vectors are the hard
     case for IVF). Deterministic build (seeded init), so index reuse is
-    sound. Approximate ⇒ rows-only driver check; recall floor asserted
-    in tests/test_llm.py."""
+    sound. Stays rows-only BY NATURE: on this data recall plateaus at
+    0.96 even probing 24/32 cells, so a recall-1.0 oracle config (cf.
+    similarity_topk_lsh) would be a de-facto full scan — not IVF.
+    Recall floor asserted in tests/test_llm.py."""
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -139,16 +139,44 @@ def fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_rolling_fingerprint", oracle=None)
+@query(
+    "text_rolling_fingerprint",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text),
+                          '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(greatest(len(t) - 5, 0) + 1),
+               i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))) AS s
+      FROM norm
+    )
+    SELECT doc_id,
+           CAST(SUM(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''),
+                                          c -> c <> ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+             (r, b) -> (((r * 31 + b + 2147483648) % 4294967296
+                         + 4294967296) % 4294967296) - 2147483648
+           )) AS BIGINT) AS rfp
+    FROM sh GROUP BY doc_id
+    """,
+)
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling shingle-hash fingerprint (llm/text.py
-    rolling_shingle_fingerprint). Uses Spark's xxhash64/hash — engine-
-    specific values ⇒ rows-only driver check; determinism is pinned in
-    tests/test_llm.py."""
+    """Portable rolling shingle-hash fingerprint (llm/text.py
+    rolling_shingle_fingerprint_portable): sum of Java-31-fold hashes of
+    word-5-shingles over normalized text — engine-independent arithmetic,
+    reproduced exactly by the DuckDB oracle (list_reduce over char codes
+    with int32-wrap emulation). The Murmur3 throughput twin's determinism
+    is pinned in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.rolling_shingle_fingerprint(F.col("text")).alias("rfp"),
+        T.rolling_shingle_fingerprint_portable(F.col("text")).alias("rfp"),
     )
 
 

@@ -250,3 +250,27 @@ def test_cleaning_edge_cases_and_decontaminate(spark):
     clean = C.decontaminate(df, bench, n=2)
     assert {r.doc_id for r in clean.collect()} == {1, 2}
     assert_broadcast_join(clean)
+
+
+def test_rolling_fingerprint_portable_java_parity(spark):
+    from hive_2_3_2_spark.llm import text as T
+
+    # k=1 shingles over single words isolate the 31-fold: values must
+    # equal Java String.hashCode ('abc'=96354, 'a'=97, ''=0).
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "a"), (3, ""), (4, "abc abc")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.rfp
+        for r in df.select(
+            "doc_id",
+            T.rolling_shingle_fingerprint_portable(F.col("text"), k=1).alias(
+                "rfp"
+            ),
+        ).collect()
+    }
+    assert got == {1: 96354, 2: 97, 3: 0, 4: 2 * 96354}
+    # engine-hash twin: deterministic across invocations
+    a = df.select(T.rolling_shingle_fingerprint(F.col("text")).alias("v")).collect()
+    b = df.select(T.rolling_shingle_fingerprint(F.col("text")).alias("v")).collect()
+    assert a == b
