@@ -88,13 +88,16 @@ def pack_sequences(
     text_col: str = "text",
     shards: int = 32,
 ) -> DataFrame:
-    """Greedy first-fit packing of documents into token-budget groups.
+    """Greedy next-fit packing of documents into token-budget groups.
 
-    Documents are sharded by hash(doc_id) % shards; within each shard,
-    docs are processed in doc_id order and appended to the current pack
-    until the budget would overflow, then a new pack starts. Returns
-    (doc_id, pack_id, n_tokens, pack_fill) where pack_id is globally
-    unique (shard * 2^40 + local) and pack_fill is the pack's total.
+    Documents are sharded by ``pmod(doc_id, shards)`` (round-robin: dense
+    ids spread evenly, and the key is reproducible by any engine — the
+    DuckDB oracle replays the packing exactly via a recursive CTE);
+    within each shard, docs are processed in doc_id order and appended to
+    the current pack until the budget would overflow, then a new pack
+    starts. Returns (doc_id, pack_id, n_tokens, pack_fill) where pack_id
+    is globally unique (shard * 2^40 + local) and pack_fill is the pack's
+    total.
 
     Oversized docs (> budget) get a dedicated pack — chunk first with
     chunk_documents if that's not wanted.
@@ -107,7 +110,7 @@ def pack_sequences(
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         tok.cast("long").alias("n_tokens"),
-        (F.crc32(F.col(id_col).cast("string")) % shards).cast("long").alias(
+        F.pmod(F.col(id_col).cast("long"), F.lit(shards)).cast("long").alias(
             "shard"
         ),
     )

@@ -41,12 +41,46 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_sequences_greedy", oracle=None)
+@query(
+    "pack_sequences_greedy",
+    oracle=r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             doc_id % 32 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ),
+    steps AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+             CASE WHEN s.fill + b.n_tokens > 512
+                  THEN s.pack_local + 1 ELSE s.pack_local END,
+             CASE WHEN s.fill + b.n_tokens > 512
+                  THEN b.n_tokens ELSE s.fill + b.n_tokens END
+      FROM steps s
+      JOIN base b ON b.shard = s.shard AND b.rn = s.rn + 1
+    )
+    SELECT doc_id,
+           CAST(shard * 1099511627776 + pack_local AS BIGINT) AS pack_id,
+           n_tokens,
+           CAST(MAX(fill) OVER (PARTITION BY shard, pack_local) AS BIGINT)
+             AS pack_fill
+    FROM steps
+    """,
+)
 def pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing, sharded for parallelism
-    (llm/chunking.py pack_sequences). Per-shard sequential algorithm ⇒
-    not SQL-expressible → rows-only check; invariants (no pack over
-    budget, every doc packed exactly once) asserted in tests/test_llm.py."""
+    (llm/chunking.py pack_sequences). The per-shard sequential next-fit
+    is deterministic (doc_id order, pmod sharding), so the DuckDB oracle
+    REPLAYS it exactly with a recursive CTE walking each shard row-by-row
+    — the connected-components trick applied to a sequential algorithm.
+    Budget/coverage invariants additionally asserted in tests/test_llm.py."""
     return pack_sequences(
         load_table(spark, sf_dir, "documents"), budget=512
     )
