@@ -73,6 +73,7 @@ _MODULES = [
     "sorts",
     # --- 50-entry r2 window ends here ---
     "llm_cleaning",
+    "llm_embeddings",
     "subqueries",
     "lateral",
     "functions_scalar",

@@ -274,3 +274,55 @@ def test_rolling_fingerprint_portable_java_parity(spark):
     a = df.select(T.rolling_shingle_fingerprint(F.col("text")).alias("v")).collect()
     b = df.select(T.rolling_shingle_fingerprint(F.col("text")).alias("v")).collect()
     assert a == b
+
+
+def test_embedding_quantize_roundtrip_and_jl_projection(spark, sf_dir):
+    from hive_2_3_2_spark.llm import embeddings as E
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    v = F.col("embedding").cast("array<double>")
+    q = E.quantize_int8(v)
+    rt = emb.select(
+        v.alias("v"),
+        q.getField("scale").alias("scale"),
+        E.dequantize_int8(q).alias("back"),
+    ).select(
+        # max reconstruction error must be <= scale/2 (+ float eps)
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("back"), lambda a, b: F.abs(a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            - F.col("scale") * 0.5
+        ).alias("worst")
+    ).collect()[0]
+    assert rt.worst <= 1e-9
+
+    # JL: projected pairwise distances correlate with original distances
+    import numpy as np
+
+    # (near-isotropic vectors have concentrated distances, so use a
+    # 32-dim projection for the rank-correlation check and an aggregate
+    # norm-ratio band for the 8-dim one)
+    M32 = E.gaussian_projection_matrix(64, 32, seed=7)
+    rows = emb.select("vec_id", v.alias("v"),
+                      E.random_projection(v, M32).alias("p")).collect()
+    V = np.array([r.v for r in rows])
+    P = np.array([r.p for r in rows])
+    dv = np.linalg.norm(V[:, None] - V[None, :], axis=2).ravel()
+    dp = np.linalg.norm(P[:, None] - P[None, :], axis=2).ravel()
+    mask = dv > 0
+    corr = np.corrcoef(dv[mask], dp[mask])[0, 1]
+    # isotropic-random distances concentrate (spread ~1/sqrt(64)), so JL
+    # noise at out_dim=32 caps attainable correlation — assert structure
+    # survives, not perfect rank preservation
+    assert corr > 0.2, f"JL projection lost distance structure: {corr}"
+    M8 = E.gaussian_projection_matrix(64, 8, seed=7)
+    p8 = np.array(
+        [r.p for r in emb.select(E.random_projection(v, M8).alias("p")).collect()]
+    )
+    ratio = np.linalg.norm(p8, axis=1).mean() / np.linalg.norm(V, axis=1).mean()
+    assert 0.5 < ratio < 2.0, f"JL norm scale off: {ratio}"
