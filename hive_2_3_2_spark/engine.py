@@ -86,6 +86,48 @@ _UNSUPPORTED_VIRTUAL = re.compile(
 )
 
 
+# SQL-string DML front-end (reference: parse/UpdateDeleteSemanticAnalyzer
+# .java:62 UPDATE, :80 DELETE — both compile to rewrites). Spark only
+# parses DELETE/UPDATE for v2 catalogs, so the Engine intercepts the two
+# statements and routes them to the staged-rewrite helpers in
+# sources/writers.py. MERGE stays API-level (sources/writers.merge_upsert)
+# — its multi-clause grammar isn't worth a regex front-end.
+_DELETE_STMT = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_STMT = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_assignments(s: str) -> list[tuple[str, str]]:
+    """Split ``a = expr1, b = expr2`` on top-level commas only (commas
+    inside function-call parens belong to the expression)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = []
+    for p in parts:
+        col, _, expr = p.partition("=")
+        if not _:
+            raise HiveQLUnsupportedError(
+                f"malformed SET assignment: {p.strip()!r}"
+            )
+        out.append((col.strip(), expr.strip()))
+    return out
+
+
 class Engine:
     """A session + catalog bound to a data directory."""
 
@@ -96,12 +138,90 @@ class Engine:
     ) -> None:
         self.spark = spark or get_spark()
         self.tables: dict[str, DataFrame] = {}
+        self.table_paths: dict[str, str] = {}
+        self.table_partitions: dict[str, list[str]] = {}
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
+            import os
+
+            for name in self.tables:
+                self.table_paths[name] = os.path.join(
+                    sf_dir, f"{name}.parquet"
+                )
+
+    def register_table(
+        self,
+        name: str,
+        path: str,
+        partition_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Register a writable parquet table: a temp view for reads plus
+        the path/partition metadata the DML front-end needs."""
+        df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        self.table_paths[name] = path
+        if partition_cols:
+            self.table_partitions[name] = list(partition_cols)
+        return df
+
+    def _resolve_dml_table(self, name: str) -> str:
+        key = name.split(".")[-1].lower()
+        if key not in self.table_paths:
+            raise HiveQLUnsupportedError(
+                f"DML target {name!r} is not a path-backed table this "
+                "Engine registered (register_table(name, path) first)"
+            )
+        return key
 
     def sql(self, query: str) -> DataFrame:
         """Run HiveQL-compatible SQL (reference entry:
-        ql/src/java/org/apache/hadoop/hive/ql/Driver.java:1371 ``run``)."""
+        ql/src/java/org/apache/hadoop/hive/ql/Driver.java:1371 ``run``).
+        SELECT/DQL passes through (plus the HiveQL rewrites); DELETE and
+        UPDATE route to the staged-rewrite DML helpers and return a
+        1-row (rows_affected) DataFrame like a CLI row count."""
+        from pyspark.sql import functions as F
+
+        m = _DELETE_STMT.match(query)
+        if m:
+            from hive_2_3_2_spark.sources.writers import delete_where
+
+            key = self._resolve_dml_table(m.group(1))
+            cond = F.expr(m.group(2)) if m.group(2) else F.lit(True)
+            path = self.table_paths[key]
+            parts = self.table_partitions.get(key)
+            affected = (
+                self.spark.read.parquet(path)
+                .filter(F.coalesce(cond, F.lit(False)))
+                .count()
+            )
+            delete_where(self.spark, path, cond, parts)
+            self.register_table(key, path, parts)
+            return self.spark.createDataFrame(
+                [(affected,)], "rows_affected bigint"
+            )
+        m = _UPDATE_STMT.match(query)
+        if m:
+            from hive_2_3_2_spark.sources.writers import update_where
+
+            key = self._resolve_dml_table(m.group(1))
+            sets = {
+                col: F.expr(expr)
+                for col, expr in _split_assignments(m.group(2))
+            }
+            cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+            path = self.table_paths[key]
+            parts = self.table_partitions.get(key)
+            affected = (
+                self.spark.read.parquet(path)
+                .filter(F.coalesce(cond, F.lit(False)))
+                .count()
+            )
+            update_where(self.spark, path, sets, cond, parts)
+            self.register_table(key, path, parts)
+            return self.spark.createDataFrame(
+                [(affected,)], "rows_affected bigint"
+            )
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
 
     def table(self, name: str) -> DataFrame:
