@@ -128,3 +128,54 @@ def asof_join(
             *[F.col(f"_asof_{c}").alias(c) for c in right_cols],
         )
     )
+
+
+def banded_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    band_width: float,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Range (interval) join without a cross product: each point joins
+    every interval containing it (``start <= point <= end``), optionally
+    also matching on equi ``keys``.
+
+    Spark plans a plain inequality join as BroadcastNestedLoopJoin (or
+    a cartesian) — O(n*m) and a guaranteed scale-killer. The banded
+    formulation is the standard fix: pick a ``band_width`` comparable to
+    the typical interval length, map each point to band
+    ``floor(point/band_width)``, replicate each interval onto every band
+    it overlaps (sequence + explode — short intervals land on 1-2
+    bands), then EQUI-join on (keys..., band) and apply the range
+    predicate as a residual filter. Shuffle is keyed on (keys, band) —
+    co-partitioned, skew-safe if bands are sized sensibly, and the
+    intervals side only inflates by ceil(len/band_width)+1.
+
+    ``point_col``/``start_col``/``end_col`` must be numeric (cast
+    timestamps to double epoch seconds first). Inner join only: outer
+    variants would resurrect matchless rows per-band (wrong
+    multiplicity) — use a left-semi/anti wrapper instead.
+    """
+    if band_width <= 0:
+        raise ValueError("band_width must be positive")
+    keys = keys or []
+    p = points.withColumn(
+        "_band", F.floor(F.col(point_col) / band_width).cast("long")
+    )
+    i = intervals.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / band_width).cast("long"),
+                F.floor(F.col(end_col) / band_width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, [*keys, "_band"]).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("_band")

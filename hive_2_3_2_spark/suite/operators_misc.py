@@ -209,3 +209,46 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("view_id", "click_id")
         .orderBy("view_id")
     )
+
+
+@query(
+    "op_banded_range_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch(ts) AS sec FROM events
+    )
+    SELECT er.event_id AS error_event_id,
+           p.event_id AS event_id,
+           ROUND(p.sec - er.sec, 6) AS seconds_apart
+    FROM e er JOIN e p ON er.user_id = p.user_id
+    WHERE er.event_type = 'error' AND p.event_type <> 'error'
+      AND p.sec BETWEEN er.sec - 1800 AND er.sec + 1800
+    ORDER BY error_event_id, event_id
+    """,
+)
+def banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (operators/joins.py banded_range_join): every
+    non-error event within ±30min of an error by the same user. The naive
+    inequality join is a per-user cross product (BroadcastNestedLoop at
+    Spark's mercy); the banded form replicates each ±30min interval onto
+    its 1h bands and EQUI-joins on (user_id, band) + residual filter —
+    shuffle keyed, no blow-up, the interval side inflates ≤2×."""
+    from hive_2_3_2_spark.operators.joins import banded_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    pts = ev.filter("event_type <> 'error'").select(
+        "user_id", F.col("event_id").alias("event_id"), sec.alias("pt")
+    )
+    ivs = ev.filter("event_type = 'error'").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        (sec - 1800).alias("s"),
+        (sec + 1800).alias("e"),
+    )
+    j = banded_range_join(pts, ivs, "pt", "s", "e", 3600.0, keys=["user_id"])
+    return j.select(
+        "error_event_id",
+        "event_id",
+        F.round(F.col("pt") - (F.col("s") + 1800), 6).alias("seconds_apart"),
+    ).orderBy("error_event_id", "event_id")

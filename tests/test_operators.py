@@ -191,3 +191,29 @@ def test_asof_join_handmade_edges(spark):
         for r in asof_join(left, right, "k", "ts", ["rv"]).collect()
     }
     assert got == {"a": 100, "b": 150, "c": None, "d": None}
+
+
+def test_banded_range_join_matches_naive(spark):
+    """Banded equi-join + residual == naive inequality join, including
+    intervals spanning several bands and negative coordinates."""
+    from hive_2_3_2_spark.operators.joins import banded_range_join
+
+    pts = spark.createDataFrame(
+        [(1, 1, -7.0), (2, 1, 0.0), (3, 1, 5.5), (4, 2, 5.5), (5, 1, 99.0)],
+        ["pid", "k", "x"],
+    )
+    ivs = spark.createDataFrame(
+        [(10, 1, -10.0, 6.0), (11, 1, 5.0, 5.5), (12, 2, -100.0, 100.0)],
+        ["iid", "k", "s", "e"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in banded_range_join(pts, ivs, "x", "s", "e", 4.0, keys=["k"]).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.join(ivs, "k")
+        .filter("x >= s AND x <= e")
+        .collect()
+    }
+    assert got == naive and len(naive) == 5

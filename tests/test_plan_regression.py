@@ -125,3 +125,11 @@ def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_tfidf_keywords")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_banded_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The banded range join must plan as an equi-join on (key, band) —
+    the whole point is avoiding BroadcastNestedLoopJoin/cartesian."""
+    plan = _plan(spark, sf_dir, "op_banded_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
