@@ -166,3 +166,49 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d + F.expr("INTERVAL 36 HOUR")).alias("plus_36h"),
         (d + F.expr("INTERVAL 90 MINUTE")).alias("plus_90min"),
     )
+
+
+@query(
+    "fn_xpath_family",
+    oracle="""
+    SELECT doc_id,
+           doc_id AS xid,
+           lang AS xlang,
+           source AS xsource,
+           CAST(4 AS INT) AS n_children,
+           doc_id % 7 = 0 AS is_lucky,
+           CAST(n_chars AS DOUBLE) AS xchars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath function family (FunctionRegistry.java:318-327 xpath,
+    xpath_string/boolean/double/long/int...; Spark natives). XML is
+    CONSTRUCTED from the documents columns and xpath'd back out, so the
+    DuckDB oracle — which has no xpath — verifies the round trip by
+    selecting the original columns directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><id>"), F.col("doc_id").cast("string"),
+        F.lit("</id><lang>"), F.col("lang"),
+        F.lit("</lang><src>"), F.col("source"),
+        F.lit("</src><chars>"), F.col("n_chars").cast("string"),
+        F.lit("</chars></doc>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.xpath_long(xml, F.lit("doc/id")).alias("xid"),
+        F.xpath_string(xml, F.lit("doc/lang")).alias("xlang"),
+        F.xpath_string(xml, F.lit("doc/src")).alias("xsource"),
+        F.size(F.xpath(xml, F.lit("doc/*"))).alias("n_children"),
+        F.xpath_boolean(
+            F.concat(
+                F.lit("<a><v>"),
+                (F.col("doc_id") % 7 == 0).cast("string"),
+                F.lit("</v></a>"),
+            ),
+            F.lit("a/v = 'true'"),
+        ).alias("is_lucky"),
+        F.xpath_double(xml, F.lit("doc/chars")).alias("xchars"),
+    ).orderBy("doc_id")
