@@ -22,11 +22,13 @@ from hive_2_3_2_spark.streaming.ingest import (
 from hive_2_3_2_spark.streaming.stateful import (
     running_totals,
     sessionize_stateful,
+    stream_static_enrich,
     stream_stream_interval_join,
 )
 
 __all__ = [
     "running_totals",
+    "stream_static_enrich",
     "stream_stream_interval_join",
     "sessionize_stateful",
     "sessionized_stream",

@@ -168,3 +168,24 @@ def stream_stream_interval_join(
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}")),
         "inner",
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a
+    (small) static dimension table.
+
+    Spark plans this as a per-micro-batch broadcast hash join — no state
+    store at all (the static side is re-broadcast per batch, so a
+    dimension refresh between batches is picked up automatically; that
+    per-batch re-read is the semantic difference from caching it once).
+    This is the streaming twin of MapJoinOperator (MapJoinOperator.java:78):
+    the standard "attach user/product attributes to a clickstream" shape.
+    At 100 TB-of-stream scale the stream side never shuffles — only the
+    broadcast of the dim moves.
+    """
+    return stream.join(F.broadcast(dim), keys, how)

@@ -295,3 +295,38 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert expected, "no attribution pairs in fixture"
     assert got == expected
+
+
+def test_stream_static_enrich_matches_batch_and_is_stateless(
+    spark, sf_dir, tmp_path
+):
+    from hive_2_3_2_spark.streaming import stream_static_enrich
+
+    src = _events_source(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(["click", "view", "purchase", "error"])],
+        ["event_type", "type_rank"],
+    )
+    out = stream_static_enrich(stream, dim, ["event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enriched")
+    batch = load_table(spark, sf_dir, "events").join(
+        dim, ["event_type"], "left"
+    )
+    assert got.count() == batch.count()
+    assert (
+        got.groupBy("type_rank").count().orderBy("type_rank").collect()
+        == batch.groupBy("type_rank").count().orderBy("type_rank").collect()
+    )
+    # stateless: no state store rows for a stream-static join
+    assert q.lastProgress is None or all(
+        (s.get("numRowsTotal", 0) == 0)
+        for s in (q.lastProgress.get("stateOperators") or [])
+    )
