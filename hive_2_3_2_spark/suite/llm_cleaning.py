@@ -72,19 +72,37 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 0.0 END AS symbol_ratio
       FROM m
     )
-    SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
-           symbol_ratio,
+    ,
+    dl AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> length(x) > 0) AS lines
+      FROM documents
+    ),
+    dup AS (
+      SELECT doc_id,
+             CASE WHEN len(lines) > 0 THEN
+               ROUND((len(lines) - len(list_distinct(lines))) * 1.0
+                     / len(lines), 4)
+             ELSE 0.0 END AS dup_line_frac
+      FROM dl
+    )
+    SELECT s.doc_id AS doc_id, CAST(n_words AS INT) AS n_words,
+           mean_word_len, symbol_ratio,
            (n_words BETWEEN 50 AND 100000)
              AND (mean_word_len BETWEEN 3.0 AND 10.0)
-             AND (symbol_ratio <= 0.1) AS overall
-    FROM s
+             AND (symbol_ratio <= 0.1) AS overall,
+           dup.dup_line_frac AS dup_line_frac
+    FROM s JOIN dup ON s.doc_id = dup.doc_id
     ORDER BY doc_id
     """,
 )
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules (llm/cleaning.py quality_flags): word
     count bounds, mean word length, symbol-to-word ratio — auditable
-    struct (measurements + verdict), all scan-local expressions."""
+    struct (measurements + verdict) — plus the MassiveText
+    duplicate-line fraction (llm/cleaning.py dup_line_fraction). All
+    scan-local expressions."""
     docs = load_table(spark, sf_dir, "documents")
     q = C.quality_flags(F.col("text"))
     return docs.select(
@@ -93,6 +111,7 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.getField("mean_word_len").alias("mean_word_len"),
         q.getField("symbol_ratio").alias("symbol_ratio"),
         q.getField("overall").alias("overall"),
+        C.dup_line_fraction(F.col("text")).alias("dup_line_frac"),
     ).orderBy("doc_id")
 
 
