@@ -133,3 +133,11 @@ def test_banded_range_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "op_banded_range_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_corpus_prep_no_cartesian(spark, sf_dir):
+    """The composed pipeline must stay blocked/broadcast end-to-end —
+    no stage may degrade to a cartesian or nested-loop join."""
+    plan = _plan(spark, sf_dir, "pipeline_corpus_prep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
