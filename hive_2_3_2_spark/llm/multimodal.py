@@ -142,3 +142,54 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "media_id",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_"),
     ).select("media_id", F.col("frame_no").cast("long").alias("frame_no"))
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """STUB RESIZE — container has no image libraries; production swaps
+    the body for PIL ``Image.resize`` over the decoded pixels.
+
+    The deterministic stand-in keeps the real bytes→bytes contract and
+    all the Spark plumbing (mapInPandas Arrow batches, MEDIA_SCHEMA in
+    and out): 'resample' the payload to exactly ``target_bytes`` by
+    integer stride — output byte i is input byte ``(i*n)//target_bytes``
+    (upsampling repeats bytes, downsampling skips; empty payloads stay
+    empty). Pure integer arithmetic, so any engine reproduces the output
+    bit-for-bit — the suite oracle recomputes it from hex in SQL.
+    Metadata is rewritten to the resized contract (8×8 when
+    target_bytes=64)."""
+    import math
+
+    side = max(1, int(math.isqrt(target_bytes)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                n = len(b)
+                if n == 0:
+                    outs.append(b"")
+                else:
+                    outs.append(
+                        bytes(
+                            b[(i * n) // target_bytes]
+                            for i in range(target_bytes)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "meta": [
+                        {
+                            "mime": m["mime"],
+                            "n_bytes": len(o),
+                            "width": side,
+                            "height": side,
+                        }
+                        for m, o in zip(pdf["meta"], outs)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

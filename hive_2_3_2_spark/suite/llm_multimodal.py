@@ -87,3 +87,37 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per fixed-size payload window
     (JVM-side posexplode — the video frame-step plan shape)."""
     return M.frame_sample(_media(spark, sf_dir), every_n_bytes=64)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(CASE WHEN nb = 0 THEN 0 ELSE 64 END AS BIGINT) AS n_bytes,
+           CASE WHEN nb = 0 THEN ''
+                ELSE array_to_string(list_transform(range(64),
+                       i -> substr(hx, CAST(2 * ((i * nb) // 64) + 1 AS INT),
+                                   2)), '')
+           END AS hx_out
+    FROM m
+    ORDER BY media_id
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (llm/multimodal.py resize_media): stride-resample
+    every payload to exactly 64 bytes inside mapInPandas Arrow batches
+    (the stubbed stand-in for PIL resize — see the implementation
+    docstring). Output byte i = input byte (i*n)//64, pure integer
+    arithmetic, so the oracle recomputes the resized bytes hex-pair by
+    hex-pair in SQL and the driver hash-checks them."""
+    resized = M.resize_media(_media(spark, sf_dir), target_bytes=64)
+    return resized.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.hex(F.col("payload")).alias("hx_out"),
+    ).orderBy("media_id")
