@@ -17,6 +17,7 @@ from hive_2_3_2_spark.streaming.ingest import (
     sessionized_stream,
     stream_dedup,
     stream_ingest,
+    stream_upsert_sink,
     windowed_counts,
 )
 from hive_2_3_2_spark.streaming.stateful import (
@@ -34,5 +35,6 @@ __all__ = [
     "sessionized_stream",
     "stream_dedup",
     "stream_ingest",
+    "stream_upsert_sink",
     "windowed_counts",
 ]

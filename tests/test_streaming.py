@@ -330,3 +330,47 @@ def test_stream_static_enrich_matches_batch_and_is_stateless(
         (s.get("numRowsTotal", 0) == 0)
         for s in (q.lastProgress.get("stateOperators") or [])
     )
+
+
+def test_stream_upsert_sink_cdc_versioned_merge(spark, sf_dir, tmp_path):
+    """CDC feed: key = pmod(event_id, 97), version = event_id (unique per
+    key). Final table must hold the max-version row per key regardless of
+    which micro-batch each file lands in (out-of-order tolerance)."""
+    from pyspark.sql import Window
+
+    from hive_2_3_2_spark.streaming import stream_upsert_sink
+
+    feed = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.pmod("event_id", F.lit(97)).alias("entity_id"),
+            F.col("event_id").alias("ver"),
+            "event_type",
+            "value",
+        )
+    )
+    src = str(tmp_path / "cdc_src")
+    feed.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "entity_id BIGINT, ver BIGINT, event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    q = stream_upsert_sink(stream, target, ["entity_id"], ckpt, order_col="ver")
+    q.awaitTermination(180)
+
+    w = Window.partitionBy("entity_id").orderBy(F.col("ver").desc())
+    want = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    got = spark.read.parquet(target)
+    assert got.count() == want.count()
+    key = lambda r: r.entity_id
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
