@@ -13,6 +13,13 @@ from hive_2_3_2_spark.operators.joins import (
     salted_skew_join,
 )
 from hive_2_3_2_spark.operators.ptf import match_path
+from hive_2_3_2_spark.operators.rollup import (
+    rollup_finalize,
+    rollup_merge,
+    rollup_partials,
+    rollup_refresh,
+    rollup_serve,
+)
 from hive_2_3_2_spark.operators.sorts import (
     cluster_by,
     distribute_by,
@@ -29,6 +36,11 @@ __all__ = [
     "distribute_by",
     "hive_order_by",
     "match_path",
+    "rollup_finalize",
+    "rollup_merge",
+    "rollup_partials",
+    "rollup_refresh",
+    "rollup_serve",
     "salted_skew_join",
     "sort_by",
     "top_k_per_group",

@@ -256,3 +256,40 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "buy_id")
     )
+
+
+@query(
+    "events_rollup_incremental",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_v,
+           ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_v,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate serve path (operators/rollup.py): materialize
+    hourly partials for history (ts < max-1day), then serve history ∪
+    raw tail through the mergeable-partials algebra. The oracle is the
+    flat GROUP BY over ALL events — incremental merge must equal full
+    recompute exactly (that equality is the rollup's contract).
+
+    Scale: the materialized side is one row per (hour, event_type); the
+    tail aggregate scans only data past the high watermark; the merge
+    re-aggregates rollup-sized rows, not raw rows."""
+    from datetime import timedelta
+
+    from hive_2_3_2_spark.operators.rollup import rollup_partials, rollup_serve
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    cutoff = mx - timedelta(days=1)
+    history = rollup_partials(ev.filter(F.col("ts") < F.lit(cutoff)))
+    tail = ev.filter(F.col("ts") >= F.lit(cutoff))
+    return rollup_serve(history, tail).orderBy("bucket_start", "event_type")

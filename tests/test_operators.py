@@ -217,3 +217,53 @@ def test_banded_range_join_matches_naive(spark):
         .collect()
     }
     assert got == naive and len(naive) == 5
+
+
+def test_rollup_refresh_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
+    """File-backed continuous aggregate: build from history, fold in the
+    tail slice, and the finalized table must equal a flat recompute.
+    Untouched date partitions must not be rewritten (pruned refresh)."""
+    import os
+    from datetime import timedelta
+
+    from hive_2_3_2_spark.operators import (
+        rollup_finalize,
+        rollup_partials,
+        rollup_refresh,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    cutoff = mx - timedelta(days=1)
+    path = str(tmp_path / "rollup")
+
+    rollup_refresh(spark, path, ev.filter(F.col("ts") < F.lit(cutoff)))
+
+    # snapshot the files of partitions the tail slice will NOT touch
+    touched_dates = {
+        str(r[0])
+        for r in ev.filter(F.col("ts") >= F.lit(cutoff))
+        .select(F.to_date(F.date_trunc("hour", "ts")))
+        .distinct()
+        .collect()
+    }
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("bucket_date=")
+        and d.split("=", 1)[1] not in touched_dates
+    }
+    assert before, "expected at least one untouched partition"
+
+    rollup_refresh(spark, path, ev.filter(F.col("ts") >= F.lit(cutoff)))
+
+    after = {d: sorted(os.listdir(os.path.join(path, d))) for d in before}
+    assert after == before  # pruned overwrite left untouched dates alone
+
+    got = rollup_finalize(spark.read.parquet(path)).orderBy(
+        "bucket_start", "event_type"
+    )
+    want = rollup_finalize(rollup_partials(ev)).orderBy(
+        "bucket_start", "event_type"
+    )
+    assert got.collect() == want.collect()
