@@ -220,3 +220,49 @@ def test_sequencefile_roundtrip(spark, tmp_path):
     spark.sparkContext.parallelize([(0, "only_key")], 1).saveAsSequenceFile(path2)
     r = read_sequencefile(spark, path2, schema="key string, value string").collect()[0]
     assert r.key == "only_key" and r.value is None
+
+
+def test_write_zordered_skips_files_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: parquet footer min/max must let a band predicate on
+    EITHER z-ordered column skip files, where an unclustered layout
+    overlaps (almost) every file. Bands sit at 10-20%% of each column's
+    domain — inside the z-curve's first quadrant, away from the top-bit
+    split points."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hive_2_3_2_spark.sources.writers import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    zpath, bpath = str(tmp_path / "z"), str(tmp_path / "base")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=16)
+    orders.repartition(16).write.parquet(bpath)
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def overlapping(ranges, lo, hi):
+        return sum(1 for a, b in ranges if not (b < lo or a > hi))
+
+    for col in ["o_custkey", "o_totalprice"]:
+        dom = orders.selectExpr(f"min({col}) lo", f"max({col}) hi").collect()[0]
+        lo = dom.lo + 0.1 * (dom.hi - dom.lo)
+        hi = dom.lo + 0.2 * (dom.hi - dom.lo)
+        z = overlapping(file_ranges(zpath, col), lo, hi)
+        base = overlapping(file_ranges(bpath, col), lo, hi)
+        assert base >= 15, (col, base)  # unclustered: no skipping
+        assert z <= base // 2, (col, z, base)  # clustered: real skipping
+    # round-trip: layout change must not change the data
+    assert spark.read.parquet(zpath).count() == orders.count()
