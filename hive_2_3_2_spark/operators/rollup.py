@@ -149,3 +149,54 @@ def rollup_refresh(
     )
     merged = rollup_merge([existing, new_part], keys)
     insert_overwrite_partitions(merged, rollup_path, ["bucket_date"])
+
+
+def rollup_partials_ndv(
+    events: DataFrame,
+    unit: str = "hour",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    ndv_col: str = "user_id",
+) -> DataFrame:
+    """Per-bucket MERGEABLE distinct-count partial: a Datasketches HLL
+    sketch of ``ndv_col`` (F.hll_sketch_agg). COUNT(DISTINCT) is the one
+    common metric a plain rollup cannot carry — exact distinct counts
+    don't merge across slices (|A ∪ B| ≠ |A| + |B|). The sketch does:
+    refresh unions the new slice's sketch into the stored one
+    (F.hll_union_agg), and serving estimates from the union. This is the
+    reference's NumDistinctValueEstimator/compute_stats surface
+    (udf/generic/NumDistinctValueEstimator.java:30) upgraded to a
+    mergeable, rollup-resident form."""
+    keys = keys if keys is not None else ["event_type"]
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket_start"), *keys
+        )
+        .agg(F.hll_sketch_agg(ndv_col).alias("ndv_sketch"))
+        .withColumn("bucket_date", F.to_date("bucket_start"))
+    )
+
+
+def rollup_serve_ndv(
+    ndv_rollup: DataFrame,
+    raw_tail: DataFrame,
+    unit: str = "hour",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    ndv_col: str = "user_id",
+) -> DataFrame:
+    """Serve distinct-count estimates from sketch partials ∪ the raw
+    tail's sketch: one union-aggregate keyed on (bucket, keys) — sketch
+    bytes (~KB each) shuffle, never the raw ids."""
+    keys = keys if keys is not None else ["event_type"]
+    tail = rollup_partials_ndv(raw_tail, unit, keys, ts_col, ndv_col)
+    return (
+        ndv_rollup.unionByName(tail)
+        .groupBy("bucket_start", *keys)
+        .agg(F.hll_union_agg("ndv_sketch").alias("u"))
+        .select(
+            "bucket_start",
+            *keys,
+            F.hll_sketch_estimate("u").alias("ndv_estimate"),
+        )
+    )

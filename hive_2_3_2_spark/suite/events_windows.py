@@ -293,3 +293,53 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = rollup_partials(ev.filter(F.col("ts") < F.lit(cutoff)))
     tail = ev.filter(F.col("ts") >= F.lit(cutoff))
     return rollup_serve(history, tail).orderBy("bucket_start", "event_type")
+
+
+@query(
+    "events_rollup_ndv_sketch",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ndv_exact,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def rollup_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (operators/rollup.py *_ndv): HLL
+    sketch partials for history, unioned with the raw tail's sketch at
+    serve time — the metric COUNT(DISTINCT) that plain additive partials
+    cannot carry. Hash-checkable via the exact+bound trick: emit the
+    EXACT per-bucket ndv (oracle-computable) plus a boolean that the
+    merged-sketch estimate lands within 5% (+2 absolute slack for tiny
+    buckets); the oracle asserts TRUE."""
+    from datetime import timedelta
+
+    from hive_2_3_2_spark.operators.rollup import (
+        rollup_partials_ndv,
+        rollup_serve_ndv,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    cutoff = mx - timedelta(days=1)
+    hist = rollup_partials_ndv(ev.filter(F.col("ts") < F.lit(cutoff)))
+    est = rollup_serve_ndv(hist, ev.filter(F.col("ts") >= F.lit(cutoff)))
+    exact = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("ndv_exact"))
+    return (
+        exact.join(est, ["bucket_start", "event_type"])
+        .select(
+            "bucket_start",
+            "event_type",
+            "ndv_exact",
+            (
+                F.abs(F.col("ndv_estimate") - F.col("ndv_exact"))
+                <= F.greatest(0.05 * F.col("ndv_exact"), F.lit(2.0))
+            ).alias("sketch_ok"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
