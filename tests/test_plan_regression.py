@@ -141,3 +141,43 @@ def test_pipeline_corpus_prep_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_corpus_prep")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_serve_no_cartesian_two_agg_shuffles(spark, sf_dir):
+    """Continuous-aggregate serve path: rollup ∪ tail re-aggregation must
+    stay a pure keyed hash-agg pipeline — no cartesian, no join at all in
+    the merge (the exact+estimate JOIN exists only in the oracle entry)."""
+    plan = _plan(spark, sf_dir, "events_rollup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_rollup_refresh_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """Refresh reads only touched bucket_date partitions: the rollup-side
+    scan must carry a PartitionFilters entry on bucket_date (partition
+    pruning, not a full-history read)."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.operators import rollup_refresh
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    cutoff = mx - timedelta(days=1)
+    path = str(tmp_path / "ru")
+    rollup_refresh(spark, path, ev.filter(F.col("ts") < F.lit(cutoff)))
+
+    touched = [
+        r[0]
+        for r in ev.filter(F.col("ts") >= F.lit(cutoff))
+        .select(F.to_date(F.date_trunc("hour", "ts")))
+        .distinct()
+        .collect()
+    ]
+    pruned = spark.read.parquet(path).filter(
+        F.col("bucket_date").isin(touched)
+    )
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "bucket_date" in plan, plan
