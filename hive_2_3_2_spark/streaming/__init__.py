@@ -17,6 +17,7 @@ from hive_2_3_2_spark.streaming.ingest import (
     sessionized_stream,
     stream_dedup,
     stream_ingest,
+    stream_rollup_sink,
     stream_upsert_sink,
     windowed_counts,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "sessionized_stream",
     "stream_dedup",
     "stream_ingest",
+    "stream_rollup_sink",
     "stream_upsert_sink",
     "windowed_counts",
 ]

@@ -175,3 +175,54 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicates(
         [*id_cols, ts_col]
     )
+
+
+def stream_rollup_sink(
+    stream: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    unit: str = "hour",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming continuous aggregate: each micro-batch folds into the
+    file-backed hypertable rollup (operators/rollup.py rollup_refresh).
+
+    This is the live form of the incremental rollup — the mergeable
+    partial algebra (count/sum/min/max add/combine) is exactly what makes
+    per-batch refresh correct regardless of how events split across
+    batches or arrive out of order: fold(batch1) then fold(batch2) equals
+    fold(batch1 ∪ batch2), no watermark needed for correctness (late data
+    just re-touches an old bucket_date partition). Contrast with the
+    windowed-state operators (windowed_counts): those hold state in the
+    streaming state store and must drop late rows past the watermark;
+    this sink keeps state in the rollup table itself, so lateness is
+    unbounded and reads are shared with the batch serve path.
+
+    Scale: per batch = one aggregate of the batch + a pruned
+    read-merge-overwrite of only the touched bucket_date partitions.
+    """
+
+    from hive_2_3_2_spark.operators.rollup import rollup_refresh
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rollup_refresh(
+            batch_df.sparkSession,
+            rollup_path,
+            batch_df,
+            unit=unit,
+            keys=keys,
+            ts_col=ts_col,
+            val_col=val_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

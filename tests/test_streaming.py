@@ -374,3 +374,31 @@ def test_stream_upsert_sink_cdc_versioned_merge(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     key = lambda r: r.entity_id
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_stream_rollup_sink_matches_batch_recompute(spark, sf_dir, tmp_path):
+    """Streaming continuous aggregate: folding the events stream into the
+    rollup micro-batch by micro-batch must equal a flat batch rollup of
+    all events — the mergeable-partials contract under arbitrary batch
+    splits."""
+    from hive_2_3_2_spark.operators import rollup_finalize, rollup_partials
+    from hive_2_3_2_spark.streaming import stream_rollup_sink
+
+    src = _events_source(spark, sf_dir, tmp_path)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    path = str(tmp_path / "live_rollup")
+    ckpt = str(tmp_path / "live_ckpt")
+    q = stream_rollup_sink(stream, path, ckpt)
+    q.awaitTermination(180)
+
+    got = rollup_finalize(spark.read.parquet(path)).orderBy(
+        "bucket_start", "event_type"
+    )
+    want = rollup_finalize(
+        rollup_partials(load_table(spark, sf_dir, "events"))
+    ).orderBy("bucket_start", "event_type")
+    assert got.collect() == want.collect()
