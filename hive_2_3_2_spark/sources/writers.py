@@ -302,6 +302,7 @@ def write_zordered(
     zorder_cols: list[str],
     n_files: int = 16,
     bits: int = 8,
+    quantile: bool = False,
 ) -> None:
     """Z-order-clustered parquet write: multi-column data layout so
     range/point predicates on ANY of ``zorder_cols`` skip most files via
@@ -321,31 +322,58 @@ def write_zordered(
     min/max collected as one tiny driver scalar row), a pure-JVM bitwise
     fold building the z-value (codegen-friendly shiftleft/and — no UDF),
     repartitionByRange(n_files) on z (one range-sampling pass + one
-    shuffle), sortWithinPartitions, write. Skewed columns make uniform
-    buckets lopsided — quantile cut points would fix that; uniform is
-    deliberate here (one agg instead of approxQuantile passes).
+    shuffle), sortWithinPartitions, write.
+
+    ``quantile=True`` switches bucketing to approxQuantile cut points
+    (Greenwald-Khanna sketch — one extra pass, cut arrays of 2^bits-1
+    doubles on the driver): buckets then hold ~equal ROW counts, so a
+    heavy-tailed column still spreads across all bucket codes instead of
+    collapsing into bucket 0 and losing its interleave bits. The bucket
+    lookup is a rank-against-literal-array fold (HOF over ≤255 literals —
+    interpreted, but this is a one-time write-side cost). Uniform
+    (default) costs one agg and is right for roughly-uniform columns.
     """
     k = len(zorder_cols)
-    aggs = []
-    for c in zorder_cols:
-        aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
-    row = df.agg(*aggs).collect()[0]
-
     nb = 2**bits
+    buckets: dict[str, Column] = {}
+    if quantile:
+        probs = [i / nb for i in range(1, nb)]
+        for c in zorder_cols:
+            cuts = (
+                df.select(F.col(c).cast("double").alias(c))
+                .stat.approxQuantile(c, probs, 0.01)
+            )
+            arr = F.array(*[F.lit(float(x)) for x in cuts])
+
+            def _le(col_name):  # closure factory (HOF default-arg gotcha)
+                return lambda x: x <= F.col(col_name).cast("double")
+
+            buckets[c] = F.size(F.filter(arr, _le(c))).cast("long")
+    else:
+        aggs = []
+        for c in zorder_cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        for c in zorder_cols:
+            lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+            if hi is None or lo is None or hi <= lo:
+                buckets[c] = F.lit(0).cast("long")
+            else:
+                b = (
+                    F.width_bucket(
+                        F.col(c).cast("double"), F.lit(lo), F.lit(hi), nb
+                    )
+                    - 1
+                )
+                buckets[c] = (
+                    F.least(F.greatest(b, F.lit(0)), F.lit(nb - 1))
+                    .cast("long")
+                )
+
     z = F.lit(0)
     for j, c in enumerate(zorder_cols):
-        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
-        if hi is None or lo is None or hi <= lo:
-            b = F.lit(0)
-        else:
-            b = (
-                F.width_bucket(
-                    F.col(c).cast("double"), F.lit(lo), F.lit(hi), nb
-                )
-                - 1
-            )
-            b = F.least(F.greatest(b, F.lit(0)), F.lit(nb - 1)).cast("long")
+        b = buckets[c]
         for i in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j

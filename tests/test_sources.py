@@ -266,3 +266,52 @@ def test_write_zordered_skips_files_on_both_columns(spark, sf_dir, tmp_path):
         assert z <= base // 2, (col, z, base)  # clustered: real skipping
     # round-trip: layout change must not change the data
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_write_zordered_quantile_buckets_handle_skew(spark, tmp_path):
+    """quantile=True must keep file skipping alive on a heavy-tailed
+    column where uniform (min/max) bucketing collapses 99%% of rows into
+    bucket 0 and the z-curve loses that dimension entirely; the uniform
+    companion column's skipping must survive the switch."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hive_2_3_2_spark.sources.writers import write_zordered
+
+    df = spark.range(0, 200_000).select(
+        F.col("id"),
+        F.when(F.pmod("id", 100) < 99, F.pmod("id", 100))
+        .otherwise(F.pmod("id", 1000) * 1_000_000)
+        .alias("skewed"),
+        F.pmod(F.col("id") * 7919, 10_000).alias("uniform"),
+    )
+
+    def files_hit(path, col, lo, hi):
+        hit, total = 0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            total += 1
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                if c.statistics.min <= hi and c.statistics.max >= lo:
+                    hit += 1
+                    break
+        return hit, total
+
+    upath, qpath = str(tmp_path / "zu"), str(tmp_path / "zq")
+    write_zordered(df, upath, ["skewed", "uniform"], n_files=16)
+    write_zordered(df, qpath, ["skewed", "uniform"], n_files=16, quantile=True)
+    assert spark.read.parquet(qpath).count() == 200_000  # lossless layout
+    # band over the dense [10,20] region of the skewed column
+    u_hit, u_tot = files_hit(upath, "skewed", 10, 20)
+    q_hit, q_tot = files_hit(qpath, "skewed", 10, 20)
+    assert u_hit == u_tot, (u_hit, u_tot)  # uniform buckets: no skipping
+    assert q_hit <= q_tot // 2, (q_hit, q_tot)  # quantile: real skipping
+    # the well-behaved column must still skip under quantile layout
+    g_hit, g_tot = files_hit(qpath, "uniform", 1000, 2000)
+    assert g_hit <= g_tot // 2, (g_hit, g_tot)
