@@ -17,6 +17,10 @@ aggregation a caller chooses.
   benchmark set (the train/test overlap scrub) — exploded-ngram
   broadcast semi-join, so the corpus is scanned once and never
   self-joined.
+- ``build_bloom_filter`` / ``bloom_might_contain`` /
+  ``decontaminate_bloom``: DataFrame-built Bloom filter (bit_or word
+  fold) probed as a constant-folded literal-array expression — the
+  blocklist path for when the contamination set outgrows a broadcast.
 
 Scale notes: scrub/flags/ratios are per-row expressions (100 TB = a map
 pass fused into whatever scan already runs). Decontamination joins on
@@ -156,6 +160,133 @@ def top_ngram_share(
             ).alias("top_share"),
         )
     )
+
+
+def build_bloom_filter(
+    values: DataFrame,
+    col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> dict:
+    """Build a Bloom filter over a column as a plain dict
+    ``{"words": list[int], "num_bits": m, "num_hashes": k}`` — the
+    filter the engine can't give us directly (``bloom_filter_agg`` /
+    ``might_contain`` exist inside Spark's runtime-filter rewrite but are
+    not SQL-resolvable; cf. Hive's own bloom support in
+    ``ql/src/java/org/apache/hadoop/hive/ql/udf/generic/GenericUDAFBloomFilter.java``
+    and ``storage-api``'s ``BloomKFilter``).
+
+    Shape: k probe positions per value (``xxhash64(seed, v)`` — k
+    independent seeds, the standard k-hash construction), exploded to
+    (word_idx, bit mask) rows, folded with one map-side-combined
+    ``bit_or`` groupBy. The shuffle carries at most ``num_bits/64``
+    distinct words REGARDLESS of input size — a 100 TB blocklist scan
+    reduces to a ≤128 KiB (default m=2^20) driver-side array. Memory on
+    the driver is the dense word array, never the values.
+    """
+    n_words = (num_bits + 63) // 64
+    c = F.col(col).cast("string")
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), c), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+    set_words = (
+        values.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in set_words:
+        words[r["w"]] = r["word"]
+    return {"words": words, "num_bits": num_bits, "num_hashes": num_hashes}
+
+
+def bloom_might_contain(bloom: dict, col: Column) -> Column:
+    """Membership probe against a ``build_bloom_filter`` result — false
+    positives possible, false negatives impossible.
+
+    The word array enters the plan as ONE array literal (``F.lit(list)``
+    → a single Literal node, constant-folded — NOT a 16k-child
+    CreateArray tree, which would fall out of codegen), probed with
+    ``element_at`` + shift/mask. No higher-order functions, no Python:
+    the probe is a scan-local codegen expression, so filtering 100 TB
+    against a million-entry blocklist never shuffles a non-matching row.
+    """
+    m, k = bloom["num_bits"], bloom["num_hashes"]
+    arr = F.lit(bloom["words"])
+    c = col.cast("string")
+    out = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(i), c), F.lit(m))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftright", word, (pos % 64).cast("int")
+        ).bitwiseAND(F.lit(1).cast("long"))
+        out = out & (bit == 1)
+    return out
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom prefilter on the corpus side —
+    byte-identical results (no false negatives ⇒ every truly
+    contaminated n-gram survives the prefilter; false positives are
+    removed by the exact join that follows).
+
+    Why it exists: the plain path joins EVERY exploded corpus n-gram
+    against the benchmark set. Fine while the benchmark side broadcasts;
+    once the blocklist outgrows the broadcast threshold (URL blocklists,
+    cross-run dedup fingerprints — billions of entries) that join
+    becomes a full shuffle of the exploded corpus (~10× the corpus in
+    bytes). The Bloom probe is a codegen filter BETWEEN the explode and
+    the join, so only grams that might match — benchmark-sized, not
+    corpus-sized — reach the join at all. Filter size is m bits however
+    large the blocklist row count grows.
+    """
+
+    def grams(col: Column) -> Column:
+        toks = F.split(F.trim(F.lower(col)), r"\s+")
+        size = F.size(toks)
+        idx = F.when(size >= n, F.sequence(F.lit(0), size - n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(F.col(bench_text_col))).alias("g"))
+        .distinct()
+    )
+    bloom = build_bloom_filter(bench_grams, "g", num_bits, num_hashes)
+    candidate_grams = df.select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
+    ).filter(bloom_might_contain(bloom, F.col("g")))
+    contaminated = (
+        candidate_grams.join(F.broadcast(bench_grams), "g")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
 
 
 def decontaminate(

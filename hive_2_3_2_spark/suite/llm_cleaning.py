@@ -187,3 +187,51 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clean"))
         .orderBy("lang")
     )
+
+
+@query(
+    "clean_decontaminate_bloom",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(greatest(len(t) - 7, 0)),
+               i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))) AS g
+      FROM tok
+    ),
+    bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+    bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (g))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_clean,
+           CAST(SUM(length(text)) AS BIGINT) AS clean_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (llm/cleaning.py
+    decontaminate_bloom): identical clean set to clean_decontaminate —
+    Bloom filters have no false negatives, and the exact join removes
+    the false positives — so the brute-force SQL IS the oracle. What the
+    Bloom buys is the plan: the filter is built from the benchmark side
+    with one bit_or groupBy (≤ m/64 shuffled words regardless of
+    blocklist size) and probed as a constant-folded literal-array
+    expression between the corpus explode and the join, so only
+    might-match grams reach the join — the path that stays viable when
+    the blocklist outgrows a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = C.decontaminate_bloom(docs, bench, n=8)
+    return (
+        clean.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            F.sum(F.length("text")).cast("long").alias("clean_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -326,3 +326,33 @@ def test_embedding_quantize_roundtrip_and_jl_projection(spark, sf_dir):
     )
     ratio = np.linalg.norm(p8, axis=1).mean() / np.linalg.norm(V, axis=1).mean()
     assert 0.5 < ratio < 2.0, f"JL norm scale off: {ratio}"
+
+
+def test_bloom_filter_exact_and_prefilter_selectivity(spark, sf_dir):
+    """Bloom contract: zero false negatives always; false-positive rate
+    near theory at the default sizing; decontaminate_bloom produces the
+    exact same clean set as the plain join path while sending far fewer
+    grams into the join."""
+    from hive_2_3_2_spark.llm import cleaning as C
+
+    vals = spark.range(0, 2_000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("v")
+    )
+    bloom = C.build_bloom_filter(vals, "v")
+    assert len(bloom["words"]) == (1 << 20) // 64
+    # no false negatives: every inserted value probes positive
+    neg = vals.filter(~C.bloom_might_contain(bloom, F.col("v"))).count()
+    assert neg == 0
+    # false positives: m=2^20, k=5, n=2000 -> theoretical fp ~ 1e-11;
+    # allow a generous slack but it must be essentially zero
+    others = spark.range(0, 20_000).select(
+        F.concat(F.lit("stranger-"), F.col("id")).alias("v")
+    )
+    fp = others.filter(C.bloom_might_contain(bloom, F.col("v"))).count()
+    assert fp <= 2, fp
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plain = {r.doc_id for r in C.decontaminate(docs, bench, n=8).select("doc_id").collect()}
+    bloomed = {r.doc_id for r in C.decontaminate_bloom(docs, bench, n=8).select("doc_id").collect()}
+    assert plain == bloomed
