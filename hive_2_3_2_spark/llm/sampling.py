@@ -82,6 +82,50 @@ def stratified_take(
     )
 
 
+def canonical_host(url: Column) -> Column:
+    """Canonical host of a URL: lowercase, scheme and leading ``www.``
+    stripped, cut at the first ``/ : ? #`` (port/path/query dropped).
+
+    One JVM regexp_extract — deliberately NOT ``parse_url`` (which is
+    also in the function registry for Hive parity) so engines without a
+    URL parser reproduce it byte-for-byte from the same regex; rows that
+    aren't URL-shaped yield ''."""
+    return F.regexp_extract(
+        F.lower(url), r"^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/:?#]+)", 1
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    k: int = 1000,
+    host_col: str = "host",
+) -> DataFrame:
+    """Cap the corpus at ``k`` documents per canonical host — the
+    anti-boilerplate / anti-monoculture quota every web-scale corpus
+    applies (a single forum mirror must not become 5% of the training
+    set). Survivors are chosen by content-addressed hash order, so the
+    kept set is reproducible and stable under corpus growth except where
+    a genuinely new doc hashes into the top k.
+
+    Scale: one shuffle on host; the rank filter compiles to
+    WindowGroupLimit, so each partition retains at most k rows per host
+    before the full sort would materialize. Host skew (the whole point
+    is that some hosts are huge) is bounded by the same pushdown — a
+    10M-page host never holds more than k rows past its first scan.
+    """
+    out = df.withColumn(host_col, canonical_host(F.col(url_col)))
+    w = Window.partitionBy(host_col).orderBy(
+        hash_key(F.col(id_col)), id_col
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

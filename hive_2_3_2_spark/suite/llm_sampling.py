@@ -91,6 +91,70 @@ def mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_domain_cap",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://www.' || source || '-m' || CAST(doc_id % 37 AS VARCHAR)
+               || '.Example.COM:8080/page/' || CAST(doc_id AS VARCHAR)
+               || '?ref=x' AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             regexp_extract(lower(url),
+               '^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/:?#]+)', 1) AS host
+      FROM u
+    ),
+    r AS (
+      SELECT host, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+             ) AS rn
+      FROM h
+    )
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+    FROM r WHERE rn <= 10
+    GROUP BY host
+    ORDER BY host
+    """,
+)
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (llm/sampling.py domain_cap): canonicalize a
+    URL to its host (lowercase, scheme/www/port/path stripped — one JVM
+    regex, mirrored verbatim in the oracle) and keep at most 10 docs per
+    host by content-addressed hash order. URLs are synthesized
+    deterministically from (source, doc_id) since the corpus has no url
+    column; the mixed-case host and :8080/path/?query salt prove each
+    canonicalization rule fires. kept_id_sum pins the exact survivor
+    set, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit("-m"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".Example.COM:8080/page/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=x"),
+        ),
+    )
+    capped = S.domain_cap(with_url, url_col="url", k=10)
+    return (
+        capped.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("host")
+    )
+
+
+@query(
     "sample_interleave_weighted",
     oracle="""
     SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank,

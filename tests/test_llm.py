@@ -356,3 +356,23 @@ def test_bloom_filter_exact_and_prefilter_selectivity(spark, sf_dir):
     plain = {r.doc_id for r in C.decontaminate(docs, bench, n=8).select("doc_id").collect()}
     bloomed = {r.doc_id for r in C.decontaminate_bloom(docs, bench, n=8).select("doc_id").collect()}
     assert plain == bloomed
+
+
+def test_domain_cap_canonicalization_and_quota(spark):
+    from hive_2_3_2_spark.llm import sampling as S
+
+    df = spark.createDataFrame(
+        [(i, f"HTTPS://WWW.Heavy.COM:443/p/{i}?q=1") for i in range(25)]
+        + [(100, "http://light.org/a"), (101, "light.org/b#frag"),
+           (102, "ftp://www.light.org")],
+        ["doc_id", "url"],
+    )
+    capped = S.domain_cap(df, k=10)
+    hosts = {r.host for r in capped.select("host").distinct().collect()}
+    assert hosts == {"heavy.com", "light.org"}
+    counts = {r.host: r.n for r in capped.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"heavy.com": 10, "light.org": 3}
+    # deterministic: same survivor set on a second evaluation
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(r.doc_id for r in S.domain_cap(df, k=10).collect())
+    assert a == b
