@@ -154,6 +154,45 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col)) < expr)
 
 
+def shuffle_and_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 0,
+    shard_col: str = "shard",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` contiguous shards —
+    the training-output ordering step: examples must be well-mixed
+    (neighbors in the corpus must not be neighbors in the batch stream),
+    yet every re-run / every engine must produce byte-identical shards.
+
+    Key = md5(seed:id) defines one global pseudo-random permutation;
+    shard = the key's high bits (floor(bucket·n/65536)), so each shard
+    is a contiguous SEGMENT of that permutation — reading shards 0..n-1
+    in order replays the full global shuffle, and changing ``seed``
+    gives an independent permutation (epoch reshuffle) without touching
+    the data.
+
+    Scale: one hash-partitioned shuffle on the shard id + an in-
+    partition sort — never a global sort. Shard sizes are ±√ balanced
+    (md5 is uniform) regardless of input skew, because the key ignores
+    every data column except the id. Rows within a shard keep their
+    relative order when the corpus grows (per-doc key, no global rank).
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("int")
+    shard = F.floor(bucket * n_shards / F.lit(65536)).cast("int")
+    return (
+        df.withColumn(key_col, key)
+        .withColumn(shard_col, shard)
+        .repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(shard_col, key_col, id_col)
+    )
+
+
 def interleave_by_weight(
     df: DataFrame,
     weights: dict[str, float],

@@ -5,7 +5,7 @@ decision is content-addressed (md5), not RNG-based."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_2_3_2_spark.catalog import load_table
@@ -87,6 +87,41 @@ def mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
+    )
+
+
+@query(
+    "sample_shuffle_shard",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1
+                AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY substr(shuffle_key, 1, 1)
+             ORDER BY shuffle_key, doc_id
+           ) AS INT) AS pos
+    FROM k
+    ORDER BY shard, pos
+    """,
+)
+def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle (llm/sampling.py shuffle_and_shard):
+    seed-42 md5 permutation split into 16 contiguous shards. With n=16
+    the high-bits shard id IS the key's first hex char, which is how the
+    oracle reproduces it without hex→int conversion. pos (rank within
+    shard by key) pins the exact intra-shard ORDER — the property a
+    training reader depends on — not just shard membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = S.shuffle_and_shard(docs, n_shards=16, seed=42)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        sharded.withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shuffle_key", "shard", "pos")
+        .orderBy("shard", "pos")
     )
 
 

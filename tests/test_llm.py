@@ -376,3 +376,32 @@ def test_domain_cap_canonicalization_and_quota(spark):
     a = sorted(r.doc_id for r in capped.collect())
     b = sorted(r.doc_id for r in S.domain_cap(df, k=10).collect())
     assert a == b
+
+
+def test_shuffle_and_shard_contiguity_and_stability(spark):
+    """Shards are contiguous segments of ONE global permutation, the
+    permutation is seed-keyed, and growing the corpus never reorders
+    surviving pairs within a shard."""
+    from hive_2_3_2_spark.llm import sampling as S
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = S.shuffle_and_shard(df, n_shards=8, seed=7)
+    rows = out.select("doc_id", "shuffle_key", "shard").collect()
+    assert {r.shard for r in rows} == set(range(8))
+    # contiguity: concatenating shards 0..7 (each key-sorted) == global key sort
+    by_shard = sorted(rows, key=lambda r: (r.shard, r.shuffle_key, r.doc_id))
+    global_order = sorted(rows, key=lambda r: (r.shuffle_key, r.doc_id))
+    assert [r.doc_id for r in by_shard] == [r.doc_id for r in global_order]
+    # different seed -> different permutation
+    other = S.shuffle_and_shard(df, n_shards=8, seed=8).select("doc_id", "shuffle_key").collect()
+    assert [r.doc_id for r in sorted(other, key=lambda r: r.shuffle_key)] != \
+           [r.doc_id for r in global_order]
+    # growth stability: common docs keep relative order within each shard
+    grown = S.shuffle_and_shard(
+        spark.range(0, 700).withColumnRenamed("id", "doc_id"), n_shards=8, seed=7
+    ).collect()
+    for s in range(8):
+        small = [r.doc_id for r in by_shard if r.shard == s]
+        big = [r.doc_id for r in sorted(grown, key=lambda r: (r.shuffle_key, r.doc_id))
+               if r.shard == s and r.doc_id < 500]
+        assert small == big, s
