@@ -199,6 +199,212 @@ def minhash_lsh_candidates(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+) -> DataFrame:
+    """(id, band, bh, sh) rows: LSH band bucket keys plus the distinct
+    shingle set, computed in one pass (shared by the store writer and
+    the incremental probe side)."""
+    rows = num_perm // bands
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), k).alias("hh"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+    sig = base.select(
+        "id", "sh", _minhash_fold_udf(num_perm)(F.col("hh")).alias("sig")
+    )
+    return sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice(F.col("sig"), i * rows + 1, rows)
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("pos", "bb"),
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"), "sh"
+    )
+
+
+def write_signature_store(
+    df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the reusable dedup index of a corpus: ``bands/`` holds the
+    (id, band, bh) LSH bucket keys partitioned by band; ``shingles/``
+    holds the distinct word-k-shingle set per doc.
+
+    This is what makes dedup INCREMENTAL: the historical corpus is never
+    re-shingled — each day's batch probes these tables and appends its
+    survivors (``mode='append'``). The shingle table is the expensive
+    half (≈ normalized text size); it buys *exact* verification of
+    candidate pairs. A signature-only store (drop ``shingles/``, verify
+    by signature agreement) trades that exactness for ~100× less
+    storage — at 100 TB keep shingles only while exactness is a
+    requirement, e.g. during dedup-policy audits.
+    """
+    # localCheckpoint, not persist: in the append path the input df's
+    # lineage READS this very store (survivors = batch anti-join
+    # store-matches), so after the first write mutates bands/ any cache
+    # miss would recompute against the mutated store — a doc would match
+    # its own just-appended signature and silently vanish from the
+    # second write. Eager checkpoint materializes from the PRE-append
+    # store state and severs the lineage, making both writes safe and
+    # idempotent relative to it.
+    banded = _banded_signatures(
+        df, text_col, id_col, num_perm, bands, k
+    ).localCheckpoint(eager=True)
+    banded.select("id", "band", "bh").write.mode(mode).partitionBy(
+        "band"
+    ).parquet(f"{store_path}/bands")
+    banded.filter(F.col("band") == 0).select("id", "sh").write.mode(
+        mode
+    ).parquet(f"{store_path}/shingles")
+
+
+def incremental_near_dups(
+    spark,
+    new_df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against a persisted
+    signature store plus the batch's own earlier docs — the
+    daily-ingestion dedup path (new crawl vs historical corpus) that
+    avoids ever re-processing the corpus itself.
+
+    Returns (new_id, match_id, jaccard, match_side): ``store`` rows pair
+    a new doc with a historical doc; ``batch`` rows pair it with a
+    smaller-id doc of the same batch (the dedup policy: the EARLIER doc
+    wins, so a new doc is a duplicate if it matches history or a batch
+    predecessor).
+
+    Shape: the batch is shingled/signed once (persisted); candidates
+    come from two equi-joins on (band, bh) — new×store and new×new —
+    so nothing is ever all-pairs, and the store side streams from its
+    band-partitioned parquet without recomputation. Candidates are then
+    exact-verified on shingle sets. Store shuffle volume is bounded by
+    bucket collisions, not store size.
+    """
+    new_banded = _banded_signatures(
+        new_df, text_col, id_col, num_perm, bands, k
+    ).persist()
+    new_bands = new_banded.select("id", "band", "bh")
+    new_sh = new_banded.filter(F.col("band") == 0).select("id", "sh")
+    old_bands = spark.read.parquet(f"{store_path}/bands")
+    old_sh = spark.read.parquet(f"{store_path}/shingles")
+
+    store_cand = (
+        new_bands.alias("n")
+        .join(
+            old_bands.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bh") == F.col("o.bh")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("o.id").alias("match_id")
+        )
+        .distinct()
+        .withColumn("match_side", F.lit("store"))
+    )
+    batch_cand = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("match_id")
+        )
+        .distinct()
+        .withColumn("match_side", F.lit("batch"))
+    )
+    jaccard = F.round(
+        F.size(F.array_intersect(F.col("n_sh"), F.col("m_sh")))
+        / F.size(F.array_union(F.col("n_sh"), F.col("m_sh"))),
+        6,
+    )
+    match_sh = old_sh.unionByName(new_sh)
+    return (
+        store_cand.unionByName(batch_cand)
+        .join(
+            new_sh.select(
+                F.col("id").alias("new_id"), F.col("sh").alias("n_sh")
+            ),
+            "new_id",
+        )
+        .join(
+            match_sh.select(
+                F.col("id").alias("match_id"), F.col("sh").alias("m_sh")
+            ),
+            "match_id",
+        )
+        .select(
+            "new_id", "match_id", "match_side", jaccard.alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    spark,
+    new_df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    update_store: bool = False,
+) -> DataFrame:
+    """Survivors of the incremental dedup policy: new docs that match
+    neither the store nor a smaller-id batch peer at ≥ threshold.
+    ``update_store=True`` appends the survivors' signatures/shingles to
+    the store so the next batch dedups against them too."""
+    matches = incremental_near_dups(
+        spark, new_df, store_path, text_col, id_col, threshold,
+        num_perm, bands, k,
+    )
+    dup_ids = matches.select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+    survivors = new_df.join(dup_ids, id_col, "left_anti")
+    if update_store:
+        write_signature_store(
+            survivors, store_path, text_col, id_col, num_perm, bands, k,
+            mode="append",
+        )
+    return survivors
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -200,3 +200,66 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     same components with a recursive CTE; the Spark side is the
     Pregel-style iterative-join algorithm that scales."""
     return D.dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.12)
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(greatest(len(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split(trim(regexp_replace(
+                 lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), i + 1, i + 3), ' ')
+             )) AS sh
+      FROM documents
+    ),
+    newd AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+    oldd AS (SELECT * FROM d WHERE doc_id % 3 != 0),
+    pairs AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS match_id,
+             'store' AS match_side,
+             ROUND(len(list_intersect(n.sh, o.sh)) * 1.0 /
+                   len(list_distinct(list_concat(n.sh, o.sh))), 6) AS jaccard
+      FROM newd n JOIN oldd o ON TRUE
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, 'batch',
+             ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   len(list_distinct(list_concat(a.sh, b.sh))), 6)
+      FROM newd a JOIN newd b ON a.doc_id > b.doc_id
+    )
+    SELECT new_id, match_id, match_side, jaccard
+    FROM pairs WHERE jaccard >= 0.5
+    ORDER BY new_id, match_id, match_side
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch (doc_id % 3 = 0) against a
+    persisted signature store of the historical corpus (the rest) —
+    llm/dedup.py write_signature_store + incremental_near_dups. The
+    store (band-partitioned LSH keys + shingle sets) is built once per
+    SF and reused, so the measured path is what a daily ingestion run
+    pays: shingle/sign the BATCH only, two (band,bh) equi-joins, exact
+    verification of candidates. Oracle brute-forces new×old and
+    new×earlier-batch pairs at ≥ 0.5 — equality again rides the
+    measured recall-1.0 of the r=4,b=8 banding at s ≥ 0.5."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    store_path = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            "..",
+            ".dedup_store",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+    )
+    if not os.path.exists(os.path.join(store_path, "bands")):
+        D.write_signature_store(hist, store_path)
+    return D.incremental_near_dups(
+        spark, batch, store_path, threshold=0.5
+    ).orderBy("new_id", "match_id", "match_side")

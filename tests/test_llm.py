@@ -405,3 +405,34 @@ def test_shuffle_and_shard_contiguity_and_stability(spark):
         big = [r.doc_id for r in sorted(grown, key=lambda r: (r.shuffle_key, r.doc_id))
                if r.shard == s and r.doc_id < 500]
         assert small == big, s
+
+
+def test_incremental_dedup_store_roundtrip(spark, tmp_path):
+    """Store build → batch probe → survivors → append → second batch
+    sees first batch's survivors as history."""
+    from hive_2_3_2_spark.llm import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    hist = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark query engines and joins")],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "store")
+    D.write_signature_store(hist, store)
+    # batch: 10 dups hist doc 1; 11 is novel; 12 dups 11 (batch-internal)
+    novel = "unrelated fresh content mentioning alpacas llamas and guanacos in the andes mountains"
+    batch = spark.createDataFrame(
+        [(10, base + " extra"), (11, novel), (12, novel + " indeed")],
+        ["doc_id", "text"],
+    )
+    matches = D.incremental_near_dups(spark, batch, store, threshold=0.5)
+    got = {(r.new_id, r.match_id, r.match_side) for r in matches.collect()}
+    assert (10, 1, "store") in got
+    assert (12, 11, "batch") in got
+    assert not any(n == 11 for n, _, _ in got)
+    survivors = D.incremental_dedup(spark, batch, store, threshold=0.5, update_store=True)
+    assert {r.doc_id for r in survivors.collect()} == {11}
+    # after append, a re-run of doc 11's twin matches the store
+    batch2 = spark.createDataFrame([(20, novel + " again")], ["doc_id", "text"])
+    m2 = {(r.new_id, r.match_id, r.match_side) for r in D.incremental_near_dups(spark, batch2, store, threshold=0.5).collect()}
+    assert (20, 11, "store") in m2
