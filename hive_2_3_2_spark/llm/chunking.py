@@ -139,3 +139,63 @@ def pack_sequences(
         )
 
     return base.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 8,
+    shards: int = 8,
+) -> DataFrame:
+    """Length-bucketed batch assignment — group documents of similar
+    token length into fixed-size batches so per-batch padding (to the
+    batch max) is minimized; the standard dynamic-batching prep for
+    sequence-model training.
+
+    Buckets are power-of-two token-count ranges (bucket = bit-length of
+    the token count: 1-1, 2-3, 4-7, ...), computed exactly in integer
+    space via conv(n, 10, 2) string length so any engine reproduces it.
+    Within a (bucket, shard) cell, documents are taken in doc_id order
+    and cut into batches of ``batch_size``; sharding by pmod(doc_id,
+    shards) keeps every cell's row_number window a separate task — a
+    single global order per bucket would serialize the corpus through
+    one task at 100 TB, per-shard order is what production loaders do
+    (batches never cross worker shards anyway).
+
+    Returns one row per batch: (bucket, shard, batch_id, n_docs,
+    max_tokens, sum_tokens, padding_frac) where padding_frac is the
+    wasted fraction of the padded (max_tokens x n_docs) block.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(shards)).alias("shard"),
+    ).withColumn(
+        "bucket", F.length(F.conv(F.col("n_tokens"), 10, 2)).cast("long")
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    batched = base.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("long"),
+    )
+    return (
+        batched.groupBy("bucket", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padding_frac",
+            F.round(
+                (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
+                / (F.col("max_tokens") * F.col("n_docs")),
+                6,
+            ),
+        )
+    )

@@ -330,3 +330,74 @@ def decontaminate(
         id_col
     ).distinct()
     return df.join(contaminated, id_col, "left_anti")
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n\n",
+    min_repeat: int = 2,
+) -> DataFrame:
+    """Corpus-level repeated-segment removal (the RefinedWeb / CCNet
+    "line dedup" pass): split every document into segments on ``delim``,
+    count each distinct segment's corpus frequency, and drop EVERY
+    occurrence of segments appearing >= ``min_repeat`` times — these are
+    boilerplate (nav bars, cookie banners, license headers), not
+    content. Remaining segments are stitched back in original order.
+
+    Returns (doc_id, text_clean, n_segments, n_dropped); documents whose
+    segments were all boilerplate survive with text_clean = ''.
+
+    Scale shape (100 TB): two data-sized shuffles — the frequency count
+    keyed on the segment fingerprint (map-side partial agg, so the wire
+    carries (md5, count) not text) and the per-document reassembly keyed
+    on doc_id. The repeated-segment set itself is corpus boilerplate
+    (small); AQE turns the anti-join into a broadcast once its build
+    side proves tiny. No Python anywhere — split/fingerprint/stitch are
+    codegen'd Column expressions.
+
+    Reference parity: the reference ships no sub-document dedup; this is
+    a training-pipeline extension (SURVEY §6 scope) built on the same
+    fingerprint normalization as exact_dedup (llm/text.py
+    md5_fingerprint).
+    """
+    import re as _re
+
+    from hive_2_3_2_spark.llm.text import normalize_for_fingerprint
+
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delim), -1)
+        ).alias("idx", "seg"),
+    ).withColumn("seg_fp", F.md5(normalize_for_fingerprint(F.col("seg"))))
+    repeated = (
+        segs.groupBy("seg_fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_repeat)
+        .select("seg_fp")
+    )
+    kept = segs.join(repeated, "seg_fp", "left_anti")
+    stitched = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(stitched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.col("n_segments"),
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )

@@ -84,3 +84,44 @@ def pack_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         load_table(spark, sf_dir, "documents"), budget=512
     )
+
+
+@query(
+    "pack_length_buckets",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(doc_id % 8 AS BIGINT) AS shard
+      FROM documents
+    ), b AS (
+      SELECT *, CAST(length(bin(n_tokens)) AS BIGINT) AS bucket FROM base
+    ), r AS (
+      SELECT *,
+             (ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                 ORDER BY doc_id) - 1) // 8 AS batch_id
+      FROM b
+    )
+    SELECT bucket, shard, CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND((MAX(n_tokens) * COUNT(*) - SUM(n_tokens)) * 1.0 /
+                 (MAX(n_tokens) * COUNT(*)), 6) AS padding_frac
+    FROM r GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (llm/chunking.py
+    length_bucket_batches): power-of-two token-length buckets, per-shard
+    row_number batching (parallel — no global sort), per-batch padding
+    waste. Bucket = integer bit-length via conv(n,10,2), so DuckDB's
+    bin() reproduces it exactly; every downstream stat is integer
+    arithmetic + one final division, hence hash-stable."""
+    from hive_2_3_2_spark.llm.chunking import length_bucket_batches
+
+    return length_bucket_batches(
+        load_table(spark, sf_dir, "documents"), batch_size=8, shards=8
+    ).orderBy("bucket", "shard", "batch_id")

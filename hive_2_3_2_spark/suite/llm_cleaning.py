@@ -235,3 +235,64 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "clean_repeated_segments",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+               ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id,
+             CAST(unnest(range((len(toks) + 9) // 10)) AS BIGINT) AS idx,
+             unnest(list_transform(range((len(toks) + 9) // 10),
+               i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10),
+                                    ' '))) AS para
+      FROM t
+    ), f AS (
+      SELECT para, COUNT(*) AS n_occ FROM p GROUP BY 1
+    ), kept AS (
+      SELECT p.doc_id, p.idx, p.para
+      FROM p JOIN f ON p.para = f.para WHERE f.n_occ < 2
+    )
+    SELECT d.doc_id,
+           COALESCE(s.text_clean, '') AS text_clean,
+           d.n_segments,
+           d.n_segments - COALESCE(s.n_kept, 0) AS n_dropped
+    FROM (SELECT doc_id, CAST((len(toks) + 9) // 10 AS BIGINT) AS n_segments
+          FROM t) d
+    LEFT JOIN (
+      SELECT doc_id,
+             string_agg(para, e'\n\n' ORDER BY idx) AS text_clean,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ) s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-segment (boilerplate paragraph) removal —
+    llm/cleaning.py remove_repeated_segments. The synthetic corpus has
+    no newlines, so both sides first derive deterministic paragraph
+    boundaries (10-token windows of the normalized text, joined with
+    blank lines); the operator then drops every occurrence of any
+    paragraph repeated corpus-wide (127 such at sf0.01) and stitches
+    the survivors back in order."""
+    from hive_2_3_2_spark.llm.text import normalize_for_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_for_fingerprint(F.col("text")), " ")
+    nseg = ((F.size(toks) + 9) / 10).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    paragraphized = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text_p")
+    )
+    return C.remove_repeated_segments(
+        paragraphized, text_col="text_p", delim="\n\n", min_repeat=2
+    ).orderBy("doc_id")

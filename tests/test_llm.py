@@ -436,3 +436,53 @@ def test_incremental_dedup_store_roundtrip(spark, tmp_path):
     batch2 = spark.createDataFrame([(20, novel + " again")], ["doc_id", "text"])
     m2 = {(r.new_id, r.match_id, r.match_side) for r in D.incremental_near_dups(spark, batch2, store, threshold=0.5).collect()}
     assert (20, 11, "store") in m2
+
+
+def test_remove_repeated_segments_semantics(spark):
+    from hive_2_3_2_spark.llm.cleaning import remove_repeated_segments
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique alpha content\n\n{boiler}\n\nunique beta content"),
+            (2, f"{boiler}\n\ntotally different words here"),
+            (3, boiler),  # all-boilerplate doc must survive, emptied
+            (4, "no boilerplate at all in this one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_segments(df, min_repeat=2).collect()
+    }
+    assert out[1].text_clean == "unique alpha content\n\nunique beta content"
+    assert (out[1].n_segments, out[1].n_dropped) == (3, 1)
+    assert out[2].text_clean == "totally different words here"
+    assert out[3].text_clean == "" and out[3].n_dropped == 1
+    assert out[4].text_clean == df.collect()[0].text or out[4].n_dropped == 0
+    # normalization: case/punct variants of the boilerplate also drop
+    df2 = spark.createDataFrame(
+        [(1, "keep me\n\nSubscribe, to our NEWSLETTER!"), (2, boiler)],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r.doc_id: r.text_clean
+        for r in remove_repeated_segments(df2, min_repeat=2).collect()
+    }
+    assert out2 == {1: "keep me", 2: ""}
+
+
+def test_length_bucket_batches_invariants(spark, sf_dir):
+    from hive_2_3_2_spark.llm.chunking import length_bucket_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = length_bucket_batches(docs, batch_size=8, shards=8).collect()
+    assert len(batches) > 0
+    total_docs = docs.count()
+    assert sum(b.n_docs for b in batches) == total_docs
+    for b in batches:
+        assert 1 <= b.n_docs <= 8
+        # bucket = bit-length of token count: max token count < 2^bucket
+        assert (1 << (b.bucket - 1)) <= b.max_tokens < (1 << b.bucket)
+        assert 0.0 <= b.padding_frac < 1.0
+        assert b.sum_tokens <= b.max_tokens * b.n_docs
