@@ -1,0 +1,201 @@
+"""Corpus language modeling: char-bigram LM quality scoring and BPE
+vocabulary induction.
+
+Two training-data-pipeline stages the reference engine has no analogue
+for, expressed Spark-first:
+
+- **Char-bigram LM scoring** (the CCNet/KenLM "perplexity filter" step,
+  shrunk to a character bigram model so it is exactly reproducible in
+  SQL): train add-one-smoothed conditional bigram log-probs from a
+  reference slice of the corpus (one explode + groupBy — a single
+  shuffle over (bigram) keys, model ≤ 27² rows), then score every
+  document by mean log-prob under that model (explode + per-doc partial
+  aggregation + two *broadcast* joins against the tiny model). At 100 TB
+  the scoring pass is parquet-scan-bound: the explode is map-side, the
+  (doc_id, bigram) aggregation has map-side combine (≤729 distinct
+  bigrams per doc), and the model never shuffles.
+
+- **BPE vocabulary induction** (byte-pair-encoding merge learning over
+  the corpus word-frequency table): the classic Sennrich et al. loop —
+  count adjacent symbol pairs weighted by word frequency, merge the
+  most frequent pair, repeat. Distributed shape: the corpus is collapsed
+  ONCE to a (word, freq) table (the only corpus-sized shuffle); every
+  merge iteration then runs on that table (distinct words ≪ corpus
+  size — ~10⁷–10⁸ rows at 100 TB, one small groupBy job per merge), and
+  only the single best pair ever reaches the driver. Lineage is
+  truncated with localCheckpoint every few merges so the plan does not
+  grow with the merge count.
+
+All arithmetic is integer counts until the final ln(), so results are
+engine-portable (DuckDB oracles replay them exactly; float sums are
+rounded to 4dp per the suite convention).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Model alphabet after normalization: a-z plus the word separator space.
+ALPHABET_SIZE = 27
+
+
+def normalize_chars(text: Column) -> Column:
+    """Lowercase and collapse every non-letter run to a single space —
+    the 27-symbol alphabet (a-z + space) the bigram model is over."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z]+", " "))
+
+
+def doc_char_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bg, tf): per-document character-bigram term frequencies over
+    the normalized text. Documents with fewer than 2 normalized chars
+    yield no rows. Pure JVM (codegen): substring enumeration via a
+    guarded sequence — Spark's sequence(1, 0) is the *descending* [1, 0],
+    not [], so short docs need the explicit empty-array branch."""
+    s = normalize_chars(F.col(text_col))
+    n = F.length(s)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bgs = F.transform(idx, lambda i: s.substr(i, F.lit(2)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(bgs).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def train_char_bigram_lm(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the conditional char-bigram model: returns
+    (bigram_counts[bg, c], prefix_counts[p, ctot]). Smoothed log-prob of
+    bigram xy is ln((c(xy)+1) / (c(x·)+ALPHABET_SIZE)) — add-one over
+    the 27-symbol alphabet, so unseen bigrams and unseen prefixes are
+    both well-defined. Both outputs are ≤ 27² rows: broadcast them."""
+    bg = doc_char_bigrams(corpus, id_col=id_col, text_col=text_col)
+    bg_counts = bg.groupBy("bg").agg(F.sum("tf").alias("c"))
+    prefix_counts = (
+        bg_counts.withColumn("p", F.substring("bg", 1, 1))
+        .groupBy("p")
+        .agg(F.sum("c").alias("ctot"))
+    )
+    return bg_counts, prefix_counts
+
+
+def score_char_bigram_lm(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp): mean smoothed log-prob of each doc's
+    bigrams under the trained model — the LM quality signal (higher =
+    more like the training slice; gibberish and wrong-language text
+    score low). Docs without bigrams are absent from the result.
+
+    Plan shape: explode → per-doc partial agg → two broadcast joins
+    (≤729-row model tables) → per-doc final agg. avg_logp rounded to 4dp
+    (ln() is float; everything upstream is integer-exact)."""
+    bg_counts, prefix_counts = model
+    tf = doc_char_bigrams(docs, id_col=id_col, text_col=text_col)
+    joined = (
+        tf.join(F.broadcast(bg_counts), "bg", "left")
+        .withColumn("p", F.substring("bg", 1, 1))
+        .join(F.broadcast(prefix_counts), "p", "left")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1).cast("double"))
+        / (F.coalesce(F.col("ctot"), F.lit(0)) + F.lit(ALPHABET_SIZE).cast("double"))
+    )
+    return joined.groupBy("id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 4).alias("avg_logp"),
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): corpus word-frequency table over normalized text —
+    the single corpus-sized aggregation every BPE iteration then reuses."""
+    words = F.split(normalize_chars(F.col(text_col)), " ")
+    return (
+        df.select(F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def symbolize(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Add the working `syms` column: the word as space-joined single
+    characters — BPE's initial symbol sequence."""
+    chars = F.split(F.col(word_col), "")
+    return words.withColumn("syms", F.array_join(chars, " "))
+
+
+def adjacent_pair_counts(
+    words: DataFrame, syms_col: str = "syms", freq_col: str = "freq"
+) -> DataFrame:
+    """(pair, weight): adjacent-symbol pair counts over the symbolized
+    word table, weighted by word frequency — every occurrence position
+    counts (as in reference BPE), so 'aaaa' contributes 3 to ('a','a').
+    One explode + one groupBy over the words table (not the corpus)."""
+    toks = F.split(F.col(syms_col), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"), F.col(freq_col).alias("freq"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("weight"))
+    )
+
+
+def _merge_pattern(a: str, b: str) -> str:
+    """Regex that matches the symbol pair `a b` at symbol boundaries of a
+    space-joined symbol string. Lookarounds (not consumed) keep
+    left-to-right non-overlapping replacement correct for runs: 'a a a'
+    with pair (a,a) merges to 'aa a', the greedy-left order reference
+    BPE uses."""
+    return f"(?<=^|\\s){re.escape(a)}\\s{re.escape(b)}(?=\\s|$)"
+
+
+def bpe_learn(
+    words: DataFrame, n_merges: int, min_weight: int = 2
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn `n_merges` BPE merges from a (word, freq) table. Returns
+    (merges, final symbolized words). Each iteration: one small groupBy
+    job over the words table; exactly ONE row (the argmax pair, with a
+    deterministic weight-desc / pair-asc tie-break) reaches the driver.
+    Stops early when no pair reaches `min_weight`. The merge itself is a
+    single JVM regexp_replace; lineage is checkpoint-truncated every 8
+    merges so the plan stays O(1) in merge count."""
+    df = symbolize(words)
+    merges: list[tuple[str, str]] = []
+    for step in range(n_merges):
+        best = (
+            adjacent_pair_counts(df)
+            .orderBy(F.desc("weight"), F.asc("pair"))
+            .first()
+        )
+        if best is None or best["weight"] < min_weight:
+            break
+        a, b = best["pair"].split(" ", 1)
+        merges.append((a, b))
+        df = df.withColumn(
+            "syms", F.regexp_replace("syms", _merge_pattern(a, b), a + b)
+        )
+        if step % 8 == 7:
+            df = df.localCheckpoint(eager=True)
+    return merges, df

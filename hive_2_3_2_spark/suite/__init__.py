@@ -74,6 +74,7 @@ _MODULES = [
     # --- 50-entry r2 window ends here ---
     "llm_cleaning",
     "llm_embeddings",
+    "llm_lm",
     "llm_pipeline",
     "subqueries",
     "lateral",

@@ -1,0 +1,111 @@
+"""Corpus language-modeling suite queries: char-bigram LM quality
+scoring and BPE merge-candidate statistics.
+
+Implementations in hive_2_3_2_spark/llm/lm.py; every count is integer
+until the final ln(), so the DuckDB oracles replay both entries exactly
+(avg_logp rounded to 4dp per the suite convention for cross-engine
+float sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.llm import lm
+from hive_2_3_2_spark.suite import query
+
+
+@query(
+    "text_lm_quality_score",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    bg_all AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(length(s)-1),
+                                   i -> substr(s, i+1, 2))) AS bg
+      FROM norm WHERE length(s) >= 2
+    ),
+    tf AS (
+      SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM bg_all GROUP BY doc_id, bg
+    ),
+    model AS (
+      SELECT bg, CAST(SUM(tf) AS BIGINT) AS c
+      FROM tf JOIN documents USING (doc_id)
+      WHERE lang = 'en' GROUP BY bg
+    ),
+    prefix AS (
+      SELECT substr(bg, 1, 1) AS p, CAST(SUM(c) AS BIGINT) AS ctot
+      FROM model GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(SUM(t.tf) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(t.tf * ln((COALESCE(m.c, 0) + 1.0)
+                               / (COALESCE(p.ctot, 0) + 27.0)))
+                 / SUM(t.tf), 4) AS avg_logp
+    FROM tf t
+    LEFT JOIN model m USING (bg)
+    LEFT JOIN prefix p ON substr(t.bg, 1, 1) = p.p
+    GROUP BY t.doc_id
+    """,
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: train an add-one-smoothed
+    conditional char-bigram model on the English slice (llm/lm.py
+    train_char_bigram_lm — model ≤ 27² rows, broadcast), then score every
+    document by mean log-prob under it (score_char_bigram_lm). Wrong-
+    language and gibberish docs score low; this is the signal CCNet
+    buckets a corpus by before sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm.train_char_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm.score_char_bigram_lm(docs, model).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "avg_logp"
+    )
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle=r"""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    words AS (SELECT UNNEST(string_split(s, ' ')) AS w FROM norm),
+    wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM words WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT)+1, 1) AS l,
+             substr(w, CAST(i AS INT)+2, 1) AS r, freq
+      FROM wf, UNNEST(range(length(w)-1)) AS t(i)
+    )
+    SELECT l, r, CAST(SUM(freq) AS BIGINT) AS weight
+    FROM pairs GROUP BY l, r
+    ORDER BY weight DESC, l, r
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE iteration over the corpus: top-20 adjacent character
+    pairs by word-frequency-weighted count (llm/lm.py word_frequencies +
+    adjacent_pair_counts) with a deterministic weight-desc / pair-asc
+    tie-break — the argmax row is what bpe_learn would merge first. The
+    corpus collapses to the (word, freq) table once; the pair scan runs
+    on that table, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = lm.word_frequencies(docs)
+    return (
+        lm.adjacent_pair_counts(lm.symbolize(wf))
+        .withColumn("l", F.split("pair", " ")[0])
+        .withColumn("r", F.split("pair", " ")[1])
+        .select("l", "r", "weight")
+        .orderBy(F.desc("weight"), "l", "r")
+        .limit(20)
+    )

@@ -27,7 +27,7 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     if exact:
         recall = len(exact & cand) / len(exact)
         # 8 bands × 4 rows: P[candidate | j=0.5] = 1-(1-0.5^4)^8 ≈ 0.40 per
-        # band config — across真 duplicates (j≥0.5, mostly ≫0.5) empirical
+        # band config — across true duplicates (j≥0.5, mostly ≫0.5) empirical
         # recall should clear 0.6; exact dups (j=1.0) are always caught.
         assert recall >= 0.6, f"minhash recall too low: {recall}"
     # exact duplicates must always be candidates
@@ -486,3 +486,52 @@ def test_length_bucket_batches_invariants(spark, sf_dir):
         assert (1 << (b.bucket - 1)) <= b.max_tokens < (1 << b.bucket)
         assert 0.0 <= b.padding_frac < 1.0
         assert b.sum_tokens <= b.max_tokens * b.n_docs
+
+
+def test_char_bigram_lm_edge_cases_and_ranking(spark):
+    from hive_2_3_2_spark.llm import lm
+
+    rows = [
+        (1, "the cat and the dog sat in the sun", "en"),
+        (2, "this is the kind of text the model was trained on", "en"),
+        (3, "zzq xqz qqz zxq jjx", "und"),
+        (4, "a", "en"),          # 1 normalized char -> no bigrams
+        (5, "7 !!", "en"),       # normalizes to empty -> no bigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    model = lm.train_char_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = {r.id: r for r in lm.score_char_bigram_lm(docs, model).collect()}
+    # short/empty docs are absent, not null-scored
+    assert set(scored) == {1, 2, 3}
+    # gibberish (unseen bigrams, backoff smoothing) scores below English
+    assert scored[3].avg_logp < scored[1].avg_logp
+    assert scored[3].avg_logp < scored[2].avg_logp
+    # n_bigrams = normalized length - 1
+    assert scored[1].n_bigrams == 33
+
+
+def test_bpe_learn_matches_reference_merges(spark):
+    from hive_2_3_2_spark.llm import lm
+
+    # Sennrich et al. toy vocabulary; merge order verified against a
+    # pure-Python greedy-left BPE with the same weight-desc / pair-asc
+    # tie-break.
+    toy = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        ["word", "freq"],
+    )
+    merges, final = lm.bpe_learn(toy, 8, min_weight=2)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+        ("e", "w"), ("ew", "est"), ("n", "ewest"), ("d", "est"),
+    ]
+    syms = {r.word: r.syms for r in final.collect()}
+    assert syms == {
+        "low": "low", "lower": "low e r",
+        "newest": "newest", "widest": "w i dest",
+    }
+    # overlapping-run merge is greedy-left: 'a a a a a' -> 'aa aa a'
+    runs = spark.createDataFrame([("aaaaa", 9)], ["word", "freq"])
+    m2, f2 = lm.bpe_learn(runs, 1, min_weight=1)
+    assert m2 == [("a", "a")]
+    assert f2.collect()[0].syms == "aa aa a"
