@@ -715,3 +715,77 @@ def dedup_clusters(
         F.col("node").cast("long").alias(id_col),
         F.col("component").cast("long").alias("component"),
     ).orderBy(id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    dim: int = 64,
+    threshold: float = 0.9,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning over an embedding column.
+
+    The SemDeDup recipe (Abbas et al. 2023): cluster the embedding
+    space, then inside each cluster drop all but one of every group of
+    semantically near-identical items. Deterministic formulation here:
+    the "cluster" is a sign-LSH bucket (seeded hyperplanes — reproducible
+    across engines, unlike k-means on floats), and within a bucket a
+    vector is dropped iff a LOWER-id neighbor sits at cosine >=
+    ``threshold`` (keep-first policy — one pass, no iteration, total
+    order ⇒ unique answer).
+
+    Returns every input row as (id, bucket, kept) — callers filter
+    kept for the pruned corpus; keeping the flag makes the drop set
+    auditable (and hash-checkable by the suite oracle).
+
+    Scale shape: bucketing is map-side (n_planes JVM dot-products per
+    row against literal planes; switch to the Arrow matmul in
+    similarity._lsh_buckets_udf beyond ~8 planes); the only shuffle is
+    the bucket-keyed self-join, Σ(bucket²) not n² pairs; norms are
+    precomputed before the join (one fold per pair, not three). More
+    planes ⇒ smaller buckets ⇒ cheaper join but more misses at cluster
+    boundaries — the knob SemDeDup's cluster count also trades on.
+    """
+    from hive_2_3_2_spark.llm import similarity as S
+
+    planes = S.hyperplanes(dim, n_planes, seed)
+    docs = (
+        _spread(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+        .withColumn("bucket", S.lsh_bucket(F.col("v"), planes))
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+        .persist()
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("dead", F.lit(True))
+    )
+    return docs.join(dropped, "id", "left").select(
+        "id",
+        "bucket",
+        F.coalesce(~F.col("dead"), F.lit(True)).alias("kept"),
+    )

@@ -174,3 +174,57 @@ def dimension_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean"), 4).alias("mean"),
         F.round(F.col("std"), 4).alias("std"),
     )
+
+
+# --- SemDeDup-style semantic pruning (llm/dedup.py semantic_dedup) ------
+# The sign-LSH "cluster" hyperplanes are seeded, so the oracle bakes them
+# in as full-precision literals and replays bucketing + keep-first
+# pruning exactly.
+from hive_2_3_2_spark.llm import dedup as D  # noqa: E402
+from hive_2_3_2_spark.llm import similarity as S  # noqa: E402
+
+_SD_PLANES = S.hyperplanes(dim=64, n_planes=4, seed=7)
+
+
+def _plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CAST(list_dot_product(v, {_plane_literal(p)}) > 0 AS BIGINT) * {1 << i})"
+    for i, p in enumerate(_SD_PLANES)
+)
+
+
+@query(
+    "dedup_semantic_kept",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    bk AS (
+      SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_BUCKET_SQL} AS bucket
+      FROM e
+    ),
+    dropped AS (
+      SELECT DISTINCT a.id
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id > b.id
+      WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+    )
+    SELECT bk.id AS vec_id, bk.bucket, (d.id IS NULL) AS kept
+    FROM bk LEFT JOIN dropped d ON bk.id = d.id
+    """,
+)
+def semantic_dedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style pruning (llm/dedup.py semantic_dedup): sign-LSH
+    bucket as the semantic cluster, keep-first (lowest id) among
+    in-bucket neighbors at cosine >= 0.3 (the synthetic embeddings are
+    near-isotropic — max pairwise cosine ~0.5 — so 0.3 sits at ~P99 of
+    the pair distribution and exercises real pruning; production
+    near-dup thresholds like 0.9 would be trivially all-kept here). Emits every vector with its
+    bucket and kept flag so the drop set is auditable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(
+        emb, n_planes=4, dim=64, threshold=0.3, seed=7
+    ).select(F.col("id").alias("vec_id"), "bucket", "kept")

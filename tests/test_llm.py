@@ -535,3 +535,55 @@ def test_bpe_learn_matches_reference_merges(spark):
     m2, f2 = lm.bpe_learn(runs, 1, min_weight=1)
     assert m2 == [("a", "a")]
     assert f2.collect()[0].syms == "aa aa a"
+
+
+def test_semantic_dedup_policy_matches_bruteforce(spark):
+    import numpy as np
+
+    from hive_2_3_2_spark.llm.dedup import semantic_dedup
+    from hive_2_3_2_spark.llm.similarity import hyperplanes
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 8))
+    # rows 10..15 random; 16/17 near-dups of 10; 18 near-dup of 11
+    vecs = {10 + i: base[i] for i in range(6)}
+    vecs[16] = vecs[10] + 0.01 * rng.standard_normal(8)
+    vecs[17] = vecs[10] + 0.01 * rng.standard_normal(8)
+    vecs[18] = vecs[11] + 0.01 * rng.standard_normal(8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.id: (r.bucket, r.kept)
+        for r in semantic_dedup(
+            df, n_planes=3, dim=8, threshold=0.95, seed=7
+        ).collect()
+    }
+    # replay the exact policy in numpy: same planes, same keep-first rule
+    planes = np.asarray(hyperplanes(dim=8, n_planes=3, seed=7))
+    ids = sorted(vecs)
+    bucket = {
+        i: int(sum((1 << j) * (float(planes[j] @ vecs[i]) > 0) for j in range(3)))
+        for i in ids
+    }
+    def cos(a, b):
+        return round(
+            float(vecs[a] @ vecs[b])
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])),
+            6,
+        )
+    expect = {
+        i: (
+            bucket[i],
+            not any(
+                bucket[j] == bucket[i] and cos(i, j) >= 0.95
+                for j in ids
+                if j < i
+            ),
+        )
+        for i in ids
+    }
+    assert out == expect
+    # sanity: the near-dup construction actually dropped something
+    assert not all(kept for _, kept in out.values())
