@@ -109,3 +109,64 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), "l", "r")
         .limit(20)
     )
+
+
+@query(
+    "text_countmin_heavy_hitters",
+    oracle=r"""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    words AS (SELECT UNNEST(string_split(s, ' ')) AS w FROM norm),
+    wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM words WHERE w <> '' GROUP BY w
+    ),
+    sk AS (
+      SELECT u.r,
+             ('0x' || substr(md5(u.r || ':' || wf.w), 1, 8))::BIGINT
+               % 1024 AS b,
+             SUM(wf.freq) AS c
+      FROM wf CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(r)
+      GROUP BY 1, 2
+    ),
+    top AS (SELECT w, freq FROM wf ORDER BY freq DESC, w LIMIT 20),
+    pr AS (
+      SELECT t.w, u.r,
+             ('0x' || substr(md5(u.r || ':' || t.w), 1, 8))::BIGINT
+               % 1024 AS b
+      FROM top t CROSS JOIN UNNEST([0, 1, 2, 3]) AS u(r)
+    ),
+    probe AS (
+      SELECT pr.w, CAST(MIN(sk.c) AS BIGINT) AS estimate
+      FROM pr JOIN sk ON sk.r = pr.r AND sk.b = pr.b
+      GROUP BY pr.w
+    )
+    SELECT t.w AS word, t.freq AS exact_count, p.estimate AS cms_estimate
+    FROM top t JOIN probe p ON t.w = p.w
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.py): 4×1024
+    md5-hashed counter table built in one explode+groupBy, probed for
+    the exact top-20 tokens. The ESTIMATES are hash-checked (md5
+    bucketing is engine-portable, counters are integers) — not just
+    bounds — alongside the exact counts, so the CMS over-estimate
+    guarantee is visible in the result. Mergeability (shard sketches
+    sum to the whole-corpus sketch) is pinned in tests."""
+    from hive_2_3_2_spark.operators.sketches import (
+        count_min_build,
+        count_min_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = lm.word_frequencies(docs)
+    sketch = count_min_build(wf, "word", "freq")
+    top = wf.orderBy(F.desc("freq"), "word").limit(20)
+    est = count_min_probe(sketch, top.select("word"), "word")
+    return top.join(est, "word").select(
+        "word",
+        F.col("freq").alias("exact_count"),
+        F.col("estimate").alias("cms_estimate"),
+    )

@@ -267,3 +267,36 @@ def test_rollup_refresh_incremental_matches_full_recompute(spark, sf_dir, tmp_pa
         "bucket_start", "event_type"
     )
     assert got.collect() == want.collect()
+
+
+def test_count_min_sketch_merge_and_guarantee(spark):
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.operators.sketches import (
+        count_min_build,
+        count_min_merge,
+        count_min_probe,
+    )
+
+    rows = [(f"tok{i % 37}", 1) for i in range(500)] + [("hot", 1)] * 200
+    df = spark.createDataFrame(rows, ["item", "w"])
+    sk = count_min_build(df, "item", depth=3, width=64)
+    # counters are additive: sharded build == whole build
+    h1 = count_min_build(df.filter(F.col("item") != "hot"), "item", depth=3, width=64)
+    h2 = count_min_build(df.filter(F.col("item") == "hot"), "item", depth=3, width=64)
+    assert {(r.r, r.b, r.c) for r in count_min_merge([h1, h2]).collect()} == {
+        (r.r, r.b, r.c) for r in sk.collect()
+    }
+    # point estimates always over-estimate; the heavy hitter dominates
+    probes = df.select("item").distinct()
+    est = {
+        r.item: r.estimate
+        for r in count_min_probe(sk, probes, "item", depth=3, width=64).collect()
+    }
+    exact = {r.item: r.c for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    assert all(est[i] >= exact[i] for i in exact)
+    assert est["hot"] >= 200
+    # absent item: estimate is collision mass only, far below the hitter
+    ghost = spark.createDataFrame([("zzz-not-present",)], ["item"])
+    g = count_min_probe(sk, ghost, "item", depth=3, width=64).collect()[0].estimate
+    assert g < 200
