@@ -199,3 +199,65 @@ def bpe_learn(
         if step % 8 == 7:
             df = df.localCheckpoint(eager=True)
     return merges, df
+
+
+def word_bigram_pmi(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """(w1, w2, c12, pmi): adjacent word-pair collocation scores —
+    pointwise mutual information ln(p(w1,w2) / (p(w1) p(w2))) with
+    p(w) = c(w)/N_tokens and p(w1,w2) = c12/N_pairs.
+
+    Plan: one explode per doc for unigrams and one for adjacent pairs
+    (both map-side), a groupBy each, then two keyed joins of the pair
+    table against the unigram table (both shuffles keyed on a word —
+    Catalyst broadcasts the 1-row totals). Counts stay integral; the
+    single ln() happens per output row, so results are engine-portable.
+    """
+    s = normalize_chars(F.col(text_col))
+    toks = F.split(s, " ")
+    n = F.size(toks)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    c12 = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    n_pair = c12.agg(F.sum("c12").alias("n_pair"))
+    return (
+        c12.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("n_pair"))
+                    / ((F.col("c1") / F.col("n_tok")) * (F.col("c2") / F.col("n_tok")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

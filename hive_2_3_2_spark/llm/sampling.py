@@ -224,3 +224,44 @@ def interleave_by_weight(
         )
         .orderBy("interleave_pos", id_col)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis exponential race): each row gets priority -ln(u)/w where u
+    is a content-hash uniform in (0, 1] — the k smallest priorities are
+    exactly a weighted sample without replacement, and because u comes
+    from md5(seed:id), not an RNG, the draw is reproducible across runs,
+    engines, and partitionings (same reason hash_split is). Rows with
+    non-positive weight are excluded.
+
+    Scale: priority is map-side arithmetic; the top-k is a
+    TakeOrderedAndProject (per-partition heaps, no full sort/shuffle).
+    Changing `seed` redraws; changing k only extends/truncates the
+    prefix of the same permutation — nested samples for free."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    pri = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.asc("priority"), F.asc(id_col))
+        .limit(k)
+    )

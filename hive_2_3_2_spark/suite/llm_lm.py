@@ -170,3 +170,81 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq").alias("exact_count"),
         F.col("estimate").alias("cms_estimate"),
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=r"""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    toks AS (SELECT string_split(s, ' ') AS t FROM norm),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(t) AS w FROM toks) WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT t[CAST(i AS INT)+1] AS w1, t[CAST(i AS INT)+2] AS w2
+      FROM toks, UNNEST(range(len(t)-1)) AS u(i)
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pairs WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+    ),
+    nt AS (SELECT SUM(c) AS n_tok FROM uni),
+    np AS (SELECT SUM(c12) AS n_pair FROM c12)
+    SELECT p.w1, p.w2, p.c12,
+           ROUND(ln((p.c12 / np.n_pair)
+                    / ((u1.c / nt.n_tok) * (u2.c / nt.n_tok))), 4) AS pmi
+    FROM c12 p
+    JOIN uni u1 ON p.w1 = u1.w
+    JOIN uni u2 ON p.w2 = u2.w
+    CROSS JOIN nt CROSS JOIN np
+    WHERE p.c12 >= 5
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (llm/lm.py word_bigram_pmi): adjacent
+    word-pair PMI from integer count tables — two map-side explodes, two
+    keyed joins against the unigram table, totals broadcast. Ranked by
+    the integer pair count (engine-stable) with PMI annotated; the
+    single ln() per output row keeps the oracle exact at 4dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        lm.word_bigram_pmi(docs, min_count=5)
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=r"""
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             -ln((('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT + 1.0)
+                 / 4294967296.0) / n_chars AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, ROUND(priority, 6) AS priority
+    FROM pr ORDER BY pr.priority, doc_id LIMIT 100
+    """,
+)
+def weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (llm/
+    sampling.py weighted_sample — Efraimidis-Spirakis exponential race
+    keyed on content-hash uniforms): the 100 lowest -ln(u)/w priorities,
+    length-weighted. Map-side priority + TakeOrderedAndProject; the
+    identical arithmetic replays in the oracle. Registered here (past
+    the r2 driver window) rather than in llm_sampling to keep that
+    window's composition stable; rotate forward in r3."""
+    docs = load_table(spark, sf_dir, "documents")
+    from hive_2_3_2_spark.llm.sampling import weighted_sample
+
+    return weighted_sample(docs, 100, "n_chars").select(
+        "doc_id", "n_chars", F.round("priority", 6).alias("priority")
+    )

@@ -587,3 +587,20 @@ def test_semantic_dedup_policy_matches_bruteforce(spark):
     assert out == expect
     # sanity: the near-dup construction actually dropped something
     assert not all(kept for _, kept in out.values())
+
+
+def test_weighted_sample_prefix_and_seed_properties(spark, sf_dir):
+    from hive_2_3_2_spark.llm.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    k10 = [r.doc_id for r in weighted_sample(docs, 10, "n_chars").collect()]
+    k20 = [r.doc_id for r in weighted_sample(docs, 20, "n_chars").collect()]
+    # growing k extends the same permutation prefix
+    assert k20[:10] == k10
+    # a different seed is a different draw
+    other = [r.doc_id for r in weighted_sample(docs, 10, "n_chars", seed="ws2").collect()]
+    assert other != k10
+    # zero/negative weights are excluded
+    from pyspark.sql import functions as F
+    z = weighted_sample(docs.withColumn("w0", F.lit(0)), 5, "w0").count()
+    assert z == 0
