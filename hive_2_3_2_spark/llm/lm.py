@@ -55,15 +55,24 @@ def doc_char_bigrams(
     the normalized text. Documents with fewer than 2 normalized chars
     yield no rows. Pure JVM (codegen): substring enumeration via a
     guarded sequence — Spark's sequence(1, 0) is the *descending* [1, 0],
-    not [], so short docs need the explicit empty-array branch."""
-    s = normalize_chars(F.col(text_col))
-    n = F.length(s)
+    not [], so short docs need the explicit empty-array branch.
+
+    Shape note: the position array is exploded BEFORE the substring is
+    taken, with the normalized string materialized by the projection
+    under the Generate. Taking bigrams inside a ``transform`` lambda
+    instead would re-evaluate the regexp normalization once per element
+    (Catalyst inlines the captured expression into the lambda) — O(len²)
+    regex work per document, measured 18s → 3s for this table at sf0.1."""
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_chars(F.col(text_col)).alias("s")
+    )
+    n = F.length(F.col("s"))
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    bgs = F.transform(idx, lambda i: s.substr(i, F.lit(2)))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(bgs).alias("bg"))
+        norm.select("id", "s", F.explode(idx).alias("i"))
+        .select("id", F.col("s").substr(F.col("i"), F.lit(2)).alias("bg"))
         .groupBy("id", "bg")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -143,20 +152,27 @@ def adjacent_pair_counts(
     """(pair, weight): adjacent-symbol pair counts over the symbolized
     word table, weighted by word frequency — every occurrence position
     counts (as in reference BPE), so 'aaaa' contributes 3 to ('a','a').
-    One explode + one groupBy over the words table (not the corpus)."""
-    toks = F.split(F.col(syms_col), " ")
-    n = F.size(toks)
+    One explode + one groupBy over the words table (not the corpus).
+    Positions are exploded before element_at so the split() array is
+    materialized once per word, not once per element (see
+    doc_char_bigrams shape note)."""
+    t = words.select(
+        F.split(F.col(syms_col), " ").alias("t"), F.col(freq_col).alias("freq")
+    )
+    n = F.size(F.col("t"))
     idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
         F.array().cast("array<int>")
     )
-    pairs = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
-    )
     return (
-        words.select(F.explode(pairs).alias("pair"), F.col(freq_col).alias("freq"))
+        t.select("t", "freq", F.explode(idx).alias("i"))
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), F.col("i") + 1),
+                F.element_at(F.col("t"), F.col("i") + 2),
+            ).alias("pair"),
+            "freq",
+        )
         .groupBy("pair")
         .agg(F.sum("freq").alias("weight"))
     )
@@ -214,11 +230,10 @@ def word_bigram_pmi(
     Catalyst broadcasts the 1-row totals). Counts stay integral; the
     single ln() happens per output row, so results are engine-portable.
     """
-    s = normalize_chars(F.col(text_col))
-    toks = F.split(s, " ")
-    n = F.size(toks)
+    t = df.select(F.split(normalize_chars(F.col(text_col)), " ").alias("t"))
+    n = F.size(F.col("t"))
     uni = (
-        df.select(F.explode(toks).alias("w"))
+        t.select(F.explode(F.col("t")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -226,16 +241,15 @@ def word_bigram_pmi(
     idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
         F.array().cast("array<int>")
     )
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(toks, i + 1).alias("w1"),
-            F.element_at(toks, i + 2).alias("w2"),
-        ),
-    )
+    # explode positions first: element_at then reads the materialized
+    # token array instead of re-splitting per element (see
+    # doc_char_bigrams shape note)
     c12 = (
-        df.select(F.explode(pairs).alias("p"))
-        .select("p.w1", "p.w2")
+        t.select("t", F.explode(idx).alias("i"))
+        .select(
+            F.element_at(F.col("t"), F.col("i") + 1).alias("w1"),
+            F.element_at(F.col("t"), F.col("i") + 2).alias("w2"),
+        )
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))

@@ -181,3 +181,38 @@ def test_rollup_refresh_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     )
     plan = explain_str(pruned)
     assert "PartitionFilters" in plan and "bucket_date" in plan, plan
+
+
+def test_lm_scoring_model_joins_broadcast(spark, sf_dir):
+    # the <=729-row bigram/prefix model tables must never shuffle the
+    # corpus side: both joins broadcast, aggregation has a partial stage
+    plan = _plan(spark, sf_dir, "text_lm_quality_score")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_countmin_probe_broadcasts_sketch(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    # Efraimidis-Spirakis top-k must plan as per-partition heaps, not a
+    # global sort
+    plan = _plan(spark, sf_dir, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    # the in-bucket self-join must stay keyed on the bucket id
+    plan = _plan(spark, sf_dir, "dedup_semantic_kept")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pmi_joins_keyed_no_cartesian(spark, sf_dir):
+    # pair->unigram joins are keyed; only the 1-row totals may broadcast
+    plan = _plan(spark, sf_dir, "text_pmi_collocations")
+    assert "CartesianProduct" not in plan
