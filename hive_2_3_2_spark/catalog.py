@@ -75,9 +75,19 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``sf_dir`` as a DataFrame.
 
-    Nanosecond-timestamp columns are normalized to TimestampType. The
-    conversion uses integer ``DIV`` — float division would silently lose
-    precision (epoch nanos ~1.7e18 exceed double's 53-bit mantissa).
+    Every timestamp column is normalized to (microsecond) TimestampType,
+    whatever the parquet physical type:
+
+    - TIMESTAMP(NANOS) surfaces as int64 nanos (``nanosAsLong`` conf) and
+      is converted with integer ``DIV`` — float division would silently
+      lose precision (epoch nanos ~1.7e18 exceed double's 53-bit mantissa);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ
+      and is cast to TimestampType (identical instants: the session
+      timezone is pinned to UTC above).
+
+    One type for every fixture means downstream expressions (epoch casts,
+    unix_timestamp arithmetic) can't diverge by scale factor — mirrors the
+    reference's single TIMESTAMP type (serdeConstants.java:103).
     """
     ensure_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -86,6 +96,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
         )
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

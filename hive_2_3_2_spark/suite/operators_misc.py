@@ -236,7 +236,9 @@ def banded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_2_3_2_spark.operators.joins import banded_range_join
 
     ev = load_table(spark, sf_dir, "events")
-    sec = F.col("ts").cast("double")
+    # cast via TIMESTAMP first: TIMESTAMP_NTZ → DOUBLE is rejected by
+    # Spark 4, so this stays valid even on a non-normalized column
+    sec = F.col("ts").cast("timestamp").cast("double")
     pts = ev.filter("event_type <> 'error'").select(
         "user_id", F.col("event_id").alias("event_id"), sec.alias("pt")
     )
