@@ -54,13 +54,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the not-yet-driver-verified families go first and the order ROTATES:
 #   r1 window (verified): tpch, tpch_extra, functions_scalar2/3, joins,
 #     aggregates[0:10].
-#   r2 window (this order, exactly 50): dml(5) + aggregates_sketch(2) +
-#     llm_*(24) + windows(6) + setops(6) + sorts(7).
-#   r3 plan: rotate subqueries(7), lateral(6), functions_scalar(8),
-#     events_windows(7), operators_misc(6), hiveql_dialect(7),
-#     misc_extra(4), analytics_extra(3) to the front (48 entries).
+#   r2 window (verified): dml(5) + aggregates_sketch(2) + llm core(29) +
+#     windows(6) + setops(6) + sorts[0:2].
+#   r3 window (this order, exactly 50 never-driver-verified entries):
+#     subqueries(7) + lateral(6) + functions_scalar(8) + events_windows(9)
+#     + operators_misc(7) + hiveql_dialect(8) + misc_extra(4)
+#     + llm_pipeline(1).
+#   r4 queue (the 29 still unverified after r3): analytics_extra(3),
+#     sorts tail(5), llm_cleaning(6), llm_embeddings(5), llm_lm(5),
+#     fn_xpath_family(1), aggregates tail(4).
+# FREEZE RULE: new registry entries land in modules BELOW the window
+# marker so registry growth can't outrun driver verification again.
 _MODULES = [
+    "subqueries",
+    "lateral",
+    "functions_scalar",
+    "events_windows",
+    "operators_misc",
+    "hiveql_dialect",
+    "misc_extra",
+    "llm_pipeline",
+    # --- 50-entry r3 window ends here ---
+    "analytics_extra",
+    "sorts",
+    "llm_cleaning",
+    "llm_embeddings",
+    "llm_lm",
+    "functions_scalar3",
+    "aggregates",
     "dml",
+    "dml_sql",
     "aggregates_sketch",
     "llm_sampling",
     "llm_dedup",
@@ -70,26 +93,10 @@ _MODULES = [
     "llm_multimodal",
     "windows",
     "setops",
-    "sorts",
-    # --- 50-entry r2 window ends here ---
-    "llm_cleaning",
-    "llm_embeddings",
-    "llm_lm",
-    "llm_pipeline",
-    "subqueries",
-    "lateral",
-    "functions_scalar",
-    "events_windows",
-    "operators_misc",
-    "hiveql_dialect",
-    "misc_extra",
-    "analytics_extra",
     "tpch",
     "tpch_extra",
     "functions_scalar2",
-    "functions_scalar3",
     "joins",
-    "aggregates",
 ]
 
 
