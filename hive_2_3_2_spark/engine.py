@@ -87,11 +87,11 @@ _UNSUPPORTED_VIRTUAL = re.compile(
 
 
 # SQL-string DML front-end (reference: parse/UpdateDeleteSemanticAnalyzer
-# .java:62 UPDATE, :80 DELETE — both compile to rewrites). Spark only
-# parses DELETE/UPDATE for v2 catalogs, so the Engine intercepts the two
-# statements and routes them to the staged-rewrite helpers in
-# sources/writers.py. MERGE stays API-level (sources/writers.merge_upsert)
-# — its multi-clause grammar isn't worth a regex front-end.
+# .java:62 UPDATE, :80 DELETE, :86 MERGE — all compile to rewrites;
+# INSERT compiles through parse/SemanticAnalyzer.java's genFileSinkPlan +
+# exec/MoveTask.java). Spark only parses these for v2 catalogs, so the
+# Engine intercepts the statements and routes them to the staged-rewrite
+# helpers in sources/writers.py.
 _DELETE_STMT = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -100,11 +100,39 @@ _UPDATE_STMT = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# INSERT INTO|OVERWRITE [TABLE] t [PARTITION (p=v | p, ...)] [(cols)]
+# SELECT ... | VALUES ... | WITH ... (body passes through spark.sql).
+_INSERT_STMT = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+    r"(?:\s*\(([\w\s,]+)\))?"
+    r"\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+# MERGE INTO t [AS a] USING (subquery)|src [AS b] ON cond WHEN ...
+_MERGE_STMT = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+USING\s+(\(.*?\)|[\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+ON\s+(.*?)"
+    r"\s+(WHEN\s+.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_CLAUSE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)"
+    r"(?=\s+WHEN\s|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_ON_EQ = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+_MERGE_INSERT = re.compile(
+    r"^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
-def _split_assignments(s: str) -> list[tuple[str, str]]:
-    """Split ``a = expr1, b = expr2`` on top-level commas only (commas
-    inside function-call parens belong to the expression)."""
+def _split_top_commas(s: str) -> list[str]:
+    """Split on top-level commas only (commas inside parens belong to the
+    nested expression)."""
     parts, depth, cur = [], 0, []
     for ch in s:
         if ch == "(":
@@ -117,8 +145,13 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
         else:
             cur.append(ch)
     parts.append("".join(cur))
+    return parts
+
+
+def _split_assignments(s: str) -> list[tuple[str, str]]:
+    """Split ``a = expr1, b = expr2`` on top-level commas only."""
     out = []
-    for p in parts:
+    for p in _split_top_commas(s):
         col, _, expr = p.partition("=")
         if not _:
             raise HiveQLUnsupportedError(
@@ -126,6 +159,24 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
             )
         out.append((col.strip(), expr.strip()))
     return out
+
+
+def _parse_partition_spec(spec: str) -> tuple[dict[str, str], list[str]]:
+    """``PARTITION (p='v', q)`` → ({'p': "'v'"}, ['q']) — static values
+    stay SQL literals (evaluated with F.expr, cast to the column type);
+    bare names are dynamic partition columns (Hive nonstrict mode)."""
+    static: dict[str, str] = {}
+    dynamic: list[str] = []
+    for part in _split_top_commas(spec):
+        part = part.strip()
+        if not part:
+            continue
+        name, eq, val = part.partition("=")
+        if eq:
+            static[name.strip()] = val.strip()
+        else:
+            dynamic.append(part)
+    return static, dynamic
 
 
 class Engine:
@@ -174,12 +225,19 @@ class Engine:
             )
         return key
 
+    def _rows_affected(self, n: int) -> DataFrame:
+        return self.spark.createDataFrame([(n,)], "rows_affected bigint")
+
     def sql(self, query: str) -> DataFrame:
         """Run HiveQL-compatible SQL (reference entry:
         ql/src/java/org/apache/hadoop/hive/ql/Driver.java:1371 ``run``).
-        SELECT/DQL passes through (plus the HiveQL rewrites); DELETE and
-        UPDATE route to the staged-rewrite DML helpers and return a
-        1-row (rows_affected) DataFrame like a CLI row count."""
+        SELECT/DQL passes through (plus the HiveQL rewrites); DELETE,
+        UPDATE, INSERT INTO/OVERWRITE, and single-clause MERGE route to
+        the staged-rewrite DML helpers and return a 1-row
+        (rows_affected) DataFrame like a CLI row count. Each statement
+        reads its target once (plus the pruned rewrite) — the affected
+        count comes from the rewrite itself (observed metric, footer
+        row counts, or the shared discovery job), never a pre-scan."""
         from pyspark.sql import functions as F
 
         m = _DELETE_STMT.match(query)
@@ -190,16 +248,9 @@ class Engine:
             cond = F.expr(m.group(2)) if m.group(2) else F.lit(True)
             path = self.table_paths[key]
             parts = self.table_partitions.get(key)
-            affected = (
-                self.spark.read.parquet(path)
-                .filter(F.coalesce(cond, F.lit(False)))
-                .count()
-            )
-            delete_where(self.spark, path, cond, parts)
+            affected = delete_where(self.spark, path, cond, parts)
             self.register_table(key, path, parts)
-            return self.spark.createDataFrame(
-                [(affected,)], "rows_affected bigint"
-            )
+            return self._rows_affected(affected)
         m = _UPDATE_STMT.match(query)
         if m:
             from hive_2_3_2_spark.sources.writers import update_where
@@ -212,17 +263,230 @@ class Engine:
             cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
             path = self.table_paths[key]
             parts = self.table_partitions.get(key)
-            affected = (
-                self.spark.read.parquet(path)
-                .filter(F.coalesce(cond, F.lit(False)))
-                .count()
-            )
-            update_where(self.spark, path, sets, cond, parts)
+            affected = update_where(self.spark, path, sets, cond, parts)
             self.register_table(key, path, parts)
-            return self.spark.createDataFrame(
-                [(affected,)], "rows_affected bigint"
-            )
+            return self._rows_affected(affected)
+        m = _INSERT_STMT.match(query)
+        if m:
+            return self._run_insert(m)
+        m = _MERGE_STMT.match(query)
+        if m:
+            return self._run_merge(m)
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
+
+    def _run_insert(self, m: re.Match[str]) -> DataFrame:
+        """INSERT INTO|OVERWRITE [TABLE] t [PARTITION(...)] [(cols)] body.
+
+        Reference: parse/SemanticAnalyzer.java INSERT analysis +
+        exec/MoveTask.java finalization. Hive column mapping is
+        POSITIONAL: the select supplies the data columns in table order,
+        then any dynamic partition columns (static PARTITION values are
+        constants added here); an explicit column list maps by name with
+        unnamed columns NULL. Everything is cast to the target column
+        types (Hive-permissive implicit casts)."""
+        from pyspark.sql import functions as F
+
+        from hive_2_3_2_spark.sources.writers import insert_rows
+
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        key = self._resolve_dml_table(m.group(2))
+        static, dynamic = _parse_partition_spec(m.group(3) or "")
+        col_list = (
+            [c.strip() for c in m.group(4).split(",")] if m.group(4) else None
+        )
+        body = m.group(5).rstrip().rstrip(";")
+        path = self.table_paths[key]
+        parts = self.table_partitions.get(key, [])
+        target = self.spark.read.parquet(path)
+        fields = {f.name: f.dataType for f in target.schema.fields}
+
+        bad = [p for p in list(static) + dynamic if p not in parts]
+        if bad:
+            raise HiveQLUnsupportedError(
+                f"PARTITION spec names non-partition column(s) {bad} "
+                f"(table {key!r} is partitioned by {parts or 'nothing'})"
+            )
+        src = self.spark.sql(rewrite_hiveql(body, spark=self.spark))
+        if col_list:
+            if static or dynamic:
+                raise HiveQLUnsupportedError(
+                    "INSERT with both a PARTITION spec and an explicit "
+                    "column list is not supported — use one or the other"
+                )
+            unknown = [c for c in col_list if c not in fields]
+            if unknown:
+                raise HiveQLUnsupportedError(
+                    f"INSERT column list names unknown column(s) {unknown}"
+                )
+            if len(src.columns) != len(col_list):
+                raise HiveQLUnsupportedError(
+                    f"INSERT column list has {len(col_list)} columns but "
+                    f"the query supplies {len(src.columns)}"
+                )
+            by_name = {
+                name: F.col(src.columns[i]).cast(fields[name])
+                for i, name in enumerate(col_list)
+            }
+            aligned = src.select(
+                *[
+                    by_name.get(c, F.lit(None).cast(fields[c])).alias(c)
+                    for c in target.columns
+                ]
+            )
+        else:
+            dyn = dynamic or [p for p in parts if p not in static]
+            expected = [c for c in target.columns if c not in parts] + dyn
+            if len(src.columns) != len(expected):
+                raise HiveQLUnsupportedError(
+                    f"INSERT expects {len(expected)} columns "
+                    f"({', '.join(expected)}) but the query supplies "
+                    f"{len(src.columns)}"
+                )
+            aligned = src.select(
+                *[
+                    F.col(src.columns[i]).cast(fields[name]).alias(name)
+                    for i, name in enumerate(expected)
+                ]
+            )
+            for name, lit_sql in static.items():
+                aligned = aligned.withColumn(
+                    name, F.expr(lit_sql).cast(fields[name])
+                )
+            aligned = aligned.select(*target.columns)
+        n = insert_rows(
+            self.spark, path, aligned, parts or None, overwrite=overwrite
+        )
+        self.register_table(key, path, parts or None)
+        return self._rows_affected(n)
+
+    def _run_merge(self, m: re.Match[str]) -> DataFrame:
+        """Single-clause-per-branch MERGE statement (reference:
+        parse/UpdateDeleteSemanticAnalyzer.java:86): at most one WHEN
+        MATCHED branch (UPDATE SET or DELETE, optional AND condition)
+        plus at most one WHEN NOT MATCHED THEN INSERT. Richer multi-
+        clause grammars raise HiveQLUnsupportedError — explicitly, not
+        silently-wrong."""
+        from pyspark.sql import functions as F
+
+        from hive_2_3_2_spark.sources.writers import merge_apply
+
+        key = self._resolve_dml_table(m.group(1))
+        talias = m.group(2) or key
+        src_spec, salias = m.group(3), m.group(4)
+        on_cond, when_part = m.group(5), m.group(6)
+        path = self.table_paths[key]
+        parts = self.table_partitions.get(key)
+        target_cols = self.spark.read.parquet(path).columns
+
+        if src_spec.startswith("("):
+            if not salias:
+                raise HiveQLUnsupportedError(
+                    "MERGE USING (subquery) requires an alias"
+                )
+            source = self.spark.sql(
+                rewrite_hiveql(src_spec[1:-1], spark=self.spark)
+            )
+        else:
+            source = self.spark.table(src_spec)
+            salias = salias or src_spec.split(".")[-1]
+
+        key_pairs: list[tuple[str, str]] = []
+        for part in re.split(r"\s+AND\s+", on_cond.strip(), flags=re.IGNORECASE):
+            eq = _MERGE_ON_EQ.match(part)
+            if not eq:
+                raise HiveQLUnsupportedError(
+                    f"MERGE ON must be a conjunction of alias.col = "
+                    f"alias.col equalities (got {part.strip()!r}) — the "
+                    "reference executes only equi-join merges "
+                    "(optimizer/physical/CrossProductCheck.java)"
+                )
+            a1, c1, a2, c2 = eq.groups()
+            if a1.lower() == talias.lower() and a2.lower() == salias.lower():
+                key_pairs.append((c1, c2))
+            elif a1.lower() == salias.lower() and a2.lower() == talias.lower():
+                key_pairs.append((c2, c1))
+            else:
+                raise HiveQLUnsupportedError(
+                    f"MERGE ON references unknown alias in {part.strip()!r} "
+                    f"(target alias {talias!r}, source alias {salias!r})"
+                )
+
+        matched_action = None
+        insert_values = None
+        insert_condition = None
+        clauses = _WHEN_CLAUSE.findall(when_part)
+        if not clauses or "".join(
+            _WHEN_CLAUSE.sub("", when_part).split()
+        ):
+            raise HiveQLUnsupportedError(
+                f"unparseable MERGE WHEN clauses: {when_part.strip()!r}"
+            )
+        for not_kw, and_cond, action in clauses:
+            cond = F.expr(and_cond) if and_cond.strip() else None
+            action = action.strip()
+            if not_kw:
+                ins = _MERGE_INSERT.match(action)
+                if not ins or insert_values is not None:
+                    raise HiveQLUnsupportedError(
+                        "WHEN NOT MATCHED supports a single INSERT "
+                        "[(cols)] VALUES (...) clause"
+                    )
+                cols = (
+                    [c.strip() for c in ins.group(1).split(",")]
+                    if ins.group(1)
+                    else list(target_cols)
+                )
+                exprs = [e.strip() for e in _split_top_commas(ins.group(2))]
+                if len(cols) != len(exprs):
+                    raise HiveQLUnsupportedError(
+                        f"INSERT names {len(cols)} columns but VALUES "
+                        f"supplies {len(exprs)}"
+                    )
+                insert_values = {
+                    c: F.expr(e) for c, e in zip(cols, exprs)
+                }
+                insert_condition = cond
+            else:
+                if matched_action is not None:
+                    raise HiveQLUnsupportedError(
+                        "multi-clause WHEN MATCHED is not supported — one "
+                        "UPDATE or DELETE branch only (use the "
+                        "merge_upsert API for richer combinations)"
+                    )
+                if action.upper() == "DELETE":
+                    matched_action = ("delete", None, cond)
+                elif action.upper().startswith("UPDATE"):
+                    sets = {}
+                    for col, expr in _split_assignments(
+                        re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I)
+                    ):
+                        bare = col.split(".")[-1]
+                        if parts and bare in parts:
+                            raise HiveQLUnsupportedError(
+                                f"MERGE may not UPDATE partition column "
+                                f"{bare!r} (Hive rule: moving rows between "
+                                "partitions is delete+insert)"
+                            )
+                        sets[bare] = F.expr(expr)
+                    matched_action = ("update", sets, cond)
+                else:
+                    raise HiveQLUnsupportedError(
+                        f"unsupported WHEN MATCHED action: {action!r}"
+                    )
+        affected = merge_apply(
+            self.spark,
+            path,
+            source,
+            talias,
+            salias,
+            key_pairs,
+            matched_action,
+            insert_values,
+            insert_condition,
+            parts,
+        )
+        self.register_table(key, path, parts)
+        return self._rows_affected(affected)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -1,9 +1,151 @@
 """Suite queries for the SQL DML statement front-end (Engine.sql):
 INSERT INTO / INSERT OVERWRITE and MERGE statement forms.
 
-Reference: parse/SemanticAnalyzer.java (INSERT path), exec/MoveTask.java,
-parse/UpdateDeleteSemanticAnalyzer.java:86 (MERGE). Entries registered
-here sit BELOW the r3 CORRECTNESS window (suite/__init__.py freeze rule).
+Reference: INSERT compiles through parse/SemanticAnalyzer.java onto
+exec/MoveTask.java; MERGE through parse/UpdateDeleteSemanticAnalyzer
+.java:86. Each entry copies a fixture table to scratch, runs the SQL
+statement through an Engine, and returns a deterministic aggregate of
+the final table state; the DuckDB oracle expresses the same end state
+over the original table (the dml.py pattern). Entries registered here
+sit BELOW the r3 CORRECTNESS window (suite/__init__.py freeze rule).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.engine import Engine
+from hive_2_3_2_spark.suite import query
+from hive_2_3_2_spark.suite.dml import _fresh_copy
+
+
+@query(
+    "dml_sql_insert_into_select",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(bal), 2) AS total
+    FROM (
+      SELECT c_mktsegment, c_acctbal AS bal FROM customer
+      UNION ALL
+      SELECT c_mktsegment, c_acctbal + 5 AS bal
+      FROM customer WHERE c_custkey % 20 = 0
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def dml_sql_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT INTO t SELECT ... FROM t`` through Engine.sql — the
+    self-referencing append is safe because rows are STAGED to a sibling
+    dir before any file lands in the target (MoveTask pattern); the
+    rows_affected count rides the staging write as an observed metric."""
+    path = _fresh_copy(spark, sf_dir, "customer", "sql_insert_into")
+    eng = Engine(spark=spark)
+    eng.register_table("cust_sql_ins", path)
+    eng.sql(
+        "INSERT INTO cust_sql_ins "
+        "SELECT c_custkey + 50000000, c_name, c_nationkey, "
+        "c_acctbal + 5, c_mktsegment "
+        "FROM cust_sql_ins WHERE c_custkey % 20 = 0"
+    ).collect()
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "dml_sql_insert_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT' OR o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def dml_sql_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT OVERWRITE TABLE t PARTITION (p) SELECT ...`` — Hive
+    nonstrict dynamic-partition overwrite: exactly the partitions present
+    in the select are swapped (here '1-URGENT', thinned to even order
+    keys); every other partition must survive byte-identical."""
+    path = _fresh_copy(
+        spark, sf_dir, "orders", "sql_ins_ovw", partition_cols=["o_orderpriority"]
+    )
+    eng = Engine(spark=spark)
+    eng.register_table("orders_sql_ovw", path, ["o_orderpriority"])
+    eng.sql(
+        "INSERT OVERWRITE TABLE orders_sql_ovw PARTITION (o_orderpriority) "
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "o_orderdate, o_orderpriority "
+        "FROM orders_sql_ovw "
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0"
+    ).collect()
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "dml_sql_merge_statement",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(bal), 2) AS total
+    FROM (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+                  ELSE c_acctbal END AS bal
+      FROM customer
+      UNION ALL
+      SELECT NULL AS c_mktsegment, 0.0 AS bal
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def dml_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO ... WHEN MATCHED THEN UPDATE SET / WHEN NOT MATCHED
+    THEN INSERT (cols) VALUES`` through Engine.sql
+    (UpdateDeleteSemanticAnalyzer.java:86): matched customers get the
+    source balance; unmatched source keys insert partial rows (unnamed
+    columns NULL — exercised by the NULL c_mktsegment group)."""
+    path = _fresh_copy(spark, sf_dir, "customer", "sql_merge")
+    eng = Engine(spark=spark)
+    eng.register_table("cust_sql_mrg", path)
+    spark.sql(
+        "SELECT c_custkey AS k, c_acctbal + 1000 AS bal "
+        "FROM cust_sql_mrg WHERE c_custkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT c_custkey + 10000000 AS k, 0.0 AS bal "
+        "FROM cust_sql_mrg WHERE c_custkey % 10 = 0"
+    ).createOrReplaceTempView("cust_mrg_src")
+    eng.sql(
+        "MERGE INTO cust_sql_mrg t USING cust_mrg_src s "
+        "ON t.c_custkey = s.k "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = s.bal "
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal) "
+        "VALUES (s.k, s.bal)"
+    ).collect()
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -57,3 +57,190 @@ def test_sql_select_still_passes_through(eng_with_copy):
     eng = eng_with_copy
     df = eng.sql("SELECT count(*) AS n FROM customer_copy")
     assert df.collect()[0].n > 0
+
+
+@pytest.fixture()
+def eng_part_orders(spark, sf_dir, tmp_path):
+    dst = str(tmp_path / "orders_part.parquet")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .parquet(dst)
+    )
+    eng = Engine(spark=spark)
+    eng.register_table("orders_part", dst, ["o_orderpriority"])
+    return eng
+
+
+def test_sql_insert_into_values(eng_with_copy):
+    eng = eng_with_copy
+    before = eng.table("customer_copy").count()
+    res = eng.sql(
+        "INSERT INTO customer_copy VALUES "
+        "(99000001, 'Customer#99000001', 1, 12.34, 'BUILDING')"
+    ).collect()
+    assert res[0].rows_affected == 1
+    t = eng.table("customer_copy")
+    assert t.count() == before + 1
+    row = t.filter("c_custkey = 99000001").collect()[0]
+    assert row.c_name == "Customer#99000001"
+    assert float(row.c_acctbal) == 12.34
+
+
+def test_sql_insert_into_select_appends(eng_with_copy):
+    eng = eng_with_copy
+    before = eng.table("customer_copy").count()
+    res = eng.sql(
+        "INSERT INTO customer_copy "
+        "SELECT c_custkey + 50000000, c_name, c_nationkey, "
+        "c_acctbal, c_mktsegment "
+        "FROM customer_copy WHERE c_custkey < 10"
+    ).collect()
+    added = res[0].rows_affected
+    assert added == eng.table("customer_copy").filter(
+        "c_custkey >= 50000000"
+    ).count()
+    assert eng.table("customer_copy").count() == before + added
+
+
+def test_sql_insert_overwrite_unpartitioned(eng_with_copy):
+    eng = eng_with_copy
+    res = eng.sql(
+        "INSERT OVERWRITE TABLE customer_copy "
+        "SELECT * FROM customer_copy WHERE c_custkey <= 100"
+    ).collect()
+    t = eng.table("customer_copy")
+    assert t.count() == res[0].rows_affected
+    assert t.filter("c_custkey > 100").count() == 0
+
+
+def test_sql_insert_overwrite_dynamic_partition(eng_part_orders):
+    eng = eng_part_orders
+    t = eng.table("orders_part")
+    urgent_before = t.filter("o_orderpriority = '1-URGENT'").count()
+    other_before = t.filter("o_orderpriority != '1-URGENT'").count()
+    assert urgent_before > 1 and other_before > 0
+    res = eng.sql(
+        "INSERT OVERWRITE TABLE orders_part PARTITION (o_orderpriority) "
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "o_orderdate, o_orderpriority "
+        "FROM orders_part WHERE o_orderpriority = '1-URGENT' "
+        "AND o_orderkey % 2 = 0"
+    ).collect()
+    t = eng.table("orders_part")
+    urgent_after = t.filter("o_orderpriority = '1-URGENT'").count()
+    # only the touched partition replaced; others intact
+    assert urgent_after == res[0].rows_affected < urgent_before
+    assert t.filter("o_orderpriority != '1-URGENT'").count() == other_before
+
+
+def test_sql_insert_static_partition(eng_part_orders):
+    eng = eng_part_orders
+    before = eng.table("orders_part").count()
+    res = eng.sql(
+        "INSERT INTO orders_part PARTITION (o_orderpriority = '9-TEST') "
+        "SELECT o_orderkey + 90000000, o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate "
+        "FROM orders_part WHERE o_orderkey < 50"
+    ).collect()
+    t = eng.table("orders_part")
+    assert t.filter("o_orderpriority = '9-TEST'").count() == res[0].rows_affected
+    assert t.count() == before + res[0].rows_affected
+
+
+def test_sql_insert_column_list_fills_nulls(eng_with_copy):
+    eng = eng_with_copy
+    res = eng.sql(
+        "INSERT INTO customer_copy (c_custkey, c_name) "
+        "VALUES (77000001, 'partial')"
+    ).collect()
+    assert res[0].rows_affected == 1
+    row = eng.table("customer_copy").filter("c_custkey = 77000001").collect()[0]
+    assert row.c_name == "partial" and row.c_nationkey is None
+
+
+def test_sql_insert_arity_mismatch_raises(eng_with_copy):
+    with pytest.raises(HiveQLUnsupportedError, match="supplies"):
+        eng_with_copy.sql(
+            "INSERT INTO customer_copy SELECT 1, 2, 3"
+        )
+
+
+def test_sql_merge_update_and_insert(eng_with_copy, spark):
+    eng = eng_with_copy
+    spark.sql(
+        "SELECT 1 AS k, 500.0 AS bal UNION ALL "
+        "SELECT 2, 600.0 UNION ALL SELECT 88000001, 7.0"
+    ).createOrReplaceTempView("merge_src")
+    n_matched = eng.table("customer_copy").filter("c_custkey IN (1, 2)").count()
+    res = eng.sql(
+        "MERGE INTO customer_copy t USING merge_src s ON t.c_custkey = s.k "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = s.bal "
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal) "
+        "VALUES (s.k, 'merged', s.bal)"
+    ).collect()
+    assert res[0].rows_affected == n_matched + 1
+    t = eng.table("customer_copy")
+    assert t.filter("c_custkey = 1").collect()[0].c_acctbal == 500.0
+    ins = t.filter("c_custkey = 88000001").collect()[0]
+    assert ins.c_name == "merged" and ins.c_nationkey is None
+
+
+def test_sql_merge_matched_delete_with_condition(eng_with_copy, spark):
+    eng = eng_with_copy
+    eng.table("customer_copy").filter("c_custkey <= 20").select(
+        "c_custkey"
+    ).createOrReplaceTempView("del_src")
+    victims = eng.table("customer_copy").filter(
+        "c_custkey <= 20 AND c_acctbal > 0"
+    ).count()
+    before = eng.table("customer_copy").count()
+    res = eng.sql(
+        "MERGE INTO customer_copy t USING del_src s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND t.c_acctbal > 0 THEN DELETE"
+    ).collect()
+    assert res[0].rows_affected == victims
+    t = eng.table("customer_copy")
+    assert t.count() == before - victims
+    assert t.filter("c_custkey <= 20 AND c_acctbal > 0").count() == 0
+
+
+def test_sql_merge_multi_clause_raises(eng_with_copy, spark):
+    spark.sql("SELECT 1 AS k, 1.0 AS bal").createOrReplaceTempView("mc_src")
+    with pytest.raises(HiveQLUnsupportedError, match="multi-clause"):
+        eng_with_copy.sql(
+            "MERGE INTO customer_copy t USING mc_src s ON t.c_custkey = s.k "
+            "WHEN MATCHED AND t.c_acctbal > 0 THEN UPDATE SET c_acctbal = 0 "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_sql_merge_non_equi_on_raises(eng_with_copy, spark):
+    spark.sql("SELECT 1 AS k").createOrReplaceTempView("ne_src")
+    with pytest.raises(HiveQLUnsupportedError, match="equi"):
+        eng_with_copy.sql(
+            "MERGE INTO customer_copy t USING ne_src s ON t.c_custkey > s.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_sql_merge_partitioned_prunes_and_counts(eng_part_orders, spark):
+    eng = eng_part_orders
+    spark.sql(
+        "SELECT 1 AS k, 'P' AS st UNION ALL SELECT 32, 'P'"
+    ).createOrReplaceTempView("po_src")
+    matched = eng.table("orders_part").filter("o_orderkey IN (1, 32)").count()
+    assert matched > 0
+    res = eng.sql(
+        "MERGE INTO orders_part t USING po_src s ON t.o_orderkey = s.k "
+        "WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st"
+    ).collect()
+    assert res[0].rows_affected == matched
+    assert (
+        eng.table("orders_part")
+        .filter("o_orderkey IN (1, 32) AND o_orderstatus = 'P'")
+        .count()
+        == matched
+    )
