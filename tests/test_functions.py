@@ -170,3 +170,23 @@ def test_hive_bucket_hash_java_vectors(spark):
     assert got[""] == 0
     assert got["1-URGENT"] == -1002256291
     assert got[None] is None
+
+
+def test_hive_bucket_hash_batch_matches_reference_fold():
+    """The vectorized batch fold (left-padded byte matrix + per-column
+    Horner) must equal the per-row reference fold on arbitrary strings —
+    unicode multi-byte, empty, long, and int32-wraparound cases."""
+    import random
+    import string
+
+    from hive_2_3_2_spark.functions.hive_hash import _hash_batch, _hash_one
+
+    random.seed(11)
+    samples = ["", "a", "abc", "héllo wörld", "日本語テキスト", "x" * 500] + [
+        "".join(
+            random.choices(string.printable + "éüñ日本語", k=random.randint(0, 64))
+        )
+        for _ in range(500)
+    ]
+    batch = _hash_batch(samples)
+    assert [int(h) for h in batch] == [_hash_one(s) for s in samples]
