@@ -61,12 +61,16 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def hashes_of_shingles(sh: Column) -> Column:
+    """Non-negative 63-bit hashes of an existing shingle array — lets a
+    pipeline shingle ONCE and derive both the minhash input and the
+    exact-verification sets from the same (persisted) projection."""
+    return F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _P)
+
+
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """Non-negative 63-bit hashes of the distinct k-shingles."""
-    return F.transform(
-        word_shingles(text, k),
-        lambda s: F.abs(F.xxhash64(s)) % _P,
-    )
+    return hashes_of_shingles(word_shingles(text, k))
 
 
 def _minhash_fold_udf(num_perm: int):
@@ -134,6 +138,7 @@ def minhash_lsh_candidates(
     num_perm: int = 32,
     bands: int = 8,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs: signature → band buckets →
     self-join within buckets.
@@ -143,6 +148,11 @@ def minhash_lsh_candidates(
     is keyed on (band_idx, band_hash) — the *blocking key* — so the
     shuffle groups only same-bucket rows; no corpus-wide cross join ever
     forms. Deduped on (a < b).
+
+    ``shingles`` (optional): a precomputed/persisted ``(id, sh)`` frame —
+    callers that also need the shingle sets (exact verification) shingle
+    the corpus ONCE and share the projection instead of re-splitting the
+    text here.
     """
     rows = num_perm // bands
 
@@ -153,10 +163,15 @@ def minhash_lsh_candidates(
     # interpreted expression walking — measured 3.1s for the fold at
     # sf0.1 vs ~0.2s for this numpy version. This is the sanctioned
     # Pandas-UDF case: built-ins express the semantics but not the speed.
-    hashed = _spread(df).select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), k).alias("hh"),
-    )
+    if shingles is not None:
+        hashed = shingles.select(
+            "id", hashes_of_shingles(F.col("sh")).alias("hh")
+        )
+    else:
+        hashed = _spread(df).select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(F.col(text_col), k).alias("hh"),
+        )
     sig = hashed.select(
         "id", _minhash_fold_udf(num_perm)(F.col("hh")).alias("sig")
     )
@@ -465,11 +480,13 @@ def minhash_verified_near_dups(
     DuckDB can compute — a hashable end-to-end check of the whole
     shingle→minhash→band→verify pipeline.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, k)
     sh = _spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
-    ).persist()  # shingle once; probed twice (once per pair side)
+    ).persist()  # shingle ONCE: feeds the signatures and both pair sides
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, k, shingles=sh
+    )
     return (
         cands.join(
             sh.select(
