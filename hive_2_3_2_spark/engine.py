@@ -16,6 +16,7 @@ plus a tiny rewriter for the few Hive-isms Spark rejects.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,6 +109,23 @@ _INSERT_STMT = re.compile(
     r"(?:\s*\(([\w\s,]+)\))?"
     r"\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+# FROM src INSERT INTO|OVERWRITE t1 SELECT ... INSERT ... (Hive
+# multi-insert: one scan fans out into several sinks — the MapOperator
+# multi-alias plan, parse/SemanticAnalyzer.java multi-QB handling).
+_MULTI_INSERT_STMT = re.compile(
+    r"^\s*FROM\s+(.*?)\s+(INSERT\s+(?:INTO|OVERWRITE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MULTI_INSERT_SPLIT = re.compile(
+    r"(?=\bINSERT\s+(?:INTO|OVERWRITE)\b)", re.IGNORECASE
+)
+# LOAD DATA [LOCAL] INPATH 'src' [OVERWRITE] INTO TABLE t [PARTITION(...)]
+_LOAD_DATA_STMT = re.compile(
+    r"^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+"
+    r"(OVERWRITE\s+)?INTO\s+TABLE\s+([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
 )
 # MERGE INTO t [AS a] USING (subquery)|src [AS b] ON cond WHEN ...
 _MERGE_STMT = re.compile(
@@ -269,10 +287,133 @@ class Engine:
         m = _INSERT_STMT.match(query)
         if m:
             return self._run_insert(m)
+        m = _MULTI_INSERT_STMT.match(query)
+        if m:
+            return self._run_multi_insert(m.group(1), m.group(2))
+        m = _LOAD_DATA_STMT.match(query)
+        if m:
+            return self._run_load_data(m)
         m = _MERGE_STMT.match(query)
         if m:
             return self._run_merge(m)
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
+
+    def _run_multi_insert(self, from_clause: str, inserts: str) -> DataFrame:
+        """Hive multi-insert: ``FROM src INSERT ... SELECT cols [WHERE]
+        INSERT ... SELECT cols [WHERE] ...`` — each branch's select list
+        is re-attached to the shared FROM clause and routed through the
+        single-INSERT path. Returns one (target_table, rows_affected)
+        row per sink. On a cluster the branches share the source's
+        parquet scan via Spark's exchange/scan reuse; Hive's MapOperator
+        achieves the same with one mapper fanning out to all sinks."""
+        segments = [
+            s.strip() for s in _MULTI_INSERT_SPLIT.split(inserts) if s.strip()
+        ]
+        results: list[tuple[str, int]] = []
+        for seg in segments:
+            sm = re.match(
+                r"^(INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.]+"
+                r"(?:\s+PARTITION\s*\([^)]*\))?)\s+(SELECT\b.*)$",
+                seg,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not sm:
+                raise HiveQLUnsupportedError(
+                    f"unparseable multi-insert branch: {seg[:80]!r}"
+                )
+            head, select_part = sm.group(1), sm.group(2)
+            # inject the shared FROM before the first top-level clause
+            # keyword (WHERE/GROUP/ORDER/...) of the branch select
+            depth, cut = 0, len(select_part)
+            kw = re.compile(
+                r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|DISTRIBUTE|SORT|"
+                r"CLUSTER)\b",
+                re.IGNORECASE,
+            )
+            for i, ch in enumerate(select_part):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0:
+                    km = kw.match(select_part, i)
+                    if km and i > 0 and select_part[i - 1].isspace():
+                        cut = i
+                        break
+            body = (
+                f"{select_part[:cut].rstrip()} FROM {from_clause} "
+                f"{select_part[cut:]}"
+            )
+            im = _INSERT_STMT.match(f"{head} {body}")
+            if not im:
+                raise HiveQLUnsupportedError(
+                    f"unparseable multi-insert head: {head!r}"
+                )
+            n = self._run_insert(im).collect()[0].rows_affected
+            results.append((im.group(2).split(".")[-1].lower(), n))
+        return self.spark.createDataFrame(
+            results, "target_table string, rows_affected bigint"
+        )
+
+    def _run_load_data(self, m: re.Match[str]) -> DataFrame:
+        """``LOAD DATA INPATH`` — a pure file MOVE into the table (or
+        static partition) directory, exactly the reference's MoveTask
+        semantics (exec/MoveTask.java: no rewrite, no validation beyond
+        schema-on-read; OVERWRITE clears the destination first). The
+        row count comes from parquet footers (metadata, no scan)."""
+        import shutil
+        import uuid
+
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        src, overwrite, table, partspec = (
+            m.group(1),
+            bool(m.group(2)),
+            m.group(3),
+            m.group(4),
+        )
+        key = self._resolve_dml_table(table)
+        path = self.table_paths[key]
+        parts = self.table_partitions.get(key)
+        static, dynamic = _parse_partition_spec(partspec or "")
+        if dynamic or (partspec and not parts):
+            raise HiveQLUnsupportedError(
+                "LOAD DATA PARTITION requires static values for a "
+                "partitioned table (files are moved, not read — dynamic "
+                "partition values would need a scan; use INSERT instead)"
+            )
+        dest = path
+        for p in parts or []:
+            if static and p not in static:
+                raise HiveQLUnsupportedError(
+                    f"LOAD DATA PARTITION spec missing partition column {p!r}"
+                )
+        if static:
+            rels = [
+                f"{p}={static[p].strip(chr(39))}" for p in (parts or [])
+            ]
+            dest = os.path.join(path, *rels)
+        files = (
+            [src]
+            if os.path.isfile(src)
+            else [
+                os.path.join(src, f)
+                for f in sorted(os.listdir(src))
+                if f.endswith(".parquet")
+            ]
+        )
+        n = sum(parquet_row_count(f) for f in files)
+        if overwrite:
+            shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest, exist_ok=True)
+        for f in files:
+            base = os.path.basename(f)
+            tgt = os.path.join(dest, base)
+            if os.path.exists(tgt):
+                tgt = os.path.join(dest, f"{uuid.uuid4().hex[:8]}_{base}")
+            shutil.move(f, tgt)
+        self.register_table(key, path, parts)
+        return self._rows_affected(n)
 
     def _run_insert(self, m: re.Match[str]) -> DataFrame:
         """INSERT INTO|OVERWRITE [TABLE] t [PARTITION(...)] [(cols)] body.

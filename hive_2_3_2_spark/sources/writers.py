@@ -25,6 +25,8 @@ def parquet_row_count(path: str) -> int:
     """Table row count from parquet FOOTER metadata only — no Spark job,
     no data scan (the same num_rows Hive's StatsTask reads; at 100 TB
     this is a metadata listing, not a query)."""
+    if os.path.isfile(path):
+        return _pq.ParquetFile(path).metadata.num_rows
     total = 0
     for root, _dirs, files in os.walk(path):
         for fn in files:

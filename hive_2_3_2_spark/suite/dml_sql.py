@@ -149,3 +149,59 @@ def dml_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "dml_sql_multi_insert",
+    oracle="""
+    SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 2) AS total
+    FROM (
+      SELECT 'hi' AS side, c_acctbal FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT 'lo' AS side, c_acctbal FROM customer WHERE c_acctbal <= 5000
+    )
+    GROUP BY side
+    ORDER BY side
+    """,
+)
+def dml_sql_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-insert statement (``FROM src INSERT ... INSERT ...``,
+    parse/SemanticAnalyzer.java multi-QB / MapOperator multi-alias plan)
+    through Engine.sql: one source fans out into two sinks partitioned by
+    a predicate; verified by aggregating both sinks' final contents."""
+    import os
+    import shutil
+
+    from hive_2_3_2_spark.suite.dml import _SCRATCH
+
+    src = _fresh_copy(spark, sf_dir, "customer", "sql_mi_src")
+    eng = Engine(spark=spark)
+    eng.register_table("cust_mi_src", src)
+    empty = spark.read.parquet(src).filter("1=0").select(
+        "c_custkey", "c_acctbal"
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    for nm in ("hi", "lo"):
+        dst = os.path.abspath(os.path.join(_SCRATCH, f"sql_mi_{nm}_{sf_tag}"))
+        shutil.rmtree(dst, ignore_errors=True)
+        empty.write.parquet(dst)
+        eng.register_table(f"cust_mi_{nm}", dst)
+    eng.sql(
+        "FROM cust_mi_src "
+        "INSERT INTO cust_mi_hi SELECT c_custkey, c_acctbal "
+        "WHERE c_acctbal > 5000 "
+        "INSERT INTO cust_mi_lo SELECT c_custkey, c_acctbal "
+        "WHERE c_acctbal <= 5000"
+    ).collect()
+    hi = eng.table("cust_mi_hi").select(F.lit("hi").alias("side"), "c_acctbal")
+    lo = eng.table("cust_mi_lo").select(F.lit("lo").alias("side"), "c_acctbal")
+    return (
+        hi.unionByName(lo)
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total"),
+        )
+        .orderBy("side")
+    )

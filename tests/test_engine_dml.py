@@ -244,3 +244,83 @@ def test_sql_merge_partitioned_prunes_and_counts(eng_part_orders, spark):
         .count()
         == matched
     )
+
+
+def test_sql_multi_insert_fanout(eng_with_copy, spark, tmp_path):
+    eng = eng_with_copy
+    empty = eng.table("customer_copy").filter("1 = 0").select(
+        "c_custkey", "c_acctbal"
+    )
+    hi, lo = str(tmp_path / "hi.parquet"), str(tmp_path / "lo.parquet")
+    empty.write.parquet(hi)
+    empty.write.parquet(lo)
+    eng.register_table("mi_hi", hi)
+    eng.register_table("mi_lo", lo)
+    res = {
+        r.target_table: r.rows_affected
+        for r in eng.sql(
+            "FROM customer_copy "
+            "INSERT INTO mi_hi SELECT c_custkey, c_acctbal "
+            "WHERE c_acctbal > 5000 "
+            "INSERT INTO mi_lo SELECT c_custkey, c_acctbal "
+            "WHERE c_acctbal <= 5000"
+        ).collect()
+    }
+    t = eng.table("customer_copy")
+    assert res["mi_hi"] == t.filter("c_acctbal > 5000").count()
+    assert res["mi_lo"] == t.filter("c_acctbal <= 5000").count()
+    assert res["mi_hi"] + res["mi_lo"] == t.count()
+    assert eng.table("mi_hi").count() == res["mi_hi"]
+
+
+def test_sql_load_data_append_and_overwrite(eng_with_copy, spark, tmp_path):
+    eng = eng_with_copy
+    extra = str(tmp_path / "extra.parquet")
+    eng.table("customer_copy").filter("c_custkey <= 5").withColumn(
+        "c_custkey", eng.table("customer_copy").c_custkey + 60000000
+    ).write.parquet(extra)
+    n_extra = spark.read.parquet(extra).count()
+    before = eng.table("customer_copy").count()
+    res = eng.sql(
+        f"LOAD DATA INPATH '{extra}' INTO TABLE customer_copy"
+    ).collect()
+    assert res[0].rows_affected == n_extra > 0
+    assert eng.table("customer_copy").count() == before + n_extra
+    # OVERWRITE replaces the whole (unpartitioned) table content
+    extra2 = str(tmp_path / "extra2.parquet")
+    eng.table("customer_copy").filter("c_custkey <= 3").write.parquet(extra2)
+    n_small = eng.table("customer_copy").filter("c_custkey <= 3").count()
+    eng.sql(
+        f"LOAD DATA INPATH '{extra2}' OVERWRITE INTO TABLE customer_copy"
+    ).collect()
+    assert eng.table("customer_copy").count() == n_small
+
+
+def test_sql_load_data_static_partition(eng_part_orders, spark, tmp_path):
+    eng = eng_part_orders
+    data_cols = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate"
+    extra = str(tmp_path / "urgent_extra.parquet")
+    eng.table("orders_part").filter("o_orderkey <= 10").selectExpr(
+        "o_orderkey + 70000000 AS o_orderkey",
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    ).write.parquet(extra)
+    del data_cols
+    before = eng.table("orders_part").filter(
+        "o_orderpriority = '1-URGENT'"
+    ).count()
+    res = eng.sql(
+        f"LOAD DATA INPATH '{extra}' INTO TABLE orders_part "
+        "PARTITION (o_orderpriority = '1-URGENT')"
+    ).collect()
+    after = eng.table("orders_part").filter(
+        "o_orderpriority = '1-URGENT'"
+    ).count()
+    assert after == before + res[0].rows_affected
+
+
+def test_sql_load_data_dynamic_partition_raises(eng_part_orders, tmp_path):
+    with pytest.raises(HiveQLUnsupportedError, match="static"):
+        eng_part_orders.sql(
+            f"LOAD DATA INPATH '{tmp_path}' INTO TABLE orders_part "
+            "PARTITION (o_orderpriority)"
+        )
