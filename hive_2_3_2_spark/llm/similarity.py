@@ -395,3 +395,157 @@ def ivf_topk(
     return _score_probed_cells(
         c, queries, centroids, k, nprobe, id_col, vec_col
     )
+
+
+# --- Product quantization (PQ) -------------------------------------------
+# The memory-side ANN scale path, complementing IVF's scan pruning: a
+# 64-dim float32 embedding (256 bytes) compresses to m=8 uint8 codes
+# (8 bytes, 32x), and query scoring becomes m table lookups per candidate
+# instead of a d-dim dot product. At 100 TB of embeddings the code table
+# fits in a fraction of the cluster memory the raw vectors need. The
+# reference has no ANN surface at all (SURVEY §2.4: equi-joins only) —
+# this is a Spark-native extra, like IVF/LSH above.
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_n: int = 65536,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Train per-subvector codebooks (m blocks × n_codes centroids) on a
+    BOUNDED, deterministic sample (first ``sample_n`` vectors by id — at
+    any corpus scale the driver pulls ≤ sample_n×dim doubles, the
+    standard PQ training topology; Lloyd init is the first n_codes
+    sample rows per block, reproducible across runs). Vectors are
+    L2-normalized first so PQ inner product approximates cosine."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subvectors")
+    ds = d // m
+    books = []
+    for b in range(m):
+        Xb = X[:, b * ds : (b + 1) * ds]
+        k_eff = min(n_codes, len(Xb))
+        C = Xb[:k_eff].copy()
+        for _ in range(n_iter):
+            # assign: argmin ||x - c||² = |c|² - 2 x·c (+ const |x|²)
+            dist = (C * C).sum(axis=1)[None, :] - 2.0 * (Xb @ C.T)
+            a = dist.argmin(axis=1)
+            for j in range(k_eff):
+                mask = a == j
+                if mask.any():
+                    C[j] = Xb[mask].mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def _pq_encode_udf(codebooks: list):
+    """Arrow-vectorized PQ encoder: batch (n, d) → (n, m) uint8 codes.
+    One argmin matmul per block per batch — no per-row Python."""
+    Cs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    ds = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), len(Cs)), dtype=np.int32)
+        for b, C in enumerate(Cs):
+            Xb = X[:, b * ds : (b + 1) * ds]
+            dist = (C * C).sum(axis=1)[None, :] - 2.0 * (Xb @ C.T)
+            codes[:, b] = dist.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes) — the compressed corpus representation one would
+    persist instead of the raw vectors (32× smaller at m=8, d=64)."""
+    return _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query builds an (m × n_codes)
+    lookup table of exact query-subvector · centroid dot products; a
+    candidate's approximate cosine is the sum of m table lookups on its
+    codes. One scan of the code table, queries broadcast (they are the
+    small side by contract, as in brute_force_topk), per-query window
+    top-k — no shuffle of the corpus beyond the top-k exchange."""
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .orderBy("query_id")
+        .collect()
+    )
+    Cs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    ds = Cs[0].shape[1]
+    luts = []
+    for r in q_rows:
+        qv = np.asarray(r.qv, dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        luts.append(
+            np.stack(
+                [C @ qv[b * ds : (b + 1) * ds] for b, C in enumerate(Cs)]
+            )
+        )
+    # one (nq, m, n_codes) tensor in every executor via UDF closure
+    LUTS = np.stack(luts)
+    spark = codes.sparkSession
+    q_idx = spark.createDataFrame(
+        [(i, r.query_id) for i, r in enumerate(q_rows)], "qidx int, query_id long"
+    )
+
+    @pandas_udf("double")
+    def adc(qidx: pd.Series, code_col: pd.Series) -> pd.Series:
+        qi = qidx.to_numpy(dtype=np.int64)
+        cd = np.asarray([np.asarray(c, dtype=np.int64) for c in code_col])
+        if len(cd) == 0:
+            return pd.Series([], dtype=float)
+        sel = LUTS[qi]  # (batch, m, n_codes)
+        scores = np.take_along_axis(sel, cd[:, :, None], axis=2)[:, :, 0].sum(
+            axis=1
+        )
+        return pd.Series(scores)
+
+    scored = (
+        codes.join(F.broadcast(q_idx), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc(F.col("qidx"), F.col("codes")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -158,3 +158,51 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "similarity_topk_pq",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           TRUE AS recall_ok, TRUE AS corpus_recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+)
+def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/similarity.py train_pq_codebooks /
+    pq_encode / pq_topk): 8 subvector blocks × 256 centroids compress
+    each 64-dim vector to 8 bytes (32×), and asymmetric-distance top-5
+    runs m table lookups per candidate over ONE scan of the code table.
+    Oracled with the same invariant-boolean trick as similarity_topk_ivf:
+    deterministic training (bounded ordered sample, fixed Lloyd init) ⇒
+    recall vs the exact brute-force top-5 is reproducible; floors pinned
+    with margin (per-query ≥1 of 5 exact neighbors — observed min 2;
+    corpus recall ≥0.4 — observed 0.52–0.6; near-isotropic 64-dim
+    vectors are PQ's hard case, same as IVF's)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = S.train_pq_codebooks(emb, m=8, n_codes=256, n_iter=10)
+    codes = S.pq_encode(emb, books)
+    pq = S.pq_topk(codes, queries, books, k=5)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    hits = (
+        pq.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_query = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0)))
+    )
+    total = per_query.agg(F.sum("hits").alias("total_hits"))
+    return (
+        per_query.crossJoin(F.broadcast(total))
+        .select(
+            "query_id",
+            (F.col("hits") >= F.lit(1)).alias("recall_ok"),
+            (F.col("total_hits") >= F.lit(10)).alias("corpus_recall_ok"),
+        )
+        .orderBy("query_id")
+    )

@@ -604,3 +604,34 @@ def test_weighted_sample_prefix_and_seed_properties(spark, sf_dir):
     from pyspark.sql import functions as F
     z = weighted_sample(docs.withColumn("w0", F.lit(0)), 5, "w0").count()
     assert z == 0
+
+
+def test_pq_codebooks_deterministic_and_encode_shape(spark, sf_dir):
+    """PQ training must be reproducible (bounded ordered sample + fixed
+    Lloyd init — no RNG), codes must be valid indices, and ADC top-k must
+    clear the pinned recall floors vs brute force."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = S.train_pq_codebooks(emb, m=8, n_codes=256, n_iter=3)
+    b2 = S.train_pq_codebooks(emb, m=8, n_codes=256, n_iter=3)
+    assert b1 == b2
+    assert len(b1) == 8 and len(b1[0][0]) == 8  # 64 dims / 8 blocks
+    codes = S.pq_encode(emb, b1)
+    row = codes.limit(1).collect()[0]
+    assert len(row.codes) == 8
+    assert all(0 <= c < 256 for c in row.codes)
+    queries = emb.filter(F.col("vec_id") < 5)
+    pq = S.pq_topk(codes, queries, b1, k=5)
+    got = pq.groupBy("query_id").count().collect()
+    assert len(got) == 5 and all(r["count"] == 5 for r in got)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    n_hits = (
+        pq.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert n_hits >= 10  # corpus recall floor 0.4 (observed 0.52+)
