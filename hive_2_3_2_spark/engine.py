@@ -86,6 +86,43 @@ _UNSUPPORTED_VIRTUAL = re.compile(
     re.IGNORECASE,
 )
 
+# Hive storage-format DDL → Spark datasource DDL. Without Hive catalog
+# support Spark rejects STORED AS outright (NOT_SUPPORTED_COMMAND_WITHOUT_
+# HIVE_SUPPORT), but every format the reference's DDL names (SURVEY §2.2)
+# has a native Spark datasource; ROW FORMAT DELIMITED's field terminator
+# becomes the csv ``sep`` option (Hive default delimiter is \x01).
+_ROW_FORMAT_STORED = re.compile(
+    r"ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+"
+    r"'([^']*)'\s+STORED\s+AS\s+TEXTFILE",
+    re.IGNORECASE,
+)
+_STORED_AS = re.compile(r"STORED\s+AS\s+(\w+)", re.IGNORECASE)
+_STORED_AS_MAP = {
+    "PARQUET": "USING parquet",
+    "ORC": "USING orc",
+    "AVRO": "USING avro",
+    "JSONFILE": "USING json",
+    "TEXTFILE": "USING csv OPTIONS (sep '\x01')",  # Hive default delim
+}
+
+
+def _rewrite_stored_as(query: str) -> str:
+    query = _ROW_FORMAT_STORED.sub(
+        lambda m: f"USING csv OPTIONS (sep '{m.group(1)}')", query
+    )
+
+    def repl(m: re.Match[str]) -> str:
+        fmt = m.group(1).upper()
+        if fmt in _STORED_AS_MAP:
+            return _STORED_AS_MAP[fmt]
+        raise HiveQLUnsupportedError(
+            f"STORED AS {fmt}: no Spark datasource equivalent here "
+            "(RCFile is out of scope per SURVEY §2.2; SequenceFile reads "
+            "go through sources.readers.read_sequencefile)"
+        )
+
+    return _STORED_AS.sub(repl, query)
+
 
 # SQL-string DML front-end (reference: parse/UpdateDeleteSemanticAnalyzer
 # .java:62 UPDATE, :80 DELETE, :86 MERGE — all compile to rewrites;
@@ -688,6 +725,7 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     out = _TABLESAMPLE.sub(
         lambda m: _rewrite_tablesample(m, col_types.get(m.start())), query
     )
+    out = _rewrite_stored_as(out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     return out

@@ -79,3 +79,29 @@ def test_insert_overwrite_table_semantics(spark, sf_dir):
     spark.sql("INSERT OVERWRITE TABLE iot_t VALUES (9)")
     assert [r.k for r in spark.table("iot_t").collect()] == [9]
     spark.sql("DROP TABLE iot_t")
+
+
+def test_hive_stored_as_ddl_rewrites(spark, tmp_path):
+    """Hive storage-format DDL (STORED AS / ROW FORMAT DELIMITED) runs
+    through Engine.sql via rewrite to Spark datasource DDL — without the
+    rewrite Spark rejects these outright in a non-Hive catalog
+    (reference DDL surface: parse/DDLSemanticAnalyzer.java)."""
+    import pytest
+
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    spark.sql("DROP TABLE IF EXISTS hq_ctas")
+    spark.sql("DROP TABLE IF EXISTS hq_csv")
+    eng.sql("CREATE TABLE hq_ctas STORED AS PARQUET AS SELECT 1 AS x, 'a' AS s")
+    assert spark.table("hq_ctas").collect()[0].x == 1
+    eng.sql(
+        "CREATE TABLE hq_csv (x INT, s STRING) ROW FORMAT DELIMITED "
+        "FIELDS TERMINATED BY ',' STORED AS TEXTFILE"
+    )
+    spark.sql("INSERT INTO hq_csv VALUES (7, 'z')")
+    assert spark.table("hq_csv").collect()[0].x == 7
+    with pytest.raises(HiveQLUnsupportedError, match="RCFile|SequenceFile"):
+        eng.sql("CREATE TABLE hq_rc (x INT) STORED AS RCFILE")
+    spark.sql("DROP TABLE hq_ctas")
+    spark.sql("DROP TABLE hq_csv")
