@@ -164,6 +164,27 @@ _LOAD_DATA_STMT = re.compile(
     r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+# Path-backed DDL statements (reference: parse/DDLSemanticAnalyzer.java,
+# executed by exec/DDLTask.java): TRUNCATE, SHOW PARTITIONS, ALTER TABLE
+# ADD/DROP PARTITION, ALTER TABLE [PARTITION] CONCATENATE.
+_TRUNCATE_STMT = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_PARTITIONS_STMT = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_ALTER_PARTITION_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?"
+    r"PARTITION\s*\(([^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CONCATENATE_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+CONCATENATE\s*;?\s*$",
+    re.IGNORECASE,
+)
 # MERGE INTO t [AS a] USING (subquery)|src [AS b] ON cond WHEN ...
 _MERGE_STMT = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
@@ -333,7 +354,169 @@ class Engine:
         m = _MERGE_STMT.match(query)
         if m:
             return self._run_merge(m)
+        m = _TRUNCATE_STMT.match(query)
+        if m:
+            return self._run_truncate(m)
+        m = _SHOW_PARTITIONS_STMT.match(query)
+        if m:
+            return self._run_show_partitions(m.group(1))
+        m = _ALTER_PARTITION_STMT.match(query)
+        if m:
+            return self._run_alter_partition(m)
+        m = _CONCATENATE_STMT.match(query)
+        if m:
+            return self._run_concatenate(m)
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
+
+    def _static_partition_reldir(self, key: str, spec: str) -> str:
+        """``p='v', q=1`` → ``p=v/q=1`` for a registered table, validating
+        the spec covers exactly the partition columns, in order."""
+        parts = self.table_partitions.get(key)
+        if not parts:
+            raise HiveQLUnsupportedError(
+                f"table {key!r} is not partitioned (register_table with "
+                "partition_cols to declare partitions)"
+            )
+        static, dynamic = _parse_partition_spec(spec)
+        if dynamic or set(static) != set(parts):
+            raise HiveQLUnsupportedError(
+                f"PARTITION spec must give static values for exactly "
+                f"{parts} (got static={sorted(static)} dynamic={dynamic})"
+            )
+        return os.path.join(
+            *[f"{p}={static[p].strip(chr(39))}" for p in parts]
+        )
+
+    def _run_truncate(self, m: re.Match[str]) -> DataFrame:
+        """TRUNCATE TABLE t [PARTITION (...)] — drop the data, keep the
+        schema (DDLSemanticAnalyzer truncate path): a truncated partition
+        directory is removed outright; a truncated table is replaced by
+        an empty parquet file carrying the old schema so the table stays
+        readable (the metastore would have kept the schema)."""
+        import shutil
+
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        key = self._resolve_dml_table(m.group(1))
+        path = self.table_paths[key]
+        parts = self.table_partitions.get(key)
+        if m.group(2):
+            dest = os.path.join(path, self._static_partition_reldir(key, m.group(2)))
+            n = parquet_row_count(dest) if os.path.exists(dest) else 0
+            shutil.rmtree(dest, ignore_errors=True)
+        else:
+            if parts:
+                raise HiveQLUnsupportedError(
+                    "TRUNCATE of a whole partitioned path-backed table "
+                    "would leave no file to carry the schema (no "
+                    "metastore here) — TRUNCATE per PARTITION instead"
+                )
+            from hive_2_3_2_spark.sources.writers import _swap_dirs
+
+            n = parquet_row_count(path)
+            schema = self.spark.read.parquet(path).schema
+            empty = self.spark.createDataFrame([], schema)
+            staging = f"{path}__truncate_staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            empty.coalesce(1).write.parquet(staging)
+            _swap_dirs(path, staging)
+        self.register_table(key, path, parts)
+        return self._rows_affected(n)
+
+    def _run_show_partitions(self, table: str) -> DataFrame:
+        """SHOW PARTITIONS t — Hive prints one ``col=val/...`` line per
+        partition directory; here a directory listing (metadata-only)."""
+        from hive_2_3_2_spark.sources.writers import _staged_partition_rels
+
+        key = self._resolve_dml_table(table)
+        parts = self.table_partitions.get(key)
+        if not parts:
+            raise HiveQLUnsupportedError(f"table {key!r} is not partitioned")
+        rels = sorted(
+            _staged_partition_rels(self.table_paths[key], len(parts))
+        )
+        return self.spark.createDataFrame(
+            [(r,) for r in rels], "partition string"
+        )
+
+    def _run_alter_partition(self, m: re.Match[str]) -> DataFrame:
+        """ALTER TABLE t ADD|DROP [IF [NOT] EXISTS] PARTITION (p=v) —
+        directory create/remove (the metastore add/drop partition calls,
+        exec/DDLTask.java). DROP reports the removed row count; an empty
+        ADDed partition is invisible to parquet listing until data lands
+        (documented divergence from a metastore catalog)."""
+        import shutil
+
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        key = self._resolve_dml_table(m.group(1))
+        action = m.group(2).upper()
+        guarded = bool(m.group(3))
+        path = self.table_paths[key]
+        dest = os.path.join(
+            path, self._static_partition_reldir(key, m.group(4))
+        )
+        exists = os.path.isdir(dest)
+        n = 0
+        if action == "ADD":
+            if exists and not guarded:
+                raise HiveQLUnsupportedError(
+                    f"partition already exists: {dest} (use IF NOT EXISTS)"
+                )
+            os.makedirs(dest, exist_ok=True)
+        else:
+            if not exists and not guarded:
+                raise HiveQLUnsupportedError(
+                    f"no such partition: {dest} (use IF EXISTS)"
+                )
+            if exists:
+                n = parquet_row_count(dest)
+                shutil.rmtree(dest)
+        self.register_table(key, path, self.table_partitions.get(key))
+        return self._rows_affected(n)
+
+    def _run_concatenate(self, m: re.Match[str]) -> DataFrame:
+        """ALTER TABLE t [PARTITION (...)] CONCATENATE — small-file
+        compaction (OrcFileMergeOperator / ALTER TABLE CONCATENATE):
+        rewrite the directory's files into max(1, ceil(bytes/128MB))
+        outputs via the staged swap; row count is invariant (asserted
+        from footers). At 100 TB this is the per-partition maintenance
+        job that keeps scan task counts sane after streaming ingest."""
+        import math
+        import shutil
+
+        from hive_2_3_2_spark.sources.writers import (
+            _swap_dirs,
+            parquet_row_count,
+        )
+
+        key = self._resolve_dml_table(m.group(1))
+        path = self.table_paths[key]
+        dest = (
+            os.path.join(path, self._static_partition_reldir(key, m.group(2)))
+            if m.group(2)
+            else path
+        )
+        before = parquet_row_count(dest)
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(dest)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(size / (128 * 1024 * 1024)))
+        df = self.spark.read.parquet(dest)
+        staging = f"{dest.rstrip('/')}__concat_staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        df.coalesce(n_files).write.parquet(staging)
+        if parquet_row_count(staging) != before:
+            shutil.rmtree(staging)
+            raise RuntimeError(
+                "CONCATENATE row-count mismatch — aborted before swap"
+            )
+        _swap_dirs(dest, staging)
+        self.register_table(key, path, self.table_partitions.get(key))
+        return self._rows_affected(before)
 
     def _run_multi_insert(self, from_clause: str, inserts: str) -> DataFrame:
         """Hive multi-insert: ``FROM src INSERT ... SELECT cols [WHERE]
@@ -439,9 +622,16 @@ class Engine:
                 if f.endswith(".parquet")
             ]
         )
+        from hive_2_3_2_spark.sources.writers import ensure_dir_table
+
         n = sum(parquet_row_count(f) for f in files)
         if overwrite:
-            shutil.rmtree(dest, ignore_errors=True)
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            elif os.path.exists(dest):
+                os.remove(dest)
+        else:
+            ensure_dir_table(dest)
         os.makedirs(dest, exist_ok=True)
         for f in files:
             base = os.path.basename(f)

@@ -88,6 +88,18 @@ def insert_overwrite_partitions(
     )
 
 
+def ensure_dir_table(target_path: str) -> None:
+    """Promote a single-parquet-FILE table (the driver fixtures' layout)
+    to a directory table in place, so append-style file moves have a
+    directory to land in. No data is read or rewritten — one rename."""
+    if not os.path.isfile(target_path):
+        return
+    tmp = f"{target_path}__file_{os.getpid()}"
+    os.rename(target_path, tmp)
+    os.makedirs(target_path)
+    os.rename(tmp, os.path.join(target_path, "part-00000-promoted.parquet"))
+
+
 def _staging_dir(target_path: str) -> str:
     """Deterministic-per-call staging sibling of the target directory."""
     import uuid
@@ -99,14 +111,22 @@ def _swap_dirs(target_path: str, staging: str) -> None:
     """Replace target dir with staging dir via rename — the MoveTask
     pattern (reference exec/MoveTask.java: write to scratch, fs.rename
     into place). Local-FS implementation; on HDFS/object stores the same
-    two renames go through the Hadoop FileSystem API."""
+    two renames go through the Hadoop FileSystem API. The target may be
+    a single parquet FILE (the driver fixtures are) — same two renames,
+    file-aware cleanup."""
     import shutil
 
     old = f"{target_path.rstrip('/')}__old"
-    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    elif os.path.exists(old):
+        os.remove(old)
     os.rename(target_path, old)
     os.rename(staging, target_path)
-    shutil.rmtree(old)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    else:
+        os.remove(old)
 
 
 def merge_upsert(
@@ -525,6 +545,7 @@ def insert_rows(
         df.write.mode("overwrite").parquet(staging)
     # Move staged parquet files into place; staged file names embed a
     # task/job UUID so collisions with existing files are impossible.
+    ensure_dir_table(target_path)
     for root, _dirs, files in os.walk(staging):
         rel = os.path.relpath(root, staging)
         dst_dir = target_path if rel == "." else os.path.join(target_path, rel)

@@ -324,3 +324,108 @@ def test_sql_load_data_dynamic_partition_raises(eng_part_orders, tmp_path):
             f"LOAD DATA INPATH '{tmp_path}' INTO TABLE orders_part "
             "PARTITION (o_orderpriority)"
         )
+
+
+def test_sql_truncate_table_and_partition(eng_with_copy, eng_part_orders):
+    eng = eng_with_copy
+    before = eng.table("customer_copy").count()
+    res = eng.sql("TRUNCATE TABLE customer_copy").collect()
+    assert res[0].rows_affected == before
+    assert eng.table("customer_copy").count() == 0
+    assert "c_custkey" in eng.table("customer_copy").columns  # schema kept
+
+    engp = eng_part_orders
+    urgent = engp.table("orders_part").filter(
+        "o_orderpriority = '1-URGENT'"
+    ).count()
+    others = engp.table("orders_part").count() - urgent
+    res = engp.sql(
+        "TRUNCATE TABLE orders_part PARTITION (o_orderpriority = '1-URGENT')"
+    ).collect()
+    assert res[0].rows_affected == urgent
+    assert engp.table("orders_part").count() == others
+    with pytest.raises(HiveQLUnsupportedError, match="PARTITION"):
+        engp.sql("TRUNCATE TABLE orders_part")
+
+
+def test_sql_show_partitions_and_alter_partition(eng_part_orders):
+    eng = eng_part_orders
+    parts = [r.partition for r in eng.sql("SHOW PARTITIONS orders_part").collect()]
+    assert "o_orderpriority=1-URGENT" in parts and len(parts) >= 4
+
+    n_low = eng.table("orders_part").filter(
+        "o_orderpriority = '5-LOW'"
+    ).count()
+    res = eng.sql(
+        "ALTER TABLE orders_part DROP PARTITION (o_orderpriority = '5-LOW')"
+    ).collect()
+    assert res[0].rows_affected == n_low
+    parts2 = [r.partition for r in eng.sql("SHOW PARTITIONS orders_part").collect()]
+    assert "o_orderpriority=5-LOW" not in parts2
+    with pytest.raises(HiveQLUnsupportedError, match="IF EXISTS"):
+        eng.sql(
+            "ALTER TABLE orders_part DROP PARTITION (o_orderpriority = '5-LOW')"
+        )
+    # guarded forms are no-ops
+    eng.sql(
+        "ALTER TABLE orders_part DROP IF EXISTS PARTITION "
+        "(o_orderpriority = '5-LOW')"
+    )
+    eng.sql(
+        "ALTER TABLE orders_part ADD IF NOT EXISTS PARTITION "
+        "(o_orderpriority = '1-URGENT')"
+    )
+
+
+def test_sql_concatenate_compacts_files(eng_with_copy, spark, tmp_path):
+    import os
+
+    eng = eng_with_copy
+    path = eng.table_paths["customer_copy"]
+    # fragment the table into many small files first
+    frag = spark.read.parquet(path).repartition(16)
+    staging = str(tmp_path / "frag.parquet")
+    frag.write.parquet(staging)
+    eng.register_table("customer_copy", staging)
+    n_before = eng.table("customer_copy").count()
+    files_before = sum(
+        1 for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    assert files_before >= 16
+    res = eng.sql("ALTER TABLE customer_copy CONCATENATE").collect()
+    assert res[0].rows_affected == n_before
+    files_after = sum(
+        1 for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    assert files_after == 1
+    assert eng.table("customer_copy").count() == n_before
+
+
+def test_sql_dml_on_single_file_table(spark, sf_dir, tmp_path):
+    """The driver fixtures are single parquet FILES, not directories —
+    every statement (CONCATENATE, INSERT, DELETE, TRUNCATE) must work on
+    a file-backed table (file promoted to a directory on first append;
+    swaps are file-aware)."""
+    import shutil
+
+    dst = str(tmp_path / "customer_file.parquet")
+    shutil.copy(f"{sf_dir}/customer.parquet", dst)
+    eng = Engine(spark=spark)
+    eng.register_table("cust_file", dst)
+    n0 = eng.table("cust_file").count()
+    assert eng.sql("ALTER TABLE cust_file CONCATENATE").collect()[0].rows_affected == n0
+    ins = eng.sql(
+        "INSERT INTO cust_file SELECT c_custkey + 1000000, c_name, "
+        "c_nationkey, c_acctbal, c_mktsegment FROM cust_file "
+        "WHERE c_custkey < 5"
+    ).collect()[0].rows_affected
+    assert eng.table("cust_file").count() == n0 + ins
+    assert (
+        eng.sql("DELETE FROM cust_file WHERE c_custkey >= 1000000")
+        .collect()[0]
+        .rows_affected
+        == ins
+    )
+    assert eng.sql("TRUNCATE TABLE cust_file").collect()[0].rows_affected == n0
+    assert eng.table("cust_file").count() == 0
+    assert "c_custkey" in eng.table("cust_file").columns
