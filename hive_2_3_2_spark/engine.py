@@ -185,6 +185,19 @@ _CONCATENATE_STMT = re.compile(
     r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+CONCATENATE\s*;?\s*$",
     re.IGNORECASE,
 )
+# EXPORT TABLE t TO 'path' / IMPORT TABLE t FROM 'path' [LOCATION 'loc']
+# (reference: ql/.../parse/ExportSemanticAnalyzer.java +
+# ImportSemanticAnalyzer.java over CopyTask/MoveTask — data files plus a
+# _metadata descriptor; here the descriptor is JSON).
+_EXPORT_STMT = re.compile(
+    r"^\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_IMPORT_STMT = re.compile(
+    r"^\s*IMPORT\s+(?:EXTERNAL\s+)?TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'"
+    r"(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # MERGE INTO t [AS a] USING (subquery)|src [AS b] ON cond WHEN ...
 _MERGE_STMT = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
@@ -207,11 +220,35 @@ _MERGE_INSERT = re.compile(
 
 
 def _split_top_commas(s: str) -> list[str]:
-    """Split on top-level commas only (commas inside parens belong to the
-    nested expression)."""
-    parts, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
+    """Split on top-level commas only: commas inside parens belong to the
+    nested expression, and commas/parens inside single-quoted string
+    literals (with backslash or doubled-quote escapes, both accepted by
+    Spark SQL) are literal text — found by the hypothesis roundtrip
+    property, e.g. ``SET c = 'a,b'``."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":  # doubled-quote escape
+                    cur.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -220,6 +257,7 @@ def _split_top_commas(s: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     parts.append("".join(cur))
     return parts
 
@@ -366,7 +404,86 @@ class Engine:
         m = _CONCATENATE_STMT.match(query)
         if m:
             return self._run_concatenate(m)
+        m = _EXPORT_STMT.match(query)
+        if m:
+            return self._run_export(m.group(1), m.group(2))
+        m = _IMPORT_STMT.match(query)
+        if m:
+            return self._run_import(m.group(1), m.group(2), m.group(3))
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
+
+    def _run_export(self, table: str, out_dir: str) -> DataFrame:
+        """EXPORT TABLE t TO 'path' — copy the data files plus a
+        _metadata.json descriptor (schema + partition columns), the
+        reference's export layout (ExportSemanticAnalyzer + CopyTask;
+        Hive writes a thrift _metadata, ours is JSON). Pure file copy —
+        no scan; row count from parquet footers."""
+        import json
+        import shutil
+
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        key = self._resolve_dml_table(table)
+        path = self.table_paths[key]
+        parts = self.table_partitions.get(key) or []
+        if os.path.exists(out_dir) and os.listdir(out_dir):
+            raise HiveQLUnsupportedError(
+                f"EXPORT target {out_dir!r} exists and is not empty "
+                "(Hive refuses to export onto existing data)"
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        data_dir = os.path.join(out_dir, "data")
+        if os.path.isfile(path):
+            os.makedirs(data_dir, exist_ok=True)
+            shutil.copy2(path, os.path.join(data_dir, os.path.basename(path)))
+        else:
+            shutil.copytree(path, data_dir)
+        meta = {
+            "table": key,
+            "partition_cols": parts,
+            "schema_json": self.spark.read.parquet(path).schema.json(),
+        }
+        with open(os.path.join(out_dir, "_metadata.json"), "w") as f:
+            json.dump(meta, f)
+        return self._rows_affected(parquet_row_count(path))
+
+    def _run_import(
+        self, table: str, export_dir: str, location: str | None
+    ) -> DataFrame:
+        """IMPORT TABLE t FROM 'path' [LOCATION 'loc'] — register (and,
+        with LOCATION, copy) an exported table (ImportSemanticAnalyzer +
+        MoveTask). Without LOCATION the export's data directory is used
+        in place (external-table style)."""
+        import json
+        import shutil
+
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        meta_path = os.path.join(export_dir, "_metadata.json")
+        data_dir = os.path.join(export_dir, "data")
+        if not os.path.exists(meta_path) or not os.path.exists(data_dir):
+            raise HiveQLUnsupportedError(
+                f"{export_dir!r} is not an export directory "
+                "(missing _metadata.json/data)"
+            )
+        with open(meta_path) as f:
+            meta = json.load(f)
+        key = table.split(".")[-1].lower()
+        if key in self.table_paths:
+            raise HiveQLUnsupportedError(
+                f"IMPORT target table {key!r} already exists"
+            )
+        if location:
+            if os.path.exists(location) and os.listdir(location):
+                raise HiveQLUnsupportedError(
+                    f"IMPORT LOCATION {location!r} exists and is not empty"
+                )
+            shutil.copytree(data_dir, location, dirs_exist_ok=True)
+            dest = location
+        else:
+            dest = data_dir
+        self.register_table(key, dest, meta.get("partition_cols") or None)
+        return self._rows_affected(parquet_row_count(dest))
 
     def _static_partition_reldir(self, key: str, spec: str) -> str:
         """``p='v', q=1`` → ``p=v/q=1`` for a registered table, validating

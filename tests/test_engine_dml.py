@@ -429,3 +429,37 @@ def test_sql_dml_on_single_file_table(spark, sf_dir, tmp_path):
     assert eng.sql("TRUNCATE TABLE cust_file").collect()[0].rows_affected == n0
     assert eng.table("cust_file").count() == 0
     assert "c_custkey" in eng.table("cust_file").columns
+
+
+def test_sql_export_import_roundtrip(eng_part_orders, spark, tmp_path):
+    """EXPORT writes data + a _metadata.json descriptor; IMPORT registers
+    the export in place or copies it to LOCATION — partition layout and
+    contents survive the round trip (ExportSemanticAnalyzer /
+    ImportSemanticAnalyzer parity over CopyTask/MoveTask)."""
+    eng = eng_part_orders
+    n = eng.table("orders_part").count()
+    exp = str(tmp_path / "orders_export")
+    res = eng.sql(f"EXPORT TABLE orders_part TO '{exp}'").collect()
+    assert res[0].rows_affected == n
+    import os
+
+    assert os.path.exists(f"{exp}/_metadata.json")
+
+    res = eng.sql(f"IMPORT TABLE orders_imported FROM '{exp}'").collect()
+    assert res[0].rows_affected == n
+    assert eng.table("orders_imported").count() == n
+    # imported table keeps partition metadata → partition DML works
+    parts = eng.sql("SHOW PARTITIONS orders_imported").collect()
+    assert len(parts) >= 4
+
+    loc = str(tmp_path / "orders_copied")
+    res = eng.sql(
+        f"IMPORT TABLE orders_copy FROM '{exp}' LOCATION '{loc}'"
+    ).collect()
+    assert res[0].rows_affected == n
+    assert eng.table("orders_copy").count() == n
+
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        eng.sql(f"IMPORT TABLE orders_copy FROM '{exp}'")
+    with pytest.raises(HiveQLUnsupportedError, match="not empty"):
+        eng.sql(f"EXPORT TABLE orders_part TO '{exp}'")

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the pure-Python parsing layer
+behind Engine.sql — the reference's grammar is a 2,814-line ANTLR file
+(parse/HiveParser.g); our statement front-end is regex + splitters, so
+random structured inputs guard the corners a hand-written example set
+misses. No SparkSession needed: these run in milliseconds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hive_2_3_2_spark.engine import (
+    _parse_partition_spec,
+    _split_assignments,
+    _split_top_commas,
+)
+from hive_2_3_2_spark.functions.hive_hash import _hash_batch, _hash_one
+
+# expression fragments with balanced nested parens and embedded commas
+_leaf = st.sampled_from(
+    ["a", "b1", "col_x", "'lit'", "1.5", "NULL", "x + 1", "'a,b'"]
+)
+
+
+def _exprs():
+    return st.recursive(
+        _leaf,
+        lambda inner: st.builds(
+            lambda f, args: f + "(" + ", ".join(args) + ")",
+            st.sampled_from(["concat", "if", "coalesce", "greatest"]),
+            st.lists(inner, min_size=1, max_size=3),
+        ),
+        max_leaves=6,
+    )
+
+
+@given(st.lists(_exprs(), min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_top_commas_roundtrip(parts):
+    """Joining on ', ' then splitting must recover the parts — commas
+    inside nested call parens never split."""
+    joined = ", ".join(parts)
+    assert [p.strip() for p in _split_top_commas(joined)] == [
+        p.strip() for p in parts
+    ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True), _exprs()
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_assignments_roundtrip(pairs):
+    s = ", ".join(f"{c} = {e}" for c, e in pairs)
+    got = _split_assignments(s)
+    assert [c for c, _ in got] == [c for c, _ in pairs]
+    assert [e.strip() for _, e in got] == [e.strip() for _, e in pairs]
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+        st.from_regex(r"'[a-zA-Z0-9 _-]{0,12}'|[0-9]{1,6}", fullmatch=True),
+        min_size=0,
+        max_size=3,
+    ),
+    st.lists(
+        st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+        min_size=0,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_partition_spec_separates_static_dynamic(static, dynamic):
+    dynamic = [d for d in dynamic if d not in static]
+    spec = ", ".join(
+        [f"{k} = {v}" for k, v in static.items()] + dynamic
+    )
+    got_static, got_dynamic = _parse_partition_spec(spec)
+    assert got_static == {k: v for k, v in static.items()}
+    assert got_dynamic == dynamic
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_hive_hash_batch_equals_reference_on_arbitrary_text(strings):
+    """The vectorized fold equals the per-row reference fold on ARBITRARY
+    unicode — full surrogate-free codepoint space, not just samples."""
+    batch = _hash_batch(strings)
+    assert [int(h) for h in batch] == [_hash_one(s) for s in strings]
