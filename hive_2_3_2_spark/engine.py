@@ -262,6 +262,47 @@ def _split_top_commas(s: str) -> list[str]:
     return parts
 
 
+def _split_statements(text: str) -> list[str]:
+    """Split a SQL script into statements on top-level semicolons, with
+    quote-aware ``--`` line-comment stripping — CliDriver.processLine
+    parity (reference: cli/.../CliDriver.java:342)."""
+    out: list[str] = []
+    cur: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "\\" and i + 1 < len(text):
+                cur.append(text[i + 1])
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "-" and text[i : i + 2] == "--":
+            while i < len(text) and text[i] != "\n":
+                i += 1
+            continue
+        elif ch == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    stmt = "".join(cur).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
 def _split_assignments(s: str) -> list[tuple[str, str]]:
     """Split ``a = expr1, b = expr2`` on top-level commas only."""
     out = []
@@ -972,6 +1013,14 @@ class Engine:
         )
         self.register_table(key, path, parts)
         return self._rows_affected(affected)
+
+    def run_script(self, script: str) -> list[DataFrame]:
+        """Run a multi-statement SQL script — statements split on
+        top-level semicolons with ``--`` comments stripped (CliDriver
+        processLine parity, cli/.../CliDriver.java:342). Statements
+        execute in order (DML takes effect immediately); returns one
+        DataFrame per statement."""
+        return [self.sql(stmt) for stmt in _split_statements(script)]
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

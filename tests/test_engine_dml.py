@@ -463,3 +463,24 @@ def test_sql_export_import_roundtrip(eng_part_orders, spark, tmp_path):
         eng.sql(f"IMPORT TABLE orders_copy FROM '{exp}'")
     with pytest.raises(HiveQLUnsupportedError, match="not empty"):
         eng.sql(f"EXPORT TABLE orders_part TO '{exp}'")
+
+
+def test_run_script_multi_statement(eng_with_copy):
+    """CliDriver.processLine parity: ';'-separated script with comments;
+    DML takes effect between statements; semicolons inside string
+    literals don't split."""
+    eng = eng_with_copy
+    results = eng.run_script(
+        """
+        -- thin the table first
+        DELETE FROM customer_copy WHERE c_custkey > 100;
+        UPDATE customer_copy SET c_name = 'a;b' WHERE c_custkey = 1;
+        SELECT count(*) AS n FROM customer_copy  -- trailing comment
+        """
+    )
+    assert len(results) == 3
+    assert results[2].collect()[0].n == eng.table("customer_copy").count()
+    assert (
+        eng.table("customer_copy").filter("c_custkey = 1").collect()[0].c_name
+        == "a;b"
+    )

@@ -94,3 +94,22 @@ def test_hive_hash_batch_equals_reference_on_arbitrary_text(strings):
     unicode — full surrogate-free codepoint space, not just samples."""
     batch = _hash_batch(strings)
     assert [int(h) for h in batch] == [_hash_one(s) for s in strings]
+
+
+@given(
+    st.lists(
+        st.from_regex(
+            r"SELECT '[a-z;,() -]{0,12}' AS c[0-9]", fullmatch=True
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_statements_roundtrip(stmts):
+    """Script splitting recovers each statement: semicolons inside string
+    literals never split, trailing semicolon optional."""
+    from hive_2_3_2_spark.engine import _split_statements
+
+    script = ";\n".join(stmts) + ";"
+    assert _split_statements(script) == [s.strip() for s in stmts]
