@@ -205,3 +205,95 @@ def dml_sql_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side")
     )
+
+
+@query(
+    "ddl_sql_show_partitions",
+    oracle="""
+    SELECT DISTINCT 'o_orderpriority=' || o_orderpriority AS partition
+    FROM orders ORDER BY partition
+    """,
+)
+def ddl_sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS t through Engine.sql (DDLSemanticAnalyzer show-
+    partitions path): one col=val line per partition directory, derived
+    from a metadata-only listing — the oracle derives the same set from
+    the data."""
+    path = _fresh_copy(
+        spark, sf_dir, "orders", "sql_show_parts",
+        partition_cols=["o_orderpriority"],
+    )
+    eng = Engine(spark=spark)
+    eng.register_table("orders_show_parts", path, ["o_orderpriority"])
+    return eng.sql("SHOW PARTITIONS orders_show_parts").orderBy("partition")
+
+
+@query(
+    "ddl_sql_truncate_partition",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ddl_sql_truncate_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE t PARTITION (p=v): the partition directory is
+    removed outright (metadata-speed, no rewrite of survivors); every
+    other partition must be untouched."""
+    path = _fresh_copy(
+        spark, sf_dir, "orders", "sql_trunc_part",
+        partition_cols=["o_orderpriority"],
+    )
+    eng = Engine(spark=spark)
+    eng.register_table("orders_trunc_part", path, ["o_orderpriority"])
+    eng.sql(
+        "TRUNCATE TABLE orders_trunc_part "
+        "PARTITION (o_orderpriority = '1-URGENT')"
+    ).collect()
+    return (
+        eng.table("orders_trunc_part")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "ddl_sql_export_import",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ddl_sql_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT TABLE ... TO / IMPORT TABLE ... FROM round trip
+    (Export/ImportSemanticAnalyzer over CopyTask/MoveTask): the imported
+    table must aggregate identically to the source, partition metadata
+    intact."""
+    import os
+    import shutil
+
+    from hive_2_3_2_spark.suite.dml import _SCRATCH
+
+    path = _fresh_copy(
+        spark, sf_dir, "orders", "sql_export_src",
+        partition_cols=["o_orderpriority"],
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    exp = os.path.abspath(os.path.join(_SCRATCH, f"sql_export_dir_{sf_tag}"))
+    shutil.rmtree(exp, ignore_errors=True)
+    eng = Engine(spark=spark)
+    eng.register_table("orders_export_src", path, ["o_orderpriority"])
+    eng.table_paths.pop("orders_exp_roundtrip", None)
+    eng.sql(f"EXPORT TABLE orders_export_src TO '{exp}'").collect()
+    eng.sql(f"IMPORT TABLE orders_exp_roundtrip FROM '{exp}'").collect()
+    return (
+        eng.table("orders_exp_roundtrip")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
