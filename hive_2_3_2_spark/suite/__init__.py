@@ -60,9 +60,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     subqueries(7) + lateral(6) + functions_scalar(8) + events_windows(9)
 #     + operators_misc(7) + hiveql_dialect(8) + misc_extra(4)
 #     + llm_pipeline(1).
-#   r4 queue (the 29 still unverified after r3): analytics_extra(3),
+#   r4 queue (the 37 still unverified after r3): analytics_extra(3),
 #     sorts tail(5), llm_cleaning(6), llm_embeddings(5), llm_lm(5),
-#     fn_xpath_family(1), aggregates tail(4).
+#     fn_xpath_family(1), aggregates tail(4), dml_sql(7, incl. the DDL
+#     statement entries), similarity_topk_pq(1).
 # FREEZE RULE: new registry entries land in modules BELOW the window
 # marker so registry growth can't outrun driver verification again.
 _MODULES = [
