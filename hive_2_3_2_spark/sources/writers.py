@@ -280,17 +280,48 @@ def _staged_rewrite(
         _swap_dirs(target_path, staging)
 
 
+# Above this many touched partitions the OR-of-ANDs literal predicate
+# stops being worth compiling (and you're rewriting most of the table
+# anyway) — fall back to the broadcast semi join.
+_MAX_STATIC_PRUNE = 1000
+
+
+def _partition_filter(
+    partition_cols: list[str], values: list[tuple]
+) -> Column | None:
+    """Static OR-of-ANDs predicate over collected partition tuples.
+
+    Compiled onto the rewrite scan it becomes a PartitionFilter — the
+    scan READS only the touched partitions. The broadcast-semi-join form
+    is value-identical but prunes nothing statically (measured:
+    PartitionFilters [isnotnull] only), so at 100 TB a DELETE touching
+    one day would scan the whole table. NULL partition values map to
+    IS NULL (the __HIVE_DEFAULT_PARTITION__ directory)."""
+    if not values or len(values) > _MAX_STATIC_PRUNE:
+        return None
+    pred = None
+    for tup in values:
+        clause = None
+        for c, v in zip(partition_cols, tup):
+            e = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            clause = e if clause is None else (clause & e)
+        pred = clause if pred is None else (pred | clause)
+    return pred
+
+
 def _touched_partitions(
     spark, target: DataFrame, hit: Column, partition_cols: list[str]
-) -> tuple[int, DataFrame | None]:
-    """ONE discovery job: (affected row count, touched-partitions DF).
+) -> tuple[int, DataFrame | None, list[tuple]]:
+    """ONE discovery job: (affected row count, touched-partitions DF,
+    touched partition-value tuples).
 
     Replaces the r2 pattern of a pre-count scan PLUS a separate
     touched-distinct scan (judge finding: the DML front-end read the
     target twice before the rewrite read it again). The grouped count
     yields both answers in a single pass; the returned DF is a local
     relation (metadata-sized), so downstream semi-joins broadcast it and
-    ``_staged_rewrite``'s collect is free."""
+    ``_staged_rewrite``'s collect is free; the raw tuples feed
+    ``_partition_filter`` so the rewrite scan statically prunes."""
     stats = (
         target.filter(hit)
         .groupBy(*partition_cols)
@@ -299,12 +330,12 @@ def _touched_partitions(
     )
     affected = int(sum(r["__n"] for r in stats))
     if not stats:
-        return 0, None
+        return 0, None, []
+    values = [tuple(r[c] for c in partition_cols) for r in stats]
     touched = spark.createDataFrame(
-        [tuple(r[c] for c in partition_cols) for r in stats],
-        target.select(*partition_cols).schema,
+        values, target.select(*partition_cols).schema
     )
-    return affected, touched
+    return affected, touched, values
 
 
 def delete_where(
@@ -332,14 +363,22 @@ def delete_where(
     target = spark.read.parquet(target_path)
     survivors = target.filter(~F.coalesce(condition, F.lit(False)))
     if partition_cols:
-        affected, touched = _touched_partitions(
+        affected, touched, values = _touched_partitions(
             spark, target, F.coalesce(condition, F.lit(False)), partition_cols
         )
         if touched is None:
             return 0
-        survivors = survivors.join(
-            F.broadcast(touched), partition_cols, "left_semi"
-        )
+        pred = _partition_filter(partition_cols, values)
+        if pred is not None:
+            # static PartitionFilters: the rewrite scan READS only the
+            # touched partitions (value-identical to the semi join)
+            survivors = target.filter(pred).filter(
+                ~F.coalesce(condition, F.lit(False))
+            )
+        else:
+            survivors = survivors.join(
+                F.broadcast(touched), partition_cols, "left_semi"
+            )
         _staged_rewrite(spark, target_path, survivors, partition_cols, touched)
         return affected
     before = parquet_row_count(target_path)
@@ -391,12 +430,18 @@ def update_where(
         ]
     )
     if partition_cols:
-        affected, touched = _touched_partitions(spark, target, hit, partition_cols)
+        affected, touched, values = _touched_partitions(
+            spark, target, hit, partition_cols
+        )
         if touched is None:
             return 0
-        updated = updated.join(
-            F.broadcast(touched), partition_cols, "left_semi"
-        )
+        pred = _partition_filter(partition_cols, values)
+        if pred is not None:
+            updated = updated.filter(pred)  # static scan pruning
+        else:
+            updated = updated.join(
+                F.broadcast(touched), partition_cols, "left_semi"
+            )
         _staged_rewrite(spark, target_path, updated, partition_cols, touched)
         return affected
     _staged_rewrite(spark, target_path, updated, None, None)
@@ -602,64 +647,108 @@ def merge_apply(
     target = spark.read.parquet(target_path)
     fields = {f.name: f.dataType for f in target.schema.fields}
     cols = target.columns
-    t = target.alias(target_alias)
-    s = source.alias(source_alias)
-    join_cond = None
-    for tc, sc in key_pairs:
-        eq = F.col(f"{target_alias}.{tc}") == F.col(f"{source_alias}.{sc}")
-        join_cond = eq if join_cond is None else (join_cond & eq)
-    joined = t.join(s, join_cond, "full_outer")
-    t_present = F.col(f"{target_alias}.{key_pairs[0][0]}").isNotNull()
-    s_present = F.col(f"{source_alias}.{key_pairs[0][1]}").isNotNull()
-    matched = t_present & s_present
-    s_only = ~t_present & s_present
 
-    upd_cond = F.lit(False)
-    del_cond = F.lit(False)
-    upd_set: dict[str, Column] = {}
-    if matched_action is not None:
-        kind, sets, cond = matched_action
-        branch = matched if cond is None else (
-            matched & F.coalesce(cond, F.lit(False))
-        )
-        if kind == "update":
-            upd_cond, upd_set = branch, dict(sets or {})
-        else:
-            del_cond = branch
-    ins_cond = F.lit(False)
-    if insert_values is not None:
-        ins_cond = s_only if insert_condition is None else (
-            s_only & F.coalesce(insert_condition, F.lit(False))
-        )
+    def build(tgt: DataFrame):
+        """(joined, out-exprs, changed, matched, keep) over ``tgt`` —
+        called once for discovery on the full target and, when static
+        pruning applies, again over the partition-pruned target for the
+        rewrite pass."""
+        t = tgt.alias(target_alias)
+        s = source.alias(source_alias)
+        join_cond = None
+        for tc, sc in key_pairs:
+            eq = F.col(f"{target_alias}.{tc}") == F.col(f"{source_alias}.{sc}")
+            join_cond = eq if join_cond is None else (join_cond & eq)
+        joined = t.join(s, join_cond, "full_outer")
+        t_present = F.col(f"{target_alias}.{key_pairs[0][0]}").isNotNull()
+        s_present = F.col(f"{source_alias}.{key_pairs[0][1]}").isNotNull()
+        matched = t_present & s_present
+        s_only = ~t_present & s_present
 
-    out = []
-    for c in cols:
-        expr = F.col(f"{target_alias}.{c}")
-        if c in upd_set:
-            expr = F.when(upd_cond, upd_set[c].cast(fields[c])).otherwise(expr)
+        upd_cond = F.lit(False)
+        del_cond = F.lit(False)
+        upd_set: dict[str, Column] = {}
+        if matched_action is not None:
+            kind, sets, cond = matched_action
+            branch = matched if cond is None else (
+                matched & F.coalesce(cond, F.lit(False))
+            )
+            if kind == "update":
+                upd_cond, upd_set = branch, dict(sets or {})
+            else:
+                del_cond = branch
+        ins_cond = F.lit(False)
         if insert_values is not None:
-            ins_e = insert_values.get(c, F.lit(None))
-            expr = F.when(ins_cond, ins_e.cast(fields[c])).otherwise(expr)
-        out.append(expr.alias(c))
-    changed = upd_cond | del_cond | ins_cond
-    keep = ~del_cond & ~(s_only & ~ins_cond)
+            ins_cond = s_only if insert_condition is None else (
+                s_only & F.coalesce(insert_condition, F.lit(False))
+            )
+
+        out = []
+        for c in cols:
+            expr = F.col(f"{target_alias}.{c}")
+            if c in upd_set:
+                expr = F.when(
+                    upd_cond, upd_set[c].cast(fields[c])
+                ).otherwise(expr)
+            if insert_values is not None:
+                ins_e = insert_values.get(c, F.lit(None))
+                expr = F.when(ins_cond, ins_e.cast(fields[c])).otherwise(expr)
+            out.append(expr.alias(c))
+        changed = upd_cond | del_cond | ins_cond
+        keep = ~del_cond & ~(s_only & ~ins_cond)
+        return joined, out, changed, matched, keep
 
     if partition_cols:
+        joined, out, changed, matched, keep = build(target)
         pre = joined.select(
-            *out, changed.alias("__changed"), keep.alias("__keep")
+            *out,
+            changed.alias("__changed"),
+            matched.alias("__matched"),
+            keep.alias("__keep"),
         )
-        affected, touched = _touched_partitions(
-            spark, pre, F.col("__changed"), partition_cols
+        # ONE discovery job: per-partition changed AND matched counts.
+        stats = (
+            pre.filter(F.col("__changed") | F.col("__matched"))
+            .groupBy(*partition_cols)
+            .agg(
+                F.sum(F.col("__changed").cast("long")).alias("__ch"),
+                F.count(F.lit(1)).alias("__any"),
+            )
+            .collect()
         )
-        if touched is None:
+        affected = int(sum(r["__ch"] for r in stats))
+        touched_vals = [
+            tuple(r[c] for c in partition_cols)
+            for r in stats
+            if r["__ch"] > 0
+        ]
+        if not touched_vals:
             return 0
-        merged = (
-            pre.filter("__keep")
-            .drop("__changed", "__keep")
-            .join(F.broadcast(touched), partition_cols, "left_semi")
+        touched = spark.createDataFrame(
+            touched_vals, target.select(*partition_cols).schema
         )
+        # Prune set ⊇ swap set: it must ALSO cover matched-but-unchanged
+        # partitions — pruning a partition holding a source row's match
+        # would reclassify that row as unmatched and spuriously INSERT it.
+        prune_vals = [tuple(r[c] for c in partition_cols) for r in stats]
+        pred = _partition_filter(partition_cols, prune_vals)
+        if pred is not None:
+            joined2, out2, _ch2, _mt2, keep2 = build(target.filter(pred))
+            merged = (
+                joined2.filter(keep2)
+                .select(*out2)
+                .join(F.broadcast(touched), partition_cols, "left_semi")
+            )
+        else:
+            merged = (
+                pre.filter("__keep")
+                .drop("__changed", "__matched", "__keep")
+                .join(F.broadcast(touched), partition_cols, "left_semi")
+            )
         _staged_rewrite(spark, target_path, merged, partition_cols, touched)
         return affected
+
+    joined, out, changed, _matched, keep = build(target)
     obs = Observation()
     pre = joined.observe(
         obs, F.sum(changed.cast("long")).alias("__changed")

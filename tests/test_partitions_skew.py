@@ -100,3 +100,59 @@ def test_bucket_pruning_on_bucketed_table(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql(f"DROP TABLE {t}")
+
+
+def test_dml_rewrite_scan_statically_prunes_touched_partitions(spark, sf_dir, tmp_path):
+    """The partitioned DML rewrite must compile the collected touched
+    partition values into static PartitionFilters so the rewrite scan
+    READS only those partitions — the broadcast-semi-join form is
+    value-identical but scans the whole table (the 100 TB failure mode:
+    a DELETE touching one day rewriting nothing but scanning all)."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.sources.writers import (
+        _partition_filter,
+        parquet_row_count,
+    )
+
+    path = str(tmp_path / "orders_prune.parquet")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    target = spark.read.parquet(path)
+    pred = _partition_filter(["o_orderpriority"], [("1-URGENT",)])
+    plan = (
+        target.filter(pred)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "1-URGENT" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    # end-to-end: DELETE confined to one partition leaves other
+    # partitions' FILES untouched (same inodes — no rewrite happened)
+    import os
+
+    def files_of(prio):
+        d = os.path.join(path, f"o_orderpriority={prio}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_low = files_of("5-LOW")
+    from hive_2_3_2_spark.sources.writers import delete_where
+
+    n = delete_where(
+        spark,
+        path,
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 2 == 0),
+        ["o_orderpriority"],
+    )
+    assert n > 0
+    assert files_of("5-LOW") == before_low  # untouched partition intact
+    assert parquet_row_count(path) == spark.read.parquet(path).count()
