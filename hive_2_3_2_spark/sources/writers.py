@@ -163,9 +163,30 @@ def merge_upsert(
     touched partitions, then swap those partition directories into
     place (non-atomicity across partitions is inherent to log-less
     parquet, see SURVEY §7.4).
+
+    Partition-column rule (same as Hive UPDATE): for matched keys the
+    update rows must carry the target row's partition values — a
+    partition-moving upsert would need the OLD partition rewritten too,
+    which this prune does not do (use delete + insert to move rows).
     """
     target = spark.read.parquet(target_path)
     cols = target.columns
+    if partition_cols:
+        # Touched partitions collected ONCE (metadata-sized) — they both
+        # statically prune the target scan (real PartitionFilters, not a
+        # scan-everything semi join) and drive the directory swaps.
+        values = [
+            tuple(r[c] for c in partition_cols)
+            for r in updates.select(*partition_cols).distinct().collect()
+        ]
+        if not values:
+            return
+        touched = spark.createDataFrame(
+            values, target.select(*partition_cols).schema
+        )
+        pred = _partition_filter(partition_cols, values)
+        if pred is not None:
+            target = target.filter(pred)
     t = target.alias("t")
     u = updates.alias("u")
     cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in key_cols]
@@ -188,8 +209,6 @@ def merge_upsert(
     merged = merged.drop("__matched")
 
     if partition_cols:
-        # Only partitions containing updated keys need rewriting.
-        touched = updates.select(*partition_cols).distinct()
         merged = merged.join(F.broadcast(touched), partition_cols, "left_semi")
         _staged_rewrite(spark, target_path, merged, partition_cols, touched)
     else:
