@@ -149,10 +149,37 @@ def bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_fraction", oracle=None)
+@query(
+    "sample_fraction",
+    oracle="""
+    SELECT TRUE AS count_in_bounds, TRUE AS all_rows_from_source
+    """,
+)
 def fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percent TABLESAMPLE → df.sample(fraction, seed). Row set is
-    engine-RNG-dependent ⇒ rows-only check (count bounds asserted in
-    tests/test_operators.py)."""
+    """Percent TABLESAMPLE → df.sample(fraction, seed). The row SET is
+    engine-RNG-dependent (no cross-engine value oracle exists), so this
+    emits INVARIANT BOOLEANS (the sketch/ANN-entry trick): the sampled
+    count sits inside ±6σ Bernoulli bounds around 0.1·n, and an anti-join
+    proves every sampled row exists in the source. Both booleans are
+    TRUE for any correct Bernoulli sampler (6σ ≈ 1-in-10⁹ per run even
+    over RNG draws), so the DuckDB literal oracle hash-checks them; the
+    tighter count bounds stay asserted in tests/test_operators.py."""
+    import math
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    sampled = li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+    n = li.count()
+    mu, sigma = 0.1 * n, math.sqrt(n * 0.1 * 0.9)
+    lo, hi = int(mu - 6 * sigma), int(mu + 6 * sigma)
+    stats = sampled.agg(F.count(F.lit(1)).alias("k"))
+    foreign = sampled.join(
+        li.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("bad"))
+    return stats.crossJoin(foreign).select(
+        F.col("k").between(lo, hi).alias("count_in_bounds"),
+        (F.col("bad") == 0).alias("all_rows_from_source"),
+    )
