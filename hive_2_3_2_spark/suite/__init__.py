@@ -56,17 +56,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     aggregates[0:10].
 #   r2 window (verified): dml(5) + aggregates_sketch(2) + llm core(29) +
 #     windows(6) + setops(6) + sorts[0:2].
-#   r3 window (this order, exactly 50 never-driver-verified entries):
-#     subqueries(7) + lateral(6) + functions_scalar(8) + events_windows(9)
-#     + operators_misc(7) + hiveql_dialect(8) + misc_extra(4)
-#     + llm_pipeline(1).
-#   r4 queue (the 37 still unverified after r3): analytics_extra(3),
-#     sorts tail(5), llm_cleaning(6), llm_embeddings(5), llm_lm(5),
-#     fn_xpath_family(1), aggregates tail(4), dml_sql(7, incl. the DDL
-#     statement entries), similarity_topk_pq(1).
-# FREEZE RULE: new registry entries land in modules BELOW the window
-# marker so registry growth can't outrun driver verification again.
+#   r3 window (verified 50/50): subqueries(7) + lateral(6)
+#     + functions_scalar(8) + events_windows(9) + operators_misc(7)
+#     + hiveql_dialect(8) + misc_extra(4) + llm_pipeline(1).
+#   r4 window (this order): ALL 38 entries with no green driver row ever —
+#     analytics_extra(3), sorts tail(5), llm_cleaning(6),
+#     llm_embeddings(5), llm_lm(5), fn_xpath_family(1), aggregates
+#     tail(4, split into aggregates_tail so the 8 r1-verified aggregates
+#     stay out of the window), dml_sql(7 + the new multi-clause MERGE
+#     entry), and similarity_topk_ivf (re-queued: its only driver row
+#     ever is r2's `err: no_oracle`; the recall-invariant oracle landed
+#     in r3) + similarity_topk_pq — padded to 50 with re-verifications
+#     (sorts[0:2], functions_scalar3's four r1-green entries,
+#     similarity bruteforce/lsh, dml head). After r4: 185/185 registry
+#     entries driver-verified at least once.
+# FREEZE RULE: new registry entries land either INSIDE the current
+# window (if added this round) or below it — growth can't outrun driver
+# verification.
 _MODULES = [
+    "analytics_extra",  # 3 unverified                          (cum  3)
+    "sorts",            # 5 unverified + 2 reverify             (cum 10)
+    "llm_cleaning",     # 6 unverified                          (cum 16)
+    "llm_embeddings",   # 5 unverified                          (cum 21)
+    "llm_lm",           # 5 unverified                          (cum 26)
+    "functions_scalar3",  # 1 unverified (xpath) + 4 reverify   (cum 31)
+    "aggregates_tail",  # 4 unverified                          (cum 35)
+    "dml_sql",          # 7 unverified + new merge_multi_clause (cum 43)
+    "llm_similarity",   # ivf(requeue) + pq + 2 reverify        (cum 47)
+    "dml",              # 3 of 5 reverify fill the window       (cum 52)
+    # --- 50-entry r4 window ends at dml's 3rd entry ---
     "subqueries",
     "lateral",
     "functions_scalar",
@@ -75,20 +93,10 @@ _MODULES = [
     "hiveql_dialect",
     "misc_extra",
     "llm_pipeline",
-    # --- 50-entry r3 window ends here ---
-    "analytics_extra",
-    "sorts",
-    "llm_cleaning",
-    "llm_embeddings",
-    "llm_lm",
-    "functions_scalar3",
     "aggregates",
-    "dml",
-    "dml_sql",
     "aggregates_sketch",
     "llm_sampling",
     "llm_dedup",
-    "llm_similarity",
     "llm_text",
     "llm_chunking",
     "llm_multimodal",

@@ -14,9 +14,6 @@ mutated table's contents exactly.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,30 +24,7 @@ from hive_2_3_2_spark.sources.writers import (
     update_where,
 )
 from hive_2_3_2_spark.suite import query
-
-_SCRATCH = os.path.join(os.path.dirname(__file__), "..", "..", ".dml_scratch")
-
-
-def _fresh_copy(
-    spark: SparkSession,
-    sf_dir: str,
-    table: str,
-    name: str,
-    partition_cols: list[str] | None = None,
-) -> str:
-    """Copy ``table`` to a fixed scratch path for query ``name`` (scoped
-    by SF so sf0.01 and sf0.1 runs don't collide) and return the path."""
-    dst = os.path.abspath(
-        os.path.join(_SCRATCH, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}")
-    )
-    shutil.rmtree(dst, ignore_errors=True)
-    src = load_table(spark, sf_dir, table)
-    w = src.write
-    if partition_cols:
-        w = src.repartition(*partition_cols).write.partitionBy(*partition_cols)
-    w.parquet(dst)
-    return dst
-
+from hive_2_3_2_spark.suite._scratch import _fresh_copy
 
 @query(
     "dml_delete_where",

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from hive_2_3_2_spark.engine import Engine
 from hive_2_3_2_spark.suite import query
-from hive_2_3_2_spark.suite.dml import _fresh_copy
+from hive_2_3_2_spark.suite._scratch import _fresh_copy
 
 
 @query(

@@ -249,14 +249,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
-    store_path = os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__),
-            "..",
-            "..",
-            ".dedup_store",
-            os.path.basename(sf_dir.rstrip("/")),
-        )
+    from hive_2_3_2_spark.suite._scratch import scratch_root
+
+    store_path = os.path.join(
+        scratch_root("dedup_store"), os.path.basename(sf_dir.rstrip("/"))
     )
     if not os.path.exists(os.path.join(store_path, "bands")):
         D.write_signature_store(hist, store_path)

@@ -79,17 +79,14 @@ def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_index_path(sf_dir: str) -> str:
-    """Repo-local persisted IVF index directory for one fixture dir."""
+    """Persisted IVF index directory for one fixture dir (under the
+    system tmpdir via _scratch.scratch_root — repo root stays clean)."""
     import os
 
-    return os.path.abspath(
-        os.path.join(
-            os.path.dirname(__file__),
-            "..",
-            "..",
-            ".ivf_index",
-            os.path.basename(sf_dir.rstrip("/")),
-        )
+    from hive_2_3_2_spark.suite._scratch import scratch_root
+
+    return os.path.join(
+        scratch_root("ivf_index"), os.path.basename(sf_dir.rstrip("/"))
     )
 
 
