@@ -97,6 +97,12 @@ _ROW_FORMAT_STORED = re.compile(
     re.IGNORECASE,
 )
 _STORED_AS = re.compile(r"STORED\s+AS\s+(\w+)", re.IGNORECASE)
+# The STORED AS / ROW FORMAT rewrite only applies in CREATE TABLE
+# context — matching anywhere would rewrite (or reject) the text
+# 'STORED AS X' inside string literals/comments of a pure SELECT.
+_CREATE_TABLE_PREFIX = re.compile(
+    r"\s*CREATE\s+(?:TEMPORARY\s+|EXTERNAL\s+)*TABLE\b", re.IGNORECASE
+)
 _STORED_AS_MAP = {
     "PARQUET": "USING parquet",
     "ORC": "USING orc",
@@ -380,6 +386,18 @@ class Engine:
             )
         return key
 
+    def _dml_registered(self, name: str) -> bool:
+        """True if ``name`` is a path-backed table this Engine manages.
+
+        Statements whose target is NOT registered fall through to
+        ``spark.sql`` (the Spark parser accepts INSERT/TRUNCATE/SHOW
+        PARTITIONS/ALTER PARTITION/... against catalog tables — e.g.
+        ones Engine.sql itself created via the STORED AS rewrite), so
+        catalog-backed tables keep working instead of getting a typed
+        rejection. Statements Spark cannot parse at all (EXPORT/IMPORT/
+        CONCATENATE) keep the typed error."""
+        return name.split(".")[-1].lower() in self.table_paths
+
     def _rows_affected(self, n: int) -> DataFrame:
         return self.spark.createDataFrame([(n,)], "rows_affected bigint")
 
@@ -396,7 +414,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         m = _DELETE_STMT.match(query)
-        if m:
+        if m and self._dml_registered(m.group(1)):
             from hive_2_3_2_spark.sources.writers import delete_where
 
             key = self._resolve_dml_table(m.group(1))
@@ -407,7 +425,7 @@ class Engine:
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
         m = _UPDATE_STMT.match(query)
-        if m:
+        if m and self._dml_registered(m.group(1)):
             from hive_2_3_2_spark.sources.writers import update_where
 
             key = self._resolve_dml_table(m.group(1))
@@ -422,25 +440,37 @@ class Engine:
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
         m = _INSERT_STMT.match(query)
-        if m:
+        if m and self._dml_registered(m.group(2)):
             return self._run_insert(m)
         m = _MULTI_INSERT_STMT.match(query)
         if m:
-            return self._run_multi_insert(m.group(1), m.group(2))
+            targets = re.findall(
+                r"INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)",
+                m.group(2),
+                re.IGNORECASE,
+            )
+            known = [t for t in targets if self._dml_registered(t)]
+            if known and len(known) < len(targets):
+                raise HiveQLUnsupportedError(
+                    "multi-insert mixes Engine-registered and catalog "
+                    f"targets {targets} — register all or none"
+                )
+            if known:
+                return self._run_multi_insert(m.group(1), m.group(2))
         m = _LOAD_DATA_STMT.match(query)
-        if m:
+        if m and self._dml_registered(m.group(3)):
             return self._run_load_data(m)
         m = _MERGE_STMT.match(query)
-        if m:
+        if m and self._dml_registered(m.group(1)):
             return self._run_merge(m)
         m = _TRUNCATE_STMT.match(query)
-        if m:
+        if m and self._dml_registered(m.group(1)):
             return self._run_truncate(m)
         m = _SHOW_PARTITIONS_STMT.match(query)
-        if m:
+        if m and self._dml_registered(m.group(1)):
             return self._run_show_partitions(m.group(1))
         m = _ALTER_PARTITION_STMT.match(query)
-        if m:
+        if m and self._dml_registered(m.group(1)):
             return self._run_alter_partition(m)
         m = _CONCATENATE_STMT.match(query)
         if m:
@@ -753,6 +783,13 @@ class Engine:
         key = self._resolve_dml_table(table)
         path = self.table_paths[key]
         parts = self.table_partitions.get(key)
+        if parts and not partspec:
+            raise HiveQLUnsupportedError(
+                f"LOAD DATA into partitioned table {key!r} requires a "
+                "static PARTITION spec (Hive rule; moving files into the "
+                "table root would produce a mixed-depth layout that "
+                "breaks partition discovery)"
+            )
         static, dynamic = _parse_partition_spec(partspec or "")
         if dynamic or (partspec and not parts):
             raise HiveQLUnsupportedError(
@@ -879,8 +916,26 @@ class Engine:
                     name, F.expr(lit_sql).cast(fields[name])
                 )
             aligned = aligned.select(*target.columns)
+        static_values = None
+        if overwrite and parts and not dynamic and set(static) == set(parts):
+            # Fully static spec: pre-resolve the literal partition tuple
+            # so the named partition is swapped (= cleared) even when
+            # the SELECT returns zero rows (Hive semantics).
+            row = self.spark.sql(
+                "SELECT "
+                + ", ".join(
+                    f"CAST({static[p]} AS {fields[p].simpleString()})"
+                    for p in parts
+                )
+            ).first()
+            static_values = [tuple(row)]
         n = insert_rows(
-            self.spark, path, aligned, parts or None, overwrite=overwrite
+            self.spark,
+            path,
+            aligned,
+            parts or None,
+            overwrite=overwrite,
+            static_partition_values=static_values,
         )
         self.register_table(key, path, parts or None)
         return self._rows_affected(n)
@@ -1081,7 +1136,8 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     out = _TABLESAMPLE.sub(
         lambda m: _rewrite_tablesample(m, col_types.get(m.start())), query
     )
-    out = _rewrite_stored_as(out)
+    if _CREATE_TABLE_PREFIX.match(out):
+        out = _rewrite_stored_as(out)
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     return out

@@ -187,12 +187,17 @@ def merge_upsert(
         pred = _partition_filter(partition_cols, values)
         if pred is not None:
             target = target.filter(pred)
-    t = target.alias("t")
-    u = updates.alias("u")
+    # Side-presence rides synthetic marker columns, NOT key-column
+    # isNotNull: a NULL-key update row never joins (NULL = NULL is not
+    # true), but Hive still routes it through WHEN NOT MATCHED INSERT —
+    # key isNotNull would misclassify it as "neither side present" and
+    # emit an all-NULL target row instead.
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    u = updates.withColumn("__u_present", F.lit(True)).alias("u")
     cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in key_cols]
     joined = t.join(u, cond, "full_outer")
-    has_update = F.col(f"u.{key_cols[0]}").isNotNull()
-    matched = has_update & F.col(f"t.{key_cols[0]}").isNotNull()
+    has_update = F.coalesce(F.col("u.__u_present"), F.lit(False))
+    matched = has_update & F.coalesce(F.col("t.__t_present"), F.lit(False))
     merged = joined.select(
         *[
             F.when(has_update, F.col(f"u.{c}"))
@@ -566,6 +571,7 @@ def insert_rows(
     df: DataFrame,
     partition_cols: list[str] | None = None,
     overwrite: bool = False,
+    static_partition_values: list[tuple] | None = None,
 ) -> int:
     """Execute ``INSERT INTO`` / ``INSERT OVERWRITE`` against the parquet
     table at ``target_path``; returns the number of rows written.
@@ -593,8 +599,19 @@ def insert_rows(
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("__n"))
     if overwrite:
+        # With a fully static PARTITION spec the named partition is the
+        # swap set even when the query returns zero rows — Hive clears
+        # the target partition regardless (an empty staging listing
+        # alone would leave it intact). Dynamic overwrite keeps the
+        # staged-listing-derived swap set (touched=None).
+        touched = None
+        if static_partition_values and partition_cols:
+            touched = spark.createDataFrame(
+                static_partition_values,
+                df.select(*partition_cols).schema,
+            )
         _staged_rewrite(
-            spark, target_path, df, partition_cols or None, None
+            spark, target_path, df, partition_cols or None, touched
         )
         return int(obs.get["__n"] or 0)
     staging = _staging_dir(target_path)
@@ -672,15 +689,24 @@ def merge_apply(
         called once for discovery on the full target and, when static
         pruning applies, again over the partition-pruned target for the
         rewrite pass."""
-        t = tgt.alias(target_alias)
-        s = source.alias(source_alias)
+        # Synthetic presence markers, not key isNotNull: a NULL-key
+        # source row never joins, but Hive classifies it NOT MATCHED and
+        # routes it through the INSERT clause — key isNotNull would
+        # leave it "neither matched nor source-only" and keep it as an
+        # all-NULL phantom target row.
+        t = tgt.withColumn("__t_present", F.lit(True)).alias(target_alias)
+        s = source.withColumn("__s_present", F.lit(True)).alias(source_alias)
         join_cond = None
         for tc, sc in key_pairs:
             eq = F.col(f"{target_alias}.{tc}") == F.col(f"{source_alias}.{sc}")
             join_cond = eq if join_cond is None else (join_cond & eq)
         joined = t.join(s, join_cond, "full_outer")
-        t_present = F.col(f"{target_alias}.{key_pairs[0][0]}").isNotNull()
-        s_present = F.col(f"{source_alias}.{key_pairs[0][1]}").isNotNull()
+        t_present = F.coalesce(
+            F.col(f"{target_alias}.__t_present"), F.lit(False)
+        )
+        s_present = F.coalesce(
+            F.col(f"{source_alias}.__s_present"), F.lit(False)
+        )
         matched = t_present & s_present
         s_only = ~t_present & s_present
 

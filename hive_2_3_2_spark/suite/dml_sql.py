@@ -173,7 +173,7 @@ def dml_sql_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from hive_2_3_2_spark.suite.dml import _SCRATCH
+    from hive_2_3_2_spark.suite._scratch import scratch_root
 
     src = _fresh_copy(spark, sf_dir, "customer", "sql_mi_src")
     eng = Engine(spark=spark)
@@ -183,7 +183,7 @@ def dml_sql_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     for nm in ("hi", "lo"):
-        dst = os.path.abspath(os.path.join(_SCRATCH, f"sql_mi_{nm}_{sf_tag}"))
+        dst = os.path.join(scratch_root("dml"), f"sql_mi_{nm}_{sf_tag}")
         shutil.rmtree(dst, ignore_errors=True)
         empty.write.parquet(dst)
         eng.register_table(f"cust_mi_{nm}", dst)
@@ -274,14 +274,14 @@ def ddl_sql_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from hive_2_3_2_spark.suite.dml import _SCRATCH
+    from hive_2_3_2_spark.suite._scratch import scratch_root
 
     path = _fresh_copy(
         spark, sf_dir, "orders", "sql_export_src",
         partition_cols=["o_orderpriority"],
     )
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    exp = os.path.abspath(os.path.join(_SCRATCH, f"sql_export_dir_{sf_tag}"))
+    exp = os.path.join(scratch_root("dml"), f"sql_export_dir_{sf_tag}")
     shutil.rmtree(exp, ignore_errors=True)
     eng = Engine(spark=spark)
     eng.register_table("orders_export_src", path, ["o_orderpriority"])

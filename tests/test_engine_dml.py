@@ -47,10 +47,15 @@ def test_sql_update_with_commas_and_null_cond(eng_with_copy):
     assert t.filter("c_custkey % 3 != 0 AND c_name LIKE 'x%'").count() == 0
 
 
-def test_sql_dml_unregistered_table_raises(spark):
+def test_sql_dml_unregistered_table_falls_through(spark):
+    """DML on a table the Engine doesn't manage falls through to
+    spark.sql — catalog-backed tables keep working; a nonexistent table
+    surfaces Spark's own resolution error, not a typed rejection."""
+    from pyspark.errors import AnalysisException
+
     eng = Engine(spark=spark)
-    with pytest.raises(HiveQLUnsupportedError, match="register_table"):
-        eng.sql("DELETE FROM nosuch WHERE 1=1")
+    with pytest.raises(AnalysisException):
+        eng.sql("DELETE FROM nosuch_table_xyz WHERE 1=1")
 
 
 def test_sql_select_still_passes_through(eng_with_copy):
@@ -484,3 +489,127 @@ def test_run_script_multi_statement(eng_with_copy):
         eng.table("customer_copy").filter("c_custkey = 1").collect()[0].c_name
         == "a;b"
     )
+
+
+def test_sql_merge_null_key_source_row_inserts(eng_with_copy, spark):
+    """A source row whose join key is NULL never matches (NULL = NULL is
+    not true) but Hive still routes it through WHEN NOT MATCHED INSERT —
+    it must NOT survive as an all-NULL phantom target row."""
+    eng = eng_with_copy
+    spark.sql(
+        "SELECT CAST(NULL AS BIGINT) AS k, 111.0 AS bal UNION ALL "
+        "SELECT CAST(88000002 AS BIGINT), 222.0"
+    ).createOrReplaceTempView("nullkey_src")
+    before = eng.table("customer_copy").count()
+    res = eng.sql(
+        "MERGE INTO customer_copy t USING nullkey_src s ON t.c_custkey = s.k "
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal) "
+        "VALUES (s.k, 'nullkey', s.bal)"
+    ).collect()
+    assert res[0].rows_affected == 2
+    t = eng.table("customer_copy")
+    assert t.count() == before + 2
+    ins = t.filter("c_name = 'nullkey'").orderBy("c_acctbal").collect()
+    assert [r.c_acctbal for r in ins] == [111.0, 222.0]
+    assert ins[0].c_custkey is None and ins[1].c_custkey == 88000002
+    # no phantom: every row without the marker name has a key
+    assert t.filter("c_custkey IS NULL AND c_name != 'nullkey'").count() == 0
+
+
+def test_merge_upsert_api_null_key_row_inserts(spark, sf_dir, tmp_path):
+    """Same NULL-key rule for the merge_upsert API: the update row is
+    classified not-matched and inserted wholly, not degraded to an
+    all-NULL merged row."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.sources.writers import merge_upsert
+
+    dst = str(tmp_path / "nation_mu.parquet")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(dst)
+    before = spark.read.parquet(dst).count()
+    updates = spark.createDataFrame(
+        [(None, "NULLKEY", 0, "inserted"), (0, "ALGERIA2", 0, "updated")],
+        "n_nationkey bigint, n_name string, n_regionkey bigint, "
+        "n_comment string",
+    )
+    merge_upsert(spark, dst, updates, ["n_nationkey"])
+    t = spark.read.parquet(dst)
+    assert t.count() == before + 1
+    assert t.filter(F.col("n_nationkey").isNull()).collect()[0].n_name == (
+        "NULLKEY"
+    )
+    assert t.filter("n_nationkey = 0").collect()[0].n_name == "ALGERIA2"
+
+
+def test_sql_insert_catalog_table_falls_through(spark, tmp_path):
+    """Engine.sql DML statements on a table NOT registered via
+    register_table fall through to spark.sql — a catalog table the
+    Engine itself created (STORED AS rewrite) stays INSERTable."""
+    eng = Engine(spark=spark)
+    loc = str(tmp_path / "cat_tbl")
+    eng.sql(
+        f"CREATE TABLE eng_cat_tbl (k INT, v STRING) STORED AS PARQUET "
+        f"LOCATION '{loc}'"
+    )
+    try:
+        eng.sql("INSERT INTO eng_cat_tbl VALUES (1, 'a'), (2, 'b')")
+        assert eng.sql("SELECT count(*) AS n FROM eng_cat_tbl").collect()[
+            0
+        ].n == 2
+        eng.sql("INSERT OVERWRITE eng_cat_tbl VALUES (3, 'c')")
+        assert eng.sql("SELECT count(*) AS n FROM eng_cat_tbl").collect()[
+            0
+        ].n == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eng_cat_tbl")
+
+
+def test_stored_as_in_string_literal_passes_through(eng_with_copy):
+    """'STORED AS X' inside a SELECT string literal is data, not DDL —
+    must not be rewritten or rejected (the rewrite is CREATE TABLE
+    scoped)."""
+    row = eng_with_copy.sql(
+        "SELECT 'STORED AS SEQUENCEFILE' AS s, c_custkey "
+        "FROM customer_copy WHERE c_custkey = 1"
+    ).collect()[0]
+    assert row.s == "STORED AS SEQUENCEFILE"
+
+
+def test_sql_load_data_partitioned_requires_partition_spec(
+    eng_part_orders, tmp_path
+):
+    """LOAD DATA into a partitioned table without a PARTITION spec is a
+    typed error (Hive rule) — moving files into the table root would
+    break partition discovery on the next read."""
+    src = str(tmp_path / "lf")
+    eng_part_orders.table("orders_part").limit(5).drop(
+        "o_orderpriority"
+    ).write.parquet(src)
+    with pytest.raises(HiveQLUnsupportedError, match="PARTITION spec"):
+        eng_part_orders.sql(
+            f"LOAD DATA INPATH '{src}' INTO TABLE orders_part"
+        )
+
+
+def test_sql_insert_overwrite_static_partition_empty_select_clears(
+    eng_part_orders,
+):
+    """INSERT OVERWRITE with a fully static PARTITION spec and an empty
+    SELECT still truncates the named partition (Hive clears it even for
+    zero result rows); other partitions are untouched."""
+    eng = eng_part_orders
+    t = eng.table("orders_part")
+    tgt = "1-URGENT"
+    n_before = t.filter(f"o_orderpriority = '{tgt}'").count()
+    total = t.count()
+    assert n_before > 0
+    res = eng.sql(
+        "INSERT OVERWRITE orders_part PARTITION (o_orderpriority = "
+        f"'{tgt}') SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate "
+        "FROM orders_part WHERE 1 = 0"
+    ).collect()
+    assert res[0].rows_affected == 0
+    t = eng.table("orders_part")
+    assert t.filter(f"o_orderpriority = '{tgt}'").count() == 0
+    assert t.count() == total - n_before
