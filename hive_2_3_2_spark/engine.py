@@ -941,12 +941,13 @@ class Engine:
         return self._rows_affected(n)
 
     def _run_merge(self, m: re.Match[str]) -> DataFrame:
-        """Single-clause-per-branch MERGE statement (reference:
-        parse/UpdateDeleteSemanticAnalyzer.java:86): at most one WHEN
-        MATCHED branch (UPDATE SET or DELETE, optional AND condition)
-        plus at most one WHEN NOT MATCHED THEN INSERT. Richer multi-
-        clause grammars raise HiveQLUnsupportedError — explicitly, not
-        silently-wrong."""
+        """MERGE statement with Hive's full clause surface (reference:
+        parse/UpdateDeleteSemanticAnalyzer.java:86): up to TWO WHEN
+        MATCHED clauses (one UPDATE + one DELETE, first-match-wins; with
+        two, the first MUST carry an AND condition — Hive's rule, since
+        an unconditional first clause would shadow the second) plus at
+        most one WHEN NOT MATCHED THEN INSERT. Anything richer raises
+        HiveQLUnsupportedError — explicitly, not silently-wrong."""
         from pyspark.sql import functions as F
 
         from hive_2_3_2_spark.sources.writers import merge_apply
@@ -992,7 +993,7 @@ class Engine:
                     f"(target alias {talias!r}, source alias {salias!r})"
                 )
 
-        matched_action = None
+        matched_actions: list = []
         insert_values = None
         insert_condition = None
         clauses = _WHEN_CLAUSE.findall(when_part)
@@ -1028,15 +1029,25 @@ class Engine:
                 }
                 insert_condition = cond
             else:
-                if matched_action is not None:
+                if len(matched_actions) == 2:
                     raise HiveQLUnsupportedError(
-                        "multi-clause WHEN MATCHED is not supported — one "
-                        "UPDATE or DELETE branch only (use the "
-                        "merge_upsert API for richer combinations)"
+                        "MERGE allows at most 2 WHEN MATCHED clauses "
+                        "(one UPDATE + one DELETE — "
+                        "UpdateDeleteSemanticAnalyzer rule)"
                     )
                 if action.upper() == "DELETE":
-                    matched_action = ("delete", None, cond)
+                    if any(k == "delete" for k, _s, _c in matched_actions):
+                        raise HiveQLUnsupportedError(
+                            "MERGE allows at most one WHEN MATCHED "
+                            "DELETE clause"
+                        )
+                    matched_actions.append(("delete", None, cond))
                 elif action.upper().startswith("UPDATE"):
+                    if any(k == "update" for k, _s, _c in matched_actions):
+                        raise HiveQLUnsupportedError(
+                            "MERGE allows at most one WHEN MATCHED "
+                            "UPDATE clause"
+                        )
                     sets = {}
                     for col, expr in _split_assignments(
                         re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I)
@@ -1049,11 +1060,17 @@ class Engine:
                                 "partitions is delete+insert)"
                             )
                         sets[bare] = F.expr(expr)
-                    matched_action = ("update", sets, cond)
+                    matched_actions.append(("update", sets, cond))
                 else:
                     raise HiveQLUnsupportedError(
                         f"unsupported WHEN MATCHED action: {action!r}"
                     )
+        if len(matched_actions) == 2 and matched_actions[0][2] is None:
+            raise HiveQLUnsupportedError(
+                "with two WHEN MATCHED clauses the FIRST must have an "
+                "AND <condition> (Hive rule — an unconditional first "
+                "clause would shadow the second)"
+            )
         affected = merge_apply(
             self.spark,
             path,
@@ -1061,7 +1078,7 @@ class Engine:
             talias,
             salias,
             key_pairs,
-            matched_action,
+            matched_actions,
             insert_values,
             insert_condition,
             parts,

@@ -648,13 +648,16 @@ def merge_apply(
     target_alias: str,
     source_alias: str,
     key_pairs: list[tuple[str, str]],
-    matched_action: tuple[str, dict[str, Column] | None, Column | None] | None,
+    matched_actions: list[
+        tuple[str, dict[str, Column] | None, Column | None]
+    ] | None,
     insert_values: dict[str, Column] | None,
     insert_condition: Column | None = None,
     partition_cols: list[str] | None = None,
 ) -> int:
-    """Execute a single-clause-per-branch MERGE statement; returns the
-    number of affected rows (updated + deleted + inserted).
+    """Execute a MERGE statement (up to two WHEN MATCHED clauses plus
+    one WHEN NOT MATCHED); returns the number of affected rows
+    (updated + deleted + inserted).
 
     Reference: parse/UpdateDeleteSemanticAnalyzer.java:86 rewrites MERGE
     INTO onto a right-outer-join insert over ACID deltas; the log-less
@@ -669,9 +672,13 @@ def merge_apply(
       unnamed target columns NULL;
     - everything else             → target row unchanged.
 
-    ``matched_action`` is ``("update", {col: expr}, cond)`` or
-    ``("delete", None, cond)`` — at most one matched branch (the
-    engine's SQL front-end rejects multi-clause grammars explicitly).
+    ``matched_actions`` is an ordered list of
+    ``("update", {col: expr}, cond)`` / ``("delete", None, cond)`` —
+    Hive allows at most two (one UPDATE + one DELETE, and with two the
+    FIRST must carry a condition: UpdateDeleteSemanticAnalyzer.java:86).
+    Clause order is first-match-wins: a matched row is claimed by the
+    first clause whose condition holds; later clauses see only
+    still-unclaimed rows (Hive's WHEN cascade).
 
     Partitioned targets: one discovery job computes the affected count
     plus the touched partitions (matched-changed rows keep their target
@@ -713,15 +720,16 @@ def merge_apply(
         upd_cond = F.lit(False)
         del_cond = F.lit(False)
         upd_set: dict[str, Column] = {}
-        if matched_action is not None:
-            kind, sets, cond = matched_action
-            branch = matched if cond is None else (
-                matched & F.coalesce(cond, F.lit(False))
-            )
+        claimed = F.lit(False)
+        for kind, sets, cond in matched_actions or []:
+            branch = matched & ~claimed
+            if cond is not None:
+                branch = branch & F.coalesce(cond, F.lit(False))
             if kind == "update":
                 upd_cond, upd_set = branch, dict(sets or {})
             else:
                 del_cond = branch
+            claimed = claimed | branch
         ins_cond = F.lit(False)
         if insert_values is not None:
             ins_cond = s_only if insert_condition is None else (

@@ -83,8 +83,8 @@ _MODULES = [
     "aggregates_tail",  # 4 unverified                          (cum 35)
     "dml_sql",          # 7 unverified + new merge_multi_clause (cum 43)
     "llm_similarity",   # ivf(requeue) + pq + 2 reverify        (cum 47)
-    "dml",              # 3 of 5 reverify fill the window       (cum 52)
-    # --- 50-entry r4 window ends at dml's 3rd entry ---
+    "dml",              # 3 of 5 reverify fill the window       (cum 50)
+    # --- 50-entry r4 window ends at dml's 3rd entry (dml_update_where) ---
     "subqueries",
     "lateral",
     "functions_scalar",

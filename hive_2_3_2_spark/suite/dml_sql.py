@@ -152,6 +152,60 @@ def dml_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dml_sql_merge_multi_clause",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 2) AS total,
+           CAST(SUM(CASE WHEN c_name = 'multiclause' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ins
+    FROM (
+      SELECT CASE WHEN c_custkey % 10 = 0 AND c_acctbal > 0
+                  THEN c_acctbal + 500 ELSE c_acctbal END AS c_acctbal,
+             c_name
+      FROM customer
+      WHERE NOT (c_custkey % 10 = 0 AND c_acctbal <= 0)
+      UNION ALL
+      SELECT 77.0 AS c_acctbal, 'multiclause' AS c_name
+      FROM customer WHERE c_custkey % 25 = 0
+    )
+    """,
+)
+def dml_sql_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's FULL MERGE clause surface through Engine.sql — two WHEN
+    MATCHED clauses (conditional UPDATE, then DELETE mopping up the
+    rest, first-match-wins) plus WHEN NOT MATCHED INSERT
+    (UpdateDeleteSemanticAnalyzer.java:86 allows exactly 2 matched + 1
+    not-matched; the first matched clause must carry a condition).
+    End state: matched positive-balance customers get bal+500, matched
+    non-positive ones are deleted, unmatched source keys insert."""
+    path = _fresh_copy(spark, sf_dir, "customer", "sql_merge_mc")
+    eng = Engine(spark=spark)
+    eng.register_table("cust_sql_mc", path)
+    spark.sql(
+        "SELECT c_custkey AS k, c_acctbal AS bal "
+        "FROM cust_sql_mc WHERE c_custkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT c_custkey + 10000000 AS k, 77.0 AS bal "
+        "FROM cust_sql_mc WHERE c_custkey % 25 = 0"
+    ).createOrReplaceTempView("cust_mc_src")
+    eng.sql(
+        "MERGE INTO cust_sql_mc t USING cust_mc_src s "
+        "ON t.c_custkey = s.k "
+        "WHEN MATCHED AND s.bal > 0 THEN UPDATE SET c_acctbal = s.bal + 500 "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal) "
+        "VALUES (s.k, 'multiclause', s.bal)"
+    ).collect()
+    return spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total"),
+        F.sum(
+            F.when(F.col("c_name") == "multiclause", 1).otherwise(0)
+        ).cast("long").alias("n_ins"),
+    )
+
+
+@query(
     "dml_sql_multi_insert",
     oracle="""
     SELECT side, CAST(COUNT(*) AS BIGINT) AS n,

@@ -212,12 +212,74 @@ def test_sql_merge_matched_delete_with_condition(eng_with_copy, spark):
     assert t.filter("c_custkey <= 20 AND c_acctbal > 0").count() == 0
 
 
-def test_sql_merge_multi_clause_raises(eng_with_copy, spark):
-    spark.sql("SELECT 1 AS k, 1.0 AS bal").createOrReplaceTempView("mc_src")
-    with pytest.raises(HiveQLUnsupportedError, match="multi-clause"):
+def test_sql_merge_multi_clause_update_then_delete(eng_with_copy, spark):
+    """Hive's full MERGE clause surface: WHEN MATCHED AND cond THEN
+    UPDATE + WHEN MATCHED THEN DELETE + WHEN NOT MATCHED INSERT.
+    First-match-wins: rows claimed by the conditional UPDATE are not
+    deleted; remaining matched rows are."""
+    eng = eng_with_copy
+    spark.sql(
+        "SELECT 1 AS k, 10.0 AS bal UNION ALL "      # matched, bal <= 100 -> DELETE
+        "SELECT 2, 500.0 UNION ALL "                 # matched, bal > 100 -> UPDATE
+        "SELECT 88000100, 900.0"                     # unmatched -> INSERT
+    ).createOrReplaceTempView("mc_src")
+    before = eng.table("customer_copy").count()
+    res = eng.sql(
+        "MERGE INTO customer_copy t USING mc_src s ON t.c_custkey = s.k "
+        "WHEN MATCHED AND s.bal > 100 THEN UPDATE SET c_acctbal = s.bal "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal) "
+        "VALUES (s.k, 'mc', s.bal)"
+    ).collect()
+    assert res[0].rows_affected == 3  # 1 update + 1 delete + 1 insert
+    t = eng.table("customer_copy")
+    assert t.count() == before  # -1 deleted +1 inserted
+    assert t.filter("c_custkey = 1").count() == 0
+    assert t.filter("c_custkey = 2").collect()[0].c_acctbal == 500.0
+    assert t.filter("c_custkey = 88000100").collect()[0].c_name == "mc"
+
+
+def test_sql_merge_multi_clause_delete_then_update(eng_with_copy, spark):
+    """Clause ORDER matters (first-match-wins): conditional DELETE
+    first, unconditional UPDATE mops up the remaining matched rows."""
+    eng = eng_with_copy
+    spark.sql(
+        "SELECT 3 AS k, 10.0 AS bal UNION ALL SELECT 4, 500.0"
+    ).createOrReplaceTempView("mc_src2")
+    res = eng.sql(
+        "MERGE INTO customer_copy t USING mc_src2 s ON t.c_custkey = s.k "
+        "WHEN MATCHED AND s.bal <= 100 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = -1.0"
+    ).collect()
+    assert res[0].rows_affected == 2
+    t = eng.table("customer_copy")
+    assert t.filter("c_custkey = 3").count() == 0
+    assert t.filter("c_custkey = 4").collect()[0].c_acctbal == -1.0
+
+
+def test_sql_merge_clause_limit_rules(eng_with_copy, spark):
+    """Hive's MERGE clause validation: >2 matched clauses, duplicate
+    action kinds, and an unconditional FIRST of two matched clauses are
+    all typed errors (UpdateDeleteSemanticAnalyzer rules)."""
+    spark.sql("SELECT 1 AS k, 1.0 AS bal").createOrReplaceTempView("mc_src3")
+    head = "MERGE INTO customer_copy t USING mc_src3 s ON t.c_custkey = s.k "
+    with pytest.raises(HiveQLUnsupportedError, match="at most 2"):
         eng_with_copy.sql(
-            "MERGE INTO customer_copy t USING mc_src s ON t.c_custkey = s.k "
-            "WHEN MATCHED AND t.c_acctbal > 0 THEN UPDATE SET c_acctbal = 0 "
+            head
+            + "WHEN MATCHED AND s.bal > 0 THEN UPDATE SET c_acctbal = 0 "
+            "WHEN MATCHED AND s.bal > 1 THEN DELETE "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(HiveQLUnsupportedError, match="one WHEN MATCHED UPDATE"):
+        eng_with_copy.sql(
+            head
+            + "WHEN MATCHED AND s.bal > 0 THEN UPDATE SET c_acctbal = 0 "
+            "WHEN MATCHED THEN UPDATE SET c_acctbal = 1"
+        )
+    with pytest.raises(HiveQLUnsupportedError, match="FIRST must have"):
+        eng_with_copy.sql(
+            head
+            + "WHEN MATCHED THEN UPDATE SET c_acctbal = 0 "
             "WHEN MATCHED THEN DELETE"
         )
 
