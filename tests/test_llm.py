@@ -635,3 +635,32 @@ def test_pq_codebooks_deterministic_and_encode_shape(spark, sf_dir):
         .count()
     )
     assert n_hits >= 10  # corpus recall floor 0.4 (observed 0.52+)
+
+
+def test_cell_ranks_udf_batched_matches_numpy(spark):
+    """The batched (n,dim)@(dim,k) cell-assign UDF must rank cells
+    identically to a per-row numpy reference (same stable argsort
+    tie-break) — parity guard for the matmul batching."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.llm.similarity import _cell_ranks_udf
+
+    rng = np.random.default_rng(42)
+    C = rng.standard_normal((16, 8)).round(3).tolist()
+    vecs = rng.standard_normal((200, 8)).round(3).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    got = {
+        r.id: list(r.cells)
+        for r in df.select(
+            "id", _cell_ranks_udf(C, 4)(F.col("v")).alias("cells")
+        ).collect()
+    }
+    Cn = np.asarray(C)
+    c_sq = (Cn * Cn).sum(axis=1)
+    for i, v in enumerate(vecs):
+        d = c_sq - 2.0 * (Cn @ np.asarray(v))
+        want = np.argsort(d, kind="stable")[:4].tolist()
+        assert got[i] == want, f"row {i}: {got[i]} != {want}"
