@@ -718,6 +718,7 @@ class Engine:
             s.strip() for s in _MULTI_INSERT_SPLIT.split(inserts) if s.strip()
         ]
         results: list[tuple[str, int]] = []
+        seen_overwrite: set[tuple[str, str]] = set()
         for seg in segments:
             sm = re.match(
                 r"^(INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.]+"
@@ -757,6 +758,22 @@ class Engine:
                 raise HiveQLUnsupportedError(
                     f"unparseable multi-insert head: {head!r}"
                 )
+            if im.group(1).upper() == "OVERWRITE":
+                # Hive rejects the same table/partition appearing twice
+                # as an OVERWRITE sink (clientnegative
+                # duplicate_insert1.q/duplicate_insert2.q) — the second
+                # branch would silently clobber the first.
+                sink = (
+                    im.group(2).split(".")[-1].lower(),
+                    "".join((im.group(3) or "").lower().split()),
+                )
+                if sink in seen_overwrite:
+                    raise HiveQLUnsupportedError(
+                        f"multi-insert names the same OVERWRITE sink "
+                        f"twice: {im.group(2)!r} (Hive duplicate-insert "
+                        "rule)"
+                    )
+                seen_overwrite.add(sink)
             n = self._run_insert(im).collect()[0].rows_affected
             results.append((im.group(2).split(".")[-1].lower(), n))
         return self.spark.createDataFrame(

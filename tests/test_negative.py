@@ -128,3 +128,323 @@ def test_virtual_block_offset_raises_typed(eng):
 
     with pytest.raises(HiveQLUnsupportedError, match="BLOCK__OFFSET"):
         eng.sql("SELECT BLOCK__OFFSET__INSIDE__FILE FROM lineitem")
+
+
+# ---------------------------------------------------------------------------
+# clientnegative corpus sweep (SURVEY §5.1). Each case maps a reference
+# expected-error file (ql/src/test/queries/clientnegative/<name>.q) onto
+# this front-end and asserts the TYPED error — specific exception class
+# plus a message fragment, never a bare Exception.
+# ---------------------------------------------------------------------------
+
+from hive_2_3_2_spark.engine import HiveQLUnsupportedError  # noqa: E402
+
+
+@pytest.fixture()
+def neg_eng(spark, sf_dir, tmp_path):
+    """Engine with one unpartitioned and one partitioned writable table."""
+    flat = str(tmp_path / "cust_neg.parquet")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").write.parquet(flat)
+    part = str(tmp_path / "orders_neg.parquet")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .parquet(part)
+    )
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.register_table("cust_neg", flat)
+    eng.register_table("orders_neg", part, ["o_orderpriority"])
+    return eng
+
+
+_MERGE_HEAD = (
+    "MERGE INTO cust_neg t USING neg_src s ON t.c_custkey = s.k "
+)
+
+# (id, statement, message fragment) — all raise HiveQLUnsupportedError.
+_TYPED_CASES = [
+    # merge clause validation (UpdateDeleteSemanticAnalyzer rules)
+    (
+        "merge_three_matched_clauses",  # grammar: at most 2 WHEN MATCHED
+        _MERGE_HEAD
+        + "WHEN MATCHED AND s.k > 0 THEN UPDATE SET c_acctbal = 0 "
+        "WHEN MATCHED AND s.k > 1 THEN DELETE WHEN MATCHED THEN DELETE",
+        "at most 2",
+    ),
+    (
+        "merge_duplicate_update",
+        _MERGE_HEAD
+        + "WHEN MATCHED AND s.k > 0 THEN UPDATE SET c_acctbal = 0 "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = 1",
+        "one WHEN MATCHED UPDATE",
+    ),
+    (
+        "merge_duplicate_delete",
+        _MERGE_HEAD
+        + "WHEN MATCHED AND s.k > 0 THEN DELETE WHEN MATCHED THEN DELETE",
+        "one WHEN MATCHED DELETE",
+    ),
+    (
+        "merge_first_clause_unconditional",
+        _MERGE_HEAD
+        + "WHEN MATCHED THEN UPDATE SET c_acctbal = 0 "
+        "WHEN MATCHED THEN DELETE",
+        "FIRST must have",
+    ),
+    (
+        "merge_non_equi_on",  # CrossProductCheck: equi-join merges only
+        "MERGE INTO cust_neg t USING neg_src s ON t.c_custkey > s.k "
+        "WHEN MATCHED THEN DELETE",
+        "equi",
+    ),
+    (
+        "merge_unknown_alias_in_on",
+        "MERGE INTO cust_neg t USING neg_src s ON x.c_custkey = s.k "
+        "WHEN MATCHED THEN DELETE",
+        "unknown alias",
+    ),
+    (
+        "merge_subquery_needs_alias",
+        "MERGE INTO cust_neg t USING (SELECT 1 AS k) "
+        "ON t.c_custkey = k WHEN MATCHED THEN DELETE",
+        "alias",
+    ),
+    # truncate (truncate_table_failure1.q: spec on non-partitioned;
+    # partial spec analog of truncate_table_failure3/4)
+    (
+        "truncate_spec_on_unpartitioned",
+        "TRUNCATE TABLE cust_neg PARTITION (ds='1')",
+        "not partitioned",
+    ),
+    (
+        "truncate_whole_partitioned_table",
+        "TRUNCATE TABLE orders_neg",
+        "PARTITION",
+    ),
+    (
+        "truncate_partial_partition_spec",
+        "TRUNCATE TABLE orders_neg PARTITION (nosuchcol='x')",
+        "exactly",
+    ),
+    # alter partition (alter_table_add_partition.q: bad spec;
+    # addpart1.q: nonexistent partition column)
+    (
+        "alter_add_partition_unpartitioned",
+        "ALTER TABLE cust_neg ADD PARTITION (ds='1')",
+        "not partitioned",
+    ),
+    (
+        "alter_add_partition_wrong_column",
+        "ALTER TABLE orders_neg ADD PARTITION (nosuch='1')",
+        "exactly",
+    ),
+    # show partitions (show_partitions1.q analog)
+    (
+        "show_partitions_unpartitioned",
+        "SHOW PARTITIONS cust_neg",
+        "not partitioned",
+    ),
+    # insert (insert_into_with_schema.q: arity; insert_into_with_schema3.q:
+    # unknown column; dynamic_partitions_with_whitelist.q analog: bad
+    # partition column)
+    (
+        "insert_arity_mismatch",
+        "INSERT INTO cust_neg SELECT 1, 2",
+        "supplies",
+    ),
+    (
+        "insert_column_list_unknown_column",
+        "INSERT INTO cust_neg (c_custkey, nosuchcol) VALUES (1, 2)",
+        "unknown column",
+    ),
+    (
+        "insert_column_list_arity",
+        "INSERT INTO cust_neg (c_custkey, c_name) VALUES (1, 'x', 'y')",
+        "supplies",
+    ),
+    (
+        "insert_partition_spec_non_partition_col",
+        "INSERT INTO orders_neg PARTITION (o_orderkey=1) SELECT 1",
+        "non-partition",
+    ),
+    (
+        "insert_partition_spec_on_unpartitioned",
+        "INSERT INTO cust_neg PARTITION (ds='1') SELECT 1",
+        "non-partition",
+    ),
+    # load data (load_part_nospec.q; load_wrong_noof_part.q; dynamic spec)
+    (
+        "load_partitioned_without_spec",
+        "LOAD DATA INPATH '/nonexistent/x.parquet' INTO TABLE orders_neg",
+        "PARTITION spec",
+    ),
+    (
+        "load_dynamic_partition_spec",
+        "LOAD DATA INPATH '/nonexistent/x.parquet' INTO TABLE orders_neg "
+        "PARTITION (o_orderpriority)",
+        "static values",
+    ),
+    (
+        "load_missing_partition_column",
+        "LOAD DATA INPATH '/nonexistent/x.parquet' INTO TABLE orders_neg "
+        "PARTITION (nosuch='1')",
+        "missing partition column",
+    ),
+    # export/import (exim_* family)
+    (
+        "import_not_an_export_dir",
+        "IMPORT TABLE imported_neg FROM '/tmp'",
+        "export directory",
+    ),
+    (
+        "import_existing_table",
+        "IMPORT TABLE cust_neg FROM '/tmp'",
+        "export directory|already exists",
+    ),
+    # virtual columns (parse/VirtualColumn.java)
+    (
+        "virtual_row_offset",
+        "SELECT ROW__OFFSET__INSIDE__BLOCK FROM lineitem",
+        "no Spark parquet-scan equivalent",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "stmt,frag",
+    [(s, f) for _i, s, f in _TYPED_CASES],
+    ids=[i for i, _s, _f in _TYPED_CASES],
+)
+def test_typed_error_sweep(neg_eng, spark, stmt, frag):
+    spark.sql("SELECT 1 AS k").createOrReplaceTempView("neg_src")
+    with pytest.raises(HiveQLUnsupportedError, match=frag):
+        neg_eng.sql(stmt)
+
+
+def test_merge_update_partition_column_raises(neg_eng, spark):
+    """MERGE may not move rows across partitions (Hive UPDATE rule —
+    updating a partition column is delete+insert)."""
+    spark.sql("SELECT 1 AS k").createOrReplaceTempView("neg_src")
+    with pytest.raises(HiveQLUnsupportedError, match="partition column"):
+        neg_eng.sql(
+            "MERGE INTO orders_neg t USING neg_src s ON t.o_orderkey = s.k "
+            "WHEN MATCHED THEN UPDATE SET o_orderpriority = 'X'"
+        )
+
+
+def test_multi_insert_duplicate_overwrite_sink_raises(neg_eng):
+    """duplicate_insert1.q: the same table twice as an OVERWRITE sink —
+    the second branch would silently clobber the first."""
+    with pytest.raises(HiveQLUnsupportedError, match="OVERWRITE sink"):
+        neg_eng.sql(
+            "FROM cust_neg "
+            "INSERT OVERWRITE cust_neg SELECT * "
+            "INSERT OVERWRITE cust_neg SELECT *"
+        )
+
+
+def test_create_table_rcfile_raises_typed(neg_eng, tmp_path):
+    """load_wrong_fileformat_rc_seq.q / alter_file_format.q family:
+    formats without a Spark datasource equivalent are typed errors in
+    CREATE TABLE context."""
+    with pytest.raises(HiveQLUnsupportedError, match="STORED AS RCFILE"):
+        neg_eng.sql(
+            f"CREATE TABLE neg_rc (k INT) STORED AS RCFILE "
+            f"LOCATION '{tmp_path}/rc'"
+        )
+
+
+# --- cases where the reference's error surfaces as Spark's own typed
+# analysis/parse error through the passthrough (same category coverage,
+# different error channel — asserted by errorClass fragment) ---
+
+def test_clusterby_orderby_conflict(eng):
+    """clusterbyorderby.q: CLUSTER BY with ORDER BY is a parse error."""
+    with pytest.raises(ParseException):
+        eng.sql(
+            "SELECT * FROM nation CLUSTER BY n_nationkey "
+            "ORDER BY n_name"
+        )
+
+
+def test_clusterby_sortby_conflict(eng):
+    """clusterbysortby.q: CLUSTER BY with SORT BY is a parse error."""
+    with pytest.raises(ParseException):
+        eng.sql(
+            "SELECT * FROM nation CLUSTER BY n_nationkey SORT BY n_name"
+        )
+
+
+def test_clusterby_distributeby_conflict(eng):
+    """clusterbydistributeby.q: CLUSTER BY with DISTRIBUTE BY."""
+    with pytest.raises(ParseException):
+        eng.sql(
+            "SELECT * FROM nation CLUSTER BY n_nationkey "
+            "DISTRIBUTE BY n_name"
+        )
+
+
+def test_scalar_subquery_multiple_columns(eng):
+    """subquery_scalar_multi_columns.q: scalar subquery with 2 output
+    columns."""
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "SELECT * FROM nation WHERE n_nationkey = "
+            "(SELECT n_nationkey, n_regionkey FROM nation LIMIT 1)"
+        ).collect()
+
+
+def test_udtf_in_where_clause(eng):
+    """udtf_invalid_place.q: explode outside the select list / lateral
+    view position."""
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "SELECT n_name FROM nation WHERE explode(array(1, 2)) = 1"
+        ).collect()
+
+
+def test_udtf_nested_explode(eng):
+    """udtf_explode_not_supported*.q: nested generators."""
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "SELECT explode(explode(array(array(1, 2)))) FROM nation"
+        ).collect()
+
+
+def test_udtf_alias_arity(eng):
+    """select_udtf_alias.q: explode aliased with too many columns."""
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "SELECT explode(array(1, 2)) AS (a, b) FROM nation"
+        ).collect()
+
+
+def test_lead_without_over(eng):
+    """windowing_ll_no_over.q: lead() outside a window spec."""
+    with pytest.raises(AnalysisException):
+        eng.sql("SELECT lead(n_nationkey, 1) FROM nation").collect()
+
+
+def test_grouping_without_group_by(eng):
+    """groupby_grouping_id1.q: grouping()/grouping_id() without
+    GROUP BY ... GROUPING SETS."""
+    with pytest.raises(AnalysisException):
+        eng.sql("SELECT grouping(n_name) FROM nation").collect()
+
+
+def test_insert_into_view_fails(eng, spark):
+    """insert_view_failure.q: INSERT into a (temp) view — falls through
+    to Spark, which rejects writing a view."""
+    spark.sql("SELECT 1 AS k").createOrReplaceTempView("neg_view")
+    with pytest.raises(AnalysisException):
+        eng.sql("INSERT INTO neg_view VALUES (2)")
+
+
+def test_distinct_star_with_group_by(eng):
+    """selectDistinctStarNeg_1.q family: SELECT DISTINCT * with
+    aggregation context errors."""
+    with pytest.raises(AnalysisException):
+        eng.sql(
+            "SELECT DISTINCT *, count(*) FROM nation GROUP BY n_nationkey"
+        ).collect()
