@@ -1103,13 +1103,27 @@ class Engine:
         self.register_table(key, path, parts)
         return self._rows_affected(affected)
 
-    def run_script(self, script: str) -> list[DataFrame]:
+    def run_script(self, script: str, eager: bool = True) -> list[DataFrame]:
         """Run a multi-statement SQL script — statements split on
         top-level semicolons with ``--`` comments stripped (CliDriver
         processLine parity, cli/.../CliDriver.java:342). Statements
-        execute in order (DML takes effect immediately); returns one
-        DataFrame per statement."""
-        return [self.sql(stmt) for stmt in _split_statements(script)]
+        execute in order (DML takes effect immediately).
+
+        By default each statement's result is MATERIALIZED before the
+        next statement runs — exactly what the CLI does (it prints every
+        result set as it goes). A lazy frame would otherwise re-read
+        table files a later DML statement has already rewritten
+        (stale-scan FILE_NOT_EXIST at collect time). Pass
+        ``eager=False`` to keep the raw lazy frames when the script has
+        no such read-after-write hazard and a result is too large to
+        hold locally."""
+        out: list[DataFrame] = []
+        for stmt in _split_statements(script):
+            df = self.sql(stmt)
+            if eager:
+                df = self.spark.createDataFrame(df.collect(), df.schema)
+            out.append(df)
+        return out
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
