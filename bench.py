@@ -5,9 +5,13 @@ Prints ONE JSON line:
    "queries": {"q1": sec, ...}, "sf": 0.1}
 
 Methodology: one warm-up run of the first query (JVM/codegen warm-up, file
-listing), then each headline query timed once end-to-end (plan + execute +
-collect-to-count). Queries are the suite's TPC-H-shaped set — the same
-scan/join/agg/window shapes the reference's perf suite exercises
+listing), then each headline query timed end-to-end (plan + execute +
+collect-to-count) SPARK_GRAFT_BENCH_RUNS times (default 5); the reported
+per-query number is the MEDIAN of those runs and the total is the sum of
+medians — single-shot timings on a shared machine drift ±20% on
+sub-second queries (r3 verdict #5), medians kill the scheduler noise.
+Queries are the suite's TPC-H-shaped set — the same scan/join/agg/window
+shapes the reference's perf suite exercises
 (reference: ql/src/test/queries/clientpositive/perf/).
 """
 
@@ -15,10 +19,12 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
 # Headline set: keep to the expensive, representative shapes.
 HEADLINE = [
@@ -67,9 +73,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(N_RUNS):
+            # Drop Spark's persisted-plan cache so every run pays its own
+            # persists (dedup's shingle frame would otherwise be warm from
+            # run 1 on — CacheManager matches canonicalized plans) —
+            # the median should remove SCHEDULER noise, not first-run cost.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            registry[name].fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     sf = 0.1
     base = os.path.basename(SF_DIR.rstrip("/"))
@@ -87,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": N_RUNS,
             }
         )
     )
