@@ -711,14 +711,58 @@ class Engine:
         INSERT ... SELECT cols [WHERE] ...`` — each branch's select list
         is re-attached to the shared FROM clause and routed through the
         single-INSERT path. Returns one (target_table, rows_affected)
-        row per sink. On a cluster the branches share the source's
-        parquet scan via Spark's exchange/scan reuse; Hive's MapOperator
-        achieves the same with one mapper fanning out to all sinks."""
+        row per sink.
+
+        One-scan rule (Hive's MapOperator fans ONE mapper out to all
+        sinks — parse/SemanticAnalyzer.java multi-QB): each branch is a
+        separate Spark write job, so for a simple FROM (one table, no
+        joins) the source is persisted MEMORY_AND_DISK for the duration
+        — branch 2..N read the materialized source, not the parquet
+        scan again. At 100 TB the persist spills to local disk, still
+        one pass over the remote data instead of N. A complex FROM
+        (joins/subqueries) falls back to per-branch plans, where
+        Spark's scan/exchange reuse applies within each job."""
         segments = [
             s.strip() for s in _MULTI_INSERT_SPLIT.split(inserts) if s.strip()
         ]
         results: list[tuple[str, int]] = []
         seen_overwrite: set[tuple[str, str]] = set()
+        shared_src = None
+        simple = re.match(
+            r"^\s*([\w.]+)(\s+(?:AS\s+)?(\w+))?\s*$", from_clause
+        )
+        if simple and len(segments) > 1:
+            from pyspark import StorageLevel
+
+            shared_src = self.spark.sql(
+                rewrite_hiveql(
+                    f"SELECT * FROM {simple.group(1)}", spark=self.spark
+                )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            shared_src.createOrReplaceTempView("__mi_shared_src")
+            alias = simple.group(3)
+            from_clause = (
+                f"__mi_shared_src {alias}" if alias else "__mi_shared_src"
+            )
+        try:
+            self._multi_insert_branches(
+                segments, from_clause, seen_overwrite, results
+            )
+        finally:
+            if shared_src is not None:
+                shared_src.unpersist()
+                self.spark.catalog.dropTempView("__mi_shared_src")
+        return self.spark.createDataFrame(
+            results, "target_table string, rows_affected bigint"
+        )
+
+    def _multi_insert_branches(
+        self,
+        segments: list[str],
+        from_clause: str,
+        seen_overwrite: set[tuple[str, str]],
+        results: list[tuple[str, int]],
+    ) -> None:
         for seg in segments:
             sm = re.match(
                 r"^(INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.]+"
@@ -776,9 +820,6 @@ class Engine:
                 seen_overwrite.add(sink)
             n = self._run_insert(im).collect()[0].rows_affected
             results.append((im.group(2).split(".")[-1].lower(), n))
-        return self.spark.createDataFrame(
-            results, "target_table string, rows_affected bigint"
-        )
 
     def _run_load_data(self, m: re.Match[str]) -> DataFrame:
         """``LOAD DATA INPATH`` — a pure file MOVE into the table (or
