@@ -433,10 +433,21 @@ class Engine:
                 col: F.expr(expr)
                 for col, expr in _split_assignments(m.group(2))
             }
-            cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+            cond_txt = m.group(3)
+            cond = F.expr(cond_txt) if cond_txt else F.lit(True)
             path = self.table_paths[key]
             parts = self.table_partitions.get(key)
-            affected = update_where(self.spark, path, sets, cond, parts)
+            affected = update_where(
+                self.spark,
+                path,
+                sets,
+                cond,
+                parts,
+                # subquery conditions can't ride the observe metric
+                observe_count=not re.search(
+                    r"\(\s*SELECT\b", cond_txt or "", re.IGNORECASE
+                ),
+            )
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
         m = _INSERT_STMT.match(query)

@@ -416,6 +416,7 @@ def update_where(
     set_exprs: dict[str, Column],
     condition: Column,
     partition_cols: list[str] | None = None,
+    observe_count: bool = True,
 ) -> None:
     """Standalone ``UPDATE t SET c = expr, ... WHERE cond``.
 
@@ -440,11 +441,20 @@ def update_where(
     target = spark.read.parquet(target_path)
     hit = F.coalesce(condition, F.lit(False))
     obs: Observation | None = None
+    pre_counted: int | None = None
     if not partition_cols:
-        obs = Observation()
-        target = target.observe(
-            obs, F.sum(hit.cast("long")).alias("__hits")
-        )
+        if observe_count:
+            obs = Observation()
+            target = target.observe(
+                obs, F.sum(hit.cast("long")).alias("__hits")
+            )
+        else:
+            # IN/EXISTS subquery conditions are legal in filters and
+            # projections but NOT inside CollectMetrics (Spark
+            # UNSUPPORTED_IN_EXISTS_SUBQUERY) — callers with a subquery
+            # condition pay one extra count scan instead of the
+            # observed metric.
+            pre_counted = target.filter(hit).count()
     updated = target.select(
         *[
             F.when(hit, set_exprs[c]).otherwise(F.col(c)).alias(c)
@@ -469,6 +479,8 @@ def update_where(
         _staged_rewrite(spark, target_path, updated, partition_cols, touched)
         return affected
     _staged_rewrite(spark, target_path, updated, None, None)
+    if pre_counted is not None:
+        return pre_counted
     return int(obs.get["__hits"] or 0)
 
 

@@ -675,3 +675,37 @@ def test_sql_insert_overwrite_static_partition_empty_select_clears(
     t = eng.table("orders_part")
     assert t.filter(f"o_orderpriority = '{tgt}'").count() == 0
     assert t.count() == total - n_before
+
+
+def test_sql_delete_with_subquery_condition(eng_with_copy, spark):
+    """Hive allows subqueries in DELETE/UPDATE WHERE
+    (UpdateDeleteSemanticAnalyzer rewrites them like any SELECT WHERE) —
+    the F.expr path must resolve IN/EXISTS subqueries against
+    registered views."""
+    eng = eng_with_copy
+    spark.sql(
+        "SELECT c_custkey AS k FROM customer_copy WHERE c_custkey <= 30"
+    ).createOrReplaceTempView("del_keys")
+    victims = eng.table("customer_copy").filter("c_custkey <= 30").count()
+    res = eng.sql(
+        "DELETE FROM customer_copy WHERE c_custkey IN (SELECT k FROM del_keys)"
+    ).collect()
+    assert res[0].rows_affected == victims > 0
+    assert eng.table("customer_copy").filter("c_custkey <= 30").count() == 0
+
+
+def test_sql_update_with_exists_condition(eng_with_copy, spark):
+    eng = eng_with_copy
+    spark.sql("SELECT 41 AS k UNION ALL SELECT 42").createOrReplaceTempView(
+        "upd_keys"
+    )
+    hit = eng.table("customer_copy").filter("c_custkey IN (41, 42)").count()
+    res = eng.sql(
+        "UPDATE customer_copy SET c_name = 'via_exists' WHERE EXISTS "
+        "(SELECT 1 FROM upd_keys u WHERE u.k = c_custkey)"
+    ).collect()
+    assert res[0].rows_affected == hit > 0
+    assert (
+        eng.table("customer_copy").filter("c_name = 'via_exists'").count()
+        == hit
+    )
