@@ -1155,11 +1155,22 @@ class Engine:
         self.register_table(key, path, parts)
         return self._rows_affected(affected)
 
-    def run_script(self, script: str, eager: bool = True) -> list[DataFrame]:
+    def run_script(
+        self,
+        script: str,
+        eager: bool = True,
+        variables: dict[str, str] | None = None,
+    ) -> list[DataFrame]:
         """Run a multi-statement SQL script — statements split on
         top-level semicolons with ``--`` comments stripped (CliDriver
         processLine parity, cli/.../CliDriver.java:342). Statements
         execute in order (DML takes effect immediately).
+
+        ``variables`` substitutes ``${hiveconf:name}`` / ``${name}``
+        placeholders before execution (VariableSubstitution parity —
+        the reference's own q_test_init.sql uses
+        ``${hiveconf:test.data.dir}``); an unbound placeholder is a
+        typed error rather than silently running with the literal text.
 
         By default each statement's result is MATERIALIZED before the
         next statement runs — exactly what the CLI does (it prints every
@@ -1169,6 +1180,18 @@ class Engine:
         ``eager=False`` to keep the raw lazy frames when the script has
         no such read-after-write hazard and a result is too large to
         hold locally."""
+        if variables is not None:
+            def subst(m: re.Match[str]) -> str:
+                name = m.group(1)
+                bare = name.split(":", 1)[-1]
+                if bare in variables:
+                    return variables[bare]
+                raise HiveQLUnsupportedError(
+                    f"unbound script variable ${{{name}}} — pass it in "
+                    "run_script(variables={...})"
+                )
+
+            script = re.sub(r"\$\{([\w.:-]+)\}", subst, script)
         out: list[DataFrame] = []
         for stmt in _split_statements(script):
             df = self.sql(stmt)

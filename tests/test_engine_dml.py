@@ -709,3 +709,21 @@ def test_sql_update_with_exists_condition(eng_with_copy, spark):
         eng.table("customer_copy").filter("c_name = 'via_exists'").count()
         == hit
     )
+
+
+def test_run_script_variable_substitution(eng_with_copy):
+    """VariableSubstitution parity: ${hiveconf:name} / ${name}
+    placeholders resolve from the variables dict; unbound ones raise
+    typed (the reference's q_test_init.sql relies on hiveconf vars)."""
+    eng = eng_with_copy
+    expected = eng.table("customer_copy").filter("c_custkey <= 10").count()
+    out = eng.run_script(
+        "SELECT count(*) AS n FROM customer_copy "
+        "WHERE c_custkey <= ${hiveconf:max.key};"
+        "SELECT '${tag}' AS t",
+        variables={"max.key": "10", "tag": "scripted"},
+    )
+    assert out[0].collect()[0].n == expected > 0
+    assert out[1].collect()[0].t == "scripted"
+    with pytest.raises(HiveQLUnsupportedError, match="unbound script"):
+        eng.run_script("SELECT ${nope}", variables={})
