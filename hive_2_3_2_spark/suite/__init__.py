@@ -76,15 +76,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 _MODULES = [
     "analytics_extra",  # 3 unverified                          (cum  3)
     "sorts",            # 5 unverified + 2 reverify             (cum 10)
-    "llm_cleaning",     # 6 unverified                          (cum 16)
-    "llm_embeddings",   # 5 unverified                          (cum 21)
-    "llm_lm",           # 5 unverified                          (cum 26)
-    "functions_scalar3",  # 1 unverified (xpath) + 4 reverify   (cum 31)
-    "aggregates_tail",  # 4 unverified                          (cum 35)
-    "dml_sql",          # 7 unverified + new merge_multi_clause (cum 43)
-    "llm_similarity",   # ivf(requeue) + pq + 2 reverify        (cum 47)
-    "dml",              # 3 of 5 reverify fill the window       (cum 50)
-    # --- 50-entry r4 window ends at dml's 3rd entry (dml_update_where) ---
+    "llm_cleaning",     # 6 unverified + new length_outliers    (cum 17)
+    "llm_embeddings",   # 5 unverified                          (cum 22)
+    "llm_lm",           # 5 unverified + new mixture/zipf       (cum 29)
+    "functions_scalar3",  # 1 unverified (xpath) + 4 reverify   (cum 34)
+    "aggregates_tail",  # 4 unverified                          (cum 38)
+    "dml_sql",          # 7 unverified + new merge_multi_clause (cum 46)
+    "llm_similarity",   # ivf(requeue) + pq + 2 reverify        (cum 50)
+    # --- 50-entry r4 window ends exactly at similarity_topk_pq ---
+    "dml",
     "subqueries",
     "lateral",
     "functions_scalar",

@@ -296,3 +296,54 @@ def repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.remove_repeated_segments(
         paragraphized, text_col="text_p", delim="\n\n", min_repeat=2
     ).orderBy("doc_id")
+
+
+@query(
+    "clean_length_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             QUANTILE_CONT(n_chars, 0.01) AS p01,
+             QUANTILE_CONT(n_chars, 0.99) AS p99
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars < q.p01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN d.n_chars > q.p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_long,
+           ROUND(MIN(q.p01), 2) AS p01, ROUND(MIN(q.p99), 2) AS p99
+    FROM documents d JOIN q ON d.lang = q.lang
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def clean_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based length-outlier flagging — the standard corpus
+    hygiene step that drops truncated fragments (< p1) and
+    concatenation blobs (> p99) per language. Two-pass shape that
+    scales: per-lang exact percentiles (tiny frame) broadcast back onto
+    the scan, flags computed JVM-side, one aggregate shuffle — same
+    topology as agg_histogram_equiwidth. Spark's percentile and
+    DuckDB's quantile_cont share linear interpolation, so thresholds
+    hash-match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.percentile("n_chars", 0.01).alias("p01"),
+        F.percentile("n_chars", 0.99).alias("p99"),
+    )
+    return (
+        docs.join(F.broadcast(q), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_chars") < F.col("p01"), 1).otherwise(0)
+            ).cast("long").alias("n_short"),
+            F.sum(
+                F.when(F.col("n_chars") > F.col("p99"), 1).otherwise(0)
+            ).cast("long").alias("n_long"),
+            F.round(F.min("p01"), 2).alias("p01"),
+            F.round(F.min("p99"), 2).alias("p99"),
+        )
+        .orderBy("lang")
+    )

@@ -248,3 +248,84 @@ def weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, 100, "n_chars").select(
         "doc_id", "n_chars", F.round("priority", 6).alias("priority")
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ),
+    p AS (
+      SELECT source, n, SQRT(n * 1.0 / SUM(n) OVER ()) AS w FROM per
+    )
+    SELECT source, n, ROUND(w / SUM(w) OVER (), 6) AS weight
+    FROM p ORDER BY source
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (T=2, i.e. p^(1/2) — the
+    multilingual-sampling trick that upweights small sources without
+    letting any source dominate): per-source weight
+    p_i^0.5 / Σ p_j^0.5. Scale shape: one per-source count aggregate
+    (map-side partial, ~20 rows), then two window sums over that tiny
+    frame — nothing touches the documents scan twice."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    all_w = Window.partitionBy()
+    p = F.col("n") / F.sum("n").over(all_w)
+    return (
+        per.withColumn("__w", F.sqrt(p))
+        .withColumn(
+            "weight", F.round(F.col("__w") / F.sum("__w").over(all_w), 6)
+        )
+        .select("source", "n", "weight")
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_zipf_head",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+      WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT)
+             AS rank,
+           ROUND(MAX(n) OVER () * 1.0 / n, 4) AS zipf_ratio
+    FROM cnt ORDER BY rank LIMIT 50
+    """,
+)
+def text_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head profile: top-50 corpus tokens with frequency rank and
+    f1/fr ratio — the quick sanity plot for tokenizer/corpus drift.
+    explode + count is one shuffle with map-side partials; the top-50
+    window runs over the distinct-token frame only (TakeOrdered at
+    scale, never the raw token stream)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "zipf_ratio",
+            F.round(F.max("n").over(Window.partitionBy()) / F.col("n"), 4),
+        )
+        .filter(F.col("rank") <= 50)
+        .orderBy("rank")
+    )
