@@ -664,3 +664,96 @@ def test_cell_ranks_udf_batched_matches_numpy(spark):
         d = c_sq - 2.0 * (Cn @ np.asarray(v))
         want = np.argsort(d, kind="stable")[:4].tolist()
         assert got[i] == want, f"row {i}: {got[i]} != {want}"
+
+
+def _make_ppm(w, h, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes(), arr
+
+
+def _make_bmp(w, h, seed=9):
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)  # RGB
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y][..., ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    data_off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+        + struct.pack("<Iii", 40, w, h)
+        + struct.pack("<HH", 1, 24)
+        + struct.pack("<IIiiII", 0, len(rows), 2835, 2835, 0, 0)
+    )
+    return header + rows, arr
+
+
+def test_multimodal_real_ppm_bmp_decode(spark):
+    """PPM (P6) and 24-bit BMP payloads decode for REAL (pure numpy):
+    extract_features returns exact dimensions and the exact pixel mean,
+    not the deterministic-fake pseudo-dims."""
+    import numpy as np
+
+    from hive_2_3_2_spark.llm import multimodal as M
+
+    ppm, ppm_arr = _make_ppm(6, 4)
+    bmp, bmp_arr = _make_bmp(5, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))],
+        "media_id long, payload binary",
+    )
+    media = M.attach_media(df, "payload", "media_id", "image/x-test")
+    feats = {
+        r.media_id: r
+        for r in M.extract_features(media).collect()
+    }
+    assert feats[1].feat_head == "6x4"
+    assert feats[1].feat_mean == int(ppm_arr.mean())
+    assert feats[2].feat_head == "5x3"
+    assert feats[2].feat_mean == int(bmp_arr.mean())
+
+
+def test_multimodal_real_resize_nearest_neighbor(spark):
+    """resize_media on a decodable payload is a REAL nearest-neighbor
+    resample: output re-encodes as P6 with exactly the pixels
+    arr[(y*h)//side][(x*w)//side]."""
+    import numpy as np
+
+    from hive_2_3_2_spark.llm import multimodal as M
+    from hive_2_3_2_spark.llm.multimodal import decode_ppm
+
+    ppm, arr = _make_ppm(16, 10)
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm))], "media_id long, payload binary"
+    )
+    media = M.attach_media(df, "payload", "media_id", "image/x-test")
+    out = M.resize_media(media, target_bytes=64).collect()[0]
+    assert out.meta.width == 8 and out.meta.height == 8
+    got = decode_ppm(bytes(out.payload))
+    ys = (np.arange(8) * 10) // 8
+    xs = (np.arange(8) * 16) // 8
+    assert got is not None and (got == arr[ys][:, xs]).all()
+
+
+def test_multimodal_undecodable_payload_keeps_stub_contract(spark):
+    """Arbitrary binary still flows through the fake-decode path with
+    the documented pseudo-dimension contract (plumbing exercised even
+    without any decodable format)."""
+    from hive_2_3_2_spark.llm import multimodal as M
+
+    raw = b"not an image at all, just bytes" * 3
+    df = spark.createDataFrame(
+        [(1, bytearray(raw))], "media_id long, payload binary"
+    )
+    media = M.attach_media(df, "payload", "media_id", "application/blob")
+    r = M.extract_features(media).collect()[0]
+    assert r.feat_head == f"{64 + (len(raw) % 577)}x{64 + ((len(raw) * 31) % 421)}"
