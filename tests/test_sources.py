@@ -335,3 +335,47 @@ def test_load_table_schema_identical_across_scale_factors(spark):
         for s in schemas.values():
             for f_ in s.fields:
                 assert f_.dataType.typeName() != "timestamp_ntz", f_
+
+
+def test_jdbc_live_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
+    """LIVE JDBC test against embedded Apache Derby (bundled with
+    Spark's jars — no external server): write nation over JDBC, read it
+    back plain and with a partitioned read (partitionColumn splits the
+    scan into parallel bounded queries), and check predicate pushdown
+    produces the right rows. Closes the 'JDBC untested-live' gap —
+    read_jdbc is JdbcStorageHandler parity
+    (reference: jdbc-handler/src/.../JdbcStorageHandler.java)."""
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = load_table(spark, sf_dir, "nation")
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "NATION_J")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    back = read_jdbc(spark, url, "NATION_J", driver=driver)
+    assert back.count() == nation.count() == 25
+    assert {f.name.lower() for f in back.schema.fields} == {
+        f.name.lower() for f in nation.schema.fields
+    }
+    parted = read_jdbc(
+        spark,
+        url,
+        "NATION_J",
+        partition_column="n_nationkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=25,
+        driver=driver,
+    )
+    assert parted.rdd.getNumPartitions() == 4
+    assert parted.count() == 25
+    filtered = parted.filter("n_regionkey = 0").select("n_name")
+    want = {r.n_name for r in nation.filter("n_regionkey = 0").collect()}
+    assert {r.n_name for r in filtered.collect()} == want
