@@ -212,12 +212,116 @@ _MERGE_STMT = re.compile(
     r"\s+(WHEN\s+.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_WHEN_CLAUSE = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
-    r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+.*?)"
-    r"(?=\s+WHEN\s|\s*;?\s*$)",
-    re.IGNORECASE | re.DOTALL,
+_WHEN_HEAD = re.compile(
+    r"^WHEN\s+(NOT\s+)?MATCHED\s*", re.IGNORECASE
 )
+
+
+def _scan_top_keywords(text: str):
+    """Yield ``(start, end, WORD)`` for bare keywords at top level —
+    outside single-quoted strings, parentheses, and CASE...END blocks.
+    The quote handling mirrors ``_split_statements`` (backslash and
+    doubled-quote escapes)."""
+    in_str = False
+    depth = 0
+    case_depth = 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "\\" and i + 1 < n:
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            word = text[i:j].upper()
+            if depth == 0:
+                if word == "CASE":
+                    case_depth += 1
+                elif word == "END" and case_depth > 0:
+                    case_depth -= 1
+                elif case_depth == 0:
+                    yield i, j, word
+            i = j
+            continue
+        i += 1
+
+
+def _split_when_clauses(text: str) -> list[tuple[bool, str, str]]:
+    """Parse a MERGE WHEN tail into ``(not_matched, condition, action)``
+    triples. Clause boundaries are TOP-LEVEL ``WHEN`` keywords and the
+    clause's ``THEN`` is the first top-level THEN — so string literals
+    containing 'WHEN MATCHED', parenthesized subexpressions, and CASE
+    WHEN ... THEN ... END conditions all parse correctly (the reference
+    gets this from a real grammar, parse/HiveParser.g; the prior regex
+    split on any WHEN/THEN text). Raises HiveQLUnsupportedError on
+    structurally invalid clause text."""
+    text = text.strip().rstrip(";").strip()
+    starts = [s for s, _e, w in _scan_top_keywords(text) if w == "WHEN"]
+    if not starts or text[: starts[0]].strip():
+        raise HiveQLUnsupportedError(
+            f"unparseable MERGE WHEN clauses: {text[:80]!r}"
+        )
+    spans = [
+        (s, starts[k + 1] if k + 1 < len(starts) else len(text))
+        for k, s in enumerate(starts)
+    ]
+    out: list[tuple[bool, str, str]] = []
+    for s, e in spans:
+        clause = text[s:e].strip()
+        hm = _WHEN_HEAD.match(clause)
+        if not hm:
+            raise HiveQLUnsupportedError(
+                f"unparseable MERGE WHEN clause: {clause[:80]!r}"
+            )
+        rest = clause[hm.end():]
+        off = len(clause) - len(rest)
+        then_at = next(
+            (
+                (ks, ke)
+                for ks, ke, w in _scan_top_keywords(rest)
+                if w == "THEN"
+            ),
+            None,
+        )
+        if then_at is None:
+            raise HiveQLUnsupportedError(
+                f"MERGE WHEN clause has no THEN: {clause[:80]!r}"
+            )
+        head, action = rest[: then_at[0]].strip(), rest[then_at[1]:].strip()
+        cond = ""
+        if head:
+            am = re.match(r"^AND\s+(.*)$", head, re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise HiveQLUnsupportedError(
+                    f"unexpected text between MATCHED and THEN: {head[:60]!r}"
+                )
+            cond = am.group(1).strip()
+        if not action:
+            raise HiveQLUnsupportedError(
+                f"MERGE WHEN clause has an empty action: {clause[:80]!r}"
+            )
+        del off
+        out.append((bool(hm.group(1)), cond, action))
+    return out
 _MERGE_ON_EQ = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 _MERGE_INSERT = re.compile(
     r"^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$",
@@ -1065,16 +1169,8 @@ class Engine:
         matched_actions: list = []
         insert_values = None
         insert_condition = None
-        clauses = _WHEN_CLAUSE.findall(when_part)
-        if not clauses or "".join(
-            _WHEN_CLAUSE.sub("", when_part).split()
-        ):
-            raise HiveQLUnsupportedError(
-                f"unparseable MERGE WHEN clauses: {when_part.strip()!r}"
-            )
-        for not_kw, and_cond, action in clauses:
-            cond = F.expr(and_cond) if and_cond.strip() else None
-            action = action.strip()
+        for not_kw, and_cond, action in _split_when_clauses(when_part):
+            cond = F.expr(and_cond) if and_cond else None
             if not_kw:
                 ins = _MERGE_INSERT.match(action)
                 if not ins or insert_values is not None:

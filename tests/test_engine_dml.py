@@ -727,3 +727,41 @@ def test_run_script_variable_substitution(eng_with_copy):
     assert out[1].collect()[0].t == "scripted"
     with pytest.raises(HiveQLUnsupportedError, match="unbound script"):
         eng.run_script("SELECT ${nope}", variables={})
+
+
+def test_sql_merge_when_matched_literal_in_string(eng_with_copy, spark):
+    """A string literal containing ' WHEN MATCHED THEN DELETE ' inside
+    an UPDATE SET expression must NOT be treated as a clause boundary
+    (the WHEN splitter is quote-aware, like the reference's grammar)."""
+    eng = eng_with_copy
+    spark.sql("SELECT 5 AS k").createOrReplaceTempView("lit_src")
+    res = eng.sql(
+        "MERGE INTO customer_copy t USING lit_src s ON t.c_custkey = s.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "c_name = 'note: WHEN MATCHED THEN DELETE everything'"
+    ).collect()
+    assert res[0].rows_affected == 1
+    assert (
+        eng.table("customer_copy").filter("c_custkey = 5").collect()[0].c_name
+        == "note: WHEN MATCHED THEN DELETE everything"
+    )
+
+
+def test_sql_merge_case_when_condition(eng_with_copy, spark):
+    """CASE WHEN ... THEN ... END inside a clause CONDITION: the inner
+    WHEN/THEN keywords belong to the CASE expression, not the MERGE
+    grammar."""
+    eng = eng_with_copy
+    spark.sql(
+        "SELECT 6 AS k, 1 AS flag UNION ALL SELECT 7, 0"
+    ).createOrReplaceTempView("case_src")
+    res = eng.sql(
+        "MERGE INTO customer_copy t USING case_src s ON t.c_custkey = s.k "
+        "WHEN MATCHED AND CASE WHEN s.flag = 1 THEN true ELSE false END "
+        "THEN UPDATE SET c_name = 'case_hit' "
+        "WHEN MATCHED THEN DELETE"
+    ).collect()
+    assert res[0].rows_affected == 2
+    t = eng.table("customer_copy")
+    assert t.filter("c_custkey = 6").collect()[0].c_name == "case_hit"
+    assert t.filter("c_custkey = 7").count() == 0
