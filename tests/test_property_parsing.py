@@ -113,3 +113,58 @@ def test_split_statements_roundtrip(stmts):
 
     script = ";\n".join(stmts) + ";"
     assert _split_statements(script) == [s.strip() for s in stmts]
+
+
+# --- MERGE WHEN clause splitter (quote/paren/CASE-aware) ---
+
+_cond_leaf = st.sampled_from(
+    [
+        "s.bal > 0",
+        "t.c_acctbal <= 100",
+        "s.k IN (1, 2, 3)",
+        "t.c_name = 'x WHEN MATCHED THEN y'",   # keyword inside literal
+        "(s.bal + 1) * 2 > t.c_acctbal",
+        "CASE WHEN s.bal > 0 THEN true ELSE false END",
+        "t.c_name = 'a;b''c'",
+    ]
+)
+
+_action = st.sampled_from(
+    [
+        "UPDATE SET c_acctbal = 0",
+        "UPDATE SET c_name = 'has WHEN MATCHED inside', c_acctbal = 1",
+        "DELETE",
+        "INSERT (c_custkey, c_name) VALUES (s.k, 'then THEN when')",
+    ]
+)
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.one_of(st.none(), _cond_leaf), _action),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_when_clauses_roundtrip(clauses):
+    """Rendering random WHEN clauses (conditions/actions deliberately
+    containing WHEN/THEN keywords inside string literals and CASE
+    expressions) then splitting must recover exactly the rendered
+    structure."""
+    from hive_2_3_2_spark.engine import _split_when_clauses
+
+    text = " ".join(
+        "WHEN "
+        + ("NOT " if nm else "")
+        + "MATCHED"
+        + (f" AND {cond}" if cond else "")
+        + f" THEN {action}"
+        for nm, cond, action in clauses
+    )
+    got = _split_when_clauses(text)
+    assert len(got) == len(clauses)
+    for (nm, cond, action), (g_nm, g_cond, g_action) in zip(clauses, got):
+        assert g_nm == nm
+        assert g_cond == (cond or "")
+        assert g_action == action
