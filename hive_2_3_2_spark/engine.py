@@ -981,6 +981,11 @@ class Engine:
                 f"{p}={static[p].strip(chr(39))}" for p in (parts or [])
             ]
             dest = os.path.join(path, *rels)
+        if not os.path.exists(src):
+            # load_nonexistent path (Hive: "No files matching path")
+            raise HiveQLUnsupportedError(
+                f"LOAD DATA INPATH: no files matching path {src!r}"
+            )
         files = (
             [src]
             if os.path.isfile(src)
@@ -992,7 +997,17 @@ class Engine:
         )
         from hive_2_3_2_spark.sources.writers import ensure_dir_table
 
-        n = sum(parquet_row_count(f) for f in files)
+        try:
+            n = sum(parquet_row_count(f) for f in files)
+        except Exception as exc:
+            # load_wrong_fileformat.q parity: LOAD moves files without a
+            # rewrite, so a non-parquet payload would poison the table —
+            # reject it typed up front (Hive: "Wrong file format").
+            raise HiveQLUnsupportedError(
+                f"LOAD DATA INPATH: wrong file format under {src!r} "
+                "(target table stores parquet; LOAD moves files without "
+                f"conversion): {exc}"
+            ) from exc
         if overwrite:
             if os.path.isdir(dest):
                 shutil.rmtree(dest)

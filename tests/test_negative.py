@@ -448,3 +448,22 @@ def test_distinct_star_with_group_by(eng):
         eng.sql(
             "SELECT DISTINCT *, count(*) FROM nation GROUP BY n_nationkey"
         ).collect()
+
+
+def test_load_data_nonexistent_path(neg_eng):
+    """Hive: 'No files matching path' — typed, before any file moves."""
+    with pytest.raises(HiveQLUnsupportedError, match="no files matching"):
+        neg_eng.sql(
+            "LOAD DATA INPATH '/definitely/not/here.parquet' "
+            "INTO TABLE cust_neg"
+        )
+
+
+def test_load_data_wrong_file_format(neg_eng, tmp_path):
+    """load_wrong_fileformat.q: a non-parquet payload must be rejected
+    typed — LOAD moves files without conversion, so accepting it would
+    poison the table for every later scan."""
+    bad = tmp_path / "kv1.parquet"  # parquet-named but text content
+    bad.write_text("1\tvalue1\n2\tvalue2\n")
+    with pytest.raises(HiveQLUnsupportedError, match="wrong file format"):
+        neg_eng.sql(f"LOAD DATA INPATH '{bad}' INTO TABLE cust_neg")
