@@ -765,3 +765,18 @@ def test_sql_merge_case_when_condition(eng_with_copy, spark):
     t = eng.table("customer_copy")
     assert t.filter("c_custkey = 6").collect()[0].c_name == "case_hit"
     assert t.filter("c_custkey = 7").count() == 0
+
+
+def test_sql_insert_overwrite_directory(spark, sf_dir, tmp_path):
+    """INSERT OVERWRITE DIRECTORY (SemanticAnalyzer's writing-to-path
+    form, the ad-hoc export statement) — not a table statement, so it
+    rides the passthrough and Spark executes it natively."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    out = str(tmp_path / "export_dir")
+    eng.sql(
+        f"INSERT OVERWRITE DIRECTORY '{out}' USING parquet "
+        "SELECT n_nationkey, n_name FROM nation"
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name"}
