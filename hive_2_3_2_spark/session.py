@@ -26,8 +26,13 @@ Scale posture: every config below is chosen for a multi-executor cluster at
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_BASE = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(
+    tempfile.gettempdir(), "hive_2_3_2_spark_scratch"
+)
 
 # Configs that matter at 100 TB; identical semantics at sf0.001.
 ENGINE_CONFS: dict[str, str] = {
@@ -56,6 +61,16 @@ ENGINE_CONFS: dict[str, str] = {
     # rejected by Spark's reader; read as int64 nanos and let the catalog
     # normalize to microsecond timestamps (catalog.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Keep ALL session-created state out of the working directory (a
+    # fresh clone must behave identically to a dirty checkout):
+    # saveAsTable data goes under the scratch warehouse, and embedded
+    # Derby (JDBC tests / any metastore use) writes its home + log
+    # there instead of ./derby.log.
+    "spark.sql.warehouse.dir": os.path.join(_SCRATCH_BASE, "warehouse"),
+    "spark.driver.extraJavaOptions": (
+        f"-Dderby.system.home={_SCRATCH_BASE} "
+        f"-Dderby.stream.error.file={_SCRATCH_BASE}/derby.log"
+    ),
 }
 
 
