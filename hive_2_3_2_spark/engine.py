@@ -557,6 +557,27 @@ class Engine:
         m = _INSERT_STMT.match(query)
         if m and self._dml_registered(m.group(2)):
             return self._run_insert(m)
+        if re.match(r"^\s*WITH\b", query, re.IGNORECASE):
+            # Hive allows the CTE BEFORE the INSERT (WITH c AS (...)
+            # INSERT INTO t SELECT ... FROM c). Split at the top-level
+            # INSERT keyword and fold the CTE prefix into the insert
+            # body, which the SELECT|VALUES|WITH body grammar accepts.
+            ins_pos = next(
+                (
+                    s
+                    for s, _e, w in _scan_top_keywords(query)
+                    if w == "INSERT"
+                ),
+                None,
+            )
+            if ins_pos is not None:
+                cte, rest = query[:ins_pos].rstrip(), query[ins_pos:]
+                im = _INSERT_STMT.match(rest)
+                if im and self._dml_registered(im.group(2)):
+                    folded = (
+                        rest[: im.start(5)] + cte + " " + rest[im.start(5):]
+                    )
+                    return self._run_insert(_INSERT_STMT.match(folded))
         m = _MULTI_INSERT_STMT.match(query)
         if m:
             targets = re.findall(

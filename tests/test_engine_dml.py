@@ -780,3 +780,22 @@ def test_sql_insert_overwrite_directory(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 25
     assert set(back.columns) == {"n_nationkey", "n_name"}
+
+
+def test_sql_with_cte_before_insert(eng_with_copy):
+    """Hive's CTE-led INSERT: WITH c AS (...) INSERT INTO t SELECT FROM
+    c — the CTE prefix folds into the insert body so the statement
+    routes through the staged-insert path, not the passthrough."""
+    eng = eng_with_copy
+    before = eng.table("customer_copy").count()
+    res = eng.sql(
+        "WITH topc AS (SELECT c_custkey + 60000000 AS k, c_name "
+        "FROM customer_copy WHERE c_custkey <= 5) "
+        "INSERT INTO customer_copy (c_custkey, c_name) "
+        "SELECT k, c_name FROM topc"
+    ).collect()
+    added = res[0].rows_affected
+    assert added == eng.table("customer_copy").filter(
+        "c_custkey >= 60000000"
+    ).count() > 0
+    assert eng.table("customer_copy").count() == before + added
