@@ -195,6 +195,13 @@ _CONCATENATE_STMT = re.compile(
 # (reference: ql/.../parse/ExportSemanticAnalyzer.java +
 # ImportSemanticAnalyzer.java over CopyTask/MoveTask — data files plus a
 # _metadata descriptor; here the descriptor is JSON).
+_MSCK_STMT = re.compile(
+    r"^\s*MSCK\s+(?:REPAIR\s+)?TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_RENAME_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _EXPORT_STMT = re.compile(
     r"^\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*$",
     re.IGNORECASE,
@@ -611,6 +618,12 @@ class Engine:
         m = _CONCATENATE_STMT.match(query)
         if m:
             return self._run_concatenate(m)
+        m = _MSCK_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_msck(m.group(1))
+        m = _RENAME_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_rename(m.group(1), m.group(2))
         m = _EXPORT_STMT.match(query)
         if m:
             return self._run_export(m.group(1), m.group(2))
@@ -746,6 +759,43 @@ class Engine:
             _swap_dirs(path, staging)
         self.register_table(key, path, parts)
         return self._rows_affected(n)
+
+    def _run_msck(self, table: str) -> DataFrame:
+        """MSCK [REPAIR] TABLE — re-discover partitions from the
+        directory layout and refresh the registered view (reference:
+        DDLSemanticAnalyzer/HiveMetaStoreChecker msck path). Path-backed
+        tables discover partitions on every read, so repair here means
+        re-registering (picks up directories dropped in out-of-band)
+        and reporting the current partition count."""
+        from hive_2_3_2_spark.sources.writers import _staged_partition_rels
+
+        key = self._resolve_dml_table(table)
+        parts = self.table_partitions.get(key)
+        self.register_table(key, self.table_paths[key], parts)
+        n = (
+            len(_staged_partition_rels(self.table_paths[key], len(parts)))
+            if parts
+            else 0
+        )
+        return self._rows_affected(n)
+
+    def _run_rename(self, old_name: str, new_name: str) -> DataFrame:
+        """ALTER TABLE old RENAME TO new — external-table semantics
+        (the reference leaves external data in place on rename,
+        DDLTask alterTable): the path is unchanged, the registration
+        moves to the new name and the old view is dropped."""
+        key = self._resolve_dml_table(old_name)
+        new_key = new_name.split(".")[-1].lower()
+        if new_key in self.table_paths:
+            raise HiveQLUnsupportedError(
+                f"RENAME target table {new_key!r} already exists"
+            )
+        path = self.table_paths.pop(key)
+        parts = self.table_partitions.pop(key, None)
+        self.tables.pop(key, None)
+        self.spark.catalog.dropTempView(key)
+        self.register_table(new_key, path, parts)
+        return self._rows_affected(0)
 
     def _run_show_partitions(self, table: str) -> DataFrame:
         """SHOW PARTITIONS t — Hive prints one ``col=val/...`` line per

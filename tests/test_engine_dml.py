@@ -799,3 +799,43 @@ def test_sql_with_cte_before_insert(eng_with_copy):
         "c_custkey >= 60000000"
     ).count() > 0
     assert eng.table("customer_copy").count() == before + added
+
+
+def test_sql_msck_repair_discovers_new_partition(eng_part_orders, spark):
+    """MSCK REPAIR TABLE picks up a partition directory dropped in
+    out-of-band (HiveMetaStoreChecker parity) and reports the current
+    partition count."""
+    import os
+
+    eng = eng_part_orders
+    path = eng.table_paths["orders_part"]
+    n_before = eng.sql("MSCK REPAIR TABLE orders_part").collect()[0]
+    newdir = os.path.join(path, "o_orderpriority=X-OOB")
+    os.makedirs(newdir)
+    eng.table("orders_part").limit(3).drop("o_orderpriority").write.mode(
+        "overwrite"
+    ).parquet(newdir)
+    res = eng.sql("MSCK REPAIR TABLE orders_part").collect()[0]
+    assert res.rows_affected == n_before.rows_affected + 1
+    assert (
+        eng.table("orders_part")
+        .filter("o_orderpriority = 'X-OOB'")
+        .count()
+        == 3
+    )
+
+
+def test_sql_alter_table_rename(eng_with_copy):
+    """ALTER TABLE ... RENAME TO: external-table semantics — data stays
+    put, the registration moves; the old name stops resolving for DML
+    and the new name works end-to-end."""
+    eng = eng_with_copy
+    n = eng.table("customer_copy").count()
+    eng.sql("ALTER TABLE customer_copy RENAME TO customer_renamed")
+    assert eng.table("customer_renamed").count() == n
+    res = eng.sql(
+        "DELETE FROM customer_renamed WHERE c_custkey <= 10"
+    ).collect()
+    assert res[0].rows_affected > 0
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        eng.sql("ALTER TABLE customer_renamed RENAME TO customer_renamed")
