@@ -195,6 +195,11 @@ _CONCATENATE_STMT = re.compile(
 # (reference: ql/.../parse/ExportSemanticAnalyzer.java +
 # ImportSemanticAnalyzer.java over CopyTask/MoveTask — data files plus a
 # _metadata descriptor; here the descriptor is JSON).
+_ANALYZE_STMT = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS"
+    r"(\s+FOR\s+COLUMNS.*)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _MSCK_STMT = re.compile(
     r"^\s*MSCK\s+(?:REPAIR\s+)?TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
@@ -621,6 +626,9 @@ class Engine:
         m = _MSCK_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_msck(m.group(1))
+        m = _ANALYZE_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_analyze(m.group(1))
         m = _RENAME_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_rename(m.group(1), m.group(2))
@@ -759,6 +767,29 @@ class Engine:
             _swap_dirs(path, staging)
         self.register_table(key, path, parts)
         return self._rows_affected(n)
+
+    def _run_analyze(self, table: str) -> DataFrame:
+        """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ...] on a
+        path-backed table: numRows/totalSize from parquet FOOTERS —
+        metadata only, no scan (exactly what Hive's StatsTask records
+        as basic stats, exec/StatsTask.java). Catalog tables still use
+        Spark's native ANALYZE via the passthrough (which feeds CBO)."""
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        key = self._resolve_dml_table(table)
+        path = self.table_paths[key]
+        n = parquet_row_count(path)
+        size = 0
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            for root, _dirs, files in os.walk(path):
+                size += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        return self.spark.createDataFrame(
+            [(n, size)], "num_rows bigint, total_size_bytes bigint"
+        )
 
     def _run_msck(self, table: str) -> DataFrame:
         """MSCK [REPAIR] TABLE — re-discover partitions from the

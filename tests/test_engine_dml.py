@@ -839,3 +839,19 @@ def test_sql_alter_table_rename(eng_with_copy):
     assert res[0].rows_affected > 0
     with pytest.raises(HiveQLUnsupportedError, match="already exists"):
         eng.sql("ALTER TABLE customer_renamed RENAME TO customer_renamed")
+
+
+def test_sql_analyze_table_footer_stats(eng_with_copy):
+    """ANALYZE TABLE on a path-backed table returns footer-derived
+    numRows/totalSize without scanning (StatsTask basic-stats parity)."""
+    eng = eng_with_copy
+    n = eng.table("customer_copy").count()
+    row = eng.sql(
+        "ANALYZE TABLE customer_copy COMPUTE STATISTICS"
+    ).collect()[0]
+    assert row.num_rows == n and row.total_size_bytes > 0
+    row2 = eng.sql(
+        "ANALYZE TABLE customer_copy COMPUTE STATISTICS "
+        "FOR COLUMNS c_custkey, c_acctbal"
+    ).collect()[0]
+    assert row2.num_rows == n
