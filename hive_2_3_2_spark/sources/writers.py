@@ -61,14 +61,19 @@ def write_bucketed_table(
     sort_cols: list[str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed (+sorted) table — StorageDescriptor bucketCols/sortCols
     parity (metastore/if/hive_metastore.thrift:285-286). Spark SMJ then
     joins two same-bucketed tables with NO shuffle (SMB join,
-    exec/SMBMapJoinOperator.java:60)."""
+    exec/SMBMapJoinOperator.java:60). Pass ``path`` for an
+    external-style table at an explicit location (keeps the session's
+    warehouse dir out of the picture)."""
     writer = df.write.bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.format(fmt).mode(mode).saveAsTable(table)
 
 

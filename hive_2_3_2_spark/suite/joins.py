@@ -230,3 +230,54 @@ def join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "join_smb_bucketed",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_smb_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge-bucket join over two co-bucketed tables
+    (exec/SMBMapJoinOperator.java:60): both sides written with
+    bucketBy(8, custkey) + sortBy at explicit scratch locations, so the
+    SMJ reads pre-bucketed, pre-sorted files and joins with NO shuffle
+    exchange on either side (plan pinned in
+    tests/test_plan_regression.py). At 100 TB this is THE fact-fact
+    join strategy: bucket both tables once at write time, every
+    subsequent join on the bucket key is exchange-free."""
+    import os
+
+    from hive_2_3_2_spark.sources.writers import write_bucketed_table
+    from hive_2_3_2_spark.suite._scratch import scratch_root
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(scratch_root("smb"), tag)
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"smb_{tbl}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_table(
+            load_table(spark, sf_dir, tbl),
+            name,
+            [key],
+            8,
+            sort_cols=[key],
+            path=os.path.join(base, tbl),
+        )
+        names[tbl] = name
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"])
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -216,3 +216,25 @@ def test_pmi_joins_keyed_no_cartesian(spark, sf_dir):
     # pair->unigram joins are keyed; only the 1-row totals may broadcast
     plan = _plan(spark, sf_dir, "text_pmi_collocations")
     assert "CartesianProduct" not in plan
+
+
+def test_smb_bucketed_join_no_exchange(spark, sf_dir):
+    """The SMB suite entry's join reads pre-bucketed files with NO
+    shuffle exchange on either join side (SMBMapJoinOperator parity).
+    At sf0.01 the customer side is small enough to broadcast (the right
+    plan at that size), so the 100 TB claim is pinned with broadcast
+    disabled: the join must become a SortMergeJoin whose children carry
+    no hash-partitioning Exchange — the bucketed layout satisfies the
+    join's distribution requirement from disk."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "join_smb_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    # the single allowed hash Exchange is the post-join aggregate; the
+    # join inputs themselves must not reshuffle
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    join_section = plan[: plan.index("SortMergeJoin")]
+    assert "Exchange hashpartitioning" not in join_section, plan

@@ -93,9 +93,18 @@ def test_bucketed_table_smb_join_no_shuffle(spark, sf_dir, tmp_path):
     )
     from hive_2_3_2_spark.plans import explain_str
 
-    plan = explain_str(joined)
-    n = joined.count()
+    # disable broadcast so the small fixture can't sidestep the SMJ —
+    # the claim under test is the bucketed layout satisfying the join
+    # distribution from disk (at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(joined)
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert n > 0
+    assert "SortMergeJoin" in plan, plan
     # bucketed SMJ: no shuffle exchanges above the scans
     assert "Exchange hashpartitioning" not in plan, plan
     spark.sql(f"DROP TABLE {t1}")
