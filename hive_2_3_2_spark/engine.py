@@ -227,6 +227,22 @@ _MERGE_STMT = re.compile(
 _WHEN_HEAD = re.compile(
     r"^WHEN\s+(NOT\s+)?MATCHED\s*", re.IGNORECASE
 )
+# CLI command processors (CommandProcessorFactory.java:59 dispatch):
+# SET → SetProcessor, ADD/LIST/DELETE → AddResourceProcessor /
+# ListResourceProcessor / DeleteResourceProcessor, RESET →
+# ResetProcessor, SOURCE → CliDriver.processFile, dfs → DfsProcessor,
+# ! → shell escape (CliDriver.processCmd).
+_SET_STMT = re.compile(r"^\s*SET(?:\s+(.*?))?\s*;?\s*$",
+                       re.IGNORECASE | re.DOTALL)
+_RESET_STMT = re.compile(r"^\s*RESET\s*;?\s*$", re.IGNORECASE)
+_RESOURCE_STMT = re.compile(
+    r"^\s*(ADD|DELETE|LIST)\s+(FILES?|JARS?|ARCHIVES?)\b\s*(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SOURCE_STMT = re.compile(r"^\s*SOURCE\s+(.+?)\s*;?\s*$", re.IGNORECASE)
+_DFS_STMT = re.compile(r"^\s*(dfs)\s+", re.IGNORECASE)
+_SHELL_STMT = re.compile(r"^\s*!")
+_VAR_REF = re.compile(r"\$\{([\w.:-]+)\}")
 
 
 def _scan_top_keywords(text: str):
@@ -468,6 +484,13 @@ class Engine:
         self.tables: dict[str, DataFrame] = {}
         self.table_paths: dict[str, str] = {}
         self.table_partitions: dict[str, list[str]] = {}
+        # Session state the CLI processors maintain (SetProcessor's
+        # hiveconf/hivevar overlay + the session resource lists of
+        # SessionState.ResourceType — reference session/SessionState.java).
+        self.hiveconf: dict[str, str] = {}
+        self.resources: dict[str, list[str]] = {
+            "FILE": [], "JAR": [], "ARCHIVE": []
+        }
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
             import os
@@ -529,6 +552,36 @@ class Engine:
         row counts, or the shared discovery job), never a pre-scan."""
         from pyspark.sql import functions as F
 
+        # CLI command processors run BEFORE variable substitution would
+        # make sense for SET itself, but Hive substitutes every command
+        # (VariableSubstitution wraps each processor) — so substitute
+        # first, then dispatch (CommandProcessorFactory.java:59).
+        query = self._substitute(query)
+        m = _SHELL_STMT.match(query)
+        if m:
+            raise HiveQLUnsupportedError(
+                "'!' shell escape is not supported — no shell execution "
+                "from SQL in this engine (CliDriver.processCmd shell path)"
+            )
+        m = _DFS_STMT.match(query)
+        if m:
+            raise HiveQLUnsupportedError(
+                "'dfs' commands are not supported — there is no HDFS "
+                "shell here; use LOAD DATA / EXPORT / IMPORT instead"
+            )
+        m = _SET_STMT.match(query)
+        if m and not re.match(r"^\s*SET\s*\(", query):
+            return self._run_set(m.group(1))
+        m = _RESET_STMT.match(query)
+        if m:
+            self.hiveconf.clear()
+            return self._conf_frame([])
+        m = _RESOURCE_STMT.match(query)
+        if m:
+            return self._run_resource(m.group(1), m.group(2), m.group(3))
+        m = _SOURCE_STMT.match(query)
+        if m:
+            return self._run_source(m.group(1))
         m = _DELETE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             from hive_2_3_2_spark.sources.writers import delete_where
@@ -639,6 +692,135 @@ class Engine:
         if m:
             return self._run_import(m.group(1), m.group(2), m.group(3))
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
+
+    def _substitute(self, text: str) -> str:
+        """``${hiveconf:x}`` / ``${hivevar:x}`` / ``${env:X}`` / ``${x}``
+        text substitution before dispatch (VariableSubstitution parity —
+        Hive substitutes every command when hive.variable.substitute=true,
+        including inside string literals). Unbound names are a typed
+        error rather than silently running with the literal text."""
+        if "${" not in text:
+            return text
+        if self.hiveconf.get("hive.variable.substitute", "true") == "false":
+            return text
+
+        def repl(m: re.Match[str]) -> str:
+            name = m.group(1)
+            ns, _, bare = name.partition(":")
+            if not _:
+                ns, bare = "", name
+            if ns == "env":
+                if bare in os.environ:
+                    return os.environ[bare]
+                raise HiveQLUnsupportedError(
+                    f"unbound environment variable ${{{name}}}"
+                )
+            if ns == "system":
+                raise HiveQLUnsupportedError(
+                    "${system:...} substitution (Java system properties) "
+                    "has no equivalent here — use ${env:...} or SET"
+                )
+            if bare in self.hiveconf:
+                return self.hiveconf[bare]
+            raise HiveQLUnsupportedError(
+                f"unbound script variable ${{{name}}} — SET {bare}=... "
+                "first, or pass it in run_script(variables={...})"
+            )
+
+        return _VAR_REF.sub(repl, text)
+
+    def _conf_frame(self, rows: list[tuple[str, str | None]]) -> DataFrame:
+        return self.spark.createDataFrame(rows, "name string, value string")
+
+    def _run_set(self, arg: str | None) -> DataFrame:
+        """SET / SET -v / SET name / SET name=value — SetProcessor parity
+        (reference: processors/SetProcessor.java:91 ``run``). Assignments
+        land in the session hiveconf overlay (visible to ${...}
+        substitution); ``spark.*`` names are additionally forwarded to
+        the live SparkSession conf so they take real effect; the one
+        cross-dialect mapping is hive.auto.convert.join →
+        spark.sql.autoBroadcastJoinThreshold (map-join toggle)."""
+        arg = (arg or "").strip()
+        if arg in ("", "-v"):
+            rows = sorted(self.hiveconf.items())
+            return self._conf_frame(rows)
+        if re.match(r"^TIME\s+ZONE\b", arg, re.IGNORECASE):
+            return self.spark.sql(f"SET {arg}")
+        name, eq, value = arg.partition("=")
+        name = name.strip()
+        for prefix in ("hiveconf:", "hivevar:"):
+            if name.lower().startswith(prefix):
+                name = name[len(prefix):]
+        if not eq:
+            return self._conf_frame([(name, self.hiveconf.get(name))])
+        value = value.strip()
+        if name.lower().startswith(("system:", "env:")):
+            raise HiveQLUnsupportedError(
+                f"SET {name}: the system:/env: namespaces are read-only "
+                "(SetProcessor rejects env: writes; system: not emulated)"
+            )
+        self.hiveconf[name] = value
+        if name.startswith("spark."):
+            self.spark.conf.set(name, value)
+        elif name == "hive.auto.convert.join":
+            # Hive's map-join auto-conversion toggle IS Spark's
+            # auto-broadcast threshold (MapJoinProcessor parity).
+            self.spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold",
+                "10485760" if value.lower() == "true" else "-1",
+            )
+        return self._conf_frame([(name, value)])
+
+    def _run_resource(self, verb: str, kind: str, arg: str) -> DataFrame:
+        """ADD/LIST/DELETE FILE|JAR|ARCHIVE — the Add/List/Delete
+        ResourceProcessor trio over SessionState's resource lists
+        (reference: session/SessionState.java ResourceType). ADD FILE
+        also ships the file to executors via SparkContext.addFile —
+        the mechanism TRANSFORM scripts rely on."""
+        verb = verb.upper()
+        kind = kind.upper().rstrip("S")
+        paths = arg.split()
+        if verb == "LIST":
+            listed = self.resources[kind]
+            if paths:
+                listed = [p for p in listed if p in paths]
+            return self.spark.createDataFrame(
+                [(p,) for p in listed], "resource string"
+            )
+        if not paths:
+            raise HiveQLUnsupportedError(
+                f"{verb} {kind} requires at least one path"
+            )
+        if verb == "ADD":
+            for p in paths:
+                if not os.path.exists(p):
+                    raise HiveQLUnsupportedError(
+                        f"ADD {kind}: path does not exist: {p}"
+                    )
+                if p not in self.resources[kind]:
+                    self.resources[kind].append(p)
+                    if kind == "FILE":
+                        self.spark.sparkContext.addFile(p)
+        else:  # DELETE
+            for p in paths:
+                if p in self.resources[kind]:
+                    self.resources[kind].remove(p)
+        return self.spark.createDataFrame(
+            [(p,) for p in self.resources[kind]], "resource string"
+        )
+
+    def _run_source(self, path: str) -> DataFrame:
+        """SOURCE file.sql — inline script execution
+        (CliDriver.processFile, cli/.../CliDriver.java:436). Returns the
+        last statement's result."""
+        path = path.strip().strip("'\"")
+        if not os.path.exists(path):
+            raise HiveQLUnsupportedError(f"SOURCE: file not found: {path}")
+        with open(path, encoding="utf-8") as fh:
+            results = self.run_script(fh.read())
+        if results:
+            return results[-1]
+        return self._conf_frame([])
 
     def _run_export(self, table: str, out_dir: str) -> DataFrame:
         """EXPORT TABLE t TO 'path' — copy the data files plus a
@@ -1394,17 +1576,12 @@ class Engine:
         no such read-after-write hazard and a result is too large to
         hold locally."""
         if variables is not None:
-            def subst(m: re.Match[str]) -> str:
-                name = m.group(1)
-                bare = name.split(":", 1)[-1]
-                if bare in variables:
-                    return variables[bare]
-                raise HiveQLUnsupportedError(
-                    f"unbound script variable ${{{name}}} — pass it in "
-                    "run_script(variables={...})"
-                )
-
-            script = re.sub(r"\$\{([\w.:-]+)\}", subst, script)
+            # hive --hivevar/--hiveconf parity: CLI-passed variables
+            # become session state, visible to every statement AND to
+            # later SET reads; substitution itself happens per statement
+            # inside sql() so a SET in the script binds from the next
+            # statement on (VariableSubstitution runs per command).
+            self.hiveconf.update(variables)
         out: list[DataFrame] = []
         for stmt in _split_statements(script):
             df = self.sql(stmt)

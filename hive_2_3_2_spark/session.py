@@ -49,6 +49,10 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     # Arrow for the Pandas-UDF slow path (only used where JVM exprs can't).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Engine.sql owns ${...} substitution (VariableSubstitution parity,
+    # typed error on unbound names); Spark's own layer would otherwise
+    # double-substitute and silently blank unbound references.
+    "spark.sql.variable.substitute": "false",
     # Scan sizing: 128 MB splits is the right grain for 100 TB parquet.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Bucketed-table support (Hive bucketCols parity,

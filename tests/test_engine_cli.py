@@ -1,0 +1,162 @@
+"""CLI command-processor parity through Engine.sql / run_script.
+
+The reference CLI dispatches non-SQL commands to dedicated processors
+(reference: ql/.../processors/CommandProcessorFactory.java:59 — SET →
+SetProcessor.java:91, ADD/LIST/DELETE → *ResourceProcessor, RESET →
+ResetProcessor, SOURCE → CliDriver.processFile:436, dfs → DfsProcessor,
+``!`` → CliDriver.processCmd shell escape) and substitutes ``${...}``
+variables into every command (VariableSubstitution). These tests pin the
+same surface on Engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+
+@pytest.fixture()
+def eng(spark):
+    e = Engine(spark=spark)
+    yield e
+    # SET may have touched live Spark conf — restore the pieces these
+    # tests change so the shared session is unpolluted.
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+    )
+
+
+def test_set_get_list_roundtrip(eng):
+    eng.sql("SET my.var=hello world")
+    row = eng.sql("SET my.var").collect()[0]
+    assert (row.name, row.value) == ("my.var", "hello world")
+    names = {r.name for r in eng.sql("SET").collect()}
+    assert "my.var" in names
+    # undefined name → NULL value, not an error (Hive prints 'undefined')
+    row = eng.sql("SET not.set.ever").collect()[0]
+    assert row.value is None
+
+
+def test_set_hiveconf_prefix_and_reset(eng):
+    eng.sql("SET hiveconf:a.b=1")
+    assert eng.sql("SET a.b").collect()[0].value == "1"
+    eng.sql("RESET")
+    assert eng.sql("SET a.b").collect()[0].value is None
+
+
+def test_set_spark_conf_forwarded(eng):
+    eng.sql("SET spark.sql.shuffle.partitions=7")
+    assert eng.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    eng.sql("SET spark.sql.shuffle.partitions=32")
+
+
+def test_set_auto_convert_join_controls_broadcast(eng, sf_dir):
+    eng.register_table("nation_cli", f"{sf_dir}/nation.parquet")
+    eng.register_table("region_cli", f"{sf_dir}/region.parquet")
+    q = (
+        "SELECT n_name, r_name FROM nation_cli JOIN region_cli "
+        "ON n_regionkey = r_regionkey"
+    )
+    eng.sql("SET hive.auto.convert.join=false")
+    plan_off = eng.explain(q)
+    assert "BroadcastHashJoin" not in plan_off
+    eng.sql("SET hive.auto.convert.join=true")
+    plan_on = eng.explain(q)
+    assert "BroadcastHashJoin" in plan_on
+
+
+def test_variable_substitution_in_select(eng, sf_dir):
+    eng.sql("SET lim=3")
+    eng.register_table("nation_sub", f"{sf_dir}/nation.parquet")
+    out = eng.sql(
+        "SELECT n_name FROM nation_sub ORDER BY n_name LIMIT ${hiveconf:lim}"
+    ).collect()
+    assert len(out) == 3
+    # substitution reaches string literals too (pure text substitution)
+    v = eng.sql("SELECT '${lim}' AS v").collect()[0].v
+    assert v == "3"
+
+
+def test_variable_substitution_unbound_and_disabled(eng):
+    with pytest.raises(HiveQLUnsupportedError, match="unbound"):
+        eng.sql("SELECT '${never.bound}' AS v")
+    eng.sql("SET hive.variable.substitute=false")
+    v = eng.sql("SELECT '${never.bound}' AS v").collect()[0].v
+    assert v == "${never.bound}"
+    eng.sql("SET hive.variable.substitute=true")
+    with pytest.raises(HiveQLUnsupportedError, match="env"):
+        eng.sql("SELECT '${env:NO_SUCH_ENV_VAR_XYZ}' AS v")
+    with pytest.raises(HiveQLUnsupportedError, match="system"):
+        eng.sql("SELECT '${system:user.name}' AS v")
+
+
+def test_set_inside_script_binds_later_statements(eng, sf_dir):
+    eng.register_table("region_scr", f"{sf_dir}/region.parquet")
+    results = eng.run_script(
+        """
+        SET k=2;
+        SELECT r_name FROM region_scr ORDER BY r_name LIMIT ${hiveconf:k};
+        """
+    )
+    assert len(results[-1].collect()) == 2
+
+
+def test_add_list_delete_file(eng, tmp_path):
+    f1 = tmp_path / "script_one.sh"
+    f1.write_text("echo hi\n")
+    f2 = tmp_path / "extra.txt"
+    f2.write_text("x\n")
+    eng.sql(f"ADD FILE {f1}")
+    eng.sql(f"ADD FILES {f2}")
+    listed = [r.resource for r in eng.sql("LIST FILES").collect()]
+    assert str(f1) in listed and str(f2) in listed
+    eng.sql(f"DELETE FILE {f2}")
+    listed = [r.resource for r in eng.sql("LIST FILES").collect()]
+    assert str(f2) not in listed
+    # jars tracked separately
+    eng.sql(f"ADD JAR {f1}")
+    assert [r.resource for r in eng.sql("LIST JARS").collect()] == [str(f1)]
+
+
+def test_add_file_missing_path_typed_error(eng):
+    with pytest.raises(HiveQLUnsupportedError, match="does not exist"):
+        eng.sql("ADD FILE /no/such/file.bin")
+    with pytest.raises(HiveQLUnsupportedError, match="at least one"):
+        eng.sql("ADD FILE")
+
+
+def test_source_runs_nested_script(eng, sf_dir, tmp_path):
+    script = tmp_path / "init.sql"
+    script.write_text(
+        "SET who=world;\nSELECT 'hello ${hiveconf:who}' AS greeting;\n"
+    )
+    out = eng.sql(f"SOURCE {script}").collect()
+    assert out[0].greeting == "hello world"
+    with pytest.raises(HiveQLUnsupportedError, match="not found"):
+        eng.sql("SOURCE /no/such/script.sql")
+
+
+def test_dfs_and_shell_escape_typed_errors(eng):
+    with pytest.raises(HiveQLUnsupportedError, match="dfs"):
+        eng.sql("dfs -ls /tmp")
+    with pytest.raises(HiveQLUnsupportedError, match="shell"):
+        eng.sql("!ls /tmp")
+
+
+def test_run_script_variables_param_still_works(eng, sf_dir):
+    eng.register_table("region_var", f"{sf_dir}/region.parquet")
+    results = eng.run_script(
+        "SELECT r_name FROM region_var ORDER BY r_name LIMIT ${hiveconf:n};",
+        variables={"n": "1"},
+    )
+    assert len(results[0].collect()) == 1
+
+
+def test_delete_from_still_dml_not_resource(eng, spark, sf_dir, tmp_path):
+    # DELETE FROM must keep routing to DML, not the DELETE FILE processor
+    dst = str(tmp_path / "region_copy.parquet")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(dst)
+    eng.register_table("region_del", dst)
+    res = eng.sql("DELETE FROM region_del WHERE r_regionkey = 0").collect()
+    assert res[0].rows_affected == 1
