@@ -240,6 +240,13 @@ _RESOURCE_STMT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _SOURCE_STMT = re.compile(r"^\s*SOURCE\s+(.+?)\s*;?\s*$", re.IGNORECASE)
+_SHOW_CREATE_STMT = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE_STMT = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(EXTENDED\s+|FORMATTED\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DFS_STMT = re.compile(r"^\s*(dfs)\s+", re.IGNORECASE)
 _SHELL_STMT = re.compile(r"^\s*!")
 _VAR_REF = re.compile(r"\$\{([\w.:-]+)\}")
@@ -582,6 +589,12 @@ class Engine:
         m = _SOURCE_STMT.match(query)
         if m:
             return self._run_source(m.group(1))
+        m = _SHOW_CREATE_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_show_create(m.group(1))
+        m = _DESCRIBE_STMT.match(query)
+        if m and self._dml_registered(m.group(2)):
+            return self._run_describe(m.group(2), m.group(1))
         m = _DELETE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             from hive_2_3_2_spark.sources.writers import delete_where
@@ -1009,6 +1022,90 @@ class Engine:
         self.spark.catalog.dropTempView(key)
         self.register_table(new_key, path, parts)
         return self._rows_affected(0)
+
+    def _schema_split(self, key: str):
+        """(data_fields, partition_fields) for a registered table —
+        partition columns come last in the parquet-discovered schema but
+        are matched by name against the registered partition spec."""
+        parts = [p.lower() for p in self.table_partitions.get(key, [])]
+        fields = self.tables[key].schema.fields
+        data = [f for f in fields if f.name.lower() not in parts]
+        part = [f for f in fields if f.name.lower() in parts]
+        return data, part
+
+    def _run_show_create(self, table: str) -> DataFrame:
+        """SHOW CREATE TABLE — Hive-style external-table DDL
+        (reference: exec/DDLTask.java showCreateTable). One row,
+        column ``createtab_stmt``, like Hive/Spark."""
+        key = self._resolve_dml_table(table)
+        data, part = self._schema_split(key)
+        lines = [f"CREATE EXTERNAL TABLE `{key}`("]
+        lines.append(
+            ",\n".join(
+                f"  `{f.name}` {f.dataType.simpleString()}" for f in data
+            )
+            + ")"
+        )
+        if part:
+            lines.append("PARTITIONED BY (")
+            lines.append(
+                ",\n".join(
+                    f"  `{f.name}` {f.dataType.simpleString()}" for f in part
+                )
+                + ")"
+            )
+        lines.append("STORED AS PARQUET")
+        lines.append("LOCATION")
+        lines.append(f"  '{self.table_paths[key]}'")
+        return self.spark.createDataFrame(
+            [("\n".join(lines),)], "createtab_stmt string"
+        )
+
+    def _run_describe(self, table: str, modifier: str | None) -> DataFrame:
+        """DESCRIBE [EXTENDED|FORMATTED] t — column listing plus, for the
+        long forms, Hive's partition-information and detailed-table
+        sections (reference: exec/DDLTask.java describeTable;
+        formatting MetaDataFormatUtils). Path metadata only — no scan."""
+        key = self._resolve_dml_table(table)
+        data, part = self._schema_split(key)
+        rows = [(f.name, f.dataType.simpleString(), None) for f in data]
+        if part:
+            # Hive appends partition columns to the plain DESCRIBE too.
+            rows += [(f.name, f.dataType.simpleString(), None) for f in part]
+        if modifier:
+            if part:
+                rows += [
+                    ("", "", None),
+                    ("# Partition Information", "", None),
+                    ("# col_name", "data_type", "comment"),
+                ]
+                rows += [
+                    (f.name, f.dataType.simpleString(), None) for f in part
+                ]
+            path = self.table_paths[key]
+            n_files = 0
+            total = 0
+            if os.path.isfile(path):
+                n_files, total = 1, os.path.getsize(path)
+            else:
+                for dirpath, _dirs, files in os.walk(path):
+                    for fn in files:
+                        if fn.startswith(("_", ".")):
+                            continue
+                        n_files += 1
+                        total += os.path.getsize(os.path.join(dirpath, fn))
+            rows += [
+                ("", "", None),
+                ("# Detailed Table Information", "", None),
+                ("Location", path, None),
+                ("Table Type", "EXTERNAL_TABLE", None),
+                ("numFiles", str(n_files), None),
+                ("totalSize", str(total), None),
+                ("InputFormat", "parquet", None),
+            ]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
 
     def _run_show_partitions(self, table: str) -> DataFrame:
         """SHOW PARTITIONS t — Hive prints one ``col=val/...`` line per

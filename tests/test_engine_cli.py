@@ -160,3 +160,41 @@ def test_delete_from_still_dml_not_resource(eng, spark, sf_dir, tmp_path):
     eng.register_table("region_del", dst)
     res = eng.sql("DELETE FROM region_del WHERE r_regionkey = 0").collect()
     assert res[0].rows_affected == 1
+
+
+def test_show_create_table_and_describe(eng, spark, sf_dir, tmp_path):
+    # partitioned copy so both the partition section and location show up
+    from pyspark.sql import functions as F
+
+    dst = str(tmp_path / "orders_part")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    ).write.partitionBy("o_year").parquet(dst)
+    eng.register_table("orders_part", dst, partition_cols=["o_year"])
+    ddl = eng.sql("SHOW CREATE TABLE orders_part").collect()[0].createtab_stmt
+    assert "CREATE EXTERNAL TABLE `orders_part`" in ddl
+    assert "PARTITIONED BY (" in ddl and "`o_year`" in ddl
+    assert f"'{dst}'" in ddl and "STORED AS PARQUET" in ddl
+    # partition col must NOT be in the data-column block
+    assert ddl.index("`o_orderkey`") < ddl.index("PARTITIONED BY")
+
+    plain = eng.sql("DESCRIBE orders_part").collect()
+    names = [r.col_name for r in plain]
+    assert "o_orderkey" in names and "o_year" in names
+    fmt = eng.sql("DESCRIBE FORMATTED orders_part").collect()
+    labels = [r.col_name for r in fmt]
+    assert "# Partition Information" in labels
+    assert "# Detailed Table Information" in labels
+    loc = next(r for r in fmt if r.col_name == "Location")
+    assert loc.data_type == dst
+    nf = next(r for r in fmt if r.col_name == "numFiles")
+    assert int(nf.data_type) > 0
+
+
+def test_show_create_unregistered_falls_through(eng):
+    # not registered -> passthrough -> Spark raises its own error
+    import pyspark.errors
+
+    with pytest.raises(Exception) as ei:
+        eng.sql("SHOW CREATE TABLE never_registered_tbl")
+    assert not isinstance(ei.value, HiveQLUnsupportedError)
