@@ -106,6 +106,7 @@ _MODULES = [
     "tpch_extra",
     "functions_scalar2",
     "joins",
+    "llm_extra",  # r4 late additions — below the window → r5 queue
 ]
 
 

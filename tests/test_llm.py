@@ -757,3 +757,34 @@ def test_multimodal_undecodable_payload_keeps_stub_contract(spark):
     media = M.attach_media(df, "payload", "media_id", "application/blob")
     r = M.extract_features(media).collect()[0]
     assert r.feat_head == f"{64 + (len(raw) % 577)}x{64 + ((len(raw) * 31) % 421)}"
+
+
+def test_decontaminate_embeddings_kept_and_plan(spark, sf_dir):
+    """Semantic decontamination: kept = corpus minus every vector with an
+    eval-side cosine >= threshold; candidate generation is a broadcast
+    bucket join, never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.llm.cleaning import decontaminate_embeddings
+    from hive_2_3_2_spark.plans.explain import assert_no_cartesian
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    eval_df = emb.filter(F.col("vec_id") % 20 == 0)
+    removed = decontaminate_embeddings(
+        corpus, eval_df, threshold=0.4, return_removed=True
+    )
+    kept = decontaminate_embeddings(corpus, eval_df, threshold=0.4)
+    n_corpus, n_removed, n_kept = corpus.count(), removed.count(), kept.count()
+    assert n_kept == n_corpus - n_removed
+    assert n_removed > 0  # threshold chosen so the pass provably fires
+    # removed ids and kept ids partition the corpus
+    overlap = kept.join(
+        removed.withColumnRenamed("vec_id", "vec_id"), "vec_id"
+    ).count()
+    assert overlap == 0
+    # every removed row really has an eval neighbor at >= threshold
+    assert removed.filter(F.col("max_cosine") < 0.4).count() == 0
+    assert_no_cartesian(removed)
+    assert_no_cartesian(kept)
