@@ -249,6 +249,17 @@ _DESCRIBE_STMT = re.compile(
 )
 _DFS_STMT = re.compile(r"^\s*(dfs)\s+", re.IGNORECASE)
 _SHELL_STMT = re.compile(r"^\s*!")
+# CREATE TEMPORARY MACRO name(arg type, ...) body
+# (reference: parse/MacroSemanticAnalyzer.java:70 — macros are
+# SQL-expression templates registered in FunctionRegistry).
+_CREATE_MACRO_STMT = re.compile(
+    r"^\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(([^)]*)\)\s*(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MACRO_STMT = re.compile(
+    r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VAR_REF = re.compile(r"\$\{([\w.:-]+)\}")
 
 
@@ -498,6 +509,8 @@ class Engine:
         self.resources: dict[str, list[str]] = {
             "FILE": [], "JAR": [], "ARCHIVE": []
         }
+        # name → (ordered arg names, body SQL) — CREATE TEMPORARY MACRO
+        self.macros: dict[str, tuple[list[str], str]] = {}
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
             import os
@@ -589,6 +602,15 @@ class Engine:
         m = _SOURCE_STMT.match(query)
         if m:
             return self._run_source(m.group(1))
+        m = _CREATE_MACRO_STMT.match(query)
+        if m:
+            return self._run_create_macro(m)
+        m = _DROP_MACRO_STMT.match(query)
+        if m:
+            self.macros.pop(m.group(1).lower(), None)
+            return self._conf_frame([])
+        if self.macros:
+            query = self._expand_macros(query)
         m = _SHOW_CREATE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_show_create(m.group(1))
@@ -821,6 +843,88 @@ class Engine:
         return self.spark.createDataFrame(
             [(p,) for p in self.resources[kind]], "resource string"
         )
+
+    def _run_create_macro(self, m: re.Match[str]) -> DataFrame:
+        """CREATE TEMPORARY MACRO name(arg type, ...) body — a named SQL
+        expression template (reference: parse/MacroSemanticAnalyzer.java:70;
+        Hive registers it as a GenericUDFMacro). Here the macro expands
+        textually at call sites before parsing, which preserves Hive's
+        evaluate-in-caller semantics exactly."""
+        name = m.group(1).lower()
+        body = m.group(3).strip()
+        args: list[str] = []
+        if m.group(2).strip():
+            for part in _split_top_commas(m.group(2)):
+                arg_name = part.strip().split()[0].lower()
+                if arg_name in args:
+                    raise HiveQLUnsupportedError(
+                        f"CREATE MACRO {name}: duplicate formal argument "
+                        f"{arg_name!r} (MacroSemanticAnalyzer rejects this)"
+                    )
+                args.append(arg_name)
+        self.macros[name] = (args, body)
+        return self._conf_frame([])
+
+    def _expand_macros(self, query: str, depth: int = 0) -> str:
+        """Expand registered macro calls: ``name(e1, e2)`` → the macro
+        body with each formal replaced by the (parenthesized) actual.
+        Balanced-paren scan for the argument list; bodies may call other
+        macros (bounded nesting)."""
+        if depth > 8:
+            raise HiveQLUnsupportedError(
+                "macro expansion exceeded depth 8 — recursive macros are "
+                "not supported (Hive macros cannot recurse either)"
+            )
+        out = query
+        for name, (formals, body) in self.macros.items():
+            pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+            pos = 0
+            while True:
+                mm = pat.search(out, pos)
+                if not mm:
+                    break
+                # balanced scan from the opening paren
+                i = mm.end()
+                d, in_str = 1, False
+                while i < len(out) and d:
+                    ch = out[i]
+                    if in_str:
+                        if ch == "'":
+                            in_str = False
+                    elif ch == "'":
+                        in_str = True
+                    elif ch == "(":
+                        d += 1
+                    elif ch == ")":
+                        d -= 1
+                    i += 1
+                if d:
+                    raise HiveQLUnsupportedError(
+                        f"unbalanced parentheses in macro call {name}(...)"
+                    )
+                arg_text = out[mm.end(): i - 1]
+                actuals = (
+                    _split_top_commas(arg_text) if arg_text.strip() else []
+                )
+                if len(actuals) != len(formals):
+                    raise HiveQLUnsupportedError(
+                        f"macro {name} expects {len(formals)} argument(s), "
+                        f"got {len(actuals)}"
+                    )
+                expansion = body
+                for formal, actual in zip(formals, actuals):
+                    expansion = re.sub(
+                        rf"\b{re.escape(formal)}\b",
+                        f"({actual.strip()})".replace("\\", "\\\\"),
+                        expansion,
+                        flags=re.IGNORECASE,
+                    )
+                expansion = f"({expansion})"
+                out = out[: mm.start()] + expansion + out[i:]
+                pos = mm.start() + len(expansion)
+        if out != query:
+            return self._expand_macros(out, depth + 1)
+        return out
 
     def _run_source(self, path: str) -> DataFrame:
         """SOURCE file.sql — inline script execution

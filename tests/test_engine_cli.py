@@ -198,3 +198,39 @@ def test_show_create_unregistered_falls_through(eng):
     with pytest.raises(Exception) as ei:
         eng.sql("SHOW CREATE TABLE never_registered_tbl")
     assert not isinstance(ei.value, HiveQLUnsupportedError)
+
+
+def test_create_temporary_macro(eng, sf_dir):
+    eng.register_table("nation_mac", f"{sf_dir}/nation.parquet")
+    eng.sql("CREATE TEMPORARY MACRO sigmoid(x DOUBLE) 1.0/(1.0+EXP(-x))")
+    row = eng.sql("SELECT sigmoid(0.0) AS s").collect()[0]
+    assert abs(row.s - 0.5) < 1e-12
+    # argument expression substituted, not evaluated textually-naively
+    row = eng.sql("SELECT sigmoid(1.0 - 1.0) AS s").collect()[0]
+    assert abs(row.s - 0.5) < 1e-12
+    # macros compose with table columns and other macros
+    eng.sql("CREATE TEMPORARY MACRO twice(y DOUBLE) sigmoid(y) * 2")
+    out = eng.sql(
+        "SELECT n_nationkey, twice(CAST(n_nationkey AS DOUBLE)) AS t "
+        "FROM nation_mac ORDER BY n_nationkey LIMIT 1"
+    ).collect()[0]
+    assert abs(out.t - 1.0) < 1e-12  # sigmoid(0)*2
+    # zero-arg macro
+    eng.sql("CREATE TEMPORARY MACRO fixed_seed() 42")
+    assert eng.sql("SELECT fixed_seed() AS v").collect()[0].v == 42
+    # drop removes it -> Spark resolution error, not silent expansion
+    eng.sql("DROP TEMPORARY MACRO sigmoid")
+    with pytest.raises(Exception):
+        eng.sql("SELECT sigmoid(0.0) AS s").collect()
+
+
+def test_macro_validation_errors(eng):
+    with pytest.raises(HiveQLUnsupportedError, match="duplicate formal"):
+        eng.sql("CREATE TEMPORARY MACRO bad(x INT, x INT) x + x")
+    eng.sql("CREATE TEMPORARY MACRO addone(x INT) x + 1")
+    with pytest.raises(HiveQLUnsupportedError, match="expects 1"):
+        eng.sql("SELECT addone(1, 2) AS v")
+    # self-referential macro -> bounded expansion, typed error
+    eng.sql("CREATE TEMPORARY MACRO loopy(x INT) loopy(x)")
+    with pytest.raises(HiveQLUnsupportedError, match="depth"):
+        eng.sql("SELECT loopy(1) AS v")
