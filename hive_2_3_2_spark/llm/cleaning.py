@@ -179,12 +179,22 @@ def build_bloom_filter(
     Shape: k probe positions per value (``xxhash64(seed, v)`` — k
     independent seeds, the standard k-hash construction), exploded to
     (word_idx, bit mask) rows, folded with one map-side-combined
-    ``bit_or`` groupBy. The shuffle carries at most ``num_bits/64``
+    ``bit_or`` groupBy. The shuffle carries at most ``num_bits/32``
     distinct words REGARDLESS of input size — a 100 TB blocklist scan
-    reduces to a ≤128 KiB (default m=2^20) driver-side array. Memory on
-    the driver is the dense word array, never the values.
+    reduces to a ≤256 KiB (default m=2^20) driver-side constant. Memory
+    on the driver is the dense word array, never the values.
+
+    Representation: the filter ships as ONE BINARY blob (4 big-endian
+    bytes per 32-bit word). A 2^20-bit filter as an array literal would
+    be a 16k-element list whose py4j element-wise transfer alone costs
+    ~10s of driver time per ``F.lit`` (measured) and whose 16k-child
+    expression slows every analysis pass; a hex-string literal transfers
+    fast but character-indexed ``substring`` walks code points — O(pos)
+    per row on a 256 KiB string (measured 18s/M rows). The binary blob
+    is a single transfer, a single scalar Literal node, and byte-indexed
+    O(1) slicing.
     """
-    n_words = (num_bits + 63) // 64
+    n_words = (num_bits + 31) // 32
     c = F.col(col).cast("string")
     positions = F.array(
         *[
@@ -195,11 +205,11 @@ def build_bloom_filter(
     set_words = (
         values.select(F.explode(positions).alias("pos"))
         .select(
-            (F.col("pos") / 64).cast("int").alias("w"),
+            (F.col("pos") / 32).cast("int").alias("w"),
             F.call_function(
                 "shiftleft",
                 F.lit(1).cast("long"),
-                (F.col("pos") % 64).cast("int"),
+                (F.col("pos") % 32).cast("int"),
             ).alias("mask"),
         )
         .groupBy("w")
@@ -209,29 +219,34 @@ def build_bloom_filter(
     words = [0] * n_words
     for r in set_words:
         words[r["w"]] = r["word"]
-    return {"words": words, "num_bits": num_bits, "num_hashes": num_hashes}
+    blob = b"".join(w.to_bytes(4, "big") for w in words)
+    return {"blob": blob, "num_bits": num_bits, "num_hashes": num_hashes}
 
 
 def bloom_might_contain(bloom: dict, col: Column) -> Column:
     """Membership probe against a ``build_bloom_filter`` result — false
     positives possible, false negatives impossible.
 
-    The word array enters the plan as ONE array literal (``F.lit(list)``
-    → a single Literal node, constant-folded — NOT a 16k-child
-    CreateArray tree, which would fall out of codegen), probed with
-    ``element_at`` + shift/mask. No higher-order functions, no Python:
-    the probe is a scan-local codegen expression, so filtering 100 TB
-    against a million-entry blocklist never shuffles a non-matching row.
+    The filter enters the plan as ONE scalar binary Literal; each of the
+    k probes slices its 32-bit word with byte-indexed ``substring``
+    (O(1) on BinaryType) and decodes it via ``hex`` + ``conv(_,16,10)``.
+    No higher-order functions, no Python: the probe is a scan-local
+    codegen expression, so filtering 100 TB against a million-entry
+    blocklist never shuffles a non-matching row.
     """
     m, k = bloom["num_bits"], bloom["num_hashes"]
-    arr = F.lit(bloom["words"])
+    blob = F.lit(bytearray(bloom["blob"]))
     c = col.cast("string")
     out = F.lit(True)
     for i in range(k):
         pos = F.pmod(F.xxhash64(F.lit(i), c), F.lit(m))
-        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        word = F.conv(
+            F.hex(F.substring(blob, (pos / 32).cast("int") * 4 + 1, 4)),
+            16,
+            10,
+        ).cast("long")
         bit = F.call_function(
-            "shiftright", word, (pos % 64).cast("int")
+            "shiftright", word, (pos % 32).cast("int")
         ).bitwiseAND(F.lit(1).cast("long"))
         out = out & (bit == 1)
     return out
@@ -273,9 +288,15 @@ def decontaminate_bloom(
             idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
         )
 
+    # Materialize the benchmark grams once: they feed BOTH the bloom
+    # build (a collect) and the exact confirm join. Without the persist
+    # the final plan re-explodes the benchmark side AND constraint
+    # propagation infers the (huge-literal) bloom probe onto that
+    # re-scan too — measured 23s → 8s at sf0.1.
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(bench_text_col))).alias("g"))
         .distinct()
+        .persist()
     )
     bloom = build_bloom_filter(bench_grams, "g", num_bits, num_hashes)
     candidate_grams = df.select(

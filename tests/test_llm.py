@@ -339,7 +339,8 @@ def test_bloom_filter_exact_and_prefilter_selectivity(spark, sf_dir):
         F.concat(F.lit("member-"), F.col("id")).alias("v")
     )
     bloom = C.build_bloom_filter(vals, "v")
-    assert len(bloom["words"]) == (1 << 20) // 64
+    # 4 bytes per 32-bit word -> m/8 bytes total
+    assert len(bloom["blob"]) == (1 << 20) // 8
     # no false negatives: every inserted value probes positive
     neg = vals.filter(~C.bloom_might_contain(bloom, F.col("v"))).count()
     assert neg == 0
