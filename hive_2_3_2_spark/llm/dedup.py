@@ -735,24 +735,32 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr = und.join(labels, und["v"] == labels["node"]).select(
             und["u"].alias("node"), F.col("comp")
         )
+        # Fuse the convergence check into the SAME job that materializes
+        # the round (df.observe rides the localCheckpoint action) — one
+        # job per round instead of a checkpoint job + a diff-count job.
+        obs = Observation()
         new = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .join(labels.withColumnRenamed("comp", "old"), "node")
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "comp")
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
         labels = new
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
