@@ -107,6 +107,7 @@ _MODULES = [
     "functions_scalar2",
     "joins",
     "llm_extra",  # r4 late additions — below the window → r5 queue
+    "statements_extra",  # r4 late additions — below the window → r5 queue
 ]
 
 

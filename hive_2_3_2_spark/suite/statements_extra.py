@@ -1,0 +1,95 @@
+"""Driver-verifiable entries for the round-4 statement surface
+(registered BELOW the r4 window → r5 queue): temporary-macro expansion,
+SHOW CREATE TABLE, DESCRIBE FORMATTED."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.engine import Engine
+from hive_2_3_2_spark.suite import query
+from hive_2_3_2_spark.suite._scratch import _fresh_copy
+
+
+@query(
+    "hiveql_macro_expansion",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+           ROUND(AVG(1.0 / (1.0 + EXP(-l_discount * 10))), 6) AS mean_sig
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def hiveql_macro_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TEMPORARY MACRO through Engine.sql (reference:
+    parse/MacroSemanticAnalyzer.java:70): two macros — one composing the
+    other inside an aggregate — expand at their call sites before
+    parsing; the oracle runs the hand-expanded SQL."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql("CREATE TEMPORARY MACRO net(p DOUBLE, d DOUBLE) p * (1 - d)")
+    eng.sql(
+        "CREATE TEMPORARY MACRO sigmoid(x DOUBLE) 1.0 / (1.0 + EXP(-x))"
+    )
+    return eng.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(net(l_extendedprice, l_discount)), 2)
+                 AS net_revenue,
+               ROUND(AVG(sigmoid(l_discount * 10)), 6) AS mean_sig
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "ddl_sql_describe_formatted",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_orderkey',      'bigint',    0),
+      ('o_custkey',       'bigint',    1),
+      ('o_orderstatus',   'string',    2),
+      ('o_totalprice',    'double',    3),
+      ('o_orderdate',     'timestamp', 4),
+      ('o_orderpriority', 'string',    5),
+      ('# Partition Information', '',  6),
+      ('# col_name', 'data_type',      7),
+      ('o_orderpriority', 'string',    8),
+      ('Table Type', 'EXTERNAL_TABLE', 9),
+      ('InputFormat', 'parquet',       10)
+    ) AS t(col_name, data_type, ord)
+    ORDER BY ord
+    """,
+)
+def ddl_sql_describe_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE FORMATTED through Engine.sql (DDLTask.describeTable +
+    MetaDataFormatUtils): data columns, the partition-information
+    section, and the detailed-table section. Environment-dependent rows
+    (Location, numFiles, totalSize — scratch paths / layout) are
+    filtered out so the remainder is a fixed literal oracle; their
+    presence is pinned by tests/test_engine_cli.py."""
+    path = _fresh_copy(
+        spark, sf_dir, "orders", "sql_desc_fmt",
+        partition_cols=["o_orderpriority"],
+    )
+    eng = Engine(spark=spark)
+    eng.register_table("orders_desc_fmt", path, ["o_orderpriority"])
+    rows = eng.sql("DESCRIBE FORMATTED orders_desc_fmt")
+    keep = rows.filter(
+        ~F.col("col_name").isin(
+            "", "Location", "numFiles", "totalSize",
+            "# Detailed Table Information",
+        )
+    )
+    return (
+        keep.withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("rn", F.row_number().over(Window.orderBy("mid")))
+        .select(
+            "col_name", "data_type", (F.col("rn") - 1).cast("int").alias("ord")
+        )
+        .orderBy("ord")
+    )
