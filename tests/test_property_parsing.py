@@ -168,3 +168,61 @@ def test_split_when_clauses_roundtrip(clauses):
         assert g_nm == nm
         assert g_cond == (cond or "")
         assert g_action == action
+
+
+def _bare_engine():
+    """Engine instance without a SparkSession — _expand_macros is pure
+    text, so parser-level tests need no JVM."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = object.__new__(Engine)
+    eng.macros = {}
+    return eng
+
+
+_int_expr = st.recursive(
+    st.integers(-99, 99).map(str),
+    lambda inner: st.tuples(inner, st.sampled_from("+-*"), inner).map(
+        lambda t: f"({t[0]} {t[1]} {t[2]})"
+    ),
+    max_leaves=4,
+)
+
+
+@given(a=_int_expr, b=_int_expr)
+@settings(max_examples=200, deadline=None)
+def test_macro_expansion_matches_python_eval(a, b):
+    """Expanding f(a, b) = (a*b)+a over random parenthesized integer
+    expressions must evaluate (in Python) to the same value as
+    substituting first — i.e. expansion preserves argument grouping
+    (each actual lands parenthesized, so operator precedence cannot
+    leak across the boundary)."""
+    eng = _bare_engine()
+    eng.macros["f"] = (["x", "y"], "(x * y) + x")
+    out = eng._expand_macros(f"SELECT f({a}, {b}) AS v")
+    expr = out[len("SELECT "): -len(" AS v")]
+    va, vb = eval(a), eval(b)
+    assert eval(expr) == (va * vb) + va
+
+
+def test_macro_expansion_respects_quotes_and_boundaries():
+    eng = _bare_engine()
+    eng.macros["f"] = (["x"], "x + 1")
+    # commas inside quotes / nested parens stay one argument
+    out = eng._expand_macros("SELECT f(g('a,b', h(1,2)))")
+    assert out == "SELECT ((g('a,b', h(1,2))) + 1)"
+    # word boundary: prefix_f( isn't macro f(
+    out = eng._expand_macros("SELECT prefix_f(3)")
+    assert out == "SELECT prefix_f(3)"
+    # case-insensitive call site
+    out = eng._expand_macros("SELECT F(3)")
+    assert out == "SELECT ((3) + 1)"
+
+
+def test_macro_formal_not_substituted_inside_strings_note():
+    # formals substitute on word boundaries — a formal name embedded in
+    # a longer identifier in the body must NOT be replaced
+    eng = _bare_engine()
+    eng.macros["f"] = (["x"], "x + x_total")
+    out = eng._expand_macros("SELECT f(2)")
+    assert out == "SELECT ((2) + x_total)"
