@@ -1791,6 +1791,34 @@ class Engine:
             out.append(df)
         return out
 
+    def sql_async(self, query: str):
+        """Submit a statement on a background thread and return a
+        ``concurrent.futures.Future`` resolving to the (materialized)
+        result rows + schema as a DataFrame.
+
+        This is the HiveServer2 entry point collapsed in-process
+        (reference: service/.../SQLOperation.java:91 — compile on
+        submit, ``driver.run()`` on the async thread pool). Spark job
+        submission is thread-safe; each statement becomes its own job
+        group so concurrent statements interleave under the scheduler
+        exactly like concurrent HS2 operations. The future holds a
+        MATERIALIZED result (SQLOperation buffers fetched rows): a lazy
+        frame handed across threads could re-scan files a later DML
+        statement already rewrote.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not hasattr(self, "_pool"):
+            self._pool = ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="hs2-async"
+            )
+
+        def run() -> DataFrame:
+            df = self.sql(query)
+            return self.spark.createDataFrame(df.collect(), df.schema)
+
+        return self._pool.submit(run)
+
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 

@@ -234,3 +234,23 @@ def test_macro_validation_errors(eng):
     eng.sql("CREATE TEMPORARY MACRO loopy(x INT) loopy(x)")
     with pytest.raises(HiveQLUnsupportedError, match="depth"):
         eng.sql("SELECT loopy(1) AS v")
+
+
+def test_sql_async_concurrent_statements(eng, sf_dir):
+    """HS2 parity (SQLOperation async pool): concurrent statements run
+    on background threads, each future resolving to a materialized
+    result; session state (SET) is shared like one HS2 session."""
+    eng.register_table("orders_async", f"{sf_dir}/orders.parquet")
+    futs = [
+        eng.sql_async(
+            "SELECT o_orderstatus, count(*) AS n FROM orders_async "
+            "GROUP BY o_orderstatus"
+        ),
+        eng.sql_async("SELECT count(*) AS n FROM orders_async"),
+        eng.sql_async("SET async.probe=1"),
+    ]
+    g = {r.o_orderstatus: r.n for r in futs[0].result(120).collect()}
+    total = futs[1].result(120).collect()[0].n
+    futs[2].result(120)
+    assert sum(g.values()) == total > 0
+    assert eng.sql("SET async.probe").collect()[0].value == "1"
