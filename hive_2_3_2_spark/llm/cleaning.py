@@ -31,6 +31,7 @@ exploded form is never materialized to a shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -508,3 +509,32 @@ def decontaminate_embeddings(
     return corpus.join(
         removed.select(F.col("corpus_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Standard corpus text normalization: Unicode NFC composition,
+    control-character strip (except \\t\\n), and whitespace collapse.
+
+    NFC runs as an Arrow-batched pandas UDF (`unicodedata.normalize` —
+    the JVM side has no ICU normalizer exposed in Spark SQL); the strip
+    and collapse stay JVM-side regexp_replace so only the NFC pass
+    crosses the Arrow boundary. At 100 TB this is a fused map pass over
+    whatever scan already runs; the UDF is per-batch vectorized string
+    work with no state.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v)
+            if v is not None
+            else None
+        )
+
+    out = nfc(text)
+    out = F.regexp_replace(out, r"[\x00-\x08\x0b-\x1f\x7f]", "")
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    return F.trim(out)

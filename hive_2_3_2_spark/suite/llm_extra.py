@@ -53,3 +53,38 @@ def decontaminate_embeddings_report(
     return C.decontaminate_embeddings(
         corpus, eval_df, threshold=0.4, return_removed=True
     ).orderBy("vec_id")
+
+
+@query(
+    "clean_normalize_unicode",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || ' combining: e' || chr(769) ||
+                           chr(7) || '  tail'),
+             '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+             '[ \t]+', ' ', 'g')) AS clean,
+           length(trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || ' combining: e' || chr(769) ||
+                           chr(7) || '  tail'),
+             '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+             '[ \t]+', ' ', 'g'))) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control strip + whitespace collapse
+    (llm/cleaning.py normalize_text). Every row is salted with a
+    decomposed e+COMBINING-ACUTE, a BEL control char and double spaces
+    so all three passes provably fire; DuckDB's nfc_normalize is the
+    oracle for the composition."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"), F.lit(" combining: é\x07  tail")
+    )
+    return docs.select(
+        "doc_id",
+        C.normalize_text(salted).alias("clean"),
+        F.length(C.normalize_text(salted)).alias("n_chars"),
+    ).orderBy("doc_id")
