@@ -458,7 +458,8 @@ def decontaminate_embeddings(
     """
     from hive_2_3_2_spark.llm.similarity import (
         _lsh_buckets_udf,
-        cosine,
+        _dot,
+        _norm,
         hyperplanes,
     )
 
@@ -468,21 +469,33 @@ def decontaminate_embeddings(
     ]
     bucketer = _lsh_buckets_udf(tables)
 
-    c = (
-        corpus.select(
-            F.col(id_col).alias("corpus_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
+    # Pre-normalize each side ONCE (per vector, not per candidate pair):
+    # verification then needs a single dot per pair instead of a dot plus
+    # two norm folds — 3× less array work on the candidate set.
+    def unit(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+            .withColumn("_n", _norm(F.col("_v")))
+            .select(
+                out_id,
+                F.transform(
+                    "_v", lambda x: x / F.col("_n")
+                ).alias(out_vec),
+            )
         )
+
+    c = (
+        unit(corpus, "corpus_id", "cv")
         .withColumn("bkts", bucketer(F.col("cv")))
         .select(
             "corpus_id", "cv", F.posexplode("bkts").alias("tbl", "bkt")
         )
     )
     q = (
-        eval_df.select(
-            F.col(id_col).alias("eval_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        )
+        unit(eval_df, "eval_id", "qv")
         .withColumn("bkts", bucketer(F.col("qv")))
         .select("eval_id", "qv", F.posexplode("bkts").alias("tbl", "bkt0"))
     )
@@ -495,7 +508,8 @@ def decontaminate_embeddings(
         c.join(F.broadcast(q_probed), ["tbl", "bkt"])
         .select("corpus_id", "eval_id", "cv", "qv")
         .dropDuplicates(["corpus_id", "eval_id"])
-        .withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
+        # both sides unit vectors -> cosine is one dot
+        .withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
     removed = hits.groupBy("corpus_id").agg(
