@@ -260,7 +260,65 @@ _DROP_MACRO_STMT = re.compile(
     r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE [TEMPORARY] FUNCTION name AS 'qualified.name' [USING JAR ...]
+# (reference: exec/FunctionTask.java resolves the AS-string to a class
+# and registers it under name — here the extension language is Python,
+# so the string names an importable module.attr callable or a prebuilt
+# Spark UserDefinedFunction; see functions/examples.py.)
+_CREATE_FUNCTION_STMT = re.compile(
+    r"^\s*CREATE\s+(TEMPORARY\s+)?FUNCTION\s+([\w.]+)\s+AS\s+"
+    r"'([^']+)'\s*(USING\s+.+?)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FUNCTION_STMT = re.compile(
+    r"^\s*DROP\s+(TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_FUNCTIONS_STMT = re.compile(
+    r"^\s*SHOW\s+FUNCTIONS(?:\s+(?:LIKE\s+)?'([^']*)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VAR_REF = re.compile(r"\$\{([\w.:-]+)\}")
+
+# Python return-annotation → Spark SQL type, for plain callables
+# registered via CREATE TEMPORARY FUNCTION (string annotations included
+# for `from __future__ import annotations` modules).
+_PY_TO_SQL_TYPE = {
+    str: "string", "str": "string",
+    int: "bigint", "int": "bigint",
+    float: "double", "float": "double",
+    bool: "boolean", "bool": "boolean",
+    bytes: "binary", "bytes": "binary",
+}
+
+
+def _resolve_python_callable(qual: str):
+    """Resolve 'pkg.mod.attr' to the Python object it names, trying the
+    longest importable module prefix first (the attr chain may be more
+    than one level deep, e.g. a class attribute)."""
+    import importlib
+
+    parts = qual.split(".")
+    last_err: Exception | None = None
+    for i in range(len(parts) - 1, 0, -1):
+        try:
+            obj: object = importlib.import_module(".".join(parts[:i]))
+        except ImportError as exc:
+            last_err = exc
+            continue
+        try:
+            for attr in parts[i:]:
+                obj = getattr(obj, attr)
+        except AttributeError as exc:
+            last_err = exc
+            continue
+        return obj
+    raise HiveQLUnsupportedError(
+        f"CREATE TEMPORARY FUNCTION: cannot resolve {qual!r} as an "
+        f"importable Python object ({last_err}) — the AS-string names "
+        "module.attr, the Python analogue of FunctionTask's class name"
+    )
 
 
 def _scan_top_keywords(text: str):
@@ -511,6 +569,8 @@ class Engine:
         }
         # name → (ordered arg names, body SQL) — CREATE TEMPORARY MACRO
         self.macros: dict[str, tuple[list[str], str]] = {}
+        # name → qualified Python source — CREATE TEMPORARY FUNCTION
+        self.functions: dict[str, str] = {}
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
             import os
@@ -609,6 +669,15 @@ class Engine:
         if m:
             self.macros.pop(m.group(1).lower(), None)
             return self._conf_frame([])
+        m = _CREATE_FUNCTION_STMT.match(query)
+        if m:
+            return self._run_create_function(m)
+        m = _DROP_FUNCTION_STMT.match(query)
+        if m:
+            return self._run_drop_function(m)
+        m = _SHOW_FUNCTIONS_STMT.match(query)
+        if m:
+            return self._run_show_functions(m.group(1))
         if self.macros:
             query = self._expand_macros(query)
         m = _SHOW_CREATE_STMT.match(query)
@@ -938,6 +1007,97 @@ class Engine:
         if results:
             return results[-1]
         return self._conf_frame([])
+
+    def _run_create_function(self, m: re.Match[str]) -> DataFrame:
+        """CREATE TEMPORARY FUNCTION name AS 'module.attr' — FunctionTask
+        parity (reference: exec/FunctionTask.java → Registry
+        .registerTemporaryUDF). The AS-string resolves to an importable
+        Python object: a prebuilt UserDefinedFunction registers as-is
+        (the Arrow fast path); a plain callable registers as a row UDF
+        with the SQL type derived from its ``-> type`` annotation, the
+        Python analogue of FunctionTask deriving the signature from the
+        UDF class."""
+        temporary, name, qual, using = m.groups()
+        if not temporary:
+            raise HiveQLUnsupportedError(
+                "CREATE FUNCTION (permanent) needs a metastore to persist "
+                "the registration across sessions — use CREATE TEMPORARY "
+                "FUNCTION (reference: FunctionTask.createPermanentFunction "
+                "writes to the metastore)"
+            )
+        if using:
+            raise HiveQLUnsupportedError(
+                "CREATE TEMPORARY FUNCTION ... USING JAR/FILE/ARCHIVE: no "
+                "JVM class loading here — the AS-string must name an "
+                "importable Python callable (module.attr); ship code via "
+                "ADD FILE + imports instead of jars"
+            )
+        if "." in name:
+            raise HiveQLUnsupportedError(
+                f"temporary function name {name!r} must be unqualified — "
+                "db-qualified names are for permanent functions "
+                "(FunctionTask rejects qualified temporary names)"
+            )
+        obj = _resolve_python_callable(qual)
+        # Prebuilt UDF detection: the same duck-type check spark.udf
+        # .register itself uses (a UserDefinedFunction or the pandas_udf
+        # wrapper both carry asNondeterministic).
+        if hasattr(obj, "asNondeterministic"):
+            self.spark.udf.register(name, obj)
+        elif callable(obj):
+            ann = getattr(obj, "__annotations__", {}).get("return")
+            ret = _PY_TO_SQL_TYPE.get(ann, "string")
+            self.spark.udf.register(name, obj, ret)
+        else:
+            raise HiveQLUnsupportedError(
+                f"CREATE TEMPORARY FUNCTION: {qual!r} resolved to a "
+                f"non-callable {type(obj).__name__} — it must be a "
+                "function or a Spark UserDefinedFunction"
+            )
+        self.functions[name.lower()] = qual
+        return self._conf_frame([])
+
+    def _run_drop_function(self, m: re.Match[str]) -> DataFrame:
+        """DROP [TEMPORARY] FUNCTION [IF EXISTS] name."""
+        if_exists, name = bool(m.group(2)), m.group(3)
+        if name.lower() not in self.functions and not if_exists:
+            raise HiveQLUnsupportedError(
+                f"DROP FUNCTION {name}: not a temporary function this "
+                "session registered (use IF EXISTS to make this a no-op)"
+            )
+        self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        self.functions.pop(name.lower(), None)
+        return self._conf_frame([])
+
+    def _run_show_functions(self, pattern: str | None) -> DataFrame:
+        """SHOW FUNCTIONS ['pattern'] — Spark's listing (which already
+        includes session-registered temporary functions) unioned with
+        the session's macros: Hive registers macros in the same
+        FunctionRegistry, so SHOW FUNCTIONS lists them too."""
+        sql = "SHOW FUNCTIONS"
+        if pattern is not None:
+            sql += f" LIKE '{pattern}'"
+        base = self.spark.sql(sql)
+        if self.macros:
+            names = sorted(self.macros)
+            if pattern is not None:
+                # Spark pattern semantics: '*' any chars, '|' alternation.
+                rx = re.compile(
+                    "^(?:"
+                    + re.escape(pattern).replace(r"\*", ".*").replace(
+                        r"\|", "|"
+                    )
+                    + ")$",
+                    re.IGNORECASE,
+                )
+                names = [n for n in names if rx.match(n)]
+            if names:
+                macro_df = self.spark.createDataFrame(
+                    [(n,) for n in names], base.schema
+                )
+                col = base.columns[0]
+                base = base.union(macro_df).distinct().orderBy(col)
+        return base
 
     def _run_export(self, table: str, out_dir: str) -> DataFrame:
         """EXPORT TABLE t TO 'path' — copy the data files plus a

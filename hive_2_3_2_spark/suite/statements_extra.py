@@ -93,3 +93,41 @@ def ddl_sql_describe_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ord")
     )
+
+
+@query(
+    "ddl_sql_temp_function",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_words,
+           CASE WHEN doc_len > 0 THEN 'pos' ELSE 'zero' END AS len_sign
+    FROM (SELECT doc_id, text, length(text) AS doc_len FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def ddl_sql_temp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TEMPORARY FUNCTION through Engine.sql (reference:
+    exec/FunctionTask.java — resolve the AS-string, register under the
+    name). The AS-string names an importable Python callable
+    (functions/examples.py); the SQL return type derives from its
+    annotation. Both registered functions then run inside one SELECT;
+    the oracle is the hand-inlined SQL."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION word_cnt AS "
+        "'hive_2_3_2_spark.functions.examples.word_count'"
+    )
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION sign_lbl AS "
+        "'hive_2_3_2_spark.functions.examples.sign_label'"
+    )
+    return eng.sql(
+        """
+        SELECT doc_id,
+               word_cnt(text) AS n_words,
+               sign_lbl(CAST(length(text) AS DOUBLE)) AS len_sign
+        FROM documents
+        ORDER BY doc_id
+        """
+    )

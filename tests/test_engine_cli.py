@@ -254,3 +254,84 @@ def test_sql_async_concurrent_statements(eng, sf_dir):
     futs[2].result(120)
     assert sum(g.values()) == total > 0
     assert eng.sql("SET async.probe").collect()[0].value == "1"
+
+
+def test_create_temporary_function_plain_callable(eng, sf_dir):
+    # FunctionTask parity: AS-string resolves to an importable Python
+    # callable; SQL type derives from the return annotation.
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION wc AS "
+        "'hive_2_3_2_spark.functions.examples.word_count'"
+    )
+    eng.register_table("docs_fn", f"{sf_dir}/documents.parquet")
+    rows = eng.sql(
+        "SELECT doc_id, wc(text) AS n FROM docs_fn ORDER BY doc_id LIMIT 3"
+    ).collect()
+    assert all(isinstance(r.n, int) for r in rows)
+    expected = [
+        len(r.text.split())
+        for r in eng.sql(
+            "SELECT text FROM docs_fn ORDER BY doc_id LIMIT 3"
+        ).collect()
+    ]
+    assert [r.n for r in rows] == expected
+
+
+def test_create_temporary_function_prebuilt_udf(eng):
+    # A prebuilt pandas_udf registers as-is (Arrow fast path).
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION twice_it AS "
+        "'hive_2_3_2_spark.functions.examples.twice'"
+    )
+    assert (
+        eng.sql("SELECT twice_it(CAST(21.0 AS DOUBLE)) AS v").collect()[0].v
+        == 42.0
+    )
+
+
+def test_drop_temporary_function(eng):
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION sgn AS "
+        "'hive_2_3_2_spark.functions.examples.sign_label'"
+    )
+    assert eng.sql("SELECT sgn(-3.5) AS v").collect()[0].v == "neg"
+    eng.sql("DROP TEMPORARY FUNCTION sgn")
+    assert "sgn" not in eng.functions
+    with pytest.raises(Exception):
+        eng.sql("SELECT sgn(1.0)").collect()
+    # unknown without IF EXISTS → typed; with IF EXISTS → no-op
+    with pytest.raises(HiveQLUnsupportedError):
+        eng.sql("DROP TEMPORARY FUNCTION never_was")
+    eng.sql("DROP TEMPORARY FUNCTION IF EXISTS never_was")
+
+
+def test_create_function_validation_errors(eng):
+    with pytest.raises(HiveQLUnsupportedError, match="TEMPORARY"):
+        eng.sql("CREATE FUNCTION f AS 'math.sqrt'")
+    with pytest.raises(HiveQLUnsupportedError, match="USING"):
+        eng.sql(
+            "CREATE TEMPORARY FUNCTION f AS 'math.sqrt' USING JAR 'x.jar'"
+        )
+    with pytest.raises(HiveQLUnsupportedError, match="unqualified"):
+        eng.sql("CREATE TEMPORARY FUNCTION db.f AS 'math.sqrt'")
+    with pytest.raises(HiveQLUnsupportedError, match="cannot resolve"):
+        eng.sql("CREATE TEMPORARY FUNCTION f AS 'no.such_module.fn'")
+    with pytest.raises(HiveQLUnsupportedError, match="non-callable"):
+        eng.sql("CREATE TEMPORARY FUNCTION f AS 'math.pi'")
+
+
+def test_show_functions_lists_temp_functions_and_macros(eng):
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION wcount2 AS "
+        "'hive_2_3_2_spark.functions.examples.word_count'"
+    )
+    eng.sql("CREATE TEMPORARY MACRO add_onex(x INT) x + 1")
+    col = eng.sql("SHOW FUNCTIONS").columns[0]
+    names = {r[0] for r in eng.sql("SHOW FUNCTIONS").collect()}
+    assert "wcount2" in names  # Spark lists temp UDFs natively
+    assert "add_onex" in names  # macros unioned in (FunctionRegistry parity)
+    assert "upper" in names  # builtins still present
+    filtered = {r[0] for r in eng.sql("SHOW FUNCTIONS LIKE 'add_*'").collect()}
+    assert "add_onex" in filtered
+    assert "upper" not in filtered
+    del col
