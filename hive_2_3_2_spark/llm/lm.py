@@ -217,6 +217,97 @@ def bpe_learn(
     return merges, df
 
 
+def tokenize_words_greedy(
+    words: DataFrame, vocab: list[str], word_col: str = "word"
+) -> DataFrame:
+    """Add ``toks`` (array<string>): greedy longest-prefix subword
+    tokenization of each word against a fixed vocabulary — the
+    WordPiece/BPE-vocab *apply* step (the inference-side complement of
+    ``bpe_learn``). At each position the longest vocabulary entry that
+    prefixes the remainder is taken; if none matches, the single
+    character is emitted (char fallback, so every word tokenizes and
+    concat(toks) == word always holds).
+
+    Scale design: callers pass the DISTINCT word table (words ≪ corpus);
+    the vocabulary is a driver-side list captured by the Arrow UDF
+    closure (broadcast with the task, bounded — vocabularies are 10⁴-10⁵
+    entries), and each word is encoded exactly once. Per-batch cost is a
+    pure-Python scan bounded by max-token-length; re-joining tokens to
+    the corpus is the caller's (keyed, combinable) join.
+    """
+    import pandas as pd
+
+    vset = frozenset(vocab)
+    max_len = max((len(v) for v in vocab), default=1)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint inference would choke on 'pd.Series'
+    @F.pandas_udf("array<string>")
+    def _tok(col):
+        out = []
+        for w in col:
+            if w is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            i, n = 0, len(w)
+            while i < n:
+                for ln in range(min(max_len, n - i), 0, -1):
+                    if w[i : i + ln] in vset:
+                        toks.append(w[i : i + ln])
+                        i += ln
+                        break
+                else:
+                    toks.append(w[i])
+                    i += 1
+            out.append(toks)
+        return pd.Series(out)
+
+    return words.withColumn("toks", _tok(F.col(word_col)))
+
+
+def vocab_tokenize_counts(
+    df: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_tokens): per-document token accounting under
+    greedy vocabulary tokenization of the normalized text.
+
+    Plan: corpus → (id, word, cnt) word counts (one map-side-combined
+    shuffle); DISTINCT words encode once through
+    ``tokenize_words_greedy`` (the expensive Python step runs on the
+    vocabulary-sized table, never the corpus); per-word token counts
+    join back on the word key and aggregate per document. At 100 TB the
+    Python UDF touches ~10⁷ distinct words while the corpus-sized jobs
+    stay pure JVM."""
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_chars(F.col(text_col)), " ")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    encoded = tokenize_words_greedy(
+        words.select("word").distinct(), vocab
+    ).select("word", F.size("toks").alias("n_toks"))
+    return (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_toks")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
 def word_bigram_pmi(
     df: DataFrame, text_col: str = "text", min_count: int = 5
 ) -> DataFrame:

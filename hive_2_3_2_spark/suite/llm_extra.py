@@ -88,3 +88,72 @@ def normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.normalize_text(salted).alias("clean"),
         F.length(C.normalize_text(salted)).alias("n_chars"),
     ).orderBy("doc_id")
+
+
+# Fixed subword vocabulary for the tokenizer-apply entry: the operator
+# takes ANY vocabulary; a fixed literal one makes the Spark call and the
+# DuckDB oracle provably tokenize with identical rules.
+_VOCAB = [
+    "the", "ing", "tion", "and", "ed", "er", "es", "re", "on", "at",
+    "en", "an", "or", "te", "is", "it", "al", "ar", "st", "to", "nt",
+    "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de",
+    "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce",
+]
+_VOCAB_SQL = "[" + ", ".join(f"'{v}'" for v in _VOCAB) + "]"
+_MAXL = max(len(v) for v in _VOCAB)
+
+_NORM_WORDS = (
+    "unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', "
+    "' ', 'g')), ' ')) AS word"
+)
+
+
+@query(
+    "text_vocab_tokenize",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+      SELECT DISTINCT word FROM (
+        SELECT {_NORM_WORDS} FROM documents) t
+      WHERE word <> ''
+    ), enc AS (
+      SELECT word, word AS rest, 0 AS n FROM w
+      UNION ALL
+      SELECT word, substr(rest, length(tok) + 1), n + 1
+      FROM (
+        SELECT word, rest, n,
+               coalesce(
+                 list_filter(
+                   list_transform(range(least(length(rest), {_MAXL}), 0, -1),
+                                  x -> substr(rest, 1, x)),
+                   p -> list_contains({_VOCAB_SQL}, p))[1],
+                 substr(rest, 1, 1)) AS tok
+        FROM enc WHERE rest <> ''
+      ) s
+    ), wtok AS (
+      SELECT word, n AS n_toks FROM enc WHERE rest = ''
+    ), docw AS (
+      SELECT doc_id, word, count(*) AS cnt FROM (
+        SELECT doc_id, {_NORM_WORDS} FROM documents) t
+      WHERE word <> ''
+      GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_toks) AS BIGINT) AS n_tokens
+    FROM docw JOIN wtok USING (word)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-prefix subword tokenization (llm/lm.py
+    tokenize_words_greedy / vocab_tokenize_counts): the
+    vocabulary-APPLY step complementing bpe_learn's merge training.
+    Distinct words encode once through the Arrow UDF; corpus-sized jobs
+    stay JVM. The DuckDB oracle replays the greedy longest-prefix scan
+    exactly via a recursive CTE, so the hash match proves tokenizer
+    semantics, not just counts."""
+    from hive_2_3_2_spark.llm.lm import vocab_tokenize_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_tokenize_counts(docs, _VOCAB).orderBy("doc_id")

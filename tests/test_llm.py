@@ -789,3 +789,39 @@ def test_decontaminate_embeddings_kept_and_plan(spark, sf_dir):
     assert removed.filter(F.col("max_cosine") < 0.4).count() == 0
     assert_no_cartesian(removed)
     assert_no_cartesian(kept)
+
+
+def test_tokenize_words_greedy_semantics(spark):
+    from hive_2_3_2_spark.llm.lm import tokenize_words_greedy
+
+    vocab = ["ab", "abc", "bc", "c", "xyz"]
+    words = spark.createDataFrame(
+        [("abc",), ("abcbc",), ("zzz",), ("xyzxyz",), ("b",)], ["word"]
+    )
+    got = {
+        r.word: r.toks
+        for r in tokenize_words_greedy(words, vocab).collect()
+    }
+    # longest prefix wins at every position; char fallback for misses
+    assert got["abc"] == ["abc"]
+    assert got["abcbc"] == ["abc", "bc"]
+    assert got["zzz"] == ["z", "z", "z"]  # pure fallback
+    assert got["xyzxyz"] == ["xyz", "xyz"]
+    assert got["b"] == ["b"]
+    # invariant: concatenation reconstructs the word
+    assert all("".join(t) == w for w, t in got.items())
+
+
+def test_vocab_tokenize_counts_doc_level(spark):
+    from hive_2_3_2_spark.llm.lm import vocab_tokenize_counts
+
+    docs = spark.createDataFrame(
+        [(1, "The cat, the hat!"), (2, "zz")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in vocab_tokenize_counts(docs, ["the", "at", "ca", "ha"]).collect()
+    }
+    # doc 1: the(1) cat(ca+t → 2) the(1) hat(ha+t → 2) = 4 words, 6 tokens
+    assert rows[1] == (4, 6)
+    assert rows[2] == (1, 2)  # zz → z z
