@@ -127,7 +127,136 @@ def _rewrite_stored_as(query: str) -> str:
             "go through sources.readers.read_sequencefile)"
         )
 
-    return _STORED_AS.sub(repl, query)
+    return _restructure_create_table(_STORED_AS.sub(repl, query))
+
+
+_UNIONTYPE = re.compile(r"\buniontype\s*<", re.IGNORECASE)
+
+
+def _rewrite_uniontype(query: str) -> str:
+    """``uniontype<T1,T2,...>`` → ``struct<tag:tinyint,field0:T1,...>``
+    in CREATE TABLE type lists — the struct-tag encoding of Hive's union
+    type (reference: serdeConstants.java:119 UNION_TYPE_NAME; SURVEY
+    §1.3 — the same encoding Spark's own Hive compat layer uses, and
+    what functions.gaps.create_union/extract_union construct/read)."""
+    while True:
+        m = _UNIONTYPE.search(query)
+        if not m:
+            return query
+        i, depth = m.end(), 1
+        while i < len(query) and depth:
+            if query[i] == "<":
+                depth += 1
+            elif query[i] == ">":
+                depth -= 1
+            i += 1
+        if depth:
+            return query  # malformed — let Spark raise the parse error
+        inner = _rewrite_uniontype(query[m.end(): i - 1])
+        branches, cur, d = [], [], 0
+        for ch in inner:
+            if ch in "<(":
+                d += 1
+            elif ch in ">)":
+                d -= 1
+            if ch == "," and d == 0:
+                branches.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        branches.append("".join(cur))
+        fields = ",".join(
+            f"field{j}:{b.strip()}" for j, b in enumerate(branches)
+        )
+        repl = f"struct<tag:tinyint,{fields}>"
+        query = query[: m.start()] + repl + query[i:]
+
+
+_CT_HEAD = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+|EXTERNAL\s+)*TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*",
+    re.IGNORECASE,
+)
+_USING_CLAUSE = re.compile(
+    r"\s*\bUSING\s+\w+(?:\s+OPTIONS\s*\([^)]*\))?", re.IGNORECASE
+)
+_PARTITIONED_BY = re.compile(
+    r"\s*\bPARTITIONED\s+BY\s*\(([^)]*)\)", re.IGNORECASE
+)
+
+
+def _restructure_create_table(query: str) -> str:
+    """Reorder a STORED-AS-rewritten CREATE TABLE into Spark clause
+    order. Hive's grammar puts COMMENT / PARTITIONED BY / CLUSTERED BY
+    ... INTO n BUCKETS *before* STORED AS (parse/HiveParser.g
+    createTableStatement), but Spark's USING must directly follow the
+    column list, with the other clauses order-free after it. Three
+    transformations:
+
+    - the USING clause (what STORED AS became) moves to just after the
+      column list (or the table name for CTAS);
+    - Hive's typed PARTITIONED BY (ds STRING) columns are appended to
+      the main column list and the clause becomes name-only — Hive
+      keeps partition columns out of the column list, Spark datasource
+      tables keep them in;
+    - a leading EXTERNAL is dropped: Spark rejects EXTERNAL with USING
+      (datasource tables are external exactly when LOCATION is given,
+      which is also Hive's operative meaning).
+    """
+    mu = _USING_CLAUSE.search(query)
+    if not mu or not _CT_HEAD.match(query):
+        return query
+    using_txt = mu.group(0).strip()
+    body = query[:mu.start()] + query[mu.end():]
+    body = re.sub(
+        r"(\bCREATE\s+)(?:EXTERNAL\s+)", r"\1", body, count=1,
+        flags=re.IGNORECASE,
+    )
+    mh = _CT_HEAD.match(body)
+    insert_at = mh.end()
+    cols_end = None
+    if body[insert_at:].lstrip().startswith("("):
+        i = body.index("(", insert_at)
+        depth, j = 1, i + 1
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return query  # unbalanced — let Spark produce the parse error
+        cols_end = j
+        insert_at = j
+    part_clause = ""
+    mp = _PARTITIONED_BY.search(body, insert_at)
+    if mp:
+        entries = [
+            e.strip() for e in _split_top_commas(mp.group(1)) if e.strip()
+        ]
+        typed = [e for e in entries if len(e.split()) > 1]
+        if typed:
+            if cols_end is None:
+                raise HiveQLUnsupportedError(
+                    "CREATE TABLE ... PARTITIONED BY (col TYPE) without "
+                    "an explicit column list: typed partition columns "
+                    "cannot be folded into a CTAS schema — list the "
+                    "columns or use name-only PARTITIONED BY"
+                )
+            names = [e.split()[0] for e in entries]
+            body = body[:mp.start()] + body[mp.end():]
+            part_clause = " PARTITIONED BY (" + ", ".join(names) + ")"
+            add = ", " + ", ".join(typed)
+            body = body[: cols_end - 1] + add + body[cols_end - 1:]
+            insert_at = cols_end - 1 + len(add) + 1
+    return (
+        body[:insert_at]
+        + " "
+        + using_txt
+        + part_clause
+        + " "
+        + body[insert_at:].lstrip()
+    ).rstrip()
 
 
 # SQL-string DML front-end (reference: parse/UpdateDeleteSemanticAnalyzer
@@ -2039,7 +2168,7 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
         lambda m: _rewrite_tablesample(m, col_types.get(m.start())), query
     )
     if _CREATE_TABLE_PREFIX.match(out):
-        out = _rewrite_stored_as(out)
+        out = _rewrite_stored_as(_rewrite_uniontype(out))
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
     return out

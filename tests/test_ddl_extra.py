@@ -105,3 +105,100 @@ def test_hive_stored_as_ddl_rewrites(spark, tmp_path):
         eng.sql("CREATE TABLE hq_rc (x INT) STORED AS RCFILE")
     spark.sql("DROP TABLE hq_ctas")
     spark.sql("DROP TABLE hq_csv")
+
+
+def test_hive_clause_order_bucketed_partitioned_external(spark, tmp_path):
+    """Hive puts COMMENT / PARTITIONED BY / CLUSTERED BY before STORED
+    AS (parse/HiveParser.g createTableStatement); Spark wants USING
+    right after the column list. The restructure also folds Hive's
+    typed partition columns into the column list (name-only PARTITIONED
+    BY) and drops EXTERNAL, which Spark rejects with USING."""
+    import pytest
+
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    for t in ("hq_bkt", "hq_part", "hq_ext"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    eng.sql(
+        "CREATE TABLE hq_bkt (k INT, v STRING) CLUSTERED BY (k) "
+        "SORTED BY (k) INTO 4 BUCKETS STORED AS PARQUET"
+    )
+    eng.sql("INSERT INTO hq_bkt VALUES (1, 'a'), (2, 'b')")
+    desc = "\n".join(map(str, spark.sql("DESCRIBE EXTENDED hq_bkt").collect()))
+    assert "Num Buckets" in desc and "4" in desc
+    assert eng.sql("SELECT count(*) AS c FROM hq_bkt").collect()[0].c == 2
+
+    eng.sql(
+        "CREATE TABLE hq_part (k INT, v STRING) COMMENT 'demo' "
+        "PARTITIONED BY (ds STRING) STORED AS PARQUET"
+    )
+    eng.sql("INSERT INTO hq_part PARTITION (ds='2024-01-01') VALUES (1, 'a')")
+    assert [r.partition for r in spark.sql("SHOW PARTITIONS hq_part").collect()] == [
+        "ds=2024-01-01"
+    ]
+    assert spark.table("hq_part").schema.fieldNames() == ["k", "v", "ds"]
+
+    loc = str(tmp_path / "hq_ext")
+    eng.sql(
+        f"CREATE EXTERNAL TABLE hq_ext (k INT) STORED AS PARQUET "
+        f"LOCATION '{loc}'"
+    )
+    eng.sql("INSERT INTO hq_ext VALUES (7)")
+    assert spark.table("hq_ext").collect()[0].k == 7
+    import os
+
+    assert any(f.endswith(".parquet") for f in os.listdir(loc))
+
+    with pytest.raises(HiveQLUnsupportedError, match="typed partition"):
+        eng.sql(
+            "CREATE TABLE hq_bad PARTITIONED BY (ds STRING) "
+            "STORED AS PARQUET AS SELECT 1 AS x"
+        )
+    for t in ("hq_bkt", "hq_part", "hq_ext"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_uniontype_ddl_struct_encoding(spark):
+    """uniontype<...> DDL rewrites to the struct-tag encoding (SURVEY
+    §1.3, serdeConstants.java:119); create_union/extract_union write and
+    read it."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.engine import Engine, rewrite_hiveql
+    from hive_2_3_2_spark.functions.gaps import create_union, extract_union
+
+    q = (
+        "CREATE TABLE hq_union (k INT, "
+        "u UNIONTYPE<INT, STRING, ARRAY<STRING>>) STORED AS PARQUET"
+    )
+    rewritten = rewrite_hiveql(q, spark=spark)
+    assert (
+        "struct<tag:tinyint,field0:INT,field1:STRING,field2:ARRAY<STRING>>"
+        in rewritten
+    )
+    spark.sql("DROP TABLE IF EXISTS hq_union")
+    eng = Engine(spark=spark)
+    eng.sql(q)
+    dt = dict(spark.table("hq_union").dtypes)["u"]
+    assert dt == "struct<tag:tinyint,field0:int,field1:string,field2:array<string>>"
+    # write via create_union, read via extract_union
+    src = spark.createDataFrame([(1, 0, 7, None), (2, 1, None, "hi")],
+                                "k int, tag int, i int, s string")
+    src.select(
+        "k",
+        create_union(F.col("tag"), F.col("i"), F.col("s"),
+                     F.array(F.col("s"))).alias("u"),
+    ).write.insertInto("hq_union")
+    rows = {
+        r.k: (r.t0, r.t1)
+        for r in spark.table("hq_union").select(
+            "k",
+            extract_union(F.col("u"), 0).alias("t0"),
+            extract_union(F.col("u"), 1).alias("t1"),
+        ).collect()
+    }
+    assert rows[1] == (7, None)
+    assert rows[2] == (None, "hi")
+    spark.sql("DROP TABLE hq_union")
