@@ -356,6 +356,16 @@ _MERGE_STMT = re.compile(
 _WHEN_HEAD = re.compile(
     r"^WHEN\s+(NOT\s+)?MATCHED\s*", re.IGNORECASE
 )
+# EXPLAIN [EXTENDED|FORMATTED|COST|CODEGEN] <statement> — ExplainTask
+# parity (reference: exec/ExplainTask.java:117). SELECT passes through
+# to Spark's EXPLAIN; intercepted DML statements get a stage breakdown
+# of the staged-rewrite plan plus the underlying scan/source plan,
+# WITHOUT executing anything.
+_EXPLAIN_STMT = re.compile(
+    r"^\s*EXPLAIN\s+(?:(EXTENDED|FORMATTED|COST|CODEGEN)\s+)?(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # CLI command processors (CommandProcessorFactory.java:59 dispatch):
 # SET → SetProcessor, ADD/LIST/DELETE → AddResourceProcessor /
 # ListResourceProcessor / DeleteResourceProcessor, RESET →
@@ -809,6 +819,11 @@ class Engine:
             return self._run_show_functions(m.group(1))
         if self.macros:
             query = self._expand_macros(query)
+        m = _EXPLAIN_STMT.match(query)
+        if m:
+            explained = self._explain_dml(m.group(1), m.group(2))
+            if explained is not None:
+                return explained
         m = _SHOW_CREATE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_show_create(m.group(1))
@@ -1136,6 +1151,126 @@ class Engine:
         if results:
             return results[-1]
         return self._conf_frame([])
+
+    def _explain_dml(self, mode: str | None, inner: str) -> DataFrame | None:
+        """EXPLAIN over an intercepted DML statement: Hive's EXPLAIN
+        renders the compiled Task/Stage DAG without running it
+        (exec/ExplainTask.java:117 on the QueryPlan) — here that is the
+        staged-rewrite pipeline (discovery → rewrite → swap) plus the
+        Spark plan of the statement's read side. Returns None when the
+        inner statement is not one this Engine intercepts, so plain
+        EXPLAIN SELECT falls through to Spark."""
+        from pyspark.sql import functions as F
+
+        from hive_2_3_2_spark.plans.explain import explain_str
+
+        spark_mode = {
+            "extended": "extended", "cost": "cost", "codegen": "codegen",
+        }.get((mode or "").lower(), "formatted")
+
+        def frame(lines: list[str]) -> DataFrame:
+            return self.spark.createDataFrame(
+                [(ln,) for ln in lines], "plan string"
+            )
+
+        def target_lines(name: str, verb: str) -> list[str]:
+            key = self._resolve_dml_table(name)
+            parts = self.table_partitions.get(key)
+            rewrite = (
+                "  Stage-2 rewrite (touched partitions only — "
+                "OR-of-ANDs PartitionFilters literal)"
+                if parts
+                else "  Stage-2 rewrite (full table)"
+            )
+            return [
+                "STAGE DEPENDENCIES:",
+                "  Stage-1 discovery (matched rows + touched partitions,"
+                " one scan)",
+                rewrite,
+                "  Stage-3 swap (staged directory replaces target)",
+                "",
+                f"{verb} TARGET: {key}",
+                f"  path: {self.table_paths[key]}",
+                f"  partition columns: {parts or '(none)'}",
+                "",
+            ]
+
+        m = _DELETE_STMT.match(inner)
+        if m and self._dml_registered(m.group(1)):
+            key = self._resolve_dml_table(m.group(1))
+            cond = (m.group(2) or "TRUE").strip()
+            lines = target_lines(m.group(1), "DELETE FROM")
+            lines += [f"  delete condition: {cond}", "",
+                      "MATCHED-ROWS SCAN PLAN:"]
+            df = self.spark.read.parquet(self.table_paths[key]).filter(
+                F.expr(cond)
+            )
+            return frame(lines + explain_str(df, mode=spark_mode).splitlines())
+        m = _UPDATE_STMT.match(inner)
+        if m and self._dml_registered(m.group(1)):
+            key = self._resolve_dml_table(m.group(1))
+            cond = (m.group(3) or "TRUE").strip()
+            lines = target_lines(m.group(1), "UPDATE")
+            lines += [
+                f"  set: {m.group(2).strip()}",
+                f"  update condition: {cond}",
+                "",
+                "MATCHED-ROWS SCAN PLAN:",
+            ]
+            df = self.spark.read.parquet(self.table_paths[key]).filter(
+                F.expr(cond)
+            )
+            return frame(lines + explain_str(df, mode=spark_mode).splitlines())
+        m = _INSERT_STMT.match(inner)
+        if m and self._dml_registered(m.group(2)):
+            verb = "INSERT " + m.group(1).upper()
+            lines = [
+                "STAGE DEPENDENCIES:",
+                "  Stage-1 select (source query → staging directory)",
+                "  Stage-2 move (staged files land in the target"
+                + (", dynamic partition dirs swapped)"
+                   if m.group(1).upper() == "OVERWRITE" else ")"),
+                "",
+            ] + target_lines(m.group(2), verb)[5:]
+            if m.group(3):
+                lines += [f"  partition spec: {m.group(3).strip()}"]
+            lines += ["", "SOURCE QUERY PLAN:"]
+            src = self.spark.sql(
+                rewrite_hiveql(m.group(5), spark=self.spark)
+            )
+            return frame(lines + explain_str(src, mode=spark_mode).splitlines())
+        m = _MERGE_STMT.match(inner)
+        if m and self._dml_registered(m.group(1)):
+            src_spec = m.group(3)
+            lines = target_lines(m.group(1), "MERGE INTO")
+            lines += [
+                f"  on: {m.group(5).strip()}",
+                f"  when clauses: {' '.join(m.group(6).split())}",
+                "",
+                "SOURCE PLAN:",
+            ]
+            if src_spec.startswith("("):
+                src = self.spark.sql(
+                    rewrite_hiveql(src_spec[1:-1], spark=self.spark)
+                )
+            else:
+                src = self.spark.table(src_spec)
+            return frame(lines + explain_str(src, mode=spark_mode).splitlines())
+        for pat, desc in (
+            (_TRUNCATE_STMT, "TRUNCATE: partition/table directory clear "
+                             "(file operation, no job)"),
+            (_LOAD_DATA_STMT, "LOAD DATA: file move into the table "
+                              "(MoveTask parity, no job)"),
+            (_CONCATENATE_STMT, "CONCATENATE: compaction rewrite toward "
+                                "128MB files (one repartition job)"),
+        ):
+            mm = pat.match(inner)
+            if mm:
+                name = mm.group(1) if pat is not _LOAD_DATA_STMT else mm.group(3)
+                if self._dml_registered(name):
+                    return frame([desc,
+                                  f"  target: {self._resolve_dml_table(name)}"])
+        return None
 
     def _run_create_function(self, m: re.Match[str]) -> DataFrame:
         """CREATE TEMPORARY FUNCTION name AS 'module.attr' — FunctionTask

@@ -855,3 +855,45 @@ def test_sql_analyze_table_footer_stats(eng_with_copy):
         "FOR COLUMNS c_custkey, c_acctbal"
     ).collect()[0]
     assert row2.num_rows == n
+
+
+def test_explain_dml_stages_without_executing(eng_with_copy):
+    """EXPLAIN over intercepted DML (ExplainTask.java:117 parity):
+    stage breakdown + the read-side Spark plan, target untouched."""
+    eng = eng_with_copy
+    before = eng.table("customer_copy").count()
+    lines = [
+        r.plan
+        for r in eng.sql(
+            "EXPLAIN DELETE FROM customer_copy WHERE c_acctbal < 0"
+        ).collect()
+    ]
+    text = "\n".join(lines)
+    assert "STAGE DEPENDENCIES" in text
+    assert "Stage-3 swap" in text
+    assert "delete condition: c_acctbal < 0" in text
+    assert "Physical Plan" in text  # real Spark plan of the matched scan
+    assert eng.table("customer_copy").count() == before  # nothing ran
+
+    lines = [
+        r.plan
+        for r in eng.sql(
+            "EXPLAIN UPDATE customer_copy SET c_acctbal = 0 "
+            "WHERE c_acctbal < 0"
+        ).collect()
+    ]
+    assert any("set: c_acctbal = 0" in ln for ln in lines)
+
+    lines = [
+        r.plan
+        for r in eng.sql(
+            "EXPLAIN INSERT INTO customer_copy "
+            "SELECT * FROM customer_copy WHERE c_custkey < 0"
+        ).collect()
+    ]
+    assert any("SOURCE QUERY PLAN:" in ln for ln in lines)
+    assert eng.table("customer_copy").count() == before
+
+    # EXPLAIN SELECT still passes through to Spark's explain
+    rows = eng.sql("EXPLAIN SELECT 1 AS one").collect()
+    assert rows and rows[0].plan
