@@ -226,3 +226,102 @@ def test_macro_formal_not_substituted_inside_strings_note():
     eng.macros["f"] = (["x"], "x + x_total")
     out = eng._expand_macros("SELECT f(2)")
     assert out == "SELECT ((2) + x_total)"
+
+
+# ---- CREATE TABLE restructure (Hive clause order → Spark order) ----
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+
+_simple_type = st.sampled_from(
+    ["INT", "BIGINT", "STRING", "DOUBLE", "decimal(10,2)", "decimal(38,18)"]
+)
+
+
+def _types():
+    return st.recursive(
+        _simple_type,
+        lambda inner: st.one_of(
+            st.builds(lambda t: f"array<{t}>", inner),
+            st.builds(lambda k, v: f"map<{k},{v}>", _simple_type, inner),
+            st.builds(
+                lambda ts: "uniontype<" + ",".join(ts) + ">",
+                st.lists(inner, min_size=2, max_size=3),
+            ),
+        ),
+        max_leaves=4,
+    )
+
+
+@given(
+    cols=st.lists(
+        st.tuples(_ident, _types()), min_size=1, max_size=5, unique_by=lambda c: c[0]
+    ),
+    part_cols=st.lists(
+        st.tuples(_ident, st.sampled_from(["STRING", "INT"])),
+        max_size=2,
+        unique_by=lambda c: c[0],
+    ),
+    bucketed=st.booleans(),
+    external=st.booleans(),
+    comment=st.booleans(),
+    fmt=st.sampled_from(["PARQUET", "ORC", "AVRO"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_create_table_restructure_properties(
+    cols, part_cols, bucketed, external, comment, fmt
+):
+    """Random Hive-clause-order CREATE TABLE DDL (typed PARTITIONED BY,
+    CLUSTERED BY, COMMENT, EXTERNAL, nested/union column types) must
+    restructure into Spark order: USING directly after the column list,
+    partition columns folded in (name-only clause after USING), no
+    EXTERNAL, every uniontype rewritten to its struct encoding."""
+    import re
+
+    from hive_2_3_2_spark.engine import (
+        _rewrite_stored_as,
+        _rewrite_uniontype,
+    )
+
+    names = {c[0] for c in cols} | {p[0] for p in part_cols}
+    if len(names) != len(cols) + len(part_cols):
+        return  # partition col shadowing a data col — not a valid DDL
+    col_list = ", ".join(f"{n} {t}" for n, t in cols)
+    ddl = "CREATE "
+    if external:
+        ddl += "EXTERNAL "
+    ddl += f"TABLE tbl ({col_list})"
+    if comment:
+        ddl += " COMMENT 'a table'"
+    if part_cols:
+        ddl += (
+            " PARTITIONED BY ("
+            + ", ".join(f"{n} {t}" for n, t in part_cols)
+            + ")"
+        )
+    if bucketed:
+        first = cols[0][0]
+        ddl += f" CLUSTERED BY ({first}) INTO 4 BUCKETS"
+    ddl += f" STORED AS {fmt}"
+
+    out = _rewrite_stored_as(_rewrite_uniontype(ddl))
+
+    assert "uniontype" not in out.lower()
+    assert "STORED AS" not in out.upper()
+    assert "EXTERNAL" not in out.upper()
+    # USING directly follows the (possibly extended) column list
+    m = re.search(r"\)\s+USING\s+\w+", out)
+    assert m, out
+    if part_cols:
+        # typed partition cols folded into the column list...
+        for n, t in part_cols:
+            assert re.search(rf"\b{n} {t}", out), out
+        # ...and the clause is name-only, right after USING
+        mp = re.search(r"PARTITIONED BY \(([^)]*)\)", out)
+        assert mp, out
+        assert mp.group(1) == ", ".join(n for n, _ in part_cols)
+        assert "STRING)" not in mp.group(0)  # no types in the clause
+    if bucketed:
+        assert re.search(r"CLUSTERED BY \(\w+\) INTO 4 BUCKETS", out), out
+    # every original column name survives
+    for n, _t in cols:
+        assert re.search(rf"\b{n}\b", out), out
