@@ -418,6 +418,15 @@ _SHOW_FUNCTIONS_STMT = re.compile(
     r"^\s*SHOW\s+FUNCTIONS(?:\s+(?:LIKE\s+)?'([^']*)')?\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE TABLE t LIKE s [STORED AS fmt] [LOCATION 'p'] — schema-only copy
+# (reference: parse/DDLSemanticAnalyzer.java analyzeCreateTable LIKE →
+# DDLTask.createTableLike: new empty table with the source's schema).
+_CREATE_LIKE_STMT = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.]+)\s+LIKE\s+([\w.]+)(?:\s+STORED\s+AS\s+(\w+))?"
+    r"(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VAR_REF = re.compile(r"\$\{([\w.:-]+)\}")
 
 # Python return-annotation → Spark SQL type, for plain callables
@@ -817,6 +826,9 @@ class Engine:
         m = _SHOW_FUNCTIONS_STMT.match(query)
         if m:
             return self._run_show_functions(m.group(1))
+        m = _CREATE_LIKE_STMT.match(query)
+        if m and self._dml_registered(m.group(3)):
+            return self._run_create_like(m)
         if self.macros:
             query = self._expand_macros(query)
         m = _EXPLAIN_STMT.match(query)
@@ -1320,6 +1332,46 @@ class Engine:
             )
         self.functions[name.lower()] = qual
         return self._conf_frame([])
+
+    def _run_create_like(self, m: re.Match[str]) -> DataFrame:
+        """CREATE TABLE t LIKE s for a path-backed source: a new empty
+        parquet table carrying the source's exact schema (DDLTask
+        .createTableLike — the metastore copy becomes one empty
+        schema-bearing parquet file). The new table registers with this
+        Engine, so every DML statement works on it immediately."""
+        if_not_exists, target, source, fmt, location = m.groups()
+        skey = self._resolve_dml_table(source)
+        tkey = target.split(".")[-1].lower()
+        if tkey in self.table_paths:
+            if if_not_exists:
+                return self._rows_affected(0)
+            raise HiveQLUnsupportedError(
+                f"CREATE TABLE {target} LIKE: table already registered "
+                "(use IF NOT EXISTS)"
+            )
+        if fmt and fmt.upper() != "PARQUET":
+            raise HiveQLUnsupportedError(
+                f"CREATE TABLE LIKE ... STORED AS {fmt}: path-backed "
+                "tables here are parquet — omit STORED AS or use PARQUET"
+            )
+        if self.table_partitions.get(skey):
+            raise HiveQLUnsupportedError(
+                "CREATE TABLE LIKE a partitioned path-backed table: an "
+                "empty partitioned directory cannot carry the schema "
+                "(no metastore here) — create unpartitioned, or copy a "
+                "partition with INSERT"
+            )
+        from hive_2_3_2_spark.suite._scratch import scratch_root
+
+        schema = self.spark.read.parquet(self.table_paths[skey]).schema
+        path = location or os.path.join(
+            scratch_root("ddl"), f"like_{tkey}"
+        )
+        self.spark.createDataFrame([], schema).write.mode(
+            "overwrite"
+        ).parquet(path)
+        self.register_table(tkey, path)
+        return self._rows_affected(0)
 
     def _run_drop_function(self, m: re.Match[str]) -> DataFrame:
         """DROP [TEMPORARY] FUNCTION [IF EXISTS] name."""

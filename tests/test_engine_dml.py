@@ -897,3 +897,36 @@ def test_explain_dml_stages_without_executing(eng_with_copy):
     # EXPLAIN SELECT still passes through to Spark's explain
     rows = eng.sql("EXPLAIN SELECT 1 AS one").collect()
     assert rows and rows[0].plan
+
+
+def test_create_table_like_path_backed(eng_with_copy, tmp_path):
+    """CREATE TABLE LIKE over a registered path table: empty
+    schema-carrying parquet, immediately DML-able (DDLTask
+    .createTableLike parity)."""
+    import pytest
+
+    eng = eng_with_copy
+    loc = str(tmp_path / "cust_like")
+    eng.sql(f"CREATE TABLE cust_like LIKE customer_copy LOCATION '{loc}'")
+    src_schema = eng.table("customer_copy").schema
+    assert eng.table("cust_like").schema == src_schema
+    assert eng.table("cust_like").count() == 0
+    # the clone is a registered DML target right away
+    n = eng.sql(
+        "INSERT INTO cust_like SELECT * FROM customer_copy "
+        "WHERE c_custkey <= 5"
+    ).collect()[0].rows_affected
+    assert n == eng.table("cust_like").count() > 0
+    # IF NOT EXISTS is a no-op; plain re-create is a typed error
+    eng.sql("CREATE TABLE IF NOT EXISTS cust_like LIKE customer_copy")
+    with pytest.raises(HiveQLUnsupportedError, match="already registered"):
+        eng.sql("CREATE TABLE cust_like LIKE customer_copy")
+    with pytest.raises(HiveQLUnsupportedError, match="parquet"):
+        eng.sql("CREATE TABLE c2 LIKE customer_copy STORED AS ORC")
+    # native catalog sources still pass through to Spark's own LIKE
+    eng.spark.sql("DROP TABLE IF EXISTS cat_src")
+    eng.spark.sql("CREATE TABLE cat_src (k INT) USING parquet")
+    eng.sql("CREATE TABLE cat_dst LIKE cat_src")
+    assert dict(eng.spark.table("cat_dst").dtypes) == {"k": "int"}
+    eng.spark.sql("DROP TABLE cat_dst")
+    eng.spark.sql("DROP TABLE cat_src")
