@@ -79,6 +79,17 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(r"\bINPUT__FILE__NAME\b", re.IGNORECASE),
         "input_file_name()",
     ),
+    # Legacy GROUPING__ID virtual column == Spark's grouping_id():
+    # Hive 2.3 builds the id big-endian with set bits marking NULLED
+    # keys (exec/GroupByOperator.java:181 groupingSet2BitSet, :776
+    # nextClearBit keeps cleared positions), i.e. first grouping column
+    # = most significant bit, 1 = aggregated — exactly Spark's
+    # semantics (the pre-2.3 reversed encoding was already fixed in the
+    # reference).
+    (
+        re.compile(r"\bGROUPING__ID\b", re.IGNORECASE),
+        "grouping_id()",
+    ),
 ]
 
 _UNSUPPORTED_VIRTUAL = re.compile(

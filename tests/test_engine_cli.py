@@ -335,3 +335,22 @@ def test_show_functions_lists_temp_functions_and_macros(eng):
     assert "add_onex" in filtered
     assert "upper" not in filtered
     del col
+
+
+def test_grouping_id_virtual_column(eng, sf_dir):
+    """Legacy GROUPING__ID == Spark grouping_id() (Hive 2.3 big-endian
+    bitset, exec/GroupByOperator.java:181 — first grouping column is the
+    most significant bit, 1 = aggregated)."""
+    eng.register_table("orders_gid", f"{sf_dir}/orders.parquet")
+    rows = eng.sql(
+        "SELECT o_orderstatus, o_orderpriority, GROUPING__ID AS gid, "
+        "count(*) AS n FROM orders_gid "
+        "GROUP BY o_orderstatus, o_orderpriority WITH ROLLUP "
+        "ORDER BY gid, o_orderstatus, o_orderpriority"
+    ).collect()
+    gids = {r.gid for r in rows}
+    # rollup of 2 columns -> ids 0 (full), 1 (status only), 3 (total)
+    assert gids == {0, 1, 3}
+    total = [r for r in rows if r.gid == 3]
+    assert len(total) == 1
+    assert total[0].n == sum(r.n for r in rows if r.gid == 0)
