@@ -438,6 +438,63 @@ _CREATE_LIKE_STMT = re.compile(
     r"(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$",
     re.IGNORECASE,
 )
+# Schema-evolution DDL (reference: parse/DDLSemanticAnalyzer.java
+# analyzeAlterTableModifyCols / analyzeAlterTableRenameCol → DDLTask
+# alterTable). Metadata-only in Hive: parquet data binds BY NAME, so an
+# added column reads NULL from old files and a renamed column orphans
+# its data (reads NULL) — this engine reproduces exactly that via a
+# declared-schema overlay applied at read time.
+_ALTER_ADD_COLS_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS\s*\((.*)\)"
+    r"\s*(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_REPLACE_COLS_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+REPLACE\s+COLUMNS\s*\((.*)\)"
+    r"\s*(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_CHANGE_COL_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+CHANGE(?:\s+COLUMN)?\s+(\w+)\s+(\w+)\s+"
+    r"([\w]+(?:\s*\([\d,\s]*\))?(?:\s*<[^;]*>)?)"
+    r"(?:\s+COMMENT\s+'[^']*')?"
+    r"(?:\s+(FIRST|AFTER\s+\w+))?\s*(?:CASCADE|RESTRICT)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TBLPROPS_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(SET|UNSET)\s+TBLPROPERTIES\s*"
+    r"(IF\s+EXISTS\s+)?\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_TBLPROPS_STMT = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)"
+    r"\s*(?:\(\s*'?([^')]+?)'?\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_COLUMNS_STMT = re.compile(
+    r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# View DDL (reference: parse/SemanticAnalyzer.java createView analysis +
+# exec/DDLTask.java createView/dropTable view guards).
+_CREATE_VIEW_STMT = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.]+)\s*(\([^)]*\))?\s*(?:COMMENT\s+'[^']*'\s*)?"
+    r"(?:TBLPROPERTIES\s*\([^)]*\)\s*)?AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_VIEW_STMT = re.compile(
+    r"^\s*ALTER\s+VIEW\s+([\w.]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_STMT = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_TABLE_STMT = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(?:PURGE\s*)?;?\s*$",
+    re.IGNORECASE,
+)
 _VAR_REF = re.compile(r"\$\{([\w.:-]+)\}")
 
 # Python return-annotation → Spark SQL type, for plain callables
@@ -730,6 +787,15 @@ class Engine:
         self.macros: dict[str, tuple[list[str], str]] = {}
         # name → qualified Python source — CREATE TEMPORARY FUNCTION
         self.functions: dict[str, str] = {}
+        # Declared-schema overlay (ALTER TABLE ADD/CHANGE/REPLACE
+        # COLUMNS): Hive stores the declared schema in the metastore and
+        # parquet binds BY NAME at read time; tables with no overlay
+        # read with the file-discovered schema exactly as before.
+        self.table_schemas: dict[str, object] = {}
+        # name → TBLPROPERTIES dict (ALTER TABLE SET/UNSET TBLPROPERTIES)
+        self.table_props: dict[str, dict[str, str]] = {}
+        # view name → original (pre-rewrite) body SQL — CREATE VIEW
+        self.views: dict[str, str] = {}
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
             import os
@@ -746,14 +812,31 @@ class Engine:
         partition_cols: list[str] | None = None,
     ) -> DataFrame:
         """Register a writable parquet table: a temp view for reads plus
-        the path/partition metadata the DML front-end needs."""
-        df = self.spark.read.parquet(path)
+        the path/partition metadata the DML front-end needs. Tables with
+        a declared-schema overlay (ALTER ... COLUMNS) read with that
+        schema — Spark's parquet reader binds by name, filling missing
+        columns with NULL (exactly Hive's metastore-schema semantics)."""
+        name = name.split(".")[-1].lower()
+        reader = self.spark.read
+        if name in self.table_schemas:
+            reader = reader.schema(self.table_schemas[name])
+        df = reader.parquet(path)
         df.createOrReplaceTempView(name)
         self.tables[name] = df
         self.table_paths[name] = path
         if partition_cols:
             self.table_partitions[name] = list(partition_cols)
         return df
+
+    def _target_frame(self, key: str) -> DataFrame:
+        """Overlay-aware read of a registered table's path — every DML
+        path must use this (a bare ``spark.read.parquet`` after schema
+        evolution would adopt ONE file's schema and could silently drop
+        a column that newer files carry)."""
+        reader = self.spark.read
+        if key in self.table_schemas:
+            reader = reader.schema(self.table_schemas[key])
+        return reader.parquet(self.table_paths[key])
 
     def _resolve_dml_table(self, name: str) -> str:
         key = name.split(".")[-1].lower()
@@ -848,7 +931,10 @@ class Engine:
             if explained is not None:
                 return explained
         m = _SHOW_CREATE_STMT.match(query)
-        if m and self._dml_registered(m.group(1)):
+        if m and (
+            self._dml_registered(m.group(1))
+            or m.group(1).split(".")[-1].lower() in self.views
+        ):
             return self._run_show_create(m.group(1))
         m = _DESCRIBE_STMT.match(query)
         if m and self._dml_registered(m.group(2)):
@@ -861,7 +947,10 @@ class Engine:
             cond = F.expr(m.group(2)) if m.group(2) else F.lit(True)
             path = self.table_paths[key]
             parts = self.table_partitions.get(key)
-            affected = delete_where(self.spark, path, cond, parts)
+            affected = delete_where(
+                self.spark, path, cond, parts,
+                schema=self.table_schemas.get(key),
+            )
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
         m = _UPDATE_STMT.match(query)
@@ -887,6 +976,7 @@ class Engine:
                 observe_count=not re.search(
                     r"\(\s*SELECT\b", cond_txt or "", re.IGNORECASE
                 ),
+                schema=self.table_schemas.get(key),
             )
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
@@ -956,6 +1046,40 @@ class Engine:
         m = _RENAME_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_rename(m.group(1), m.group(2))
+        m = _ALTER_ADD_COLS_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_add_columns(m.group(1), m.group(2))
+        m = _ALTER_REPLACE_COLS_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_replace_columns(m.group(1), m.group(2))
+        m = _ALTER_CHANGE_COL_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_change_column(m)
+        m = _ALTER_TBLPROPS_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_tblproperties(m)
+        m = _SHOW_TBLPROPS_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_show_tblproperties(m.group(1), m.group(2))
+        m = _SHOW_COLUMNS_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_show_columns(m.group(1))
+        m = _CREATE_VIEW_STMT.match(query)
+        if m:
+            return self._run_create_view(m)
+        m = _ALTER_VIEW_STMT.match(query)
+        if m:
+            return self._run_alter_view(m.group(1), m.group(2))
+        m = _DROP_VIEW_STMT.match(query)
+        if m:
+            handled = self._run_drop_view(bool(m.group(1)), m.group(2))
+            if handled is not None:
+                return handled
+        m = _DROP_TABLE_STMT.match(query)
+        if m:
+            handled = self._run_drop_table(bool(m.group(1)), m.group(2))
+            if handled is not None:
+                return handled
         m = _EXPORT_STMT.match(query)
         if m:
             return self._run_export(m.group(1), m.group(2))
@@ -1455,7 +1579,7 @@ class Engine:
         meta = {
             "table": key,
             "partition_cols": parts,
-            "schema_json": self.spark.read.parquet(path).schema.json(),
+            "schema_json": self._target_frame(key).schema.json(),
         }
         with open(os.path.join(out_dir, "_metadata.json"), "w") as f:
             json.dump(meta, f)
@@ -1545,7 +1669,7 @@ class Engine:
             from hive_2_3_2_spark.sources.writers import _swap_dirs
 
             n = parquet_row_count(path)
-            schema = self.spark.read.parquet(path).schema
+            schema = self._target_frame(key).schema
             empty = self.spark.createDataFrame([], schema)
             staging = f"{path}__truncate_staging"
             shutil.rmtree(staging, ignore_errors=True)
@@ -1614,6 +1738,387 @@ class Engine:
         self.register_table(new_key, path, parts)
         return self._rows_affected(0)
 
+    # ------------------------------------------------------------------
+    # Schema evolution (ALTER TABLE ... COLUMNS) — metadata-only, like
+    # Hive: the declared schema lives in the engine (metastore role) and
+    # parquet files bind by name at read time.
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _parse_col_defs(text: str) -> list[tuple[str, object]]:
+        """``c1 INT COMMENT 'x', c2 array<struct<a:int,b:string>>`` →
+        [(name, DataType), ...]. Splits on commas outside (), <> and
+        quotes (nested types carry commas), strips COMMENTs, and parses
+        each type through Spark's own DDL parser (Hive's primitive names
+        are all valid Spark DDL; uniontype<> rewrites to the §1.3 struct
+        encoding first)."""
+        from pyspark.sql.types import StructType
+
+        parts: list[str] = []
+        depth = 0
+        cur: list[str] = []
+        in_str = False
+        for ch in text:
+            if in_str:
+                cur.append(ch)
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+
+        out: list[tuple[str, object]] = []
+        for raw in parts:
+            spec = re.sub(
+                r"\s+COMMENT\s+'[^']*'", "", raw, flags=re.IGNORECASE
+            ).strip()
+            if not spec:
+                continue
+            m = re.match(r"^`?(\w+)`?\s+(.+)$", spec, re.DOTALL)
+            if not m:
+                raise HiveQLUnsupportedError(
+                    f"cannot parse column definition {raw.strip()!r}"
+                )
+            name, typ = m.group(1), _rewrite_uniontype(m.group(2).strip())
+            try:
+                parsed = StructType.fromDDL(f"`{name}` {typ}")
+            except Exception as exc:
+                raise HiveQLUnsupportedError(
+                    f"unsupported column type {typ!r} for {name!r}: {exc}"
+                ) from exc
+            out.append((name, parsed.fields[0].dataType))
+        if not out:
+            raise HiveQLUnsupportedError("empty column definition list")
+        return out
+
+    @staticmethod
+    def _parquet_read_compatible(old, new) -> bool:
+        """Type changes Spark's parquet reader supports when the declared
+        schema differs from the file schema: identity plus the safe
+        numeric widenings. Hive would let you DECLARE anything and fail
+        at read time (SerDe error); failing at ALTER time is stricter
+        and kinder."""
+        if old == new:
+            return True
+        chain = ["tinyint", "smallint", "int", "bigint"]
+        o, n = old.simpleString(), new.simpleString()
+        if o in chain and n in chain and chain.index(o) < chain.index(n):
+            return True
+        if (o, n) in {("float", "double"), ("int", "double"),
+                      ("tinyint", "double"), ("smallint", "double")}:
+            return True
+        return False
+
+    def _declared_schema(self, key: str):
+        """Current declared schema: the overlay if one exists, else the
+        file-discovered schema of the registered view."""
+        from pyspark.sql.types import StructType
+
+        if key in self.table_schemas:
+            return self.table_schemas[key]
+        return StructType(self.tables[key].schema.fields)
+
+    def _set_declared_schema(self, key: str, schema) -> DataFrame:
+        self.table_schemas[key] = schema
+        self.register_table(
+            key, self.table_paths[key], self.table_partitions.get(key)
+        )
+        return self._rows_affected(0)
+
+    def _run_add_columns(self, table: str, coldefs: str) -> DataFrame:
+        """ALTER TABLE t ADD COLUMNS (...) — append to the declared
+        schema BEFORE the partition columns (Hive's column order). Old
+        files lack the columns and read NULL; subsequent INSERTs write
+        them (reference: DDLSemanticAnalyzer analyzeAlterTableModifyCols,
+        clientnegative: duplicate column → typed error)."""
+        from pyspark.sql.types import StructField, StructType
+
+        key = self._resolve_dml_table(table)
+        new_cols = self._parse_col_defs(coldefs)
+        schema = self._declared_schema(key)
+        existing = {f.name.lower() for f in schema.fields}
+        dup = [n for n, _t in new_cols if n.lower() in existing]
+        if dup:
+            raise HiveQLUnsupportedError(
+                f"ADD COLUMNS duplicates existing column(s) {dup}"
+            )
+        parts = [p.lower() for p in self.table_partitions.get(key, [])]
+        data = [f for f in schema.fields if f.name.lower() not in parts]
+        part = [f for f in schema.fields if f.name.lower() in parts]
+        added = [StructField(n, t, True) for n, t in new_cols]
+        return self._set_declared_schema(
+            key, StructType(data + added + part)
+        )
+
+    def _run_replace_columns(self, table: str, coldefs: str) -> DataFrame:
+        """ALTER TABLE t REPLACE COLUMNS (...) — the declared DATA
+        columns become exactly this list (partition columns are kept —
+        Hive forbids touching them). A column dropped from the list
+        disappears from reads; its bytes stay in the files (metadata-only
+        operation, like Hive on a by-name format)."""
+        from pyspark.sql.types import StructField, StructType
+
+        key = self._resolve_dml_table(table)
+        new_cols = self._parse_col_defs(coldefs)
+        schema = self._declared_schema(key)
+        parts = [p.lower() for p in self.table_partitions.get(key, [])]
+        clash = [n for n, _t in new_cols if n.lower() in parts]
+        if clash:
+            raise HiveQLUnsupportedError(
+                f"REPLACE COLUMNS cannot redefine partition column(s) "
+                f"{clash}"
+            )
+        seen: set[str] = set()
+        for n, _t in new_cols:
+            if n.lower() in seen:
+                raise HiveQLUnsupportedError(
+                    f"REPLACE COLUMNS lists column {n!r} twice"
+                )
+            seen.add(n.lower())
+        old_types = {
+            f.name.lower(): f.dataType
+            for f in schema.fields
+            if f.name.lower() not in parts
+        }
+        for n, t in new_cols:
+            old = old_types.get(n.lower())
+            if old is not None and not self._parquet_read_compatible(old, t):
+                raise HiveQLUnsupportedError(
+                    f"REPLACE COLUMNS changes {n!r} from "
+                    f"{old.simpleString()} to {t.simpleString()} — not a "
+                    "parquet-compatible conversion (identity or numeric "
+                    "widening only)"
+                )
+        part = [f for f in schema.fields if f.name.lower() in parts]
+        data = [StructField(n, t, True) for n, t in new_cols]
+        return self._set_declared_schema(key, StructType(data + part))
+
+    def _run_change_column(self, m: re.Match[str]) -> DataFrame:
+        """ALTER TABLE t CHANGE [COLUMN] old new type [FIRST|AFTER c] —
+        rename/retype/reorder one declared column (reference:
+        analyzeAlterTableRenameCol). On a by-name format a RENAME orphans
+        the data (old files read NULL under the new name) — exactly
+        Hive-on-parquet's documented behavior; type changes are limited
+        to parquet-compatible widenings; partition columns can't change."""
+        from pyspark.sql.types import StructField, StructType
+
+        key = self._resolve_dml_table(m.group(1))
+        old_name, new_name = m.group(2), m.group(3)
+        pos = m.group(5)
+        new_cols = self._parse_col_defs(f"{new_name} {m.group(4)}")
+        new_type = new_cols[0][1]
+        schema = self._declared_schema(key)
+        parts = [p.lower() for p in self.table_partitions.get(key, [])]
+        if old_name.lower() in parts:
+            raise HiveQLUnsupportedError(
+                f"CHANGE COLUMN cannot alter partition column {old_name!r}"
+            )
+        names = [f.name.lower() for f in schema.fields]
+        if old_name.lower() not in names:
+            raise HiveQLUnsupportedError(
+                f"CHANGE COLUMN: no such column {old_name!r} in {key!r}"
+            )
+        if (
+            new_name.lower() != old_name.lower()
+            and new_name.lower() in names
+        ):
+            raise HiveQLUnsupportedError(
+                f"CHANGE COLUMN target name {new_name!r} already exists"
+            )
+        fields = []
+        moved = None
+        for f in schema.fields:
+            if f.name.lower() == old_name.lower():
+                if new_name.lower() == old_name.lower():
+                    if not self._parquet_read_compatible(f.dataType, new_type):
+                        raise HiveQLUnsupportedError(
+                            f"CHANGE COLUMN {old_name!r}: "
+                            f"{f.dataType.simpleString()} → "
+                            f"{new_type.simpleString()} is not a "
+                            "parquet-compatible conversion"
+                        )
+                moved = StructField(new_name, new_type, True)
+                fields.append(moved)
+            else:
+                fields.append(f)
+        if pos:
+            fields.remove(moved)
+            data = [f for f in fields if f.name.lower() not in parts]
+            part = [f for f in fields if f.name.lower() in parts]
+            if pos.upper() == "FIRST":
+                data.insert(0, moved)
+            else:
+                after = pos.split()[1].lower()
+                idx = next(
+                    (
+                        i
+                        for i, f in enumerate(data)
+                        if f.name.lower() == after
+                    ),
+                    None,
+                )
+                if idx is None:
+                    raise HiveQLUnsupportedError(
+                        f"CHANGE COLUMN AFTER {after!r}: no such column"
+                    )
+                data.insert(idx + 1, moved)
+            fields = data + part
+        return self._set_declared_schema(key, StructType(fields))
+
+    def _run_tblproperties(self, m: re.Match[str]) -> DataFrame:
+        """ALTER TABLE t SET/UNSET TBLPROPERTIES — the metastore table
+        parameters map (DDLTask alterTable TBLPROPERTIES path); UNSET of
+        a missing key without IF EXISTS is a typed error (Hive's
+        AlterTableDesc validation)."""
+        key = self._resolve_dml_table(m.group(1))
+        verb = m.group(2).upper()
+        guarded = bool(m.group(3))
+        props = self.table_props.setdefault(key, {})
+        if verb == "SET":
+            for name, val in _split_assignments(m.group(4)):
+                props[name.strip().strip("'\"")] = val.strip().strip("'\"")
+        else:
+            for raw in _split_top_commas(m.group(4)):
+                name = raw.strip().strip("'\"")
+                if name not in props and not guarded:
+                    raise HiveQLUnsupportedError(
+                        f"UNSET TBLPROPERTIES: no property {name!r} "
+                        "(use IF EXISTS)"
+                    )
+                props.pop(name, None)
+        return self._rows_affected(0)
+
+    def _run_show_tblproperties(
+        self, table: str, prop: str | None
+    ) -> DataFrame:
+        key = self._resolve_dml_table(table)
+        props = self.table_props.get(key, {})
+        if prop is not None:
+            name = prop.strip().strip("'\"")
+            if name not in props:
+                raise HiveQLUnsupportedError(
+                    f"table {key!r} has no property {name!r}"
+                )
+            return self.spark.createDataFrame(
+                [(props[name],)], "value string"
+            )
+        return self.spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
+        )
+
+    def _run_show_columns(self, table: str) -> DataFrame:
+        """SHOW COLUMNS FROM t — column names only, declared order
+        (Hive's output shape: one ``field`` column)."""
+        key = self._resolve_dml_table(table)
+        return self.spark.createDataFrame(
+            [(f.name,) for f in self._declared_schema(key).fields],
+            "field string",
+        )
+
+    # ------------------------------------------------------------------
+    # Views (SemanticAnalyzer createView / DDLTask view guards)
+    # ------------------------------------------------------------------
+
+    def _run_create_view(self, m: re.Match[str]) -> DataFrame:
+        replace = bool(m.group(1))
+        if_not_exists = bool(m.group(2))
+        key = m.group(3).split(".")[-1].lower()
+        aliases = (
+            [a.strip().strip("`") for a in m.group(4)[1:-1].split(",")]
+            if m.group(4)
+            else None
+        )
+        body = m.group(5).rstrip().rstrip(";")
+        if key in self.table_paths:
+            raise HiveQLUnsupportedError(
+                f"CREATE VIEW: {key!r} already exists as a table "
+                "(AlreadyExistsException)"
+            )
+        if key in self.views and not replace:
+            if if_not_exists:
+                return self._rows_affected(0)
+            raise HiveQLUnsupportedError(
+                f"CREATE VIEW: view {key!r} already exists "
+                "(use OR REPLACE / IF NOT EXISTS)"
+            )
+        df = self.spark.sql(
+            rewrite_hiveql(self._expand_macros(body), spark=self.spark)
+        )
+        if aliases:
+            if len(aliases) != len(df.columns):
+                raise HiveQLUnsupportedError(
+                    f"CREATE VIEW column list has {len(aliases)} names "
+                    f"but the query supplies {len(df.columns)} columns"
+                )
+            df = df.toDF(*aliases)
+        df.createOrReplaceTempView(key)
+        self.views[key] = body
+        return self._rows_affected(0)
+
+    def _run_alter_view(self, view: str, body: str) -> DataFrame:
+        key = view.split(".")[-1].lower()
+        if key in self.table_paths:
+            raise HiveQLUnsupportedError(
+                f"ALTER VIEW: {key!r} is a base table, not a view"
+            )
+        if key not in self.views:
+            raise HiveQLUnsupportedError(f"ALTER VIEW: no such view {key!r}")
+        body = body.rstrip().rstrip(";")
+        self.spark.sql(
+            rewrite_hiveql(self._expand_macros(body), spark=self.spark)
+        ).createOrReplaceTempView(key)
+        self.views[key] = body
+        return self._rows_affected(0)
+
+    def _run_drop_view(
+        self, if_exists: bool, name: str
+    ) -> DataFrame | None:
+        """DROP VIEW — typed error on a base table (Hive: "Cannot drop a
+        base table with DROP VIEW"); None → fall through to spark.sql
+        for catalog views this Engine doesn't manage."""
+        key = name.split(".")[-1].lower()
+        if key in self.table_paths:
+            raise HiveQLUnsupportedError(
+                f"Cannot drop a base table {key!r} with DROP VIEW"
+            )
+        if key not in self.views:
+            return None
+        self.spark.catalog.dropTempView(key)
+        del self.views[key]
+        return self._rows_affected(0)
+
+    def _run_drop_table(
+        self, if_exists: bool, name: str
+    ) -> DataFrame | None:
+        """DROP TABLE on a registered path-backed table — EXTERNAL
+        semantics: deregister, keep the files (DDLTask dropTable leaves
+        external data in place). Typed error on a view (Hive: "Cannot
+        drop a view with DROP TABLE"); None → passthrough."""
+        key = name.split(".")[-1].lower()
+        if key in self.views:
+            raise HiveQLUnsupportedError(
+                f"Cannot drop a view {key!r} with DROP TABLE"
+            )
+        if key not in self.table_paths:
+            return None
+        self.table_paths.pop(key)
+        self.table_partitions.pop(key, None)
+        self.table_schemas.pop(key, None)
+        self.table_props.pop(key, None)
+        self.tables.pop(key, None)
+        self.spark.catalog.dropTempView(key)
+        return self._rows_affected(0)
+
     def _schema_split(self, key: str):
         """(data_fields, partition_fields) for a registered table —
         partition columns come last in the parquet-discovered schema but
@@ -1627,7 +2132,14 @@ class Engine:
     def _run_show_create(self, table: str) -> DataFrame:
         """SHOW CREATE TABLE — Hive-style external-table DDL
         (reference: exec/DDLTask.java showCreateTable). One row,
-        column ``createtab_stmt``, like Hive/Spark."""
+        column ``createtab_stmt``, like Hive/Spark. Views render their
+        stored definition (showCreateTable's CREATE VIEW branch)."""
+        vkey = table.split(".")[-1].lower()
+        if vkey in self.views:
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW `{vkey}` AS {self.views[vkey]}",)],
+                "createtab_stmt string",
+            )
         key = self._resolve_dml_table(table)
         data, part = self._schema_split(key)
         lines = [f"CREATE EXTERNAL TABLE `{key}`("]
@@ -1694,6 +2206,10 @@ class Engine:
                 ("totalSize", str(total), None),
                 ("InputFormat", "parquet", None),
             ]
+            props = self.table_props.get(key)
+            if props:
+                rows += [("", "", None), ("# Table Parameters", "", None)]
+                rows += [(k, v, None) for k, v in sorted(props.items())]
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
         )
@@ -2020,7 +2536,7 @@ class Engine:
         body = m.group(5).rstrip().rstrip(";")
         path = self.table_paths[key]
         parts = self.table_partitions.get(key, [])
-        target = self.spark.read.parquet(path)
+        target = self._target_frame(key)
         fields = {f.name: f.dataType for f in target.schema.fields}
 
         bad = [p for p in list(static) + dynamic if p not in parts]
@@ -2030,6 +2546,11 @@ class Engine:
                 f"(table {key!r} is partitioned by {parts or 'nothing'})"
             )
         src = self.spark.sql(rewrite_hiveql(body, spark=self.spark))
+        # Positional mapping references source columns by name — rename
+        # them first so auto-generated names with dots (a literal 1.5
+        # yields a column literally named "1.5", which F.col would parse
+        # as `1`.`5`) can't break resolution.
+        src = src.toDF(*[f"__src_c{i}" for i in range(len(src.columns))])
         if col_list:
             if static or dynamic:
                 raise HiveQLUnsupportedError(
@@ -2118,7 +2639,7 @@ class Engine:
         on_cond, when_part = m.group(5), m.group(6)
         path = self.table_paths[key]
         parts = self.table_partitions.get(key)
-        target_cols = self.spark.read.parquet(path).columns
+        target_cols = self._target_frame(key).columns
 
         if src_spec.startswith("("):
             if not salias:
@@ -2234,6 +2755,7 @@ class Engine:
             insert_values,
             insert_condition,
             parts,
+            schema=self.table_schemas.get(key),
         )
         self.register_table(key, path, parts)
         return self._rows_affected(affected)

@@ -367,11 +367,23 @@ def _touched_partitions(
     return affected, touched, values
 
 
+def _read_target(spark, target_path: str, schema=None) -> DataFrame:
+    """Read a DML target, with the caller's declared schema when the
+    table has been ALTERed (parquet binds by name; a bare read after
+    schema evolution would adopt ONE file's schema and could silently
+    drop a column newer files carry)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(target_path)
+
+
 def delete_where(
     spark,
     target_path: str,
     condition: Column,
     partition_cols: list[str] | None = None,
+    schema=None,
 ) -> int:
     """Standalone ``DELETE FROM t WHERE cond`` over a parquet table;
     returns the number of deleted rows.
@@ -389,7 +401,7 @@ def delete_where(
     rewrite only, with the count derived from parquet footer row counts
     before/after (metadata, not a scan).
     """
-    target = spark.read.parquet(target_path)
+    target = _read_target(spark, target_path, schema)
     survivors = target.filter(~F.coalesce(condition, F.lit(False)))
     if partition_cols:
         affected, touched, values = _touched_partitions(
@@ -422,6 +434,7 @@ def update_where(
     condition: Column,
     partition_cols: list[str] | None = None,
     observe_count: bool = True,
+    schema=None,
 ) -> None:
     """Standalone ``UPDATE t SET c = expr, ... WHERE cond``.
 
@@ -443,7 +456,7 @@ def update_where(
                 f"cannot UPDATE partition column(s) {bad}: Hive forbids it "
                 "(UpdateDeleteSemanticAnalyzer); use delete + insert instead"
             )
-    target = spark.read.parquet(target_path)
+    target = _read_target(spark, target_path, schema)
     hit = F.coalesce(condition, F.lit(False))
     obs: Observation | None = None
     pre_counted: int | None = None
@@ -671,6 +684,7 @@ def merge_apply(
     insert_values: dict[str, Column] | None,
     insert_condition: Column | None = None,
     partition_cols: list[str] | None = None,
+    schema=None,
 ) -> int:
     """Execute a MERGE statement (up to two WHEN MATCHED clauses plus
     one WHEN NOT MATCHED); returns the number of affected rows
@@ -704,7 +718,7 @@ def merge_apply(
     Unpartitioned: ONE scan — the affected count rides the rewrite as an
     observed metric.
     """
-    target = spark.read.parquet(target_path)
+    target = _read_target(spark, target_path, schema)
     fields = {f.name: f.dataType for f in target.schema.fields}
     cols = target.columns
 

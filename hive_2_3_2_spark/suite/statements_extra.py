@@ -131,3 +131,88 @@ def ddl_sql_temp_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
         """
     )
+
+
+@query(
+    "ddl_sql_schema_evolution",
+    oracle="""
+    SELECT COALESCE(tier, 'legacy') AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM (
+      SELECT c_acctbal, CAST(NULL AS VARCHAR) AS tier FROM customer
+      UNION ALL
+      SELECT c_acctbal,
+             CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS tier
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    GROUP BY COALESCE(tier, 'legacy')
+    ORDER BY tier
+    """,
+)
+def ddl_sql_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS through Engine.sql (reference:
+    parse/DDLSemanticAnalyzer.java analyzeAlterTableModifyCols —
+    metastore-metadata-only): pre-evolution rows read NULL in the new
+    column (parquet binds by name), the post-evolution INSERT fills it,
+    and the final aggregate groups over the mixed-file-schema table —
+    proving the declared-schema overlay governs every read after the
+    files diverge."""
+    path = _fresh_copy(spark, sf_dir, "customer", "sql_schema_evo")
+    eng = Engine(spark=spark)
+    eng.register_table("cust_evo", path)
+    eng.sql("ALTER TABLE cust_evo ADD COLUMNS (tier STRING)")
+    eng.sql(
+        "INSERT INTO cust_evo "
+        "SELECT c_custkey + 90000000, c_name, c_nationkey, c_acctbal, "
+        "c_mktsegment, "
+        "CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END "
+        "FROM cust_evo WHERE c_custkey % 10 = 0 AND c_custkey < 90000000"
+    ).collect()
+    return eng.sql(
+        """
+        SELECT COALESCE(tier, 'legacy') AS tier,
+               COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM cust_evo
+        GROUP BY COALESCE(tier, 'legacy')
+        ORDER BY tier
+        """
+    )
+
+
+@query(
+    "ddl_sql_view_stack",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(net), 2) AS revenue
+    FROM (
+      SELECT l_returnflag,
+             l_extendedprice * (1 - l_discount) AS net
+      FROM lineitem WHERE l_quantity >= 25
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def ddl_sql_view_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW through Engine.sql (reference:
+    parse/SemanticAnalyzer.java createView): a base view with a column
+    list over lineitem and a second view stacked on it; the SELECT runs
+    against the stack, the oracle against the hand-expanded SQL."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql(
+        "CREATE OR REPLACE VIEW v_bulk_items (flag, net) AS "
+        "SELECT l_returnflag, l_extendedprice * (1 - l_discount) "
+        "FROM lineitem WHERE l_quantity >= 25"
+    )
+    eng.sql(
+        "CREATE OR REPLACE VIEW v_bulk_revenue AS "
+        "SELECT flag AS l_returnflag, COUNT(*) AS n, "
+        "ROUND(SUM(net), 2) AS revenue "
+        "FROM v_bulk_items GROUP BY flag"
+    )
+    return eng.sql(
+        "SELECT l_returnflag, n, revenue FROM v_bulk_revenue "
+        "ORDER BY l_returnflag"
+    )

@@ -1,0 +1,240 @@
+"""Schema-evolution DDL (ALTER TABLE ADD/CHANGE/REPLACE COLUMNS),
+TBLPROPERTIES, SHOW COLUMNS, and view DDL through Engine.sql.
+
+Reference: parse/DDLSemanticAnalyzer.java analyzeAlterTableModifyCols /
+analyzeAlterTableRenameCol / analyzeAlterTableProps; view analysis in
+parse/SemanticAnalyzer.java (createView) and exec/DDLTask.java's
+dropTable view guards. Hive's ALTERs are metastore-metadata-only and
+parquet binds by NAME at read time — the tests pin exactly those
+semantics (added column reads NULL from old files; a renamed column
+orphans its data)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    path = str(tmp_path / "evo_tbl")
+    spark.range(4).selectExpr(
+        "id AS k", "CAST(id * 2 AS INT) AS v"
+    ).write.parquet(path)
+    e = Engine(spark=spark)
+    e.register_table("evo", path)
+    return e, path
+
+
+def test_add_columns_reads_null_then_insert_fills(spark, eng):
+    e, path = eng
+    e.sql("ALTER TABLE evo ADD COLUMNS (tag STRING COMMENT 'c', score DOUBLE)")
+    rows = {r.k: (r.tag, r.score) for r in e.sql("SELECT * FROM evo").collect()}
+    assert rows[0] == (None, None)
+    e.sql("INSERT INTO evo SELECT 100, 9, 'fresh', 2.5")
+    got = e.sql("SELECT * FROM evo WHERE k = 100").collect()[0]
+    assert (got.v, got.tag, got.score) == (9, "fresh", 2.5)
+    # old rows still NULL in the evolved columns
+    assert e.sql("SELECT tag FROM evo WHERE k = 0").collect()[0].tag is None
+
+
+def test_evolved_column_survives_dml_rewrite(spark, eng):
+    """The 100 TB hazard: after INSERT wrote files carrying the new
+    column, a DELETE rewrite reading with ONE old file's schema would
+    silently drop it. The overlay-aware read must preserve it."""
+    e, path = eng
+    e.sql("ALTER TABLE evo ADD COLUMNS (tag STRING)")
+    e.sql("INSERT INTO evo SELECT 100, 9, 'keepme'")
+    e.sql("DELETE FROM evo WHERE k = 1")
+    rows = {r.k: r.tag for r in e.sql("SELECT k, tag FROM evo").collect()}
+    assert 1 not in rows
+    assert rows[100] == "keepme"
+    # UPDATE path too
+    e.sql("UPDATE evo SET tag = 'patched' WHERE k = 0")
+    rows = {r.k: r.tag for r in e.sql("SELECT k, tag FROM evo").collect()}
+    assert rows[0] == "patched" and rows[100] == "keepme"
+
+
+def test_add_columns_duplicate_is_typed_error(eng):
+    e, _ = eng
+    with pytest.raises(HiveQLUnsupportedError, match="duplicates"):
+        e.sql("ALTER TABLE evo ADD COLUMNS (v INT)")
+
+
+def test_add_columns_nested_type_parses(eng):
+    e, _ = eng
+    e.sql(
+        "ALTER TABLE evo ADD COLUMNS "
+        "(meta struct<a:int,b:string>, xs array<struct<p:int,q:double>>)"
+    )
+    fields = {f.name: f.dataType.simpleString() for f in e.tables["evo"].schema}
+    assert fields["meta"] == "struct<a:int,b:string>"
+    assert fields["xs"] == "array<struct<p:int,q:double>>"
+
+
+def test_change_column_rename_orphans_data(eng):
+    """Hive-on-parquet documented behavior: rename is metadata-only and
+    parquet binds by name, so the renamed column reads NULL even from
+    files that carried values under the old name."""
+    e, _ = eng
+    e.sql("ALTER TABLE evo ADD COLUMNS (tag STRING)")
+    e.sql("INSERT INTO evo SELECT 100, 9, 'orphaned'")
+    e.sql("ALTER TABLE evo CHANGE COLUMN tag label STRING")
+    vals = [r.label for r in e.sql("SELECT label FROM evo").collect()]
+    assert vals == [None] * len(vals)
+    names = [f.name for f in e.tables["evo"].schema]
+    assert "label" in names and "tag" not in names
+
+
+def test_change_column_widen_and_reorder(eng):
+    e, _ = eng
+    e.sql("ALTER TABLE evo CHANGE v v BIGINT")
+    assert dict(e.tables["evo"].dtypes)["v"] == "bigint"
+    # values survive the widening
+    assert {r.v for r in e.sql("SELECT v FROM evo").collect()} == {0, 2, 4, 6}
+    e.sql("ALTER TABLE evo CHANGE v v BIGINT FIRST")
+    assert e.tables["evo"].columns[0] == "v"
+    e.sql("ALTER TABLE evo CHANGE v v BIGINT AFTER k")
+    assert e.tables["evo"].columns == ["k", "v"]
+
+
+def test_change_column_incompatible_type_typed_error(eng):
+    e, _ = eng
+    with pytest.raises(HiveQLUnsupportedError, match="parquet-compatible"):
+        e.sql("ALTER TABLE evo CHANGE v v STRING")
+    with pytest.raises(HiveQLUnsupportedError, match="no such column"):
+        e.sql("ALTER TABLE evo CHANGE nope nope INT")
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        e.sql("ALTER TABLE evo CHANGE v k INT")
+
+
+def test_change_partition_column_typed_error(spark, tmp_path):
+    path = str(tmp_path / "evo_part")
+    spark.range(4).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS p"
+    ).write.partitionBy("p").parquet(path)
+    e = Engine(spark=spark)
+    e.register_table("evop", path, ["p"])
+    with pytest.raises(HiveQLUnsupportedError, match="partition column"):
+        e.sql("ALTER TABLE evop CHANGE p q STRING")
+    with pytest.raises(HiveQLUnsupportedError, match="partition column"):
+        e.sql("ALTER TABLE evop REPLACE COLUMNS (k BIGINT, p STRING)")
+    # ADD COLUMNS goes before the partition columns (Hive order)
+    e.sql("ALTER TABLE evop ADD COLUMNS (tag STRING)")
+    assert e.tables["evop"].columns == ["k", "tag", "p"]
+
+
+def test_replace_columns_drops_from_reads(eng):
+    e, _ = eng
+    e.sql("ALTER TABLE evo REPLACE COLUMNS (k BIGINT)")
+    assert e.tables["evo"].columns == ["k"]
+    assert e.sql("SELECT * FROM evo").columns == ["k"]
+    with pytest.raises(HiveQLUnsupportedError, match="twice"):
+        e.sql("ALTER TABLE evo REPLACE COLUMNS (k BIGINT, k BIGINT)")
+    with pytest.raises(HiveQLUnsupportedError, match="parquet-compatible"):
+        e.sql("ALTER TABLE evo REPLACE COLUMNS (k STRING)")
+
+
+def test_tblproperties_roundtrip(eng):
+    e, _ = eng
+    e.sql("ALTER TABLE evo SET TBLPROPERTIES ('comment'='c1', 'owner'='me')")
+    e.sql("ALTER TABLE evo SET TBLPROPERTIES ('comment'='c2')")
+    props = {r.key: r.value for r in e.sql("SHOW TBLPROPERTIES evo").collect()}
+    assert props == {"comment": "c2", "owner": "me"}
+    one = e.sql("SHOW TBLPROPERTIES evo('owner')").collect()
+    assert one[0].value == "me"
+    e.sql("ALTER TABLE evo UNSET TBLPROPERTIES IF EXISTS ('gone', 'owner')")
+    with pytest.raises(HiveQLUnsupportedError, match="no property"):
+        e.sql("ALTER TABLE evo UNSET TBLPROPERTIES ('owner')")
+    with pytest.raises(HiveQLUnsupportedError, match="no property"):
+        e.sql("SHOW TBLPROPERTIES evo('owner')")
+    # DESCRIBE FORMATTED surfaces the parameters section
+    rows = [tuple(r)[:2] for r in e.sql("DESCRIBE FORMATTED evo").collect()]
+    assert ("# Table Parameters", "") in rows
+    assert ("comment", "c2") in rows
+
+
+def test_show_columns_order(eng):
+    e, _ = eng
+    assert [r.field for r in e.sql("SHOW COLUMNS FROM evo").collect()] == [
+        "k",
+        "v",
+    ]
+    assert [r.field for r in e.sql("SHOW COLUMNS IN evo").collect()] == [
+        "k",
+        "v",
+    ]
+
+
+def test_view_lifecycle(eng):
+    e, _ = eng
+    e.sql("CREATE VIEW ev_v1 (kk, vv) AS SELECT k, v FROM evo WHERE k >= 2")
+    got = sorted((r.kk, r.vv) for r in e.sql("SELECT * FROM ev_v1").collect())
+    assert got == [(2, 4), (3, 6)]
+    # stacked views
+    e.sql("CREATE VIEW ev_v2 AS SELECT kk * 10 AS kx FROM ev_v1")
+    assert sorted(r.kx for r in e.sql("SELECT * FROM ev_v2").collect()) == [
+        20,
+        30,
+    ]
+    ddl = e.sql("SHOW CREATE TABLE ev_v1").collect()[0].createtab_stmt
+    assert ddl.startswith("CREATE VIEW `ev_v1` AS")
+    e.sql("ALTER VIEW ev_v1 AS SELECT k AS kk FROM evo")
+    assert e.sql("SELECT * FROM ev_v1").columns == ["kk"]
+    e.sql("DROP VIEW ev_v2")
+    e.sql("DROP VIEW IF EXISTS ev_v2")  # idempotent with IF EXISTS
+    e.sql("DROP VIEW ev_v1")
+
+
+def test_view_guards(eng):
+    e, _ = eng
+    e.sql("CREATE VIEW ev_g1 AS SELECT k FROM evo")
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        e.sql("CREATE VIEW ev_g1 AS SELECT v FROM evo")
+    e.sql("CREATE VIEW IF NOT EXISTS ev_g1 AS SELECT v FROM evo")  # no-op
+    assert e.sql("SELECT * FROM ev_g1").columns == ["k"]
+    e.sql("CREATE OR REPLACE VIEW ev_g1 AS SELECT v FROM evo")
+    assert e.sql("SELECT * FROM ev_g1").columns == ["v"]
+    with pytest.raises(HiveQLUnsupportedError, match="already exists as a table"):
+        e.sql("CREATE VIEW evo AS SELECT 1")
+    with pytest.raises(HiveQLUnsupportedError, match="DROP TABLE"):
+        e.sql("DROP TABLE ev_g1")
+    with pytest.raises(HiveQLUnsupportedError, match="DROP VIEW"):
+        e.sql("DROP VIEW evo")
+    with pytest.raises(HiveQLUnsupportedError, match="no such view"):
+        e.sql("ALTER VIEW ev_none AS SELECT 1")
+    with pytest.raises(HiveQLUnsupportedError, match="column list"):
+        e.sql("CREATE VIEW ev_bad (a, b, c) AS SELECT k FROM evo")
+    e.sql("DROP VIEW ev_g1")
+
+
+def test_drop_table_external_semantics(spark, eng):
+    e, path = eng
+    e.sql("ALTER TABLE evo SET TBLPROPERTIES ('x'='1')")
+    e.sql("DROP TABLE evo")
+    assert "evo" not in e.table_paths and "evo" not in e.table_props
+    assert os.path.exists(path)  # EXTERNAL: files stay
+    # no longer registered → the statement falls through to spark.sql,
+    # which reports the missing relation (typed AnalysisException)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        e.sql("DELETE FROM evo WHERE k = 0")
+    # re-register over the surviving files
+    e.register_table("evo", path)
+    assert e.sql("SELECT COUNT(*) AS n FROM evo").collect()[0].n == 4
+
+
+def test_export_carries_declared_schema(spark, eng, tmp_path):
+    e, _ = eng
+    e.sql("ALTER TABLE evo ADD COLUMNS (tag STRING)")
+    out = str(tmp_path / "evo_export")
+    e.sql(f"EXPORT TABLE evo TO '{out}'")
+    import json
+
+    meta = json.load(open(os.path.join(out, "_metadata.json")))
+    assert "tag" in meta["schema_json"]
