@@ -366,3 +366,121 @@ def word_bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+# --- Multinomial Naive Bayes text classifier ------------------------------
+# The quality/domain-filter role a fastText linear classifier plays in
+# training-data pipelines (e.g. the GPT-3/CCNet quality filters), in a
+# closed form that is deterministic and exactly replayable in SQL: no
+# gradient iterations, integer counts until the final ln. The model is
+# vocab_size rows — broadcast-join territory at any corpus scale; scoring
+# is one explode + one broadcast join + one per-doc aggregate.
+
+
+def train_nb_model(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 2048,
+) -> tuple[DataFrame, float]:
+    """Train a binary multinomial NB over normalized words: returns
+    (weights, bias) where weights is (word, w) with
+    w = ln P(word|pos) - ln P(word|neg) (add-one smoothing over the
+    capped vocabulary) and bias = ln(n_pos/n_neg). ``label_col`` must be
+    boolean. The vocabulary is the vocab_size most frequent words with a
+    deterministic (count DESC, word ASC) tie-break; class totals count
+    vocabulary words only, so the smoothed distribution sums to one over
+    exactly the model's support. Only 2×2 class counts reach the driver;
+    the weights stay a DataFrame (broadcast at score time)."""
+    words = (
+        labeled.select(
+            F.col(label_col).alias("y"),
+            F.explode(F.split(normalize_chars(F.col(text_col)), " ")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    by_class = words.groupBy("word").agg(
+        F.sum(F.col("y").cast("long")).alias("c_pos"),
+        F.sum((~F.col("y")).cast("long")).alias("c_neg"),
+    )
+    vocab = by_class.orderBy(
+        F.desc(F.col("c_pos") + F.col("c_neg")), F.asc("word")
+    ).limit(vocab_size)
+    totals = vocab.agg(
+        F.sum("c_pos").alias("t_pos"),
+        F.sum("c_neg").alias("t_neg"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    weights = vocab.select(
+        "word",
+        (
+            F.log(
+                (F.col("c_pos") + F.lit(1).cast("double"))
+                / F.lit(float(totals.t_pos + totals.v))
+            )
+            - F.log(
+                (F.col("c_neg") + F.lit(1).cast("double"))
+                / F.lit(float(totals.t_neg + totals.v))
+            )
+        ).alias("w"),
+    )
+    priors = labeled.agg(
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        F.sum((~F.col(label_col)).cast("long")).alias("n_neg"),
+    ).collect()[0]
+    import math
+
+    bias = math.log(priors.n_pos / priors.n_neg)
+    return weights, bias
+
+
+def score_nb_model(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_vocab_words, log_odds, predicted) for every input doc:
+    log_odds = bias + Σ tf(word)·w(word) over vocabulary words
+    (out-of-vocabulary words carry no evidence in smoothed NB — they are
+    skipped, not errored). Docs with zero vocabulary words score the
+    bias alone. One explode + broadcast join + per-doc agg; log_odds
+    rounded to 4dp (suite convention — everything upstream of the
+    trained ln weights is integer-exact)."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_chars(F.col(text_col)), " ")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    evidence = (
+        tf.join(F.broadcast(weights), "word")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_vocab_words"),
+            F.sum(F.col("tf") * F.col("w")).alias("ev"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(evidence, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_vocab_words", F.lit(0)).alias("n_vocab_words"),
+            F.round(
+                F.coalesce("ev", F.lit(0.0)) + F.lit(bias), 4
+            ).alias("log_odds"),
+            (
+                (F.coalesce("ev", F.lit(0.0)) + F.lit(bias)) > 0
+            ).alias("predicted"),
+        )
+    )

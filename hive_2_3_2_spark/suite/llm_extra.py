@@ -157,3 +157,82 @@ def text_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_tokenize_counts(docs, _VOCAB).orderBy("doc_id")
+
+
+@query(
+    "text_nb_lang_classifier",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    train AS (SELECT * FROM norm WHERE doc_id % 5 != 0),
+    words AS (
+      SELECT (lang = 'en') AS y,
+             UNNEST(string_split(s, ' ')) AS word
+      FROM train WHERE s != ''
+    ),
+    by_class AS (
+      SELECT word,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+      FROM words WHERE word != '' GROUP BY word
+    ),
+    vocab AS (
+      SELECT * FROM by_class ORDER BY (c_pos + c_neg) DESC, word LIMIT 2048
+    ),
+    tot AS (
+      SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg,
+             COUNT(*) AS v FROM vocab
+    ),
+    weights AS (
+      SELECT word,
+             ln((c_pos + 1.0) / (t_pos + v))
+               - ln((c_neg + 1.0) / (t_neg + v)) AS w
+      FROM vocab, tot
+    ),
+    prior AS (
+      SELECT ln(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS bias
+      FROM train
+    ),
+    score_docs AS (SELECT doc_id, s FROM norm WHERE doc_id % 5 = 0),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(s, ' ')) AS word
+            FROM score_docs WHERE s != '')
+      WHERE word != '' GROUP BY doc_id, word
+    ),
+    ev AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_vocab_words,
+             SUM(tf * w) AS ev
+      FROM tf JOIN weights USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(e.n_vocab_words, 0) AS n_vocab_words,
+           ROUND(COALESCE(e.ev, 0) + prior.bias, 4) AS log_odds,
+           (COALESCE(e.ev, 0) + prior.bias) > 0 AS predicted
+    FROM score_docs d LEFT JOIN ev e USING (doc_id), prior
+    ORDER BY doc_id
+    """,
+)
+def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes text classifier (llm/lm.py train_nb_model /
+    score_nb_model) — the fastText-quality-filter role of a training-data
+    pipeline in a closed form: train P(lang='en' | words) on the
+    doc_id%5!=0 slice (add-one smoothing over a 2048-word capped
+    vocabulary, deterministic count-then-word tie-break), score the
+    held-out slice as log-odds. The model is vocab_size rows broadcast
+    into one explode+join+agg scoring pass; integer counts everywhere
+    until the trained ln weights; the DuckDB oracle replays training AND
+    scoring end-to-end."""
+    from hive_2_3_2_spark.llm import lm as L
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    held_out = docs.filter(F.col("doc_id") % 5 == 0)
+    weights, bias = L.train_nb_model(train, label_col="label")
+    return L.score_nb_model(held_out, weights, bias).orderBy("doc_id")

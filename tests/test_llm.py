@@ -875,3 +875,41 @@ def test_ivfpq_recall_compression_and_determinism(spark, sf_dir, tmp_path):
     m1 = json.load(open(os.path.join(idx, "ivfpq.json")))
     m2 = json.load(open(os.path.join(idx2, "ivfpq.json")))
     assert m1 == m2
+
+
+def test_nb_classifier_separates_and_handles_oov(spark):
+    """Binary NB (llm/lm.py train_nb_model/score_nb_model): clearly
+    separable handmade corpora classify correctly; an all-OOV doc scores
+    exactly the prior bias with n_vocab_words=0; training is
+    deterministic."""
+    from hive_2_3_2_spark.llm import lm as L
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "the quick brown fox jumps over lazy dog", True))
+    for i in range(10, 18):
+        rows.append((i, "der schnelle braune fuchs springt hund", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    weights, bias = L.train_nb_model(df, vocab_size=64)
+    import math
+
+    assert abs(bias - math.log(10 / 8)) < 1e-9
+    test = spark.createDataFrame(
+        [
+            (100, "quick brown dog"),
+            (101, "schnelle fuchs hund"),
+            (102, "zzz qqq 123"),  # all OOV → bias only
+            (103, ""),  # empty → bias only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in L.score_nb_model(test, weights, bias).collect()}
+    assert got[100].predicted is True and got[100].log_odds > 0
+    assert got[101].predicted is False and got[101].log_odds < 0
+    for d in (102, 103):
+        assert got[d].n_vocab_words == 0
+        assert abs(got[d].log_odds - round(bias, 4)) < 1e-9
+    # deterministic retrain
+    w2, b2 = L.train_nb_model(df, vocab_size=64)
+    assert sorted(map(tuple, weights.collect())) == sorted(map(tuple, w2.collect()))
+    assert bias == b2
