@@ -983,6 +983,13 @@ class Engine:
         m = _INSERT_STMT.match(query)
         if m and self._dml_registered(m.group(2)):
             return self._run_insert(m)
+        if (
+            m
+            and not m.group(3)  # PARTITION spec → native passthrough
+            and m.group(2).split(".")[-1].lower() not in self.views
+            and self._is_catalog_table(m.group(2))
+        ):
+            return self._run_insert_catalog(m)
         if re.match(r"^\s*WITH\b", query, re.IGNORECASE):
             # Hive allows the CTE BEFORE the INSERT (WITH c AS (...)
             # INSERT INTO t SELECT ... FROM c). Split at the top-level
@@ -2620,6 +2627,77 @@ class Engine:
         )
         self.register_table(key, path, parts or None)
         return self._rows_affected(n)
+
+    def _is_catalog_table(self, name: str) -> bool:
+        """True for a real session-catalog TABLE (not a temp view) —
+        the targets Hive's positional-cast INSERT alignment applies to."""
+        try:
+            if not self.spark.catalog.tableExists(name):
+                return False
+            t = self.spark.catalog.getTable(name)
+            return (t.tableType or "").upper() not in ("TEMPORARY", "VIEW")
+        except Exception:
+            return False
+
+    def _run_insert_catalog(self, m: re.Match[str]) -> DataFrame:
+        """INSERT INTO|OVERWRITE a session-catalog table (e.g. one this
+        Engine created via the STORED AS rewrite) with HIVE column
+        mapping: positional, cast to the target column types
+        (FunctionRegistry implicit conversions — string→int inserts work
+        like Hive instead of failing Spark's safe-cast store-assignment
+        check). Explicit column lists map by name with unnamed columns
+        NULL. The row count rides the write as an observed metric."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        name = m.group(2)
+        col_list = (
+            [c.strip() for c in m.group(4).split(",")] if m.group(4) else None
+        )
+        body = m.group(5).rstrip().rstrip(";")
+        target = self.spark.table(name)
+        fields = {f.name: f.dataType for f in target.schema.fields}
+        src = self.spark.sql(rewrite_hiveql(body, spark=self.spark))
+        src = src.toDF(*[f"__src_c{i}" for i in range(len(src.columns))])
+        if col_list:
+            unknown = [c for c in col_list if c not in fields]
+            if unknown:
+                raise HiveQLUnsupportedError(
+                    f"INSERT column list names unknown column(s) {unknown}"
+                )
+            if len(src.columns) != len(col_list):
+                raise HiveQLUnsupportedError(
+                    f"INSERT column list has {len(col_list)} columns but "
+                    f"the query supplies {len(src.columns)}"
+                )
+            by_name = {
+                name_: F.col(src.columns[i]).cast(fields[name_])
+                for i, name_ in enumerate(col_list)
+            }
+            aligned = src.select(
+                *[
+                    by_name.get(c, F.lit(None).cast(fields[c])).alias(c)
+                    for c in target.columns
+                ]
+            )
+        else:
+            if len(src.columns) != len(target.columns):
+                raise HiveQLUnsupportedError(
+                    f"INSERT expects {len(target.columns)} columns "
+                    f"({', '.join(target.columns)}) but the query supplies "
+                    f"{len(src.columns)}"
+                )
+            aligned = src.select(
+                *[
+                    F.col(src.columns[i]).cast(fields[c]).alias(c)
+                    for i, c in enumerate(target.columns)
+                ]
+            )
+        obs = Observation()
+        aligned = aligned.observe(obs, F.count(F.lit(1)).alias("__n"))
+        aligned.write.insertInto(name, overwrite=overwrite)
+        return self._rows_affected(int(obs.get["__n"] or 0))
 
     def _run_merge(self, m: re.Match[str]) -> DataFrame:
         """MERGE statement with Hive's full clause surface (reference:
