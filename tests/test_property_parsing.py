@@ -325,3 +325,60 @@ def test_create_table_restructure_properties(
     # every original column name survives
     for n, _t in cols:
         assert re.search(rf"\b{n}\b", out), out
+
+
+# --- ALTER ... COLUMNS column-definition parser ---------------------------
+
+_COL_TYPES = [
+    "int",
+    "bigint",
+    "string",
+    "double",
+    "decimal(12,2)",
+    "array<int>",
+    "map<string,int>",
+    "struct<a:int,b:string>",
+    "array<struct<p:int,q:array<double>>>",
+]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True),
+            st.sampled_from(_COL_TYPES),
+            st.booleans(),  # attach a COMMENT?
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_parse_col_defs_roundtrip(spark, cols):
+    """Engine._parse_col_defs must recover every (name, type) from a
+    rendered Hive column list — commas inside nested types and COMMENT
+    strings (including commas in the comment text) must not split.
+    (StructType.fromDDL parses through the live session's parser, hence
+    the spark fixture.)"""
+    from hive_2_3_2_spark.engine import Engine
+
+    text = ", ".join(
+        f"{n} {t}" + (" COMMENT 'x, y (z)'" if c else "")
+        for n, t, c in cols
+    )
+    got = Engine._parse_col_defs(text)
+    assert [g[0] for g in got] == [n for n, _t, _c in cols]
+    for (_n, t, _c), (_gn, gt) in zip(cols, got):
+        assert gt.simpleString() == t.replace(" ", "")
+
+
+def test_parse_col_defs_rejects_garbage(spark):
+    import pytest
+
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    with pytest.raises(HiveQLUnsupportedError):
+        Engine._parse_col_defs("c notatype")
+    with pytest.raises(HiveQLUnsupportedError):
+        Engine._parse_col_defs("")
