@@ -343,3 +343,70 @@ def rollup_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start", "event_type")
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(w) AS cohort FROM act GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first_seen GROUP BY cohort
+    )
+    SELECT f.cohort AS cohort_week,
+           CAST(datediff('day', f.cohort, a.w) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           ROUND(COUNT(DISTINCT a.user_id) * 1.0 / s.cohort_size, 4)
+             AS retention
+    FROM act a
+    JOIN first_seen f USING (user_id)
+    JOIN sizes s ON s.cohort = f.cohort
+    GROUP BY f.cohort, CAST(datediff('day', f.cohort, a.w) / 7 AS INT),
+             s.cohort_size
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple a Hive
+    warehouse serves daily: cohort = a user's first active week
+    (date_trunc to Monday), each later active week lands at its week
+    offset; retention = active users / cohort size. Plan shape: ONE
+    exchange keyed by user_id covers both the distinct weekly activity
+    and the first-seen aggregate; cohort sizes are a broadcast-sized
+    second aggregate joined back. At 100 TB of events the user_id
+    shuffle is the only corpus-sized movement (events naturally
+    pre-partitioned by date prune the scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    first_seen = act.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.join(first_seen, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("w"), F.col("cohort")) / 7).cast("int"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

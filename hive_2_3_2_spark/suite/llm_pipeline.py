@@ -128,3 +128,114 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_quality_classifier_bootstrap",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             list_sum(list_transform(
+               string_split_regex(trim(text), '\s+'),
+               x -> length(x))) * 1.0
+               / len(string_split_regex(trim(text), '\s+')) AS mwl
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             (n_words BETWEEN 30 AND 100000
+              AND mwl BETWEEN 3.0 AND 10.0) AS label,
+             trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+      FROM q
+    ),
+    train AS (SELECT * FROM norm WHERE doc_id % 5 != 0),
+    words AS (
+      SELECT label AS y, UNNEST(string_split(s, ' ')) AS word
+      FROM train WHERE s != ''
+    ),
+    by_class AS (
+      SELECT word,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+      FROM words WHERE word != '' GROUP BY word
+    ),
+    vocab AS (
+      SELECT * FROM by_class ORDER BY (c_pos + c_neg) DESC, word LIMIT 2048
+    ),
+    tot AS (
+      SELECT SUM(c_pos) AS t_pos, SUM(c_neg) AS t_neg,
+             COUNT(*) AS v FROM vocab
+    ),
+    weights AS (
+      SELECT word,
+             ln((c_pos + 1.0) / (t_pos + v))
+               - ln((c_neg + 1.0) / (t_neg + v)) AS w
+      FROM vocab, tot
+    ),
+    prior AS (
+      SELECT ln(CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+                / SUM(CASE WHEN label THEN 0 ELSE 1 END)) AS bias
+      FROM train
+    ),
+    score_docs AS (
+      SELECT doc_id, label, s FROM norm WHERE doc_id % 5 = 0
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(s, ' ')) AS word
+            FROM score_docs WHERE s != '')
+      WHERE word != '' GROUP BY doc_id, word
+    ),
+    ev AS (
+      SELECT doc_id, SUM(tf * w) AS ev
+      FROM tf JOIN weights USING (word) GROUP BY doc_id
+    )
+    SELECT d.label AS actual,
+           (COALESCE(e.ev, 0) + prior.bias) > 0 AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM score_docs d LEFT JOIN ev e USING (doc_id), prior
+    GROUP BY d.label, (COALESCE(e.ev, 0) + prior.bias) > 0
+    ORDER BY actual, predicted
+    """,
+)
+def pipeline_quality_classifier_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier bootstrap — exactly how production pipelines
+    turn cheap heuristics into a learned filter (the GPT-3/CCNet
+    pattern: label with rules, train a linear classifier, filter with
+    the model): Gopher word-count/mean-word-length rules label the
+    corpus, a multinomial NB (llm/lm.py train_nb_model) trains on the
+    doc_id%5!=0 slice to IMITATE the heuristic, and the held-out slice's
+    confusion matrix (actual × predicted × n) is the deliverable. The
+    DuckDB oracle replays labeling, training, and scoring end-to-end —
+    composition of clean_quality_flags' rules with the NB machinery,
+    both individually verified elsewhere."""
+    from hive_2_3_2_spark.llm import lm as L
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    mwl = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        * F.lit(1.0)
+        / n_words
+    )
+    labeled = docs.withColumn(
+        "label",
+        n_words.between(30, 100000) & mwl.between(3.0, 10.0),
+    )
+    train = labeled.filter(F.col("doc_id") % 5 != 0)
+    held = labeled.filter(F.col("doc_id") % 5 == 0)
+    weights, bias = L.train_nb_model(train, label_col="label")
+    scored = L.score_nb_model(held, weights, bias)
+    return (
+        held.select("doc_id", F.col("label").alias("actual"))
+        .join(scored.select("doc_id", "predicted"), "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
