@@ -21,6 +21,40 @@ def _window_starts(tokens: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<int>"))
 
 
+def ngram_windows(
+    tokens: Column, n: int, partial_tail: bool = False
+) -> Column:
+    """Space-joined word n-gram windows of a token array, LINEAR time.
+
+    The obvious ``transform(sequence(0, size-n), i -> concat_ws(' ',
+    slice(toks, i+1, n)))`` formulation is O(len²): Catalyst inlines the
+    captured ``toks`` expression (usually a split/regex over the text)
+    into the lambda, re-evaluating it once per OUTPUT ELEMENT (measured:
+    top_ngram_share 8.4s → ~1s at sf0.1). This builds the same strings
+    by zip_with over n shifted slices — the token array is evaluated
+    once per slice, n times total per row.
+
+    partial_tail=False: full windows only; fewer than n tokens → [].
+    partial_tail=True: window starts 0..max(size-n, 0) — short docs
+    yield one truncated window (the shingle semantics
+    llm/text.py/llm/dedup.py pin; concat_ws skips the NULLs zip_with
+    pads past the end, which truncates exactly like slice did).
+    """
+    size = F.size(tokens)
+    if partial_tail:
+        m = F.greatest(size - F.lit(n), F.lit(0)) + F.lit(1)
+    else:
+        m = F.greatest(size - F.lit(n - 1), F.lit(0))
+    g = F.slice(tokens, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(tokens, 1 + j, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return g
+
+
 def ngrams(df: DataFrame, tokens: Column, n: int, k: int) -> DataFrame:
     """Top-k word n-grams with frequencies.
 
@@ -33,8 +67,7 @@ def ngrams(df: DataFrame, tokens: Column, n: int, k: int) -> DataFrame:
 
     ``tokens``: array<string> column. Returns DataFrame(ngram, estfrequency).
     """
-    idx = _window_starts(tokens, n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+    grams = ngram_windows(tokens, n)
     return (
         df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")

@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hive_2_3_2_spark.functions.gaps import ngram_windows
+
 # Deliberately simple, deterministic patterns (production would plug in
 # a richer library; the *shape* — chained JVM regex, no UDF — is the
 # point). Kept ASCII-safe so DuckDB oracles reproduce them byte-for-byte.
@@ -129,13 +131,8 @@ def top_ngram_share(
     tokens get n_grams = 0, top_share = 0.0.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    size = F.size(toks)
-    idx = F.when(size >= n, F.sequence(F.lit(0), size - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     exploded = df.select(
-        F.col(id_col), F.explode_outer(grams).alias("g")
+        F.col(id_col), F.explode_outer(ngram_windows(toks, n)).alias("g")
     )
     counts = exploded.groupBy(id_col, "g").agg(
         F.count(F.lit(1)).alias("c")
@@ -280,14 +277,7 @@ def decontaminate_bloom(
     """
 
     def grams(col: Column) -> Column:
-        toks = F.split(F.trim(F.lower(col)), r"\s+")
-        size = F.size(toks)
-        idx = F.when(size >= n, F.sequence(F.lit(0), size - n)).otherwise(
-            F.array().cast("array<int>")
-        )
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-        )
+        return ngram_windows(F.split(F.trim(F.lower(col)), r"\s+"), n)
 
     # Materialize the benchmark grams once: they feed BOTH the bloom
     # build (a collect) and the exact confirm join. Without the persist
@@ -332,14 +322,7 @@ def decontaminate(
     """
 
     def grams(col: Column) -> Column:
-        toks = F.split(F.trim(F.lower(col)), r"\s+")
-        size = F.size(toks)
-        idx = F.when(size >= n, F.sequence(F.lit(0), size - n)).otherwise(
-            F.array().cast("array<int>")
-        )
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-        )
+        return ngram_windows(F.split(F.trim(F.lower(col)), r"\s+"), n)
 
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(bench_text_col))).alias("g"))

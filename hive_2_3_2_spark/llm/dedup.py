@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from hive_2_3_2_spark.functions.gaps import ngram_windows
 from hive_2_3_2_spark.llm.text import md5_fingerprint, normalize_for_fingerprint
 
 # MinHash universal-hash family: h_i(x) = (a_i * x + b_i) mod P, P Mersenne.
@@ -52,13 +53,11 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of the normalized text (array<string>)."""
+    """Distinct word k-shingles of the normalized text (array<string>).
+    partial_tail: a doc shorter than k words yields its one truncated
+    shingle (linear zip_with construction — see ngram_windows)."""
     toks = F.split(normalize_for_fingerprint(text), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )
+    return F.array_distinct(ngram_windows(toks, k, partial_tail=True))
 
 
 def hashes_of_shingles(sh: Column) -> Column:

@@ -15,6 +15,8 @@ import pandas as pd  # module-top: pandas_udf str-hints must resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from hive_2_3_2_spark.functions.gaps import ngram_windows
+
 # BPE-ish tokenization: word pieces, numbers, and single non-space symbols —
 # the pre-tokenizer split GPT-style BPE vocabularies assume.
 _BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -136,10 +138,8 @@ def rolling_shingle_fingerprint(text: Column, k: int = 5) -> Column:
     codegen). Values are engine-specific; for a cross-engine-reproducible
     fingerprint use :func:`rolling_shingle_fingerprint_portable`."""
     toks = F.split(normalize_for_fingerprint(text), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingles = F.transform(
-        idx, lambda i: F.hash(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ngram_windows(toks, k, partial_tail=True), lambda s: F.hash(s)
     )
     return F.aggregate(
         shingles,
