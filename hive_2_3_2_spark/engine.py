@@ -475,6 +475,20 @@ _SHOW_COLUMNS_STMT = re.compile(
     r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_EXCHANGE_PARTITION_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+EXCHANGE\s+PARTITION\s*"
+    r"\(([^)]*)\)\s+WITH\s+TABLE\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_PARTITION_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+PARTITION\s*\(([^)]*)\)\s+"
+    r"RENAME\s+TO\s+PARTITION\s*\(([^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SET_LOCATION_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+LOCATION\s+'([^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
 # View DDL (reference: parse/SemanticAnalyzer.java createView analysis +
 # exec/DDLTask.java createView/dropTable view guards).
 _CREATE_VIEW_STMT = re.compile(
@@ -1053,6 +1067,15 @@ class Engine:
         m = _RENAME_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_rename(m.group(1), m.group(2))
+        m = _EXCHANGE_PARTITION_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_exchange_partition(m)
+        m = _RENAME_PARTITION_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_rename_partition(m)
+        m = _SET_LOCATION_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_set_location(m.group(1), m.group(2))
         m = _ALTER_ADD_COLS_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_add_columns(m.group(1), m.group(2))
@@ -1743,6 +1766,104 @@ class Engine:
         self.tables.pop(key, None)
         self.spark.catalog.dropTempView(key)
         self.register_table(new_key, path, parts)
+        return self._rows_affected(0)
+
+    def _run_exchange_partition(self, m: re.Match[str]) -> DataFrame:
+        """ALTER TABLE dest EXCHANGE PARTITION (spec) WITH TABLE src —
+        MOVE the partition directory from src into dest (reference:
+        DDLSemanticAnalyzer analyzeExchangePartition → DDLTask
+        exchangeTablePartition; a metadata+rename operation, no data
+        rewrite). Hive's validation enforced as typed errors: both
+        tables partitioned the same way, same column schema, source
+        partition exists, destination partition doesn't."""
+        import shutil
+
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        dest = self._resolve_dml_table(m.group(1))
+        src = self._resolve_dml_table(m.group(3))
+        spec = m.group(2)
+        d_parts = self.table_partitions.get(dest)
+        s_parts = self.table_partitions.get(src)
+        if not d_parts or d_parts != s_parts:
+            raise HiveQLUnsupportedError(
+                f"EXCHANGE PARTITION requires both tables partitioned by "
+                f"the same columns (dest={d_parts}, src={s_parts})"
+            )
+        d_schema = [
+            (f.name.lower(), f.dataType)
+            for f in self._declared_schema(dest).fields
+        ]
+        s_schema = [
+            (f.name.lower(), f.dataType)
+            for f in self._declared_schema(src).fields
+        ]
+        if d_schema != s_schema:
+            raise HiveQLUnsupportedError(
+                "EXCHANGE PARTITION requires identical table schemas "
+                "(Hive: tables are not compatible)"
+            )
+        rel = self._static_partition_reldir(dest, spec)
+        src_dir = os.path.join(self.table_paths[src], rel)
+        dest_dir = os.path.join(self.table_paths[dest], rel)
+        if not os.path.isdir(src_dir):
+            raise HiveQLUnsupportedError(
+                f"EXCHANGE PARTITION: source has no partition {rel!r}"
+            )
+        if os.path.exists(dest_dir):
+            raise HiveQLUnsupportedError(
+                f"EXCHANGE PARTITION: destination partition {rel!r} "
+                "already exists (Hive refuses to overwrite)"
+            )
+        n = parquet_row_count(src_dir)
+        os.makedirs(os.path.dirname(dest_dir), exist_ok=True)
+        shutil.move(src_dir, dest_dir)
+        self.register_table(dest, self.table_paths[dest], d_parts)
+        self.register_table(src, self.table_paths[src], s_parts)
+        return self._rows_affected(n)
+
+    def _run_rename_partition(self, m: re.Match[str]) -> DataFrame:
+        """ALTER TABLE t PARTITION (old) RENAME TO PARTITION (new) —
+        directory rename (DDLTask renamePartition). Old must exist, new
+        must not; the spec must cover all partition columns."""
+        import shutil
+
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        key = self._resolve_dml_table(m.group(1))
+        old_rel = self._static_partition_reldir(key, m.group(2))
+        new_rel = self._static_partition_reldir(key, m.group(3))
+        old_dir = os.path.join(self.table_paths[key], old_rel)
+        new_dir = os.path.join(self.table_paths[key], new_rel)
+        if not os.path.isdir(old_dir):
+            raise HiveQLUnsupportedError(
+                f"RENAME PARTITION: no such partition {old_rel!r}"
+            )
+        if os.path.exists(new_dir):
+            raise HiveQLUnsupportedError(
+                f"RENAME PARTITION: target partition {new_rel!r} "
+                "already exists"
+            )
+        n = parquet_row_count(old_dir)
+        os.makedirs(os.path.dirname(new_dir), exist_ok=True)
+        shutil.move(old_dir, new_dir)
+        self.register_table(
+            key, self.table_paths[key], self.table_partitions.get(key)
+        )
+        return self._rows_affected(n)
+
+    def _run_set_location(self, table: str, location: str) -> DataFrame:
+        """ALTER TABLE t SET LOCATION 'path' — re-point the external
+        table at a new directory (DDLTask alterTable location path; no
+        file movement — Hive leaves old data where it was)."""
+        key = self._resolve_dml_table(table)
+        if not os.path.exists(location):
+            raise HiveQLUnsupportedError(
+                f"SET LOCATION: path does not exist: {location!r} "
+                "(a path-backed table needs readable parquet)"
+            )
+        self.table_paths[key] = location
+        self.register_table(key, location, self.table_partitions.get(key))
         return self._rows_affected(0)
 
     # ------------------------------------------------------------------

@@ -238,3 +238,79 @@ def test_export_carries_declared_schema(spark, eng, tmp_path):
 
     meta = json.load(open(os.path.join(out, "_metadata.json")))
     assert "tag" in meta["schema_json"]
+
+
+@pytest.fixture()
+def part_pair(spark, tmp_path):
+    """Two identically-partitioned tables for EXCHANGE/RENAME PARTITION."""
+    e = Engine(spark=spark)
+    for t, keys in (("ex_a", [0, 1]), ("ex_b", [2, 3])):
+        path = str(tmp_path / t)
+        spark.createDataFrame(
+            [(i, f"p{k}") for k in keys for i in range(5)],
+            "v long, p string",
+        ).repartition("p").write.partitionBy("p").parquet(path)
+        e.register_table(t, path, ["p"])
+    return e, str(tmp_path)
+
+
+def test_exchange_partition_moves_directory(spark, part_pair):
+    """ALTER TABLE dest EXCHANGE PARTITION WITH TABLE src — the
+    partition MOVES (gone from src, present in dest), no data rewrite."""
+    e, root = part_pair
+    n = e.sql(
+        "ALTER TABLE ex_a EXCHANGE PARTITION (p='p2') WITH TABLE ex_b"
+    ).collect()[0].rows_affected
+    assert n == 5
+    a_parts = {r.partition for r in e.sql("SHOW PARTITIONS ex_a").collect()}
+    b_parts = {r.partition for r in e.sql("SHOW PARTITIONS ex_b").collect()}
+    assert "p=p2" in a_parts and "p=p2" not in b_parts
+    assert e.sql("SELECT COUNT(*) AS n FROM ex_a").collect()[0].n == 15
+    assert e.sql("SELECT COUNT(*) AS n FROM ex_b").collect()[0].n == 5
+    # destination partition exists → typed error
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        e.sql("ALTER TABLE ex_b EXCHANGE PARTITION (p='p3') WITH TABLE ex_b")
+    # missing source partition → typed error
+    with pytest.raises(HiveQLUnsupportedError, match="no partition|no such"):
+        e.sql("ALTER TABLE ex_a EXCHANGE PARTITION (p='p9') WITH TABLE ex_b")
+
+
+def test_exchange_partition_schema_guard(spark, part_pair, tmp_path):
+    e, root = part_pair
+    other = str(tmp_path / "ex_c")
+    e.spark.createDataFrame(
+        [(1, "x", "p5")], "v long, extra string, p string"
+    ).write.partitionBy("p").parquet(other)
+    e.register_table("ex_c", other, ["p"])
+    with pytest.raises(HiveQLUnsupportedError, match="identical|compatible"):
+        e.sql("ALTER TABLE ex_a EXCHANGE PARTITION (p='p5') WITH TABLE ex_c")
+    unpart = str(tmp_path / "ex_u")
+    e.spark.range(3).write.parquet(unpart)
+    e.register_table("ex_u", unpart)
+    with pytest.raises(HiveQLUnsupportedError, match="partitioned"):
+        e.sql("ALTER TABLE ex_a EXCHANGE PARTITION (p='p0') WITH TABLE ex_u")
+
+
+def test_rename_partition(spark, part_pair):
+    e, _ = part_pair
+    n = e.sql(
+        "ALTER TABLE ex_a PARTITION (p='p0') RENAME TO PARTITION (p='p7')"
+    ).collect()[0].rows_affected
+    assert n == 5
+    parts = {r.partition for r in e.sql("SHOW PARTITIONS ex_a").collect()}
+    assert parts == {"p=p1", "p=p7"}
+    with pytest.raises(HiveQLUnsupportedError, match="no such partition"):
+        e.sql("ALTER TABLE ex_a PARTITION (p='p0') RENAME TO PARTITION (p='p8')")
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        e.sql("ALTER TABLE ex_a PARTITION (p='p1') RENAME TO PARTITION (p='p7')")
+
+
+def test_set_location(spark, eng, tmp_path):
+    e, path = eng
+    alt = str(tmp_path / "alt_loc")
+    e.spark.range(7).selectExpr("id AS k", "CAST(id AS INT) AS v").write.parquet(alt)
+    e.sql(f"ALTER TABLE evo SET LOCATION '{alt}'")
+    assert e.sql("SELECT COUNT(*) AS n FROM evo").collect()[0].n == 7
+    assert os.path.exists(path)  # old data untouched
+    with pytest.raises(HiveQLUnsupportedError, match="does not exist"):
+        e.sql("ALTER TABLE evo SET LOCATION '/no/such/dir'")
