@@ -52,6 +52,12 @@ def ngram_windows(
             F.slice(tokens, 1 + j, m),
             lambda a, b: F.concat_ws(" ", a, b),
         )
+    if partial_tail:
+        # window-start indexes are 0..max(size-n, 0): a size-0 array
+        # still has start 0 → ONE empty-string window (slice can't
+        # fabricate it; split() never returns size 0, but the contract
+        # is pinned by a hypothesis parity test)
+        g = F.when(size == 0, F.array(F.lit(""))).otherwise(g)
     return g
 
 

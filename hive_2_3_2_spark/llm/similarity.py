@@ -272,12 +272,37 @@ def kmeans_centroids(
     return centroids
 
 
+def _probe_cell_union(
+    q_vecs: list, centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Union of every query's nprobe nearest cells — SAME math and
+    stable tie-break as _cell_ranks_udf, computed driver-side (the
+    query batch is the small side by contract; nq×nprobe ints). The
+    union compiles into a STATIC `cell IN (...)` predicate so the
+    cell-partitioned scan gets real PartitionFilters — the broadcast
+    join alone does not trigger dynamic partition pruning for a local
+    probe frame, and without the literal the 'pruned' probe silently
+    read every partition."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    cells: set[int] = set()
+    for v in q_vecs:
+        V = np.asarray(v, dtype=np.float64)
+        d = c_sq - 2.0 * (C @ V)
+        cells.update(
+            int(x) for x in np.argsort(d, kind="stable")[:nprobe]
+        )
+    return sorted(cells)
+
+
 def _score_probed_cells(
     c: DataFrame, queries: DataFrame, centroids: list[list[float]],
     k: int, nprobe: int, id_col: str, vec_col: str,
 ) -> DataFrame:
     """Shared IVF query stage: probe each query's nprobe nearest cells,
-    score candidates within matching cells, per-query top-k window."""
+    score candidates within matching cells, per-query top-k window.
+    The probed-cell UNION lands as a static partition filter on the
+    corpus scan (see _probe_cell_union)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -285,8 +310,12 @@ def _score_probed_cells(
     q_probed = q.withColumn(
         "cell", F.explode(_cell_ranks_udf(centroids, nprobe)(F.col("qv")))
     )
+    probed_union = _probe_cell_union(
+        [r.qv for r in q.select("qv").collect()], centroids, nprobe
+    )
     scored = (
-        c.join(F.broadcast(q_probed), "cell")
+        c.filter(F.col("cell").isin(probed_union))
+        .join(F.broadcast(q_probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -715,8 +744,12 @@ def ivfpq_topk_prebuilt(
         return pd.Series(scores)
 
     codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    probed_union = sorted({cell for _qi, _qid, cell, _b in probed})
     scored = (
-        codes.join(F.broadcast(q_probed), "cell")  # partition-pruned scan
+        # static `cell IN (...)` → real PartitionFilters on the code
+        # table (broadcast join alone doesn't DPP a local probe frame)
+        codes.filter(F.col("cell").isin(probed_union))
+        .join(F.broadcast(q_probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -238,3 +238,53 @@ def test_smb_bucketed_join_no_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     join_section = plan[: plan.index("SortMergeJoin")]
     assert "Exchange hashpartitioning" not in join_section, plan
+
+
+def test_ivfpq_probe_scan_partition_pruned(spark, sf_dir, tmp_path):
+    """The IVF-PQ query path must READ only the probed cell partitions
+    of the code table (the inverted file = partition layout), broadcast
+    the per-query probe frame, and contain no cartesian product."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq_plan")
+    S.build_ivfpq_index(emb, idx, n_cells=16, m=8, n_codes=64)
+    queries = emb.filter(F.col("vec_id") < 2)
+    res = S.ivfpq_topk_prebuilt(spark, idx, queries, k=3, nprobe=4)
+    plan = explain_str(res)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the probed-cell union compiles into STATIC PartitionFilters on the
+    # code-table scan (cell IN (...)): the probe reads nprobe-union of
+    # 16 partitions, not all of them
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in pf and " IN " in pf.upper(), plan
+
+
+def test_ivf_probe_scan_partition_pruned(spark, sf_dir, tmp_path):
+    """Same static-pruning guarantee for the plain IVF probe path."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_plan")
+    S.build_ivf_index(emb, idx, n_cells=16, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 2)
+    plan = explain_str(
+        S.ivf_topk_prebuilt(spark, idx, queries, k=3, nprobe=4)
+    )
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in pf and " IN " in pf.upper(), plan
+
+
+def test_nb_scoring_weights_broadcast(spark, sf_dir):
+    """NB classifier scoring must broadcast the vocab-sized weights
+    table into the explode+join (never shuffle the corpus on word)."""
+    plan = _plan(spark, sf_dir, "text_nb_lang_classifier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -382,3 +382,41 @@ def test_parse_col_defs_rejects_garbage(spark):
         Engine._parse_col_defs("c notatype")
     with pytest.raises(HiveQLUnsupportedError):
         Engine._parse_col_defs("")
+
+
+# --- ngram_windows ≡ the transform(sequence, slice) formulation -----------
+
+
+@given(
+    st.lists(
+        st.from_regex(r"[a-z]{0,3}", fullmatch=True), min_size=0, max_size=12
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_ngram_windows_matches_reference_formulation(spark, toks, n, partial):
+    """The linearized zip_with construction must produce EXACTLY the
+    strings of the quadratic transform(sequence, slice) formulation it
+    replaced — full-window mode (guarded sequence) and partial-tail
+    shingle mode (indexes 0..max(size-n,0), truncated last windows) —
+    including empty tokens, docs shorter than n, and n=1."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.functions.gaps import ngram_windows
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    if partial:
+        idx = F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0)))
+    else:
+        idx = F.when(
+            F.size("t") >= n, F.sequence(F.lit(0), F.size("t") - n)
+        ).otherwise(F.array().cast("array<int>"))
+    reference = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))
+    )
+    row = df.select(
+        reference.alias("ref"),
+        ngram_windows(F.col("t"), n, partial_tail=partial).alias("got"),
+    ).collect()[0]
+    assert list(row.got) == list(row.ref)
