@@ -50,9 +50,13 @@ def test_q_join2_three_way_expression_join(qenv):
     string arithmetic to double (GenericUDFOPPlus), so the oracle
     hand-expands the double casts."""
     eng, con, root = qenv
+    eng.spark.sql("DROP TABLE IF EXISTS dest_j2")
+    # external LOCATION under the per-run tmp root: a managed table's
+    # warehouse dir would outlive the in-memory catalog across sessions
+    # and fail the next CREATE with LOCATION_ALREADY_EXISTS
     eng.sql(
         "CREATE TABLE IF NOT EXISTS dest_j2 (key INT, value STRING) "
-        "STORED AS TEXTFILE"
+        f"STORED AS TEXTFILE LOCATION '{root}/dest_j2'"
     )
     eng.sql(
         "INSERT OVERWRITE TABLE dest_j2 "
