@@ -3,10 +3,11 @@
 Model: a media column is ``binary`` payload + a ``struct`` of typed
 metadata (mime, width/height or sample_rate/duration, byte length). All
 Spark-side plumbing — schema, partition sizing, Arrow batch shape — is
-real and tested. Decoding is best-real-first: uncompressed formats
-(PPM P6, 24-bit BMP) decode for REAL with pure numpy (exact pixels, no
-image library needed — decode_ppm/decode_bmp below); compressed formats
-use PIL when importable (not in this container) and otherwise fall to a
+real and tested. Decoding is best-real-first: PPM P6, 24-bit BMP, and
+PNG (8-bit gray/RGB/RGBA, all five scanline filters — pure numpy +
+stdlib zlib, exact pixels, no image library needed — decode_ppm/
+decode_bmp/decode_png below); other compressed formats use PIL when
+importable (not in this container) and otherwise fall to a
 deterministic fake that preserves the bytes-in→features-out contract
 (the documented stub path).
 
@@ -151,6 +152,141 @@ def decode_bmp(b: bytes):
     return bgr[..., ::-1]  # BGR → RGB
 
 
+def decode_png(b: bytes):
+    """Pure numpy + stdlib-zlib decoder for PNG (no image library).
+
+    Supports the mainstream subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), interlace 0, all five scanline
+    filters (None/Sub/Up/Average/Paeth). Strict validation — signature,
+    IHDR-first, per-chunk CRC32, exact decompressed size — so arbitrary
+    bytes can never false-positive. Returns (h, w, 3) RGB uint8
+    (gray replicated, alpha dropped) or None.
+
+    PNG spec: https://www.w3.org/TR/png-3/ (public W3C/ISO standard).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    if not b.startswith(SIG):
+        return None
+    i = len(SIG)
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, i)
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if len(data) != length or i + 12 + length > len(b):
+            return None
+        (crc,) = struct.unpack_from(">I", b, i + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ihdr is None:
+            if ctype != b"IHDR" or length != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if (
+        channels is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w == 0
+        or h == 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        return None
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, data = lines[:, 0], lines[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f = int(ftypes[y])
+        line = data[y].copy()
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = line.reshape(w, bpp).cumsum(axis=0, dtype=np.int64)
+            rec = (rec % 256).astype(np.int16).reshape(stride)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int16)
+    px = out.reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 2:
+        return px
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA → RGB
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, filter 0, one IDAT) — the
+    round-trip partner decode_png's tests and resize outputs use."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     """Image decode, best-real-first:
 
@@ -171,6 +307,8 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         arr = decode_ppm(b)
         if arr is None:
             arr = decode_bmp(b)
+        if arr is None:
+            arr = decode_png(b)
         if arr is not None:
             return arr.shape[1], arr.shape[0], int(arr.mean())
         if _PILImage is not None:
@@ -265,6 +403,8 @@ def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
                 arr = decode_ppm(b)
                 if arr is None:
                     arr = decode_bmp(b)
+                if arr is None:
+                    arr = decode_png(b)
                 if arr is not None:
                     # REAL nearest-neighbor resize to side×side for
                     # decodable payloads, re-encoded as PPM P6.

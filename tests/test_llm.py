@@ -913,3 +913,108 @@ def test_nb_classifier_separates_and_handles_oov(spark):
     w2, b2 = L.train_nb_model(df, vocab_size=64)
     assert sorted(map(tuple, weights.collect())) == sorted(map(tuple, w2.collect()))
     assert bias == b2
+
+
+def test_png_decode_roundtrip_and_filters():
+    """decode_png: encoder round-trip, every scanline filter (Sub/Up/
+    Average/Paeth hand-applied per the W3C spec then decoded back),
+    gray/RGBA color types, and strict rejection of corrupted payloads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hive_2_3_2_spark.llm.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def build(raw, w, h, color, channels):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # hand-apply each filter to the same RGB image, decode, compare
+    h, w, bpp = img.shape[0], img.shape[1], 3
+    for f in (0, 1, 2, 3, 4):
+        lines = []
+        prev = np.zeros(w * bpp, dtype=np.int16)
+        for y in range(h):
+            cur = img[y].reshape(-1).astype(np.int16)
+            filt = np.empty_like(cur)
+            for x in range(w * bpp):
+                a = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else c)
+                    )
+                filt[x] = (cur[x] - pred) % 256
+            lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+        got = decode_png(build(b"".join(lines), w, h, 2, 3))
+        assert got is not None and np.array_equal(got, img), f"filter {f}"
+
+    # gray (color 0) replicates to RGB; RGBA (color 6) drops alpha
+    gray = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(4))
+    got = decode_png(build(raw, 5, 4, 0, 1))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    got = decode_png(build(raw, 4, 3, 6, 4))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    # strict rejection: bad CRC, truncated, wrong size, garbage
+    good = encode_png(img)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # corrupt IEND CRC... corrupt IDAT CRC instead
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # inside IDAT payload → CRC mismatch
+    assert decode_png(bytes(bad)) is None
+    assert decode_png(good[: len(good) // 2]) is None
+    assert decode_png(b"\x89PNG\r\n\x1a\nnot a real chunk") is None
+    assert decode_png(b"random bytes here") is None
+
+
+def test_png_flows_through_extract_and_resize(spark):
+    """A real PNG payload must flow through extract_features (true
+    dimensions + pixel mean) and resize_media (real nearest-neighbor,
+    re-encoded P6) — the same Spark plumbing the fakes exercise."""
+    import numpy as np
+
+    from hive_2_3_2_spark.llm import multimodal as M
+
+    img = np.arange(16 * 12 * 3, dtype=np.uint8).reshape(16, 12, 3)
+    payload = M.encode_png(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    media = M.attach_media(df, "payload", "media_id", "image/png")
+    feat = M.extract_features(media).collect()[0]
+    assert feat.feat_head == "12x16"
+    assert feat.feat_mean == int(img.mean())
+    out = M.resize_media(media, target_bytes=64).collect()[0]
+    assert bytes(out.payload).startswith(b"P6\n8 8\n255\n")
+    assert out.meta.width == 8 and out.meta.height == 8
