@@ -1018,3 +1018,60 @@ def test_png_flows_through_extract_and_resize(spark):
     out = M.resize_media(media, target_bytes=64).collect()[0]
     assert bytes(out.payload).startswith(b"P6\n8 8\n255\n")
     assert out.meta.width == 8 and out.meta.height == 8
+
+
+def test_wav_decode_and_audio_features(spark):
+    """decode_wav: constructed 16-bit stereo + 8-bit mono PCM decode to
+    exact samples; extract_audio_features returns true rate/duration/RMS
+    through the mapInPandas plumbing; garbage yields NULL features."""
+    import struct
+
+    import numpy as np
+
+    from hive_2_3_2_spark.llm import multimodal as M
+
+    def wav(rate, bits, samples):  # samples: (n, ch) int
+        a = np.asarray(samples)
+        n_ch = a.shape[1]
+        if bits == 16:
+            data = a.astype("<i2").tobytes()
+        else:
+            data = (a + 128).astype(np.uint8).tobytes()
+        fmt = struct.pack(
+            "<HHIIHH", 1, n_ch, rate, rate * n_ch * bits // 8,
+            n_ch * bits // 8, bits,
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    t = np.arange(8000)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 10000).astype(int)
+    stereo = np.stack([sine, -sine], axis=1)
+    b16 = wav(8000, 16, stereo)
+    rate, s = M.decode_wav(b16)
+    assert rate == 8000 and s.shape == (8000, 2)
+    assert np.array_equal(s[:, 0], sine)
+
+    mono8 = wav(4000, 8, (sine[:2000] // 100).reshape(-1, 1))
+    rate, s = M.decode_wav(mono8)
+    assert rate == 4000 and s.shape == (2000, 1)
+
+    assert M.decode_wav(b"RIFFxxxxNOPE") is None
+    assert M.decode_wav(b"garbage") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b16)), (2, bytearray(mono8)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    media = M.attach_media(df, "payload", "media_id", "audio/wav")
+    got = {r.media_id: r for r in M.extract_audio_features(media).collect()}
+    assert got[1].sample_rate == 8000 and got[1].n_channels == 2
+    assert got[1].duration_ms == 1000
+    expected_rms = int(np.sqrt((stereo.astype(np.float64) ** 2).mean()))
+    assert got[1].rms == expected_rms
+    assert got[2].duration_ms == 500
+    assert got[3].sample_rate is None and got[3].rms is None
