@@ -3,10 +3,11 @@
 Model: a media column is ``binary`` payload + a ``struct`` of typed
 metadata (mime, width/height or sample_rate/duration, byte length). All
 Spark-side plumbing — schema, partition sizing, Arrow batch shape — is
-real and tested. Decoding is best-real-first: PPM P6, 24-bit BMP, and
-PNG (8-bit gray/RGB/RGBA, all five scanline filters — pure numpy +
-stdlib zlib, exact pixels, no image library needed — decode_ppm/
-decode_bmp/decode_png below); other compressed formats use PIL when
+real and tested. Decoding is best-real-first: PPM P6, 24-bit BMP, PNG
+(8-bit gray/RGB/RGBA, all five scanline filters — pure numpy + stdlib
+zlib), and GIF87a/89a (LZW from the public spec, interlace + local
+color tables) all decode for REAL with no image library — decode_ppm/
+decode_bmp/decode_png/decode_gif below; other formats use PIL when
 importable (not in this container) and otherwise fall to a
 deterministic fake that preserves the bytes-in→features-out contract
 (the documented stub path).
@@ -258,6 +259,119 @@ def decode_png(b: bytes):
     return px[:, :, :3]  # RGBA → RGB
 
 
+def decode_gif(b: bytes):
+    """Pure-Python/numpy decoder for GIF87a/89a (first frame) — LZW
+    decompression implemented from the public GIF89a specification
+    (variable code width, clear/end codes, 4095-entry dictionary),
+    global/local color tables, interlace supported. Strict block walk
+    (header, logical screen descriptor, sub-block chaining, trailer
+    semantics) so arbitrary bytes can't false-positive. Returns
+    (h, w, 3) RGB uint8 or None."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = b[10]
+    gct = None
+    i = 13
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, 13).reshape(n, 3)
+        i = 13 + n * 3
+
+    def lzw(min_code: int, data: bytes, n_px: int):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        dict_init = [(c,) for c in range(clear)] + [None, None]
+        table = list(dict_init)
+        out: list[int] = []
+        acc = bits = 0
+        prev = None
+        for byte in data:
+            acc |= byte << bits
+            bits += 8
+            while bits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                bits -= width
+                if code == clear:
+                    table = list(dict_init)
+                    width = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    return out if len(out) == n_px else None
+                if code < len(table) and table[code] is not None:
+                    entry = table[code]
+                elif code == len(table) and prev is not None:
+                    entry = prev + (prev[0],)
+                else:
+                    return None
+                out.extend(entry)
+                if prev is not None and len(table) < 4096:
+                    table.append(prev + (entry[0],))
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                prev = entry
+                if len(out) >= n_px:
+                    # frame full; consume to END or just stop
+                    return out[:n_px]
+        return out if len(out) == n_px else None
+
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                return None
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                if i + n * 3 > len(b):
+                    return None
+                ct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if ct is None or w == 0 or h == 0 or i >= len(b):
+                return None
+            min_code = b[i]
+            if not (2 <= min_code <= 8):
+                return None
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                ln = b[i]
+                data += b[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = lzw(min_code, bytes(data), w * h)
+            if idx is None or max(idx) >= len(ct):
+                return None
+            px = np.asarray(idx, dtype=np.int32).reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(px)
+                deinter[order] = px
+                px = deinter
+            return ct[px].astype(np.uint8)
+        elif block == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
 def encode_png(arr) -> bytes:
     """Minimal PNG encoder (8-bit RGB, filter 0, one IDAT) — the
     round-trip partner decode_png's tests and resize outputs use."""
@@ -309,6 +423,8 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
             arr = decode_bmp(b)
         if arr is None:
             arr = decode_png(b)
+        if arr is None:
+            arr = decode_gif(b)
         if arr is not None:
             return arr.shape[1], arr.shape[0], int(arr.mean())
         if _PILImage is not None:
@@ -405,6 +521,8 @@ def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
                     arr = decode_bmp(b)
                 if arr is None:
                     arr = decode_png(b)
+                if arr is None:
+                    arr = decode_gif(b)
                 if arr is not None:
                     # REAL nearest-neighbor resize to side×side for
                     # decodable payloads, re-encoded as PPM P6.

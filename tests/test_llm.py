@@ -1075,3 +1075,182 @@ def test_wav_decode_and_audio_features(spark):
     assert got[1].rms == expected_rms
     assert got[2].duration_ms == 500
     assert got[3].sample_rate is None and got[3].rms is None
+
+
+def _encode_gif(w, h, palette, indexes, interlace=False):
+    """Minimal conformant GIF89a encoder for tests: constant-width LZW
+    stream emitting CLEAR before every literal code (valid per spec —
+    the decoder dictionary never grows past the initial width)."""
+    import struct
+
+    min_code = max(2, (len(palette) - 1).bit_length())
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    codes = []
+    for px in indexes:
+        codes += [clear, px]
+    codes.append(end)
+    acc = bits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += width
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    # pad palette to a power of two
+    n = 1 << max(1, (len(palette) - 1).bit_length())
+    pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+    gct_bits = n.bit_length() - 2  # 2<<k entries
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+    for r, g, bl in pal:
+        out += bytes([r, g, bl])
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(min_code)
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+        i += 255
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_lzw_and_interlace():
+    """decode_gif: LZW stream decodes to exact palette-mapped pixels,
+    interlaced row order restored, garbage strictly rejected."""
+    import numpy as np
+
+    from hive_2_3_2_spark.llm.multimodal import decode_gif
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 4, 9 * 7)
+    expected = np.array([palette[i] for i in idx], dtype=np.uint8).reshape(
+        9, 7, 3
+    )
+    got = decode_gif(_encode_gif(7, 9, palette, list(idx)))
+    assert got is not None and np.array_equal(got, expected)
+
+    # interlace: encoder writes rows in 4-pass order; decoder restores
+    order = (
+        list(range(0, 9, 8)) + list(range(4, 9, 8))
+        + list(range(2, 9, 4)) + list(range(1, 9, 2))
+    )
+    scrambled = expected[order].reshape(-1, 3)
+    pix = [palette.index(tuple(p)) for p in scrambled]
+    got = decode_gif(_encode_gif(7, 9, palette, pix, interlace=True))
+    assert got is not None and np.array_equal(got, expected)
+
+    assert decode_gif(b"GIF89a" + b"\x00" * 7) is None
+    assert decode_gif(b"not a gif") is None
+    # truncated LZW data → reject
+    full = _encode_gif(7, 9, palette, list(idx))
+    assert decode_gif(full[: len(full) - 10]) is None
+
+
+def test_gif_flows_through_extract_features(spark):
+    import numpy as np
+
+    from hive_2_3_2_spark.llm import multimodal as M
+    from tests.test_llm import _encode_gif
+
+    palette = [(10, 20, 30), (200, 100, 50)]
+    idx = [0, 1] * 32
+    payload = _encode_gif(8, 8, palette, idx)
+    expected = np.array([palette[i] for i in idx], dtype=np.uint8).reshape(
+        8, 8, 3
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    media = M.attach_media(df, "payload", "media_id", "image/gif")
+    feat = M.extract_features(media).collect()[0]
+    assert feat.feat_head == "8x8"
+    assert feat.feat_mean == int(expected.mean())
+
+
+def test_gif_decode_full_lzw_compressor_roundtrip():
+    """A REAL GIF LZW compressor (growing dictionary, variable code
+    width, 4095-entry reset) round-trips through decode_gif — exercises
+    the dictionary-growth, width-increase, and self-referential-code
+    (code == len(table)) decoder paths the trivial encoder skips."""
+    import struct
+
+    import numpy as np
+
+    from hive_2_3_2_spark.llm.multimodal import decode_gif
+
+    def compress(min_code, pixels):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        out_codes = []
+
+        def reset():
+            return {(c,): c for c in range(clear)}, end + 1, min_code + 1
+
+        table, next_code, width = reset()
+        out_codes.append((clear, width))
+        buf = ()
+        for px in pixels:
+            cand = buf + (px,)
+            if cand in table:
+                buf = cand
+                continue
+            out_codes.append((table[buf], width))
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4096:
+                out_codes.append((clear, width))
+                table, next_code, width = reset()
+            buf = (px,)
+        if buf:
+            out_codes.append((table[buf], width))
+        out_codes.append((end, width))
+        acc = bits = 0
+        data = bytearray()
+        for c, w in out_codes:
+            acc |= c << bits
+            bits += w
+            while bits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            data.append(acc & 0xFF)
+        return bytes(data)
+
+    rng = np.random.default_rng(11)
+    w, h = 40, 30
+    # runs of repeats → the compressor builds multi-symbol entries,
+    # triggering the decoder's code==len(table) case
+    idx = np.repeat(rng.integers(0, 4, (w * h) // 5 + 1), 5)[: w * h]
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    data = compress(2, list(idx))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x81, 0, 0)
+    for r, g, bl in palette:
+        out += bytes([r, g, bl])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(2)
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+        i += 255
+    out += b"\x00\x3b"
+    got = decode_gif(bytes(out))
+    expected = np.array(
+        [palette[i] for i in idx], dtype=np.uint8
+    ).reshape(h, w, 3)
+    assert got is not None and np.array_equal(got, expected)
