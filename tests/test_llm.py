@@ -1254,3 +1254,46 @@ def test_gif_decode_full_lzw_compressor_roundtrip():
         [palette[i] for i in idx], dtype=np.uint8
     ).reshape(h, w, 3)
     assert got is not None and np.array_equal(got, expected)
+
+
+def test_y4m_decode_and_frame_sampling(spark):
+    """decode_y4m parses real YUV4MPEG2 streams (420 and mono chroma)
+    with exact luma planes; sample_video_frames emits every-nth frame's
+    true mean luma through mapInPandas; garbage contributes nothing."""
+    import numpy as np
+
+    from hive_2_3_2_spark.llm import multimodal as M
+
+    rng = np.random.default_rng(5)
+    w, h, n_frames = 6, 4, 5
+    lumas = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n_frames)]
+    chroma = np.zeros((h // 2) * (w // 2), dtype=np.uint8) + 128
+    stream = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode())
+    for y in lumas:
+        stream += b"FRAME\n" + y.tobytes() + chroma.tobytes() + chroma.tobytes()
+    got = M.decode_y4m(bytes(stream))
+    assert got is not None
+    gw, gh, frames = got
+    assert (gw, gh, len(frames)) == (w, h, n_frames)
+    for a, b in zip(frames, lumas):
+        assert np.array_equal(a, b)
+
+    mono = bytearray(f"YUV4MPEG2 W{w} H{h} Cmono\n".encode())
+    mono += b"FRAME\n" + lumas[0].tobytes()
+    assert M.decode_y4m(bytes(mono))[2][0].mean() == lumas[0].mean()
+
+    assert M.decode_y4m(b"YUV4MPEG2 W0 H4\nFRAME\n") is None
+    assert M.decode_y4m(b"not video") is None
+    assert M.decode_y4m(bytes(stream[:-3])) is None  # truncated frame
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(stream))), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    media = M.attach_media(df, "payload", "media_id", "video/x-y4m")
+    rows = M.sample_video_frames(media, every_n=2).collect()
+    by_frame = {r.frame_no: r for r in rows}
+    assert sorted(by_frame) == [0, 2, 4]  # every 2nd of 5 frames
+    for fno in (0, 2, 4):
+        assert by_frame[fno].mean_luma == int(lumas[fno].mean())
+        assert (by_frame[fno].width, by_frame[fno].height) == (w, h)
