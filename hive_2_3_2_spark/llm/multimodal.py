@@ -781,3 +781,30 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+def sniff_mime(payload) -> "F.Column":
+    """JVM-side magic-byte mime sniff over a binary column — the router
+    a mixed-media table needs BEFORE paying any Python decode cost.
+    Pure whole-stage-codegen binary/string ops (substring + hex against
+    literal signatures); the per-format Arrow decode paths above run
+    only on the rows routed to them. Covers this module's real decoders
+    (PNG/GIF/BMP/PPM/WAV/Y4M) plus JPEG (detectable; decoding needs
+    PIL). Unknown payloads → application/octet-stream."""
+
+    def pre(n: int, off: int = 1):
+        return F.hex(F.substring(payload, off, n))
+
+    return (
+        F.when(pre(8) == "89504E470D0A1A0A", F.lit("image/png"))
+        .when(pre(6).isin("474946383761", "474946383961"), F.lit("image/gif"))
+        .when(pre(3) == "FFD8FF", F.lit("image/jpeg"))
+        .when(pre(2) == "424D", F.lit("image/bmp"))
+        .when(pre(2) == "5036", F.lit("image/x-portable-pixmap"))
+        .when(
+            (pre(4) == "52494646") & (pre(4, 9) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(pre(9) == "595556344D50454732", F.lit("video/x-y4m"))
+        .otherwise(F.lit("application/octet-stream"))
+    )

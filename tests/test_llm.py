@@ -1297,3 +1297,38 @@ def test_y4m_decode_and_frame_sampling(spark):
     for fno in (0, 2, 4):
         assert by_frame[fno].mean_luma == int(lumas[fno].mean())
         assert (by_frame[fno].width, by_frame[fno].height) == (w, h)
+
+
+def test_sniff_mime_routes_every_real_format(spark):
+    """sniff_mime: one JVM expression classifies every format this
+    module really decodes (plus JPEG magic), from the payload bytes
+    alone — and the plan stays in whole-stage codegen (no Python)."""
+    import numpy as np
+
+    from hive_2_3_2_spark.llm import multimodal as M
+    from tests.test_llm import _encode_gif
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payloads = {
+        "image/png": M.encode_png(img),
+        "image/gif": _encode_gif(2, 2, [(0, 0, 0), (1, 1, 1)], [0, 1, 0, 1]),
+        "image/bmp": b"BM" + b"\x00" * 60,
+        "image/x-portable-pixmap": b"P6\n2 2\n255\n" + b"\x00" * 12,
+        "image/jpeg": b"\xff\xd8\xff\xe0junk",
+        "audio/wav": b"RIFF\x04\x00\x00\x00WAVEjunk",
+        "video/x-y4m": b"YUV4MPEG2 W2 H2\nFRAME\n" + b"\x00" * 6,
+        "application/octet-stream": b"who knows",
+    }
+    df = spark.createDataFrame(
+        [(m, bytearray(p)) for m, p in payloads.items()],
+        "expected string, payload binary",
+    )
+    got = df.select(
+        "expected", M.sniff_mime(df.payload).alias("mime")
+    ).collect()
+    for r in got:
+        assert r.mime == r.expected, (r.expected, r.mime)
+    from hive_2_3_2_spark.plans import explain_str
+
+    plan = explain_str(df.select(M.sniff_mime(df.payload)))
+    assert "Python" not in plan  # JVM-only routing
