@@ -1330,5 +1330,9 @@ def test_sniff_mime_routes_every_real_format(spark):
         assert r.mime == r.expected, (r.expected, r.mime)
     from hive_2_3_2_spark.plans import explain_str
 
+    # JVM-only routing: no Python evaluation operator in the plan (the
+    # local createDataFrame source mentions "applySchemaToPythonRDD" —
+    # that's the fixture, not the expression)
     plan = explain_str(df.select(M.sniff_mime(df.payload)))
-    assert "Python" not in plan  # JVM-only routing
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, plan
