@@ -109,13 +109,14 @@ _MODULES = [
     "llm_extra",  # r4 late additions — below the window → r5 queue
     "statements_extra",  # r4 late additions — below the window → r5 queue
 ]
-# R5 QUEUE (plan): after the r4 gate lands green, exactly 14 entries
+# R5 QUEUE (plan): after the r4 gate lands green, exactly 15 entries
 # have no driver row ever — similarity_topk_ivfpq,
-# events_cohort_retention, pipeline_quality_classifier_bootstrap,
-# join_smb_bucketed, clean_decontaminate_embeddings,
-# clean_normalize_unicode, text_vocab_tokenize, text_nb_lang_classifier,
-# hiveql_macro_expansion, ddl_sql_describe_formatted,
-# ddl_sql_temp_function, ddl_sql_schema_evolution, ddl_sql_view_stack,
+# events_cohort_retention, events_funnel_ordered_steps,
+# pipeline_quality_classifier_bootstrap, join_smb_bucketed,
+# clean_decontaminate_embeddings, clean_normalize_unicode,
+# text_vocab_tokenize, text_nb_lang_classifier, hiveql_macro_expansion,
+# ddl_sql_describe_formatted, ddl_sql_temp_function,
+# ddl_sql_schema_evolution, ddl_sql_view_stack,
 # multimodal_real_decode_ppm.
 # r5 rotation: move those 13 to the front (plus any r5 additions inside
 # the window) and pad the 50-entry window with the highest-value

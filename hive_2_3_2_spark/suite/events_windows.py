@@ -410,3 +410,68 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_funnel_ordered_steps",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT step, CAST(n_users AS BIGINT) AS n_users FROM (
+      SELECT '1_view' AS step, COUNT(*) AS n_users FROM t1
+      UNION ALL SELECT '2_click', COUNT(*) FROM t2
+      UNION ALL SELECT '3_purchase', COUNT(*) FROM t3
+    ) ORDER BY step
+    """,
+)
+def events_funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase) with strict
+    time causality: a user counts at step k only with a step-k event
+    AFTER their first step-(k-1) event — the product-analytics funnel a
+    Hive warehouse serves. Plan shape: one user_id-keyed aggregate per
+    step over the step-filtered scan, each joined to the (user-count
+    sized, broadcastable) previous frontier; the events scan is read
+    once per step with the event_type filter pushed down. No window over
+    the whole corpus, no per-user explode."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(step: str, prev: DataFrame | None, tcol: str, pcol: str):
+        e = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts") > F.col(pcol)
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    t1 = first_after("view", None, "ts1", "")
+    t2 = first_after("click", t1, "ts2", "ts1")
+    t3 = first_after("purchase", t2, "ts3", "ts2")
+    counts = [
+        t1.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("1_view")
+        ),
+        t2.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("2_click")
+        ),
+        t3.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "step", F.lit("3_purchase")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select("step", "n_users").orderBy("step")
