@@ -330,3 +330,165 @@ def test_q_cast_string_arithmetic_semantics(qenv):
         FROM src WHERE CAST(key AS DOUBLE) = 10
         """,
     )
+
+
+def test_q_groupby_cube(qenv):
+    """groupby_cube1.q: CUBE over two derived keys with grouping()."""
+    eng, con, _ = qenv
+    got = eng.sql(
+        "SELECT substr(key,1,1) AS a, substr(value,5,1) AS b, "
+        "count(*) AS c, grouping(substr(key,1,1)) AS ga "
+        "FROM src GROUP BY substr(key,1,1), substr(value,5,1) WITH CUBE"
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        """
+        SELECT substr(key,1,1) AS a, substr(value,5,1) AS b,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(grouping(substr(key,1,1)) AS INT) AS ga
+        FROM src GROUP BY CUBE (substr(key,1,1), substr(value,5,1))
+        """,
+    )
+
+
+def test_q_subquery_notin_null_semantics(qenv):
+    """subquery_notin.q: NOT IN over a subquery CONTAINING a NULL must
+    return the empty set (three-valued logic) — the classic trap; and
+    the null-free variant behaves as the anti join."""
+    eng, con, root = qenv
+    spark = eng.spark
+    path = f"{root}/notin_probe"
+    spark.createDataFrame(
+        [("1",), ("2",), (None,)], "key string"
+    ).write.mode("overwrite").parquet(path)
+    eng.register_table("notin_probe", path)
+    # subquery with a NULL → empty result
+    got = eng.sql(
+        "SELECT key FROM src WHERE key NOT IN (SELECT key FROM notin_probe)"
+    )
+    assert got.count() == 0
+    # null-free subquery → anti-join semantics
+    got2 = eng.sql(
+        "SELECT count(*) AS n FROM src WHERE key NOT IN "
+        "(SELECT key FROM notin_probe WHERE key IS NOT NULL)"
+    )
+    assert_matches_oracle(
+        got2,
+        con,
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM src "
+        "WHERE key NOT IN ('1', '2')",
+    )
+
+
+def test_q_join_filters_outer_where(qenv):
+    """join_filters.q family: WHERE on the preserved side of a LEFT
+    OUTER join filters AFTER the join; the ON-clause residual filters
+    the joined side only (NULL-extended rows survive)."""
+    eng, con, _ = qenv
+    got = eng.sql(
+        "SELECT a.key, b.value FROM src a "
+        "LEFT JOIN (SELECT * FROM src WHERE key < 5) b "
+        "ON a.key = b.key AND b.value LIKE 'val_1%' "
+        "WHERE a.key < 12"
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        """
+        SELECT a.key AS key, b.value AS value FROM src a
+        LEFT JOIN (SELECT * FROM src WHERE CAST(key AS DOUBLE) < 5) b
+          ON a.key = b.key AND b.value LIKE 'val_1%'
+        WHERE CAST(a.key AS DOUBLE) < 12
+        """,
+    )
+
+
+def test_q_windowing_mixed_running_aggregates(qenv):
+    """windowing.q expressions: mixed ROWS frame running sum + overall
+    partition share in one select."""
+    eng, con, _ = qenv
+    got = eng.sql(
+        "SELECT key, "
+        "sum(key) OVER (PARTITION BY substr(key,1,1) ORDER BY key, value "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum, "
+        "count(*) OVER (PARTITION BY substr(key,1,1)) AS ptotal "
+        "FROM src WHERE key < 15"
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        """
+        SELECT key,
+               sum(CAST(key AS DOUBLE)) OVER (
+                 PARTITION BY substr(key,1,1) ORDER BY key, value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum,
+               CAST(count(*) OVER (
+                 PARTITION BY substr(key,1,1)) AS BIGINT) AS ptotal
+        FROM src WHERE CAST(key AS DOUBLE) < 15
+        """,
+    )
+
+
+def test_q_order_by_nulls_and_setops(qenv):
+    """order_null.q + union_remove/setop families: NULLS FIRST/LAST
+    ordering and INTERSECT/EXCEPT over derived sets."""
+    eng, con, root = qenv
+    spark = eng.spark
+    path = f"{root}/nullable_keys"
+    spark.createDataFrame(
+        [("1", 1), (None, 2), ("3", 3), (None, 4)], "k string, v int"
+    ).write.mode("overwrite").parquet(path)
+    eng.register_table("nullable_keys", path)
+    got = eng.sql(
+        "SELECT k, v FROM nullable_keys ORDER BY k DESC NULLS LAST, v"
+    ).collect()
+    assert [r.v for r in got] == [3, 1, 2, 4]
+    got = eng.sql(
+        "SELECT k, v FROM nullable_keys ORDER BY k ASC NULLS FIRST, v"
+    ).collect()
+    assert [r.v for r in got] == [2, 4, 1, 3]
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT key FROM src WHERE key < 20 "
+            "INTERSECT SELECT key FROM src WHERE key >= 10"
+        ),
+        con,
+        "SELECT key FROM src WHERE CAST(key AS DOUBLE) < 20 "
+        "INTERSECT SELECT key FROM src WHERE CAST(key AS DOUBLE) >= 10",
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT key FROM src WHERE key < 20 "
+            "EXCEPT SELECT key FROM src WHERE key >= 10"
+        ),
+        con,
+        "SELECT key FROM src WHERE CAST(key AS DOUBLE) < 20 "
+        "EXCEPT SELECT key FROM src WHERE CAST(key AS DOUBLE) >= 10",
+    )
+
+
+def test_q_udf_string_battery(qenv):
+    """udf_*.q one-per-function style: a battery of string/conditional
+    functions in one projection, diffed against DuckDB equivalents."""
+    eng, con, _ = qenv
+    got = eng.sql(
+        "SELECT key, length(value) AS ln, reverse(key) AS rk, "
+        "lpad(key, 5, '0') AS lp, instr(value, '_') AS ix, "
+        "split(value, '_')[1] AS suffix, "
+        "if(key > 40, 'hi', 'lo') AS band "
+        "FROM src WHERE key IN (1, 17, 42)"
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        """
+        SELECT key, CAST(length(value) AS INT) AS ln, reverse(key) AS rk,
+               lpad(key, 5, '0') AS lp,
+               CAST(instr(value, '_') AS INT) AS ix,
+               string_split(value, '_')[2] AS suffix,
+               CASE WHEN CAST(key AS DOUBLE) > 40
+                    THEN 'hi' ELSE 'lo' END AS band
+        FROM src WHERE CAST(key AS DOUBLE) IN (1, 17, 42)
+        """,
+    )
