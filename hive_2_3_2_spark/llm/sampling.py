@@ -265,3 +265,27 @@ def weighted_sample(
         .orderBy(F.asc("priority"), F.asc(id_col))
         .limit(k)
     )
+
+
+def group_hash_split(
+    df: DataFrame,
+    group_key: Column,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/eval split: the hash threshold is applied to a
+    GROUP key (duplicate-cluster fingerprint, domain, author...) instead
+    of the row id, so every member of a group lands in the SAME split —
+    near-duplicates of a training document can never leak into eval.
+    The group key is computed per row (a column expression — no join
+    when the key derives from row content, e.g. a content fingerprint);
+    pair with connected-components cluster ids via a join for
+    transitive-near-dup grouping."""
+    return df.withColumn(
+        split_col,
+        F.when(
+            hash_bucket(group_key) < F.lit(_threshold(train_frac)),
+            F.lit("train"),
+        ).otherwise(F.lit("eval")),
+    )

@@ -221,3 +221,38 @@ def interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "src_rank", "interleave_pos")
         .limit(100)
     )
+
+
+@query(
+    "sample_group_split_leakage_free",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS f
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN substr(md5(f), 1, 4) < 'cccd'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM fp ORDER BY doc_id
+    """,
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split (llm/sampling.py group_hash_split): the 80/20
+    hash threshold applies to the exact-dup CONTENT FINGERPRINT rather
+    than the row id, so duplicate documents can never straddle the
+    train/eval boundary (near-dup leakage is the classic eval
+    contamination bug; transitive clusters compose via
+    connected-components ids the same way). Map-side only — no shuffle,
+    no join; the oracle replays fingerprint → md5-prefix threshold."""
+    from hive_2_3_2_spark.llm.text import md5_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        S.group_hash_split(
+            docs, md5_fingerprint(F.col("text")), train_frac=0.8
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
