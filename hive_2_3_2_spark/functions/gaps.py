@@ -94,8 +94,17 @@ def context_ngrams(
     Returns DataFrame(ngram, estfrequency) where ngram is the filled holes.
     """
     n = len(context)
-    idx = _window_starts(tokens, n)
-    windows = F.transform(idx, lambda i: F.slice(tokens, i + 1, n))
+    # windows as ARRAYS via the same linear zip_with-of-shifted-slices
+    # construction as ngram_windows (transform(idx, slice) re-evaluates
+    # the captured token expression per window — O(len²))
+    m = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    windows = F.transform(F.slice(tokens, 1, m), lambda x: F.array(x))
+    for j in range(1, n):
+        windows = F.zip_with(
+            windows,
+            F.slice(tokens, 1 + j, m),
+            lambda a, b: F.concat(a, F.array(b)),
+        )
     matches = F.filter(
         windows,
         lambda w: F.forall(

@@ -118,7 +118,7 @@ _MODULES = [
 # ddl_sql_describe_formatted, ddl_sql_temp_function,
 # ddl_sql_schema_evolution, ddl_sql_view_stack,
 # multimodal_real_decode_ppm, sample_group_split_leakage_free.
-# r5 rotation: move those 13 to the front (plus any r5 additions inside
+# r5 rotation: move those 16 to the front (plus any r5 additions inside
 # the window) and pad the 50-entry window with the highest-value
 # re-verifications (tpch head, dml head, events head). The FREEZE RULE
 # stands: growth registers inside the current window or below it.
