@@ -394,7 +394,8 @@ _SHOW_CREATE_STMT = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
 _DESCRIBE_STMT = re.compile(
-    r"^\s*DESC(?:RIBE)?\s+(EXTENDED\s+|FORMATTED\s+)?([\w.]+)\s*;?\s*$",
+    r"^\s*DESC(?:RIBE)?\s+(EXTENDED\s+|FORMATTED\s+)?([\w.]+)"
+    r"(?:\s+(\w+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DFS_STMT = re.compile(r"^\s*(dfs)\s+", re.IGNORECASE)
@@ -810,6 +811,9 @@ class Engine:
         self.table_props: dict[str, dict[str, str]] = {}
         # view name → original (pre-rewrite) body SQL — CREATE VIEW
         self.views: dict[str, str] = {}
+        # table → column → stats dict (ANALYZE ... FOR COLUMNS; the
+        # metastore TAB_COL_STATS role)
+        self.column_stats: dict[str, dict[str, dict]] = {}
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
             import os
@@ -952,6 +956,8 @@ class Engine:
             return self._run_show_create(m.group(1))
         m = _DESCRIBE_STMT.match(query)
         if m and self._dml_registered(m.group(2)):
+            if m.group(3):
+                return self._run_describe_column(m.group(2), m.group(3))
             return self._run_describe(m.group(2), m.group(1))
         m = _DELETE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
@@ -1063,7 +1069,7 @@ class Engine:
             return self._run_msck(m.group(1))
         m = _ANALYZE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
-            return self._run_analyze(m.group(1))
+            return self._run_analyze(m.group(1), m.group(2))
         m = _RENAME_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_rename(m.group(1), m.group(2))
@@ -1708,15 +1714,23 @@ class Engine:
         self.register_table(key, path, parts)
         return self._rows_affected(n)
 
-    def _run_analyze(self, table: str) -> DataFrame:
-        """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ...] on a
-        path-backed table: numRows/totalSize from parquet FOOTERS —
-        metadata only, no scan (exactly what Hive's StatsTask records
-        as basic stats, exec/StatsTask.java). Catalog tables still use
-        Spark's native ANALYZE via the passthrough (which feeds CBO)."""
+    def _run_analyze(
+        self, table: str, for_columns: str | None = None
+    ) -> DataFrame:
+        """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS [c, ...]] on
+        a path-backed table. Basic stats (numRows/totalSize) come from
+        parquet FOOTERS — metadata only, no scan (what Hive's StatsTask
+        records). FOR COLUMNS runs ONE aggregation pass computing
+        Hive's column statistics (ColumnStatsTask /
+        GenericUDAFComputeStats: nulls, approximate NDV — Hive uses an
+        FM sketch, here HLL++ — min/max for orderables, avg/max length
+        for strings), stores them on the engine (the metastore's
+        TAB_COL_STATS role), and DESCRIBE t col serves them back."""
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
         key = self._resolve_dml_table(table)
+        if for_columns is not None:
+            return self._run_analyze_columns(key, for_columns)
         path = self.table_paths[key]
         n = parquet_row_count(path)
         size = 0
@@ -1729,6 +1743,106 @@ class Engine:
                 )
         return self.spark.createDataFrame(
             [(n, size)], "num_rows bigint, total_size_bytes bigint"
+        )
+
+    def _run_analyze_columns(self, key: str, for_columns: str) -> DataFrame:
+        """The FOR COLUMNS pass: one aggregation job over the table
+        computing every requested column's stats together (map-side
+        partials; the shuffle carries one row of aggregates)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import NumericType, StringType, TimestampType
+
+        target = self._target_frame(key)
+        fields = {f.name: f for f in target.schema.fields}
+        spec = re.sub(r"^\s*FOR\s+COLUMNS\s*", "", for_columns,
+                      flags=re.IGNORECASE).strip().rstrip(";").strip()
+        cols = (
+            [c.strip().strip("`") for c in spec.split(",") if c.strip()]
+            if spec
+            else list(fields)
+        )
+        unknown = [c for c in cols if c not in fields]
+        if unknown:
+            raise HiveQLUnsupportedError(
+                f"ANALYZE FOR COLUMNS: unknown column(s) {unknown}"
+            )
+        aggs = []
+        for c in cols:
+            dt = fields[c].dataType
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+            ]
+            if isinstance(dt, (NumericType, TimestampType)):
+                aggs += [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                ]
+            if isinstance(dt, StringType):
+                aggs += [
+                    F.round(F.avg(F.length(c)), 2).alias(f"{c}__avglen"),
+                    F.max(F.length(c)).alias(f"{c}__maxlen"),
+                ]
+        row = target.agg(*aggs).collect()[0].asDict()
+        stats = self.column_stats.setdefault(key, {})
+        out_rows = []
+        for c in cols:
+            s = {
+                "data_type": fields[c].dataType.simpleString(),
+                "num_nulls": int(row[f"{c}__nulls"] or 0),
+                "distinct_count": int(row[f"{c}__ndv"] or 0),
+                "min": row.get(f"{c}__min"),
+                "max": row.get(f"{c}__max"),
+                "avg_col_len": row.get(f"{c}__avglen"),
+                "max_col_len": row.get(f"{c}__maxlen"),
+            }
+            stats[c] = s
+            out_rows.append(
+                (
+                    c,
+                    s["data_type"],
+                    s["num_nulls"],
+                    s["distinct_count"],
+                    str(s["min"]) if s["min"] is not None else None,
+                    str(s["max"]) if s["max"] is not None else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            out_rows,
+            "col_name string, data_type string, num_nulls bigint, "
+            "distinct_count bigint, min string, max string",
+        )
+
+    def _run_describe_column(self, table: str, column: str) -> DataFrame:
+        """DESCRIBE t col — Hive's column-stats output shape
+        (MetaDataFormatUtils.getColumnInformation): stats populated
+        when ANALYZE ... FOR COLUMNS ran, empty otherwise."""
+        key = self._resolve_dml_table(table)
+        fields = {
+            f.name.lower(): f for f in self._declared_schema(key).fields
+        }
+        if column.lower() not in fields:
+            raise HiveQLUnsupportedError(
+                f"DESCRIBE: no column {column!r} in table {key!r}"
+            )
+        f = fields[column.lower()]
+        s = self.column_stats.get(key, {}).get(f.name, {})
+
+        def fmt(v):
+            return "" if v is None else str(v)
+
+        rows = [
+            ("col_name", f.name),
+            ("data_type", f.dataType.simpleString()),
+            ("min", fmt(s.get("min"))),
+            ("max", fmt(s.get("max"))),
+            ("num_nulls", fmt(s.get("num_nulls"))),
+            ("distinct_count", fmt(s.get("distinct_count"))),
+            ("avg_col_len", fmt(s.get("avg_col_len"))),
+            ("max_col_len", fmt(s.get("max_col_len"))),
+        ]
+        return self.spark.createDataFrame(
+            rows, "info_name string, info_value string"
         )
 
     def _run_msck(self, table: str) -> DataFrame:
@@ -2243,6 +2357,7 @@ class Engine:
         self.table_partitions.pop(key, None)
         self.table_schemas.pop(key, None)
         self.table_props.pop(key, None)
+        self.column_stats.pop(key, None)
         self.tables.pop(key, None)
         self.spark.catalog.dropTempView(key)
         return self._rows_affected(0)

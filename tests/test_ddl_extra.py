@@ -202,3 +202,53 @@ def test_uniontype_ddl_struct_encoding(spark):
     assert rows[1] == (7, None)
     assert rows[2] == (None, "hi")
     spark.sql("DROP TABLE hq_union")
+
+
+def test_analyze_for_columns_and_describe_column(spark, tmp_path):
+    """ANALYZE ... FOR COLUMNS computes Hive's column statistics in one
+    aggregation pass (nulls, approx NDV, min/max, string lengths) and
+    DESCRIBE t col serves them back; unanalyzed columns describe with
+    empty stats; unknown columns are typed errors."""
+    import pytest
+
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    path = str(tmp_path / "colstats")
+    spark.createDataFrame(
+        [(1, "aa", 1.5), (2, "bbbb", None), (3, None, 3.5), (4, "aa", 4.5)],
+        "k bigint, s string, v double",
+    ).write.parquet(path)
+    eng = Engine(spark=spark)
+    eng.register_table("cs", path)
+
+    out = {r.col_name: r for r in eng.sql(
+        "ANALYZE TABLE cs COMPUTE STATISTICS FOR COLUMNS k, s, v"
+    ).collect()}
+    assert out["k"].num_nulls == 0 and out["k"].distinct_count == 4
+    assert out["k"].min == "1" and out["k"].max == "4"
+    assert out["s"].num_nulls == 1 and out["s"].distinct_count == 2
+    assert out["v"].num_nulls == 1
+
+    d = {r.info_name: r.info_value for r in eng.sql("DESCRIBE cs s").collect()}
+    assert d["data_type"] == "string"
+    assert d["num_nulls"] == "1" and d["distinct_count"] == "2"
+    assert d["avg_col_len"] == str(round((2 + 4 + 2) / 3, 2))
+    assert d["max_col_len"] == "4"
+    # numeric column carries min/max
+    dk = {r.info_name: r.info_value for r in eng.sql("DESC cs k").collect()}
+    assert dk["min"] == "1" and dk["max"] == "4"
+    # FOR COLUMNS with no list = all columns
+    eng.sql("ANALYZE TABLE cs COMPUTE STATISTICS FOR COLUMNS")
+    # un-analyzed table/column: empty stats but valid shape
+    path2 = str(tmp_path / "colstats2")
+    spark.range(3).write.parquet(path2)
+    eng.register_table("cs2", path2)
+    d2 = {r.info_name: r.info_value for r in eng.sql("DESCRIBE cs2 id").collect()}
+    assert d2["data_type"] == "bigint" and d2["num_nulls"] == ""
+    with pytest.raises(HiveQLUnsupportedError, match="unknown column"):
+        eng.sql("ANALYZE TABLE cs COMPUTE STATISTICS FOR COLUMNS nope")
+    with pytest.raises(HiveQLUnsupportedError, match="no column"):
+        eng.sql("DESCRIBE cs nope")
+    # basic stats path unchanged
+    basic = eng.sql("ANALYZE TABLE cs COMPUTE STATISTICS").collect()[0]
+    assert basic.num_rows == 4

@@ -850,11 +850,15 @@ def test_sql_analyze_table_footer_stats(eng_with_copy):
         "ANALYZE TABLE customer_copy COMPUTE STATISTICS"
     ).collect()[0]
     assert row.num_rows == n and row.total_size_bytes > 0
-    row2 = eng.sql(
+    # FOR COLUMNS now computes real per-column statistics
+    # (ColumnStatsTask parity) instead of echoing the basic stats
+    cols = {r.col_name: r for r in eng.sql(
         "ANALYZE TABLE customer_copy COMPUTE STATISTICS "
         "FOR COLUMNS c_custkey, c_acctbal"
-    ).collect()[0]
-    assert row2.num_rows == n
+    ).collect()}
+    assert set(cols) == {"c_custkey", "c_acctbal"}
+    assert cols["c_custkey"].num_nulls == 0
+    assert cols["c_custkey"].distinct_count > 0
 
 
 def test_explain_dml_stages_without_executing(eng_with_copy):
