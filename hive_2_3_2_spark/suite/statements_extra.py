@@ -216,3 +216,64 @@ def ddl_sql_view_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT l_returnflag, n, revenue FROM v_bulk_revenue "
         "ORDER BY l_returnflag"
     )
+
+
+@query(
+    "ddl_sql_analyze_columns",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_custkey',
+       CAST(0 AS BIGINT),
+       (SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders),
+       (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders),
+       TRUE),
+      ('o_orderpriority',
+       CAST(0 AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       TRUE)
+    ) AS t(col_name, num_nulls, min, max, ndv_ok)
+    ORDER BY col_name
+    """,
+)
+def ddl_sql_analyze_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... FOR COLUMNS through Engine.sql (reference:
+    exec/ColumnStatsTask + GenericUDAFComputeStats): one aggregation
+    pass computes nulls/NDV/min/max per column. Exact fields (nulls,
+    min, max) are value-oracled; the approximate NDV is oracled as an
+    invariant boolean (within ±10% of the exact distinct count — HLL++
+    at default precision is ~2% RSD, wide margin) — the sketch-entry
+    trick, since DuckDB's approx algorithm differs."""
+    path = _fresh_copy(spark, sf_dir, "orders", "sql_analyze_cols")
+    eng = Engine(spark=spark)
+    eng.register_table("orders_acols", path)
+    stats = eng.sql(
+        "ANALYZE TABLE orders_acols COMPUTE STATISTICS "
+        "FOR COLUMNS o_custkey, o_orderpriority"
+    )
+    exact = eng.table("orders_acols").select(
+        F.countDistinct("o_custkey").alias("nd_key"),
+        F.countDistinct("o_orderpriority").alias("nd_pri"),
+    ).collect()[0]
+    bound = {
+        "o_custkey": exact.nd_key,
+        "o_orderpriority": exact.nd_pri,
+    }
+    bdf = spark.createDataFrame(
+        list(bound.items()), "col_name string, nd_exact long"
+    )
+    return (
+        stats.join(F.broadcast(bdf), "col_name")
+        .select(
+            "col_name",
+            "num_nulls",
+            "min",
+            "max",
+            (
+                (F.col("distinct_count")
+                 >= (F.col("nd_exact") * 0.9).cast("long"))
+                & (F.col("distinct_count")
+                   <= (F.col("nd_exact") * 1.1).cast("long") + 1)
+            ).alias("ndv_ok"),
+        )
+        .orderBy("col_name")
+    )
