@@ -354,3 +354,23 @@ def test_grouping_id_virtual_column(eng, sf_dir):
     total = [r for r in rows if r.gid == 3]
     assert len(total) == 1
     assert total[0].n == sum(r.n for r in rows if r.gid == 0)
+
+
+def test_show_views_and_describe_function_passthrough(spark, tmp_path):
+    """SHOW VIEWS lists Engine-created views (temp views in the session
+    catalog); DESCRIBE FUNCTION passes through to Spark's own function
+    docs — both CLI surfaces Hive users exercise daily."""
+    from hive_2_3_2_spark.engine import Engine
+
+    path = str(tmp_path / "sv_tbl")
+    spark.range(3).write.parquet(path)
+    eng = Engine(spark=spark)
+    eng.register_table("sv_t", path)
+    eng.sql("CREATE VIEW sv_view AS SELECT id FROM sv_t")
+    views = {r.viewName for r in eng.sql("SHOW VIEWS").collect()}
+    assert "sv_view" in views
+    desc = eng.sql("DESCRIBE FUNCTION upper").collect()
+    assert any("upper" in str(r) for r in desc)
+    desc2 = eng.sql("DESC FUNCTION EXTENDED concat").collect()
+    assert any("concat" in str(r) for r in desc2)
+    eng.sql("DROP VIEW sv_view")
