@@ -109,7 +109,7 @@ _MODULES = [
     "llm_extra",  # r4 late additions — below the window → r5 queue
     "statements_extra",  # r4 late additions — below the window → r5 queue
 ]
-# R5 QUEUE (plan): after the r4 gate lands green, exactly 17 entries
+# R5 QUEUE (plan): after the r4 gate lands green, exactly 18 entries
 # have no driver row ever — similarity_topk_ivfpq,
 # events_cohort_retention, events_funnel_ordered_steps,
 # pipeline_quality_classifier_bootstrap, join_smb_bucketed,
@@ -118,8 +118,8 @@ _MODULES = [
 # ddl_sql_describe_formatted, ddl_sql_temp_function,
 # ddl_sql_schema_evolution, ddl_sql_view_stack,
 # multimodal_real_decode_ppm, sample_group_split_leakage_free,
-# ddl_sql_analyze_columns.
-# r5 rotation: move those 17 to the front (plus any r5 additions inside
+# ddl_sql_analyze_columns, window_time_range_frame.
+# r5 rotation: move those 18 to the front (plus any r5 additions inside
 # the window) and pad the 50-entry window with the highest-value
 # re-verifications (tpch head, dml head, events head). The FREEZE RULE
 # stands: growth registers inside the current window or below it.

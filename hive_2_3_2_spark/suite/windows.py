@@ -195,3 +195,41 @@ def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 6
         ).alias("line_share"),
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_30m,
+           ROUND(SUM(value) OVER w, 2) AS sum_30m
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-valued RANGE frame: per event, the count and value sum of
+    the same user's events in the PRECEDING 30 minutes — the
+    ValueBoundaryScanner time-range case (reference:
+    udf/ptf/ValueBoundaryScanner.java:36; Hive's RANGE over a
+    timestamp ORDER BY). Spark evaluates the interval frame natively
+    in the Window node — no self-join, one user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_time_range")
+    return spark.sql(
+        """
+        SELECT event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_30m,
+               ROUND(SUM(value) OVER w, 2) AS sum_30m
+        FROM ev_time_range
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_id
+        """
+    )
