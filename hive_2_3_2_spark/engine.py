@@ -811,6 +811,8 @@ class Engine:
         self.table_props: dict[str, dict[str, str]] = {}
         # view name → original (pre-rewrite) body SQL — CREATE VIEW
         self.views: dict[str, str] = {}
+        # view name → explicit column aliases (CREATE VIEW v (a, b) AS)
+        self.view_aliases: dict[str, list[str]] = {}
         # table → column → stats dict (ANALYZE ... FOR COLUMNS; the
         # metastore TAB_COL_STATS role)
         self.column_stats: dict[str, dict[str, dict]] = {}
@@ -838,12 +840,29 @@ class Engine:
         reader = self.spark.read
         if name in self.table_schemas:
             reader = reader.schema(self.table_schemas[name])
-        df = reader.parquet(path)
+        try:
+            df = reader.parquet(path)
+        except Exception as exc:
+            # A table whose LAST partition was dropped/exchanged away is
+            # an empty directory tree — unreadable without a schema, but
+            # Hive keeps it queryable (the metastore carries the
+            # schema). Serve the remembered schema as an empty relation;
+            # the next INSERT re-materializes files.
+            remembered = self.table_schemas.get(name) or (
+                self.tables[name].schema if name in self.tables else None
+            )
+            if remembered is None or "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise
+            df = self.spark.createDataFrame([], remembered)
         df.createOrReplaceTempView(name)
         self.tables[name] = df
         self.table_paths[name] = path
         if partition_cols:
             self.table_partitions[name] = list(partition_cols)
+        if self.views:
+            # late-binding parity: views over this table must see its
+            # new registration (schema evolution, rename, truncate)
+            self._refresh_dependent_views(name)
         return df
 
     def _target_frame(self, key: str) -> DataFrame:
@@ -2304,7 +2323,14 @@ class Engine:
                 )
             df = df.toDF(*aliases)
         df.createOrReplaceTempView(key)
+        replaced = key in self.views
         self.views[key] = body
+        if aliases:
+            self.view_aliases[key] = aliases
+        else:
+            self.view_aliases.pop(key, None)
+        if replaced:
+            self._refresh_dependent_views(key)
         return self._rows_affected(0)
 
     def _run_alter_view(self, view: str, body: str) -> DataFrame:
@@ -2320,7 +2346,31 @@ class Engine:
             rewrite_hiveql(self._expand_macros(body), spark=self.spark)
         ).createOrReplaceTempView(key)
         self.views[key] = body
+        self.view_aliases.pop(key, None)
+        self._refresh_dependent_views(key)
         return self._rows_affected(0)
+
+    def _refresh_dependent_views(self, changed: str, depth: int = 0) -> None:
+        """Hive views are stored TEXT expanded at query time (late
+        binding) — a stacked view sees its parent's redefinition. Spark
+        temp views bind their plan at creation, so after ALTER VIEW /
+        CREATE OR REPLACE VIEW every dependent view is re-created from
+        its stored text (transitively, bounded)."""
+        if depth > 10:
+            return
+        for vname, body in list(self.views.items()):
+            if vname == changed or not re.search(
+                rf"\b{re.escape(changed)}\b", body, re.IGNORECASE
+            ):
+                continue
+            df = self.spark.sql(
+                rewrite_hiveql(self._expand_macros(body), spark=self.spark)
+            )
+            aliases = self.view_aliases.get(vname)
+            if aliases:
+                df = df.toDF(*aliases)
+            df.createOrReplaceTempView(vname)
+            self._refresh_dependent_views(vname, depth + 1)
 
     def _run_drop_view(
         self, if_exists: bool, name: str

@@ -189,3 +189,71 @@ def test_script_transcript_end_to_end(spark, sf_dir, oracle, tmp_path):
         FROM final
         """,
     )
+
+
+def test_script_transcript_round4_surface(spark, tmp_path):
+    """A second transcript exercising the round-4 statement surface in
+    ONE script through Engine.run_script: schema evolution (ADD/CHANGE
+    COLUMNS), views (create/stack/alter), TBLPROPERTIES, partition
+    lifecycle (ADD PARTITION via insert, RENAME PARTITION, EXCHANGE
+    PARTITION), column statistics, SET-variable substitution, and a
+    final SELECT through the view stack whose result is checked against
+    the hand-computed expectation."""
+    import os
+
+    from hive_2_3_2_spark.engine import Engine
+
+    base = str(tmp_path / "r4_a")
+    other = str(tmp_path / "r4_b")
+    spark.createDataFrame(
+        [(i, f"p{i % 2}", float(i)) for i in range(8)],
+        "k bigint, p string, v double",
+    ).repartition("p").write.partitionBy("p").parquet(base)
+    spark.createDataFrame(
+        [(100 + i, "p9", 1.0) for i in range(3)],
+        "k bigint, p string, v double",
+    ).repartition("p").write.partitionBy("p").parquet(other)
+
+    eng = Engine(spark=spark)
+    eng.register_table("r4a", base, ["p"])
+    eng.register_table("r4b", other, ["p"])
+
+    script = f"""
+    SET hivevar:bump=10;
+    -- partition lifecycle FIRST (EXCHANGE requires identical schemas,
+    -- so it must precede the evolution below — the engine enforces
+    -- Hive's compatibility check as a typed error)
+    ALTER TABLE r4b PARTITION (p='p9') RENAME TO PARTITION (p='p2');
+    ALTER TABLE r4a EXCHANGE PARTITION (p='p2') WITH TABLE r4b;
+    ALTER TABLE r4a ADD COLUMNS (tag STRING);
+    INSERT INTO r4a (k, tag, p, v) VALUES (50, 'new', 'p0', ${{bump}}.5);
+    UPDATE r4a SET tag = 'old' WHERE k < 3 AND p = 'p0';
+    ALTER TABLE r4a CHANGE COLUMN v score DOUBLE;
+    ALTER TABLE r4a SET TBLPROPERTIES ('owner'='cli', 'stage'='r4');
+    ANALYZE TABLE r4a COMPUTE STATISTICS FOR COLUMNS k, tag;
+    CREATE VIEW r4_v1 AS SELECT k, p, tag FROM r4a WHERE k >= 2;
+    CREATE VIEW r4_v2 AS SELECT p, count(*) AS n,
+      count(tag) AS n_tagged FROM r4_v1 GROUP BY p;
+    ALTER VIEW r4_v1 AS SELECT k, p, tag FROM r4a;
+    SELECT p, n, n_tagged FROM r4_v2 ORDER BY p;
+    """
+    results = eng.run_script(script)
+    final = {(r.p): (r.n, r.n_tagged) for r in results[-1].collect()}
+    # r4a rows: k 0..7 (4 per partition) + inserted k=50 (p0, tagged)
+    #   + the exchanged p2 partition (3 rows from r4b, untagged).
+    # Views were created BEFORE the ALTER VIEW; v2 still reads v1 which
+    # after ALTER covers all k. v columns renamed to score (rename
+    # orphans data — but tag was written before the CHANGE so it
+    # survives: only v→score was renamed).
+    assert final == {"p0": (5, 3), "p1": (4, 0), "p2": (3, 0)}
+    # rename left no p9; exchange moved p2 out of r4b
+    assert not os.path.exists(os.path.join(other, "p=p9"))
+    assert not os.path.exists(os.path.join(other, "p=p2"))
+    # tblproperties + column stats persisted on the engine
+    assert eng.table_props["r4a"]["owner"] == "cli"
+    assert eng.column_stats["r4a"]["k"]["num_nulls"] == 0
+    stats = {
+        r.info_name: r.info_value
+        for r in eng.sql("DESCRIBE r4a tag").collect()
+    }
+    assert stats["num_nulls"] != ""
