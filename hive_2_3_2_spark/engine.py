@@ -873,7 +873,17 @@ class Engine:
         reader = self.spark.read
         if key in self.table_schemas:
             reader = reader.schema(self.table_schemas[key])
-        return reader.parquet(self.table_paths[key])
+        try:
+            return reader.parquet(self.table_paths[key])
+        except Exception as exc:
+            remembered = self.table_schemas.get(key) or (
+                self.tables[key].schema if key in self.tables else None
+            )
+            if remembered is None or "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise
+            # empty directory tree (last partition dropped/exchanged) —
+            # same metastore-parity fallback as register_table
+            return self.spark.createDataFrame([], remembered)
 
     def _resolve_dml_table(self, name: str) -> str:
         key = name.split(".")[-1].lower()

@@ -314,3 +314,23 @@ def test_set_location(spark, eng, tmp_path):
     assert os.path.exists(path)  # old data untouched
     with pytest.raises(HiveQLUnsupportedError, match="does not exist"):
         e.sql("ALTER TABLE evo SET LOCATION '/no/such/dir'")
+
+
+def test_drop_last_partition_keeps_table_queryable(spark, tmp_path):
+    """Dropping (or exchanging away) a table's LAST partition leaves an
+    empty directory tree — Hive keeps the table queryable because the
+    metastore carries the schema. The engine serves the remembered
+    schema as an empty relation and the next INSERT re-materializes."""
+    path = str(tmp_path / "last_part")
+    spark.createDataFrame(
+        [(1, "p0"), (2, "p0")], "k bigint, p string"
+    ).repartition("p").write.partitionBy("p").parquet(path)
+    e = Engine(spark=spark)
+    e.register_table("lp", path, ["p"])
+    e.sql("ALTER TABLE lp DROP PARTITION (p='p0')")
+    assert e.sql("SELECT COUNT(*) AS n FROM lp").collect()[0].n == 0
+    assert e.tables["lp"].columns == ["k", "p"]
+    # still INSERTable; data comes back
+    e.sql("INSERT INTO lp VALUES (5, 'p1')")
+    got = e.sql("SELECT k, p FROM lp").collect()
+    assert [(r.k, r.p) for r in got] == [(5, "p1")]
