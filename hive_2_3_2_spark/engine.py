@@ -998,7 +998,7 @@ class Engine:
             parts = self.table_partitions.get(key)
             affected = delete_where(
                 self.spark, path, cond, parts,
-                schema=self.table_schemas.get(key),
+                schema=self._declared_schema(key),
             )
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
@@ -1025,7 +1025,7 @@ class Engine:
                 observe_count=not re.search(
                     r"\(\s*SELECT\b", cond_txt or "", re.IGNORECASE
                 ),
-                schema=self.table_schemas.get(key),
+                schema=self._declared_schema(key),
             )
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
@@ -1785,16 +1785,19 @@ class Engine:
         fields = {f.name: f for f in target.schema.fields}
         spec = re.sub(r"^\s*FOR\s+COLUMNS\s*", "", for_columns,
                       flags=re.IGNORECASE).strip().rstrip(";").strip()
-        cols = (
+        by_lower = {name.lower(): name for name in fields}
+        requested = (
             [c.strip().strip("`") for c in spec.split(",") if c.strip()]
             if spec
             else list(fields)
         )
-        unknown = [c for c in cols if c not in fields]
+        unknown = [c for c in requested if c.lower() not in by_lower]
         if unknown:
             raise HiveQLUnsupportedError(
                 f"ANALYZE FOR COLUMNS: unknown column(s) {unknown}"
             )
+        # HiveQL identifiers are case-insensitive
+        cols = [by_lower[c.lower()] for c in requested]
         aggs = []
         for c in cols:
             dt = fields[c].dataType
@@ -2310,7 +2313,9 @@ class Engine:
             else None
         )
         body = m.group(5).rstrip().rstrip(";")
-        if key in self.table_paths:
+        if key in self.table_paths or (
+            key not in self.views and self._is_catalog_table(key)
+        ):
             raise HiveQLUnsupportedError(
                 f"CREATE VIEW: {key!r} already exists as a table "
                 "(AlreadyExistsException)"
@@ -2360,27 +2365,40 @@ class Engine:
         self._refresh_dependent_views(key)
         return self._rows_affected(0)
 
-    def _refresh_dependent_views(self, changed: str, depth: int = 0) -> None:
+    def _refresh_dependent_views(
+        self, changed: str, _done: set[str] | None = None
+    ) -> None:
         """Hive views are stored TEXT expanded at query time (late
         binding) — a stacked view sees its parent's redefinition. Spark
         temp views bind their plan at creation, so after ALTER VIEW /
-        CREATE OR REPLACE VIEW every dependent view is re-created from
-        its stored text (transitively, bounded)."""
-        if depth > 10:
-            return
+        CREATE OR REPLACE VIEW / a base-table re-registration every
+        dependent view is re-created from its stored text (each view at
+        most once per refresh). A view whose text no longer resolves
+        (base column dropped, table gone) is DROPPED from the session
+        catalog instead of aborting the triggering statement — Hive's
+        late binding surfaces the breakage when the view is QUERIED, and
+        a stale pre-change plan would silently return wrong data."""
+        done = _done if _done is not None else set()
+        done.add(changed.lower())
         for vname, body in list(self.views.items()):
-            if vname == changed or not re.search(
+            if vname in done or not re.search(
                 rf"\b{re.escape(changed)}\b", body, re.IGNORECASE
             ):
                 continue
-            df = self.spark.sql(
-                rewrite_hiveql(self._expand_macros(body), spark=self.spark)
-            )
-            aliases = self.view_aliases.get(vname)
-            if aliases:
-                df = df.toDF(*aliases)
-            df.createOrReplaceTempView(vname)
-            self._refresh_dependent_views(vname, depth + 1)
+            try:
+                df = self.spark.sql(
+                    rewrite_hiveql(self._expand_macros(body), spark=self.spark)
+                )
+                aliases = self.view_aliases.get(vname)
+                if aliases:
+                    df = df.toDF(*aliases)
+                df.createOrReplaceTempView(vname)
+            except Exception:
+                try:
+                    self.spark.catalog.dropTempView(vname)
+                except Exception:
+                    pass
+            self._refresh_dependent_views(vname, done)
 
     def _run_drop_view(
         self, if_exists: bool, name: str
@@ -2954,14 +2972,16 @@ class Engine:
         body = m.group(5).rstrip().rstrip(";")
         target = self.spark.table(name)
         fields = {f.name: f.dataType for f in target.schema.fields}
+        by_lower = {n.lower(): n for n in fields}
         src = self.spark.sql(rewrite_hiveql(body, spark=self.spark))
         src = src.toDF(*[f"__src_c{i}" for i in range(len(src.columns))])
         if col_list:
-            unknown = [c for c in col_list if c not in fields]
+            unknown = [c for c in col_list if c.lower() not in by_lower]
             if unknown:
                 raise HiveQLUnsupportedError(
                     f"INSERT column list names unknown column(s) {unknown}"
                 )
+            col_list = [by_lower[c.lower()] for c in col_list]
             if len(src.columns) != len(col_list):
                 raise HiveQLUnsupportedError(
                     f"INSERT column list has {len(col_list)} columns but "
@@ -3129,7 +3149,7 @@ class Engine:
             insert_values,
             insert_condition,
             parts,
-            schema=self.table_schemas.get(key),
+            schema=self._declared_schema(key),
         )
         self.register_table(key, path, parts)
         return self._rows_affected(affected)

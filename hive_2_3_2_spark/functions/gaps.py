@@ -10,17 +10,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _window_starts(tokens: Column, n: int) -> Column:
-    """0-based start indices of every length-n window over ``tokens``,
-    empty when the array has fewer than n elements. Spark's
-    sequence(0, -1) returns [0, -1] (a descending sequence), not [] —
-    the stray -1 index made slice() throw on short/empty documents, so
-    guard explicitly instead of relying on greatest(size-n, -1)."""
-    return F.when(
-        F.size(tokens) >= n, F.sequence(F.lit(0), F.size(tokens) - n)
-    ).otherwise(F.array().cast("array<int>"))
-
-
 def ngram_windows(
     tokens: Column, n: int, partial_tail: bool = False
 ) -> Column:

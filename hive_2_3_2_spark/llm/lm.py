@@ -414,6 +414,11 @@ def train_nb_model(
         F.sum("c_neg").alias("t_neg"),
         F.count(F.lit(1)).alias("v"),
     ).collect()[0]
+    if not totals.v:
+        raise ValueError(
+            "train_nb_model: the training slice yields an empty "
+            "vocabulary (no alphabetic words after normalization)"
+        )
     weights = vocab.select(
         "word",
         (
@@ -431,6 +436,12 @@ def train_nb_model(
         F.sum(F.col(label_col).cast("long")).alias("n_pos"),
         F.sum((~F.col(label_col)).cast("long")).alias("n_neg"),
     ).collect()[0]
+    if not priors.n_pos or not priors.n_neg:
+        raise ValueError(
+            "train_nb_model: binary NB needs BOTH classes in the "
+            f"training slice (got {priors.n_pos or 0} positive / "
+            f"{priors.n_neg or 0} negative)"
+        )
     import math
 
     bias = math.log(priors.n_pos / priors.n_neg)

@@ -270,7 +270,6 @@ def weighted_sample(
 def group_hash_split(
     df: DataFrame,
     group_key: Column,
-    id_col: str = "doc_id",
     train_frac: float = 0.8,
     split_col: str = "split",
 ) -> DataFrame:

@@ -371,11 +371,19 @@ def _read_target(spark, target_path: str, schema=None) -> DataFrame:
     """Read a DML target, with the caller's declared schema when the
     table has been ALTERed (parquet binds by name; a bare read after
     schema evolution would adopt ONE file's schema and could silently
-    drop a column newer files carry)."""
+    drop a column newer files carry). A target whose last partition was
+    dropped/exchanged away is an EMPTY directory tree — with a declared
+    schema, serve it as an empty relation (metastore parity; DML over
+    an empty table is legal and a no-op rewrite)."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(target_path)
+    try:
+        return reader.parquet(target_path)
+    except Exception as exc:
+        if schema is None or "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        return spark.createDataFrame([], schema)
 
 
 def delete_where(

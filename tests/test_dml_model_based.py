@@ -124,9 +124,15 @@ def test_random_dml_on_partitioned_table(spark, tmp_path, seed):
     steps = 0
     while steps < 10:
         stmt = _mk_statement(rng, next_key)
-        if "grp =" in stmt and "SET" in stmt:
-            continue  # partition columns may not be UPDATEd (Hive rule)
-        if "upper(grp)" in stmt:
+        # partition columns may not be UPDATEd (Hive rule) — skip only
+        # when grp is ASSIGNED in the SET list, not when the WHERE
+        # clause merely filters on it (partition-filtered UPDATEs are
+        # exactly the pruning path this walk must exercise)
+        set_part = stmt.split(" WHERE ")[0]
+        if stmt.startswith("UPDATE") and (
+            "grp =" in set_part.split("SET", 1)[-1]
+            or "upper(grp)" in set_part
+        ):
             continue
         steps += 1
         eng.sql(stmt)

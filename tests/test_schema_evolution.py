@@ -334,3 +334,73 @@ def test_drop_last_partition_keeps_table_queryable(spark, tmp_path):
     e.sql("INSERT INTO lp VALUES (5, 'p1')")
     got = e.sql("SELECT k, p FROM lp").collect()
     assert [(r.k, r.p) for r in got] == [(5, "p1")]
+
+
+def test_dml_on_emptied_table_and_broken_view_refresh(spark, tmp_path):
+    """Review findings: DELETE/UPDATE on a table whose last partition
+    was dropped must operate on the empty relation (not crash schema
+    inference); a dependent view whose text stops resolving after
+    REPLACE COLUMNS is dropped (late-binding failure surfaces at view
+    query time) while the ALTER itself succeeds."""
+    path = str(tmp_path / "empt")
+    spark.createDataFrame(
+        [(1, "p0")], "k bigint, p string"
+    ).repartition("p").write.partitionBy("p").parquet(path)
+    e = Engine(spark=spark)
+    e.register_table("empt", path, ["p"])
+    e.sql("ALTER TABLE empt DROP PARTITION (p='p0')")
+    assert e.sql("DELETE FROM empt WHERE k = 1").collect()[0].rows_affected == 0
+    e.sql("UPDATE empt SET k = 2 WHERE k = 1")
+    assert e.sql("SELECT COUNT(*) AS n FROM empt").collect()[0].n == 0
+
+    path2 = str(tmp_path / "vw_base")
+    spark.range(3).selectExpr("id AS a", "id*2 AS b").write.parquet(path2)
+    e.register_table("vwb", path2)
+    e.sql("CREATE VIEW vw_over AS SELECT a, b FROM vwb")
+    # drop column b from the declared schema; the view text breaks
+    e.sql("ALTER TABLE vwb REPLACE COLUMNS (a BIGINT)")  # must not raise
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        e.sql("SELECT * FROM vw_over").collect()
+    assert "vw_over" in e.views  # definition retained (SHOW CREATE works)
+
+
+def test_create_view_cannot_shadow_catalog_table(spark, tmp_path):
+    e = Engine(spark=spark)
+    e.spark.sql("DROP TABLE IF EXISTS shadow_t")
+    e.sql(
+        "CREATE TABLE shadow_t (k INT) STORED AS PARQUET "
+        f"LOCATION '{tmp_path}/shadow_t'"
+    )
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        e.sql("CREATE VIEW shadow_t AS SELECT 1 AS x")
+    e.spark.sql("DROP TABLE shadow_t")
+
+
+def test_analyze_for_columns_case_insensitive(spark, tmp_path):
+    path = str(tmp_path / "ci_tbl")
+    spark.range(4).selectExpr("id AS K_Mixed").write.parquet(path)
+    e = Engine(spark=spark)
+    e.register_table("ci", path)
+    out = e.sql(
+        "ANALYZE TABLE ci COMPUTE STATISTICS FOR COLUMNS k_mixed"
+    ).collect()
+    assert out[0].col_name == "K_Mixed" and out[0].distinct_count == 4
+
+
+def test_nb_degenerate_inputs_typed_errors(spark):
+    from hive_2_3_2_spark.llm import lm as L
+
+    one_class = spark.createDataFrame(
+        [(1, "hello world", True), (2, "more words", True)],
+        "doc_id long, text string, label boolean",
+    )
+    with pytest.raises(ValueError, match="BOTH classes"):
+        L.train_nb_model(one_class)
+    empty_vocab = spark.createDataFrame(
+        [(1, "123 456", True), (2, "789", False)],
+        "doc_id long, text string, label boolean",
+    )
+    with pytest.raises(ValueError, match="empty\\s+vocabulary"):
+        L.train_nb_model(empty_vocab)
