@@ -103,7 +103,7 @@ def _gen_query(rng: random.Random) -> str:
     return q
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606])
 def test_fuzz_selects_match_duckdb(spark, sf_dir, oracle, seed):
     rng = random.Random(seed)
     eng = Engine(spark=spark, sf_dir=sf_dir)
