@@ -492,3 +492,56 @@ def test_q_udf_string_battery(qenv):
         FROM src WHERE CAST(key AS DOUBLE) IN (1, 17, 42)
         """,
     )
+
+
+def test_q_null_join_keys_and_count_semantics(qenv):
+    """join_nulls.q + count.q: NULL equi-join keys never match (inner
+    and outer), COUNT(col) skips NULLs while COUNT(*) doesn't, and
+    COUNT(DISTINCT col) ignores NULLs."""
+    eng, con, root = qenv
+    spark = eng.spark
+    path = f"{root}/nullkeys"
+    spark.createDataFrame(
+        [("1", 10), (None, 20), ("2", 30), (None, 40), ("2", 50)],
+        "k string, v int",
+    ).write.mode("overwrite").parquet(path)
+    eng.register_table("nullkeys", path)
+    con.execute(
+        "CREATE OR REPLACE VIEW nullkeys AS "
+        f"SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT a.v AS av, b.v AS bv FROM nullkeys a "
+            "JOIN nullkeys b ON a.k = b.k"
+        ),
+        con,
+        "SELECT a.v AS av, b.v AS bv FROM nullkeys a "
+        "JOIN nullkeys b ON a.k = b.k",
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT a.v AS av, b.v AS bv FROM nullkeys a "
+            "LEFT JOIN nullkeys b ON a.k = b.k"
+        ),
+        con,
+        "SELECT a.v AS av, b.v AS bv FROM nullkeys a "
+        "LEFT JOIN nullkeys b ON a.k = b.k",
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT count(*) AS c_star, count(k) AS c_k, "
+            "count(DISTINCT k) AS c_dk FROM nullkeys"
+        ),
+        con,
+        "SELECT CAST(count(*) AS BIGINT) AS c_star, "
+        "CAST(count(k) AS BIGINT) AS c_k, "
+        "CAST(count(DISTINCT k) AS BIGINT) AS c_dk FROM nullkeys",
+    )
+    # null-safe <=> DOES match NULLs (Hive's null-safe equality)
+    got = eng.sql(
+        "SELECT count(*) AS n FROM nullkeys a "
+        "JOIN nullkeys b ON a.k <=> b.k"
+    ).collect()[0].n
+    # pairs: k='1'(1x1) + k='2'(2x2) + NULL(2x2) = 1 + 4 + 4
+    assert got == 9
