@@ -494,7 +494,7 @@ _SET_LOCATION_STMT = re.compile(
 # exec/DDLTask.java createView/dropTable view guards).
 _CREATE_VIEW_STMT = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([\w.]+)\s*(\([^)]*\))?\s*(?:COMMENT\s+'[^']*'\s*)?"
+    r"`?([\w.]+)`?\s*(\([^)]*\))?\s*(?:COMMENT\s+'[^']*'\s*)?"
     r"(?:TBLPROPERTIES\s*\([^)]*\)\s*)?AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1900,7 +1900,14 @@ class Engine:
         """ALTER TABLE old RENAME TO new — external-table semantics
         (the reference leaves external data in place on rename,
         DDLTask alterTable): the path is unchanged, the registration
-        moves to the new name and the old view is dropped."""
+        moves to the new name and the old view is dropped. ALL metastore
+        state travels with the table — declared-schema overlay,
+        TBLPROPERTIES, and column stats (Hive's alterTable carries the
+        full StorageDescriptor + parameters to the new name); leaving
+        them under the old key would both lose them for the renamed
+        table and poison any future table registered under that name.
+        Dependent views are refreshed last: a view over the old name no
+        longer resolves and is dropped (late-binding semantics)."""
         key = self._resolve_dml_table(old_name)
         new_key = new_name.split(".")[-1].lower()
         if new_key in self.table_paths:
@@ -1910,8 +1917,12 @@ class Engine:
         path = self.table_paths.pop(key)
         parts = self.table_partitions.pop(key, None)
         self.tables.pop(key, None)
+        for store in (self.table_schemas, self.table_props, self.column_stats):
+            if key in store:
+                store[new_key] = store.pop(key)
         self.spark.catalog.dropTempView(key)
         self.register_table(new_key, path, parts)
+        self._refresh_dependent_views(key)
         return self._rows_affected(0)
 
     def _run_exchange_partition(self, m: re.Match[str]) -> DataFrame:
@@ -2175,6 +2186,24 @@ class Engine:
                 )
         part = [f for f in schema.fields if f.name.lower() in parts]
         data = [StructField(n, t, True) for n, t in new_cols]
+        # Column stats survive REPLACE COLUMNS only for columns kept
+        # with an identical type; a dropped or retyped column's stats
+        # are invalidated (Hive clears metastore stats on this alter —
+        # an int→bigint widening must not keep the pre-alter min/max).
+        # Partition-column stats are untouched (Hive forbids touching
+        # partition columns here, enforced above).
+        stats = self.column_stats.get(key)
+        if stats is not None:
+            new_by_lower = {n.lower(): (n, t) for n, t in new_cols}
+            for cname in list(stats):
+                if cname.lower() in parts:
+                    continue
+                kept = new_by_lower.get(cname.lower())
+                old = old_types.get(cname.lower())
+                if kept is None or old is None or kept[1] != old:
+                    stats.pop(cname)
+                elif kept[0] != cname:
+                    stats[kept[0]] = stats.pop(cname)
         return self._set_declared_schema(key, StructType(data + part))
 
     def _run_change_column(self, m: re.Match[str]) -> DataFrame:
@@ -2211,6 +2240,7 @@ class Engine:
             )
         fields = []
         moved = None
+        old_field = None
         for f in schema.fields:
             if f.name.lower() == old_name.lower():
                 if new_name.lower() == old_name.lower():
@@ -2221,6 +2251,7 @@ class Engine:
                             f"{new_type.simpleString()} is not a "
                             "parquet-compatible conversion"
                         )
+                old_field = f
                 moved = StructField(new_name, new_type, True)
                 fields.append(moved)
             else:
@@ -2247,6 +2278,15 @@ class Engine:
                     )
                 data.insert(idx + 1, moved)
             fields = data + part
+        # Hive invalidates metastore column stats on CHANGE COLUMN: a
+        # retype must not keep serving the pre-alter min/max/NDV via
+        # DESCRIBE t col; a pure rename re-keys the stats so they follow
+        # the column instead of being orphaned under the dead name.
+        stats = self.column_stats.get(key)
+        if stats is not None and old_field is not None:
+            entry = stats.pop(old_field.name, None)
+            if entry is not None and new_type == old_field.dataType:
+                stats[new_name] = entry
         return self._set_declared_schema(key, StructType(fields))
 
     def _run_tblproperties(self, m: re.Match[str]) -> DataFrame:
@@ -2415,6 +2455,11 @@ class Engine:
             return None
         self.spark.catalog.dropTempView(key)
         del self.views[key]
+        self.view_aliases.pop(key, None)
+        # Views stacked on the dropped view must not keep serving their
+        # stale pre-drop plan — resolve-or-drop each dependent (Hive's
+        # late binding would error at query time, never return old data).
+        self._refresh_dependent_views(key)
         return self._rows_affected(0)
 
     def _run_drop_table(
@@ -2438,6 +2483,10 @@ class Engine:
         self.column_stats.pop(key, None)
         self.tables.pop(key, None)
         self.spark.catalog.dropTempView(key)
+        # A view over the dropped table must not keep its bound plan and
+        # silently return the dropped table's data — resolve-or-drop it
+        # (Hive late binding errors when the view is queried).
+        self._refresh_dependent_views(key)
         return self._rows_affected(0)
 
     def _schema_split(self, key: str):
@@ -2457,8 +2506,18 @@ class Engine:
         stored definition (showCreateTable's CREATE VIEW branch)."""
         vkey = table.split(".")[-1].lower()
         if vkey in self.views:
+            # A view created with an explicit column list must replay
+            # with the same list, or the emitted DDL yields different
+            # column names than the original (Hive stores viewExpandedText
+            # with the alias list intact).
+            aliases = self.view_aliases.get(vkey)
+            alias_sql = (
+                "(" + ", ".join(f"`{a}`" for a in aliases) + ") "
+                if aliases
+                else ""
+            )
             return self.spark.createDataFrame(
-                [(f"CREATE VIEW `{vkey}` AS {self.views[vkey]}",)],
+                [(f"CREATE VIEW `{vkey}` {alias_sql}AS {self.views[vkey]}",)],
                 "createtab_stmt string",
             )
         key = self._resolve_dml_table(table)

@@ -182,7 +182,8 @@ def test_view_lifecycle(eng):
         30,
     ]
     ddl = e.sql("SHOW CREATE TABLE ev_v1").collect()[0].createtab_stmt
-    assert ddl.startswith("CREATE VIEW `ev_v1` AS")
+    # the explicit column list must replay (r5 ADVICE fix)
+    assert ddl.startswith("CREATE VIEW `ev_v1` (`kk`, `vv`) AS")
     e.sql("ALTER VIEW ev_v1 AS SELECT k AS kk FROM evo")
     assert e.sql("SELECT * FROM ev_v1").columns == ["kk"]
     e.sql("DROP VIEW ev_v2")
@@ -404,3 +405,92 @@ def test_nb_degenerate_inputs_typed_errors(spark):
     )
     with pytest.raises(ValueError, match="empty\\s+vocabulary"):
         L.train_nb_model(empty_vocab)
+
+
+# --- r5: metastore-state lifecycle across RENAME / DROP / retype ------
+# (reference: exec/DDLTask.java alterTable carries the full table object
+# — parameters, cols, stats — to the new name; dropTable removes them;
+# ColumnStatsTask stats are invalidated by rename/retype alters.)
+
+
+def test_rename_migrates_overlay_props_and_stats(spark, eng, tmp_path):
+    e, path = eng
+    e.sql("ALTER TABLE evo ADD COLUMNS (tag STRING)")
+    e.sql("ALTER TABLE evo SET TBLPROPERTIES ('owner' = 'etl')")
+    e.sql("ANALYZE TABLE evo COMPUTE STATISTICS FOR COLUMNS v")
+    e.sql("ALTER TABLE evo RENAME TO evo2")
+    # the declared (evolved) column survives the rename
+    assert "tag" in e.tables["evo2"].columns
+    assert e.sql("SELECT tag FROM evo2").collect()[0].tag is None
+    # TBLPROPERTIES and column stats travel with the table
+    assert e.table_props["evo2"]["owner"] == "etl"
+    assert "v" in e.column_stats["evo2"]
+    # nothing orphaned under the old key
+    assert "evo" not in e.table_schemas
+    assert "evo" not in e.table_props
+    assert "evo" not in e.column_stats
+    # a future table registered under the old name must NOT inherit
+    # the renamed table's overlay
+    p2 = str(tmp_path / "fresh_evo")
+    spark.range(3).selectExpr("id AS a", "id + 1 AS b").write.parquet(p2)
+    e.register_table("evo", p2)
+    assert sorted(e.tables["evo"].columns) == ["a", "b"]
+
+
+def test_drop_table_drops_stale_dependent_view(spark, eng):
+    e, path = eng
+    e.sql("CREATE VIEW v_over_evo AS SELECT k, v FROM evo")
+    assert len(e.sql("SELECT * FROM v_over_evo").collect()) == 4
+    e.sql("DROP TABLE evo")
+    # the view must not keep serving the dropped table's data
+    with pytest.raises(Exception):
+        spark.sql("SELECT * FROM v_over_evo").collect()
+    # late binding: the stored view TEXT survives, so re-registering the
+    # base table resolves the view again
+    e.register_table("evo", path)
+    assert len(e.sql("SELECT * FROM v_over_evo").collect()) == 4
+
+
+def test_drop_view_drops_stale_stacked_view(spark, eng):
+    e, _ = eng
+    e.sql("CREATE VIEW v_base_evo AS SELECT k, v FROM evo")
+    e.sql("CREATE VIEW v_stack_evo AS SELECT SUM(v) AS s FROM v_base_evo")
+    assert e.sql("SELECT s FROM v_stack_evo").collect()[0].s == 12
+    e.sql("DROP VIEW v_base_evo")
+    with pytest.raises(Exception):
+        spark.sql("SELECT * FROM v_stack_evo").collect()
+
+
+def test_show_create_view_roundtrips_column_list(spark, eng):
+    e, _ = eng
+    e.sql("CREATE VIEW v_aliased (a, b) AS SELECT k, v FROM evo")
+    ddl = e.sql("SHOW CREATE TABLE v_aliased").collect()[0].createtab_stmt
+    assert "(`a`, `b`)" in ddl
+    e.sql("DROP VIEW v_aliased")
+    e.sql(ddl)  # replaying the emitted DDL recreates the same columns
+    got = e.sql("SELECT a, b FROM v_aliased ORDER BY a").collect()
+    assert [r.a for r in got] == [0, 1, 2, 3]
+
+
+def test_change_column_stats_follow_rename_then_retype(eng):
+    e, _ = eng
+    e.sql("ANALYZE TABLE evo COMPUTE STATISTICS FOR COLUMNS v")
+    assert e.column_stats["evo"]["v"]["max"] == 6
+    # pure rename (same type): stats follow the column
+    e.sql("ALTER TABLE evo CHANGE v v2 INT")
+    assert "v" not in e.column_stats["evo"]
+    assert e.column_stats["evo"]["v2"]["max"] == 6
+    # retype (int -> bigint widening): stats invalidated, not served stale
+    e.sql("ALTER TABLE evo CHANGE v2 v2 BIGINT")
+    assert "v2" not in e.column_stats["evo"]
+    out = {r[0]: r[1] for r in e.sql("DESCRIBE evo v2").collect()}
+    assert out["max"] == ""
+
+
+def test_replace_columns_invalidates_retyped_stats(eng):
+    e, _ = eng
+    e.sql("ANALYZE TABLE evo COMPUTE STATISTICS FOR COLUMNS k, v")
+    e.sql("ALTER TABLE evo REPLACE COLUMNS (k BIGINT, v BIGINT)")
+    stats = e.column_stats["evo"]
+    # k kept with identical type -> stats survive; v widened -> dropped
+    assert "k" in stats and "v" not in stats
