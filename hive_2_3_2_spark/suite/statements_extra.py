@@ -277,3 +277,100 @@ def ddl_sql_analyze_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "ddl_sql_rename_metadata_migration",
+    oracle="""
+    SELECT COALESCE(chan, 'legacy') AS chan,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM (
+      SELECT o_totalprice, CAST(NULL AS VARCHAR) AS chan FROM orders
+      UNION ALL
+      SELECT o_totalprice, 'web' AS chan FROM orders
+      WHERE o_orderkey % 20 = 0
+    )
+    GROUP BY COALESCE(chan, 'legacy')
+    ORDER BY chan
+    """,
+)
+def ddl_sql_rename_metadata_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE RENAME carries the full metastore state (reference:
+    exec/DDLTask.java alterTable — the renamed table keeps its cols,
+    parameters, and stats): evolve the schema, backfill through INSERT,
+    RENAME, then aggregate over the evolved column via the NEW name.
+    Pre-r5 the declared-schema overlay stayed under the old key, so the
+    evolved column vanished after the rename — the oracle's UNION of
+    legacy-NULL and backfilled rows only matches when the overlay
+    survived the move."""
+    path = _fresh_copy(spark, sf_dir, "orders", "sql_rename_migrate")
+    eng = Engine(spark=spark)
+    eng.register_table("orders_ren", path)
+    eng.sql("ALTER TABLE orders_ren ADD COLUMNS (chan STRING)")
+    eng.sql(
+        "INSERT INTO orders_ren "
+        "SELECT o_orderkey + 90000000, o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority, 'web' "
+        "FROM orders_ren "
+        "WHERE o_orderkey % 20 = 0 AND o_orderkey < 90000000"
+    ).collect()
+    eng.sql("ALTER TABLE orders_ren RENAME TO orders_ren2")
+    return eng.sql(
+        """
+        SELECT COALESCE(chan, 'legacy') AS chan,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders_ren2
+        GROUP BY COALESCE(chan, 'legacy')
+        ORDER BY chan
+        """
+    )
+
+
+@query(
+    "ddl_sql_drop_recreate_latebind_view",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def ddl_sql_drop_recreate_latebind_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive views bind LATE (stored text, expanded at query time —
+    parse/SemanticAnalyzer.java createView): a view over a table that is
+    DROPPED and re-created must read the NEW table, never its stale
+    pre-drop plan. The base table is dropped and re-registered with a
+    filtered copy (c_acctbal > 0); the view's aggregate only matches the
+    oracle if it re-bound to the recreated data."""
+    import os
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.suite._scratch import scratch_root
+
+    path1 = _fresh_copy(spark, sf_dir, "customer", "sql_latebind_v1")
+    eng = Engine(spark=spark)
+    eng.register_table("cust_lb", path1)
+    eng.sql(
+        "CREATE OR REPLACE VIEW v_cust_lb AS "
+        "SELECT c_mktsegment, COUNT(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal "
+        "FROM cust_lb GROUP BY c_mktsegment"
+    )
+    eng.sql("DROP TABLE cust_lb")
+    path2 = os.path.join(
+        scratch_root("dml"),
+        f"sql_latebind_v2_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    load_table(spark, sf_dir, "customer").filter("c_acctbal > 0").write.mode(
+        "overwrite"
+    ).parquet(path2)
+    eng.register_table("cust_lb", path2)
+    return eng.sql("SELECT * FROM v_cust_lb ORDER BY c_mktsegment")
