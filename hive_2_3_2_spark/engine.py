@@ -3249,9 +3249,29 @@ class Engine:
         for stmt in _split_statements(script):
             df = self.sql(stmt)
             if eager:
-                df = self.spark.createDataFrame(df.collect(), df.schema)
+                df = self._materialize(df)
             out.append(df)
         return out
+
+    def _materialize(self, df: DataFrame) -> DataFrame:
+        """Buffer a statement's result driver-side (CLI/HS2 parity),
+        guarded by ``hive.materialize.max.rows`` (default 1,000,000;
+        settable via SET / hiveconf). The guard never fetches more than
+        cap+1 rows, so a runaway SELECT fails with a typed error instead
+        of materializing an executor-scale result on the driver — the
+        escape hatch for genuinely large results is ``eager=False``
+        (keep the distributed frame and write it out, don't fetch it)."""
+        cap = int(self.hiveconf.get("hive.materialize.max.rows", "1000000"))
+        rows = df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise HiveQLUnsupportedError(
+                f"result exceeds hive.materialize.max.rows={cap}: "
+                "run_script/sql_async buffer each statement's rows on the "
+                "driver (CLI/HS2 semantics); raise the cap via SET "
+                "hive.materialize.max.rows, or pass eager=False and keep "
+                "the result distributed"
+            )
+        return self.spark.createDataFrame(rows, df.schema)
 
     def sql_async(self, query: str):
         """Submit a statement on a background thread and return a
@@ -3276,8 +3296,7 @@ class Engine:
             )
 
         def run() -> DataFrame:
-            df = self.sql(query)
-            return self.spark.createDataFrame(df.collect(), df.schema)
+            return self._materialize(self.sql(query))
 
         return self._pool.submit(run)
 

@@ -300,6 +300,16 @@ def _probe_cell_union(
     return sorted(cells)
 
 
+#: Contract bound for the IVF query path: the query batch is collected
+#: driver-side (to compile the probed-cell union into a STATIC partition
+#: filter) and broadcast (to join candidates) — both assume query-batch
+#: ≪ corpus. Beyond this bound the right plan is a shuffle join of the
+#: cell-assigned corpus against a cell-assigned query TABLE, not this
+#: broadcast path; the typed error makes the contract explicit instead
+#: of letting a million-query batch OOM the driver.
+MAX_QUERY_BATCH = 100_000
+
+
 def _score_probed_cells(
     c: DataFrame, queries: DataFrame, centroids: list[list[float]],
     k: int, nprobe: int, id_col: str, vec_col: str,
@@ -315,8 +325,17 @@ def _score_probed_cells(
     q_probed = q.withColumn(
         "cell", F.explode(_cell_ranks_udf(centroids, nprobe)(F.col("qv")))
     )
+    qv_rows = q.select("qv").limit(MAX_QUERY_BATCH + 1).collect()
+    if len(qv_rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"IVF query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}: "
+            "this path collects the query vectors driver-side to compile "
+            "static partition filters and broadcasts them to score — "
+            "split the batch, or join the cell-assigned corpus against a "
+            "cell-assigned query table for batches at corpus scale"
+        )
     probed_union = _probe_cell_union(
-        [r.qv for r in q.select("qv").collect()], centroids, nprobe
+        [r.qv for r in qv_rows], centroids, nprobe
     )
     scored = (
         c.filter(F.col("cell").isin(probed_union))

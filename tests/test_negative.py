@@ -467,3 +467,64 @@ def test_load_data_wrong_file_format(neg_eng, tmp_path):
     bad.write_text("1\tvalue1\n2\tvalue2\n")
     with pytest.raises(HiveQLUnsupportedError, match="wrong file format"):
         neg_eng.sql(f"LOAD DATA INPATH '{bad}' INTO TABLE cust_neg")
+
+
+# --- r5: driver-materialization scale guards --------------------------
+
+
+def test_run_script_result_cap_typed_error(eng):
+    from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
+    with pytest.raises(
+        HiveQLUnsupportedError, match="hive.materialize.max.rows"
+    ):
+        eng.run_script(
+            "SELECT * FROM lineitem",
+            variables={"hive.materialize.max.rows": "10"},
+        )
+    # below the cap: unchanged behavior (materialized frames come back)
+    out = eng.run_script(
+        "SELECT l_orderkey FROM lineitem LIMIT 5",
+        variables={"hive.materialize.max.rows": "10"},
+    )
+    assert len(out[-1].collect()) == 5
+    # escape hatch: eager=False keeps the distributed frame, no cap
+    out = eng.run_script(
+        "SELECT * FROM lineitem",
+        eager=False,
+        variables={"hive.materialize.max.rows": "10"},
+    )
+    assert out[-1].count() > 10
+    eng.hiveconf.pop("hive.materialize.max.rows", None)
+
+
+def test_sql_async_result_cap_typed_error(eng):
+    from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
+    eng.hiveconf["hive.materialize.max.rows"] = "10"
+    try:
+        fut = eng.sql_async("SELECT * FROM orders")
+        with pytest.raises(
+            HiveQLUnsupportedError, match="hive.materialize.max.rows"
+        ):
+            fut.result(timeout=120)
+    finally:
+        eng.hiveconf.pop("hive.materialize.max.rows", None)
+
+
+def test_ivf_query_batch_guard(spark, monkeypatch):
+    from hive_2_3_2_spark.llm import similarity as S
+
+    monkeypatch.setattr(S, "MAX_QUERY_BATCH", 3)
+    queries = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(0, 1, [1.0, 0.0])], "cell int, neighbor_id long, cv array<double>"
+    )
+    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+        S._score_probed_cells(
+            corpus, queries, [[0.0, 0.0], [1.0, 1.0]],
+            k=2, nprobe=1, id_col="vec_id", vec_col="embedding",
+        )
