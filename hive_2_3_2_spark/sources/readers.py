@@ -27,15 +27,30 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro (serde/.../avro/AvroSerDe.java:50). The avro package is an
-    optional Spark module; raise a clear error when absent."""
+    """Avro (serde/.../avro/AvroSerDe.java:50). Prefers the native
+    spark-avro datasource when it's on the classpath (JVM-side,
+    vectorized); otherwise falls back to the spec-derived pure-Python
+    container reader (sources/avro_py.py — binaryFile scan + per-file
+    mapInPandas decode), which covers the AvroSerDe-typical schema
+    subset without any optional jar."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as exc:  # pragma: no cover - env-dependent
-        raise RuntimeError(
-            "spark-avro module not on the classpath; add "
-            "org.apache.spark:spark-avro to spark.jars.packages"
-        ) from exc
+    except Exception:  # spark-avro jar absent — use the built-in reader
+        from hive_2_3_2_spark.sources.avro_py import read_avro_py
+
+        return read_avro_py(spark, path)
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """Avro sink (AvroSerializer parity): native datasource when
+    available, else the pure-Python container writer (one file per
+    partition, written from the executors)."""
+    try:
+        df.write.format("avro").mode("overwrite").save(path)
+    except Exception:
+        from hive_2_3_2_spark.sources.avro_py import write_avro_py
+
+        write_avro_py(df, path, codec=codec)
 
 
 def read_csv(
