@@ -11,6 +11,7 @@ from hive_2_3_2_spark.sources.readers import (
     read_regex_text,
     read_sequencefile,
     read_text,
+    write_avro,
 )
 from hive_2_3_2_spark.sources.writers import (
     delete_where,
@@ -35,6 +36,7 @@ __all__ = [
     "read_sequencefile",
     "read_text",
     "update_where",
+    "write_avro",
     "write_bucketed_table",
     "write_partitioned",
 ]
