@@ -2723,10 +2723,12 @@ class Engine:
                 )
             ).persist(StorageLevel.MEMORY_AND_DISK)
             shared_src.createOrReplaceTempView("__mi_shared_src")
-            alias = simple.group(3)
-            from_clause = (
-                f"__mi_shared_src {alias}" if alias else "__mi_shared_src"
-            )
+            # Re-alias the shared view as the source's own name (or the
+            # explicit alias) so branch selects can keep qualifying
+            # columns the way Hive's multi-insert goldens do
+            # (FROM src INSERT ... SELECT src.key ... GROUP BY src.key).
+            alias = simple.group(3) or simple.group(1).split(".")[-1]
+            from_clause = f"__mi_shared_src AS {alias}"
         try:
             self._multi_insert_branches(
                 segments, from_clause, seen_overwrite, results

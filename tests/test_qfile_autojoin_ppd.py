@@ -382,3 +382,118 @@ def test_q_ppd_udf_col_nondeterministic_not_pushed(qenv):
           AND CAST(key AS DOUBLE) * 10 <= 200
         """,
     )
+
+
+def test_q_groupby_multi_single_reducer(qenv):
+    """groupby_multi_single_reducer.q: one FROM src fanned out to THREE
+    aggregate sinks — per-branch WHERE + GROUP BY with multi-DISTINCT
+    aggregates and original-name column qualification (src.key), plus a
+    two-key grouped branch with ORDER BY ... LIMIT. The r5 alias fix:
+    the shared-scan temp view re-aliases as `src` so the goldens'
+    qualified references resolve."""
+    eng, con, root = qenv
+    spark = eng.spark
+    for t in ("dest_g2", "dest_g3", "dest_h2"):
+        spark.createDataFrame(
+            [], "key string, c1 long, c2 string, c3 double, c4 long"
+        ).write.mode("overwrite").parquet(f"{root}/{t}")
+        eng.register_table(t, f"{root}/{t}")
+    eng.sql(
+        """
+        FROM src
+        INSERT OVERWRITE TABLE dest_g2
+          SELECT substr(src.key,1,1),
+                 count(DISTINCT substr(src.value,5)),
+                 concat(substr(src.key,1,1), sum(substr(src.value,5))),
+                 sum(DISTINCT substr(src.value, 5)), count(src.value)
+          WHERE substr(src.key,1,1) >= 5 GROUP BY substr(src.key,1,1)
+        INSERT OVERWRITE TABLE dest_g3
+          SELECT substr(src.key,1,1),
+                 count(DISTINCT substr(src.value,5)),
+                 concat(substr(src.key,1,1), sum(substr(src.value,5))),
+                 sum(DISTINCT substr(src.value, 5)), count(src.value)
+          WHERE substr(src.key,1,1) < 5 GROUP BY substr(src.key,1,1)
+        INSERT OVERWRITE TABLE dest_h2
+          SELECT substr(src.key,1,1) AS c1,
+                 count(DISTINCT substr(src.value,5)) AS c2,
+                 concat(substr(src.key,1,1), sum(substr(src.value,5)))
+                   AS c3,
+                 sum(DISTINCT substr(src.value, 5)) AS c4,
+                 count(src.value) AS c6
+          GROUP BY substr(src.key,1,1), substr(src.key,2,1)
+          ORDER BY c1, c2, c3, c4, c6 LIMIT 10
+        """
+    )
+    branch_oracle = """
+        SELECT substr(key,1,1) AS key,
+               CAST(count(DISTINCT substr(value,5)) AS BIGINT) AS c1,
+               substr(key,1,1) ||
+                 CAST(SUM(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR)
+                 AS c2,
+               SUM(DISTINCT CAST(substr(value,5) AS DOUBLE)) AS c3,
+               CAST(count(value) AS BIGINT) AS c4
+        FROM src WHERE CAST(substr(key,1,1) AS DOUBLE) {cond} 5
+        GROUP BY substr(key,1,1)
+    """
+    assert_matches_oracle(
+        eng.sql("SELECT * FROM dest_g2"),
+        con,
+        branch_oracle.format(cond=">="),
+    )
+    assert_matches_oracle(
+        eng.sql("SELECT * FROM dest_g3"),
+        con,
+        branch_oracle.format(cond="<"),
+    )
+    assert_matches_oracle(
+        eng.sql("SELECT * FROM dest_h2"),
+        con,
+        """
+        SELECT key, c1, c2, c3, c4 FROM (
+          SELECT substr(key,1,1) AS key,
+                 CAST(count(DISTINCT substr(value,5)) AS BIGINT) AS c1,
+                 substr(key,1,1) ||
+                   CAST(SUM(CAST(substr(value,5) AS DOUBLE)) AS VARCHAR)
+                   AS c2,
+                 SUM(DISTINCT CAST(substr(value,5) AS DOUBLE)) AS c3,
+                 CAST(count(value) AS BIGINT) AS c4
+          FROM src GROUP BY substr(key,1,1), substr(key,2,1)
+          ORDER BY key, c1, c2, c3, c4 LIMIT 10
+        ) t
+        """,
+    )
+
+
+def test_q_union_remove_1_aggregate_branches(qenv):
+    """union_remove_1.q: INSERT OVERWRITE of a UNION ALL of two
+    identical group-bys (the union-remove optimization must not dedup
+    across branches), read back and diffed."""
+    eng, con, root = qenv
+    spark = eng.spark
+    spark.createDataFrame([], "key string, vals bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/out_ur1")
+    eng.register_table("out_ur1", f"{root}/out_ur1")
+    eng.sql(
+        """
+        INSERT OVERWRITE TABLE out_ur1
+        SELECT * FROM (
+          SELECT key, count(1) AS vals FROM src GROUP BY key
+          UNION ALL
+          SELECT key, count(1) AS vals FROM src GROUP BY key
+        ) a
+        """
+    )
+    assert_matches_oracle(
+        eng.sql("SELECT key, vals FROM out_ur1"),
+        con,
+        """
+        SELECT key, vals FROM (
+          SELECT key, CAST(count(1) AS BIGINT) AS vals
+          FROM src GROUP BY key
+          UNION ALL
+          SELECT key, CAST(count(1) AS BIGINT) AS vals
+          FROM src GROUP BY key
+        ) a
+        """,
+    )
