@@ -1,0 +1,190 @@
+"""clientpositive `.q` slice, round 5 batch 3: the cast / date /
+timestamp semantic families (cast_to_int.q, date_1.q,
+date_comparison.q, timestamp_comparison.q, timestamp_udf.q,
+date_udf.q).
+
+These goldens pin COERCION semantics more than plan shapes, and DuckDB
+disagrees with Hive on several (DuckDB ROUNDS '1.6'→2 where Hive
+truncates to 1), so the expected values here are literal transcriptions
+of the reference's own `.q.out` goldens
+(ql/src/test/results/clientpositive/cast_to_int.q.out, date_1.q.out) —
+the same golden-diff method as QTestUtil, inlined."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from hive_2_3_2_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark=spark)
+
+
+def test_q_cast_to_int_battery(eng):
+    """cast_to_int.q golden, verbatim: decimal strings TRUNCATE through
+    int casts ('1.4'→1, '1.6'→1 — DuckDB would round), scientific
+    notation and malformed numerics go NULL, boundary values hold."""
+    r = eng.sql(
+        """
+        select
+          cast('1' as float) c1, cast('1.4' as float) c2,
+          cast('1.6' as float) c3,
+          cast('1' as int) c4, cast('1.4' as int) c5,
+          cast('1.6' as int) c6,
+          cast('1' as tinyint) c7, cast('1.4' as tinyint) c8,
+          cast('1.6' as tinyint) c9,
+          cast('1' as smallint) c10, cast('1.4' as smallint) c11,
+          cast('1.6' as smallint) c12,
+          cast('1' as bigint) c13, cast('1.4' as bigint) c14,
+          cast('1.6' as bigint) c15,
+          cast(cast('1' as float) as int) c16,
+          cast(cast('1.4' as float) as int) c17,
+          cast(cast('1.6' as float) as int) c18,
+          cast('+1e5' as int) c19,
+          cast('2147483647' as int) c20,
+          cast('-2147483648' as int) c21,
+          cast('32767' as smallint) c22,
+          cast('-32768' as smallint) c23,
+          cast('-128' as tinyint) c24,
+          cast('127' as tinyint) c25,
+          cast('1.0a' as int) c26,
+          cast('-1.-1' as int) c27
+        """
+    ).collect()[0]
+    # golden row: 1.0 1.4 1.6 1 1 1 1 1 1 1 1 1 1 1 1 1 1 1
+    #             NULL 2147483647 -2147483648 32767 -32768 -128 127 NULL NULL
+    assert (r.c1, r.c2, r.c3) == (1.0, pytest.approx(1.4), pytest.approx(1.6))
+    assert (r.c4, r.c5, r.c6) == (1, 1, 1)
+    assert (r.c7, r.c8, r.c9) == (1, 1, 1)
+    assert (r.c10, r.c11, r.c12) == (1, 1, 1)
+    assert (r.c13, r.c14, r.c15) == (1, 1, 1)
+    assert (r.c16, r.c17, r.c18) == (1, 1, 1)
+    assert r.c19 is None
+    assert (r.c20, r.c21) == (2147483647, -2147483648)
+    assert (r.c22, r.c23) == (32767, -32768)
+    assert (r.c24, r.c25) == (-128, 127)
+    assert r.c26 is None and r.c27 is None
+
+
+def test_q_date_1_cast_matrix(eng, spark, tmp_path):
+    """date_1.q: three INSERT forms (cast-string, DATE literal,
+    cast-timestamp) land the same date; the string/timestamp/date cast
+    matrix round-trips; date→boolean/numeric are ALL NULL (golden's
+    final row)."""
+    path = str(tmp_path / "date_1")
+    spark.createDataFrame([], "d date").write.parquet(path)
+    eng.register_table("date_1", path)
+    for expr in (
+        "cast('2011-01-01' as date)",
+        "date '2011-01-01'",
+        "cast(cast('2011-01-01 00:00:00' as timestamp) as date)",
+    ):
+        eng.sql(f"INSERT OVERWRITE TABLE date_1 SELECT {expr}")
+        got = eng.sql("SELECT d, count(d) AS n FROM date_1 GROUP BY d").collect()
+        assert [(r.d, r.n) for r in got] == [(datetime.date(2011, 1, 1), 1)]
+    r = eng.sql(
+        """
+        select cast('2012-01-01' as string) s1, cast(d as string) s2,
+               cast(d as timestamp) t1,
+               cast(cast(d as timestamp) as date) d1, cast(d as date) d2
+        from date_1 limit 1
+        """
+    ).collect()[0]
+    assert r.s1 == "2012-01-01" and r.s2 == "2011-01-01"
+    assert r.t1 == datetime.datetime(2011, 1, 1, 0, 0)
+    assert r.d1 == r.d2 == datetime.date(2011, 1, 1)
+    r = eng.sql(
+        """
+        select cast(d as boolean) b, cast(d as tinyint) ti,
+               cast(d as smallint) si, cast(d as int) i,
+               cast(d as bigint) bi, cast(d as float) f,
+               cast(d as double) db
+        from date_1 limit 1
+        """
+    ).collect()[0]
+    assert all(v is None for v in (r.b, r.ti, r.si, r.i, r.bi, r.f, r.db))
+
+
+def test_q_date_and_timestamp_comparison(eng):
+    """date_comparison.q + timestamp_comparison.q: the six comparison
+    operators on equal and unequal values, plus sub-second-precision
+    equality ('...09.1000' = '...09.1')."""
+    r = eng.sql(
+        """
+        select
+          cast('2011-05-06' as date) >  cast('2011-05-06' as date) c1,
+          cast('2011-05-06' as date) <  cast('2011-05-06' as date) c2,
+          cast('2011-05-06' as date) =  cast('2011-05-06' as date) c3,
+          cast('2011-05-06' as date) <> cast('2011-05-06' as date) c4,
+          cast('2011-05-06' as date) >= cast('2011-05-06' as date) c5,
+          cast('2011-05-06' as date) <= cast('2011-05-06' as date) c6,
+          cast('2011-05-05' as date) >  cast('2011-05-06' as date) c7,
+          cast('2011-05-05' as date) <  cast('2011-05-06' as date) c8,
+          cast('2011-05-06 07:08:09' as timestamp)
+            >= cast('2011-05-06 07:08:09.1' as timestamp) c9,
+          cast('2011-05-06 07:08:09' as timestamp)
+            <  cast('2011-05-06 07:08:09.1' as timestamp) c10,
+          cast('2011-05-06 07:08:09.1000' as timestamp)
+            =  cast('2011-05-06 07:08:09.1' as timestamp) c11
+        """
+    ).collect()[0]
+    assert (r.c1, r.c2, r.c3, r.c4, r.c5, r.c6) == (
+        False, False, True, False, True, True,
+    )
+    assert (r.c7, r.c8) == (False, True)
+    assert (r.c9, r.c10, r.c11) == (False, True, True)
+
+
+def test_q_timestamp_udf_functions(eng):
+    """timestamp_udf.q / date_udf.q: the extraction + arithmetic
+    battery on a fractional-second timestamp, golden-style literal
+    expectations; from/to_utc_timestamp round-trip through a named
+    zone (deterministic regardless of session timezone)."""
+    r = eng.sql(
+        """
+        select year(t) y, month(t) mo, day(t) d, dayofmonth(t) dom,
+               weekofyear(t) woy, hour(t) h, minute(t) mi, second(t) s,
+               to_date(t) td,
+               date_add(t, 5) da, date_sub(t, 10) ds,
+               datediff(t, t) dd0,
+               datediff(t, '2002-03-21') dd1,
+               datediff('2002-03-21', t) dd2,
+               from_utc_timestamp(t, 'America/Chicago') f_utc,
+               to_utc_timestamp(t, 'America/Chicago') t_utc
+        from (select cast('2011-05-06 07:08:09.1234567' as timestamp) t)
+        """
+    ).collect()[0]
+    assert (r.y, r.mo, r.d, r.dom, r.woy) == (2011, 5, 6, 6, 18)
+    assert (r.h, r.mi, r.s) == (7, 8, 9)
+    assert r.td == datetime.date(2011, 5, 6)
+    assert r.da == datetime.date(2011, 5, 11)
+    assert r.ds == datetime.date(2011, 4, 26)
+    assert (r.dd0, r.dd1, r.dd2) == (0, 3333, -3333)
+    # 2011-05-06 is CDT (UTC-5)
+    assert r.f_utc == datetime.datetime(2011, 5, 6, 2, 8, 9, 123456)
+    assert r.t_utc == datetime.datetime(2011, 5, 6, 12, 8, 9, 123456)
+
+
+def test_q_date_udf_on_string_column(eng, spark, tmp_path):
+    """date_udf.q's *_string twin: the same functions applied to a
+    STRING column holding a date — Hive coerces implicitly."""
+    path = str(tmp_path / "date_udf_string")
+    spark.createDataFrame([("2011-05-06",)], "d string").write.parquet(path)
+    eng.register_table("date_udf_string", path)
+    r = eng.sql(
+        """
+        select year(d) y, month(d) mo, day(d) dm, weekofyear(d) woy,
+               to_date(d) td, date_add(d, 5) da, date_sub(d, 10) ds,
+               datediff(d, '2002-03-21') dd
+        from date_udf_string
+        """
+    ).collect()[0]
+    assert (r.y, r.mo, r.dm, r.woy) == (2011, 5, 6, 18)
+    assert r.td == datetime.date(2011, 5, 6)
+    assert r.da == datetime.date(2011, 5, 11)
+    assert r.ds == datetime.date(2011, 4, 26)
+    assert r.dd == 3333
