@@ -90,6 +90,12 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(r"\bGROUPING__ID\b", re.IGNORECASE),
         "grouping_id()",
     ),
+    # Hive's MySQL-style "LIMIT offset,count" (HiveParser limitClause;
+    # offset_limit.q goldens) — Spark only takes LIMIT n [OFFSET m].
+    (
+        re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE),
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
+    ),
 ]
 
 _UNSUPPORTED_VIRTUAL = re.compile(
