@@ -528,3 +528,33 @@ def test_ivf_query_batch_guard(spark, monkeypatch):
             corpus, queries, [[0.0, 0.0], [1.0, 1.0]],
             k=2, nprobe=1, id_col="vec_id", vec_col="embedding",
         )
+
+
+def test_rename_to_existing_table_typed_error(eng, spark, tmp_path):
+    from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
+    for t in ("ren_a", "ren_b"):
+        p = str(tmp_path / t)
+        spark.range(2).write.parquet(p)
+        eng.register_table(t, p)
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        eng.sql("ALTER TABLE ren_a RENAME TO ren_b")
+    eng.sql("DROP TABLE ren_a")
+    eng.sql("DROP TABLE ren_b")
+
+
+def test_avro_unsupported_spark_type_typed_error(spark):
+    from hive_2_3_2_spark.sources.avro_py import avro_schema_from_spark
+
+    df = spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS d")
+    with pytest.raises(ValueError, match="no Avro mapping"):
+        avro_schema_from_spark(df.schema)
+
+
+def test_avro_read_empty_dir_typed_error(tmp_path, spark):
+    from hive_2_3_2_spark.sources.avro_py import read_avro_py
+
+    empty = tmp_path / "no_avro_here"
+    empty.mkdir()
+    with pytest.raises(Exception, match="no .avro files|PATH_NOT_FOUND"):
+        read_avro_py(spark, str(empty))

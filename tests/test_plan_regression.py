@@ -288,3 +288,20 @@ def test_nb_scoring_weights_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_nb_lang_classifier")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_avro_read_decodes_executor_side(spark, tmp_path):
+    """The pure-Python Avro reader must be a DISTRIBUTED decode: a
+    binaryFile scan feeding MapInPandas (executor-side, Arrow-batched)
+    — never a driver-side loop over collected file contents. Only the
+    first file's header bytes reach the driver (schema inference)."""
+    from hive_2_3_2_spark.plans import explain_str
+    from hive_2_3_2_spark.sources.avro_py import read_avro_py, write_avro_py
+
+    dst = str(tmp_path / "avro_plan")
+    write_avro_py(spark.range(100).selectExpr("id", "id * 2 AS v"), dst)
+    df = read_avro_py(spark, dst)
+    plan = explain_str(df)
+    assert "MapInPandas" in plan, plan
+    assert "binaryFile" in plan or "BinaryFile" in plan, plan
+    assert df.count() == 100
