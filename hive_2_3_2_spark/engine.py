@@ -3320,6 +3320,100 @@ class Engine:
         return explain_str(self.sql(query))
 
 
+_WITH_HEAD = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
+_CTE_ITEM_HEAD = re.compile(r"\s*(`?\w+`?)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _reorder_forward_ctes(query: str) -> str:
+    """Hive 2.3 allows a CTE to reference one defined LATER in the same
+    WITH list (parse/SemanticAnalyzer.java gatherCTEReferences resolves
+    the whole map before rewriting; cte_1.q's q1-before-q2 golden).
+    Spark resolves WITH items strictly left-to-right, so topologically
+    reorder the definitions — any topo order is semantics-preserving
+    because Hive forbids recursive CTEs too. On any shape this parser
+    doesn't recognize (or a cycle), return the query untouched and let
+    Spark produce its own error."""
+    m = _WITH_HEAD.match(query)
+    if not m:
+        return query
+    i = m.end()
+    n = len(query)
+    ctes: list[tuple[str, str]] = []
+    while True:
+        m2 = _CTE_ITEM_HEAD.match(query, i)
+        if not m2:
+            return query
+        name = m2.group(1).strip("`")
+        j = m2.end() - 1  # at the opening '('
+        depth = 0
+        while j < n:
+            c = query[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c in "'\"":
+                quote = c
+                j += 1
+                while j < n and query[j] != quote:
+                    j += 1
+            j += 1
+        if j >= n:
+            return query
+        ctes.append((name, query[i:j + 1].strip()))
+        k = j + 1
+        while k < n and query[k].isspace():
+            k += 1
+        if k < n and query[k] == ",":
+            i = k + 1
+        else:
+            break
+    if len(ctes) < 2:
+        return query
+    names = [nm.lower() for nm, _ in ctes]
+    pos = {nm: idx for idx, nm in enumerate(names)}
+    deps: dict[int, set[int]] = {}
+    forward = False
+    for idx, (_nm, text) in enumerate(ctes):
+        body = text[text.index("("):]
+        refs = {
+            pos[w.lower()]
+            for w in re.findall(r"\b\w+\b", body)
+            if w.lower() in pos and pos[w.lower()] != idx
+        }
+        deps[idx] = refs
+        if any(r > idx for r in refs):
+            forward = True
+    if not forward:
+        return query
+    ordered: list[int] = []
+    done: set[int] = set()
+
+    def visit(idx: int, stack: frozenset[int]) -> bool:
+        if idx in done:
+            return True
+        if idx in stack:
+            return False  # cycle (possibly a false-positive ref) — bail
+        for d in sorted(deps[idx]):
+            if not visit(d, stack | {idx}):
+                return False
+        done.add(idx)
+        ordered.append(idx)
+        return True
+
+    for idx in range(len(ctes)):
+        if not visit(idx, frozenset()):
+            return query
+    return (
+        query[:m.end()]
+        + ", ".join(ctes[idx][1] for idx in ordered)
+        + " "
+        + query[k:]
+    )
+
+
 def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     """Apply the (small) set of HiveQL→Spark SQL rewrites.
 
@@ -3329,6 +3423,7 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     reproduce, so those raise HiveQLUnsupportedError instead of silently
     returning a different row set than Hive.
     """
+    query = _reorder_forward_ctes(query)
     un = _UNSUPPORTED_VIRTUAL.search(query)
     if un:
         raise HiveQLUnsupportedError(

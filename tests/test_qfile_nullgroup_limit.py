@@ -165,3 +165,118 @@ def test_q_offset_limit_comma_form(qenv):
     assert comma == explicit
     assert eng.sql(base + "LIMIT 0,10").count() == 10
     assert eng.sql(base + "LIMIT 300,100").count() == 0  # 83 groups total
+
+
+def test_q_cte_1_forward_reference(qenv):
+    """cte_1.q: Hive resolves the whole WITH map before rewriting, so
+    q1 may reference q2 defined AFTER it — replayed through the r5
+    topological CTE reorder; also the nested-subquery-over-CTE form."""
+    eng, con, _ = qenv
+    assert_matches_oracle(
+        eng.sql(
+            "with q1 as ( select key from src where key = '5') "
+            "select * from q1"
+        ),
+        con,
+        "SELECT key FROM src WHERE key = '5'",
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "with q1 as ( select key from q2 where key = '5'), "
+            "q2 as ( select key from src where key = '5') "
+            "select * from (select key from q1) a"
+        ),
+        con,
+        "SELECT key FROM src WHERE key = '5'",
+    )
+
+
+def test_q_cte_shadowing_and_chain(qenv):
+    """cte_2.q-style: a CTE shadowing a real table name, and a 3-deep
+    forward chain."""
+    eng, con, _ = qenv
+    # CTE named like the base table shadows it inside the statement
+    assert_matches_oracle(
+        eng.sql(
+            "with src as (select key, value from src where key < 3) "
+            "select count(*) as n from src"
+        ),
+        con,
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM src "
+        "WHERE CAST(key AS DOUBLE) < 3",
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "with a as (select k2 AS k1 from b), "
+            "b as (select k3 AS k2 from c), "
+            "c as (select key AS k3 from src where key = '7') "
+            "select count(*) AS n from a"
+        ),
+        con,
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM src WHERE key = '7'",
+    )
+
+
+def test_q_ppd_transform_filter_above_script(qenv):
+    """ppd_transform.q: TRANSFORM ... USING 'cat' inside a subquery with
+    an outer WHERE — the filter applies to the script's OUTPUT (it can
+    never push through an opaque script), and 'cat' passes rows through
+    unchanged."""
+    eng, con, _ = qenv
+    got = eng.sql(
+        """
+        SELECT tmap.tkey, tmap.tvalue FROM (
+          FROM src
+          SELECT TRANSFORM(src.key, src.value)
+                 USING 'cat' AS (tkey, tvalue)
+        ) tmap
+        WHERE tmap.tkey < 100
+        """
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        """
+        SELECT key AS tkey, value AS tvalue FROM src
+        WHERE CAST(key AS DOUBLE) < 100
+        """,
+    )
+
+
+def test_q_join_cond_pushdown_trailing_on(qenv):
+    """join_cond_pushdown_1.q: a three-relation join chain with ALL
+    conditions in the trailing ON — the optimizer must route each
+    conjunct to the join it binds to; plus a constant-only condition
+    (p2.key = 1) composing with an equi-join."""
+    eng, con, _ = qenv
+    assert_matches_oracle(
+        eng.sql(
+            """
+            select count(*) as n
+            from src p1 join src p2 join src p3
+              on p1.key = p2.key and p2.key = p3.key
+            """
+        ),
+        con,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM src p1 JOIN src p2 ON p1.key = p2.key
+        JOIN src p3 ON p2.key = p3.key
+        """,
+    )
+    assert_matches_oracle(
+        eng.sql(
+            """
+            select count(*) as n
+            from src p1 join src p2 join src p3
+              on p2.key = 1 and p3.value = p2.value
+            """
+        ),
+        con,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM src p1
+        CROSS JOIN (SELECT * FROM src WHERE CAST(key AS DOUBLE) = 1) p2
+        JOIN src p3 ON p3.value = p2.value
+        """,
+    )
