@@ -142,3 +142,90 @@ def test_fuzz_join_shapes_match_duckdb(spark, sf_dir, oracle):
             assert_matches_oracle(eng.sql(q), oracle, q)
         except AssertionError as exc:
             raise AssertionError(f"join query {i}: {q}\n{exc}") from exc
+
+
+def test_fuzz_window_shapes_match_duckdb(spark, sf_dir, oracle):
+    """Window-function variant: random rank/row_number/aggregate
+    windows over random partition keys. Determinism rule: the synthetic
+    lineitem has DUPLICATE (l_orderkey, l_linenumber) pairs, so frames
+    and offsets order by (l_orderkey, l_linenumber, l_quantity) — with
+    the lag/sum argument in the sort key, ties produce identical output
+    multisets on both engines; rank may tie (same rank both engines)."""
+    rng = random.Random(909)
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    for i in range(10):
+        part = rng.choice(STR_COLS)
+        order_tail = "l_orderkey, l_linenumber, l_quantity"
+        fn = rng.choice(
+            [
+                f"CAST(rank() OVER (PARTITION BY {part} "
+                f"ORDER BY l_quantity) AS BIGINT)",
+                f"CAST(row_number() OVER (PARTITION BY {part} "
+                f"ORDER BY {order_tail}) AS BIGINT)",
+                f"SUM(l_quantity) OVER (PARTITION BY {part} "
+                f"ORDER BY {order_tail} ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND CURRENT ROW)",
+                f"MIN(l_quantity) OVER (PARTITION BY {part})",
+                f"lag(l_quantity, 1) OVER (PARTITION BY {part} "
+                f"ORDER BY {order_tail})",
+                f"lead(l_linenumber, 2) OVER (PARTITION BY {part} "
+                f"ORDER BY {order_tail})",
+            ]
+        )
+        q = (
+            f"SELECT l_orderkey, l_linenumber, {fn} AS w "
+            f"FROM lineitem WHERE {_pred(rng)}"
+        )
+        try:
+            assert_matches_oracle(eng.sql(q), oracle, q)
+        except AssertionError as exc:
+            raise AssertionError(f"window query {i}: {q}\n{exc}") from exc
+
+
+def test_fuzz_setops_and_subqueries_match_duckdb(spark, sf_dir, oracle):
+    """Set-operation and subquery variant: random
+    UNION/INTERSECT/EXCEPT [ALL|DISTINCT] between filtered projections,
+    and random IN / EXISTS membership probes against orders."""
+    rng = random.Random(1313)
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    for i in range(8):
+        op = rng.choice(
+            ["UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+             "INTERSECT ALL", "EXCEPT ALL"]
+        )
+        q = (
+            f"SELECT l_returnflag, l_linenumber FROM lineitem "
+            f"WHERE {_pred(rng)} "
+            f"{op} "
+            f"SELECT l_returnflag, l_linenumber FROM lineitem "
+            f"WHERE {_pred(rng)}"
+        )
+        try:
+            assert_matches_oracle(eng.sql(q), oracle, q)
+        except AssertionError as exc:
+            raise AssertionError(f"setop query {i}: {q}\n{exc}") from exc
+    for i in range(6):
+        neg = rng.random() < 0.4
+        kind = rng.choice(["in", "exists"])
+        ow = rng.choice(
+            ["o_orderpriority LIKE '1%'", "o_orderstatus = 'F'",
+             "o_totalprice > 100000"]
+        )
+        if kind == "in":
+            sub = f"SELECT o_orderkey FROM orders WHERE {ow}"
+            cond = f"l_orderkey {'NOT ' if neg else ''}IN ({sub})"
+        else:
+            sub = (
+                f"SELECT 1 FROM orders WHERE o_orderkey = l_orderkey "
+                f"AND {ow}"
+            )
+            cond = f"{'NOT ' if neg else ''}EXISTS ({sub})"
+        q = (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM lineitem WHERE ({_pred(rng)}) AND {cond} "
+            "GROUP BY l_returnflag"
+        )
+        try:
+            assert_matches_oracle(eng.sql(q), oracle, q)
+        except AssertionError as exc:
+            raise AssertionError(f"subquery query {i}: {q}\n{exc}") from exc
