@@ -1916,9 +1916,9 @@ class Engine:
         longer resolves and is dropped (late-binding semantics)."""
         key = self._resolve_dml_table(old_name)
         new_key = new_name.split(".")[-1].lower()
-        if new_key in self.table_paths:
+        if new_key in self.table_paths or new_key in self.views:
             raise HiveQLUnsupportedError(
-                f"RENAME target table {new_key!r} already exists"
+                f"RENAME target {new_key!r} already exists"
             )
         path = self.table_paths.pop(key)
         parts = self.table_partitions.pop(key, None)

@@ -558,3 +558,16 @@ def test_avro_read_empty_dir_typed_error(tmp_path, spark):
     empty.mkdir()
     with pytest.raises(Exception, match="no .avro files|PATH_NOT_FOUND"):
         read_avro_py(spark, str(empty))
+
+
+def test_rename_to_existing_view_typed_error(eng, spark, tmp_path):
+    from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
+    p = str(tmp_path / "ren_c")
+    spark.range(2).write.parquet(p)
+    eng.register_table("ren_c", p)
+    eng.sql("CREATE VIEW ren_v AS SELECT * FROM ren_c")
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        eng.sql("ALTER TABLE ren_c RENAME TO ren_v")
+    eng.sql("DROP VIEW ren_v")
+    eng.sql("DROP TABLE ren_c")
