@@ -3320,6 +3320,87 @@ class Engine:
         return explain_str(self.sql(query))
 
 
+_NOOP_PTF_HEAD = re.compile(r"\bnoop(withmap)?\s*\(\s*on\b", re.IGNORECASE)
+_PTF_CLAUSE_SPLIT = re.compile(
+    r"\b(partition\s+by|distribute\s+by|sort\s+by|order\s+by)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_noop_ptf(query: str) -> str:
+    """Hive's table-function invocation syntax for the passthrough PTFs
+    (reference: ql/src/test/queries/clientpositive/ptf.q;
+    udf/ptf/Noop.java, NoopWithMap.java — identity PTFs that exist to
+    exercise the PTF partitioning machinery):
+
+        FROM noop(on <src> partition by A order by B)
+
+    becomes a derived table that reproduces the PTF's partitioned sort:
+
+        FROM (SELECT * FROM <src> DISTRIBUTE BY A SORT BY B) __ptf
+
+    (partition by → distribute by, order/sort by → sort by — the PTF's
+    ordering is per-partition, exactly SORT BY's contract). Window
+    functions above re-declare their own partition/order, so results
+    are identical; the rewrite preserves the clustering for them."""
+    while True:
+        m = _NOOP_PTF_HEAD.search(query)
+        if not m:
+            return query
+        # find the matching close paren of noop( ... )
+        j = query.index("(", m.start())
+        depth = 0
+        n = len(query)
+        while j < n:
+            c = query[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c in "'\"":
+                quote = c
+                j += 1
+                while j < n and query[j] != quote:
+                    j += 1
+            j += 1
+        if j >= n:
+            return query
+        inner = query[query.index("(", m.start()) + 1:j]
+        body = re.sub(r"^\s*on\b", "", inner, flags=re.IGNORECASE).strip()
+        # split the trailing partition/sort clauses at TOP level (not
+        # inside a nested subquery's parens)
+        parts: list[tuple[str, int]] = []
+        depth = 0
+        for cm in _PTF_CLAUSE_SPLIT.finditer(body):
+            d = 0
+            for ch in body[:cm.start()]:
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+            if d == 0:
+                parts.append((cm.group(1).lower(), cm.start()))
+        src = body[:parts[0][1]].strip() if parts else body
+        dist = sort = None
+        for idx, (kw, pos) in enumerate(parts):
+            end = parts[idx + 1][1] if idx + 1 < len(parts) else len(body)
+            text = body[pos:end]
+            expr = _PTF_CLAUSE_SPLIT.sub("", text, count=1).strip()
+            if kw.startswith(("partition", "distribute")):
+                dist = expr
+            else:
+                sort = expr
+        derived = f"(SELECT * FROM {src}"
+        if dist:
+            derived += f" DISTRIBUTE BY {dist}"
+        if sort:
+            derived += f" SORT BY {sort}"
+        derived += ") __ptf_noop"
+        query = query[:m.start()] + derived + query[j + 1:]
+
+
 _WITH_HEAD = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
 _CTE_ITEM_HEAD = re.compile(r"\s*(`?\w+`?)\s+AS\s*\(", re.IGNORECASE)
 
@@ -3423,7 +3504,7 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     reproduce, so those raise HiveQLUnsupportedError instead of silently
     returning a different row set than Hive.
     """
-    query = _reorder_forward_ctes(query)
+    query = _reorder_forward_ctes(_rewrite_noop_ptf(query))
     un = _UNSUPPORTED_VIRTUAL.search(query)
     if un:
         raise HiveQLUnsupportedError(
