@@ -10,7 +10,12 @@ matches a fresh computation, so the rotation plan for the next window
 (`_WINDOW` in ``suite/__init__``) is computed, not hand-maintained —
 every entry with an empty rounds list MUST appear inside the window.
 
-Regenerate after a round lands a new CORRECTNESS file:
+The committed file records ``through_round`` — the newest CORRECTNESS
+round it incorporates — and the freshness test compares only up to that
+round, because the driver writes the NEXT round's file after the
+round's final commit (a strict equality against all files on disk would
+fail the moment the new round lands). Regenerate at the START of each
+round, after the driver's file appears:
 
     python -m hive_2_3_2_spark.suite.ledger
 """
@@ -36,28 +41,44 @@ def _is_green(row: dict) -> bool:
     )
 
 
-def compute_ledger(repo_root: str = REPO_ROOT) -> dict[str, list[int]]:
-    """entry → sorted rounds with a fully-green driver CORRECTNESS row,
-    for every entry in the suite registry (empty list = never verified:
-    those entries form the next round's window head)."""
-    from hive_2_3_2_spark.suite import load_all
-
-    ledger: dict[str, list[int]] = {name: [] for name in load_all()}
-    pattern = os.path.join(repo_root, "CORRECTNESS_r*.json")
-    for path in sorted(glob.glob(pattern)):
+def correctness_files(
+    repo_root: str = REPO_ROOT, through_round: int | None = None
+) -> list[tuple[int, str]]:
+    """Sorted (round, path) pairs, optionally capped at through_round."""
+    out = []
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if through_round is None or rnd <= through_round:
+            out.append((rnd, path))
+    return sorted(out)
+
+
+def compute_ledger(
+    repo_root: str = REPO_ROOT, through_round: int | None = None
+) -> dict:
+    """{"through_round": N, "entries": {name: sorted green rounds}} for
+    every entry in the suite registry (empty list = never verified:
+    those entries form the next round's window head)."""
+    from hive_2_3_2_spark.suite import load_all
+
+    files = correctness_files(repo_root, through_round)
+    entries: dict[str, list[int]] = {name: [] for name in load_all()}
+    for rnd, path in files:
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
-            if name in ledger and _is_green(row):
-                ledger[name].append(rnd)
-    return {name: sorted(rounds) for name, rounds in ledger.items()}
+            if name in entries and _is_green(row):
+                entries[name].append(rnd)
+    return {
+        "through_round": max((r for r, _ in files), default=0),
+        "entries": {n: sorted(r) for n, r in entries.items()},
+    }
 
 
-def load_committed() -> dict[str, list[int]]:
+def load_committed() -> dict:
     with open(LEDGER_PATH) as f:
         return json.load(f)
 
@@ -67,8 +88,9 @@ if __name__ == "__main__":
     with open(LEDGER_PATH, "w") as f:
         json.dump(ledger, f, indent=1, sort_keys=True)
         f.write("\n")
-    never = [n for n, r in ledger.items() if not r]
+    never = [n for n, r in ledger["entries"].items() if not r]
     print(
-        f"wrote {LEDGER_PATH}: {len(ledger)} entries, "
+        f"wrote {LEDGER_PATH}: through r{ledger['through_round']}, "
+        f"{len(ledger['entries'])} entries, "
         f"{len(never)} never-verified: {never}"
     )
