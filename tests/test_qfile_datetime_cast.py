@@ -188,3 +188,61 @@ def test_q_date_udf_on_string_column(eng, spark, tmp_path):
     assert r.da == datetime.date(2011, 5, 11)
     assert r.ds == datetime.date(2011, 4, 26)
     assert r.dd == 3333
+
+
+def test_q_decimal_2_cast_battery(eng):
+    """decimal_2.q: the decimal→everything cast battery. Matches the
+    Hive golden on truncation toward zero (17.29→17), in-range integral
+    casts, and float/double widening. Two DOCUMENTED divergences from
+    the golden, both Spark-core cast semantics this engine accepts:
+    - decimal→narrow-int OVERFLOW wraps in non-ANSI Spark (golden:
+      NULL) — same Java-wraparound family as Hive's own int arithmetic
+      (pinned in test_functions.py::test_overflow_wraps_not_errors);
+    - decimal→string keeps the declared scale's trailing zeros
+      ('17.290000000'; golden trims to '17.29' via
+      HiveDecimal.toString)."""
+    r = eng.sql(
+        """
+        select cast(t as boolean) b, cast(t as tinyint) ti,
+               cast(t as int) i, cast(t as bigint) bi,
+               cast(t as double) d, cast(t as string) s
+        from (select cast(cast('17.29' as decimal(4,2))
+                     as decimal(18,9)) t)
+        """
+    ).collect()[0]
+    assert r.b is True
+    assert (r.ti, r.i, r.bi) == (17, 17, 17)  # truncation, golden row
+    assert r.d == 17.29
+    assert r.s == "17.290000000"  # divergence: golden prints 17.29
+    r = eng.sql(
+        """
+        select cast(t as int) i, cast(t as bigint) bi,
+               cast(t as float) f, cast(t as double) d,
+               cast(t as tinyint) ti
+        from (select cast('3404045.5044003' as decimal(18,9)) t)
+        """
+    ).collect()[0]
+    assert (r.i, r.bi) == (3404045, 3404045)  # golden rows
+    assert r.f == pytest.approx(3404045.5)
+    assert r.d == 3404045.5044003
+    # divergence: golden yields NULL on tinyint overflow; Spark wraps
+    assert r.ti == 13
+
+
+def test_q_decimal_udf_mixed_arithmetic(eng):
+    """decimal_udf.q: decimal ⊕ decimal/int/string arithmetic keeps
+    exactness, int division promotes, x/0 is NULL (never an error)."""
+    r = eng.sql(
+        """
+        select key + key AS s2, key + value AS siv,
+               key + '1.0' AS sstr, key - (value / 2) AS shalf,
+               key * key AS sq, key / 0 AS dz, key / null AS dn
+        from (select cast('7.5' as decimal(20,10)) key, 3 value)
+        """
+    ).collect()[0]
+    assert float(r.s2) == 15.0
+    assert float(r.siv) == 10.5
+    assert float(r.sstr) == 8.5
+    assert float(r.shalf) == 6.0
+    assert float(r.sq) == 56.25
+    assert r.dz is None and r.dn is None
