@@ -3401,6 +3401,83 @@ def _rewrite_noop_ptf(query: str) -> str:
         query = query[:m.start()] + derived + query[j + 1:]
 
 
+_FIELD_CALL = re.compile(r"\bfield\s*\(", re.IGNORECASE)
+
+
+def _scan_balanced(text: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at open_idx (string-aware);
+    len(text) if unbalanced."""
+    depth = 0
+    j = open_idx
+    n = len(text)
+    while j < n:
+        c = text[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        elif c in "'\"":
+            quote = c
+            j += 1
+            while j < n and text[j] != quote:
+                j += 1
+        j += 1
+    return n
+
+
+def _split_top_args(argtext: str) -> list[str]:
+    """Split a call's argument text at top-level commas."""
+    out = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(argtext)
+    while i < n:
+        c = argtext[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c in "'\"":
+            quote = c
+            i += 1
+            while i < n and argtext[i] != quote:
+                i += 1
+        elif c == "," and depth == 0:
+            out.append(argtext[start:i].strip())
+            start = i + 1
+        i += 1
+    out.append(argtext[start:].strip())
+    return out
+
+
+def _rewrite_field_calls(query: str) -> str:
+    """Hive's variadic ``field(needle, v1, v2, ...)`` (UDFField,
+    exec/FunctionRegistry.java:262) — 1-based index of needle, 0 when
+    absent — has no Spark builtin, but composes from array_position:
+    ``coalesce(cast(array_position(array(v1, ...), needle) as int), 0)``
+    (same expression as functions/gaps.py field, here made SQL-callable)."""
+    while True:
+        m = _FIELD_CALL.search(query)
+        if not m:
+            return query
+        open_idx = query.index("(", m.start())
+        close = _scan_balanced(query, open_idx)
+        if close >= len(query):
+            return query
+        args = _split_top_args(query[open_idx + 1:close])
+        if len(args) < 2:
+            return query
+        needle, hay = args[0], ", ".join(args[1:])
+        repl = (
+            f"coalesce(cast(array_position(array({hay}), {needle}) "
+            f"as int), 0)"
+        )
+        query = query[:m.start()] + repl + query[close + 1:]
+
+
 _WITH_HEAD = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
 _CTE_ITEM_HEAD = re.compile(r"\s*(`?\w+`?)\s+AS\s*\(", re.IGNORECASE)
 
@@ -3504,7 +3581,9 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     reproduce, so those raise HiveQLUnsupportedError instead of silently
     returning a different row set than Hive.
     """
-    query = _reorder_forward_ctes(_rewrite_noop_ptf(query))
+    query = _reorder_forward_ctes(
+        _rewrite_noop_ptf(_rewrite_field_calls(query))
+    )
     un = _UNSUPPORTED_VIRTUAL.search(query)
     if un:
         raise HiveQLUnsupportedError(

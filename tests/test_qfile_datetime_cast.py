@@ -246,3 +246,20 @@ def test_q_decimal_udf_mixed_arithmetic(eng):
     assert float(r.shalf) == 6.0
     assert float(r.sq) == 56.25
     assert r.dz is None and r.dn is None
+
+
+def test_q_udf_field_sql_callable(eng):
+    """udf_field.q: the variadic field() UDF callable from SQL (r5
+    rewrite → array_position composition): 1-based index, 0 when
+    absent, NULL needle gives 0, nested call args survive the paren
+    walk."""
+    r = eng.sql(
+        """
+        select field('b', 'a', 'b', 'c') f1,
+               field('x', 'a', 'b', 'c') f0,
+               field(cast(null as string), 'a', 'b') fn,
+               field(concat('b', ''), 'a', concat('b', ''), 'c') fnest,
+               field(3, 1, 2, 3, 4) fint
+        """
+    ).collect()[0]
+    assert (r.f1, r.f0, r.fn, r.fnest, r.fint) == (2, 0, 0, 2, 3)
