@@ -494,3 +494,41 @@ def test_replace_columns_invalidates_retyped_stats(eng):
     stats = e.column_stats["evo"]
     # k kept with identical type -> stats survive; v widened -> dropped
     assert "k" in stats and "v" not in stats
+
+
+def test_show_create_table_roundtrips_evolved_partitioned(spark, tmp_path):
+    """SHOW CREATE TABLE parity: the emitted DDL for a PARTITIONED
+    table with an EVOLVED declared schema must replay in a fresh engine
+    to the same columns, types, and partition spec (DDLTask
+    showCreateTable is defined by this replayability)."""
+    path = str(tmp_path / "sct_tbl")
+    spark.range(6).selectExpr(
+        "id AS k", "CAST(id * 2 AS INT) AS v",
+        "CAST(id % 2 AS STRING) AS pt"
+    ).write.partitionBy("pt").parquet(path)
+    e1 = Engine(spark=spark)
+    e1.register_table("sct", path, ["pt"])
+    e1.sql("ALTER TABLE sct ADD COLUMNS (tag STRING)")
+    ddl = e1.sql("SHOW CREATE TABLE sct").collect()[0].createtab_stmt
+    assert "CREATE EXTERNAL TABLE `sct`" in ddl
+    assert "PARTITIONED BY" in ddl and "`pt`" in ddl
+    assert "`tag` string" in ddl
+    e1.sql("DROP TABLE sct")
+    # Replaying lands a CATALOG table (Hive's own replay target); a
+    # partitioned external table then needs MSCK REPAIR to discover
+    # its partitions — exactly the Hive workflow for replayed DDL.
+    e2 = Engine(spark=spark)
+    spark.sql("DROP TABLE IF EXISTS sct")
+    e2.sql(ddl)
+    e2.sql("MSCK REPAIR TABLE sct")
+    cols = dict(spark.table("sct").dtypes)
+    # pt is INT on both sides: partition-VALUE type inference reads the
+    # pt=0/pt=1 directories as int in the source registration too, so
+    # the emitted DDL replays exactly what the original table served.
+    assert cols["tag"] == "string" and cols["pt"] == "int"
+    assert e2.sql("SELECT count(*) AS n FROM sct").collect()[0].n == 6
+    # evolved column reads NULL from pre-evolution files (by-name bind)
+    assert e2.sql(
+        "SELECT count(tag) AS n FROM sct"
+    ).collect()[0].n == 0
+    spark.sql("DROP TABLE sct")
