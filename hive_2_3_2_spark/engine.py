@@ -379,7 +379,8 @@ _WHEN_HEAD = re.compile(
 # of the staged-rewrite plan plus the underlying scan/source plan,
 # WITHOUT executing anything.
 _EXPLAIN_STMT = re.compile(
-    r"^\s*EXPLAIN\s+(?:(EXTENDED|FORMATTED|COST|CODEGEN)\s+)?(.*?)\s*;?\s*$",
+    r"^\s*EXPLAIN\s+(?:(EXTENDED|FORMATTED|COST|CODEGEN|DEPENDENCY)\s+)?"
+    r"(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -980,6 +981,8 @@ class Engine:
             query = self._expand_macros(query)
         m = _EXPLAIN_STMT.match(query)
         if m:
+            if (m.group(1) or "").upper() == "DEPENDENCY":
+                return self._run_explain_dependency(m.group(2))
             explained = self._explain_dml(m.group(1), m.group(2))
             if explained is not None:
                 return explained
@@ -3280,6 +3283,100 @@ class Engine:
                 "the result distributed"
             )
         return self.spark.createDataFrame(rows, df.schema)
+
+    def _run_explain_dependency(self, body: str) -> DataFrame:
+        """EXPLAIN DEPENDENCY — Hive emits one JSON object naming the
+        statement's input tables and input partitions (reference:
+        exec/ExplainTask.java getJSONDependencies, the lineage feed for
+        external tooling; Hive's partition list comes from the PRUNED
+        ReadEntity set). Input tables come from the analyzed plan's
+        file listing intersected with the registered table paths.
+        Pruned partitions are reproduced portably: each scan's
+        ``PartitionFilters`` from the formatted physical plan (expr-ids
+        stripped) is evaluated against that table's partition VALUES —
+        a metadata-sized frame served from directory names; no data
+        column is read and nothing executes."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from hive_2_3_2_spark.plans import explain_str
+
+        df = self.spark.sql(
+            rewrite_hiveql(self._expand_macros(body), spark=self.spark)
+        )
+        files = [re.sub(r"^file:/+", "/", f) for f in df.inputFiles()]
+        tables: set[str] = set()
+        part_dirs: dict[str, set[str]] = {}
+        for key, path in self.table_paths.items():
+            norm = os.path.abspath(path)
+            has_parts = bool(self.table_partitions.get(key))
+            for fp in files:
+                if not (fp == norm or fp.startswith(norm + os.sep)):
+                    continue
+                tables.add(key)
+                if has_parts:
+                    rel = os.path.relpath(os.path.dirname(fp), norm)
+                    if rel not in (".", ""):
+                        part_dirs.setdefault(key, set()).add(
+                            rel.replace(os.sep, "/")
+                        )
+        # Per-table partition pruning: harvest PartitionFilters blocks
+        # from the formatted plan, attribute each to its scan's Location
+        # path, and evaluate against the partition-value frame.
+        plan = explain_str(df)
+        filters_by_key: dict[str, list[str]] = {}
+        last_key: str | None = None
+        for line in plan.splitlines():
+            locm = re.search(r"Location:[^\[]*\[([^\]]+)\]", line)
+            if locm:
+                loc_path = re.sub(
+                    r"^file:/+", "/", locm.group(1).split(",")[0].strip()
+                )
+                last_key = next(
+                    (
+                        k
+                        for k, p in self.table_paths.items()
+                        if os.path.abspath(p) == loc_path
+                    ),
+                    None,
+                )
+                continue
+            fm = re.search(r"PartitionFilters:\s*\[([^\]]*)\]", line)
+            if fm and last_key is not None:
+                conds = [
+                    re.sub(r"#\d+L?", "", c.strip())
+                    for c in _split_top_args(fm.group(1))
+                    if c.strip() and "dynamicpruning" not in c
+                ]
+                if conds:
+                    filters_by_key.setdefault(last_key, []).extend(conds)
+                last_key = None
+        partitions: set[str] = set()
+        for key, dirs in part_dirs.items():
+            pcols = self.table_partitions[key]
+            selected = dirs
+            conds = filters_by_key.get(key)
+            if conds:
+                try:
+                    vals = self.tables[key].select(*pcols).distinct()
+                    for c in conds:
+                        vals = vals.filter(F.expr(c))
+                    keep = {
+                        "/".join(f"{p}={r[p]}" for p in pcols)
+                        for r in vals.collect()
+                    }
+                    selected = {d for d in dirs if d in keep}
+                except Exception:
+                    selected = dirs  # unparseable filter → report all
+            partitions |= {f"default@{key}@{d}" for d in selected}
+        payload = {
+            "input_tables": sorted(f"default@{k}" for k in tables),
+            "input_partitions": sorted(partitions),
+        }
+        return self.spark.createDataFrame(
+            [(_json.dumps(payload),)], "explain_dependency string"
+        )
 
     def sql_async(self, query: str):
         """Submit a statement on a background thread and return a

@@ -374,3 +374,46 @@ def test_show_views_and_describe_function_passthrough(spark, tmp_path):
     desc2 = eng.sql("DESC FUNCTION EXTENDED concat").collect()
     assert any("concat" in str(r) for r in desc2)
     eng.sql("DROP VIEW sv_view")
+
+
+def test_explain_dependency_tables_and_pruned_partitions(spark, tmp_path):
+    """EXPLAIN DEPENDENCY (ExplainTask.getJSONDependencies): one JSON
+    row naming input tables + input partitions — and the partition list
+    reflects PRUNING (a pt-filtered query reports only the scanned
+    partition), plus views resolve to their underlying tables."""
+    import json
+
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    flat = str(tmp_path / "dep_flat")
+    spark.range(4).selectExpr("id AS k").write.parquet(flat)
+    part = str(tmp_path / "dep_part")
+    spark.range(8).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS pt"
+    ).write.partitionBy("pt").parquet(part)
+    eng.register_table("dep_flat", flat)
+    eng.register_table("dep_part", part, ["pt"])
+    out = eng.sql(
+        "EXPLAIN DEPENDENCY SELECT count(*) FROM dep_part p "
+        "JOIN dep_flat f ON p.k = f.k WHERE p.pt = '1'"
+    ).collect()
+    dep = json.loads(out[0].explain_dependency)
+    assert dep["input_tables"] == ["default@dep_flat", "default@dep_part"]
+    assert dep["input_partitions"] == ["default@dep_part@pt=1"]
+    # unpruned: both partitions appear
+    dep = json.loads(
+        eng.sql("EXPLAIN DEPENDENCY SELECT * FROM dep_part")
+        .collect()[0].explain_dependency
+    )
+    assert dep["input_partitions"] == [
+        "default@dep_part@pt=0", "default@dep_part@pt=1",
+    ]
+    # a view reports its underlying table
+    eng.sql("CREATE VIEW dep_v AS SELECT k FROM dep_flat")
+    dep = json.loads(
+        eng.sql("EXPLAIN DEPENDENCY SELECT * FROM dep_v")
+        .collect()[0].explain_dependency
+    )
+    assert dep["input_tables"] == ["default@dep_flat"]
+    eng.sql("DROP VIEW dep_v")
