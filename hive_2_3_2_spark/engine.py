@@ -3550,6 +3550,37 @@ def _split_top_args(argtext: str) -> list[str]:
     return out
 
 
+_GREATEST_CALL = re.compile(r"\b(greatest|least)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_greatest_least(query: str) -> str:
+    """Hive 2.3's GREATEST/LEAST return NULL when ANY argument is NULL
+    (GenericUDFGreatest/Least after HIVE-12082; pinned by the
+    udf_greatest.q golden: GREATEST(null,'b','c') → NULL). Spark and
+    DuckDB both SKIP nulls, so Engine.sql rewrites to a null-guarded
+    array_max/array_min — loop-safe because the replacement contains no
+    greatest/least token. Arguments are re-emitted verbatim (evaluated
+    once per appearance; Catalyst CSEs the duplicates)."""
+    while True:
+        m = _GREATEST_CALL.search(query)
+        if not m:
+            return query
+        fn = "array_max" if m.group(1).lower() == "greatest" else "array_min"
+        open_idx = query.index("(", m.start())
+        close = _scan_balanced(query, open_idx)
+        if close >= len(query):
+            return query
+        args = _split_top_args(query[open_idx + 1:close])
+        if len(args) < 2:
+            return query
+        # inner calls in the args must be rewritten first — recurse
+        args = [_rewrite_greatest_least(a) for a in args]
+        guard = " OR ".join(f"({a}) IS NULL" for a in args)
+        arr = ", ".join(f"({a})" for a in args)
+        repl = f"(CASE WHEN {guard} THEN NULL ELSE {fn}(array({arr})) END)"
+        query = query[:m.start()] + repl + query[close + 1:]
+
+
 def _rewrite_field_calls(query: str) -> str:
     """Hive's variadic ``field(needle, v1, v2, ...)`` (UDFField,
     exec/FunctionRegistry.java:262) — 1-based index of needle, 0 when
@@ -3679,7 +3710,9 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     returning a different row set than Hive.
     """
     query = _reorder_forward_ctes(
-        _rewrite_noop_ptf(_rewrite_field_calls(query))
+        _rewrite_noop_ptf(
+            _rewrite_field_calls(_rewrite_greatest_least(query))
+        )
     )
     un = _UNSUPPORTED_VIRTUAL.search(query)
     if un:

@@ -263,3 +263,40 @@ def test_q_udf_field_sql_callable(eng):
         """
     ).collect()[0]
     assert (r.f1, r.f0, r.fn, r.fnest, r.fint) == (2, 0, 0, 2, 3)
+
+
+def test_q_udf_greatest_least_null_semantics(eng):
+    """udf_greatest.q / udf_least.q goldens: Hive's GREATEST/LEAST
+    return NULL when ANY argument is NULL (GenericUDFGreatest after
+    HIVE-12082) — Spark and DuckDB skip nulls, so Engine.sql rewrites
+    to the null-guarded form. Value rows transcribed from the golden:
+    string comparison is lexicographic ('2' > '13')."""
+    r = eng.sql(
+        """
+        select greatest('a', 'b', 'c') g1,
+               greatest('C', 'a', 'B') g2,
+               greatest('AAA', 'AaA', 'AAa') g3,
+               greatest('11', '2', '12') g4,
+               greatest(cast(null as string), 'b', 'c') gn1,
+               greatest('a', cast(null as string), 'c') gn2,
+               greatest('a', 'b', cast(null as string)) gn3,
+               greatest(11, 13, 12) gi,
+               greatest(-11, -13, -12) gneg,
+               greatest(1, cast(null as int), 2) gni,
+               least('a', 'b', 'c') l1,
+               least('11', '2', '12') l2,
+               least(cast(null as string), 'b', 'c') ln1,
+               least(13, 11, 12) li,
+               least(1, cast(null as int), 2) lni,
+               greatest(least(3, 5), 2, 4) nested
+        """
+    ).collect()[0]
+    assert (r.g1, r.g2, r.g3, r.g4) == ("c", "a", "AaA", "2")
+    assert r.gn1 is None and r.gn2 is None and r.gn3 is None
+    assert (r.gi, r.gneg) == (13, -11)
+    assert r.gni is None
+    assert (r.l1, r.l2) == ("a", "11")
+    assert r.ln1 is None
+    assert r.li == 11
+    assert r.lni is None
+    assert r.nested == 4
