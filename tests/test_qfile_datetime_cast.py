@@ -300,3 +300,34 @@ def test_q_udf_greatest_least_null_semantics(eng):
     assert r.li == 11
     assert r.lni is None
     assert r.nested == 4
+
+
+def test_q_null_semantics_battery(eng):
+    """udf_concat_ws.q / udf_split.q / udf_substr.q / udf_round.q /
+    udf_sort_array.q golden corners in one battery: NULL separator
+    nullifies concat_ws, split keeps trailing empties (Java limit -1),
+    substr position 0 behaves as 1, round is HALF_UP while bround is
+    banker's, sort_array puts NULLs first, find_in_set returns 0 for a
+    needle containing a comma."""
+    r = eng.sql(
+        """
+        select concat_ws(cast(null as string), 'a', 'b') cwn,
+               split('a,b,,', ',') spl,
+               substr('abcde', 0) s0,
+               substr('abcde', 0, 3) s03,
+               pmod(-7, 3) pm,
+               round(2.5) r25, round(-2.5) rn25,
+               bround(2.5) b25, bround(3.5) b35,
+               sort_array(array(3, 1, cast(null as int))) sa,
+               find_in_set('b', 'a,b,c') fis,
+               find_in_set('b,c', 'a,b,c') fis_comma
+        """
+    ).collect()[0]
+    assert r.cwn is None
+    assert r.spl == ["a", "b", "", ""]
+    assert (r.s0, r.s03) == ("abcde", "abc")
+    assert r.pm == 2
+    assert (int(r.r25), int(r.rn25)) == (3, -3)
+    assert (int(r.b25), int(r.b35)) == (2, 4)
+    assert r.sa == [None, 1, 3]
+    assert (r.fis, r.fis_comma) == (2, 0)
