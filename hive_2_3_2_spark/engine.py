@@ -325,7 +325,9 @@ _TRUNCATE_STMT = re.compile(
     re.IGNORECASE,
 )
 _SHOW_PARTITIONS_STMT = re.compile(
-    r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+    r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _ALTER_PARTITION_STMT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?"
@@ -1095,7 +1097,7 @@ class Engine:
             return self._run_truncate(m)
         m = _SHOW_PARTITIONS_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
-            return self._run_show_partitions(m.group(1))
+            return self._run_show_partitions(m.group(1), m.group(2))
         m = _ALTER_PARTITION_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_alter_partition(m)
@@ -2603,9 +2605,15 @@ class Engine:
             rows, "col_name string, data_type string, comment string"
         )
 
-    def _run_show_partitions(self, table: str) -> DataFrame:
-        """SHOW PARTITIONS t — Hive prints one ``col=val/...`` line per
-        partition directory; here a directory listing (metadata-only)."""
+    def _run_show_partitions(
+        self, table: str, spec: str | None = None
+    ) -> DataFrame:
+        """SHOW PARTITIONS t [PARTITION (p='v', ...)] — Hive prints one
+        ``col=val/...`` line per partition directory, optionally
+        filtered by a PARTIAL partition spec (DDLSemanticAnalyzer
+        analyzeShowPartitions: any subset of partition columns); here a
+        directory listing (metadata-only). A spec column that isn't a
+        partition column is a typed error (Hive's validation)."""
         from hive_2_3_2_spark.sources.writers import _staged_partition_rels
 
         key = self._resolve_dml_table(table)
@@ -2615,6 +2623,25 @@ class Engine:
         rels = sorted(
             _staged_partition_rels(self.table_paths[key], len(parts))
         )
+        if spec:
+            low = [p.lower() for p in parts]
+            want: dict[str, str] = {}
+            for name, val in _split_assignments(spec):
+                col = name.strip().strip("`").lower()
+                if col not in low:
+                    raise HiveQLUnsupportedError(
+                        f"SHOW PARTITIONS: {col!r} is not a partition "
+                        f"column of {key!r} (has {parts})"
+                    )
+                want[col] = val.strip().strip("'\"")
+            rels = [
+                r
+                for r in rels
+                if all(
+                    f"{c}={v}" in r.split("/")
+                    for c, v in want.items()
+                )
+            ]
         return self.spark.createDataFrame(
             [(r,) for r in rels], "partition string"
         )

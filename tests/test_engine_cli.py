@@ -417,3 +417,42 @@ def test_explain_dependency_tables_and_pruned_partitions(spark, tmp_path):
     )
     assert dep["input_tables"] == ["default@dep_flat"]
     eng.sql("DROP VIEW dep_v")
+
+
+def test_show_partitions_partial_spec(spark, tmp_path):
+    """SHOW PARTITIONS t PARTITION (p='v') — Hive's partial-spec filter
+    (DDLSemanticAnalyzer analyzeShowPartitions): any subset of
+    partition columns filters the listing; a non-partition column is a
+    typed error."""
+    import pytest as _pytest
+
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    d = str(tmp_path / "spp")
+    spark.range(12).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p", "CAST(id % 2 AS STRING) AS q"
+    ).write.partitionBy("p", "q").parquet(d)
+    eng.register_table("spp_t", d, ["p", "q"])
+    allp = [r.partition for r in eng.sql("SHOW PARTITIONS spp_t").collect()]
+    assert len(allp) == 6
+    got = [
+        r.partition
+        for r in eng.sql("SHOW PARTITIONS spp_t PARTITION (p='1')").collect()
+    ]
+    assert got == ["p=1/q=0", "p=1/q=1"]
+    got = [
+        r.partition
+        for r in eng.sql(
+            "SHOW PARTITIONS spp_t PARTITION (p='2', q='0')"
+        ).collect()
+    ]
+    assert got == ["p=2/q=0"]
+    # second partition column alone (suffix spec) works too
+    got = [
+        r.partition
+        for r in eng.sql("SHOW PARTITIONS spp_t PARTITION (q='1')").collect()
+    ]
+    assert got == ["p=0/q=1", "p=1/q=1", "p=2/q=1"]
+    with _pytest.raises(HiveQLUnsupportedError, match="not a partition"):
+        eng.sql("SHOW PARTITIONS spp_t PARTITION (k='1')")
