@@ -497,3 +497,65 @@ def test_q_union_remove_1_aggregate_branches(qenv):
         ) a
         """,
     )
+
+
+def test_q_outer_join_ppr_on_vs_where(qenv, spark, tmp_path_factory):
+    """outer_join_ppr.q: FULL OUTER src × partitioned srcpart with the
+    partition predicate b.ds='2008-04-08' in the ON clause vs in the
+    WHERE clause — DIFFERENT results by SQL semantics (ON only
+    disqualifies matches, unmatched rows of BOTH sides survive; WHERE
+    filters after NULL-extension). The WHERE form lets the optimizer
+    collapse the outer join and PRUNE the partition (plan-asserted);
+    the ON form cannot prune (every ds must be scanned to emit its
+    unmatched rows)."""
+    eng, con, _ = qenv
+    root = tmp_path_factory.mktemp("ojppr")
+    sp = str(root / "srcpart")
+    base = spark.table("src") if "src" in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    rows = [(str(i % 83), f"val_{i % 83}") for i in range(500)]
+    df = spark.createDataFrame(rows, "key string, value string")
+    for ds in ("2008-04-08", "2008-04-09"):
+        df.selectExpr("key", "value", f"'{ds}' AS ds").write.mode(
+            "append"
+        ).partitionBy("ds").parquet(sp)
+    eng.register_table("srcpart", sp, ["ds"])
+    con.execute(
+        "CREATE OR REPLACE VIEW srcpart AS SELECT * FROM "
+        f"read_parquet('{sp}/*/*.parquet', hive_partitioning=1)"
+    )
+    on_form = """
+        SELECT a.key AS ak, a.value AS av, b.key AS bk, b.value AS bv
+        FROM src a FULL OUTER JOIN srcpart b
+          ON (a.key = b.key AND b.ds = '2008-04-08')
+        WHERE a.key > 10 AND a.key < 20
+    """
+    where_form = """
+        SELECT a.key AS ak, a.value AS av, b.key AS bk, b.value AS bv
+        FROM src a FULL OUTER JOIN srcpart b ON (a.key = b.key)
+        WHERE a.key > 10 AND a.key < 20 AND b.ds = '2008-04-08'
+    """
+    oracle_on = """
+        SELECT a.key AS ak, a.value AS av, b.key AS bk, b.value AS bv
+        FROM src a FULL OUTER JOIN srcpart b
+          ON a.key = b.key AND b.ds = '2008-04-08'
+        WHERE CAST(a.key AS DOUBLE) > 10 AND CAST(a.key AS DOUBLE) < 20
+    """
+    oracle_where = """
+        SELECT a.key AS ak, a.value AS av, b.key AS bk, b.value AS bv
+        FROM src a FULL OUTER JOIN srcpart b ON a.key = b.key
+        WHERE CAST(a.key AS DOUBLE) > 10 AND CAST(a.key AS DOUBLE) < 20
+          AND b.ds = '2008-04-08'
+    """
+    assert_matches_oracle(eng.sql(on_form), con, oracle_on)
+    assert_matches_oracle(eng.sql(where_form), con, oracle_where)
+    # pruning: the WHERE form's scan reads ONLY ds=2008-04-08
+    from hive_2_3_2_spark.plans import explain_str
+
+    plan = explain_str(eng.sql(where_form))
+    assert "ds" in plan and "2008-04-08" in plan
+    import re as _re
+
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("2008-04-08" in f for f in pf), plan
