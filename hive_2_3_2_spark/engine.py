@@ -3444,7 +3444,9 @@ class Engine:
         return explain_str(self.sql(query))
 
 
-_NOOP_PTF_HEAD = re.compile(r"\bnoop(withmap)?\s*\(\s*on\b", re.IGNORECASE)
+_NOOP_PTF_HEAD = re.compile(
+    r"\bnoop(withmap)?(streaming)?\s*\(\s*on\b", re.IGNORECASE
+)
 _PTF_CLAUSE_SPLIT = re.compile(
     r"\b(partition\s+by|distribute\s+by|sort\s+by|order\s+by)\b",
     re.IGNORECASE,

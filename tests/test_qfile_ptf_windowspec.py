@@ -206,3 +206,25 @@ def test_q_subquery_in_having(qenv):
             GROUP BY o_orderpriority HAVING count(*) > 10)
         """,
     )
+
+
+def test_q_ptf_noop_streaming_variants(qenv):
+    """ptf_streaming.q: the four identity PTFs (Noop, NoopWithMap,
+    NoopStreaming, NoopWithMapStreaming — FunctionRegistry.java:517-520)
+    all pass the partitioned input through unchanged."""
+    eng, con = qenv
+    expected = """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM part
+        WHERE p_size = 2 GROUP BY p_brand ORDER BY p_brand
+    """
+    for fn in ("noop", "noopwithmap", "noopstreaming",
+               "noopwithmapstreaming"):
+        got = eng.sql(
+            f"""
+            select p_brand, count(*) as n
+            from {fn}(on part partition by p_brand order by p_name)
+            where p_size = 2
+            group by p_brand order by p_brand
+            """
+        )
+        assert_matches_oracle(got, con, expected)
