@@ -35,7 +35,12 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     subset without any optional jar."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception:  # spark-avro jar absent — use the built-in reader
+    except Exception as exc:
+        # fall back ONLY on the missing-datasource error — any other
+        # failure (bad path, corrupt file) must surface, not be
+        # silently retried through the slower reader
+        if "DATA_SOURCE_NOT_FOUND" not in str(exc):
+            raise
         from hive_2_3_2_spark.sources.avro_py import read_avro_py
 
         return read_avro_py(spark, path)
@@ -47,7 +52,9 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     partition, written from the executors)."""
     try:
         df.write.format("avro").mode("overwrite").save(path)
-    except Exception:
+    except Exception as exc:
+        if "DATA_SOURCE_NOT_FOUND" not in str(exc):
+            raise
         from hive_2_3_2_spark.sources.avro_py import write_avro_py
 
         write_avro_py(df, path, codec=codec)
