@@ -14,6 +14,8 @@ Mapping (SURVEY §2.2):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,7 +41,10 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         # fall back ONLY on the missing-datasource error — any other
         # failure (bad path, corrupt file) must surface, not be
         # silently retried through the slower reader
-        if "DATA_SOURCE_NOT_FOUND" not in str(exc):
+        if not re.search(
+            r"DATA_SOURCE_NOT_FOUND|Failed to find (the )?data source",
+            str(exc),
+        ):
             raise
         from hive_2_3_2_spark.sources.avro_py import read_avro_py
 
@@ -53,7 +58,10 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     try:
         df.write.format("avro").mode("overwrite").save(path)
     except Exception as exc:
-        if "DATA_SOURCE_NOT_FOUND" not in str(exc):
+        if not re.search(
+            r"DATA_SOURCE_NOT_FOUND|Failed to find (the )?data source",
+            str(exc),
+        ):
             raise
         from hive_2_3_2_spark.sources.avro_py import write_avro_py
 
