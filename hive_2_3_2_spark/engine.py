@@ -1162,6 +1162,8 @@ class Engine:
         m = _IMPORT_STMT.match(query)
         if m:
             return self._run_import(m.group(1), m.group(2), m.group(3))
+        if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
+            query = self._rewrite_matchpath_calls(query)
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
 
     def _substitute(self, text: str) -> str:
@@ -3310,6 +3312,164 @@ class Engine:
                 "the result distributed"
             )
         return self.spark.createDataFrame(rows, df.schema)
+
+    def _rewrite_matchpath_calls(self, query: str) -> str:
+        """Hive's MatchPath PTF SQL invocation (reference:
+        udf/ptf/MatchPath.java; ptf_matchpath.q):
+
+            matchpath(on <src> distribute by K sort by S1, S2
+                      arg1('<pattern>'),
+                      arg2('<symbol>'), arg3(<bool expr>), ...
+                      argN('<result expr list>'))
+
+        Bridged to operators/ptf.py match_path: each symbol's predicate
+        is precomputed as a JVM-side boolean column BEFORE the Arrow
+        boundary (the pandas side just reads it), multi-char symbol
+        names compile to single chars in the pattern ('.' is Hive's
+        concatenation), and the result list supports the MatchPath
+        surface the operator emits: plain columns, ``size(tpath)``
+        (→ match_len) and ``tpath[0].col`` (→ the match's first row).
+        The evaluated call registers a temp view substituted into the
+        statement, so arbitrary outer SELECTs compose."""
+        from pyspark.sql import functions as F
+
+        head = re.compile(r"\bmatchpath\s*\(\s*on\b", re.IGNORECASE)
+        clause = re.compile(
+            r"\b(distribute\s+by|partition\s+by|sort\s+by|order\s+by)\b"
+            r"|\barg\d+\s*\(",
+            re.IGNORECASE,
+        )
+        while True:
+            m = head.search(query)
+            if not m:
+                return query
+            open_idx = query.index("(", m.start())
+            close = _scan_balanced(query, open_idx)
+            if close >= len(query):
+                return query
+            body = re.sub(
+                r"^\s*on\b", "", query[open_idx + 1:close],
+                flags=re.IGNORECASE,
+            )
+            # top-level clause boundaries
+            marks: list[tuple[str, int, int]] = []
+            for cm in clause.finditer(body):
+                depth = 0
+                for ch in body[:cm.start()]:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                if depth == 0:
+                    kw = cm.group(1) or "arg"
+                    marks.append((kw.lower(), cm.start(), cm.end()))
+            if not marks:
+                raise HiveQLUnsupportedError(
+                    "matchpath: missing distribute/sort/arg clauses"
+                )
+            src = body[:marks[0][1]].strip().rstrip(",")
+            dist = sort = None
+            args: list[str] = []
+            for idx, (kw, start, end) in enumerate(marks):
+                nxt = marks[idx + 1][1] if idx + 1 < len(marks) else len(body)
+                if kw == "arg":
+                    aopen = body.index("(", start)
+                    aclose = _scan_balanced(body, aopen)
+                    args.append(body[aopen + 1:aclose].strip())
+                else:
+                    text = body[end:nxt].strip().rstrip(",")
+                    if kw.startswith(("distribute", "partition")):
+                        dist = text
+                    else:
+                        sort = text
+            if dist is None or sort is None or len(args) < 4:
+                raise HiveQLUnsupportedError(
+                    "matchpath needs distribute by, sort by, a pattern, "
+                    "at least one (symbol, expr) pair, and a result list"
+                )
+            if len(args) % 2 != 0:
+                raise HiveQLUnsupportedError(
+                    "matchpath: arguments must be pattern + (name, expr) "
+                    "pairs + result list"
+                )
+            pattern = args[0].strip().strip("'\"")
+            result_text = args[-1].strip().strip("'\"")
+            pairs = [
+                (args[i].strip().strip("'\""), args[i + 1])
+                for i in range(1, len(args) - 1, 2)
+            ]
+            if "," in dist:
+                raise HiveQLUnsupportedError(
+                    "matchpath: a single distribute-by column is supported"
+                )
+            from hive_2_3_2_spark.operators.ptf import match_path
+
+            df = self.spark.sql(
+                rewrite_hiveql(f"SELECT * FROM {src}", spark=self.spark)
+            )
+            import pandas as pd  # noqa: F401 — predicate closures
+
+            symbols = {}
+            sym_cols = []
+            rx = pattern
+            # longest names first so LATE doesn't clobber LATEST
+            order = sorted(
+                range(len(pairs)), key=lambda i: -len(pairs[i][0])
+            )
+            chars = [chr(ord("A") + i) for i in range(len(pairs))]
+            for i in order:
+                name, expr = pairs[i]
+                col = f"__mp_sym_{i}"
+                sym_cols.append(col)
+                df = df.withColumn(
+                    col,
+                    F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
+                )
+                rx = re.sub(re.escape(name), chars[i], rx, flags=re.IGNORECASE)
+                symbols[chars[i]] = (
+                    lambda p, c=col: p[c].fillna(False).astype(bool)
+                )
+            rx = rx.replace(".", "")  # Hive '.' = symbol concatenation
+            out_specs: list[tuple[str, str]] = []  # (source col, alias)
+            need_cols: list[str] = []
+            for item in _split_top_args(result_text):
+                im = re.match(
+                    r"^size\s*\(\s*tpath\s*\)\s+as\s+(\w+)$",
+                    item, re.IGNORECASE,
+                )
+                if im:
+                    out_specs.append(("match_len", im.group(1)))
+                    continue
+                im = re.match(
+                    r"^tpath\s*\[\s*0\s*\]\s*\.\s*(\w+)\s+as\s+(\w+)$",
+                    item, re.IGNORECASE,
+                )
+                if im:
+                    out_specs.append((im.group(1), im.group(2)))
+                    need_cols.append(im.group(1))
+                    continue
+                im = re.match(r"^(\w+)(?:\s+as\s+(\w+))?$", item, re.IGNORECASE)
+                if im and im.group(1).lower() != "tpath":
+                    out_specs.append((im.group(1), im.group(2) or im.group(1)))
+                    need_cols.append(im.group(1))
+                    continue
+                raise HiveQLUnsupportedError(
+                    f"matchpath result expression {item!r} not supported "
+                    "(plain columns, size(tpath), tpath[0].col)"
+                )
+            sort_cols = [s.strip() for s in _split_top_args(sort)]
+            result_cols = list(dict.fromkeys(need_cols))
+            out = match_path(
+                df, dist.strip(), sort_cols, symbols, rx, result_cols,
+                all_starts=True,
+            )
+            final = out.select(
+                *[F.col(src_c).alias(alias) for src_c, alias in out_specs]
+            )
+            self._matchpath_seq = getattr(self, "_matchpath_seq", 0) + 1
+            view = f"__matchpath_{self._matchpath_seq}"
+            final.createOrReplaceTempView(view)
+            query = query[:m.start()] + view + query[close + 1:]
 
     def _run_explain_dependency(self, body: str) -> DataFrame:
         """EXPLAIN DEPENDENCY — Hive emits one JSON object naming the

@@ -25,10 +25,11 @@ from pyspark.sql import functions as F
 def match_path(
     df: DataFrame,
     partition_col: str,
-    order_col: str,
+    order_col: str | list[str],
     symbols: dict[str, Callable[[pd.DataFrame], pd.Series]],
     pattern: str,
     result_cols: list[str],
+    all_starts: bool = False,
 ) -> DataFrame:
     """Match ``pattern`` (regex over single-char symbol names) against each
     partition's ordered rows; emit the first row of each match plus
@@ -73,6 +74,20 @@ def match_path(
             assigned |= hit
         seq = "".join(sym.replace("", ".").tolist())
         rows = []
+        if all_starts:
+            # Hive MatchPath semantics (udf/ptf/MatchPath.java): attempt
+            # an ANCHORED match at EVERY row — overlapping suffixes of a
+            # streak each emit their own (shorter) path, exactly the
+            # ptf_matchpath.q golden's sz sequence 6,5,4,...
+            for pos in range(len(seq)):
+                m = rx.match(seq, pos)
+                if m and m.end() > m.start():
+                    first = pdf.iloc[pos]
+                    rows.append(
+                        [first[c] for c in result_cols]
+                        + [pos, m.end() - 1, m.end() - pos]
+                    )
+            return pd.DataFrame(rows, columns=col_names)
         pos = 0
         while pos < len(seq):
             m = rx.search(seq, pos)
@@ -116,8 +131,9 @@ def match_path(
             if len(out):
                 yield out
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     rep = df.repartition(F.col(partition_col)).sortWithinPartitions(
-        partition_col, order_col
+        partition_col, *order_cols
     )
     return rep.mapInPandas(run_partition, schema)
 

@@ -228,3 +228,54 @@ def test_q_ptf_noop_streaming_variants(qenv):
             """
         )
         assert_matches_oracle(got, con, expected)
+
+
+def test_q_ptf_matchpath_sql_invocation(spark):
+    """ptf_matchpath.q: the MatchPath PTF through its SQL invocation
+    syntax (udf/ptf/MatchPath.java) — LATE.LATE+ over per-flight
+    day-ordered rows, Hive's anchored-at-every-row semantics (each
+    suffix of a streak emits its own path: the golden's sz sequence
+    6,5,4,3,2), with size(tpath) and tpath[0].day_of_month results."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    rows = []
+    # fl 1142: late on days 20..25 (6-streak) among 18..26
+    for dom in range(18, 27):
+        rows.append(("Baltimore", "NYC", 2010, 10, dom,
+                     40.0 if 20 <= dom <= 25 else 2.0, "1142"))
+    # fl 1599: late 21-22 and 25-26-27
+    for dom in range(20, 28):
+        rows.append(("Baltimore", "SFO", 2010, 10, dom,
+                     30.0 if dom in (21, 22, 25, 26, 27) else 1.0, "1599"))
+    df = spark.createDataFrame(
+        rows,
+        "origin_city_name string, dest_city_name string, year int, "
+        "month int, day_of_month int, arr_delay float, fl_num string",
+    )
+    df.createOrReplaceTempView("flights_tiny")
+    got = eng.sql(
+        """
+        select origin_city_name, fl_num, year, month, day_of_month, sz,
+               tpath
+        from matchpath(on
+                flights_tiny
+                distribute by fl_num
+                sort by year, month, day_of_month
+              arg1('LATE.LATE+'),
+              arg2('LATE'), arg3(arr_delay > 15),
+            arg4('origin_city_name, fl_num, year, month, day_of_month,
+                  size(tpath) as sz, tpath[0].day_of_month as tpath')
+           )
+        """
+    )
+    out = sorted(
+        (r.fl_num, r.day_of_month, r.sz, r.tpath) for r in got.collect()
+    )
+    assert out == [
+        ("1142", 20, 6, 20), ("1142", 21, 5, 21), ("1142", 22, 4, 22),
+        ("1142", 23, 3, 23), ("1142", 24, 2, 24),
+        ("1599", 21, 2, 21), ("1599", 25, 3, 25), ("1599", 26, 2, 26),
+    ]
+    assert all(r.origin_city_name == "Baltimore" for r in got.collect())
+    spark.catalog.dropTempView("flights_tiny")
