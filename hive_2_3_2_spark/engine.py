@@ -96,6 +96,21 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE),
         lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
     ),
+    # Hive permits UNORDERED ranking windows — row_number() over() etc.
+    # (windowing_navfn.q line 1; numbering is arbitrary). Spark requires
+    # an ORDER BY, so supply an arbitrary-but-valid one. Aggregate
+    # windows (sum(x) over()) are untouched: empty OVER is valid there
+    # and adding an order would change the default frame.
+    (
+        re.compile(
+            r"\b((?:row_number|rank|dense_rank|percent_rank|cume_dist)"
+            r"\s*\(\s*\)|ntile\s*\([^)]*\))\s+over\s*\(\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: (
+            f"{m.group(1)} over (order by monotonically_increasing_id())"
+        ),
+    ),
 ]
 
 _UNSUPPORTED_VIRTUAL = re.compile(

@@ -279,3 +279,80 @@ def test_q_ptf_matchpath_sql_invocation(spark):
     ]
     assert all(r.origin_city_name == "Baltimore" for r in got.collect())
     spark.catalog.dropTempView("flights_tiny")
+
+
+def test_q_windowing_navfn_battery(qenv):
+    """windowing_navfn.q: first_value / last_value under the DEFAULT
+    frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW — last_value is the
+    current row, ties included), lead/lag at partition edges (NULL),
+    all value-diffed with total orders."""
+    eng, con = qenv
+    got = eng.sql(
+        """
+        select p_partkey,
+               first_value(p_name) over
+                 (partition by p_brand order by p_partkey) AS fv,
+               last_value(p_name) over
+                 (partition by p_brand order by p_partkey) AS lv,
+               lead(p_size) over
+                 (partition by p_brand order by p_partkey) AS ld,
+               lag(p_size) over
+                 (partition by p_brand order by p_partkey) AS lg
+        from part where p_size <= 3
+        """
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        """
+        SELECT p_partkey,
+               first_value(p_name) OVER
+                 (PARTITION BY p_brand ORDER BY p_partkey) AS fv,
+               last_value(p_name) OVER
+                 (PARTITION BY p_brand ORDER BY p_partkey
+                  RANGE UNBOUNDED PRECEDING) AS lv,
+               lead(p_size) OVER
+                 (PARTITION BY p_brand ORDER BY p_partkey) AS ld,
+               lag(p_size) OVER
+                 (PARTITION BY p_brand ORDER BY p_partkey) AS lg
+        FROM part WHERE p_size <= 3
+        """,
+    )
+
+
+def test_q_windowing_ntile(qenv):
+    """windowing_ntile.q: ntile over totally-ordered partitions — the
+    uneven-bucket distribution rule (first buckets get the extra rows)
+    must agree across engines."""
+    eng, con = qenv
+    got = eng.sql(
+        """
+        select p_partkey,
+               ntile(4) over (partition by p_brand order by p_partkey)
+                 AS nt
+        from part where p_size <= 4
+        """
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        """
+        SELECT p_partkey,
+               CAST(ntile(4) OVER (PARTITION BY p_brand
+                 ORDER BY p_partkey) AS BIGINT) AS nt
+        FROM part WHERE p_size <= 4
+        """,
+    )
+
+
+def test_q_row_number_over_empty_window(qenv):
+    """windowing_navfn.q line 1: row_number() OVER () — Hive permits an
+    unordered global window (numbering is arbitrary but the SET must be
+    exactly 1..N)."""
+    eng, _ = qenv
+    rows = eng.sql(
+        "select row_number() over () AS rn from part where p_size = 1"
+    ).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r.rn for r in rows) == list(range(1, n + 1))
