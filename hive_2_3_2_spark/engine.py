@@ -3355,7 +3355,7 @@ class Engine:
             re.IGNORECASE,
         )
         while True:
-            m = head.search(query)
+            m = _search_code(head, query)
             if not m:
                 return query
             open_idx = query.index("(", m.start())
@@ -3645,7 +3645,7 @@ def _rewrite_noop_ptf(query: str) -> str:
     functions above re-declare their own partition/order, so results
     are identical; the rewrite preserves the clustering for them."""
     while True:
-        m = _NOOP_PTF_HEAD.search(query)
+        m = _search_code(_NOOP_PTF_HEAD, query)
         if not m:
             return query
         # find the matching close paren of noop( ... )
@@ -3754,6 +3754,23 @@ def _split_top_args(argtext: str) -> list[str]:
     return out
 
 
+def _search_code(pattern: re.Pattern, text: str):
+    """``pattern.search`` skipping matches inside quoted SQL literals —
+    a rewrite must never fire on 'use greatest(x) wisely' appearing in
+    a string constant."""
+    for m in pattern.finditer(text):
+        in_q = None
+        for ch in text[:m.start()]:
+            if in_q:
+                if ch == in_q:
+                    in_q = None
+            elif ch in "'\"":
+                in_q = ch
+        if in_q is None:
+            return m
+    return None
+
+
 _GREATEST_CALL = re.compile(r"\b(greatest|least)\s*\(", re.IGNORECASE)
 
 
@@ -3766,7 +3783,7 @@ def _rewrite_greatest_least(query: str) -> str:
     greatest/least token. Arguments are re-emitted verbatim (evaluated
     once per appearance; Catalyst CSEs the duplicates)."""
     while True:
-        m = _GREATEST_CALL.search(query)
+        m = _search_code(_GREATEST_CALL, query)
         if not m:
             return query
         fn = "array_max" if m.group(1).lower() == "greatest" else "array_min"
@@ -3792,7 +3809,7 @@ def _rewrite_field_calls(query: str) -> str:
     ``coalesce(cast(array_position(array(v1, ...), needle) as int), 0)``
     (same expression as functions/gaps.py field, here made SQL-callable)."""
     while True:
-        m = _FIELD_CALL.search(query)
+        m = _search_code(_FIELD_CALL, query)
         if not m:
             return query
         open_idx = query.index("(", m.start())

@@ -331,3 +331,21 @@ def test_q_null_semantics_battery(eng):
     assert (int(r.b25), int(r.b35)) == (2, 4)
     assert r.sa == [None, 1, 3]
     assert (r.fis, r.fis_comma) == (2, 0)
+
+
+def test_q_rewriters_ignore_string_literals(eng):
+    """Rewrite hardening: greatest/field/noop/matchpath tokens inside
+    QUOTED LITERALS must pass through untouched (the rewriters search
+    code, not strings)."""
+    r = eng.sql(
+        """
+        select 'use greatest(1,2) wisely' AS a,
+               'noop(on x)' AS b,
+               "field(a, b)" AS c,
+               greatest(1, 2, cast(null as int)) AS d
+        """
+    ).collect()[0]
+    assert r.a == "use greatest(1,2) wisely"
+    assert r.b == "noop(on x)"
+    assert r.c == "field(a, b)"
+    assert r.d is None
