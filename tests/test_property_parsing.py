@@ -420,3 +420,75 @@ def test_ngram_windows_matches_reference_formulation(spark, toks, n, partial):
         ngram_windows(F.col("t"), n, partial_tail=partial).alias("got"),
     ).collect()[0]
     assert list(row.got) == list(row.ref)
+
+
+# --- r5: rewriter properties --------------------------------------------
+
+
+@given(
+    st.lists(
+        st.one_of(st.integers(-100, 100), st.none()),
+        min_size=2,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_greatest_least_rewrite_matches_hive_rule(vals, use_greatest):
+    """Property: for any argument list of ints/NULLs, the rewritten
+    greatest/least implements Hive's rule — NULL if ANY argument is
+    NULL, else max/min (pure-Python reference)."""
+    from hive_2_3_2_spark.engine import _rewrite_greatest_least
+
+    fn = "greatest" if use_greatest else "least"
+    args = ", ".join(
+        "cast(null as int)" if v is None else str(v) for v in vals
+    )
+    sql = f"select {fn}({args}) as v"
+    rewritten = _rewrite_greatest_least(sql)
+    assert fn + "(" not in rewritten.lower()
+    # expected under Hive's rule
+    expected = None if any(v is None for v in vals) else (
+        max(vals) if use_greatest else min(vals)
+    )
+    # evaluate on the session (module-scoped spark unavailable in a
+    # hypothesis function param — use the active session)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # no session in this process → structural check only
+        return
+    got = spark.sql(rewritten).collect()[0].v
+    assert got == expected
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"),
+            whitelist_characters=" _,.()='\"<>-+*",
+        ),
+        min_size=0,
+        max_size=120,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_rewriters_total_on_arbitrary_text(text):
+    """Property: the r5 rewriters never crash on arbitrary input — they
+    either rewrite recognized shapes or return the text unchanged
+    (unrecognized/unbalanced shapes fall through to Spark's parser)."""
+    from hive_2_3_2_spark.engine import (
+        _reorder_forward_ctes,
+        _rewrite_field_calls,
+        _rewrite_greatest_least,
+        _rewrite_noop_ptf,
+    )
+
+    for f in (
+        _rewrite_greatest_least,
+        _rewrite_field_calls,
+        _rewrite_noop_ptf,
+        _reorder_forward_ctes,
+    ):
+        out = f(text)
+        assert isinstance(out, str)
