@@ -571,3 +571,32 @@ def test_rename_to_existing_view_typed_error(eng, spark, tmp_path):
         eng.sql("ALTER TABLE ren_c RENAME TO ren_v")
     eng.sql("DROP VIEW ren_v")
     eng.sql("DROP TABLE ren_c")
+
+
+def test_matchpath_invocation_typed_errors(eng, spark):
+    from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "k int, g string, v double"
+    ).createOrReplaceTempView("mp_neg")
+    # odd argument count (pattern + unpaired symbol args)
+    with pytest.raises(HiveQLUnsupportedError, match="pairs"):
+        eng.sql(
+            "select * from matchpath(on mp_neg distribute by g sort by k "
+            "arg1('A+'), arg2('A'), arg3(v > 0), arg4(v < 1), "
+            "arg5('k'))"
+        )
+    # multi-column distribute by unsupported
+    with pytest.raises(HiveQLUnsupportedError, match="single"):
+        eng.sql(
+            "select * from matchpath(on mp_neg distribute by g, k "
+            "sort by k arg1('A+'), arg2('A'), arg3(v > 0), arg4('k'))"
+        )
+    # unsupported result expression (tpath[1] - only first row exposed)
+    with pytest.raises(HiveQLUnsupportedError, match="not supported"):
+        eng.sql(
+            "select * from matchpath(on mp_neg distribute by g sort by k "
+            "arg1('A+'), arg2('A'), arg3(v > 0), "
+            "arg4('tpath[1].k as x'))"
+        )
+    spark.catalog.dropTempView("mp_neg")
