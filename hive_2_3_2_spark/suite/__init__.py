@@ -111,6 +111,7 @@ _MODULES = [
     "joins",
     "llm_extra",  # r4 late additions — below the window → r5 queue
     "statements_extra",  # r4 late additions — below the window → r5 queue
+    "dialect_extra",  # r5 dialect surface — names pulled into _WINDOW
 ]
 # R5 WINDOW: the 18 entries with no driver row after r4 (the r4 verdict
 # queue) + 2 new r5 entries (rename-migration, late-binding view —
@@ -142,6 +143,9 @@ _WINDOW = [
     # -- new in r5 (freeze rule: new entries land inside the window) --
     "ddl_sql_rename_metadata_migration",
     "ddl_sql_drop_recreate_latebind_view",
+    "hiveql_greatest_least_null",
+    "op_matchpath_sql_invocation",
+    "window_unordered_ranking",
     # -- re-verifications: headline tpch + the heavies --
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -172,10 +176,7 @@ _WINDOW = [
     "chunk_documents_overlapping",
     "text_tfidf_keywords",
     "window_rank_top_parts",
-    "events_rollup_incremental",
     "agg_count_distinct",
-    "subq_exists_correlated",
-    "lateral_explode_tokens",
 ]
 
 
