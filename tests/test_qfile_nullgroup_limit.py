@@ -280,3 +280,72 @@ def test_q_join_cond_pushdown_trailing_on(qenv):
         JOIN src p3 ON p3.value = p2.value
         """,
     )
+
+
+def test_q_groupby_complex_types(qenv, spark):
+    """groupby_complex_types.q: GROUP BY on array / struct / map typed
+    expressions, join on array equality, DISTINCT over structs — all
+    value-diffed (map grouping literal-asserted: DuckDB cannot hash
+    MAP keys)."""
+    eng, con, _ = qenv
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT xs, count(*) AS n FROM "
+            "(SELECT array(key, '1') AS xs FROM src WHERE key < 5) "
+            "GROUP BY xs"
+        ),
+        con,
+        """
+        SELECT [key, '1'] AS xs, CAST(count(*) AS BIGINT) AS n
+        FROM src WHERE CAST(key AS DOUBLE) < 5 GROUP BY key
+        """,
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT count(*) AS n FROM "
+            "(SELECT array(key) AS a FROM src WHERE key < 3) x "
+            "JOIN (SELECT array(key) AS a FROM src WHERE key < 5) y "
+            "ON x.a = y.a"
+        ),
+        con,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM
+        (SELECT [key] AS a FROM src WHERE CAST(key AS DOUBLE) < 3) x
+        JOIN (SELECT [key] AS a FROM src WHERE CAST(key AS DOUBLE) < 5) y
+        ON x.a = y.a
+        """,
+    )
+    got = eng.sql(
+        "SELECT m, count(*) AS n FROM "
+        "(SELECT map('k', key) AS m FROM src WHERE key < 2) GROUP BY m "
+    ).collect()
+    # 500 rows over 83 keys → keys 0 and 1 appear 7 times each
+    assert sorted((r.m["k"], r.n) for r in got) == [("0", 7), ("1", 7)]
+
+
+def test_q_union_date_typed_branches(qenv):
+    """union_date.q: UNION ALL across DATE-typed branches keeps the
+    date type and values through the union."""
+    eng, con, _ = qenv
+    got = eng.sql(
+        """
+        SELECT d, count(*) AS n FROM (
+          SELECT cast('2011-01-01' as date) AS d FROM src WHERE key < 3
+          UNION ALL
+          SELECT cast('2012-02-02' as date) AS d FROM src WHERE key < 2
+        ) GROUP BY d ORDER BY d
+        """
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        """
+        SELECT d, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT CAST('2011-01-01' AS DATE) AS d FROM src
+          WHERE CAST(key AS DOUBLE) < 3
+          UNION ALL
+          SELECT CAST('2012-02-02' AS DATE) AS d FROM src
+          WHERE CAST(key AS DOUBLE) < 2
+        ) GROUP BY d ORDER BY d
+        """,
+    )
