@@ -72,6 +72,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
+#: (applicationId, abs sf_dir, table) → DataFrame. The sf fixtures are
+#: IMMUTABLE (TESTDATA.md: driver-generated, read-only), so the listed
+#: FileIndex and inferred schema never go stale — memoizing skips a
+#: py4j read + schema-inference round-trip per table per Engine
+#: construction (~0.1 s each; suite entries build Engines constantly).
+#: Mutable paths (DML scratch dirs) go through register_table, never
+#: through this cache.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``sf_dir`` as a DataFrame.
 
@@ -90,6 +100,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reference's single TIMESTAMP type (serdeConstants.java:103).
     """
     ensure_engine_confs(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_cols(path):
@@ -99,6 +113,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.dataType.typeName() == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    _DF_CACHE[key] = df
     return df
 
 
