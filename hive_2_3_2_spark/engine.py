@@ -339,6 +339,15 @@ _TRUNCATE_STMT = re.compile(
     r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_INSERT_DIRECTORY_STMT = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(LOCAL\s+)?DIRECTORY\s+'([^']+)'\s*"
+    r"(?:ROW\s+FORMAT\s+DELIMITED\s+"
+    r"(?:FIELDS\s+TERMINATED\s+BY\s+'([^']*)'\s*)?)?"
+    r"(?:STORED\s+AS\s+(\w+)\s+)?"
+    r"((?:SELECT|WITH|FROM)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _SHOW_PARTITIONS_STMT = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)"
     r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
@@ -1177,6 +1186,13 @@ class Engine:
         m = _IMPORT_STMT.match(query)
         if m:
             return self._run_import(m.group(1), m.group(2), m.group(3))
+        # Hive-form INSERT OVERWRITE DIRECTORY (plain / ROW FORMAT
+        # DELIMITED / STORED AS). The Spark-native `USING fmt` form does
+        # not match this regex (the body must start at SELECT/WITH/FROM)
+        # and passes through to spark.sql below.
+        m = _INSERT_DIRECTORY_STMT.match(query)
+        if m:
+            return self._run_insert_directory(m)
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
@@ -3485,6 +3501,44 @@ class Engine:
             view = f"__matchpath_{self._matchpath_seq}"
             final.createOrReplaceTempView(view)
             query = query[:m.start()] + view + query[close + 1:]
+
+    def _run_insert_directory(self, m: re.Match[str]) -> DataFrame:
+        """Hive-form ``INSERT OVERWRITE [LOCAL] DIRECTORY '<path>'
+        [ROW FORMAT DELIMITED [FIELDS TERMINATED BY 'c']]
+        [STORED AS fmt] <select>`` (reference: SemanticAnalyzer's
+        writing-to-path branch; Spark only accepts its own ``USING``
+        form without Hive catalog support). Defaults mirror Hive's
+        LazySimpleSerDe text output: \\x01 field delimiter, ``\\N``
+        for NULL. LOCAL is the same filesystem here (local mode /
+        shared FS — documented). Row count comes from an observed
+        metric on the write itself, never a second scan."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        local, path, sep, stored, body = m.groups()
+        df = self.spark.sql(
+            rewrite_hiveql(self._expand_macros(body.strip()), spark=self.spark)
+        )
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        fmt = (stored or "").lower()
+        if fmt in ("parquet", "orc", "json"):
+            df.write.mode("overwrite").format(fmt).save(path)
+        elif fmt in ("", "textfile"):
+            (
+                df.write.mode("overwrite")
+                .option("sep", sep if sep is not None else "\x01")
+                .option("nullValue", r"\N")
+                .option("emptyValue", "")
+                .csv(path)
+            )
+        else:
+            raise HiveQLUnsupportedError(
+                f"INSERT OVERWRITE DIRECTORY STORED AS {stored}: "
+                "supported formats are TEXTFILE (default), PARQUET, "
+                "ORC, JSON"
+            )
+        return self._rows_affected(int(obs.get["n"]))
 
     def _run_explain_dependency(self, body: str) -> DataFrame:
         """EXPLAIN DEPENDENCY — Hive emits one JSON object naming the
