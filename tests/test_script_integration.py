@@ -257,3 +257,51 @@ def test_script_transcript_round4_surface(spark, tmp_path):
         for r in eng.sql("DESCRIBE r4a tag").collect()
     }
     assert stats["num_nulls"] != ""
+
+
+def test_migration_journey_csv_to_parquet_warehouse(spark, tmp_path):
+    """The 'switch from the reference' user journey in one flow:
+    Hive-DDL external CSV table (ROW FORMAT DELIMITED) → query → CTAS
+    into a parquet table (STORED AS + LOCATION) → ANALYZE → stats-aware
+    join query → Hive-form INSERT OVERWRITE DIRECTORY export."""
+    import glob
+    import os
+
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    d = str(tmp_path)
+    os.makedirs(f"{d}/raw")
+    with open(f"{d}/raw/data.csv", "w") as f:
+        f.write("1,alice,9.5\n2,bob,7.25\n3,carol,8.0\n")
+    spark.sql("DROP TABLE IF EXISTS j_raw")
+    spark.sql("DROP TABLE IF EXISTS j_fact")
+    eng.sql(
+        "CREATE EXTERNAL TABLE j_raw (id INT, name STRING, score DOUBLE) "
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' "
+        f"STORED AS TEXTFILE LOCATION '{d}/raw'"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM j_raw").collect()[0].n == 3
+    eng.sql(
+        f"CREATE TABLE j_fact STORED AS PARQUET LOCATION '{d}/fact' AS "
+        "SELECT id, upper(name) AS name, score * 10 AS pts FROM j_raw"
+    )
+    eng.sql("ANALYZE TABLE j_fact COMPUTE STATISTICS")
+    rows = eng.sql(
+        "SELECT f.name, f.pts FROM j_fact f JOIN j_raw r ON f.id = r.id "
+        "WHERE r.score > 7.5 ORDER BY f.pts DESC"
+    ).collect()
+    assert [(r.name, r.pts) for r in rows] == [
+        ("ALICE", 95.0), ("CAROL", 80.0),
+    ]
+    n = eng.sql(
+        f"INSERT OVERWRITE DIRECTORY '{d}/export' ROW FORMAT DELIMITED "
+        "FIELDS TERMINATED BY '\t' SELECT name, pts FROM j_fact"
+    ).collect()[0][0]
+    assert n == 3
+    txt = "".join(
+        open(p).read() for p in sorted(glob.glob(f"{d}/export/part-*"))
+    )
+    assert "ALICE\t95.0" in txt
+    spark.sql("DROP TABLE j_raw")
+    spark.sql("DROP TABLE j_fact")
