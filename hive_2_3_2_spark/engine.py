@@ -339,6 +339,12 @@ _TRUNCATE_STMT = re.compile(
     r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_CREATE_TEMP_TABLE_STMT = re.compile(
+    r"^\s*CREATE\s+TEMPORARY\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+    r"\s*(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _INSERT_DIRECTORY_STMT = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(LOCAL\s+)?DIRECTORY\s+'([^']+)'\s*"
     r"(?:ROW\s+FORMAT\s+DELIMITED\s+"
@@ -1193,6 +1199,13 @@ class Engine:
         m = _INSERT_DIRECTORY_STMT.match(query)
         if m:
             return self._run_insert_directory(m)
+        # Hive-form session temp table; the Spark-native `USING fmt`
+        # variant passes through untouched.
+        m = _CREATE_TEMP_TABLE_STMT.match(query)
+        if m and m.group(3) and not re.search(
+            r"\bUSING\b", m.group(3), re.IGNORECASE
+        ):
+            return self._run_create_temp_table(m)
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
@@ -3501,6 +3514,67 @@ class Engine:
             view = f"__matchpath_{self._matchpath_seq}"
             final.createOrReplaceTempView(view)
             query = query[:m.start()] + view + query[close + 1:]
+
+    def _run_create_temp_table(self, m: re.Match[str]) -> DataFrame:
+        """Hive's session-scoped ``CREATE TEMPORARY TABLE`` (Hive 0.14+,
+        SemanticAnalyzer's isTemporary branch — backed by the session
+        scratch dir and WRITABLE, unlike a view). Spark has no
+        providerless temp table, so the engine materializes one: the
+        declared schema (or CTAS result) lands as parquet under a
+        per-table scratch dir and registers as a path-backed table —
+        INSERT/UPDATE/DELETE/MERGE then work through the normal DML
+        path. Lifetime matches Hive's: the registration dies with the
+        session; the scratch files die with the tmpdir."""
+        import tempfile
+
+        if_not_exists, name, rest = m.groups()
+        rest = rest.strip()
+        coldefs = body = None
+        if rest.startswith("("):
+            close = _scan_balanced(rest, 0)
+            if close >= len(rest):
+                raise HiveQLUnsupportedError(
+                    "CREATE TEMPORARY TABLE: unbalanced column list"
+                )
+            coldefs = rest[1:close]
+            rest = rest[close + 1:].strip()
+        rest = re.sub(r"^STORED\s+AS\s+\w+\s*", "", rest, flags=re.IGNORECASE)
+        am = re.match(r"^AS\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if am:
+            body = am.group(1)
+        elif rest:
+            raise HiveQLUnsupportedError(
+                f"CREATE TEMPORARY TABLE: unsupported clause {rest[:40]!r}"
+            )
+        if coldefs is None and body is None:
+            raise HiveQLUnsupportedError(
+                "CREATE TEMPORARY TABLE needs a column list or AS SELECT"
+            )
+        key = name.split(".")[-1].lower()
+        if key in self.table_paths or key in self.views:
+            if if_not_exists:
+                return self._rows_affected(0)
+            raise HiveQLUnsupportedError(
+                f"CREATE TEMPORARY TABLE: {key!r} already exists"
+            )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="hive232_tmp_tbl_"), key
+        )
+        if body:
+            df = self.spark.sql(
+                rewrite_hiveql(self._expand_macros(body), spark=self.spark)
+            )
+        else:
+            from pyspark.sql.types import StructField, StructType
+
+            fields = [
+                StructField(n, t, True)
+                for n, t in self._parse_col_defs(coldefs)
+            ]
+            df = self.spark.createDataFrame([], StructType(fields))
+        df.write.parquet(path)
+        self.register_table(key, path)
+        return self._rows_affected(0)
 
     def _run_insert_directory(self, m: re.Match[str]) -> DataFrame:
         """Hive-form ``INSERT OVERWRITE [LOCAL] DIRECTORY '<path>'

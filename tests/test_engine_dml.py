@@ -980,3 +980,37 @@ def test_insert_overwrite_directory_hive_forms(spark, tmp_path):
             f"INSERT OVERWRITE DIRECTORY '{d}/seq' STORED AS SEQUENCEFILE "
             "SELECT n_nationkey FROM nation"
         )
+
+
+def test_create_temporary_table_hive_form(spark):
+    """Hive's session-scoped CREATE TEMPORARY TABLE (0.14+,
+    SemanticAnalyzer isTemporary): declared-schema and CTAS forms both
+    materialize a writable scratch-backed table — the full DML surface
+    (INSERT/UPDATE/DELETE) works against it, and DROP TABLE deregisters
+    it with external semantics."""
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    eng.sql(
+        "CREATE TEMPORARY TABLE tt_decl "
+        "(id INT, amt DECIMAL(10,2), tags ARRAY<STRING>)"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM tt_decl").collect()[0].n == 0
+    eng.sql("INSERT INTO tt_decl SELECT 1, 12.50, array('a','b')")
+    eng.sql("INSERT INTO tt_decl SELECT 2, 7.25, array('c')")
+    eng.sql("UPDATE tt_decl SET amt = 8.00 WHERE id = 2")
+    eng.sql("DELETE FROM tt_decl WHERE id = 1")
+    rows = eng.sql("SELECT id, amt, tags FROM tt_decl").collect()
+    assert len(rows) == 1 and rows[0].id == 2
+    assert float(rows[0].amt) == 8.0 and rows[0].tags == ["c"]
+    # CTAS form
+    eng.sql(
+        "CREATE TEMPORARY TABLE tt_ctas AS "
+        "SELECT id * 10 AS k FROM tt_decl"
+    )
+    assert eng.sql("SELECT k FROM tt_ctas").collect()[0].k == 20
+    with pytest.raises(HiveQLUnsupportedError, match="already exists"):
+        eng.sql("CREATE TEMPORARY TABLE tt_ctas (x INT)")
+    eng.sql("CREATE TEMPORARY TABLE IF NOT EXISTS tt_ctas (x INT)")  # no-op
+    eng.sql("DROP TABLE tt_ctas")
+    eng.sql("DROP TABLE tt_decl")
