@@ -1202,10 +1202,15 @@ class Engine:
         # Hive-form session temp table; the Spark-native `USING fmt`
         # variant passes through untouched.
         m = _CREATE_TEMP_TABLE_STMT.match(query)
-        if m and m.group(3) and not re.search(
-            r"\bUSING\b", m.group(3), re.IGNORECASE
-        ):
-            return self._run_create_temp_table(m)
+        if m and m.group(3):
+            # A datasource clause (`USING fmt`) can only appear BEFORE
+            # the CTAS `AS` keyword — `... AS SELECT a JOIN b USING (k)`
+            # is a valid Hive CTAS whose USING must not disqualify it.
+            pre_as = re.split(
+                r"\bAS\b", m.group(3), maxsplit=1, flags=re.IGNORECASE
+            )[0]
+            if not re.search(r"\bUSING\b", pre_as, re.IGNORECASE):
+                return self._run_create_temp_table(m)
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
         return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
@@ -3455,24 +3460,30 @@ class Engine:
 
             symbols = {}
             sym_cols = []
-            rx = pattern
-            # longest names first so LATE doesn't clobber LATEST
-            order = sorted(
-                range(len(pairs)), key=lambda i: -len(pairs[i][0])
-            )
             chars = [chr(ord("A") + i) for i in range(len(pairs))]
-            for i in order:
-                name, expr = pairs[i]
+            sym_map: dict[str, str] = {}
+            for i, (name, expr) in enumerate(pairs):
                 col = f"__mp_sym_{i}"
                 sym_cols.append(col)
                 df = df.withColumn(
                     col,
                     F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
                 )
-                rx = re.sub(re.escape(name), chars[i], rx, flags=re.IGNORECASE)
+                sym_map[name.lower()] = chars[i]
                 symbols[chars[i]] = (
                     lambda p, c=col: p[c].fillna(False).astype(bool)
                 )
+            # Whole-token substitution in ONE pass: tokenize the pattern
+            # into identifiers vs. single punctuation chars and map each
+            # identifier through the symbol table. A symbol literally
+            # named 'A' (or prefixing another symbol's name) can never be
+            # clobbered by a later pass, unlike sequential re.sub.
+            rx = "".join(
+                sym_map.get(tok.lower(), tok)
+                if (tok[0].isalpha() or tok[0] == "_")
+                else tok
+                for tok in re.findall(r"[A-Za-z_]\w*|.", pattern)
+            )
             rx = rx.replace(".", "")  # Hive '.' = symbol concatenation
             out_specs: list[tuple[str, str]] = []  # (source col, alias)
             need_cols: list[str] = []
@@ -3908,26 +3919,43 @@ def _rewrite_greatest_least(query: str) -> str:
     udf_greatest.q golden: GREATEST(null,'b','c') → NULL). Spark and
     DuckDB both SKIP nulls, so Engine.sql rewrites to a null-guarded
     array_max/array_min — loop-safe because the replacement contains no
-    greatest/least token. Arguments are re-emitted verbatim (evaluated
-    once per appearance; Catalyst CSEs the duplicates)."""
-    while True:
-        m = _search_code(_GREATEST_CALL, query)
-        if not m:
-            return query
-        fn = "array_max" if m.group(1).lower() == "greatest" else "array_min"
-        open_idx = query.index("(", m.start())
-        close = _scan_balanced(query, open_idx)
-        if close >= len(query):
-            return query
-        args = _split_top_args(query[open_idx + 1:close])
-        if len(args) < 2:
-            return query
-        # inner calls in the args must be rewritten first — recurse
-        args = [_rewrite_greatest_least(a) for a in args]
-        guard = " OR ".join(f"({a}) IS NULL" for a in args)
-        arr = ", ".join(f"({a})" for a in args)
-        repl = f"(CASE WHEN {guard} THEN NULL ELSE {fn}(array({arr})) END)"
-        query = query[:m.start()] + repl + query[close + 1:]
+    greatest/least token. Each argument is emitted exactly ONCE into an
+    array bound to a lambda variable (transform over a one-element
+    array-of-array), so nondeterministic args (rand(), uuid()) are
+    evaluated a single time and the NULL guard always agrees with the
+    returned value."""
+    counter = [0]
+
+    def rewrite(text: str) -> str:
+        while True:
+            m = _search_code(_GREATEST_CALL, text)
+            if not m:
+                return text
+            fn = (
+                "array_max"
+                if m.group(1).lower() == "greatest"
+                else "array_min"
+            )
+            open_idx = text.index("(", m.start())
+            close = _scan_balanced(text, open_idx)
+            if close >= len(text):
+                return text
+            args = _split_top_args(text[open_idx + 1:close])
+            if len(args) < 2:
+                return text
+            # inner calls in the args must be rewritten first — recurse
+            args = [rewrite(a) for a in args]
+            var = f"__gl{counter[0]}"  # unique per call site: nested
+            counter[0] += 1           # lambdas must not share a name
+            arr = ", ".join(f"({a})" for a in args)
+            repl = (
+                f"(transform(array(array({arr})), {var} -> "
+                f"CASE WHEN exists({var}, x{var} -> x{var} IS NULL) "
+                f"THEN NULL ELSE {fn}({var}) END)[0])"
+            )
+            text = text[:m.start()] + repl + text[close + 1:]
+
+    return rewrite(query)
 
 
 def _rewrite_field_calls(query: str) -> str:

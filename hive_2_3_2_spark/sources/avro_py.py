@@ -417,8 +417,23 @@ def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Avro read: binaryFile scan → per-file mapInPandas
     decode. Schema comes from the FIRST file's header (driver reads
     header bytes only); every file must carry a compatible schema, like
-    Hive's one-schema-per-table AvroSerDe contract."""
+    Hive's one-schema-per-table AvroSerDe contract.
+
+    Timestamps: the file stores true epoch micros/millis (UTC). Arrow
+    interprets a NAIVE pandas timestamp returned from mapInPandas in the
+    Spark session timezone, so the decode converts epoch → session-tz
+    wall clock before handing the batch back — round-trips correctly on
+    any host timezone, and matches what native spark-avro produces."""
     import pandas as pd
+
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+
+    def _epoch_to_session(series: pd.Series, unit: str) -> pd.Series:
+        s = pd.to_datetime(series, unit=unit, utc=True)
+        try:
+            return s.dt.tz_convert(session_tz).dt.tz_localize(None)
+        except Exception:  # unknown tz string — keep UTC wall clock
+            return s.dt.tz_localize(None)
 
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.avro") if os.path.isdir(path) else path
@@ -449,9 +464,9 @@ def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
                             out[col], unit="D", errors="coerce"
                         ).dt.date
                     elif lt == "timestamp-micros":
-                        out[col] = pd.to_datetime(out[col], unit="us")
+                        out[col] = _epoch_to_session(out[col], "us")
                     elif lt == "timestamp-millis":
-                        out[col] = pd.to_datetime(out[col], unit="ms")
+                        out[col] = _epoch_to_session(out[col], "ms")
                 yield out
 
     return files.select("content").mapInPandas(decode, schema=ddl)
@@ -462,10 +477,27 @@ def write_avro_py(
 ) -> None:
     """Distributed Avro write: one container file per partition, written
     from the executors (FileSinkOperator pattern — assumes ``path`` is on
-    a filesystem all executors share, true for local mode and HDFS/NFS)."""
+    a filesystem all executors share, true for local mode and HDFS/NFS).
+
+    Overwrite semantics match the native datasource's ``mode('overwrite')``:
+    pre-existing ``part-*.avro`` files are removed first, so rewriting with
+    fewer partitions never leaves stale parts behind.
+
+    Timestamps: PySpark's RDD row conversion yields naive OS-local
+    datetimes (TimestampType.fromInternal uses ``fromtimestamp``), so
+    ``.timestamp()`` recovers the true UTC epoch on any host timezone —
+    the file stores standard epoch micros, interoperable with native
+    spark-avro. (The annual DST fold hour is inherently ambiguous in the
+    naive wall clock; everything else round-trips exactly.)"""
+    import glob as _glob
+
     avro_schema = avro_schema_from_spark(df.schema)
     names = [f.name for f in df.schema.fields]
     os.makedirs(path, exist_ok=True)
+    for stale in _glob.glob(
+        os.path.join(path, "part-*.avro")
+    ) + _glob.glob(os.path.join(path, ".part-*.avro.tmp")):
+        os.remove(stale)
     schema_json = json.dumps(avro_schema)
 
     import datetime
