@@ -113,70 +113,72 @@ _MODULES = [
     "statements_extra",  # r4 late additions — below the window → r5 queue
     "dialect_extra",  # r5 dialect surface — names pulled into _WINDOW
 ]
-# R5 WINDOW: the 18 entries with no driver row after r4 (the r4 verdict
-# queue) + 2 new r5 entries (rename-migration, late-binding view —
-# registered inside the window per the FREEZE RULE) + 30 high-value
-# re-verifications (tpch head+heavies, dml_sql/dml head, and the r4
-# perf-wave entries whose physical plans changed). tests/test_ledger.py
-# asserts the window is exactly 50, covers every never-green entry, and
-# that verification_ledger.json matches the CORRECTNESS_r0*.json union.
+# R5 WINDOW (verified 50/50): the 18 entries with no driver row after
+# r4 + 5 new r5 entries + 27 high-value re-verifications — after r5,
+# every registry entry has been driver-green at least once.
+# R6 WINDOW: staleness rotation (the r5 verdict's prescription). The 2
+# new r6 statement entries (freeze rule) + all 35 entries whose latest
+# green row is r1 + 13 of the 37 whose latest is r2 (the relational
+# core: all 6 setops, the 5 window-head entries, 2 DML). The 24
+# remaining r2-latest entries (samplers, multimodal, text head,
+# dedup head, pack_*, approx aggs) are the r7 rotation queue.
+# tests/test_ledger.py asserts the window is exactly 50, covers every
+# never-green entry, and that verification_ledger.json matches the
+# CORRECTNESS_r0*.json union.
 _WINDOW = [
-    # -- never driver-verified (r4 verdict queue, order = ledger gaps) --
-    "hiveql_macro_expansion",
-    "ddl_sql_describe_formatted",
-    "ddl_sql_temp_function",
-    "ddl_sql_schema_evolution",
-    "ddl_sql_view_stack",
-    "ddl_sql_analyze_columns",
-    "similarity_topk_ivfpq",
-    "clean_decontaminate_embeddings",
-    "clean_normalize_unicode",
-    "text_vocab_tokenize",
-    "text_nb_lang_classifier",
-    "pipeline_quality_classifier_bootstrap",
-    "join_smb_bucketed",
-    "window_time_range_frame",
-    "multimodal_real_decode_ppm",
-    "sample_group_split_leakage_free",
-    "events_cohort_retention",
-    "events_funnel_ordered_steps",
-    # -- new in r5 (freeze rule: new entries land inside the window) --
-    "ddl_sql_rename_metadata_migration",
-    "ddl_sql_drop_recreate_latebind_view",
-    "hiveql_greatest_least_null",
-    "op_matchpath_sql_invocation",
-    "window_unordered_ranking",
-    # -- re-verifications: headline tpch + the heavies --
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q13_customer_distribution",
-    # -- re-verifications: DML surface --
-    "dml_sql_insert_into_select",
-    "dml_sql_merge_statement",
-    "dml_sql_merge_multi_clause",
-    "dml_merge_upsert",
-    "dml_delete_where",
-    # -- re-verifications: r4 perf-wave entries whose plans changed --
-    "clean_decontaminate_bloom",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_connected_clusters",
-    "op_match_path_sessions",
-    "dedup_minhash_near_duplicates",
-    "similarity_topk_ivf",
-    "similarity_topk_bruteforce",
-    # -- re-verifications: headline operator spread --
-    "events_session_window",
-    "events_tumbling_window",
-    "join_skew_salted",
-    "chunk_documents_overlapping",
-    "text_tfidf_keywords",
-    "window_rank_top_parts",
-    "agg_count_distinct",
+    # -- new in r6 (freeze rule: new entries land inside the window) --
+    "stmt_insert_overwrite_directory",
+    "stmt_create_temp_table",
+    # -- stalest: latest green row is r1 (all 35) --
+    "agg_collect_set_sorted",
+    "agg_cube_returnflag_linestatus",
+    "agg_exact_percentile",
+    "agg_grouping_sets_custom",
+    "agg_having_filter",
+    "agg_rollup_order_priority",
+    "agg_statistical_moments",
+    "fn_bitwise_ops",
+    "fn_months_between_trunc",
+    "fn_null_ops",
+    "fn_str_to_map",
+    "fn_string_family2",
+    "fn_unix_time_family",
+    "join_cross_region_nation",
+    "join_full_outer_daily_activity",
+    "join_inner_orders_customer",
+    "join_left_anti_inactive_customers",
+    "join_left_outer_customer_orders",
+    "join_left_semi_active_customers",
+    "join_mixed_equi_residual",
+    "join_right_outer_orders_customer",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_case_agg",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # -- next-stalest: latest green row is r2 (13 of 37) --
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect_all",
+    "setop_intersect_distinct",
+    "setop_except_all",
+    "setop_except_distinct",
+    "window_running_sum_rows_frame",
+    "window_range_frame",
+    "window_lead_lag_orders",
+    "window_distribution_functions",
+    "window_share_of_partition",
+    "dml_update_where",
+    "dml_merge_matched_delete",
 ]
 
 

@@ -374,3 +374,100 @@ def ddl_sql_drop_recreate_latebind_view(
     ).parquet(path2)
     eng.register_table("cust_lb", path2)
     return eng.sql("SELECT * FROM v_cust_lb ORDER BY c_mktsegment")
+
+
+@query(
+    "stmt_insert_overwrite_directory",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           NULLIF(MIN(o_orderstatus), 'F') AS status_nf
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def stmt_insert_overwrite_directory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INSERT OVERWRITE DIRECTORY through Engine.sql (reference:
+    SemanticAnalyzer's writing-to-path branch; engine.py
+    _run_insert_directory): Hive text defaults with an explicit field
+    delimiter and ``\\N`` NULL encoding, verified by a full round-trip —
+    the directory is written TWICE (the first write with different
+    content must vanish: OVERWRITE semantics), then read back as
+    delimited text and compared to the DuckDB aggregate computed
+    straight from parquet. NULLIF exercises the ``\\N`` path."""
+    import os
+
+    from hive_2_3_2_spark.suite._scratch import scratch_root
+
+    dst = os.path.join(
+        scratch_root("dml"),
+        f"stmt_iod_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql(
+        f"INSERT OVERWRITE DIRECTORY '{dst}' "
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' "
+        "SELECT r_regionkey, r_name FROM region"
+    )
+    eng.sql(
+        f"INSERT OVERWRITE DIRECTORY '{dst}' "
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' "
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS total, "
+        "NULLIF(MIN(o_orderstatus), 'F') AS status_nf "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    return (
+        spark.read.option("sep", "|")
+        .option("nullValue", r"\N")
+        .schema(
+            "o_orderpriority string, n bigint, total double, "
+            "status_nf string"
+        )
+        .csv(dst)
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "stmt_create_temp_table",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 2) AS bal
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def stmt_create_temp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TEMPORARY TABLE through Engine.sql (Hive 0.14+
+    SemanticAnalyzer isTemporary branch; engine.py
+    _run_create_temp_table): session-scoped CTAS seeded with the
+    positive-balance half of customer, topped up via INSERT INTO with
+    the rest, then thinned with DELETE — temp tables are WRITABLE,
+    unlike views. The final aggregate equals the oracle computed from
+    the base table with the DELETE predicate folded in."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS tmp_cust_stmt")
+    eng.sql(
+        "CREATE TEMPORARY TABLE tmp_cust_stmt AS "
+        "SELECT c_custkey, c_acctbal, c_mktsegment FROM customer "
+        "WHERE c_acctbal > 0"
+    )
+    eng.sql(
+        "INSERT INTO tmp_cust_stmt "
+        "SELECT c_custkey, c_acctbal, c_mktsegment FROM customer "
+        "WHERE c_acctbal <= 0"
+    )
+    eng.sql("DELETE FROM tmp_cust_stmt WHERE c_mktsegment = 'BUILDING'")
+    return eng.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n, "
+        "ROUND(SUM(c_acctbal), 2) AS bal "
+        "FROM tmp_cust_stmt GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
