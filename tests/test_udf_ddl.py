@@ -95,3 +95,53 @@ def test_cbo_uses_stats_for_broadcast(spark, sf_dir):
     assert_broadcast_join(joined)
     ddl.drop_table(spark, "nation_s")
     ddl.drop_table(spark, "customer_s")
+
+
+def test_describe_function_all_dispositions(spark):
+    """DESCRIBE FUNCTION [EXTENDED] — DDLTask.describeFunction parity
+    (reference: exec/DDLTask.java:3040). Native names show a synopsis
+    under the HIVE name; renamed builtins list synonyms; gap names show
+    their providing symbol; skip-listed and unknown names emit Hive's
+    exact \"does not exist.\" RESULT ROW (rc 0, like the udf_*.q
+    goldens); macros and temporary functions report type TEMPORARY."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+
+    txt = lambda stmt: [r.function_desc for r in eng.sql(stmt).collect()]
+
+    native = txt("DESCRIBE FUNCTION concat")
+    assert any("concat(" in ln for ln in native)
+
+    ext = txt("DESCRIBE FUNCTION EXTENDED ucase")
+    assert any("ucase(" in ln for ln in ext)
+    assert any(ln.startswith("Synonyms:") and "upper" in ln for ln in ext)
+    assert "Function type:BUILTIN" in ext
+
+    renamed = txt("DESC FUNCTION regexp")
+    assert any("regexp(" in ln for ln in renamed)
+    assert any("rlike" in ln for ln in renamed if ln.startswith("Synonyms"))
+
+    gap = txt("DESCRIBE FUNCTION EXTENDED matchpath")
+    assert any("provided by this engine" in ln for ln in gap)
+    assert any(ln.startswith("Function class:") for ln in gap)
+
+    assert txt("DESCRIBE FUNCTION reflect2")[0] == (
+        "Function 'reflect2' does not exist."
+    )
+    assert txt("DESCRIBE FUNCTION no_such_fn_xyz") == [
+        "Function 'no_such_fn_xyz' does not exist."
+    ]
+
+    eng.sql("CREATE TEMPORARY MACRO df_sq(x DOUBLE) x*x")
+    macro = txt("DESCRIBE FUNCTION EXTENDED df_sq")
+    assert macro[0] == "df_sq(x) - temporary macro"
+    assert "Function type:TEMPORARY" in macro
+
+    eng.sql(
+        "CREATE TEMPORARY FUNCTION df_hex AS 'builtins.hex'"
+    )
+    tf = txt("DESCRIBE FUNCTION EXTENDED df_hex")
+    assert tf[0] == "There is no documentation for function 'df_hex'"
+    assert "Function type:TEMPORARY" in tf
+    eng.sql("DROP TEMPORARY FUNCTION df_hex")
