@@ -2959,9 +2959,13 @@ class Engine:
             # inject the shared FROM before the first top-level clause
             # keyword (WHERE/GROUP/ORDER/...) of the branch select
             depth, cut = 0, len(select_part)
+            # LATERAL included: a branch's own LATERAL VIEW attaches
+            # AFTER the shared FROM (multi_insert_lateral_view.q —
+            # SELECT k, C LATERAL VIEW explode(...) A AS C expands to
+            # SELECT k, C FROM src LATERAL VIEW ...).
             kw = re.compile(
                 r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|DISTRIBUTE|SORT|"
-                r"CLUSTER)\b",
+                r"CLUSTER|LATERAL)\b",
                 re.IGNORECASE,
             )
             for i, ch in enumerate(select_part):

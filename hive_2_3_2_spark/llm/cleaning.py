@@ -418,6 +418,7 @@ def decontaminate_embeddings(
     id_col: str = "vec_id",
     dim: int = 64,
     return_removed: bool = False,
+    method: str = "exact",
 ) -> DataFrame:
     """Embedding-level benchmark decontamination: drop corpus vectors
     whose cosine similarity to ANY eval-set vector reaches ``threshold``
@@ -438,7 +439,23 @@ def decontaminate_embeddings(
     exploded (table, bucket) form lives inside the broadcast-join stage
     only. ``return_removed=True`` returns the contamination report
     (corpus id, n_eval_hits, max_cosine) instead of the kept corpus.
+
+    ``method="exact"`` (the default) skips LSH entirely: the unit-
+    normalized eval matrix broadcasts once and every Arrow batch of
+    corpus vectors scores against it with one chunked numpy matmul —
+    zero shuffles, zero joins, exact recall by construction. The r6
+    sf1 sweep showed why this is the default: at these parameters the
+    LSH candidate factor is n_tables*(n_planes+1)/2^n_planes = 3 —
+    MORE pairs than brute force — because a 0.4 cosine threshold needs
+    loose hashes for full recall. LSH (``method="lsh"``) remains the
+    right path only when the eval set is too large to broadcast
+    (> MAX_QUERY_BATCH) AND the threshold is high enough (≳0.8) for
+    tight hashes to actually prune.
     """
+    if method == "exact":
+        return _decontaminate_exact(
+            corpus, eval_df, threshold, vec_col, id_col, return_removed
+        )
     from hive_2_3_2_spark.llm.similarity import (
         _lsh_buckets_udf,
         _dot,
@@ -506,6 +523,87 @@ def decontaminate_embeddings(
     return corpus.join(
         removed.select(F.col("corpus_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def _decontaminate_exact(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    return_removed: bool,
+) -> DataFrame:
+    """Exact decontamination: broadcast eval matrix + per-batch matmul.
+
+    One corpus scan, no join, no shuffle before the (tiny) report. The
+    eval side is collected driver-side and unit-normalized once — the
+    same bounded-batch contract as the IVF query path, enforced with
+    the same MAX_QUERY_BATCH guard (a benchmark/eval set is fixed-size
+    in a real pipeline; it does not grow with the corpus). Chunking the
+    eval columns (8192 at a time) bounds each batch's score block to
+    ~batch_rows x 8192 doubles regardless of eval size."""
+    import numpy as np
+    import pandas as pd
+
+    from hive_2_3_2_spark.llm.dedup import _spread
+    from hive_2_3_2_spark.llm.similarity import MAX_QUERY_BATCH
+
+    ev_rows = (
+        eval_df.select(F.col(vec_col).cast("array<double>"))
+        .limit(MAX_QUERY_BATCH + 1)
+        .collect()
+    )
+    if len(ev_rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"decontaminate eval set exceeds MAX_QUERY_BATCH="
+            f"{MAX_QUERY_BATCH}: the exact path broadcasts the eval "
+            "matrix — split the eval set, or use method='lsh' with a "
+            "high threshold"
+        )
+    E = np.stack([np.asarray(r[0], dtype=np.float64) for r in ev_rows])
+    en = np.linalg.norm(E, axis=1)
+    en[en == 0] = 1.0
+    E = E / en[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast(E)
+    thr = float(threshold)
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, n_eval_hits bigint, max_cosine double"
+    )
+
+    def score(batches):
+        Ev = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0] = 1.0
+            V = V / vn[:, None]
+            n_hits = np.zeros(len(V), dtype=np.int64)
+            max_cos = np.full(len(V), -np.inf)
+            for c0 in range(0, Ev.shape[0], 8192):
+                S = V @ Ev[c0:c0 + 8192].T
+                n_hits += (S >= thr).sum(axis=1)
+                max_cos = np.maximum(max_cos, S.max(axis=1))
+            mask = n_hits > 0
+            if mask.any():
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy()[mask],
+                        "n_eval_hits": n_hits[mask],
+                        "max_cosine": np.round(max_cos[mask], 6),
+                    }
+                )
+
+    removed = _spread(
+        corpus.select(id_col, F.col(vec_col).alias("_v"))
+    ).mapInPandas(score, schema=out_schema)
+    if return_removed:
+        return removed
+    return corpus.join(removed.select(id_col), id_col, "left_anti")
 
 
 def normalize_text(text: Column) -> Column:

@@ -647,12 +647,28 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     block_col: Column | None = None,
     threshold: float = 0.95,
+    n_sign_bits: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within blocks (default block:
-    sign of the first component — at scale use an LSH hyperplane bucket,
-    see similarity.lsh_bucket)."""
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    Default block: the sign pattern of the first ``n_sign_bits``
+    components (axis-aligned sign-LSH). The within-block self-join is
+    O(n²/2^k) for k bits, so k is the scale dial: 1 bit halves the
+    pairs, 3 bits cut them 8x, and k should grow ~log2(n) to keep
+    per-block density constant as the corpus grows (the r6 sf1 sweep
+    measured the 1-bit default at 84x wall for 10x rows — exactly the
+    quadratic). Like any single-table sign-LSH, a pair differing in any
+    blocked component's sign is missed; that blocking IS the declared
+    operator semantics (mirrored in the oracle), and recall-critical
+    dedup should OR several blockings (see decontaminate_embeddings's
+    multi-table bucketer) or use minhash banding."""
     if block_col is None:
-        block_col = (F.element_at(F.col(vec_col), 1) > 0).cast("int")
+        bits = [
+            (F.element_at(F.col(vec_col), i + 1) > 0).cast("int")
+            * F.lit(1 << i)
+            for i in range(n_sign_bits)
+        ]
+        block_col = sum(bits[1:], bits[0])
     # Precompute each row's norm BEFORE the self-join: the per-pair cosine
     # then needs one 64-dim fold (the dot) instead of three — identical
     # floating-point result (norm(a)*norm(b) is the same per-row value

@@ -141,7 +141,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
-             CAST(embedding[1] > 0 AS INT) AS blk
+             CAST(embedding[1] > 0 AS INT)
+             + 2 * CAST(embedding[2] > 0 AS INT)
+             + 4 * CAST(embedding[3] > 0 AS INT) AS blk
       FROM embeddings
     )
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -155,10 +157,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within sign blocks
-    (llm/dedup.py embedding_near_dups)."""
+    """Embedding-cosine near-dup pairs within 3-bit sign blocks
+    (llm/dedup.py embedding_near_dups). 3 bits = 8 blocks — the r6 sf1
+    sweep showed the old 1-bit default riding the O(n²/2) self-join
+    (84x wall at 10x rows); the oracle mirrors the same 3-bit block so
+    the declared semantics stay exactly verifiable."""
     return D.embedding_near_dups(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_sign_bits=3,
     )
 
 

@@ -1336,3 +1336,65 @@ def test_sniff_mime_routes_every_real_format(spark):
     plan = explain_str(df.select(M.sniff_mime(df.payload)))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, plan
+
+
+def test_decontaminate_exact_vs_lsh_parity(spark, sf_dir):
+    """The r6 exact matmul path and the LSH path must agree row-for-row
+    on the contamination report (the LSH config reaches full recall at
+    this threshold on this data; exact is exact by construction)."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.llm.cleaning import decontaminate_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    eval_df = emb.filter(F.col("vec_id") % 20 == 0)
+    a = {
+        (r.vec_id, r.n_eval_hits, r.max_cosine)
+        for r in decontaminate_embeddings(
+            corpus, eval_df, threshold=0.4, return_removed=True,
+            method="exact",
+        ).collect()
+    }
+    b = {
+        (r.vec_id, r.n_eval_hits, r.max_cosine)
+        for r in decontaminate_embeddings(
+            corpus, eval_df, threshold=0.4, return_removed=True,
+            method="lsh",
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_embedding_near_dups_sign_bits_blocking(spark, sf_dir):
+    """n_sign_bits=k blocks on the sign pattern of the first k
+    components: every reported pair agrees on those signs, and the
+    3-bit pair set is exactly the 1-bit pair set filtered to matching
+    bit-2/bit-3 signs (blocking only ever narrows)."""
+    from pyspark.sql import functions as F
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.llm.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = {
+        r.vec_id: tuple(int(x > 0) for x in r.embedding[:3])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    p1 = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_near_dups(
+            emb, threshold=0.4, n_sign_bits=1
+        ).collect()
+    }
+    p3 = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_near_dups(
+            emb, threshold=0.4, n_sign_bits=3
+        ).collect()
+    }
+    assert p3 == {
+        (a, b) for a, b in p1 if signs[a] == signs[b]
+    }
+    assert len(p3) > 0

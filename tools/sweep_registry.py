@@ -1,0 +1,102 @@
+"""Full-registry scale sweep: run EVERY suite entry at two scale
+factors and flag super-linear or driver-heavy outliers.
+
+The headline bench (bench.py) covers 16 queries; this tool answers the
+off-headline question — "where is the next scale cliff, if any?" — by
+timing all registry entries once at a small SF and once at a large SF
+and reporting the wall-clock ratio against the data-size ratio.
+
+    python tools/sweep_registry.py --small /root/testdata/sf0.1 \
+        --large /tmp/sf1 --ratio 10 --out BENCH_sf1_registry.json
+
+Execution is df.count() (forces the full plan without driver-side
+collection — a query that needs a big collect() to finish would show up
+as driver-heavy in its own implementation, not here). Single run per
+(query, sf): this is an outlier detector, not a benchmark; anything
+flagged gets a targeted re-measure before any conclusion lands in
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--large", default="/tmp/sf1")
+    ap.add_argument("--ratio", type=float, default=10.0,
+                    help="data-size ratio large/small")
+    ap.add_argument("--out", default="BENCH_sf1_registry.json")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated entry names (default: all)")
+    args = ap.parse_args()
+
+    from hive_2_3_2_spark.session import get_spark
+    from hive_2_3_2_spark.suite import load_all
+
+    spark = get_spark(app_name="registry-sweep")
+    reg = load_all()
+    names = (
+        args.only.split(",") if args.only else list(reg)
+    )
+    out: dict[str, dict] = {}
+    for i, name in enumerate(names):
+        spec = reg[name]
+        row: dict = {}
+        for key, sf_dir in (("small", args.small), ("large", args.large)):
+            t0 = time.time()
+            try:
+                n = spec.fn(spark, sf_dir).count()
+                row[key] = round(time.time() - t0, 3)
+                row[f"{key}_rows"] = n
+            except Exception as ex:
+                row[f"{key}_err"] = f"{type(ex).__name__}: {ex}"[:300]
+                traceback.print_exc()
+                break
+        if "small" in row and "large" in row and row["small"] > 0:
+            row["ratio"] = round(row["large"] / row["small"], 2)
+        out[name] = row
+        print(
+            f"[{i + 1}/{len(names)}] {name}: small={row.get('small')} "
+            f"large={row.get('large')} ratio={row.get('ratio')}",
+            flush=True,
+        )
+    spark.stop()
+
+    flagged = sorted(
+        (
+            (n, r)
+            for n, r in out.items()
+            if r.get("ratio") is not None
+            and r["ratio"] > args.ratio * 1.5
+            and r["large"] > 2.0  # sub-2s absolute: noise, not a cliff
+        ),
+        key=lambda kv: -kv[1]["ratio"],
+    )
+    doc = {
+        "small_dir": args.small,
+        "large_dir": args.large,
+        "data_ratio": args.ratio,
+        "flag_threshold": args.ratio * 1.5,
+        "entries": out,
+        "flagged": [n for n, _ in flagged],
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"\nwrote {args.out}; flagged ({len(flagged)}):")
+    for n, r in flagged:
+        print(f"  {n}: {r['small']}s -> {r['large']}s ({r['ratio']}x)")
+
+
+if __name__ == "__main__":
+    main()
