@@ -4190,6 +4190,47 @@ def _reorder_forward_ctes(query: str) -> str:
     )
 
 
+_GROUPING_SETS_CALL = re.compile(r"\bGROUPING\s+SETS\s*\(", re.IGNORECASE)
+
+
+def _dedup_grouping_sets(query: str) -> str:
+    """Hive DEDUPS duplicate grouping sets: SemanticAnalyzer keys each
+    set by its column bitmask, so ``GROUPING SETS ((a), (a))`` groups by
+    ``a`` once (pinned by groupby_grouping_sets1.q's golden: one row per
+    value) and ``(a, b)`` equals ``(b, a)``. Spark keeps duplicates —
+    each extra set re-emits every group — so the rewrite canonicalizes
+    each top-level set (whitespace-insensitive, order-insensitive
+    element frozenset) and drops repeats, preserving first-occurrence
+    order."""
+    out = []
+    pos = 0
+    while True:
+        m = _search_code(_GROUPING_SETS_CALL, query[pos:])
+        if not m:
+            out.append(query[pos:])
+            return "".join(out)
+        open_idx = pos + m.end() - 1
+        close = _scan_balanced(query, open_idx)
+        if close >= len(query):
+            out.append(query[pos:])
+            return "".join(out)
+        items = _split_top_args(query[open_idx + 1:close])
+        seen: set[frozenset[str]] = set()
+        kept: list[str] = []
+        for item in items:
+            inner = item.strip()
+            body = inner[1:-1] if (
+                inner.startswith("(") and _scan_balanced(inner, 0) == len(inner) - 1
+            ) else inner
+            key = frozenset(
+                "".join(e.split()).lower() for e in _split_top_args(body)
+            )
+            if key not in seen:
+                seen.add(key)
+                kept.append(inner)
+        out.append(query[pos:open_idx + 1] + ", ".join(kept))
+        pos = close
+
 def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     """Apply the (small) set of HiveQL→Spark SQL rewrites.
 
@@ -4201,7 +4242,9 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     """
     query = _reorder_forward_ctes(
         _rewrite_noop_ptf(
-            _rewrite_field_calls(_rewrite_greatest_least(query))
+            _rewrite_field_calls(
+                _rewrite_greatest_least(_dedup_grouping_sets(query))
+            )
         )
     )
     un = _UNSUPPORTED_VIRTUAL.search(query)
