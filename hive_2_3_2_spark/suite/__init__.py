@@ -119,13 +119,15 @@ _MODULES = [
 # R6 WINDOW: staleness rotation (the r5 verdict's prescription). The 2
 # new r6 statement entries (freeze rule) + all 35 entries whose latest
 # green row is r1 + 11 of the 37 whose latest is r2 (the relational
-# core: all 6 setops, 4 window-head entries, 1 DML) + the 2 entries
+# core: all 6 setops, 3 window-head entries, 1 DML) + the new
+# ddl_sql_describe_function entry (freeze rule) + the 2 entries
 # whose IMPLEMENTATIONS changed this round and therefore outrank pure
 # staleness (dedup_embedding_cosine_pairs — 3-bit sign blocking, itself
 # r2-stale — and clean_decontaminate_embeddings — new exact matmul
 # path). The remaining r2-latest entries (samplers, multimodal, text
 # head, dedup head, pack_*, approx aggs, window_share_of_partition,
-# dml_merge_matched_delete) are the r7 rotation queue.
+# window_distribution_functions, dml_merge_matched_delete) are the r7
+# rotation queue.
 # tests/test_ledger.py asserts the window is exactly 50, covers every
 # never-green entry, and that verification_ledger.json matches the
 # CORRECTNESS_r0*.json union.
@@ -179,8 +181,9 @@ _WINDOW = [
     "window_running_sum_rows_frame",
     "window_range_frame",
     "window_lead_lag_orders",
-    "window_distribution_functions",
     "dml_update_where",
+    # -- new in r6 (late): oracled DESCRIBE FUNCTION statement --
+    "ddl_sql_describe_function",
     # -- changed implementations this round (re-verify beats staleness) --
     "dedup_embedding_cosine_pairs",
     "clean_decontaminate_embeddings",

@@ -471,3 +471,44 @@ def stmt_create_temp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(SUM(c_acctbal), 2) AS bal "
         "FROM tmp_cust_stmt GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+
+
+@query(
+    "ddl_sql_describe_function",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('matchpath - Hive builtin provided by this engine',            0),
+      ('Function class:hive_2_3_2_spark.operators.ptf.match_path (applyInPandas)', 1),
+      ('Function type:BUILTIN',                                       2),
+      ('Function ''no_such_fn_qx'' does not exist.',                  3),
+      ('Function ''reflect2'' does not exist.',                       4),
+      ('df_twice(x) - temporary macro',                               5),
+      ('Expansion: x + x',                                            6),
+      ('Function type:TEMPORARY',                                     7)
+    ) AS t(function_desc, ord)
+    ORDER BY ord
+    """,
+)
+def ddl_sql_describe_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE FUNCTION [EXTENDED] through Engine.sql (reference:
+    exec/DDLTask.java:3040 describeFunction). The oracled slice covers
+    the engine-deterministic dispositions: a gap function's synopsis +
+    class + type, Hive's exact \"does not exist.\" RESULT row for
+    unknown and for skip-listed names (rc 0, like the udf_*.q golden
+    openers), and a temporary macro with its expansion. Native-builtin
+    synopses (Spark's usage docs) are pytest-pinned instead — their
+    text varies by Spark version, which a literal oracle must not."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql("CREATE TEMPORARY MACRO df_twice(x DOUBLE) x + x")
+    lines: list[str] = []
+    for stmt in (
+        "DESCRIBE FUNCTION EXTENDED matchpath",
+        "DESCRIBE FUNCTION no_such_fn_qx",
+        "DESCRIBE FUNCTION reflect2",
+        "DESCRIBE FUNCTION EXTENDED df_twice",
+    ):
+        # metadata-sized collect: DESCRIBE output is a handful of rows
+        lines.extend(r.function_desc for r in eng.sql(stmt).collect())
+    return spark.createDataFrame(
+        list(enumerate(lines)), "ord int, function_desc string"
+    ).select("function_desc", "ord")
