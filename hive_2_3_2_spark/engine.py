@@ -474,6 +474,17 @@ _DESCRIBE_FUNCTION_STMT = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_CONF_STMT = re.compile(
+    r"^\s*SHOW\s+CONF\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_LOCKS_STMT = re.compile(
+    r"^\s*SHOW\s+LOCKS(?:\s+(?:DATABASE\s+)?[\w.]+)?"
+    r"(?:\s+EXTENDED)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TXN_COMPACT_STMT = re.compile(
+    r"^\s*SHOW\s+(TRANSACTIONS|COMPACTIONS)\s*;?\s*$", re.IGNORECASE
+)
 # CREATE TABLE t LIKE s [STORED AS fmt] [LOCATION 'p'] — schema-only copy
 # (reference: parse/DDLSemanticAnalyzer.java analyzeCreateTable LIKE →
 # DDLTask.createTableLike: new empty table with the source's schema).
@@ -1015,6 +1026,37 @@ class Engine:
         if m:
             return self._run_describe_function(
                 bool(m.group(1)), m.group(2).strip("`")
+            )
+        m = _SHOW_CONF_STMT.match(query)
+        if m:
+            return self._run_show_conf(m.group(1))
+        if _SHOW_LOCKS_STMT.match(query):
+            # DDLTask.showLocks — this engine is single-session with no
+            # lock manager (like Hive under the no-op DummyTxnManager):
+            # the lock list is ALWAYS empty; the typed columns mirror
+            # ShowLocksResponseElement so tooling can still bind.
+            return self.spark.createDataFrame(
+                [],
+                "lockid string, database string, tab_name string, "
+                "partition string, lock_state string, lock_type string, "
+                "transaction_id string",
+            )
+        m = _SHOW_TXN_COMPACT_STMT.match(query)
+        if m:
+            # ACID manager surfaces (DDLTask.showTxns/showCompactions):
+            # non-transactional engine -> structurally-correct empty
+            # result, matching Hive without ACID enabled.
+            if m.group(1).upper() == "TRANSACTIONS":
+                return self.spark.createDataFrame(
+                    [],
+                    "txnid bigint, state string, startedtime bigint, "
+                    "lastheartbeattime bigint, user string, host string",
+                )
+            return self.spark.createDataFrame(
+                [],
+                "compactionid bigint, dbname string, tabname string, "
+                "partname string, type string, state string, "
+                "workerid string, starttime bigint, duration bigint",
             )
         m = _CREATE_LIKE_STMT.match(query)
         if m and self._dml_registered(m.group(3)):
@@ -1784,6 +1826,57 @@ class Engine:
                 lines.append(f"Function '{key}' does not exist.")
         return self.spark.createDataFrame(
             [(ln,) for ln in lines], "function_desc string"
+        )
+
+    # SHOW CONF serves the known Hive knobs this engine actually honors
+    # (defaults + one-line descriptions), the subset of HiveConf.ConfVars
+    # that maps onto the Spark execution model. Unknown hive.* names are
+    # a typed error, exactly DDLTask.showConf's "invalid configuration
+    # property" behavior.
+    _SHOWABLE_CONF = {
+        "hive.variable.substitute": (
+            "true", "BOOLEAN", "substitute ${...} variables in statements"
+        ),
+        "hive.exec.dynamic.partition.mode": (
+            "nonstrict", "STRING", "dynamic-partition INSERT mode"
+        ),
+        "hive.materialize.max.rows": (
+            "1000000", "INT",
+            "cap on rows a CLI processor may materialize driver-side"
+        ),
+        "hive.auto.convert.join": (
+            "true", "BOOLEAN",
+            "map-join auto conversion (Catalyst broadcast threshold here)"
+        ),
+        "hive.exec.parallel": (
+            "false", "BOOLEAN",
+            "parallel stage execution (Catalyst schedules stages itself)"
+        ),
+        "hive.merge.mapfiles": (
+            "true", "BOOLEAN",
+            "small-file merge (ALTER TABLE ... CONCATENATE here)"
+        ),
+        "hive.optimize.bucketmapjoin.sortedmerge": (
+            "false", "BOOLEAN",
+            "SMB join (bucketed+sorted tables join exchange-free here)"
+        ),
+    }
+
+    def _run_show_conf(self, key: str) -> DataFrame:
+        """SHOW CONF 'name' — DDLTask.showConf parity: one row of
+        (default, type, description) for a known property; a typed
+        error for unknown names. The session's CURRENT value (after any
+        SET overrides) is readable via ``SET name`` — Hive's SHOW CONF
+        deliberately reports the DEFAULT, and so does this."""
+        info = self._SHOWABLE_CONF.get(key.lower())
+        if info is None:
+            raise HiveQLUnsupportedError(
+                f"SHOW CONF: invalid or unmapped configuration property "
+                f"{key!r} (the engine serves the Hive knobs it honors; "
+                "Spark-side settings read via SET spark....)"
+            )
+        return self.spark.createDataFrame(
+            [info], "default string, type string, description string"
         )
 
     def _run_export(self, table: str, out_dir: str) -> DataFrame:

@@ -252,3 +252,38 @@ def test_analyze_for_columns_and_describe_column(spark, tmp_path):
     # basic stats path unchanged
     basic = eng.sql("ANALYZE TABLE cs COMPUTE STATISTICS").collect()[0]
     assert basic.num_rows == 4
+
+
+def test_show_locks_transactions_compactions_empty_typed(spark):
+    """SHOW LOCKS / TRANSACTIONS / COMPACTIONS (DDLTask.showLocks/
+    showTxns/showCompactions): single-session non-ACID engine — always
+    empty, but with the typed columns tooling binds against."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    locks = eng.sql("SHOW LOCKS")
+    assert locks.count() == 0
+    assert locks.columns[:3] == ["lockid", "database", "tab_name"]
+    assert eng.sql("SHOW LOCKS some_table EXTENDED").count() == 0
+    txns = eng.sql("SHOW TRANSACTIONS")
+    assert txns.count() == 0 and "txnid" in txns.columns
+    comp = eng.sql("SHOW COMPACTIONS")
+    assert comp.count() == 0 and "compactionid" in comp.columns
+
+
+def test_show_conf_known_and_unknown(spark):
+    """SHOW CONF 'name' (DDLTask.showConf): (default, type, description)
+    for known knobs — the DEFAULT, not the session override, exactly
+    like Hive — and a typed error for unknown names."""
+    import pytest as _pytest
+
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    row = eng.sql("SHOW CONF 'hive.exec.parallel'").collect()[0]
+    assert row.default == "false" and row.type == "BOOLEAN"
+    eng.sql("SET hive.exec.parallel=true")
+    row2 = eng.sql("SHOW CONF 'hive.exec.parallel'").collect()[0]
+    assert row2.default == "false"  # default, not the override
+    with _pytest.raises(HiveQLUnsupportedError, match="invalid"):
+        eng.sql("SHOW CONF 'hive.no.such.property'")
