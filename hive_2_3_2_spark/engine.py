@@ -375,7 +375,7 @@ _CONCATENATE_STMT = re.compile(
 # _metadata descriptor; here the descriptor is JSON).
 _ANALYZE_STMT = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS"
-    r"(\s+FOR\s+COLUMNS.*)?\s*;?\s*$",
+    r"(\s+FOR\s+COLUMNS.*|\s+NOSCAN)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MSCK_STMT = re.compile(
@@ -2022,18 +2022,33 @@ class Engine:
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
         key = self._resolve_dml_table(table)
+        noscan = False
         if for_columns is not None:
-            return self._run_analyze_columns(key, for_columns)
+            if for_columns.strip().upper() == "NOSCAN":
+                # Hive's NOSCAN gathers ONLY file-level stats (numFiles,
+                # totalSize) — no footer reads, no row count
+                # (StatsTask with the noscan work flag).
+                noscan = True
+            else:
+                return self._run_analyze_columns(key, for_columns)
         path = self.table_paths[key]
-        n = parquet_row_count(path)
         size = 0
+        n_files = 0
         if os.path.isfile(path):
-            size = os.path.getsize(path)
+            size, n_files = os.path.getsize(path), 1
         else:
             for root, _dirs, files in os.walk(path):
+                data = [f for f in files if not f.startswith(("_", "."))]
+                n_files += len(data)
                 size += sum(
-                    os.path.getsize(os.path.join(root, f)) for f in files
+                    os.path.getsize(os.path.join(root, f)) for f in data
                 )
+        if noscan:
+            return self.spark.createDataFrame(
+                [(n_files, size)],
+                "num_files bigint, total_size_bytes bigint",
+            )
+        n = parquet_row_count(path)
         return self.spark.createDataFrame(
             [(n, size)], "num_rows bigint, total_size_bytes bigint"
         )

@@ -287,3 +287,31 @@ def test_show_conf_known_and_unknown(spark):
     assert row2.default == "false"  # default, not the override
     with _pytest.raises(HiveQLUnsupportedError, match="invalid"):
         eng.sql("SHOW CONF 'hive.no.such.property'")
+
+
+def test_analyze_noscan_file_stats_only(spark, sf_dir, tmp_path):
+    """ANALYZE ... COMPUTE STATISTICS NOSCAN (StatsTask noscan flag):
+    file-level stats only — numFiles and totalSize, no row count and
+    no data scan."""
+    import os
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    p = str(tmp_path / "an_ns")
+    load_table(spark, sf_dir, "nation").repartition(2).write.parquet(p)
+    eng.register_table("an_ns", p)
+    row = eng.sql(
+        "ANALYZE TABLE an_ns COMPUTE STATISTICS NOSCAN"
+    ).collect()[0]
+    n_data = len(
+        [f for f in os.listdir(p) if not f.startswith(("_", "."))]
+    )
+    assert row.num_files == n_data > 0
+    assert row.total_size_bytes > 0
+    assert "num_rows" not in eng.sql(
+        "ANALYZE TABLE an_ns COMPUTE STATISTICS NOSCAN"
+    ).columns
+    full = eng.sql("ANALYZE TABLE an_ns COMPUTE STATISTICS").collect()[0]
+    assert full.num_rows == 25
