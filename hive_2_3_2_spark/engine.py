@@ -1265,7 +1265,21 @@ class Engine:
                 return self._run_create_temp_table(m)
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
-        return self.spark.sql(rewrite_hiveql(query, spark=self.spark))
+        rewritten = rewrite_hiveql(query, spark=self.spark)
+        try:
+            return self.spark.sql(rewritten)
+        except Exception as exc:
+            # Hive allows a window function INSIDE a windowed aggregate
+            # (windowing_expressions.q: sum(lag(x)) over w) — Spark
+            # requires the inner function hoisted into a subquery. The
+            # rewrite only ever runs on statements Spark already
+            # REJECTED with this exact error, so green queries are
+            # untouchable by construction.
+            if "WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE" in str(exc):
+                hoisted = _rewrite_nested_window(rewritten)
+                if hoisted is not None:
+                    return self.spark.sql(hoisted)
+            raise
 
     def _substitute(self, text: str) -> str:
         """``${hiveconf:x}`` / ``${hivevar:x}`` / ``${env:X}`` / ``${x}``
@@ -4295,6 +4309,136 @@ def _reorder_forward_ctes(query: str) -> str:
         + ", ".join(ctes[idx][1] for idx in ordered)
         + " "
         + query[k:]
+    )
+
+
+_NESTED_WIN_AGG = re.compile(
+    r"\b(sum|avg|min|max|count)\s*\(", re.IGNORECASE
+)
+_WIN_FN_HEAD = re.compile(
+    r"^\s*(lag|lead|first_value|last_value|rank|dense_rank|row_number|"
+    r"ntile|cume_dist|percent_rank)\s*\(",
+    re.IGNORECASE,
+)
+_TOP_KW = re.compile(
+    r"\b(FROM|WHERE|WINDOW|ORDER|LIMIT|GROUP|HAVING|DISTRIBUTE|SORT|"
+    r"CLUSTER|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def _top_level_spans(text: str) -> list[tuple[str, int]]:
+    """(keyword, offset) for every depth-0, unquoted top keyword."""
+    out = []
+    depth, in_q = 0, None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_q:
+            if ch == in_q:
+                in_q = None
+        elif ch in "'\"":
+            in_q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _TOP_KW.match(text, i)
+            if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                out.append((m.group(1).upper(), i))
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def _rewrite_nested_window(query: str) -> str | None:
+    """Hoist Hive's window-function-inside-windowed-aggregate
+    (GenericUDAF over a windowing-function stream — windowing PTF
+    evaluates the inner function first, then the aggregate over the
+    SAME window spec; windowing_expressions.q's
+    ``sum(lag(p_retailprice,1,0.0)) over w1``). Spark has no nested
+    form, so the statement becomes a two-level select: the inner level
+    computes each nested function ``<fn> OVER <spec> AS __wnN``, the
+    outer aggregates ``agg(__wnN) OVER <spec>``. Only plain
+    single-SELECT statements (no GROUP BY / set ops at top level) are
+    attempted; anything else returns None and the original Spark error
+    stands."""
+    head = re.match(r"^\s*SELECT\s+", query, re.IGNORECASE)
+    if not head:
+        return None
+    spans = _top_level_spans(query)
+    if any(k in ("GROUP", "HAVING", "UNION", "INTERSECT", "EXCEPT",
+                 "DISTRIBUTE", "SORT", "CLUSTER") for k, _ in spans):
+        return None
+    from_off = next((i for k, i in spans if k == "FROM"), None)
+    if from_off is None:
+        return None
+    select_list = query[head.end():from_off]
+    tail = query[from_off:]  # FROM ... [WHERE ...] [WINDOW ...] [ORDER/LIMIT]
+    tail_spans = _top_level_spans(tail)
+    win_off = next((i for k, i in tail_spans if k == "WINDOW"), None)
+    post_off = next(
+        (i for k, i in tail_spans if k in ("ORDER", "LIMIT")), None
+    )
+    if win_off is None:
+        from_where = tail if post_off is None else tail[:post_off]
+        window_clause = ""
+    else:
+        from_where = tail[:win_off]
+        window_clause = (
+            tail[win_off:post_off] if post_off is not None else tail[win_off:]
+        )
+    post = tail[post_off:] if post_off is not None else ""
+
+    hoists: list[str] = []
+    new_list = select_list
+    changed = True
+    while changed:
+        changed = False
+        for m in _NESTED_WIN_AGG.finditer(new_list):
+            open_idx = new_list.index("(", m.start())
+            close = _scan_balanced(new_list, open_idx)
+            if close >= len(new_list):
+                continue
+            inner = new_list[open_idx + 1:close]
+            if not _WIN_FN_HEAD.match(inner) or re.search(
+                r"\bover\b", inner, re.IGNORECASE
+            ):
+                continue
+            om = re.match(
+                r"\s*over\s*", new_list[close + 1:], re.IGNORECASE
+            )
+            if not om:
+                continue
+            spec_start = close + 1 + om.end()
+            if new_list[spec_start] == "(":
+                spec_end = _scan_balanced(new_list, spec_start)
+                spec = new_list[spec_start:spec_end + 1]
+            else:
+                sm = re.match(r"`?\w+`?", new_list[spec_start:])
+                if not sm:
+                    continue
+                spec = sm.group(0)
+                spec_end = spec_start + len(spec) - 1
+            alias = f"__wn{len(hoists)}"
+            hoists.append(f"{inner.strip()} over {spec} AS {alias}")
+            new_list = (
+                new_list[:m.start()]
+                + f"{m.group(1)}({alias}) over {spec}"
+                + new_list[spec_end + 1:]
+            )
+            changed = True
+            break
+    if not hoists:
+        return None
+    inner_sql = (
+        f"SELECT *, {', '.join(hoists)} {from_where} {window_clause}"
+    )
+    return (
+        f"SELECT {new_list} FROM ({inner_sql}) __wnest "
+        f"{window_clause} {post}"
     )
 
 

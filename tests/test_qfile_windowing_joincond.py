@@ -6,10 +6,11 @@ pushdown must not change results). Reference:
 ql/src/test/queries/clientpositive/windowing_expressions.q,
 join_cond_pushdown_1.q.
 
-Known divergence, documented: Hive's `sum(lag(x)) over w` (a window
-function nested inside a windowed aggregate) has no Spark equivalent —
-Spark requires the inner lag to be materialized in a subquery first;
-the equivalence goldens here use the non-nested identities."""
+Hive's `sum(lag(x)) over w` (a window function nested inside a
+windowed aggregate) has no native Spark form; Engine.sql hoists the
+inner function into a subquery when Spark rejects the nesting
+(engine.py _rewrite_nested_window), and the last test here replays the
+golden's nested identity through that path."""
 
 from __future__ import annotations
 
@@ -160,4 +161,52 @@ def test_q_join_cond_pushdown_compound_and_constant(qenv):
         "p3.p_partkey AS k3 "
         "FROM part p1 CROSS JOIN part p2 JOIN part p3 "
         "ON p3.p_name = p2.p_name WHERE p2.p_partkey = 1",
+    )
+
+
+def test_q_windowing_nested_window_in_aggregate(qenv):
+    """windowing_expressions.q's nested form — sum(lag(x,1,0.0)) over
+    w1, a window function INSIDE a windowed aggregate. Spark rejects
+    the nesting; Engine.sql hoists the inner lag into a subquery on
+    that exact error and re-runs. The golden's identity must hold on
+    every row: running sum == running sum of lagged + last_value."""
+    eng, con = qenv
+    got = eng.sql(
+        """
+        select p_brand, p_retailprice,
+               round(sum(p_retailprice) over w1, 2) =
+               round(sum(lag(p_retailprice,1,0.0)) over w1 +
+                     last_value(p_retailprice) over w1, 2) AS ok
+        from part
+        window w1 as (distribute by p_brand sort by p_retailprice)
+        """
+    )
+    rows = got.collect()
+    assert len(rows) > 0 and all(r.ok for r in rows)
+    # value-diff the hoisted computation itself against DuckDB (which
+    # also requires the explicit two-level form)
+    got2 = eng.sql(
+        """
+        select p_brand, p_partkey,
+               round(sum(lag(p_retailprice,1,0.0)) over w1, 2) AS s
+        from part
+        window w1 as (distribute by p_brand
+                      sort by p_retailprice, p_partkey)
+        """
+    )
+    assert_matches_oracle(
+        got2, con,
+        """
+        SELECT p_brand, p_partkey, ROUND(SUM(lg) OVER w1, 2) AS s
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 lag(p_retailprice, 1, 0.0) OVER
+                   (PARTITION BY p_brand
+                    ORDER BY p_retailprice, p_partkey) AS lg
+          FROM part
+        ) t
+        WINDOW w1 AS (PARTITION BY p_brand
+                      ORDER BY p_retailprice, p_partkey
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
     )
