@@ -305,3 +305,25 @@ def test_avro_read_decodes_executor_side(spark, tmp_path):
     assert "MapInPandas" in plan, plan
     assert "binaryFile" in plan or "BinaryFile" in plan, plan
     assert df.count() == 100
+
+
+def test_decontaminate_exact_single_pass_no_join(spark, sf_dir):
+    """The r6 exact decontamination path must be ONE corpus map pass:
+    the eval matrix ships as a broadcast variable inside the
+    mapInPandas closure — the plan has no join, no cartesian, and no
+    exchange before the report (the only post-scan work is the Arrow
+    batch matmul)."""
+    plan = _plan(spark, sf_dir, "clean_decontaminate_embeddings")
+    assert "MapInPandas" in plan, plan
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, f"unexpected {op} in exact path:\n{plan}"
+
+
+def test_embedding_near_dups_blocked_join_no_cartesian(spark, sf_dir):
+    """The 3-bit sign-blocked pair join must stay an equi-join on blk
+    (plus the id inequality as residual) — never a cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_cosine_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
