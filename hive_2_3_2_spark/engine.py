@@ -550,12 +550,18 @@ _SET_LOCATION_STMT = re.compile(
 _CREATE_VIEW_STMT = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"`?([\w.]+)`?\s*(\([^)]*\))?\s*(?:COMMENT\s+'[^']*'\s*)?"
+    r"(?:PARTITIONED\s+ON\s*\(([^)]*)\)\s*)?"
     r"(?:TBLPROPERTIES\s*\([^)]*\)\s*)?AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_VIEW_STMT = re.compile(
     r"^\s*ALTER\s+VIEW\s+([\w.]+)\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+_ALTER_VIEW_PART_STMT = re.compile(
+    r"^\s*ALTER\s+VIEW\s+([\w.]+)\s+(ADD|DROP)\s+"
+    r"(IF\s+(?:NOT\s+)?EXISTS\s+)?PARTITION\s*\(([^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DROP_VIEW_STMT = re.compile(
     r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
@@ -866,6 +872,10 @@ class Engine:
         self.table_props: dict[str, dict[str, str]] = {}
         # view name → original (pre-rewrite) body SQL — CREATE VIEW
         self.views: dict[str, str] = {}
+        # PARTITIONED ON views: name → (partition cols, ADDed specs)
+        self.view_partitions: dict[
+            str, tuple[list[str], set[tuple[tuple[str, str], ...]]]
+        ] = {}
         # view name → explicit column aliases (CREATE VIEW v (a, b) AS)
         self.view_aliases: dict[str, list[str]] = {}
         # table → column → stats dict (ANALYZE ... FOR COLUMNS; the
@@ -1178,6 +1188,10 @@ class Engine:
         if m and self._dml_registered(m.group(1)):
             return self._run_truncate(m)
         m = _SHOW_PARTITIONS_STMT.match(query)
+        if m and m.group(1).split(".")[-1].lower() in self.view_partitions:
+            return self._run_show_view_partitions(
+                m.group(1).split(".")[-1].lower()
+            )
         if m and self._dml_registered(m.group(1)):
             return self._run_show_partitions(m.group(1), m.group(2))
         m = _ALTER_PARTITION_STMT.match(query)
@@ -1225,6 +1239,9 @@ class Engine:
         m = _CREATE_VIEW_STMT.match(query)
         if m:
             return self._run_create_view(m)
+        m = _ALTER_VIEW_PART_STMT.match(query)
+        if m:
+            return self._run_alter_view_partition(m)
         m = _ALTER_VIEW_STMT.match(query)
         if m:
             return self._run_alter_view(m.group(1), m.group(2))
@@ -2645,7 +2662,8 @@ class Engine:
             if m.group(4)
             else None
         )
-        body = m.group(5).rstrip().rstrip(";")
+        part_on = m.group(5)
+        body = m.group(6).rstrip().rstrip(";")
         if key in self.table_paths or (
             key not in self.views and self._is_catalog_table(key)
         ):
@@ -2677,9 +2695,85 @@ class Engine:
             self.view_aliases[key] = aliases
         else:
             self.view_aliases.pop(key, None)
+        if part_on is not None:
+            # Hive's PARTITIONED ON views (SemanticAnalyzer
+            # validateCreateView): pure METADATA — partitions are
+            # declared, then explicitly registered via ALTER VIEW ADD
+            # PARTITION (no effect on query results; the dependency
+            # bookkeeping is the feature). The declared columns must be
+            # a SUFFIX of the view's output columns (Hive's rule).
+            cols = [c.strip().strip("`") for c in part_on.split(",")]
+            out_cols = [c.lower() for c in df.columns]
+            if [c.lower() for c in cols] != out_cols[-len(cols):]:
+                raise HiveQLUnsupportedError(
+                    f"CREATE VIEW PARTITIONED ON {cols}: partition "
+                    "columns must be the LAST columns of the view "
+                    f"(view outputs {df.columns})"
+                )
+            self.view_partitions[key] = (cols, set())
+        else:
+            self.view_partitions.pop(key, None)
         if replaced:
             self._refresh_dependent_views(key)
         return self._rows_affected(0)
+
+    def _run_alter_view_partition(self, m: re.Match[str]) -> DataFrame:
+        """ALTER VIEW v ADD|DROP PARTITION (c='v', ...) — Hive's
+        partitioned-view lifecycle (DDLSemanticAnalyzer
+        analyzeAlterTableAddParts on a VIRTUAL_VIEW): pure metastore
+        bookkeeping, no data movement; SHOW PARTITIONS serves the
+        registered list back."""
+        key = m.group(1).split(".")[-1].lower()
+        action = m.group(2).upper()
+        if_clause = bool(m.group(3))
+        if key not in self.view_partitions:
+            raise HiveQLUnsupportedError(
+                f"ALTER VIEW ... PARTITION: {key!r} is not a "
+                "PARTITIONED ON view"
+            )
+        cols, specs = self.view_partitions[key]
+        low = [c.lower() for c in cols]
+        want: list[tuple[str, str]] = []
+        for name, val in _split_assignments(m.group(4)):
+            col = name.strip().strip("`").lower()
+            if col not in low:
+                raise HiveQLUnsupportedError(
+                    f"ALTER VIEW PARTITION: {col!r} is not a partition "
+                    f"column of {key!r} (declared: {cols})"
+                )
+            want.append((col, val.strip().strip("'\"")))
+        spec = tuple(sorted(want))
+        if action == "ADD":
+            if spec in specs and not if_clause:
+                raise HiveQLUnsupportedError(
+                    f"ALTER VIEW ADD PARTITION: {dict(spec)} already "
+                    "registered (AlreadyExistsException)"
+                )
+            specs.add(spec)
+        else:
+            if spec not in specs and not if_clause:
+                raise HiveQLUnsupportedError(
+                    f"ALTER VIEW DROP PARTITION: {dict(spec)} is not "
+                    "registered"
+                )
+            specs.discard(spec)
+        return self._rows_affected(0)
+
+    def _run_show_view_partitions(self, key: str) -> DataFrame:
+        """SHOW PARTITIONS over a PARTITIONED ON view: the explicitly
+        ADDed spec list in Hive's col=val/... line format."""
+        cols, specs = self.view_partitions[key]
+        order = {c.lower(): i for i, c in enumerate(cols)}
+        lines = sorted(
+            "/".join(
+                f"{c}={v}"
+                for c, v in sorted(spec, key=lambda cv: order[cv[0]])
+            )
+            for spec in specs
+        )
+        return self.spark.createDataFrame(
+            [(ln,) for ln in lines], "partition string"
+        )
 
     def _run_alter_view(self, view: str, body: str) -> DataFrame:
         key = view.split(".")[-1].lower()
@@ -2749,6 +2843,7 @@ class Engine:
         self.spark.catalog.dropTempView(key)
         del self.views[key]
         self.view_aliases.pop(key, None)
+        self.view_partitions.pop(key, None)
         # Views stacked on the dropped view must not keep serving their
         # stale pre-drop plan — resolve-or-drop each dependent (Hive's
         # late binding would error at query time, never return old data).

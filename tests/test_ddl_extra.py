@@ -315,3 +315,44 @@ def test_analyze_noscan_file_stats_only(spark, sf_dir, tmp_path):
     ).columns
     full = eng.sql("ANALYZE TABLE an_ns COMPUTE STATISTICS").collect()[0]
     assert full.num_rows == 25
+
+
+def test_partitioned_view_lifecycle(spark, sf_dir):
+    """CREATE VIEW ... PARTITIONED ON (create_view_partitioned.q,
+    SemanticAnalyzer validateCreateView): metadata-only partitions —
+    declared as a SUFFIX of the output columns, registered/unregistered
+    via ALTER VIEW ADD/DROP PARTITION, listed by SHOW PARTITIONS in
+    Hive's col=val format. Query results are unaffected."""
+    import pytest as _pytest
+
+    from hive_2_3_2_spark.catalog import load_table
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("pv_nation")
+    eng.sql(
+        "CREATE VIEW pv_v PARTITIONED ON (n_regionkey) AS "
+        "SELECT n_name, n_regionkey FROM pv_nation"
+    )
+    # queries unaffected by view partitions
+    assert eng.sql("SELECT * FROM pv_v").count() == 25
+    eng.sql("ALTER VIEW pv_v ADD PARTITION (n_regionkey='2')")
+    eng.sql("ALTER VIEW pv_v ADD PARTITION (n_regionkey='4')")
+    got = [r.partition for r in eng.sql("SHOW PARTITIONS pv_v").collect()]
+    assert got == ["n_regionkey=2", "n_regionkey=4"]
+    with _pytest.raises(HiveQLUnsupportedError, match="already"):
+        eng.sql("ALTER VIEW pv_v ADD PARTITION (n_regionkey='2')")
+    eng.sql("ALTER VIEW pv_v ADD IF NOT EXISTS PARTITION (n_regionkey='2')")
+    eng.sql("ALTER VIEW pv_v DROP PARTITION (n_regionkey='2')")
+    assert [r.partition for r in eng.sql(
+        "SHOW PARTITIONS pv_v"
+    ).collect()] == ["n_regionkey=4"]
+    with _pytest.raises(HiveQLUnsupportedError, match="not registered"):
+        eng.sql("ALTER VIEW pv_v DROP PARTITION (n_regionkey='9')")
+    # partition cols must be a suffix of the output
+    with _pytest.raises(HiveQLUnsupportedError, match="LAST columns"):
+        eng.sql(
+            "CREATE VIEW pv_bad PARTITIONED ON (n_name) AS "
+            "SELECT n_name, n_regionkey FROM pv_nation"
+        )
+    eng.sql("DROP VIEW pv_v")
