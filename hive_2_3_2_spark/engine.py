@@ -144,7 +144,28 @@ _STORED_AS_MAP = {
 }
 
 
+_SKEWED_BY = re.compile(
+    r"\s*\bSKEWED\s+BY\s*\([^)]*\)\s*ON\s*\((?:[^()]|\([^)]*\))*\)"
+    r"(\s+STORED\s+AS\s+DIRECTORIES)?",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_stored_as(query: str) -> str:
+    sm = _SKEWED_BY.search(query)
+    if sm and _CREATE_TABLE_PREFIX.match(query):
+        if sm.group(1):
+            raise HiveQLUnsupportedError(
+                "SKEWED BY ... STORED AS DIRECTORIES (list bucketing) "
+                "changes the physical layout — out of scope per SURVEY "
+                "§2.2; plain SKEWED BY is accepted as advisory metadata"
+            )
+        # Plain SKEWED BY is ADVISORY metadata in Hive (the compile-time
+        # skew-join optimizer's hint list, optimizer/SkewJoinOptimizer
+        # .java:78). Runtime skew is AQE's job here
+        # (spark.sql.adaptive.skewJoin.enabled, session default) — the
+        # clause is dropped, the skew handling is real.
+        query = query[:sm.start()] + query[sm.end():]
     query = _ROW_FORMAT_STORED.sub(
         lambda m: f"USING csv OPTIONS (sep '{m.group(1)}')", query
     )

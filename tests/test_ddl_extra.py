@@ -356,3 +356,30 @@ def test_partitioned_view_lifecycle(spark, sf_dir):
             "SELECT n_name, n_regionkey FROM pv_nation"
         )
     eng.sql("DROP VIEW pv_v")
+
+
+def test_skewed_by_ddl_advisory(spark, tmp_path):
+    """CREATE TABLE ... SKEWED BY (skewjoinopt1.q): plain SKEWED BY is
+    ADVISORY metadata in Hive (the compile-time skew-join hint list);
+    runtime skew is AQE's job here, so the clause is accepted and
+    dropped. STORED AS DIRECTORIES (list bucketing) changes physical
+    layout and stays a typed error."""
+    import pytest as _pytest
+
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    spark.sql("DROP TABLE IF EXISTS skew_t1")
+    eng.sql(
+        "CREATE TABLE skew_t1(key STRING, val STRING) "
+        "SKEWED BY (key) ON (('2')) STORED AS PARQUET"
+    )
+    eng.sql("INSERT INTO skew_t1 VALUES ('2', 'a'), ('3', 'b')")
+    assert eng.sql("SELECT count(*) AS n FROM skew_t1").collect()[0].n == 2
+    spark.sql("DROP TABLE skew_t1")
+    with _pytest.raises(HiveQLUnsupportedError, match="DIRECTORIES"):
+        eng.sql(
+            "CREATE TABLE skew_t2(key STRING) "
+            "SKEWED BY (key) ON (('2')) STORED AS DIRECTORIES "
+            "STORED AS PARQUET"
+        )
