@@ -194,3 +194,30 @@ def test_q_router_ppr_mirror(qenv):
     plan = explain_str(got_where)
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "2008-04-08" in pf and "11" in pf
+
+
+def test_q_transform_ppr_nested_from_first(qenv):
+    """transform_ppr1.q: TRANSFORM ... USING 'cat' inside a nested
+    FROM-first subquery with CLUSTER BY, the outer WHERE carrying both
+    a data predicate (tkey < 100, string→double coercion on the
+    transformed column) and the partition predicate (ds =
+    '2008-04-08') — the ScriptOperator's output must still prune and
+    filter correctly."""
+    eng, con = qenv
+    got = eng.sql(
+        """
+        FROM (
+          FROM srcpart src
+          SELECT TRANSFORM(src.ds, src.key, src.value)
+                 USING 'cat' AS (ds, tkey, tvalue)
+          CLUSTER BY tkey
+        ) tmap
+        SELECT tmap.tkey, tmap.tvalue
+        WHERE tmap.tkey < 100 AND tmap.ds = '2008-04-08'
+        """
+    )
+    assert_matches_oracle(
+        got, con,
+        "SELECT key AS tkey, value AS tvalue FROM srcpart "
+        "WHERE CAST(key AS DOUBLE) < 100 AND ds = '2008-04-08'",
+    )
