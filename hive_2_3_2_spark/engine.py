@@ -971,13 +971,41 @@ class Engine:
             # same metastore-parity fallback as register_table
             return self.spark.createDataFrame([], remembered)
 
-    def _resolve_dml_table(self, name: str) -> str:
+    #: Roots no mutating statement may write under. The shared test
+    #: fixtures are the canonical member: their files are chmod-read-
+    #: only but the DIRECTORIES are writable, so an INSERT INTO a
+    #: fixture-registered table would happily append a part file and
+    #: corrupt every later run (this bit us once — r6). Override via
+    #: SPARK_GRAFT_PROTECT (os.pathsep-separated) for other datasets.
+    PROTECTED_ROOTS: tuple[str, ...] = tuple(
+        p for p in os.environ.get(
+            "SPARK_GRAFT_PROTECT", "/root/testdata"
+        ).split(os.pathsep) if p
+    )
+
+    def _assert_mutable(self, key: str) -> None:
+        """Typed error when a mutating statement targets a table whose
+        files live under a protected root (read-only fixtures)."""
+        path = os.path.abspath(self.table_paths[key])
+        for root in self.PROTECTED_ROOTS:
+            r = os.path.abspath(root)
+            if path == r or path.startswith(r + os.sep):
+                raise HiveQLUnsupportedError(
+                    f"table {key!r} is backed by the protected dataset "
+                    f"{path!r} — mutating it would corrupt a shared "
+                    "fixture; copy it first (CREATE TABLE ... AS or "
+                    "register_table on a scratch copy)"
+                )
+
+    def _resolve_dml_table(self, name: str, mutating: bool = False) -> str:
         key = name.split(".")[-1].lower()
         if key not in self.table_paths:
             raise HiveQLUnsupportedError(
                 f"DML target {name!r} is not a path-backed table this "
                 "Engine registered (register_table(name, path) first)"
             )
+        if mutating:
+            self._assert_mutable(key)
         return key
 
     def _dml_registered(self, name: str) -> bool:
@@ -1116,7 +1144,7 @@ class Engine:
         if m and self._dml_registered(m.group(1)):
             from hive_2_3_2_spark.sources.writers import delete_where
 
-            key = self._resolve_dml_table(m.group(1))
+            key = self._resolve_dml_table(m.group(1), mutating=True)
             cond = F.expr(m.group(2)) if m.group(2) else F.lit(True)
             path = self.table_paths[key]
             parts = self.table_partitions.get(key)
@@ -1130,7 +1158,7 @@ class Engine:
         if m and self._dml_registered(m.group(1)):
             from hive_2_3_2_spark.sources.writers import update_where
 
-            key = self._resolve_dml_table(m.group(1))
+            key = self._resolve_dml_table(m.group(1), mutating=True)
             sets = {
                 col: F.expr(expr)
                 for col, expr in _split_assignments(m.group(2))
@@ -2033,7 +2061,7 @@ class Engine:
 
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
-        key = self._resolve_dml_table(m.group(1))
+        key = self._resolve_dml_table(m.group(1), mutating=True)
         path = self.table_paths[key]
         parts = self.table_partitions.get(key)
         if m.group(2):
@@ -2268,8 +2296,8 @@ class Engine:
 
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
-        dest = self._resolve_dml_table(m.group(1))
-        src = self._resolve_dml_table(m.group(3))
+        dest = self._resolve_dml_table(m.group(1), mutating=True)
+        src = self._resolve_dml_table(m.group(3), mutating=True)
         spec = m.group(2)
         d_parts = self.table_partitions.get(dest)
         s_parts = self.table_partitions.get(src)
@@ -2318,7 +2346,7 @@ class Engine:
 
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
-        key = self._resolve_dml_table(m.group(1))
+        key = self._resolve_dml_table(m.group(1), mutating=True)
         old_rel = self._static_partition_reldir(key, m.group(2))
         new_rel = self._static_partition_reldir(key, m.group(3))
         old_dir = os.path.join(self.table_paths[key], old_rel)
@@ -3054,7 +3082,7 @@ class Engine:
 
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
-        key = self._resolve_dml_table(m.group(1))
+        key = self._resolve_dml_table(m.group(1), mutating=True)
         action = m.group(2).upper()
         guarded = bool(m.group(3))
         path = self.table_paths[key]
@@ -3095,7 +3123,7 @@ class Engine:
             parquet_row_count,
         )
 
-        key = self._resolve_dml_table(m.group(1))
+        key = self._resolve_dml_table(m.group(1), mutating=True)
         path = self.table_paths[key]
         dest = (
             os.path.join(path, self._static_partition_reldir(key, m.group(2)))
@@ -3261,7 +3289,7 @@ class Engine:
             m.group(3),
             m.group(4),
         )
-        key = self._resolve_dml_table(table)
+        key = self._resolve_dml_table(table, mutating=True)
         path = self.table_paths[key]
         parts = self.table_partitions.get(key)
         if parts and not partspec:
@@ -3348,7 +3376,7 @@ class Engine:
         from hive_2_3_2_spark.sources.writers import insert_rows
 
         overwrite = m.group(1).upper() == "OVERWRITE"
-        key = self._resolve_dml_table(m.group(2))
+        key = self._resolve_dml_table(m.group(2), mutating=True)
         static, dynamic = _parse_partition_spec(m.group(3) or "")
         col_list = (
             [c.strip() for c in m.group(4).split(",")] if m.group(4) else None
@@ -3526,7 +3554,7 @@ class Engine:
 
         from hive_2_3_2_spark.sources.writers import merge_apply
 
-        key = self._resolve_dml_table(m.group(1))
+        key = self._resolve_dml_table(m.group(1), mutating=True)
         talias = m.group(2) or key
         src_spec, salias = m.group(3), m.group(4)
         on_cond, when_part = m.group(5), m.group(6)

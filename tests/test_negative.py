@@ -600,3 +600,26 @@ def test_matchpath_invocation_typed_errors(eng, spark):
             "arg4('tpath[1].k as x'))"
         )
     spark.catalog.dropTempView("mp_neg")
+
+
+def test_protected_fixture_dataset_rejects_mutation(spark, sf_dir):
+    """Mutating DML against a table backed by the protected fixture
+    root (/root/testdata by default; SPARK_GRAFT_PROTECT to override)
+    is a typed error — the fixture files are chmod-read-only but their
+    DIRECTORIES are writable, so without this guard an INSERT INTO
+    would append a part file and corrupt every later run. Reads and
+    metadata statements stay allowed."""
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    for stmt in (
+        "INSERT INTO nation VALUES (99, 'X', 0)",
+        "DELETE FROM nation WHERE n_nationkey = 0",
+        "UPDATE nation SET n_name = 'x' WHERE n_nationkey = 0",
+        "TRUNCATE TABLE nation",
+    ):
+        with pytest.raises(HiveQLUnsupportedError, match="protected"):
+            eng.sql(stmt)
+    # reads / metadata remain fine
+    assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+    assert eng.sql("ANALYZE TABLE nation COMPUTE STATISTICS").count() == 1
