@@ -1219,13 +1219,19 @@ class Engine:
                 m.group(2),
                 re.IGNORECASE,
             )
-            known = [t for t in targets if self._dml_registered(t)]
-            if known and len(known) < len(targets):
-                raise HiveQLUnsupportedError(
-                    "multi-insert mixes Engine-registered and catalog "
-                    f"targets {targets} — register all or none"
+
+            def _local_sink(t: str) -> bool:
+                # Same sink rules as the single-INSERT dispatch above:
+                # Engine-registered tables, or session-catalog tables
+                # (which need the Hive positional-cast mapping — Spark's
+                # native FROM-first INSERT enforces ANSI store
+                # assignment and rejects e.g. string→int, join8.q).
+                return self._dml_registered(t) or (
+                    t.split(".")[-1].lower() not in self.views
+                    and self._is_catalog_table(t)
                 )
-            if known:
+
+            if targets and all(_local_sink(t) for t in targets):
                 return self._run_multi_insert(m.group(1), m.group(2))
         m = _LOAD_DATA_STMT.match(query)
         if m and self._dml_registered(m.group(3)):
@@ -3269,8 +3275,19 @@ class Engine:
                         "rule)"
                     )
                 seen_overwrite.add(sink)
-            n = self._run_insert(im).collect()[0].rows_affected
-            results.append((im.group(2).split(".")[-1].lower(), n))
+            tgt = im.group(2)
+            if self._dml_registered(tgt):
+                n = self._run_insert(im).collect()[0].rows_affected
+            elif not im.group(3) and self._is_catalog_table(tgt):
+                n = self._run_insert_catalog(im).collect()[0].rows_affected
+            else:
+                raise HiveQLUnsupportedError(
+                    f"multi-insert branch target {tgt!r} is not writable "
+                    "here (catalog table with a PARTITION spec, or an "
+                    "unknown table) — register the table with the Engine "
+                    "or use a standalone INSERT statement"
+                )
+            results.append((tgt.split(".")[-1].lower(), n))
 
     def _run_load_data(self, m: re.Match[str]) -> DataFrame:
         """``LOAD DATA INPATH`` — a pure file MOVE into the table (or
