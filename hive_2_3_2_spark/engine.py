@@ -4238,6 +4238,103 @@ def _rewrite_noop_ptf(query: str) -> str:
 
 
 _FIELD_CALL = re.compile(r"\bfield\s*\(", re.IGNORECASE)
+_TRUNC_CALL = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
+_GET_JSON_CALL = re.compile(r"\bget_json_object\s*\(", re.IGNORECASE)
+_PRINTF_CALL = re.compile(r"\b(?:printf|format_string)\s*\(", re.IGNORECASE)
+_BARE_FRACTION = re.compile(r"^[+-]?\d+\.\d+$")
+
+
+def _rewrite_call_args(
+    query: str, call: re.Pattern, fn
+) -> str:
+    """Generic quoted-literal-safe call rewriter: for each ``name(...)``
+    occurrence in code position, pass its top-level argument list to
+    ``fn(args) -> list[str] | None``; None means leave untouched."""
+    out = []
+    while True:
+        # each iteration consumes through a full call in code position,
+        # so the remainder always starts outside any quoted literal and
+        # _search_code's quote tracking stays valid per segment
+        m = _search_code(call, query)
+        if m is None:
+            break
+        open_idx = query.index("(", m.start())
+        close = _scan_balanced(query, open_idx)
+        if close >= len(query):
+            break
+        args = _split_top_args(query[open_idx + 1:close])
+        new_args = fn(args)
+        if new_args is None:
+            out.append(query[:close + 1])
+            query = query[close + 1:]
+            continue
+        out.append(
+            query[:open_idx + 1] + ", ".join(new_args) + ")"
+        )
+        query = query[close + 1:]
+    out.append(query)
+    return "".join(out)
+
+
+def _rewrite_trunc_quarter(query: str) -> str:
+    """Hive's ``trunc(date, 'Q')`` quarter format (GenericUDFTrunc,
+    reference: ql/src/java/.../udf/generic/GenericUDFTrunc.java — accepts
+    MONTH/MON/MM, YEAR/YYYY/YY, and Q; udf_trunc.q goldens) — Spark's
+    trunc spells the quarter format 'QUARTER' and returns NULL for 'Q',
+    so normalize the literal."""
+    def fix(args):
+        if len(args) == 2 and re.fullmatch(
+            r"['\"][qQ]['\"]", args[1].strip()
+        ):
+            return [args[0], "'QUARTER'"]
+        return None
+
+    return _rewrite_call_args(query, _TRUNC_CALL, fix)
+
+
+def _rewrite_json_path_dot_bracket(query: str) -> str:
+    """Hive's get_json_object accepts ``$.[0]`` as a synonym for
+    ``$[0]`` (udf_get_json_object.q golden; the reference's JsonPath
+    tokenizer treats '.' before '[' as a no-op) — Spark's path parser
+    rejects the dot-bracket form, so normalize literal paths."""
+    def fix(args):
+        if len(args) == 2:
+            p = args[1].strip()
+            if (
+                len(p) >= 2
+                and p[0] == p[-1]
+                and p[0] in "'\""
+                and ".[" in p
+            ):
+                return [args[0], p[0] + p[1:-1].replace(".[", "[") + p[0]]
+        return None
+
+    return _rewrite_call_args(query, _GET_JSON_CALL, fix)
+
+
+def _rewrite_printf_double_literals(query: str) -> str:
+    """Hive types an unsuffixed fractional literal as DOUBLE; Spark
+    types it DECIMAL, and Spark's printf/format_string cannot format
+    its internal Decimal with %e/%f/%g/%a (udf_printf.q goldens fail
+    with 'e != org.apache.spark.sql.types.Decimal'). Suffix bare
+    fractional-literal arguments with D so they reach the Java
+    Formatter as doubles, exactly as Hive passes them. Decimal-typed
+    COLUMNS under %f remain unsupported (cast to double explicitly)."""
+    def fix(args):
+        if len(args) < 2:
+            return None
+        changed = False
+        new = [args[0]]
+        for a in args[1:]:
+            s = a.strip()
+            if _BARE_FRACTION.fullmatch(s):
+                new.append(s + "D")
+                changed = True
+            else:
+                new.append(a)
+        return new if changed else None
+
+    return _rewrite_call_args(query, _PRINTF_CALL, fix)
 
 
 def _scan_balanced(text: str, open_idx: int) -> int:
@@ -4659,6 +4756,9 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
                 _rewrite_greatest_least(_dedup_grouping_sets(query))
             )
         )
+    )
+    query = _rewrite_printf_double_literals(
+        _rewrite_json_path_dot_bracket(_rewrite_trunc_quarter(query))
     )
     un = _UNSUPPORTED_VIRTUAL.search(query)
     if un:
