@@ -4249,7 +4249,9 @@ def _rewrite_call_args(
 ) -> str:
     """Generic quoted-literal-safe call rewriter: for each ``name(...)``
     occurrence in code position, pass its top-level argument list to
-    ``fn(args) -> list[str] | None``; None means leave untouched."""
+    ``fn(args)``: None leaves the call untouched, a list of strings
+    replaces the argument list, and a plain string replaces the ENTIRE
+    call expression."""
     out = []
     while True:
         # each iteration consumes through a full call in code position,
@@ -4266,27 +4268,51 @@ def _rewrite_call_args(
         new_args = fn(args)
         if new_args is None:
             out.append(query[:close + 1])
-            query = query[close + 1:]
-            continue
-        out.append(
-            query[:open_idx + 1] + ", ".join(new_args) + ")"
-        )
+        elif isinstance(new_args, str):
+            out.append(query[:m.start()] + new_args)
+        else:
+            out.append(
+                query[:open_idx + 1] + ", ".join(new_args) + ")"
+            )
         query = query[close + 1:]
     out.append(query)
     return "".join(out)
 
 
 def _rewrite_trunc_quarter(query: str) -> str:
-    """Hive's ``trunc(date, 'Q')`` quarter format (GenericUDFTrunc,
-    reference: ql/src/java/.../udf/generic/GenericUDFTrunc.java — accepts
-    MONTH/MON/MM, YEAR/YYYY/YY, and Q; udf_trunc.q goldens) — Spark's
-    trunc spells the quarter format 'QUARTER' and returns NULL for 'Q',
-    so normalize the literal."""
+    """Hive's trunc covers two surfaces Spark's does not
+    (GenericUDFTrunc, reference:
+    ql/src/java/.../udf/generic/GenericUDFTrunc.java; udf_trunc.q and
+    udf_trunc_number.q goldens):
+
+    - ``trunc(date, 'Q')`` — Spark spells the quarter format 'QUARTER'
+      and returns NULL for 'Q', so normalize the literal;
+    - NUMERIC trunc ``trunc(x)`` / ``trunc(x, d)`` (d an integer
+      literal, possibly negative) — Spark's trunc is date-only, so
+      rewrite to ``(x - (x) % p)`` with p = 10^-d, which truncates
+      toward zero for both signs (the % remainder carries the
+      dividend's sign) and preserves the input's double/decimal type.
+      The argument is emitted twice, so a nondeterministic x (rand())
+      is unsupported here — same documented restriction as
+      greatest/least.
+
+    A two-argument call whose second argument is neither an integer
+    literal nor a 'Q' literal is left for Spark's date trunc."""
     def fix(args):
+        if len(args) == 1:
+            x = args[0].strip()
+            return f"(({x}) - ({x}) % 1)"
         if len(args) == 2 and re.fullmatch(
             r"['\"][qQ]['\"]", args[1].strip()
         ):
             return [args[0], "'QUARTER'"]
+        if len(args) == 2:
+            d_lit = args[1].strip()
+            if re.fullmatch(r"-?\d+", d_lit):
+                d = int(d_lit)
+                p = "1" + "0" * (-d) if d <= 0 else "0." + "0" * (d - 1) + "1"
+                x = args[0].strip()
+                return f"(({x}) - ({x}) % {p})"
         return None
 
     return _rewrite_call_args(query, _TRUNC_CALL, fix)
