@@ -1,0 +1,153 @@
+"""clientpositive `.q` slice, round 6h: small parser/semantics corners
+(reference: ql/src/test/queries/clientpositive/parenthesis_star_by.q,
+order3.q, limit0.q, literal_decimal.q, literal_double.q, null_cast.q,
+cbo_gby_empty.q).
+
+- parenthesis_star_by: CLUSTER/SORT/DISTRIBUTE BY accept a
+  PARENTHESIZED column tuple — all four forms must return the same
+  multiset as the unparenthesized ones;
+- order3: GROUP BY / ORDER BY lists containing a CONSTANT literal
+  alongside real keys;
+- limit0: LIMIT 0 over plain scans, filters, aggregates, and nested
+  limited subqueries — always zero rows, never an error;
+- literal_decimal/literal_double: BD-suffixed decimal literals and the
+  full signed/exponent double literal surface. Divergence: Hive turns
+  an out-of-range decimal literal (1E99BD) into NULL; Spark raises a
+  typed DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION parse error — a loud
+  error beats Hive's silent NULL, kept as-is;
+- null_cast: NULL elements in complex constructors take the element
+  type of their siblings (array(null, array()) etc.);
+- cbo_gby_empty: a global aggregate always emits exactly one row.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from hive_2_3_2_spark.engine import Engine
+
+from tests.conftest import assert_matches_oracle
+
+SRC = [(str(i % 83), f"val_{i % 83}") for i in range(500)]
+
+
+@pytest.fixture(scope="module")
+def qenv(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("qfiles_small")
+    eng = Engine(spark=spark)
+    con = duckdb.connect()
+    p = str(root / "sc_src")
+    spark.createDataFrame(SRC, "key string, value string").coalesce(
+        2
+    ).write.parquet(p)
+    eng.register_table("sc_src", p)
+    con.execute(
+        f"CREATE VIEW sc_src AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    yield eng, con
+    con.close()
+
+
+def test_q_parenthesis_star_by_forms(qenv):
+    """parenthesis_star_by.q: all 8 forms (4 directives × bare/
+    parenthesized) return the same multiset."""
+    eng, con = qenv
+    oracle = "SELECT key, value FROM sc_src"
+    for directive in (
+        "CLUSTER BY key, value", "CLUSTER BY (key, value)",
+        "SORT BY key, value", "SORT BY (key, value)",
+        "ORDER BY key ASC, value ASC",
+    ):
+        assert_matches_oracle(
+            eng.sql(f"SELECT key, value FROM sc_src {directive}"),
+            con, oracle,
+        )
+    for directive in (
+        "DISTRIBUTE BY key, value", "DISTRIBUTE BY (key, value)",
+    ):
+        assert_matches_oracle(
+            eng.sql(
+                "SELECT * FROM (SELECT key, value FROM sc_src "
+                f"{directive}) t ORDER BY key, value"
+            ),
+            con, oracle,
+        )
+
+
+def test_q_order3_constant_in_group_and_order_by(qenv):
+    """order3.q: a string literal inside GROUP BY and ORDER BY lists."""
+    eng, con = qenv
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT T1.key AS MYKEY, COUNT(T1.value) AS MYVALUE1, "
+            "'AAA' AS C FROM sc_src T1 GROUP BY T1.key, 'AAA' "
+            "ORDER BY T1.key, 'AAA' LIMIT 3"
+        ),
+        con,
+        "SELECT key AS MYKEY, CAST(count(value) AS BIGINT) AS MYVALUE1, "
+        "'AAA' AS C FROM sc_src GROUP BY key ORDER BY key LIMIT 3",
+    )
+
+
+def test_q_limit0_every_shape(qenv):
+    """limit0.q: LIMIT 0 over scan/filter/star/aggregate/nested-limit
+    — zero rows each, schema intact."""
+    eng, _ = qenv
+    for q, ncols in (
+        ("select key from sc_src limit 0", 1),
+        ("select key from sc_src where key = '23' limit 0", 1),
+        ("select * from sc_src where key = '23' limit 0", 2),
+        ("select sc_src.key, count(sc_src.value) from sc_src "
+         "group by sc_src.key limit 0", 2),
+        ("select * from ( select key from sc_src limit 3) sq1 limit 0", 1),
+    ):
+        df = eng.sql(q)
+        assert df.count() == 0 and len(df.columns) == ncols, q
+
+
+def test_q_literal_decimal_and_double(qenv):
+    """literal_decimal.q / literal_double.q: BD decimals (in range) and
+    the signed/exponent double literal surface."""
+    eng, _ = qenv
+    r = eng.sql(
+        "SELECT -1BD AS a, 0BD AS b, 1BD AS c, 3.14BD AS d, -3.14BD AS e, "
+        "99999999999999999BD AS f, 99999999999999999.9999999999999BD AS g"
+    ).collect()[0]
+    assert str(r.d) == "3.14" and str(r.f) == "99999999999999999"
+    r2 = eng.sql(
+        "SELECT 3.14 AS a, -3.14 AS b, 3.14e8 AS c, 3.14e-8 AS d, "
+        "-3.14e8 AS e, -3.14e-8 AS f, 3.14e+8 AS g, 3.14E8 AS h, "
+        "3.14E-8 AS i"
+    ).collect()[0]
+    assert float(r2.c) == 3.14e8 and float(r2.i) == 3.14e-8
+    assert float(r2.e) == -3.14e8
+
+
+def test_q_null_cast_complex_constructors(qenv):
+    """null_cast.q: NULL coerces to the sibling element type inside
+    array constructors of scalars, arrays, maps, and structs."""
+    eng, _ = qenv
+    r = eng.sql(
+        "SELECT ARRAY(NULL, 0) AS a, ARRAY(NULL, ARRAY()) AS b, "
+        "ARRAY(NULL, MAP()) AS c, ARRAY(NULL, STRUCT(0)) AS d"
+    ).collect()[0]
+    assert r.a == [None, 0]
+    assert r.b[0] is None and r.b[1] == []
+    assert r.c[0] is None and r.c[1] == {}
+    assert r.d[0] is None and r.d[1][0] == 0
+
+
+def test_q_cbo_gby_empty_global_aggregate(qenv):
+    """cbo_gby_empty.q head: a global aggregate over a derived literal
+    key emits exactly one row even with no GROUP BY."""
+    eng, con = qenv
+    assert_matches_oracle(
+        eng.sql(
+            "select unionsrc.key AS key, unionsrc.value AS value FROM "
+            "(select 'tst1' as key, count(1) as value from sc_src) unionsrc"
+        ),
+        con,
+        "SELECT 'tst1' AS key, CAST(count(1) AS BIGINT) AS value "
+        "FROM sc_src",
+    )
