@@ -4241,6 +4241,7 @@ _FIELD_CALL = re.compile(r"\bfield\s*\(", re.IGNORECASE)
 _TRUNC_CALL = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
 _GET_JSON_CALL = re.compile(r"\bget_json_object\s*\(", re.IGNORECASE)
 _PRINTF_CALL = re.compile(r"\b(?:printf|format_string)\s*\(", re.IGNORECASE)
+_REPLICATE_ROWS_CALL = re.compile(r"\breplicate_rows\s*\(", re.IGNORECASE)
 _BARE_FRACTION = re.compile(r"^[+-]?\d+\.\d+$")
 
 
@@ -4336,6 +4337,30 @@ def _rewrite_json_path_dot_bracket(query: str) -> str:
         return None
 
     return _rewrite_call_args(query, _GET_JSON_CALL, fix)
+
+
+def _rewrite_replicate_rows(query: str) -> str:
+    """Hive's SQL-callable ``replicate_rows(n, e1, ...)`` UDTF
+    (GenericUDTFReplicateRows, exec/FunctionRegistry.java:499;
+    udtf_replicate_rows.q golden): emits the tuple (n, e1, ...) n
+    times, nothing for n <= 0. Spark-side composition:
+    ``inline(array_repeat(struct(n AS col0, e1 AS col1, ...),
+    greatest(0, cast(n AS int))))`` — pure JVM expressions, no UDF.
+    The count expression appears twice, so a nondeterministic n is
+    unsupported (same documented restriction as greatest/least)."""
+    def fix(args):
+        if len(args) < 2:
+            return None
+        fields = ", ".join(
+            f"({a.strip()}) AS col{i}" for i, a in enumerate(args)
+        )
+        n = args[0].strip()
+        return (
+            f"inline(array_repeat(struct({fields}), "
+            f"greatest(0, cast(({n}) AS INT))))"
+        )
+
+    return _rewrite_call_args(query, _REPLICATE_ROWS_CALL, fix)
 
 
 def _rewrite_printf_double_literals(query: str) -> str:
@@ -4784,7 +4809,9 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
         )
     )
     query = _rewrite_printf_double_literals(
-        _rewrite_json_path_dot_bracket(_rewrite_trunc_quarter(query))
+        _rewrite_json_path_dot_bracket(
+            _rewrite_trunc_quarter(_rewrite_replicate_rows(query))
+        )
     )
     un = _UNSUPPORTED_VIRTUAL.search(query)
     if un:

@@ -109,6 +109,10 @@ _GAPS = {
     "mask_last_n": "pattern: reverse + mask_first_n + reverse",
     "mask_show_last_n": "pattern: reverse + mask_show_first_n + reverse",
     "matchpath": "hive_2_3_2_spark.operators.ptf.match_path (applyInPandas)",
+    "replicate_rows": (
+        "engine.py _rewrite_replicate_rows: SQL-callable form rewrites "
+        "to inline(array_repeat(struct(...), greatest(0, n)))"
+    ),
 }
 
 _SKIP = {
@@ -118,7 +122,6 @@ _SKIP = {
     "ewah_bitmap_or": "internal",
     "ewah_bitmap_empty": "internal",
     "get_splits": "LLAP-internal (FunctionRegistry.java:500)",
-    "replicate_rows": "internal rewrite helper for EXCEPT ALL (:499)",
     "sq_count_check": "Catalyst enforces scalar-subquery cardinality itself",
     "cardinality_violation": "ACID MERGE guard — engine-internal",
     "internal_interval": "parser-internal",
