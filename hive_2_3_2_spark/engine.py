@@ -4242,6 +4242,10 @@ _TRUNC_CALL = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
 _GET_JSON_CALL = re.compile(r"\bget_json_object\s*\(", re.IGNORECASE)
 _PRINTF_CALL = re.compile(r"\b(?:printf|format_string)\s*\(", re.IGNORECASE)
 _REPLICATE_ROWS_CALL = re.compile(r"\breplicate_rows\s*\(", re.IGNORECASE)
+_DISTINCT_WIN_CALL = re.compile(
+    r"\b(count|sum|avg)\s*\(\s*distinct\b", re.IGNORECASE
+)
+_OVER_AFTER = re.compile(r"\s*OVER\s*", re.IGNORECASE)
 _BARE_FRACTION = re.compile(r"^[+-]?\d+\.\d+$")
 
 
@@ -4337,6 +4341,81 @@ def _rewrite_json_path_dot_bracket(query: str) -> str:
         return None
 
     return _rewrite_call_args(query, _GET_JSON_CALL, fix)
+
+
+def _rewrite_distinct_window(query: str) -> str:
+    """Hive's DISTINCT windowed aggregates — ``COUNT/SUM/AVG(DISTINCT
+    x) OVER (...)`` (windowing_distinct.q; HIVE-9534) — which Spark's
+    analyzer rejects outright. Composition over the frame-respecting
+    collect_set window function:
+
+    - COUNT(DISTINCT x) OVER w  → size(collect_set(x) OVER w)
+      (multi-arg COUNT guards NULLs the Hive way: a row with ANY null
+      argument is excluded);
+    - SUM(DISTINCT x) OVER w    → aggregate(collect_set(x) OVER w,
+      CAST(NULL AS DOUBLE), (a, v) -> coalesce(a, 0D) + cast(v AS
+      DOUBLE)) — the NULL seed makes an empty frame yield NULL like
+      Hive; the result is always DOUBLE (Hive returns bigint for
+      integral inputs — documented widening);
+    - AVG(DISTINCT x) OVER w    → that sum divided by the size.
+
+    A DISTINCT aggregate NOT followed by OVER is left for Spark's
+    regular distinct-aggregate path. Named window references
+    (``OVER w``) are supported."""
+    out = []
+    while True:
+        m = _search_code(_DISTINCT_WIN_CALL, query)
+        if m is None:
+            break
+        fn = m.group(1).lower()
+        open_idx = query.index("(", m.start())
+        close = _scan_balanced(query, open_idx)
+        if close >= len(query):
+            break
+        inner = query[open_idx + 1:close]
+        # strip the leading DISTINCT keyword from the argument text
+        inner = re.sub(r"^\s*distinct\b", "", inner, flags=re.IGNORECASE)
+        om = _OVER_AFTER.match(query, close + 1)
+        if not om:
+            # plain distinct aggregate — Spark handles it natively
+            out.append(query[:close + 1])
+            query = query[close + 1:]
+            continue
+        oend = om.end()
+        if oend < len(query) and query[oend] == "(":
+            oclose = _scan_balanced(query, oend)
+            if oclose >= len(query):
+                break
+            over = query[oend:oclose + 1]
+            consumed = oclose + 1
+        else:
+            wm = re.match(r"`?\w+`?", query[oend:])
+            if not wm:
+                break
+            over = wm.group(0)
+            consumed = oend + wm.end()
+        args = _split_top_args(inner)
+        if fn == "count" and len(args) > 1:
+            guard = " OR ".join(f"({a.strip()}) IS NULL" for a in args)
+            tup = ", ".join(a.strip() for a in args)
+            elem = f"CASE WHEN {guard} THEN NULL ELSE struct({tup}) END"
+        else:
+            elem = inner.strip()
+        cset = f"collect_set({elem}) OVER {over}"
+        sum_form = (
+            f"aggregate({cset}, CAST(NULL AS DOUBLE), "
+            f"(__da, __dv) -> coalesce(__da, 0D) + cast(__dv AS DOUBLE))"
+        )
+        if fn == "count":
+            repl = f"size({cset})"
+        elif fn == "sum":
+            repl = sum_form
+        else:  # avg
+            repl = f"(({sum_form}) / size({cset}))"
+        out.append(query[:m.start()] + repl)
+        query = query[consumed:]
+    out.append(query)
+    return "".join(out)
 
 
 def _rewrite_replicate_rows(query: str) -> str:
@@ -4810,7 +4889,9 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     )
     query = _rewrite_printf_double_literals(
         _rewrite_json_path_dot_bracket(
-            _rewrite_trunc_quarter(_rewrite_replicate_rows(query))
+            _rewrite_trunc_quarter(
+                _rewrite_replicate_rows(_rewrite_distinct_window(query))
+            )
         )
     )
     un = _UNSUPPORTED_VIRTUAL.search(query)
