@@ -3403,6 +3403,7 @@ class Engine:
         parts = self.table_partitions.get(key, [])
         target = self._target_frame(key)
         fields = {f.name: f.dataType for f in target.schema.fields}
+        sfields = {f.name: f for f in target.schema.fields}
 
         bad = [p for p in list(static) + dynamic if p not in parts]
         if bad:
@@ -3433,7 +3434,7 @@ class Engine:
                     f"the query supplies {len(src.columns)}"
                 )
             by_name = {
-                name: F.col(src.columns[i]).cast(fields[name])
+                name: _store_cast(F.col(src.columns[i]), sfields[name])
                 for i, name in enumerate(col_list)
             }
             aligned = src.select(
@@ -3453,7 +3454,8 @@ class Engine:
                 )
             aligned = src.select(
                 *[
-                    F.col(src.columns[i]).cast(fields[name]).alias(name)
+                    _store_cast(F.col(src.columns[i]), sfields[name])
+                    .alias(name)
                     for i, name in enumerate(expected)
                 ]
             )
@@ -3516,6 +3518,7 @@ class Engine:
         body = m.group(5).rstrip().rstrip(";")
         target = self.spark.table(name)
         fields = {f.name: f.dataType for f in target.schema.fields}
+        sfields = {f.name: f for f in target.schema.fields}
         by_lower = {n.lower(): n for n in fields}
         src = self.spark.sql(rewrite_hiveql(body, spark=self.spark))
         src = src.toDF(*[f"__src_c{i}" for i in range(len(src.columns))])
@@ -3532,7 +3535,7 @@ class Engine:
                     f"the query supplies {len(src.columns)}"
                 )
             by_name = {
-                name_: F.col(src.columns[i]).cast(fields[name_])
+                name_: _store_cast(F.col(src.columns[i]), sfields[name_])
                 for i, name_ in enumerate(col_list)
             }
             aligned = src.select(
@@ -3550,7 +3553,7 @@ class Engine:
                 )
             aligned = src.select(
                 *[
-                    F.col(src.columns[i]).cast(fields[c]).alias(c)
+                    _store_cast(F.col(src.columns[i]), sfields[c]).alias(c)
                     for i, c in enumerate(target.columns)
                 ]
             )
@@ -4341,6 +4344,29 @@ def _rewrite_json_path_dot_bracket(query: str) -> str:
         return None
 
     return _rewrite_call_args(query, _GET_JSON_CALL, fix)
+
+
+_CHAR_VARCHAR_META = "__CHAR_VARCHAR_TYPE_STRING"
+
+
+def _store_cast(col, field):
+    """Hive store-assignment cast for one target column (FunctionRegistry
+    implicit conversions): plain cast, except CHAR(n)/VARCHAR(n) targets
+    (surfaced by Spark as StringType + metadata) TRUNCATE overlong values
+    -- and pad, for CHAR -- the way Hive's writers do, instead of raising
+    Spark's EXCEED_LIMIT_LENGTH at write time (char_1.q/varchar_2.q)."""
+    from pyspark.sql import functions as F
+
+    raw = field.metadata.get(_CHAR_VARCHAR_META) if field.metadata else None
+    if raw:
+        m = re.match(r"(char|varchar)\s*\(\s*(\d+)\s*\)", raw, re.IGNORECASE)
+        if m:
+            n = int(m.group(2))
+            c = F.substring(col.cast("string"), 1, n)
+            if m.group(1).lower() == "char":
+                c = F.rpad(c, n, " ")
+            return c
+    return col.cast(field.dataType)
 
 
 def _rewrite_distinct_window(query: str) -> str:
