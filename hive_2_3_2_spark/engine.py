@@ -4248,6 +4248,11 @@ _REPLICATE_ROWS_CALL = re.compile(r"\breplicate_rows\s*\(", re.IGNORECASE)
 _DISTINCT_WIN_CALL = re.compile(
     r"\b(count|sum|avg)\s*\(\s*distinct\b", re.IGNORECASE
 )
+_MASK_FAMILY_CALL = re.compile(
+    r"\b(mask_hash|mask_first_n|mask_last_n|mask_show_first_n|"
+    r"mask_show_last_n)\s*\(",
+    re.IGNORECASE,
+)
 _OVER_AFTER = re.compile(r"\s*OVER\s*", re.IGNORECASE)
 _BARE_FRACTION = re.compile(r"^[+-]?\d+\.\d+$")
 
@@ -4344,6 +4349,73 @@ def _rewrite_json_path_dot_bracket(query: str) -> str:
         return None
 
     return _rewrite_call_args(query, _GET_JSON_CALL, fix)
+
+
+def _rewrite_mask_family(query: str) -> str:
+    """Hive's data-masking UDF family as SQL-callable forms
+    (GenericUDFMaskFirstN ff., exec/FunctionRegistry.java:531-536;
+    udf_mask_*.q goldens), composed over Spark's native ``mask``:
+
+    - mask_hash(x)                      → md5(cast(x AS string))
+      (Hive 2.3 hashes with md5 — the golden digests are 32-hex;
+      Hive 3 moved to sha256)
+    - mask_first_n(x, n, U, l, d, o)    → mask the first n chars
+    - mask_last_n(x, n, U, l, d, o)     → mask the last n chars
+    - mask_show_first_n(x, n, U, l, d, o) → mask all but the first n
+    - mask_show_last_n(x, n, U, l, d, o)  → mask all but the last n
+
+    Defaults mirror Hive: n=4, upper 'X', lower 'x', digit 'n', other
+    kept (NULL). The value/count expressions are emitted more than
+    once, so nondeterministic arguments are unsupported (same
+    documented restriction as greatest/least). The bare ``mask``
+    string form is Spark-native with identical defaults; Hive's
+    numeric/date masking overloads (6+ args) are not provided."""
+    def fix_factory(name):
+        def fix(args):
+            if not args:
+                return None
+            x = f"({args[0].strip()})"
+            if name == "mask_hash":
+                return f"md5(cast({x} AS string))"
+            n = f"({args[1].strip()})" if len(args) > 1 else "4"
+            chars = [a.strip() for a in args[2:5]]
+            chars += ["'X'", "'x'", "'n'"][len(chars):]
+            other = args[5].strip() if len(args) > 5 else "NULL"
+            m_args = ", ".join([chars[0], chars[1], chars[2], other])
+            head_n = f"substring({x}, 1, {n})"
+            tail_n = f"substring({x}, {n} + 1)"
+            keep = f"greatest(length({x}) - {n}, 0)"
+            head_keep = f"substring({x}, 1, {keep})"
+            tail_keep = f"substring({x}, {keep} + 1)"
+            if name == "mask_first_n":
+                return f"concat(mask({head_n}, {m_args}), {tail_n})"
+            if name == "mask_show_first_n":
+                return f"concat({head_n}, mask({tail_n}, {m_args}))"
+            if name == "mask_last_n":
+                return f"concat({head_keep}, mask({tail_keep}, {m_args}))"
+            # mask_show_last_n
+            return f"concat(mask({head_keep}, {m_args}), {tail_keep})"
+
+        return fix
+
+    out = []
+    while True:
+        m = _search_code(_MASK_FAMILY_CALL, query)
+        if m is None:
+            break
+        open_idx = query.index("(", m.start())
+        close = _scan_balanced(query, open_idx)
+        if close >= len(query):
+            break
+        args = _split_top_args(query[open_idx + 1:close])
+        repl = fix_factory(m.group(1).lower())(args)
+        if repl is None:
+            out.append(query[:close + 1])
+        else:
+            out.append(query[:m.start()] + repl)
+        query = query[close + 1:]
+    out.append(query)
+    return "".join(out)
 
 
 _CHAR_VARCHAR_META = "__CHAR_VARCHAR_TYPE_STRING"
@@ -4916,7 +4988,9 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
     query = _rewrite_printf_double_literals(
         _rewrite_json_path_dot_bracket(
             _rewrite_trunc_quarter(
-                _rewrite_replicate_rows(_rewrite_distinct_window(query))
+                _rewrite_replicate_rows(
+                    _rewrite_mask_family(_rewrite_distinct_window(query))
+                )
             )
         )
     )

@@ -221,9 +221,11 @@ def extract_union(u: Column, tag: int | None = None) -> Column:
 
 
 def mask_hash(col: Column) -> Column:
-    """mask_hash(str) → sha256 hex (Hive 2.x masks via md5/sha256 hash;
-    reference: GenericUDFMaskHash, FunctionRegistry.java:536)."""
-    return F.sha2(col.cast("string"), 256)
+    """mask_hash(str) → md5 hex — Hive 2.3's GenericUDFMaskHash hashes
+    with md5 (the udf_mask_hash.q golden is a 32-hex digest; Hive 3
+    switched to sha256). Reference: GenericUDFMaskHash,
+    FunctionRegistry.java:536."""
+    return F.md5(col.cast("string"))
 
 
 def mask(

@@ -68,7 +68,7 @@ def op_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(regexp_replace(regexp_replace(c_name,
              '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
              AS masked,
-           sha256(c_name) AS hashed,
+           md5(c_name) AS hashed,
            concat(substr(c_name, 1, 4),
              regexp_replace(regexp_replace(regexp_replace(substr(c_name, 5),
                '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'))

@@ -134,7 +134,7 @@ def test_masking(spark):
         mask_first_n(F.col("s"), 4).alias("mf"),
     ).collect()[0]
     assert row.m == "Xxxnnn-xx"
-    assert len(row.h) == 64
+    assert len(row.h) == 32  # md5 hex (Hive 2.3's GenericUDFMaskHash)
     assert row.sf == "Abc1nn-xx"
     assert row.mf == "Xxxn23-xy"
 

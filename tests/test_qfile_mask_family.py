@@ -1,0 +1,94 @@
+"""clientpositive `.q` slice, round 6i: the SQL-callable mask family
+(reference: ql/src/test/queries/clientpositive/udf_mask_first_n.q,
+udf_mask_last_n.q, udf_mask_show_first_n.q, udf_mask_show_last_n.q,
+udf_mask_hash.q; GenericUDFMaskFirstN ff.,
+exec/FunctionRegistry.java:531-536). The engine rewrites the family
+onto Spark's native string ``mask`` (engine.py _rewrite_mask_family);
+STRING-form golden cells are asserted against Hive's own q.out values.
+
+Out of scope (documented): Hive's numeric/date masking overloads
+(mask(123, -1, -1, -1, -1, '5') digit-substitutes integers;
+mask(date, ..., day, month, year) rewrites date fields) — Spark's
+mask is string-only, and the string surface is what the reference's
+column-masking policies actually use. mask_hash of a NON-string is
+NULL in Hive; here it hashes the stringified value (divergence noted).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_2_3_2_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark=spark)
+
+
+def _one(eng, sql):
+    return eng.sql(sql).collect()[0][0]
+
+
+def test_q_mask_first_n_golden(eng):
+    assert _one(eng,
+        "select mask_first_n('TestString-123', 4, 'X', 'x', '0', ':')"
+    ) == "XxxxString-123"
+    # defaults: n=4, X/x/n, other kept
+    assert _one(eng, "select mask_first_n('TestString-123')") == (
+        "XxxxString-123"
+    )
+    assert _one(eng, "select mask_first_n('TestString-123', 6)") == (
+        "XxxxXxring-123"
+    )
+
+
+def test_q_mask_last_n_golden(eng):
+    assert _one(eng,
+        "select mask_last_n('TestString-123', 4, 'X', 'x', '0', ':')"
+    ) == "TestString:000"
+    assert _one(eng, "select mask_last_n('TestString-123')") == (
+        "TestString-nnn"
+    )
+
+
+def test_q_mask_show_first_n_golden(eng):
+    assert _one(eng,
+        "select mask_show_first_n('TestString-123', 4, 'X', 'x', '0', ':')"
+    ) == "TestXxxxxx:000"
+    assert _one(eng, "select mask_show_first_n('TestString-123')") == (
+        "TestXxxxxx-nnn"
+    )
+
+
+def test_q_mask_show_last_n_golden(eng):
+    assert _one(eng,
+        "select mask_show_last_n('TestString-123', 4, 'X', 'x', '0', ':')"
+    ) == "XxxxXxxxxx-123"
+    assert _one(eng, "select mask_show_last_n('TestString-123')") == (
+        "XxxxXxxxxx-123"
+    )
+
+
+def test_q_mask_hash_golden_md5(eng):
+    """udf_mask_hash.q: Hive 2.3 hashes with md5 — the exact golden
+    digest."""
+    assert _one(eng, "select mask_hash('TestString-123')") == (
+        "dd78d68ad1b23bde126812482dd70ac6"
+    )
+
+
+def test_q_mask_family_over_column(eng, spark):
+    """The rewrites work over columns, not just literals, and stay
+    JVM-side (no UDF in the plan)."""
+    spark.createDataFrame(
+        [("Alice-99",), ("Bob-1",)], "s string"
+    ).createOrReplaceTempView("mk_t")
+    got = {r.s: r.m for r in eng.sql(
+        "select s, mask_show_first_n(s, 3) AS m from mk_t"
+    ).collect()}
+    assert got == {"Alice-99": "Alixx-nn", "Bob-1": "Bob-n"}
+    plan = eng.sql(
+        "select mask_first_n(s) AS m from mk_t"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
