@@ -103,11 +103,18 @@ _GAPS = {
     "sort_array_by": "hive_2_3_2_spark.functions.gaps.sort_array_by",
     "create_union": "hive_2_3_2_spark.functions.gaps.create_union",
     "extract_union": "hive_2_3_2_spark.functions.gaps.extract_union",
-    "mask_hash": "hive_2_3_2_spark.functions.gaps.mask_hash",
-    "mask_first_n": "hive_2_3_2_spark.functions.gaps.mask_first_n",
-    "mask_show_first_n": "hive_2_3_2_spark.functions.gaps.mask_show_first_n",
-    "mask_last_n": "pattern: reverse + mask_first_n + reverse",
-    "mask_show_last_n": "pattern: reverse + mask_show_first_n + reverse",
+    "mask_hash": (
+        "gaps.mask_hash (md5, Hive 2.3 parity); SQL-callable via "
+        "engine.py _rewrite_mask_family"
+    ),
+    "mask_first_n": (
+        "gaps.mask_first_n; SQL-callable via _rewrite_mask_family"
+    ),
+    "mask_show_first_n": (
+        "gaps.mask_show_first_n; SQL-callable via _rewrite_mask_family"
+    ),
+    "mask_last_n": "SQL-callable via engine.py _rewrite_mask_family",
+    "mask_show_last_n": "SQL-callable via engine.py _rewrite_mask_family",
     "matchpath": "hive_2_3_2_spark.operators.ptf.match_path (applyInPandas)",
     "replicate_rows": (
         "engine.py _rewrite_replicate_rows: SQL-callable form rewrites "
