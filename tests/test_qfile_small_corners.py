@@ -151,3 +151,31 @@ def test_q_cbo_gby_empty_global_aggregate(qenv):
         "SELECT 'tst1' AS key, CAST(count(1) AS BIGINT) AS value "
         "FROM sc_src",
     )
+
+
+def test_q_concat_op_precedence_divergence(qenv):
+    """concat_op.q — DOCUMENTED DIVERGENCE: Hive (and standard SQL,
+    and DuckDB) give `||` the LOWEST binding among arithmetic
+    operators, so `9 + 9 || 9 + 9` is '18' || '18' = '1818'. Spark's
+    grammar gives `||` the same precedence as +/- (left-assoc), so the
+    same text parses as ((9+9)||9)+9 = 198.0. Parenthesized forms
+    agree everywhere; this test pins BOTH facts so a Spark grammar
+    change is caught."""
+    eng, _ = qenv
+    assert eng.sql(
+        "select (9 + 9) || (9 + 9) AS x"
+    ).collect()[0].x == "1818"
+    got = eng.sql("select 9 + 9 || 9 + 9 AS x").collect()[0].x
+    assert float(got) == 198.0  # Spark's precedence, not Hive's
+
+
+def test_q_interval_alt_eq_in_precedence(qenv):
+    """interval_alt.q: `false = false IN (true, false)` — Hive and
+    Spark both parse comparison and IN at the same precedence level
+    left-to-right: (false=false) IN (true,false) = true. (DuckDB
+    binds IN tighter and answers false — the engines agree with each
+    other and with Hive here.)"""
+    eng, _ = qenv
+    assert eng.sql(
+        "select false=false in (true,false) AS x"
+    ).collect()[0].x is True

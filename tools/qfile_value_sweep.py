@@ -1,0 +1,219 @@
+"""Mass value-verification sweep over the reference's clientpositive
+golden corpus.
+
+For every `.q` file NOT already replayed by a tests/test_qfile_* module,
+extract the SELECT statements whose table surface is the standard
+src/src1/srcpart fixtures, run each through BOTH this engine and DuckDB
+on identical parquet, and compare with the same canonicalization the
+driver's correctness gate uses (column-name-sorted, order-insensitive,
+float-normalized).
+
+Statements are skipped (not failed) when:
+- DuckDB itself cannot run the raw HiveQL (its coercion rules differ —
+  e.g. '' cast to int errors where Hive yields NULL); the value check
+  needs a hand-written oracle, which is what the curated test modules
+  are for;
+- the statement has a LIMIT/TABLESAMPLE without a total ORDER BY (the
+  row subset is legitimately nondeterministic);
+- the statement is nondeterministic by construction (rand, uuid,
+  current_*, INPUT__FILE__NAME).
+
+Output: one JSON line per disposition bucket plus a mismatch report —
+a mismatch here is a REAL candidate value bug worth a curated test.
+
+    python tools/qfile_value_sweep.py --out QFILE_SWEEP.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QDIR = "/root/reference/ql/src/test/queries/clientpositive"
+
+_NONDET = re.compile(
+    r"\b(rand|uuid|current_date|current_timestamp|current_user|"
+    r"input__file__name|unix_timestamp\s*\(\s*\))\b",
+    re.IGNORECASE,
+)
+_LIMITED = re.compile(r"\b(limit\s+\d+|tablesample)\b", re.IGNORECASE)
+_TOTAL_ORDER = re.compile(r"\border\s+by\b", re.IGNORECASE)
+
+
+def covered_files() -> set[str]:
+    names = set()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in glob.glob(os.path.join(here, "tests", "test_qfile_*.py")):
+        for m in re.finditer(r"([a-z0-9_]+)\.q\b", open(p).read()):
+            names.add(m.group(1))
+    return names
+
+
+def extract_statements() -> list[tuple[str, str]]:
+    stmts = []
+    covered = covered_files()
+    for qf in sorted(glob.glob(f"{QDIR}/*.q")):
+        name = os.path.basename(qf)[:-2]
+        if name in covered:
+            continue
+        txt = re.sub(r"--[^\n]*", "", open(qf, errors="replace").read())
+        # split on ; outside quotes
+        parts, buf, q = [], [], None
+        for ch in txt:
+            if q:
+                if ch == q:
+                    q = None
+                buf.append(ch)
+            elif ch in "'\"":
+                q = ch
+                buf.append(ch)
+            elif ch == ";":
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        for raw in parts:
+            s = raw.strip()
+            if not re.match(r"^select\b", s, re.IGNORECASE):
+                continue
+            tbls = set(
+                t.lower()
+                for t in re.findall(
+                    r"\b(?:from|join)\s+`?(\w+)`?", s, re.IGNORECASE
+                )
+            )
+            if tbls - {"src", "src1", "srcpart"}:
+                continue
+            if len(s) > 3000 or _NONDET.search(s):
+                continue
+            if _LIMITED.search(s) and not _TOTAL_ORDER.search(s):
+                continue
+            if re.search(r"\bhash\s*\(", s, re.IGNORECASE):
+                # SUM(HASH(...)) canonicalization goldens: hash() is
+                # engine-specific in all three engines (documented
+                # divergence: Hive=Java hashCode, Spark=Murmur3)
+                continue
+            if re.search(r"\bover\s*\(", s, re.IGNORECASE) and \
+                    "select *" in s.lower():
+                # select *, fn() over (...): the unaliased window column
+                # NAME differs between engines and the comparator keys
+                # columns by name — a naming artifact, not a value issue
+                continue
+            stmts.append((name, s))
+    return stmts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QFILE_SWEEP.json")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from hive_2_3_2_spark.engine import Engine
+    from hive_2_3_2_spark.session import get_spark
+    from tests.conftest import rows_to_canonical
+
+    spark = get_spark(app_name="qfile-value-sweep")
+    eng = Engine(spark=spark)
+    con = duckdb.connect()
+    root = tempfile.mkdtemp(prefix="qsweep_")
+    SRC = [(str(i % 83), f"val_{i % 83}") for i in range(500)]
+    SRC1 = (
+        [(str(k), f"val_{k}") for k in (66, 98, 128, 146, 150)]
+        + [("", "")]
+        + [(str(k), f"val_{k}") for k in (4, 8, 2, 5)]
+    )
+    spark.createDataFrame(SRC, "key string, value string").coalesce(
+        1
+    ).write.parquet(f"{root}/src")
+    eng.register_table("src", f"{root}/src")
+    spark.createDataFrame(SRC1, "key string, value string").coalesce(
+        1
+    ).write.parquet(f"{root}/src1")
+    eng.register_table("src1", f"{root}/src1")
+    prows = [
+        (k, v, ds, hr)
+        for ds in ("2008-04-08", "2008-04-09")
+        for hr in ("11", "12")
+        for k, v in SRC[:100]
+    ]
+    spark.createDataFrame(
+        prows, "key string, value string, ds string, hr string"
+    ).write.partitionBy("ds", "hr").parquet(f"{root}/srcpart")
+    eng.register_table("srcpart", f"{root}/srcpart", ["ds", "hr"])
+    con.execute(
+        f"CREATE VIEW src AS SELECT * FROM read_parquet('{root}/src/*.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW src1 AS SELECT * FROM "
+        f"read_parquet('{root}/src1/*.parquet')"
+    )
+    body = ", ".join(
+        f"('{k}', '{v}', '{ds}', '{hr}')" for k, v, ds, hr in prows
+    )
+    con.execute(
+        "CREATE VIEW srcpart AS SELECT * FROM (VALUES "
+        + body + ") AS t(key, value, ds, hr)"
+    )
+
+    stmts = extract_statements()
+    counts = {"match": 0, "spark_err": 0, "duck_err": 0, "mismatch": 0}
+    mismatches = []
+    spark_errs = []
+    for name, s in stmts:
+        try:
+            df = eng.sql(s)
+            sp_rows = df.collect()
+            sp_cols = df.columns
+        except Exception as e:
+            counts["spark_err"] += 1
+            spark_errs.append(
+                {"file": name, "stmt": s[:200],
+                 "err": " ".join(str(e).split())[:160]}
+            )
+            continue
+        try:
+            rel = con.execute(s)
+            du_rows = rel.fetchall()
+            du_cols = [d[0] for d in rel.description]
+        except Exception:
+            counts["duck_err"] += 1
+            continue
+        try:
+            _, sp_canon = rows_to_canonical(sp_cols, [tuple(r) for r in sp_rows])
+            _, du_canon = rows_to_canonical(du_cols, du_rows)
+        except Exception:
+            counts["duck_err"] += 1
+            continue
+        if sp_canon == du_canon:
+            counts["match"] += 1
+        else:
+            counts["mismatch"] += 1
+            mismatches.append(
+                {"file": name, "stmt": s[:300],
+                 "spark_rows": len(sp_canon), "duck_rows": len(du_canon)}
+            )
+    result = {
+        "total_statements": len(stmts),
+        "counts": counts,
+        "mismatches": mismatches,
+        "spark_errors": spark_errs[:40],
+    }
+    json.dump(result, open(args.out, "w"), indent=1)
+    print(json.dumps({"total": len(stmts), **counts}))
+    for m in mismatches[:25]:
+        print("MISMATCH", m["file"], m["stmt"][:120].replace("\n", " "))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
