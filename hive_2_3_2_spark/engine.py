@@ -4248,6 +4248,18 @@ _REPLICATE_ROWS_CALL = re.compile(r"\breplicate_rows\s*\(", re.IGNORECASE)
 _DISTINCT_WIN_CALL = re.compile(
     r"\b(count|sum|avg)\s*\(\s*distinct\b", re.IGNORECASE
 )
+_INTERVAL_CTOR_CALL = re.compile(
+    r"\b(interval_year_month|interval_day_time)\s*\(", re.IGNORECASE
+)
+# SELECT /*+ hint */ TRANSFORM — Spark's script-transform grammar
+# rejects a hint in that position; the hint is physical advice with no
+# meaning for a script pipe, so drop it (select_transform_hint.q).
+# Only the TRANSFORM spelling: a hint before MAP( could be a legitimate
+# broadcast hint on a map-constructor projection and must survive.
+_HINT_BEFORE_TRANSFORM = re.compile(
+    r"(\bSELECT\s*)/\*\+[^*]*\*/(\s*TRANSFORM\b)",
+    re.IGNORECASE,
+)
 _MASK_FAMILY_CALL = re.compile(
     r"\b(mask_hash|mask_first_n|mask_last_n|mask_show_first_n|"
     r"mask_show_last_n)\s*\(",
@@ -4349,6 +4361,47 @@ def _rewrite_json_path_dot_bracket(query: str) -> str:
         return None
 
     return _rewrite_call_args(query, _GET_JSON_CALL, fix)
+
+
+def _rewrite_interval_ctors(query: str) -> str:
+    """Hive's interval constructor functions —
+    ``interval_year_month('2-2')`` / ``interval_day_time('2 1:2:3')``
+    (GenericUDFToIntervalYearMonth/DayTime, registered as cast
+    functions at exec/FunctionRegistry.java:399-400; interval_1.q,
+    interval_2.q) — map to Spark's string→interval casts."""
+    def fix_ym(args):
+        if len(args) == 1:
+            return (
+                f"CAST(({args[0].strip()}) AS INTERVAL YEAR TO MONTH)"
+            )
+        return None
+
+    def fix_dt(args):
+        if len(args) == 1:
+            return (
+                f"CAST(({args[0].strip()}) AS INTERVAL DAY TO SECOND)"
+            )
+        return None
+
+    out = []
+    while True:
+        m = _search_code(_INTERVAL_CTOR_CALL, query)
+        if m is None:
+            break
+        open_idx = query.index("(", m.start())
+        close = _scan_balanced(query, open_idx)
+        if close >= len(query):
+            break
+        args = _split_top_args(query[open_idx + 1:close])
+        fix = fix_ym if m.group(1).lower() == "interval_year_month" else fix_dt
+        repl = fix(args)
+        if repl is None:
+            out.append(query[:close + 1])
+        else:
+            out.append(query[:m.start()] + repl)
+        query = query[close + 1:]
+    out.append(query)
+    return "".join(out)
 
 
 def _rewrite_mask_family(query: str) -> str:
@@ -4985,11 +5038,16 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
             )
         )
     )
+    query = _HINT_BEFORE_TRANSFORM.sub(r"\1\2", query)
     query = _rewrite_printf_double_literals(
         _rewrite_json_path_dot_bracket(
             _rewrite_trunc_quarter(
                 _rewrite_replicate_rows(
-                    _rewrite_mask_family(_rewrite_distinct_window(query))
+                    _rewrite_mask_family(
+                        _rewrite_interval_ctors(
+                            _rewrite_distinct_window(query)
+                        )
+                    )
                 )
             )
         )

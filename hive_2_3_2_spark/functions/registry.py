@@ -120,6 +120,16 @@ _GAPS = {
         "engine.py _rewrite_replicate_rows: SQL-callable form rewrites "
         "to inline(array_repeat(struct(...), greatest(0, n)))"
     ),
+    "interval_year_month": (
+        "engine.py _rewrite_interval_ctors → CAST(x AS INTERVAL YEAR "
+        "TO MONTH) (GenericUDFToIntervalYearMonth, "
+        "FunctionRegistry.java:399)"
+    ),
+    "interval_day_time": (
+        "engine.py _rewrite_interval_ctors → CAST(x AS INTERVAL DAY "
+        "TO SECOND) (GenericUDFToIntervalDayTime, "
+        "FunctionRegistry.java:400)"
+    ),
 }
 
 _SKIP = {

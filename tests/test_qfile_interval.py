@@ -105,3 +105,38 @@ def test_q_interval_comparisons(eng):
     assert _one(eng,
         "select interval '2-2' year to month "
         "< interval '2-1' year to month AS a") is False
+
+
+def test_q_interval_constructor_functions(eng):
+    """interval_1.q / interval_2.q: Hive's interval_year_month /
+    interval_day_time constructor functions (GenericUDFToIntervalYearMonth,
+    FunctionRegistry.java:399-400) rewrite to Spark's string->interval
+    casts."""
+    assert _one(eng,
+        "select cast(interval_year_month('10-11') as string) AS a"
+    ) == "INTERVAL '10-11' YEAR TO MONTH"
+    assert _one(eng,
+        "select cast(interval_day_time('2 1:2:3') as string) AS a"
+    ) == "INTERVAL '2 01:02:03' DAY TO SECOND"
+    assert str(_one(eng,
+        "select date '2001-01-01' + interval_year_month('2-2') AS a"
+    )) == "2003-03-01"
+    # column-valued argument (interval_2.q's concat(key, '-1') form)
+    got = _one(eng,
+        "select cast(interval_year_month(concat('3', '-4')) as string) AS a"
+    )
+    assert got == "INTERVAL '3-4' YEAR TO MONTH"
+
+
+def test_q_select_transform_hint_dropped(eng, spark):
+    """select_transform_hint.q: a /*+ MAPJOIN */ hint directly before
+    TRANSFORM parses (the hint is dropped — physical advice has no
+    meaning for a script pipe)."""
+    spark.createDataFrame(
+        [("1", "a"), ("2", "b")], "key string, value string"
+    ).createOrReplaceTempView("th_t")
+    rows = sorted(tuple(r) for r in eng.sql(
+        "SELECT /*+MAPJOIN(a)*/ TRANSFORM(a.key, a.value) USING 'cat' "
+        "AS (tkey, tvalue) FROM th_t a"
+    ).collect())
+    assert rows == [("1", "a"), ("2", "b")]
