@@ -484,3 +484,25 @@ def test_q_join41_on_filter_disqualifies_all(qenv):
          "(SELECT * FROM jn_src WHERE key = '0') src1 LEFT OUTER JOIN "
          "(SELECT * FROM jn_src WHERE key = '0') src2 "
          "ON src1.key = src2.key AND TRY_CAST(src2.key AS DOUBLE) > 10")
+
+
+def test_q_join_merging_cross_table_on_predicates(spark, oracle, sf_dir):
+    """join_merging.q (reference: clientpositive/join_merging.q): LOJ
+    then ROJ where the second ON references columns of BOTH left-side
+    tables (p1.p_size > 10, and the p1.p_size > p2.p_size + 10
+    variant) — Hive merges the joins only when legal; the answers must
+    match ANSI semantics either way."""
+    from hive_2_3_2_spark.engine import Engine
+    from tests.conftest import assert_matches_oracle
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    for extra in ("", " and p1.p_size > p2.p_size + 10"):
+        sql = (
+            "select p1.p_partkey AS k1, p2.p_partkey AS k2, "
+            "p3.p_partkey AS k3, p1.p_size AS s1 "
+            "from part p1 left outer join part p2 "
+            "on p1.p_partkey = p2.p_partkey "
+            "right outer join part p3 "
+            f"on p2.p_partkey = p3.p_partkey and p1.p_size > 10{extra}"
+        )
+        assert_matches_oracle(eng.sql(sql), oracle, sql)
