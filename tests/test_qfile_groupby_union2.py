@@ -266,3 +266,56 @@ def test_q_union24_ctas_chain_four_way(qenv):
         "FROM (SELECT * FROM u24 WHERE TRY_CAST(key AS DOUBLE) < 10) "
         "GROUP BY key) s",
     )
+
+
+def test_q_union20_join_of_two_unions(qenv):
+    """union20.q: JOIN whose BOTH inputs are UNION ALLs mixing a
+    one-row aggregate branch with a filtered table branch — the union
+    outputs join on the coerced key."""
+    eng, con, _ = qenv
+    branch = (
+        "select 'tst1' as key, cast(count(1) as string) as value "
+        "from gu_src {a} UNION ALL "
+        "select {b}.key as key, {b}.value as value from gu_src {b} "
+        "where {b}.key < 10"
+    )
+    duck_branch = (
+        "select 'tst1' as key, cast(count(1) as varchar) as value "
+        "from gu_src UNION ALL "
+        "select key, value from gu_src "
+        "where TRY_CAST(key AS DOUBLE) < 10"
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT unionsrc1.key AS k1, unionsrc1.value AS v1, "
+            "unionsrc2.key AS k2, unionsrc2.value AS v2 FROM ("
+            + branch.format(a="s1", b="s2")
+            + ") unionsrc1 JOIN ("
+            + branch.format(a="s3", b="s4")
+            + ") unionsrc2 ON (unionsrc1.key = unionsrc2.key)"
+        ),
+        con,
+        "SELECT u1.key AS k1, u1.value AS v1, u2.key AS k2, u2.value AS v2 "
+        f"FROM ({duck_branch}) u1 JOIN ({duck_branch}) u2 "
+        "ON u1.key = u2.key",
+    )
+
+
+def test_q_union9_three_branch_count(qenv):
+    """union9.q: count over a 3-branch UNION ALL of the same scan."""
+    eng, con, _ = qenv
+    assert_matches_oracle(
+        eng.sql(
+            "select count(1) AS cnt FROM ("
+            "select s1.key as key, s1.value as value from gu_src s1 "
+            "UNION ALL select s2.key as key, s2.value as value "
+            "from gu_src s2 UNION ALL "
+            "select s3.key as key, s3.value as value from gu_src s3"
+            ") unionsrc"
+        ),
+        con,
+        "SELECT CAST(count(1) AS BIGINT) AS cnt FROM ("
+        "SELECT key, value FROM gu_src UNION ALL "
+        "SELECT key, value FROM gu_src UNION ALL "
+        "SELECT key, value FROM gu_src) u",
+    )
