@@ -111,6 +111,53 @@ def extract_statements() -> list[tuple[str, str]]:
     return stmts
 
 
+_IDENT = r"[a-zA-Z_][\w.]*"
+
+
+def duck_translate(s: str) -> str:
+    """Best-effort HiveQL → DuckDB oracle translation for the retry
+    pass: Hive's permissive coercions spelled explicitly, plus the
+    dialect spellings DuckDB doesn't share. Applied ONLY when the raw
+    statement already failed in DuckDB — a bad translation can only
+    turn a skip into a skip or a (reviewed) mismatch, never corrupt a
+    raw-match."""
+    # backquoted identifiers → ANSI double quotes
+    s = re.sub(r"`([^`]*)`", r'"\1"', s)
+    # Hive LIMIT offset,count → LIMIT count OFFSET offset
+    s = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(r"\bLEFT\s+SEMI\s+JOIN\b", "SEMI JOIN", s, flags=re.IGNORECASE)
+    # data-layout directives: the comparator is order-insensitive and
+    # LIMIT-without-ORDER statements are filtered out upstream, so
+    # dropping them preserves the compared multiset
+    s = re.sub(
+        r"\b(?:CLUSTER|DISTRIBUTE|SORT)\s+BY\s+[\w.,\s]+?(?=\bLIMIT\b|\)|$)",
+        " ", s, flags=re.IGNORECASE,
+    )
+    # string-vs-number comparison coerces through double in Hive
+    s = re.sub(
+        rf"\b({_IDENT})\s*(<=|>=|<>|!=|=|<|>)\s*(\d+(?:\.\d+)?)(?![\w.])",
+        r"TRY_CAST(\1 AS DOUBLE) \2 \3", s,
+    )
+    s = re.sub(
+        rf"(?<![\w.])(\d+(?:\.\d+)?)\s*(<=|>=|<>|!=|=|<|>)\s*({_IDENT})\b",
+        r"\1 \2 TRY_CAST(\3 AS DOUBLE)", s,
+    )
+    # string arithmetic coerces through double
+    s = re.sub(
+        rf"\b({_IDENT})\s*([+\-*/%])\s*(\d+(?:\.\d+)?)(?![\w.])",
+        r"TRY_CAST(\1 AS DOUBLE) \2 \3", s,
+    )
+    # sum/avg over substr(string) — Hive's GenericUDAFSum string path
+    s = re.sub(
+        r"\b(sum|avg)\s*\(\s*(substr(?:ing)?\([^()]*\))\s*\)",
+        r"\1(TRY_CAST(\2 AS DOUBLE))", s, flags=re.IGNORECASE,
+    )
+    return s
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="QFILE_SWEEP.json")
@@ -166,7 +213,8 @@ def main() -> None:
     )
 
     stmts = extract_statements()
-    counts = {"match": 0, "spark_err": 0, "duck_err": 0, "mismatch": 0}
+    counts = {"match": 0, "match_translated": 0, "spark_err": 0,
+              "duck_err": 0, "mismatch": 0, "mismatch_translated": 0}
     mismatches = []
     spark_errs = []
     for name, s in stmts:
@@ -181,13 +229,20 @@ def main() -> None:
                  "err": " ".join(str(e).split())[:160]}
             )
             continue
+        translated = False
         try:
             rel = con.execute(s)
             du_rows = rel.fetchall()
             du_cols = [d[0] for d in rel.description]
         except Exception:
-            counts["duck_err"] += 1
-            continue
+            try:
+                rel = con.execute(duck_translate(s))
+                du_rows = rel.fetchall()
+                du_cols = [d[0] for d in rel.description]
+                translated = True
+            except Exception:
+                counts["duck_err"] += 1
+                continue
         try:
             _, sp_canon = rows_to_canonical(sp_cols, [tuple(r) for r in sp_rows])
             _, du_canon = rows_to_canonical(du_cols, du_rows)
@@ -195,11 +250,12 @@ def main() -> None:
             counts["duck_err"] += 1
             continue
         if sp_canon == du_canon:
-            counts["match"] += 1
+            counts["match_translated" if translated else "match"] += 1
         else:
-            counts["mismatch"] += 1
+            counts["mismatch_translated" if translated else "mismatch"] += 1
             mismatches.append(
                 {"file": name, "stmt": s[:300],
+                 "translated": translated,
                  "spark_rows": len(sp_canon), "duck_rows": len(du_canon)}
             )
     result = {
