@@ -1351,6 +1351,15 @@ class Engine:
                 hoisted = _rewrite_nested_window(rewritten)
                 if hoisted is not None:
                     return self.spark.sql(hoisted)
+            # Hive resolves SELECT-list aliases inside window specs
+            # (distinct_windowing_no_cbo.q: max(f) mf ... rank() over
+            # (order by mf)); Spark rejects the lateral reference —
+            # substitute the alias's defining expression into the OVER
+            # clause. Retry-only: green queries are untouchable.
+            if "LATERAL_COLUMN_ALIAS_IN_WINDOW" in str(exc):
+                inlined = _rewrite_alias_in_window(rewritten)
+                if inlined is not None:
+                    return self.spark.sql(inlined)
             raise
 
     def _substitute(self, text: str) -> str:
@@ -4890,6 +4899,65 @@ def _top_level_spans(text: str) -> list[tuple[str, int]]:
                 continue
         i += 1
     return out
+
+
+def _rewrite_alias_in_window(query: str) -> str | None:
+    """Inline SELECT-list alias definitions into window OVER clauses
+    (Hive's PTF translator resolves output-column aliases there —
+    distinct_windowing_no_cbo.q's ``max(f) mf ... rank() over (order
+    by mf)``; Spark raises LATERAL_COLUMN_ALIAS_IN_WINDOW). Only runs
+    on statements Spark already rejected with that error. Returns None
+    when no alias could be inlined (the original error stands)."""
+    head = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?", query, re.IGNORECASE)
+    if not head:
+        return None
+    from_off = next(
+        (i for k, i in _top_level_spans(query) if k == "FROM"), None
+    )
+    if from_off is None:
+        return None
+    items = _split_top_args(query[head.end():from_off])
+    aliases: dict[str, str] = {}
+    for it in items:
+        m = re.match(
+            r"^(.*?)\s+(?:AS\s+)?`?(\w+)`?\s*$", it.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            continue
+        expr, name = m.group(1).strip(), m.group(2)
+        # a bare column item ("f" or "t.f") is its own alias — skip
+        if not expr or re.fullmatch(r"[\w.`]+", expr):
+            continue
+        if expr.count("(") == expr.count(")"):
+            aliases[name.lower()] = expr
+    if not aliases:
+        return None
+    changed = False
+    out = []
+    rest = query
+    over_pat = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+    while True:
+        m = over_pat.search(rest)
+        if not m:
+            break
+        open_idx = rest.index("(", m.start())
+        close = _scan_balanced(rest, open_idx)
+        if close >= len(rest):
+            break
+        body = rest[open_idx + 1:close]
+        for name, expr in aliases.items():
+            new_body = re.sub(
+                rf"\b{re.escape(name)}\b", f"({expr})", body,
+                flags=re.IGNORECASE,
+            )
+            if new_body != body:
+                body = new_body
+                changed = True
+        out.append(rest[:open_idx + 1] + body + ")")
+        rest = rest[close + 1:]
+    out.append(rest)
+    return "".join(out) if changed else None
 
 
 def _rewrite_nested_window(query: str) -> str | None:

@@ -185,3 +185,34 @@ def test_q_distinct_window_rewriter_inert_cases(qenv):
     assert eng.sql(
         "SELECT count(DISTINCT t) AS c FROM wd_t"
     ).collect()[0].c == 5
+
+
+def test_q_alias_in_window_spec(qenv, spark):
+    """distinct_windowing_no_cbo.q: a SELECT-list alias (here an
+    aggregate's) referenced inside a window ORDER BY — Hive resolves
+    it; Spark raises LATERAL_COLUMN_ALIAS_IN_WINDOW and the engine
+    inlines the defining expression on retry."""
+    eng, con = qenv
+    assert_matches_oracle(
+        eng.sql(
+            "select index, max(f) mf, "
+            "rank() over ( partition by index order by mf ) AS r "
+            "FROM wd_t GROUP BY index HAVING max(f) > 0"
+        ),
+        con,
+        "select index, max(f) AS mf, "
+        "rank() over (partition by index order by max(f)) AS r "
+        "FROM wd_t GROUP BY index HAVING max(f) > 0",
+    )
+    # plain-column alias form
+    assert_matches_oracle(
+        eng.sql(
+            "select index, f + 1 AS fplus, "
+            "rank() over (partition by index order by fplus) AS r "
+            "FROM wd_t WHERE f IS NOT NULL"
+        ),
+        con,
+        "select index, f + 1 AS fplus, "
+        "rank() over (partition by index order by f + 1) AS r "
+        "FROM wd_t WHERE f IS NOT NULL",
+    )
