@@ -111,6 +111,23 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
             f"{m.group(1)} over (order by monotonically_increasing_id())"
         ),
     ),
+    # Same contract for PARTITION BY without ORDER BY (ptfgroupbyjoin.q:
+    # row_number() over (partition by id, fkey)) — numbering within the
+    # partition is arbitrary in Hive; supply the arbitrary order
+    # explicitly. Paren-free partition lists only (expression partition
+    # keys with an ORDER BY already parse fine in Spark).
+    (
+        re.compile(
+            r"\b((?:row_number|rank|dense_rank|percent_rank|cume_dist)"
+            r"\s*\(\s*\)|ntile\s*\([^)]*\))\s+over\s*\(\s*"
+            r"(partition\s+by\s+(?:(?!order\s+by)[^()])*?)\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: (
+            f"{m.group(1)} over ({m.group(2)} "
+            "order by monotonically_increasing_id())"
+        ),
+    ),
 ]
 
 _UNSUPPORTED_VIRTUAL = re.compile(

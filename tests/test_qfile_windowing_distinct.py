@@ -216,3 +216,31 @@ def test_q_alias_in_window_spec(qenv, spark):
         "rank() over (partition by index order by f + 1) AS r "
         "FROM wd_t WHERE f IS NOT NULL",
     )
+
+
+def test_q_ptfgroupbyjoin_window_over_grouped(qenv, spark):
+    """ptfgroupbyjoin.q: row_number() over grouped output (partition =
+    the full group key, so rnum is deterministically 1) inside a
+    subquery joined to a dimension, and windowing_gby.q's
+    rank-over-aggregate-ratio shape."""
+    eng, con = qenv
+    spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20), (3, 10)], "id int, fkey int"
+    ).createOrReplaceTempView("wd_tlb1")
+    spark.createDataFrame(
+        [(10, "n10"), (20, "n20")], "fid int, name string"
+    ).createOrReplaceTempView("wd_tlb2")
+    got = sorted(tuple(r) for r in eng.sql(
+        "select ddd.id, ddd.fkey, aaa.name, ddd.rnum from ("
+        "select id, fkey, row_number() over (partition by id, fkey) "
+        "as rnum from wd_tlb1 group by id, fkey) ddd "
+        "inner join wd_tlb2 aaa on aaa.fid = ddd.fkey"
+    ).collect())
+    assert got == [(1, 10, "n10", 1), (2, 20, "n20", 1), (3, 10, "n10", 1)]
+    # windowing_gby.q: rank over an aggregate ratio computed in a
+    # grouped subquery
+    rows = eng.sql(
+        "select rank() over (order by ratio) as return_rank from "
+        "(select sum(f)/sum(t) as ratio from wd_t group by index) in_web"
+    ).collect()
+    assert sorted(r.return_rank for r in rows) == [1, 2]
