@@ -90,7 +90,8 @@ def extract_statements() -> list[tuple[str, str]]:
                     r"\b(?:from|join)\s+`?(\w+)`?", s, re.IGNORECASE
                 )
             )
-            if tbls - {"src", "src1", "srcpart", "alltypesorc", "over10k"}:
+            if tbls - {"src", "src1", "srcpart", "alltypesorc",
+                       "over10k", "cbo_t1", "cbo_t2", "cbo_t3", "part"}:
                 continue
             if len(s) > 3000 or _NONDET.search(s):
                 continue
@@ -137,6 +138,24 @@ def duck_translate(s: str) -> str:
         flags=re.IGNORECASE,
     )
     s = re.sub(r"\bLEFT\s+SEMI\s+JOIN\b", "SEMI JOIN", s, flags=re.IGNORECASE)
+    # inside window specs (and WINDOW clause definitions), Hive's
+    # DISTRIBUTE BY / SORT BY are synonyms for PARTITION BY / ORDER BY
+    # — convert them FIRST so the layout-directive strip below cannot
+    # corrupt a window spec
+    def _conv_window(m):
+        body = m.group(2)
+        body = re.sub(r"\bdistribute\s+by\b", "partition by", body,
+                      flags=re.IGNORECASE)
+        body = re.sub(r"\bsort\s+by\b", "order by", body,
+                      flags=re.IGNORECASE)
+        body = re.sub(r"\bcluster\s+by\b", "partition by", body,
+                      flags=re.IGNORECASE)
+        return m.group(1) + body + ")"
+
+    s = re.sub(
+        r"((?:\bover|\bwindow\s+\w+\s+as)\s*\()([^()]*)\)",
+        _conv_window, s, flags=re.IGNORECASE,
+    )
     # data-layout directives: the comparator is order-insensitive and
     # LIMIT-without-ORDER statements are filtered out upstream, so
     # dropping them preserves the compared multiset
@@ -269,6 +288,62 @@ def main() -> None:
         "cast(ts as timestamp) ts", "dec",
     ).coalesce(1).write.parquet(f"{root}/over10k")
     eng.register_table("over10k", f"{root}/over10k")
+    # cbo_t1/t2/t3 and part: the reference's EXACT fixture payloads
+    # (data/files/cbo_t1.txt ff. — whitespace-variant keys and \\N
+    # nulls; part_tiny.txt — \\x01-delimited), q_test_init.sql schemas
+    def _cbo_rows(path):
+        rows = []
+        for line in open(path):
+            f = line.rstrip("\n").split(",")
+            f = [None if x == "\\N" else x for x in f]
+            rows.append((
+                f[0], f[1],
+                int(f[2]) if f[2] is not None else None,
+                float(f[3]) if f[3] is not None else None,
+                None if f[4] is None else f[4] == "true",
+            ))
+        return rows
+
+    REF = "/root/reference/data/files"
+    for name in ("cbo_t1", "cbo_t2", "cbo_t3"):
+        fname = name if name != "cbo_t2" else "cbo_t2"
+        rows = _cbo_rows(f"{REF}/{fname}.txt")
+        schema = "key string, value string, c_int int, c_float float, "
+        schema += "c_boolean boolean"
+        df = spark.createDataFrame(rows, schema)
+        if name != "cbo_t3":
+            from pyspark.sql import functions as _F
+
+            df = df.withColumn("dt", _F.lit("2014"))
+            df.coalesce(1).write.partitionBy("dt").parquet(f"{root}/{name}")
+            eng.register_table(name, f"{root}/{name}", ["dt"])
+        else:
+            df.coalesce(1).write.parquet(f"{root}/{name}")
+            eng.register_table(name, f"{root}/{name}")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{root}/{name}/{'*/' if name != 'cbo_t3' else ''}"
+            f"*.parquet'"
+            + (", hive_partitioning=1)" if name != "cbo_t3" else ")")
+        )
+    prows_ = []
+    for line in open(f"{REF}/part_tiny.txt"):
+        f = line.rstrip("\n").split("\x01")
+        prows_.append((
+            int(f[0]), f[1], f[2], f[3], f[4], int(f[5]), f[6],
+            float(f[7]), f[8],
+        ))
+    spark.createDataFrame(
+        prows_,
+        "p_partkey int, p_name string, p_mfgr string, p_brand string, "
+        "p_type string, p_size int, p_container string, "
+        "p_retailprice double, p_comment string",
+    ).coalesce(1).write.parquet(f"{root}/part")
+    eng.register_table("part", f"{root}/part")
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{root}/part/*.parquet')"
+    )
     con.execute(
         f"CREATE VIEW alltypesorc AS SELECT * FROM "
         f"read_parquet('{root}/alltypesorc/*.parquet')"
