@@ -179,3 +179,33 @@ def test_q_interval_alt_eq_in_precedence(qenv):
     assert eng.sql(
         "select false=false in (true,false) AS x"
     ).collect()[0].x is True
+
+
+def test_q_parquet_ppd_decimal_comparisons(qenv, spark):
+    """parquet_ppd_decimal.q: comparisons against a DECIMAL column
+    across literal spellings — plus two DOCUMENTED DIVERGENCES Spark
+    users must know:
+
+    - d = CAST('0.22' AS FLOAT): Hive converts the float through its
+      decimal string and matches; Spark widens float to double
+      (0.2199999988...) and does not. Workaround: cast to DOUBLE or
+      DECIMAL explicitly.
+    - d IN ('0.22'): Spark's IN coercion for decimal-vs-string picks
+      STRING ('0.220' != '0.22' — silently no rows); Hive picks
+      decimal and matches. The = form picks double and agrees with
+      Hive. Workaround: unquote the literals (d IN (0.22)) or cast.
+    """
+    eng, _ = qenv
+    spark.sql(
+        "SELECT CAST(0.22 AS DECIMAL(5,3)) AS d"
+    ).createOrReplaceTempView("sc_nt")
+    one = lambda q: eng.sql(q).collect()[0][0]  # noqa: E731
+    assert one("select d = 0.22 from sc_nt")
+    assert one("select d = '0.22' from sc_nt")
+    assert one("select d != 11.22 from sc_nt")
+    assert one("select d <= 0.22 from sc_nt")
+    assert one("select d between 0 and 1 from sc_nt")
+    assert one("select d in (0.22, 44.22) from sc_nt")  # unquoted: fine
+    # the two pinned divergences (Hive returns true for both):
+    assert not one("select d = cast('0.22' as float) from sc_nt")
+    assert not one("select d in ('0.22', '44.22') from sc_nt")
