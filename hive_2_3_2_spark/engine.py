@@ -4389,6 +4389,83 @@ def _rewrite_json_path_dot_bracket(query: str) -> str:
     return _rewrite_call_args(query, _GET_JSON_CALL, fix)
 
 
+_TUPLE_IN = re.compile(r"\)\s*IN\s*\(", re.IGNORECASE)
+
+
+def _rewrite_tuple_in(query: str) -> str:
+    """Hive's multi-column IN — ``(a, b) IN ((1, 1), (2, 2))``
+    (join45.q; GenericUDFIn over struct values) — coerces each FIELD
+    pairwise, so a string key matches an int literal. Spark compares
+    whole structs and rejects the mixed-type form
+    (DATATYPE_MISMATCH.DATA_DIFF_TYPES). Expand to the standard OR of
+    per-field conjunctions, which is the SQL definition of row-value
+    IN and restores Spark's ordinary binary coercion per field. Only
+    fires when the left side is a bare parenthesized tuple of arity
+    >= 2 and EVERY right-side item is a parenthesized tuple of the
+    same arity (subquery IN and scalar IN are untouched)."""
+    out = []
+    while True:
+        m = _search_code(_TUPLE_IN, query)
+        if m is None:
+            break
+        # left tuple: scan backwards from the ')' at m.start() to its '('
+        close_l = m.start()
+        depth = 0
+        open_l = -1
+        for j in range(close_l, -1, -1):
+            c = query[j]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth == 0:
+                    open_l = j
+                    break
+        open_r = query.index("(", m.end() - 1)
+        close_r = _scan_balanced(query, open_r)
+        if open_l < 0 or close_r >= len(query):
+            break
+        lhs = _split_top_args(query[open_l + 1:close_l])
+        items = _split_top_args(query[open_r + 1:close_r])
+        prev = query[open_l - 1] if open_l > 0 else ""
+        ok = (
+            len(lhs) >= 2
+            and items
+            # a word char before '(' means a function call's argument
+            # list, not a bare row-value tuple
+            and not (prev.isalnum() or prev == "_")
+            and all(
+                it.strip().startswith("(") and it.strip().endswith(")")
+                for it in items
+            )
+        )
+        tuples = []
+        if ok:
+            for it in items:
+                vals = _split_top_args(it.strip()[1:-1])
+                if len(vals) != len(lhs):
+                    ok = False
+                    break
+                tuples.append(vals)
+        if not ok:
+            out.append(query[:close_r + 1])
+            query = query[close_r + 1:]
+            continue
+        ors = " OR ".join(
+            "("
+            + " AND ".join(
+                f"({l.strip()}) = ({v.strip()})"
+                for l, v in zip(lhs, vals)
+            )
+            + ")"
+            for vals in tuples
+        )
+        out.append(query[:open_l] + "(" + ors + ")")
+        query = query[close_r + 1:]
+    out.append(query)
+    return "".join(out)
+
+
 def _rewrite_interval_ctors(query: str) -> str:
     """Hive's interval constructor functions —
     ``interval_year_month('2-2')`` / ``interval_day_time('2 1:2:3')``
@@ -5130,7 +5207,9 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
                 _rewrite_replicate_rows(
                     _rewrite_mask_family(
                         _rewrite_interval_ctors(
-                            _rewrite_distinct_window(query)
+                            _rewrite_tuple_in(
+                                _rewrite_distinct_window(query)
+                            )
                         )
                     )
                 )

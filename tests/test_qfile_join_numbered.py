@@ -506,3 +506,35 @@ def test_q_join_merging_cross_table_on_predicates(spark, oracle, sf_dir):
             f"on p2.p_partkey = p3.p_partkey and p1.p_size > 10{extra}"
         )
         assert_matches_oracle(eng.sql(sql), oracle, sql)
+
+
+def test_q_join45_tuple_in_mixed_types(qenv):
+    """join45.q: multi-column IN as a JOIN condition with INT literals
+    against STRING keys — Hive coerces each field pairwise; the engine
+    expands the row-value IN to per-field conjunctions (see
+    _rewrite_tuple_in). Scalar IN and function-call arguments are
+    untouched (inert cases pinned)."""
+    eng, con, _ = qenv
+    _chk(eng, con,
+         "SELECT src1.key AS k1, src1.value AS v1, "
+         "src2.key AS k2, src2.value AS v2 "
+         "FROM jn_src1 src1 JOIN jn_src src2 "
+         "ON ((src1.key, src2.key) IN ((66, 66), (2, 2), (4, 4)))",
+         "SELECT src1.key AS k1, src1.value AS v1, "
+         "src2.key AS k2, src2.value AS v2 "
+         "FROM jn_src1 src1 JOIN jn_src src2 ON ("
+         "(TRY_CAST(src1.key AS DOUBLE) = 66 AND "
+         " TRY_CAST(src2.key AS DOUBLE) = 66) OR "
+         "(TRY_CAST(src1.key AS DOUBLE) = 2 AND "
+         " TRY_CAST(src2.key AS DOUBLE) = 2) OR "
+         "(TRY_CAST(src1.key AS DOUBLE) = 4 AND "
+         " TRY_CAST(src2.key AS DOUBLE) = 4))")
+    from hive_2_3_2_spark.engine import _rewrite_tuple_in
+    # inert: scalar IN, subquery IN, function-call args before IN
+    for s in (
+        "SELECT * FROM t WHERE key IN (1, 2)",
+        "SELECT * FROM t WHERE (a+b) IN (1, 2)",
+        "SELECT * FROM t WHERE (a, b) IN (SELECT x, y FROM u)",
+        "SELECT * FROM t WHERE concat(a, b) IN ('x', 'y')",
+    ):
+        assert _rewrite_tuple_in(s) == s, s
