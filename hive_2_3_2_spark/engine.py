@@ -1060,6 +1060,11 @@ class Engine:
         # (VariableSubstitution wraps each processor) — so substitute
         # first, then dispatch (CommandProcessorFactory.java:59).
         query = self._substitute(query)
+        # Hive's MAP/REDUCE spellings of script transform normalize to
+        # the TRANSFORM form before ANY dispatch, so the FROM-first
+        # INSERT branch parser and spark.sql both see one spelling.
+        if _search_code(_MAP_REDUCE_KW, query) is not None:
+            query = _rewrite_map_reduce_transform(query)
         m = _SHELL_STMT.match(query)
         if m:
             raise HiveQLUnsupportedError(
@@ -5148,6 +5153,76 @@ def _rewrite_nested_window(query: str) -> str | None:
         f"SELECT {new_list} FROM ({inner_sql}) __wnest "
         f"{window_clause} {post}"
     )
+
+
+_MAP_REDUCE_KW = re.compile(r"\b(MAP|REDUCE)\s", re.IGNORECASE)
+_TRANSFORM_STOP = re.compile(
+    r"\b(FROM|WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|"
+    r"SELECT|JOIN|ON|INSERT|DISTRIBUTE|SORT|CLUSTER)\b|;",
+    re.IGNORECASE,
+)
+_USING_SCRIPT = re.compile(r"\bUSING\s*'", re.IGNORECASE)
+
+
+def _rewrite_map_reduce_transform(query: str) -> str:
+    """Hive's ``MAP exprs USING 'script'`` / ``REDUCE exprs USING
+    'script'`` spellings are pure aliases of ``SELECT TRANSFORM (exprs)
+    USING`` (SemanticAnalyzer treats all three identically; mapreduce1.q
+    ff.). Spark only parses the TRANSFORM spelling, so normalize. A
+    match requires a top-level ``USING '<script>'`` after the keyword
+    BEFORE any other clause keyword — which can never happen for the
+    ``map(...)`` constructor, MAP-type DDL, or ``JOIN ... USING (cols)``
+    (no quoted script)."""
+    out = []
+    while True:
+        m = _search_code(_MAP_REDUCE_KW, query)
+        if m is None:
+            break
+        # scan forward at top level for USING '<script>' before any
+        # clause keyword
+        i = m.end()
+        n = len(query)
+        depth = 0
+        using_at = -1
+        while i < n:
+            c = query[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c in "'\"":
+                q = c
+                i += 1
+                while i < n and query[i] != q:
+                    i += 1
+            elif depth == 0 and (c.isalpha() or c == ";"):
+                um = _USING_SCRIPT.match(query, i)
+                if um:
+                    using_at = i
+                    break
+                sm = _TRANSFORM_STOP.match(query, i)
+                if sm:
+                    break
+                wm = re.match(r"\w+", query[i:])
+                i += len(wm.group(0)) - 1 if wm else 0
+            i += 1
+        if using_at < 0:
+            out.append(query[:m.end()])
+            query = query[m.end():]
+            continue
+        exprs = query[m.end():using_at].strip()
+        head = query[:m.start()]
+        # MAP/REDUCE stands in for the whole `SELECT TRANSFORM`; keep a
+        # single SELECT if one is (unusually) already present
+        kw = "TRANSFORM" if re.search(
+            r"\bSELECT\s*$", head, re.IGNORECASE
+        ) else "SELECT TRANSFORM"
+        out.append(head + f"{kw} ({exprs}) ")
+        query = query[using_at:]
+    out.append(query)
+    return "".join(out)
 
 
 _WINDOW_KW = re.compile(r"\bWINDOW\s+(?=`?\w+`?\s+AS\b)", re.IGNORECASE)
