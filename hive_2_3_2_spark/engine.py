@@ -51,6 +51,16 @@ _TABLESAMPLE = re.compile(
 _INTEGRAL_TYPES = {"byte", "short", "int", "integer", "long", "bigint",
                    "smallint", "tinyint"}
 
+# the ON-less form: the sampling column comes from the table's
+# CLUSTERED BY spec (resolved in rewrite_hiveql, which can see the
+# catalog); the trailing alias group mirrors _TABLESAMPLE
+_TABLESAMPLE_NOON = re.compile(
+    r"([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)"
+    r"\s*\)(\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|JOIN|ON|LEFT|"
+    r"RIGHT|FULL|INNER|CROSS|UNION|LIMIT|HAVING\b)(\w+))?",
+    re.IGNORECASE,
+)
+
 
 def _rewrite_tablesample(m: re.Match[str], col_type: str | None = None) -> str:
     table, x, y, col = m.group(1), m.group(2), m.group(3), m.group(4)
@@ -5587,6 +5597,40 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
             "INPUT__FILE__NAME or monotonically_increasing_id() depending "
             "on intent"
         )
+    if spark is not None and _TABLESAMPLE_NOON.search(query):
+        # Implicit-column bucket sampling: Hive resolves the table's
+        # CLUSTERED BY column (sample2.q/sample4.q run BUCKET x OUT OF
+        # y with no ON over srcbucket) and prunes/filters on its hash.
+        # Spark's native TABLESAMPLE(BUCKET x OUT OF y) is a RANDOM
+        # row fraction — silently different rows — so the clause is
+        # expanded to the explicit ON form here, or rejected when the
+        # table has no bucket spec.
+        def _expand(m: re.Match[str]) -> str:
+            table = m.group(1)
+            col = None
+            try:
+                for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+                    if r.col_name.strip() == "Bucket Columns":
+                        names = re.findall(r"`?(\w+)`?", r.data_type)
+                        col = names[0] if names else None
+                        break
+            except Exception:
+                col = None
+            if col is None:
+                raise HiveQLUnsupportedError(
+                    f"TABLESAMPLE(BUCKET {m.group(2)} OUT OF "
+                    f"{m.group(3)}) on {table}: no CLUSTERED BY bucket "
+                    "spec found to resolve the implicit sampling column "
+                    "(Hive prunes on the table's bucket hash; Spark's "
+                    "native form would sample a random row fraction "
+                    "instead) — name the column with ON <col>"
+                )
+            return (
+                f"{m.group(1)} TABLESAMPLE (BUCKET {m.group(2)} OUT OF "
+                f"{m.group(3)} ON {col}){m.group(4) or ''}"
+            )
+
+        query = _TABLESAMPLE_NOON.sub(_expand, query)
     col_types: dict[int, str | None] = {}
     if spark is not None:
         for m in _TABLESAMPLE.finditer(query):
