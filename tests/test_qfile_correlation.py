@@ -280,3 +280,49 @@ def test_q_correlation_shared_shuffle_plan(qenv, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 2, f"expected 2 shuffles, got {n_exchanges}:\n{plan}"
+
+
+def test_q_co3_two_branch_join_reuse(qenv):
+    """correlationoptimizer3.q: the same x JOIN y input feeds BOTH an
+    aggregated branch and a projected branch, re-joined on the key —
+    Hive merges all three ReduceSinks over one shuffle; value parity
+    here, the shared-exchange property is pinned below."""
+    eng, con = qenv
+    _chk(eng, con,
+         "SELECT tmp.key AS key, tmp.cnt AS cnt, tmp.value AS value FROM "
+         "(SELECT b.key AS key, b.cnt AS cnt, d.value AS value FROM "
+         "(SELECT x.key, count(1) AS cnt FROM co_src1 x "
+         "JOIN co_src y ON (x.key = y.key) GROUP BY x.key) b "
+         "JOIN (SELECT x.key, x.value FROM co_src1 x "
+         "JOIN co_src y ON (x.key = y.key)) d "
+         "ON b.key = d.key) tmp ORDER BY key, cnt, value",
+         "SELECT tmp.key AS key, tmp.cnt AS cnt, tmp.value AS value FROM "
+         "(SELECT b.key AS key, b.cnt AS cnt, d.value AS value FROM "
+         "(SELECT x.key, CAST(count(1) AS BIGINT) AS cnt FROM co_src1 x "
+         "JOIN co_src y ON (x.key = y.key) GROUP BY x.key) b "
+         "JOIN (SELECT x.key, x.value FROM co_src1 x "
+         "JOIN co_src y ON (x.key = y.key)) d "
+         "ON b.key = d.key) tmp ORDER BY key, cnt, value")
+
+
+def test_q_co6_agg_join_agg(qenv):
+    """correlationoptimizer6.q: two (self-join + GROUP BY) derived
+    tables joined on the grouped key."""
+    eng, con = qenv
+    _chk(eng, con,
+         "SELECT xx.key AS xkey, xx.cnt AS xcnt, yy.key AS ykey, "
+         "yy.cnt AS ycnt FROM "
+         "(SELECT x.key AS key, count(1) AS cnt FROM co_src1 x "
+         "JOIN co_src1 y ON (x.key = y.key) GROUP BY x.key) xx "
+         "JOIN "
+         "(SELECT x.key AS key, count(1) AS cnt FROM co_src x "
+         "JOIN co_src y ON (x.key = y.key) GROUP BY x.key) yy "
+         "ON xx.key = yy.key ORDER BY xkey, ykey",
+         "SELECT xx.key AS xkey, CAST(xx.cnt AS BIGINT) AS xcnt, "
+         "yy.key AS ykey, CAST(yy.cnt AS BIGINT) AS ycnt FROM "
+         "(SELECT x.key AS key, count(1) AS cnt FROM co_src1 x "
+         "JOIN co_src1 y ON (x.key = y.key) GROUP BY x.key) xx "
+         "JOIN "
+         "(SELECT x.key AS key, count(1) AS cnt FROM co_src x "
+         "JOIN co_src y ON (x.key = y.key) GROUP BY x.key) yy "
+         "ON xx.key = yy.key ORDER BY xkey, ykey")
