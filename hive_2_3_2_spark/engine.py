@@ -1221,10 +1221,11 @@ class Engine:
             return self._run_insert(m)
         if (
             m
-            and not m.group(3)  # PARTITION spec → native passthrough
             and m.group(2).split(".")[-1].lower() not in self.views
             and self._is_catalog_table(m.group(2))
         ):
+            # PARTITION specs (static/dynamic/mixed) are handled with
+            # Hive's positional casts + partition-overwrite semantics
             return self._run_insert_catalog(m)
         if re.match(r"^\s*WITH\b", query, re.IGNORECASE):
             # Hive allows the CTE BEFORE the INSERT (WITH c AS (...)
@@ -3326,14 +3327,13 @@ class Engine:
             tgt = im.group(2)
             if self._dml_registered(tgt):
                 n = self._run_insert(im).collect()[0].rows_affected
-            elif not im.group(3) and self._is_catalog_table(tgt):
+            elif self._is_catalog_table(tgt):
                 n = self._run_insert_catalog(im).collect()[0].rows_affected
             else:
                 raise HiveQLUnsupportedError(
                     f"multi-insert branch target {tgt!r} is not writable "
-                    "here (catalog table with a PARTITION spec, or an "
-                    "unknown table) — register the table with the Engine "
-                    "or use a standalone INSERT statement"
+                    "here (unknown table) — register the table with the "
+                    "Engine or use a standalone INSERT statement"
                 )
             results.append((tgt.split(".")[-1].lower(), n))
 
@@ -3560,6 +3560,7 @@ class Engine:
 
         overwrite = m.group(1).upper() == "OVERWRITE"
         name = m.group(2)
+        part_txt = m.group(3)
         col_list = (
             [c.strip() for c in m.group(4).split(",")] if m.group(4) else None
         )
@@ -3570,6 +3571,10 @@ class Engine:
         by_lower = {n.lower(): n for n in fields}
         src = self.spark.sql(rewrite_hiveql(body, spark=self.spark))
         src = src.toDF(*[f"__src_c{i}" for i in range(len(src.columns))])
+        if part_txt:
+            return self._insert_catalog_partitioned(
+                name, target, sfields, part_txt, src, overwrite, col_list
+            )
         if col_list:
             unknown = [c for c in col_list if c.lower() not in by_lower]
             if unknown:
@@ -3608,6 +3613,92 @@ class Engine:
         obs = Observation()
         aligned = aligned.observe(obs, F.count(F.lit(1)).alias("__n"))
         aligned.write.insertInto(name, overwrite=overwrite)
+        return self._rows_affected(int(obs.get["__n"] or 0))
+
+    def _insert_catalog_partitioned(
+        self, name, target, sfields, part_txt, src, overwrite, col_list
+    ) -> DataFrame:
+        """INSERT [OVERWRITE] INTO a partitioned catalog table with a
+        PARTITION spec — static, dynamic, or Hive's mixed form
+        (load_dyn_part1.q: ``partition (ds='2008-12-31', hr)``). The
+        SELECT supplies the data columns then the DYNAMIC partition
+        values, positionally with Hive's implicit casts; static values
+        come from the spec. OVERWRITE follows Hive's partition
+        semantics: a static-only spec clears exactly that partition
+        (even when the select is empty — MoveTask replaces the
+        directory), a dynamic spec replaces only the partitions the
+        output touches (partitionOverwriteMode=dynamic)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        if col_list:
+            raise HiveQLUnsupportedError(
+                "INSERT with both a PARTITION spec and an explicit "
+                "column list is not supported (Hive's grammar allows "
+                "it only for non-partition columns; use positional "
+                "form)"
+            )
+        static, dynamic = _parse_partition_spec(part_txt)
+        part_cols = [
+            c.name
+            for c in self.spark.catalog.listColumns(name)
+            if c.isPartition
+        ]
+        part_lower = {c.lower(): c for c in part_cols}
+        spec_named = [k for k in static] + dynamic
+        if sorted(k.lower() for k in spec_named) != sorted(
+            c.lower() for c in part_cols
+        ):
+            raise HiveQLUnsupportedError(
+                f"PARTITION spec ({part_txt}) does not name exactly the "
+                f"partition columns of {name} ({', '.join(part_cols)})"
+            )
+        static = {part_lower[k.lower()]: v for k, v in static.items()}
+        dynamic = [part_lower[d.lower()] for d in dynamic]
+        part_set = {c.lower() for c in part_cols}
+        data_cols = [
+            c for c in target.columns if c.lower() not in part_set
+        ]
+        expected = len(data_cols) + len(dynamic)
+        if len(src.columns) != expected:
+            raise HiveQLUnsupportedError(
+                f"INSERT into {name} PARTITION ({part_txt}) expects "
+                f"{expected} columns ({len(data_cols)} data + "
+                f"{len(dynamic)} dynamic partition) but the query "
+                f"supplies {len(src.columns)}"
+            )
+        exprs: dict[str, object] = {}
+        for i, c in enumerate(data_cols):
+            exprs[c] = _store_cast(F.col(src.columns[i]), sfields[c])
+        for j, c in enumerate(dynamic):
+            exprs[c] = _store_cast(
+                F.col(src.columns[len(data_cols) + j]), sfields[c]
+            )
+        for c, lit in static.items():
+            exprs[c] = _store_cast(F.expr(lit), sfields[c])
+        aligned = src.select(
+            *[exprs[c].alias(c) for c in target.columns]
+        )
+        obs = Observation()
+        aligned = aligned.observe(obs, F.count(F.lit(1)).alias("__n"))
+        if overwrite and not dynamic:
+            # static-only OVERWRITE: clear the one partition, then
+            # append — Hive replaces the partition directory even for
+            # an empty source
+            self.spark.sql(
+                f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({part_txt})"
+            )
+            aligned.write.insertInto(name, overwrite=False)
+        elif overwrite:
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                aligned.write.insertInto(name, overwrite=True)
+            finally:
+                self.spark.conf.set(conf, prev)
+        else:
+            aligned.write.insertInto(name, overwrite=False)
         return self._rows_affected(int(obs.get["__n"] or 0))
 
     def _run_merge(self, m: re.Match[str]) -> DataFrame:

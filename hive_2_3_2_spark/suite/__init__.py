@@ -112,6 +112,9 @@ _MODULES = [
     "llm_extra",  # r4 late additions — below the window → r5 queue
     "statements_extra",  # r4 late additions — below the window → r5 queue
     "dialect_extra",  # r5 dialect surface — names pulled into _WINDOW
+    # late-r6 continued-session surface — below the frozen r6 window →
+    # r7 rotation queue (freeze rule)
+    "statements_r6c",
 ]
 # R5 WINDOW (verified 50/50): the 18 entries with no driver row after
 # r4 + 5 new r5 entries + 27 high-value re-verifications — after r5,
@@ -171,19 +174,24 @@ _WINDOW = [
     "tpch_q19_discounted_revenue",
     "tpch_q20_promo_suppliers",
     "tpch_q22_global_sales_opportunity",
-    # -- next-stalest: latest green row is r2 (13 of 37) --
+    # -- next-stalest: latest green row is r2 (4 of 37; the other six
+    # r2 slots were ceded to the late-r6 never-verified entries below —
+    # setop_intersect_*/except_*, window_lead_lag_orders and
+    # dml_update_where move to the r7 rotation queue) --
     "setop_union_all",
     "setop_union_distinct",
-    "setop_intersect_all",
-    "setop_intersect_distinct",
-    "setop_except_all",
-    "setop_except_distinct",
     "window_running_sum_rows_frame",
     "window_range_frame",
-    "window_lead_lag_orders",
-    "dml_update_where",
     # -- new in r6 (late): oracled DESCRIBE FUNCTION statement --
     "ddl_sql_describe_function",
+    # -- new in r6 continued session (freeze rule: never-verified
+    # entries must sit inside the window) --
+    "window_named_window_inheritance",
+    "window_string_range_frame",
+    "dml_dynamic_partition_insert",
+    "hiveql_regex_columns",
+    "stmt_map_transform_spelling",
+    "tablesample_implicit_bucket",
     # -- changed implementations this round (re-verify beats staleness) --
     "dedup_embedding_cosine_pairs",
     "clean_decontaminate_embeddings",
