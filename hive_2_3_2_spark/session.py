@@ -58,6 +58,13 @@ ENGINE_CONFS: dict[str, str] = {
     # Bucketed-table support (Hive bucketCols parity,
     # metastore/if/hive_metastore.thrift:285-286).
     "spark.sql.sources.bucketing.enabled": "true",
+    # Hive's SMB join handles DIVISIBLE bucket counts exchange-free
+    # (auto_sortmerge_join_*.q: 2-bucket joins 4-bucket by reading two
+    # buckets per task); Spark's equivalent is coalescing the
+    # larger-bucketed side — off by default upstream, on here for
+    # parity. At 100 TB this removes BOTH shuffles from every
+    # mixed-bucket-count join of co-bucketed fact tables.
+    "spark.sql.bucketing.coalesceBucketsInJoin.enabled": "true",
     # Hive writes legacy-style partition dirs; keep overwrite dynamic so
     # INSERT OVERWRITE only replaces touched partitions (Hive semantics).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",

@@ -370,3 +370,43 @@ def test_q_join_nullsafe_smb_buckets(qenv):
     _chk(eng, con,
          f"select {_AB} from qbj_smbin2 a left outer join qbj_smbin2 b "
          "on a.value <=> b.value")
+
+
+def test_q_auto_sortmerge_join_divisible_bucket_counts(spark, tmp_path_factory):
+    """auto_sortmerge_join_1.q family: Hive's SMB join handles
+    DIVISIBLE bucket counts exchange-free (a 2-bucket table joins a
+    4-bucket table by reading two buckets per task). Spark parity via
+    coalesceBucketsInJoin (on in ENGINE_CONFS): values match and the
+    join plans ZERO Exchange operators with broadcast off — at scale
+    this removes both shuffles from every mixed-bucket-count join."""
+    import os
+    import shutil
+
+    eng = Engine(spark=spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t, n in (("asmb_t2", 2), ("asmb_t4", 4)):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        eng.sql(
+            f"CREATE TABLE {t} (key INT, value STRING) CLUSTERED BY "
+            f"(key) SORTED BY (key) INTO {n} BUCKETS STORED AS PARQUET"
+        )
+        eng.sql(
+            f"INSERT INTO {t} SELECT CAST(id AS INT), CAST(id AS STRING) "
+            "FROM range(1000)"
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = eng.sql(
+            "SELECT a.key AS k, a.value AS v, b.value AS w FROM "
+            "asmb_t2 a JOIN asmb_t4 b ON a.key = b.key"
+        )
+        assert df.count() == 1000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("asmb_t2", "asmb_t4"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
