@@ -410,3 +410,85 @@ def test_q_auto_sortmerge_join_divisible_bucket_counts(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("asmb_t2", "asmb_t4"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q_bucketmapjoin2_partitioned_mismatched_buckets(spark):
+    """bucketmapjoin2/3.q: PARTITIONED bucketed tables with MISMATCHED
+    bucket counts (4 vs 2) joined across partitions — Hive's bucket
+    map join walks divisible buckets; correctness must survive however
+    Spark plans it (bucket coalescing applies per the session conf)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    eng = Engine(spark=spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t, n in (("bmj_p4", 4), ("bmj_p2", 2)):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        eng.sql(
+            f"CREATE TABLE {t} (key INT, value STRING) "
+            "PARTITIONED BY (ds STRING) "
+            f"CLUSTERED BY (key) INTO {n} BUCKETS STORED AS PARQUET"
+        )
+        for ds in ("2008-04-08", "2008-04-09"):
+            eng.sql(
+                f"INSERT INTO {t} PARTITION (ds='{ds}') "
+                "SELECT CAST(id % 120 AS INT), CAST(id AS STRING) "
+                "FROM range(300)"
+            )
+    got = eng.sql(
+        "SELECT a.key AS k, COUNT(*) AS cnt FROM bmj_p4 a JOIN bmj_p2 b "
+        "ON a.key = b.key WHERE a.ds = '2008-04-08' AND b.ds = "
+        "'2008-04-09' GROUP BY a.key ORDER BY k"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW r AS SELECT CAST(range % 120 AS INT) AS key, "
+        "CAST(range AS VARCHAR) AS value FROM range(300)"
+    )
+    assert_matches_oracle(
+        got,
+        con,
+        "SELECT a.key AS k, CAST(COUNT(*) AS BIGINT) AS cnt FROM r a "
+        "JOIN r b ON a.key = b.key GROUP BY a.key ORDER BY k",
+    )
+    con.close()
+    for t in ("bmj_p4", "bmj_p2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q_smb_mapjoin7_empty_bigtable_outer(spark):
+    """smb_mapjoin_7.q: outer SMB join where the big table is EMPTY —
+    every small-table row survives with NULLs (empty-bucket handling,
+    historically a Hive SMB crash corner)."""
+    import os
+    import shutil
+
+    eng = Engine(spark=spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("smb7_empty", "smb7_full"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        eng.sql(
+            f"CREATE TABLE {t} (key INT, value STRING) CLUSTERED BY "
+            "(key) SORTED BY (key) INTO 2 BUCKETS STORED AS PARQUET"
+        )
+    eng.sql(
+        "INSERT INTO smb7_full SELECT CAST(id AS INT), "
+        "CAST(id AS STRING) FROM range(20)"
+    )
+    rows = eng.sql(
+        "SELECT a.key AS k1, b.key AS k2 FROM smb7_empty a "
+        "RIGHT OUTER JOIN smb7_full b ON a.key = b.key ORDER BY k2"
+    ).collect()
+    assert len(rows) == 20
+    assert all(r.k1 is None for r in rows)
+    rows = eng.sql(
+        "SELECT a.key AS k1, b.key AS k2 FROM smb7_empty a "
+        "FULL OUTER JOIN smb7_full b ON a.key = b.key ORDER BY k2"
+    ).collect()
+    assert len(rows) == 20 and all(r.k1 is None for r in rows)
+    for t in ("smb7_empty", "smb7_full"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
