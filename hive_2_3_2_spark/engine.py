@@ -107,35 +107,60 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
         lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
     ),
     # Hive permits UNORDERED ranking windows — row_number() over() etc.
-    # (windowing_navfn.q line 1; numbering is arbitrary). Spark requires
-    # an ORDER BY, so supply an arbitrary-but-valid one. Aggregate
-    # windows (sum(x) over()) are untouched: empty OVER is valid there
-    # and adding an order would change the default frame.
+    # (windowing_navfn.q line 1). Spark requires an ORDER BY, so supply
+    # one that reproduces Hive's semantics (WindowingSpec.ensureOrderSpec
+    # implicitly orders by the PARTITION keys):
+    #   - row_number/ntile are order-agnostic (any numbering is valid) —
+    #     monotonically_increasing_id gives an arbitrary total order;
+    #   - rank/dense_rank/percent_rank/cume_dist are PEER-sensitive:
+    #     ordering by the partition keys makes every row in a partition
+    #     a peer, so Hive returns rank=1 / dense_rank=1 / percent_rank=0
+    #     / cume_dist=1 for all rows — an arbitrary total order would
+    #     silently return distinct 1..n instead. With no partition keys
+    #     a constant sort key makes the whole frame one peer group.
+    # Aggregate windows (sum(x) over()) are untouched: empty OVER is
+    # valid there and adding an order would change the default frame.
     (
         re.compile(
-            r"\b((?:row_number|rank|dense_rank|percent_rank|cume_dist)"
-            r"\s*\(\s*\)|ntile\s*\([^)]*\))\s+over\s*\(\s*\)",
+            r"\b(row_number\s*\(\s*\)|ntile\s*\([^)]*\))\s+over\s*\(\s*\)",
             re.IGNORECASE,
         ),
         lambda m: (
             f"{m.group(1)} over (order by monotonically_increasing_id())"
         ),
     ),
-    # Same contract for PARTITION BY without ORDER BY (ptfgroupbyjoin.q:
-    # row_number() over (partition by id, fkey)) — numbering within the
-    # partition is arbitrary in Hive; supply the arbitrary order
-    # explicitly. Paren-free partition lists only (expression partition
-    # keys with an ORDER BY already parse fine in Spark).
     (
         re.compile(
-            r"\b((?:row_number|rank|dense_rank|percent_rank|cume_dist)"
-            r"\s*\(\s*\)|ntile\s*\([^)]*\))\s+over\s*\(\s*"
+            r"\b((?:rank|dense_rank|percent_rank|cume_dist)\s*\(\s*\))"
+            r"\s+over\s*\(\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: f"{m.group(1)} over (order by '__hive_all_peers')",
+    ),
+    # Same contract for PARTITION BY without ORDER BY (ptfgroupbyjoin.q:
+    # row_number() over (partition by id, fkey)). Paren-free partition
+    # lists only (expression partition keys with an ORDER BY already
+    # parse fine in Spark).
+    (
+        re.compile(
+            r"\b(row_number\s*\(\s*\)|ntile\s*\([^)]*\))\s+over\s*\(\s*"
             r"(partition\s+by\s+(?:(?!order\s+by)[^()])*?)\s*\)",
             re.IGNORECASE,
         ),
         lambda m: (
             f"{m.group(1)} over ({m.group(2)} "
             "order by monotonically_increasing_id())"
+        ),
+    ),
+    (
+        re.compile(
+            r"\b((?:rank|dense_rank|percent_rank|cume_dist)\s*\(\s*\))"
+            r"\s+over\s*\(\s*"
+            r"(partition\s+by\s+((?:(?!order\s+by)[^()])*?))\s*\)",
+            re.IGNORECASE,
+        ),
+        lambda m: (
+            f"{m.group(1)} over ({m.group(2)} order by {m.group(3)})"
         ),
     ),
 ]
@@ -3744,13 +3769,30 @@ class Engine:
         obs = Observation()
         aligned = aligned.observe(obs, F.count(F.lit(1)).alias("__n"))
         if overwrite and not dynamic:
-            # static-only OVERWRITE: clear the one partition, then
-            # append — Hive replaces the partition directory even for
-            # an empty source
-            self.spark.sql(
-                f"ALTER TABLE {name} DROP IF EXISTS PARTITION ({part_txt})"
-            )
-            aligned.write.insertInto(name, overwrite=False)
+            # static-only OVERWRITE: Hive stages the query output to
+            # scratch and MoveTask swaps the partition directory only on
+            # success — dropping the partition BEFORE the query runs
+            # would lose the existing data if the query fails mid-way.
+            # Dynamic-partition-overwrite gives the same staged-commit
+            # contract here (the static values are literal columns, so
+            # exactly the one target partition is replaced, and only
+            # after the job commits). A cleanly-evaluated EMPTY source
+            # touches no partition under dynamic mode, so the replace-
+            # with-empty semantics (MoveTask replaces the directory even
+            # for zero rows) is applied as a post-success DROP.
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                aligned.write.insertInto(name, overwrite=True)
+            finally:
+                self.spark.conf.set(conf, prev)
+            if int(obs.get["__n"] or 0) == 0:
+                self.spark.sql(
+                    f"ALTER TABLE {name} DROP IF EXISTS "
+                    f"PARTITION ({part_txt})"
+                )
+            return self._rows_affected(int(obs.get["__n"] or 0))
         elif overwrite:
             conf = "spark.sql.sources.partitionOverwriteMode"
             prev = self.spark.conf.get(conf, "static")
@@ -4466,7 +4508,7 @@ _MASK_FAMILY_CALL = re.compile(
     r"mask_show_last_n)\s*\(",
     re.IGNORECASE,
 )
-_OVER_AFTER = re.compile(r"\s*OVER\s*", re.IGNORECASE)
+_OVER_AFTER = re.compile(r"\s*\bOVER\b\s*", re.IGNORECASE)
 _BARE_FRACTION = re.compile(r"^[+-]?\d+\.\d+$")
 
 
@@ -4782,10 +4824,18 @@ def _rewrite_distinct_window(query: str) -> str:
       (multi-arg COUNT guards NULLs the Hive way: a row with ANY null
       argument is excluded);
     - SUM(DISTINCT x) OVER w    → aggregate(collect_set(x) OVER w,
-      CAST(NULL AS DOUBLE), (a, v) -> coalesce(a, 0D) + cast(v AS
-      DOUBLE)) — the NULL seed makes an empty frame yield NULL like
-      Hive; the result is always DOUBLE (Hive returns bigint for
-      integral inputs — documented widening);
+      IF(FALSE, (x) + CAST(0 AS BIGINT), NULL),
+      (__dwa, __dwv) -> coalesce(__dwa, CAST(0 AS BIGINT)) + __dwv) —
+      the never-evaluated IF(FALSE, ...) seed is a NULL *of the
+      accumulator type* (x widened by one BIGINT add), so an empty
+      frame yields NULL like Hive AND the result type matches Hive's
+      SUM: BIGINT for integral x, DOUBLE for float/double. DECIMAL x
+      widens precision on every fold step, which Spark's aggregate()
+      rejects (accumulator type is fixed) — _retry_rewrite catches
+      that exact DATATYPE_MISMATCH and pins the merge result back to
+      the accumulator's DECIMAL type, so decimals stay decimal (no
+      binary-float round-off; Hive types the sum DECIMAL(p+10,s) vs
+      our DECIMAL(p+3,s) — value-identical within 38 digits);
     - AVG(DISTINCT x) OVER w    → that sum divided by the size.
 
     A DISTINCT aggregate NOT followed by OVER is left for Spark's
@@ -4832,8 +4882,10 @@ def _rewrite_distinct_window(query: str) -> str:
             elem = inner.strip()
         cset = f"collect_set({elem}) OVER {over}"
         sum_form = (
-            f"aggregate({cset}, CAST(NULL AS DOUBLE), "
-            f"(__da, __dv) -> coalesce(__da, 0D) + cast(__dv AS DOUBLE))"
+            f"aggregate({cset}, "
+            f"IF(FALSE, ({elem.strip()}) + CAST(0 AS BIGINT), NULL), "
+            f"(__dwa, __dwv) -> coalesce(__dwa, CAST(0 AS BIGINT)) "
+            f"+ __dwv)"
         )
         if fn == "count":
             repl = f"size({cset})"
@@ -5284,7 +5336,7 @@ def _rewrite_nested_window(query: str) -> str | None:
             ):
                 continue
             om = re.match(
-                r"\s*over\s*", new_list[close + 1:], re.IGNORECASE
+                r"\s*\bover\b\s*", new_list[close + 1:], re.IGNORECASE
             )
             if not om:
                 continue
@@ -5643,6 +5695,66 @@ def _rewrite_range_frame_bounds(query: str, unit: str | None) -> str | None:
     return out if changed[0] else None
 
 
+_DW_MERGE_LAMBDA = (
+    "(__dwa, __dwv) -> coalesce(__dwa, CAST(0 AS BIGINT)) + __dwv"
+)
+_DW_REQUIRED_TYPE = re.compile(r'requires the "(DECIMAL\(\d+,\s*\d+\))"')
+# our generated seed+merge, capturing the seed's element expression so
+# the erroring aggregate can be matched back to its text position
+_DW_SUM_FORM = re.compile(
+    # elem is tempered on __dwa so a span can never swallow an
+    # already-pinned merge lambda and alias the NEXT aggregate's seed
+    r"IF\(FALSE, \((?P<elem>(?:(?!__dwa).)*?)\) \+ CAST\(0 AS BIGINT\), "
+    r"NULL\), "
+    r"\(__dwa, __dwv\) -> coalesce\(__dwa, CAST\(0 AS BIGINT\)\) "
+    r"\+ __dwv",
+    re.DOTALL,
+)
+# the analyzer prints the failing aggregate's seed verbatim in the error
+_DW_ERR_ELEM = re.compile(
+    r"IF\(false, \((?P<elem>.*?) \+ CAST\(0 AS BIGINT\)\), NULL\)"
+)
+
+
+def _dw_canon(expr: str) -> str:
+    return re.sub(r"[\s()`]+", "", expr).lower()
+
+
+def _pin_distinct_window_decimal(query: str, err: str) -> str | None:
+    """DECIMAL leg of the _rewrite_distinct_window fold: Spark's
+    ``aggregate()`` fixes the accumulator type at the seed, but DECIMAL
+    addition widens precision by one each step, so the merge lambda's
+    result type no longer matches and the analyzer raises
+    DATATYPE_MISMATCH naming the REQUIRED accumulator type. Pin THAT
+    aggregate's merge result back to the exact accumulator type with an
+    explicit CAST — decimals keep their scale (no silent widening to
+    DOUBLE; the old behavior the r6 ADVICE flagged). The failing
+    aggregate is identified by the seed's element expression, which the
+    analyzer prints verbatim in the error; statements with several
+    distinct-window decimals converge over Engine.sql's retry loop,
+    each error naming its own accumulator type."""
+    tm = _DW_REQUIRED_TYPE.search(err)
+    if not tm:
+        return None
+    want = None
+    em = _DW_ERR_ELEM.search(err)
+    if em:
+        want = _dw_canon(em.group("elem"))
+    cands = list(_DW_SUM_FORM.finditer(query))
+    if not cands:
+        return None
+    m = next(
+        (c for c in cands if want and _dw_canon(c.group("elem")) == want),
+        cands[0],
+    )
+    lam_start = query.index("(__dwa", m.start())
+    pinned = (
+        "(__dwa, __dwv) -> CAST(coalesce(__dwa, CAST(0 AS BIGINT)) "
+        f"+ __dwv AS {tm.group(1)})"
+    )
+    return query[:lam_start] + pinned + query[m.end():]
+
+
 def _retry_rewrite(query: str, err: str) -> str | None:
     """Dispatch the error-keyed HiveQL retry rewrites (Engine.sql runs
     these in a loop, so chained gaps — e.g. a WINDOW clause refinement
@@ -5655,6 +5767,12 @@ def _retry_rewrite(query: str, err: str) -> str | None:
         return _rewrite_alias_in_window(query)
     if "PARSE_SYNTAX_ERROR" in err and _search_code(_WINDOW_KW, query):
         return _rewrite_named_windows(query)
+    if (
+        "DATATYPE_MISMATCH" in err
+        and "__dwa" in query
+        and "aggregate(" in err.lower()
+    ):
+        return _pin_distinct_window_decimal(query, err)
     if (
         "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE" in err
         or "RANGE_FRAME_INVALID_TYPE" in err

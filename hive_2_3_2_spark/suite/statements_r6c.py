@@ -28,12 +28,12 @@ def _drop_managed(spark: SparkSession, name: str) -> None:
     "window_named_window_inheritance",
     oracle="""
     SELECT p_brand, p_partkey, p_size,
-      SUM(p_size) OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey
-        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s1,
-      SUM(p_size) OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2,
-      SUM(p_size) OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey
-        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3
+      CAST(SUM(p_size) OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey
+        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS s1,
+      CAST(SUM(p_size) OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s2,
+      CAST(SUM(p_size) OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3
     FROM part
     ORDER BY p_brand, p_partkey
     """,

@@ -7,9 +7,10 @@ _rewrite_distinct_window); every golden shape is value-diffed against
 DuckDB's native distinct-window support (an independent
 implementation).
 
-Documented widening: SUM/AVG(DISTINCT integral) return DOUBLE here
-(Hive returns bigint for sums of integral inputs) — the VALUES agree,
-the type widens; oracles cast accordingly.
+Typing (since the r7 ADVICE fix): SUM(DISTINCT integral) returns
+BIGINT like Hive (the fold accumulator is seeded with a typed NULL of
+``elem + 0L``); AVG(DISTINCT integral) is DOUBLE; DECIMAL inputs stay
+DECIMAL (accumulator type pinned on retry). Oracles cast accordingly.
 
 Fixture mirrors data/files/windowing_distinct.txt's shape: duplicated
 rows inside each index partition plus a NULL cell, so DISTINCT vs
@@ -79,7 +80,8 @@ def test_q_count_distinct_over_partition(qenv):
 
 def test_q_sum_avg_distinct_over_partition(qenv):
     """windowing_distinct.q blocks 2-3: SUM/AVG(DISTINCT) over bare
-    partitions (DOUBLE-widened; values match the oracle's)."""
+    partitions (Hive-typed: BIGINT sum for the int column; values
+    match the oracle's)."""
     eng, con = qenv
     assert_matches_oracle(
         eng.sql(
