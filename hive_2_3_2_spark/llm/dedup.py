@@ -641,13 +641,29 @@ def simhash_near_dups(
     )
 
 
+_ADAPTIVE_BLOCK_TARGET = 2048
+
+
+def _adaptive_sign_bits(n_rows: int) -> int:
+    """k ≈ log2(n / target-block-size), clamped to [1, 16]: keeps the
+    expected per-block row count (and therefore the O(n²/2^k) pair
+    count per block) roughly constant as the corpus grows. 2048-row
+    blocks keep the within-block self-join comfortably sub-second per
+    block while leaving enough rows for near-dup pairs to co-occur."""
+    import math
+
+    if n_rows <= _ADAPTIVE_BLOCK_TARGET:
+        return 1
+    return max(1, min(16, math.ceil(math.log2(n_rows / _ADAPTIVE_BLOCK_TARGET))))
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: Column | None = None,
     threshold: float = 0.95,
-    n_sign_bits: int = 1,
+    n_sign_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks.
 
@@ -656,13 +672,20 @@ def embedding_near_dups(
     O(n²/2^k) for k bits, so k is the scale dial: 1 bit halves the
     pairs, 3 bits cut them 8x, and k should grow ~log2(n) to keep
     per-block density constant as the corpus grows (the r6 sf1 sweep
-    measured the 1-bit default at 84x wall for 10x rows — exactly the
-    quadratic). Like any single-table sign-LSH, a pair differing in any
-    blocked component's sign is missed; that blocking IS the declared
-    operator semantics (mirrored in the oracle), and recall-critical
-    dedup should OR several blockings (see decontaminate_embeddings's
-    multi-table bucketer) or use minhash banding."""
+    measured a FIXED 1-bit default at 84x wall for 10x rows — exactly
+    the quadratic). Since r7, ``n_sign_bits=None`` (the default)
+    derives k from a corpus count (one cheap count job:
+    ~log2(n/2048), clamped to [1, 16]) so a naive caller can no longer
+    hit the cliff silently; pass an explicit k to pin the blocking
+    (the suite entry uses 3 for oracle determinism). Like any
+    single-table sign-LSH, a pair differing in any blocked component's
+    sign is missed; that blocking IS the declared operator semantics
+    (mirrored in the oracle), and recall-critical dedup should OR
+    several blockings (see decontaminate_embeddings's multi-table
+    bucketer) or use minhash banding."""
     if block_col is None:
+        if n_sign_bits is None:
+            n_sign_bits = _adaptive_sign_bits(df.count())
         bits = [
             (F.element_at(F.col(vec_col), i + 1) > 0).cast("int")
             * F.lit(1 << i)
