@@ -457,6 +457,18 @@ _ANALYZE_STMT = re.compile(
 _MSCK_STMT = re.compile(
     r"^\s*MSCK\s+(?:REPAIR\s+)?TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+# StatsOptimizer-answerable shape: a bare aggregate-only SELECT over one
+# path-backed table — no WHERE/GROUP/ORDER/LIMIT/joins (any such text
+# after the table name fails the $ anchor).
+_STATS_QUERY = re.compile(
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_STATS_AGG_ITEM = re.compile(
+    r"^(count|min|max)\s*\(\s*(\*|1|`?\w+`?)\s*\)"
+    r"(?:\s+(?:AS\s+)?(`?\w+`?))?\s*$",
+    re.IGNORECASE,
+)
 _RENAME_STMT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -966,6 +978,14 @@ class Engine:
         # table → column → stats dict (ANALYZE ... FOR COLUMNS; the
         # metastore TAB_COL_STATS role)
         self.column_stats: dict[str, dict[str, dict]] = {}
+        # table → basic stats {num_rows, total_size, fp} from ANALYZE
+        # COMPUTE STATISTICS; fp is a data-file fingerprint standing in
+        # for Hive's COLUMN_STATS_ACCURATE flag — ANY write (engine DML
+        # or external) changes it, so the stats-answer path falls back
+        # instead of serving stale numbers
+        self.basic_stats: dict[str, dict] = {}
+        # table → fingerprint at ANALYZE ... FOR COLUMNS time
+        self.column_stats_fp: dict[str, str] = {}
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
             import os
@@ -1410,6 +1430,9 @@ class Engine:
             )[0]
             if not re.search(r"\bUSING\b", pre_as, re.IGNORECASE):
                 return self._run_create_temp_table(m)
+        ans = self._try_stats_answer(query)
+        if ans is not None:
+            return ans
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
         rewritten = rewrite_hiveql(query, spark=self.spark)
@@ -2181,6 +2204,36 @@ class Engine:
         self.register_table(key, path, parts)
         return self._rows_affected(n)
 
+    @staticmethod
+    def _table_fingerprint(path: str) -> str:
+        """Metadata-only digest of a table's data files (relpath, size,
+        mtime) — the engine's stand-in for Hive's COLUMN_STATS_ACCURATE
+        flag (StatsSetupConst): stats recorded under one fingerprint
+        are served only while the files are bit-for-bit the same set.
+        Listing only — no data read — so it costs what a metastore
+        lookup costs."""
+        import hashlib
+
+        h = hashlib.md5()
+        if os.path.isfile(path):
+            st = os.stat(path)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            return h.hexdigest()
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                entries.append(
+                    f"{os.path.relpath(full, path)}:{st.st_size}:"
+                    f"{st.st_mtime_ns}"
+                )
+        for e in sorted(entries):
+            h.update(e.encode())
+        return h.hexdigest()
+
     def _run_analyze(
         self, table: str, for_columns: str | None = None
     ) -> DataFrame:
@@ -2223,6 +2276,11 @@ class Engine:
                 "num_files bigint, total_size_bytes bigint",
             )
         n = parquet_row_count(path)
+        self.basic_stats[key] = {
+            "num_rows": n,
+            "total_size": size,
+            "fp": self._table_fingerprint(path),
+        }
         return self.spark.createDataFrame(
             [(n, size)], "num_rows bigint, total_size_bytes bigint"
         )
@@ -2269,6 +2327,10 @@ class Engine:
                     F.max(F.length(c)).alias(f"{c}__maxlen"),
                 ]
         row = target.agg(*aggs).collect()[0].asDict()
+        if key in self.table_paths:
+            self.column_stats_fp[key] = self._table_fingerprint(
+                self.table_paths[key]
+            )
         stats = self.column_stats.setdefault(key, {})
         out_rows = []
         for c in cols:
@@ -2296,6 +2358,101 @@ class Engine:
             out_rows,
             "col_name string, data_type string, num_nulls bigint, "
             "distinct_count bigint, min string, max string",
+        )
+
+    def _try_stats_answer(self, query: str) -> DataFrame | None:
+        """Answer aggregate-only queries purely from gathered stats —
+        Hive's StatsOptimizer (reference:
+        ql/src/java/org/apache/hadoop/hive/ql/optimizer/StatsOptimizer.java,
+        wired at Optimizer.java:227 behind hive.compute.query.using.stats,
+        default TRUE — HiveConf.java:2043). Scope mirrors the
+        reference's stable core: ``count(*)``/``count(1)`` from basic
+        numRows, ``count(col)`` = numRows - numNulls, ``min/max(col)``
+        from column stats, over ONE unpartitioned path-backed table
+        with no WHERE/GROUP BY. Returns None (normal execution) when
+        the conf is off, the shape doesn't match, stats were never
+        gathered, or the data-file fingerprint no longer matches the
+        one recorded at ANALYZE time (= Hive dropping
+        COLUMN_STATS_ACCURATE on a non-stats-aware write). The result
+        is a driver-local row — zero scan, zero job, exactly like
+        Hive's FetchTask-over-metastore plan."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        conf = self.hiveconf.get("hive.compute.query.using.stats", "true")
+        if str(conf).strip().lower() not in ("true", "1", "yes"):
+            return None
+        m = _STATS_QUERY.match(query)
+        if not m:
+            return None
+        try:
+            key = self._resolve_dml_table(m.group(2))
+        except Exception:
+            return None
+        path = self.table_paths.get(key)
+        if path is None or self.table_partitions.get(key):
+            return None
+        basic = self.basic_stats.get(key)
+        if not basic:
+            return None
+        fp = self._table_fingerprint(path)
+        if basic["fp"] != fp:
+            return None
+        num_rows = basic["num_rows"]
+        colstats = self.column_stats.get(key, {})
+        cols_fresh = self.column_stats_fp.get(key) == fp
+        fields_by_lower = {
+            f.name.lower(): f for f in self._declared_schema(key).fields
+        }
+        out_fields: list[StructField] = []
+        out_vals: list[object] = []
+        for item in _split_top_args(m.group(1)):
+            im = _STATS_AGG_ITEM.match(item.strip())
+            if not im:
+                return None
+            fn = im.group(1).lower()
+            arg = im.group(2).strip("`")
+            alias = (im.group(3) or "").strip("`")
+            if fn == "count" and arg in ("*", "1"):
+                out_fields.append(
+                    StructField(alias or f"count({arg})", LongType(), False)
+                )
+                out_vals.append(num_rows)
+                continue
+            f = fields_by_lower.get(arg.lower())
+            if f is None or not cols_fresh:
+                return None
+            s = colstats.get(f.name)
+            if not s:
+                return None
+            if fn == "count":
+                out_fields.append(
+                    StructField(
+                        alias or f"count({f.name})", LongType(), False
+                    )
+                )
+                out_vals.append(num_rows - s["num_nulls"])
+                continue
+            # min/max: only orderable types whose stats carry the value
+            # (strings record lengths, not extrema — fall back, exactly
+            # like the reference's unsupported-type bail-out)
+            if s.get(fn) is None:
+                if s["num_nulls"] == num_rows and num_rows > 0:
+                    out_fields.append(
+                        StructField(
+                            alias or f"{fn}({f.name})", f.dataType, True
+                        )
+                    )
+                    out_vals.append(None)
+                    continue
+                return None
+            out_fields.append(
+                StructField(alias or f"{fn}({f.name})", f.dataType, True)
+            )
+            out_vals.append(s[fn])
+        if not out_fields:
+            return None
+        return self.spark.createDataFrame(
+            [tuple(out_vals)], StructType(out_fields)
         )
 
     def _run_describe_column(self, table: str, column: str) -> DataFrame:

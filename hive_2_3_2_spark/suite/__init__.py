@@ -115,6 +115,8 @@ _MODULES = [
     # late-r6 continued-session surface — below the frozen r6 window →
     # r7 rotation queue (freeze rule)
     "statements_r6c",
+    # r7 surface — its entries sit inside the r7 window (freeze rule)
+    "statements_r7",
 ]
 # R5 WINDOW (verified 50/50): the 18 entries with no driver row after
 # r4 + 5 new r5 entries + 27 high-value re-verifications — after r5,
@@ -134,67 +136,69 @@ _MODULES = [
 # tests/test_ledger.py asserts the window is exactly 50, covers every
 # never-green entry, and that verification_ledger.json matches the
 # CORRECTNESS_r0*.json union.
+# R7 WINDOW (the r6 verdict's prescription): the 1 never-green entry
+# (window_named_window_inheritance — its ORACLE was the defect: bare
+# SUM(int) OVER types HUGEINT in DuckDB vs BIGINT in Spark; fixed with
+# the convention's CAST ... AS BIGINT) + ALL 32 entries whose latest
+# green row is r2 (setops intersect/except, window head, DML tail,
+# approx aggs, samplers, multimodal, text, dedup head, pack_*) + the
+# new r7 stats_answered_aggregates entry (freeze rule) + 16 oldest-r3
+# re-verifications spread across the fn_*/subq_*/lateral/op_* families.
 _WINDOW = [
-    # -- new in r6 (freeze rule: new entries land inside the window) --
-    "stmt_insert_overwrite_directory",
-    "stmt_create_temp_table",
-    # -- stalest: latest green row is r1 (all 35) --
-    "agg_collect_set_sorted",
-    "agg_cube_returnflag_linestatus",
-    "agg_exact_percentile",
-    "agg_grouping_sets_custom",
-    "agg_having_filter",
-    "agg_rollup_order_priority",
-    "agg_statistical_moments",
-    "fn_bitwise_ops",
-    "fn_months_between_trunc",
-    "fn_null_ops",
-    "fn_str_to_map",
-    "fn_string_family2",
-    "fn_unix_time_family",
-    "join_cross_region_nation",
-    "join_full_outer_daily_activity",
-    "join_inner_orders_customer",
-    "join_left_anti_inactive_customers",
-    "join_left_outer_customer_orders",
-    "join_left_semi_active_customers",
-    "join_mixed_equi_residual",
-    "join_right_outer_orders_customer",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_case_agg",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_promo_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # -- next-stalest: latest green row is r2 (4 of 37; the other six
-    # r2 slots were ceded to the late-r6 never-verified entries below —
-    # setop_intersect_*/except_*, window_lead_lag_orders and
-    # dml_update_where move to the r7 rotation queue) --
-    "setop_union_all",
-    "setop_union_distinct",
-    "window_running_sum_rows_frame",
-    "window_range_frame",
-    # -- new in r6 (late): oracled DESCRIBE FUNCTION statement --
-    "ddl_sql_describe_function",
-    # -- new in r6 continued session (freeze rule: never-verified
-    # entries must sit inside the window) --
+    # -- never-green: the r6 red row, oracle fixed this round --
     "window_named_window_inheritance",
-    "window_string_range_frame",
-    "dml_dynamic_partition_insert",
-    "hiveql_regex_columns",
-    "stmt_map_transform_spelling",
-    "tablesample_implicit_bucket",
-    # -- changed implementations this round (re-verify beats staleness) --
-    "dedup_embedding_cosine_pairs",
-    "clean_decontaminate_embeddings",
+    # -- new in r7 (freeze rule: new entries land inside the window) --
+    "stats_answered_aggregates",
+    # -- stalest cohort: latest green row is r2 (all 32) --
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "dedup_exact_groups",
+    "dedup_incremental_batch",
+    "dedup_simhash_near_duplicates",
+    "dml_delete_partitioned",
+    "dml_merge_matched_delete",
+    "dml_update_where",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "pack_length_buckets",
+    "pack_sequences_greedy",
+    "sample_domain_cap",
+    "sample_hash_split",
+    "sample_interleave_weighted",
+    "sample_mixture_rates",
+    "sample_shuffle_shard",
+    "sample_stratified_per_lang",
+    "setop_except_all",
+    "setop_except_distinct",
+    "setop_intersect_all",
+    "setop_intersect_distinct",
+    "text_fingerprint_groups",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_rolling_fingerprint",
+    "text_token_counts",
+    "window_distribution_functions",
+    "window_lead_lag_orders",
+    "window_share_of_partition",
+    # -- 16 oldest-r3 re-verifications (family spread) --
+    "fn_cast_coercion",
+    "fn_complex_types",
+    "fn_conditional_family",
+    "fn_datetime_family",
+    "fn_hash_codec_family",
+    "fn_math_family",
+    "fn_regex_family",
+    "fn_string_family",
+    "hiveql_lateral_view",
+    "join_null_safe_equality",
+    "lateral_explode_tokens",
+    "op_asof_join_last_click",
+    "op_banded_range_join",
+    "subq_exists_correlated",
+    "subq_scalar_correlated",
+    "window_lead_lag_offsets",
 ]
 
 

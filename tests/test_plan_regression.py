@@ -327,3 +327,18 @@ def test_embedding_near_dups_blocked_join_no_cartesian(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_stats_answered_query_is_scan_free(spark, sf_dir):
+    """StatsOptimizer parity (Optimizer.java:227): the stats-answered
+    aggregate query must compile to a driver-local row — no FileScan,
+    no Exchange, no aggregate operator. Hive's equivalent plan is a
+    FetchTask over metastore values."""
+    plan = _plan(spark, sf_dir, "stats_answered_aggregates")
+    for op in ("Scan parquet", "FileScan", "Exchange", "Aggregate"):
+        assert op not in plan, f"unexpected {op}:\n{plan}"
+    assert (
+        "LocalTableScan" in plan
+        or "LocalRelation" in plan
+        or "Scan ExistingRDD" in plan  # createDataFrame from Python
+    ), plan
