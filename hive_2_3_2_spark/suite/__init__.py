@@ -136,69 +136,75 @@ _MODULES = [
 # tests/test_ledger.py asserts the window is exactly 50, covers every
 # never-green entry, and that verification_ledger.json matches the
 # CORRECTNESS_r0*.json union.
-# R7 WINDOW (the r6 verdict's prescription): the 1 never-green entry
-# (window_named_window_inheritance — its ORACLE was the defect: bare
-# SUM(int) OVER types HUGEINT in DuckDB vs BIGINT in Spark; fixed with
-# the convention's CAST ... AS BIGINT) + ALL 32 entries whose latest
-# green row is r2 (setops intersect/except, window head, DML tail,
-# approx aggs, samplers, multimodal, text, dedup head, pack_*) + the
-# new r7 stats_answered_aggregates entry (freeze rule) + 16 oldest-r3
-# re-verifications spread across the fn_*/subq_*/lateral/op_* families.
+# R7 WINDOW (verified 50/50 — the first all-green driver gate): the 1
+# never-green entry (window_named_window_inheritance, oracle fixed) +
+# all 32 r2-stale entries + the new stats_answered_aggregates entry +
+# 16 oldest-r3 re-verifications.
+# R8 WINDOW (the r7 verdict's prescription): ALL 31 entries whose
+# latest green row is r3 (events_*, hiveql_*, lateral_*, uncorrelated
+# subqueries + CTE, op_masking/ngrams/salted_skew/transform,
+# dedup_keep_first_by_priority, pipeline_corpus_prep,
+# setop_union_type_coercion, stream_stateful_running_totals) +
+# stats_answered_aggregates (its IMPLEMENTATION changed this round:
+# event-driven fingerprint invalidation replaces the per-query walk,
+# and unaliased count(*) now surfaces as count(1) — the
+# changed-implementation rule outranks staleness) + 18 oldest-r4
+# re-verifications (the 7 whose first green predates r4, then a family
+# spread across agg/clean/ddl/dedup/dml/emb/fn/sample/text).
 _WINDOW = [
-    # -- never-green: the r6 red row, oracle fixed this round --
-    "window_named_window_inheritance",
-    # -- new in r7 (freeze rule: new entries land inside the window) --
+    # -- stalest cohort: latest green row is r3 (all 31) --
+    "dedup_keep_first_by_priority",
+    "events_click_purchase_attribution",
+    "events_dedup_distinct",
+    "events_rate_per_type_share",
+    "events_rollup_incremental",
+    "events_rollup_ndv_sketch",
+    "events_sliding_window",
+    "hiveql_case_insensitive_keywords",
+    "hiveql_cluster_by",
+    "hiveql_distribute_sort_by",
+    "hiveql_grouping_sets_id",
+    "hiveql_tablesample_bucket",
+    "hiveql_tablesample_bucket_string",
+    "hiveql_union_mixed",
+    "lateral_explode_outer_empty",
+    "lateral_inline_structs",
+    "lateral_json_tuple_props",
+    "lateral_posexplode_first_tokens",
+    "lateral_stack_unpivot",
+    "op_masking_family",
+    "op_ngrams_top20",
+    "op_salted_skew_join",
+    "op_transform_script",
+    "pipeline_corpus_prep",
+    "setop_union_type_coercion",
+    "stream_stateful_running_totals",
+    "subq_cte_reuse",
+    "subq_in_uncorrelated",
+    "subq_not_exists_correlated",
+    "subq_not_in_uncorrelated",
+    "subq_scalar_uncorrelated",
+    # -- changed implementation this round (outranks staleness) --
     "stats_answered_aggregates",
-    # -- stalest cohort: latest green row is r2 (all 32) --
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "dedup_exact_groups",
-    "dedup_incremental_batch",
-    "dedup_simhash_near_duplicates",
-    "dml_delete_partitioned",
-    "dml_merge_matched_delete",
-    "dml_update_where",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "multimodal_resize",
-    "pack_length_buckets",
-    "pack_sequences_greedy",
-    "sample_domain_cap",
-    "sample_hash_split",
-    "sample_interleave_weighted",
-    "sample_mixture_rates",
-    "sample_shuffle_shard",
-    "sample_stratified_per_lang",
-    "setop_except_all",
-    "setop_except_distinct",
-    "setop_intersect_all",
-    "setop_intersect_distinct",
-    "text_fingerprint_groups",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_rolling_fingerprint",
-    "text_token_counts",
-    "window_distribution_functions",
-    "window_lead_lag_orders",
-    "window_share_of_partition",
-    # -- 16 oldest-r3 re-verifications (family spread) --
-    "fn_cast_coercion",
-    "fn_complex_types",
-    "fn_conditional_family",
-    "fn_datetime_family",
-    "fn_hash_codec_family",
-    "fn_math_family",
-    "fn_regex_family",
-    "fn_string_family",
-    "hiveql_lateral_view",
-    "join_null_safe_equality",
-    "lateral_explode_tokens",
-    "op_asof_join_last_click",
-    "op_banded_range_join",
-    "subq_exists_correlated",
-    "subq_scalar_correlated",
-    "window_lead_lag_offsets",
+    # -- 18 oldest-r4 re-verifications --
+    "agg_boolean_family",
+    "fn_array_family",
+    "fn_interval_arithmetic",
+    "window_ignore_nulls",
+    "similarity_topk_lsh",
+    "sort_nulls_ordering",
+    "sort_order_by_multi",
+    "agg_histogram_numeric",
+    "agg_min_max_by",
+    "clean_pii_scrub",
+    "clean_quality_flags",
+    "ddl_sql_export_import",
+    "dedup_semantic_kept",
+    "dml_sql_multi_insert",
+    "emb_l2_normalize",
+    "fn_xpath_family",
+    "sample_weighted_reservoir",
+    "text_zipf_head",
 ]
 
 
