@@ -457,6 +457,9 @@ _ANALYZE_STMT = re.compile(
 _MSCK_STMT = re.compile(
     r"^\s*MSCK\s+(?:REPAIR\s+)?TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+_REFRESH_STMT = re.compile(
+    r"^\s*REFRESH\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+)
 # StatsOptimizer-answerable shape: a bare aggregate-only SELECT over one
 # path-backed table — no WHERE/GROUP/ORDER/LIMIT/joins (any such text
 # after the table name fails the $ anchor).
@@ -986,6 +989,15 @@ class Engine:
         self.basic_stats: dict[str, dict] = {}
         # table → fingerprint at ANALYZE ... FOR COLUMNS time
         self.column_stats_fp: dict[str, str] = {}
+        # table → data-file fingerprint verified against disk THIS
+        # session. Staleness is tracked by EVENT, not by re-listing:
+        # every engine write invalidates (register_table), ANALYZE and
+        # REFRESH TABLE re-fingerprint, and the first stats-answered
+        # query per table pays one listing — never one per query (Hive
+        # reads COLUMN_STATS_ACCURATE, an O(1) metastore flag; a
+        # per-query file walk on a 10^6-file table would be a
+        # driver-side bottleneck the StatsOptimizer exists to avoid).
+        self._fp_memo: dict[str, str] = {}
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
             import os
@@ -1007,6 +1019,13 @@ class Engine:
         schema — Spark's parquet reader binds by name, filling missing
         columns with NULL (exactly Hive's metastore-schema semantics)."""
         name = name.split(".")[-1].lower()
+        # Every mutating statement re-registers its target, so this is
+        # the single chokepoint where gathered stats go stale — the
+        # engine's version of Hive clearing COLUMN_STATS_ACCURATE on a
+        # non-stats-aware write (StatsSetupConst.clearColumnStatsState).
+        # Column VALUES survive for DESCRIBE (Hive keeps TAB_COL_STATS
+        # rows too); only the serve-from-stats gates drop.
+        self._invalidate_stats(name)
         reader = self.spark.read
         if name in self.table_schemas:
             reader = reader.schema(self.table_schemas[name])
@@ -1348,6 +1367,9 @@ class Engine:
         m = _MSCK_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_msck(m.group(1))
+        m = _REFRESH_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_refresh(m.group(1))
         m = _ANALYZE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_analyze(m.group(1), m.group(2))
@@ -2204,6 +2226,17 @@ class Engine:
         self.register_table(key, path, parts)
         return self._rows_affected(n)
 
+    def _invalidate_stats(self, key: str) -> None:
+        """Drop the serve-from-stats gates for a table: basic stats,
+        the column-stats fingerprint, and the session fingerprint memo.
+        Called on every (re-)registration — i.e. after every engine
+        write — and on DROP TABLE. ``column_stats`` values are kept for
+        DESCRIBE parity; without a fresh fingerprint they can no longer
+        answer queries."""
+        self.basic_stats.pop(key, None)
+        self.column_stats_fp.pop(key, None)
+        self._fp_memo.pop(key, None)
+
     @staticmethod
     def _table_fingerprint(path: str) -> str:
         """Metadata-only digest of a table's data files (relpath, size,
@@ -2276,11 +2309,13 @@ class Engine:
                 "num_files bigint, total_size_bytes bigint",
             )
         n = parquet_row_count(path)
+        fp = self._table_fingerprint(path)
         self.basic_stats[key] = {
             "num_rows": n,
             "total_size": size,
-            "fp": self._table_fingerprint(path),
+            "fp": fp,
         }
+        self._fp_memo[key] = fp  # ANALYZE is a re-fingerprint event
         return self.spark.createDataFrame(
             [(n, size)], "num_rows bigint, total_size_bytes bigint"
         )
@@ -2328,9 +2363,9 @@ class Engine:
                 ]
         row = target.agg(*aggs).collect()[0].asDict()
         if key in self.table_paths:
-            self.column_stats_fp[key] = self._table_fingerprint(
-                self.table_paths[key]
-            )
+            fp = self._table_fingerprint(self.table_paths[key])
+            self.column_stats_fp[key] = fp
+            self._fp_memo[key] = fp  # ANALYZE is a re-fingerprint event
         stats = self.column_stats.setdefault(key, {})
         out_rows = []
         for c in cols:
@@ -2394,7 +2429,14 @@ class Engine:
         basic = self.basic_stats.get(key)
         if not basic:
             return None
-        fp = self._table_fingerprint(path)
+        # One listing per (table, session): engine writes invalidate
+        # via register_table, so only out-of-band file changes need a
+        # disk check — paid once here, refreshed by ANALYZE / REFRESH
+        # TABLE (the same contract as Spark's own file-listing cache).
+        fp = self._fp_memo.get(key)
+        if fp is None:
+            fp = self._table_fingerprint(path)
+            self._fp_memo[key] = fp
         if basic["fp"] != fp:
             return None
         num_rows = basic["num_rows"]
@@ -2413,8 +2455,11 @@ class Engine:
             arg = im.group(2).strip("`")
             alias = (im.group(3) or "").strip("`")
             if fn == "count" and arg in ("*", "1"):
+                # Spark's real execution names unaliased count(*) as
+                # count(1) — match it so toggling
+                # hive.compute.query.using.stats never changes schema.
                 out_fields.append(
-                    StructField(alias or f"count({arg})", LongType(), False)
+                    StructField(alias or "count(1)", LongType(), False)
                 )
                 out_vals.append(num_rows)
                 continue
@@ -2506,6 +2551,18 @@ class Engine:
         )
         return self._rows_affected(n)
 
+    def _run_refresh(self, table: str) -> DataFrame:
+        """REFRESH TABLE t — the out-of-band-write escape hatch (same
+        contract as Spark's own REFRESH: cached file listings are
+        rebuilt). Drops the session fingerprint memo so the next
+        stats-answered query re-verifies the files on disk; gathered
+        stats themselves survive and serve again if the files turn out
+        unchanged."""
+        key = self._resolve_dml_table(table)
+        self.spark.catalog.refreshTable(key)
+        self._fp_memo.pop(key, None)
+        return self._rows_affected(0)
+
     def _run_rename(self, old_name: str, new_name: str) -> DataFrame:
         """ALTER TABLE old RENAME TO new — external-table semantics
         (the reference leaves external data in place on rename,
@@ -2530,8 +2587,15 @@ class Engine:
         for store in (self.table_schemas, self.table_props, self.column_stats):
             if key in store:
                 store[new_key] = store.pop(key)
+        # gathered stats travel too (rename moves no data files, so the
+        # recorded fingerprints stay valid) — migrate AFTER
+        # register_table, whose invalidation hook would clear them
+        stats_stores = (self.basic_stats, self.column_stats_fp, self._fp_memo)
+        carried = [(s, s.pop(key)) for s in stats_stores if key in s]
         self.spark.catalog.dropTempView(key)
         self.register_table(new_key, path, parts)
+        for store, val in carried:
+            store[new_key] = val
         self._refresh_dependent_views(key)
         return self._rows_affected(0)
 
@@ -3217,6 +3281,7 @@ class Engine:
         self.table_schemas.pop(key, None)
         self.table_props.pop(key, None)
         self.column_stats.pop(key, None)
+        self._invalidate_stats(key)
         self.tables.pop(key, None)
         self.spark.catalog.dropTempView(key)
         # A view over the dropped table must not keep its bound plan and
@@ -3935,8 +4000,11 @@ class Engine:
             # exactly the one target partition is replaced, and only
             # after the job commits). A cleanly-evaluated EMPTY source
             # touches no partition under dynamic mode, so the replace-
-            # with-empty semantics (MoveTask replaces the directory even
-            # for zero rows) is applied as a post-success DROP.
+            # with-empty semantics is applied as a post-success
+            # TRUNCATE PARTITION — Hive's MoveTask replaces the
+            # directory CONTENTS and keeps the partition registered, so
+            # SHOW PARTITIONS must still list it (r7 ADVICE; a DROP
+            # here lost the metadata too).
             conf = "spark.sql.sources.partitionOverwriteMode"
             prev = self.spark.conf.get(conf, "static")
             self.spark.conf.set(conf, "dynamic")
@@ -3945,9 +4013,15 @@ class Engine:
             finally:
                 self.spark.conf.set(conf, prev)
             if int(obs.get["__n"] or 0) == 0:
+                # Hive registers the static target partition even for a
+                # zero-row insert — ADD covers the never-existed case,
+                # TRUNCATE empties a pre-existing one.
                 self.spark.sql(
-                    f"ALTER TABLE {name} DROP IF EXISTS "
+                    f"ALTER TABLE {name} ADD IF NOT EXISTS "
                     f"PARTITION ({part_txt})"
+                )
+                self.spark.sql(
+                    f"TRUNCATE TABLE {name} PARTITION ({part_txt})"
                 )
             return self._rows_affected(int(obs.get["__n"] or 0))
         elif overwrite:
@@ -5902,8 +5976,18 @@ def _pin_distinct_window_decimal(query: str, err: str) -> str | None:
         return None
     m = next(
         (c for c in cands if want and _dw_canon(c.group("elem")) == want),
-        cands[0],
+        None,
     )
+    if m is None:
+        # The cands[0] guess is only safe when it can't hit the wrong
+        # aggregate: with several distinct-window folds in one
+        # statement, pinning the first would cast SOME fold to THIS
+        # error's accumulator type — silently changing its result type
+        # if the analyzer's seed-expression format ever drifts from
+        # _DW_ERR_ELEM. Let the original error surface instead.
+        if len(cands) != 1:
+            return None
+        m = cands[0]
     lam_start = query.index("(__dwa", m.start())
     pinned = (
         "(__dwa, __dwv) -> CAST(coalesce(__dwa, CAST(0 AS BIGINT)) "

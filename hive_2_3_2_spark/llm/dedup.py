@@ -644,17 +644,24 @@ def simhash_near_dups(
 _ADAPTIVE_BLOCK_TARGET = 2048
 
 
-def _adaptive_sign_bits(n_rows: int) -> int:
-    """k ≈ log2(n / target-block-size), clamped to [1, 16]: keeps the
-    expected per-block row count (and therefore the O(n²/2^k) pair
-    count per block) roughly constant as the corpus grows. 2048-row
-    blocks keep the within-block self-join comfortably sub-second per
-    block while leaving enough rows for near-dup pairs to co-occur."""
+def _adaptive_sign_bits(n_rows: int, dim: int | None = None) -> int:
+    """k ≈ log2(n / target-block-size), clamped to [1, min(16, dim)]:
+    keeps the expected per-block row count (and therefore the
+    O(n²/2^k) pair count per block) roughly constant as the corpus
+    grows. 2048-row blocks keep the within-block self-join comfortably
+    sub-second per block while leaving enough rows for near-dup pairs
+    to co-occur. The ``dim`` clamp (shortest vector in the corpus)
+    stops k from indexing past the vector length — element_at beyond
+    the end is NULL, and a NULL block key would silently drop the row
+    from every candidate pair."""
     import math
 
+    hi = 16 if dim is None else max(1, min(16, dim))
     if n_rows <= _ADAPTIVE_BLOCK_TARGET:
         return 1
-    return max(1, min(16, math.ceil(math.log2(n_rows / _ADAPTIVE_BLOCK_TARGET))))
+    return max(
+        1, min(hi, math.ceil(math.log2(n_rows / _ADAPTIVE_BLOCK_TARGET)))
+    )
 
 
 def embedding_near_dups(
@@ -684,13 +691,26 @@ def embedding_near_dups(
     several blockings (see decontaminate_embeddings's multi-table
     bucketer) or use minhash banding."""
     if block_col is None:
-        if n_sign_bits is None:
-            n_sign_bits = _adaptive_sign_bits(df.count())
+        adaptive = n_sign_bits is None
+        if adaptive:
+            # one job for both dials: corpus size (drives k) and the
+            # SHORTEST vector (caps k — indexing past the end would
+            # NULL the block key and drop the row from every pair)
+            n_rows, min_dim = df.agg(
+                F.count(F.lit(1)), F.min(F.size(F.col(vec_col)))
+            ).first()
+            n_sign_bits = _adaptive_sign_bits(n_rows, min_dim)
         bits = [
             (F.element_at(F.col(vec_col), i + 1) > 0).cast("int")
             * F.lit(1 << i)
             for i in range(n_sign_bits)
         ]
+        if adaptive:
+            # NULL components among the first k dims must not zero a
+            # row's recall either — fold them to sign 0. The explicit-k
+            # path keeps the raw bits: that blocking is the declared
+            # (and oracle-mirrored) operator semantics.
+            bits = [F.coalesce(b, F.lit(0)) for b in bits]
         block_col = sum(bits[1:], bits[0])
     # Precompute each row's norm BEFORE the self-join: the per-pair cosine
     # then needs one 64-dim fold (the dot) instead of three — identical

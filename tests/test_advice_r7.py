@@ -215,14 +215,38 @@ def test_static_overwrite_success_replaces_partition(eng, ptable):
 
 def test_static_overwrite_empty_source_clears_partition(eng, ptable):
     """Replace-with-empty: a cleanly-evaluated empty source clears the
-    target partition (Hive MoveTask replaces the directory even for
-    zero rows) — applied as a post-success drop, never before the
-    query evaluates."""
+    target partition's CONTENTS but keeps it registered — Hive's
+    MoveTask replaces the directory, not the partition metadata, so
+    SHOW PARTITIONS must still list it (r7 ADVICE; the old post-success
+    DROP lost the metadata too)."""
     eng.sql(
         f"INSERT OVERWRITE TABLE {ptable} PARTITION (ds='d1') "
         f"SELECT k, v FROM {ptable} WHERE 1=0"
     )
     assert (
         eng.sql(f"SELECT count(*) c FROM {ptable} WHERE ds='d1'")
+        .collect()[0].c == 0
+    )
+    parts = [
+        r[0] for r in eng.sql(f"SHOW PARTITIONS {ptable}").collect()
+    ]
+    assert "ds=d1" in parts
+
+
+def test_static_overwrite_empty_source_registers_new_partition(
+    eng, ptable
+):
+    """Hive registers the static target partition even for a zero-row
+    INSERT OVERWRITE into a partition that never existed."""
+    eng.sql(
+        f"INSERT OVERWRITE TABLE {ptable} PARTITION (ds='dnew') "
+        f"SELECT k, v FROM {ptable} WHERE 1=0"
+    )
+    parts = [
+        r[0] for r in eng.sql(f"SHOW PARTITIONS {ptable}").collect()
+    ]
+    assert "ds=dnew" in parts
+    assert (
+        eng.sql(f"SELECT count(*) c FROM {ptable} WHERE ds='dnew'")
         .collect()[0].c == 0
     )

@@ -1435,3 +1435,53 @@ def test_embedding_near_dups_adaptive_default_bits(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_embedding_near_dups_adaptive_short_and_null_vectors(spark):
+    """r7 ADVICE: the adaptive default must not index past the vector
+    length (element_at beyond the end is NULL → NULL block key → the
+    row vanishes from every candidate pair) and must not let a NULL
+    component zero a row's recall. k is clamped to the SHORTEST vector
+    in the corpus and each sign bit is null-coalesced to 0 — the
+    explicit-k path keeps raw bits (declared, oracle-mirrored
+    semantics)."""
+    from hive_2_3_2_spark.llm.dedup import (
+        _adaptive_sign_bits,
+        embedding_near_dups,
+    )
+
+    # dim clamp pins: a trillion 2-d vectors still get only 2 bits
+    assert _adaptive_sign_bits(10**12, dim=2) == 2
+    assert _adaptive_sign_bits(10**12, dim=64) == 16
+    assert _adaptive_sign_bits(10**12, dim=None) == 16
+    assert _adaptive_sign_bits(4097, dim=2) == 2
+    assert _adaptive_sign_bits(1, dim=2) == 1
+
+    # e2e: a 2-d corpus big enough (relative to a shrunken block
+    # target) that the UNCLAMPED adaptive k would be 4 — element_at 3
+    # and 4 past the end → NULL block key → every row dropped from
+    # every pair (zero recall). The clamp caps k at 2 and the near-dup
+    # twins keep pairing. A NULL-component row rides along to pin that
+    # it neither crashes the job nor poisons other rows' blocks.
+    import hive_2_3_2_spark.llm.dedup as dedup_mod
+
+    rows = [(i, [float((i % 7) - 3) + 0.1, float((i % 5) - 2) + 0.1])
+            for i in range(100)]
+    rows += [(100, [1.0, 1.0]), (101, [1.0, 1.0001]),
+             (102, [None, 2.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(dedup_mod, "_ADAPTIVE_BLOCK_TARGET", 8)
+        assert dedup_mod._adaptive_sign_bits(103, dim=None) == 4
+        got = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in embedding_near_dups(df, threshold=0.9999).collect()
+        }
+    finally:
+        mp.undo()
+    assert (100, 101) in got

@@ -80,10 +80,10 @@ def test_stale_stats_fall_back(senv, spark):
     assert eng.sql("SELECT count(*) AS c FROM stats_t").collect()[0].c == 4
     spark.createDataFrame([(9, 90, "z")], "id int, n int, s string") \
         .coalesce(1).write.mode("append").parquet(p)
-    # standard Spark contract for external writes: refresh the cached
-    # file listing (REFRESH TABLE); the stats fingerprint is checked
-    # independently of it
-    spark.catalog.refreshTable("stats_t")
+    # standard Spark contract for external writes: REFRESH TABLE — it
+    # rebuilds the cached file listing AND drops the session
+    # fingerprint memo, so the next stats query re-checks the disk
+    eng.sql("REFRESH TABLE stats_t")
     df = eng.sql("SELECT count(*) AS c FROM stats_t")
     assert not _is_stats_answered(df)
     assert df.collect()[0].c == 5
@@ -118,12 +118,81 @@ def test_unsupported_shapes_fall_back(senv):
 
 
 def test_engine_dml_invalidates(senv):
-    """A write through the ENGINE's own DML also flips the
-    fingerprint (no special-case plumbing — same files, same
-    digest)."""
+    """A write through the ENGINE's own DML invalidates event-style:
+    register_table (every mutating statement's final step) drops the
+    gathered-stats gates, so no file listing is even needed to detect
+    the staleness."""
     eng, _ = senv
     eng.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS")
     eng.sql("DELETE FROM stats_t WHERE id = 4")
+    assert "stats_t" not in eng.basic_stats
     df = eng.sql("SELECT count(*) AS c FROM stats_t")
     assert not _is_stats_answered(df)
     assert df.collect()[0].c == 3
+
+
+def test_one_listing_per_table_per_session(senv, monkeypatch):
+    """The scale contract (r7 verdict): stats-answered queries pay AT
+    MOST ONE file listing per (table, session) — on a 10^6-file table
+    a per-query walk would be the bottleneck the optimizer exists to
+    remove. ANALYZE itself fingerprints (that's the re-fingerprint
+    event); the N queries after it must do ZERO additional walks."""
+    eng, _ = senv
+    eng.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS")
+    eng.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS FOR COLUMNS n")
+    calls = []
+    real = Engine._table_fingerprint
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(Engine, "_table_fingerprint", staticmethod(counting))
+    for _ in range(5):
+        df = eng.sql("SELECT count(*) AS c, min(n) AS mn FROM stats_t")
+        assert _is_stats_answered(df)
+    assert len(calls) == 0, calls  # memoized at ANALYZE time
+    # a fresh engine (new session) with carried-over state would pay 1
+    eng._fp_memo.clear()
+    for _ in range(5):
+        df = eng.sql("SELECT count(*) AS c FROM stats_t")
+        assert _is_stats_answered(df)
+    assert len(calls) == 1, calls
+
+
+def test_conf_toggle_preserves_schema(senv):
+    """Unaliased count(*) surfaces as count(1) — Spark's real
+    execution name — so flipping hive.compute.query.using.stats can
+    never change a result schema (r7 verdict's What's-wrong #2)."""
+    eng, _ = senv
+    eng.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS")
+    on = eng.sql("SELECT count(*) FROM stats_t")
+    assert _is_stats_answered(on)
+    eng.sql("SET hive.compute.query.using.stats=false")
+    off = eng.sql("SELECT count(*) FROM stats_t")
+    assert not _is_stats_answered(off)
+    assert [f.name for f in on.schema.fields] == [
+        f.name for f in off.schema.fields
+    ]
+    assert on.collect() == off.collect()
+
+
+def test_rename_carries_stats_drop_clears_them(senv):
+    """ALTER TABLE RENAME moves no data files, so gathered stats (and
+    their fingerprints) travel to the new name and keep serving; DROP
+    TABLE clears every stats store so a future table registered under
+    the name can't inherit them (r7 ADVICE)."""
+    eng, _ = senv
+    eng.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS")
+    eng.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS FOR COLUMNS n")
+    eng.sql("ALTER TABLE stats_t RENAME TO stats_r")
+    assert "stats_t" not in eng.basic_stats
+    assert "stats_t" not in eng.column_stats_fp
+    df = eng.sql("SELECT count(*) AS c, max(n) AS mx FROM stats_r")
+    assert _is_stats_answered(df)
+    assert df.collect()[0].c == 4
+    eng.sql("DROP TABLE stats_r")
+    assert "stats_r" not in eng.basic_stats
+    assert "stats_r" not in eng.column_stats_fp
+    assert "stats_r" not in eng._fp_memo
+    assert "stats_r" not in eng.column_stats
