@@ -450,7 +450,9 @@ _CONCATENATE_STMT = re.compile(
 # ImportSemanticAnalyzer.java over CopyTask/MoveTask — data files plus a
 # _metadata descriptor; here the descriptor is JSON).
 _ANALYZE_STMT = re.compile(
-    r"^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS"
+    r"^\s*ANALYZE\s+TABLE\s+([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+    r"\s+COMPUTE\s+STATISTICS"
     r"(\s+FOR\s+COLUMNS.*|\s+NOSCAN)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -461,16 +463,32 @@ _REFRESH_STMT = re.compile(
     r"^\s*REFRESH\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
 # StatsOptimizer-answerable shape: a bare aggregate-only SELECT over one
-# path-backed table — no WHERE/GROUP/ORDER/LIMIT/joins (any such text
-# after the table name fails the $ anchor).
+# path-backed table — no GROUP/ORDER/LIMIT/joins (any such text after
+# the table name fails the $ anchor). A WHERE clause is captured and
+# accepted ONLY when every conjunct is a partition-column comparison
+# (Hive's StatsOptimizer walks pruned partition stats the same way);
+# any data-column predicate fails the conjunct grammar → fallback.
 _STATS_QUERY = re.compile(
-    r"^\s*SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s*;?\s*$",
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+([\w.]+)"
+    r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _STATS_AGG_ITEM = re.compile(
     r"^(count|min|max)\s*\(\s*(\*|1|`?\w+`?)\s*\)"
     r"(?:\s+(?:AS\s+)?(`?\w+`?))?\s*$",
     re.IGNORECASE,
+)
+# sum over a bare numeric literal — answerable as literal × numRows
+# (StatsOptimizer.java handles the same shape)
+_STATS_SUM_LIT = re.compile(
+    r"^sum\s*\(\s*(\d+(?:\.\d+)?)\s*\)"
+    r"(?:\s+(?:AS\s+)?(`?\w+`?))?\s*$",
+    re.IGNORECASE,
+)
+# one WHERE conjunct: partition_col OP literal
+_STATS_PART_PRED = re.compile(
+    r"^`?(\w+)`?\s*(=|!=|<>|<=|>=|<|>)\s*"
+    r"('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$"
 )
 _RENAME_STMT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$",
@@ -989,6 +1007,15 @@ class Engine:
         self.basic_stats: dict[str, dict] = {}
         # table → fingerprint at ANALYZE ... FOR COLUMNS time
         self.column_stats_fp: dict[str, str] = {}
+        # PARTITIONED tables gather per-partition (Hive stores partition
+        # stats in PARTITION_PARAMS / PART_COL_STATS and StatsOptimizer
+        # aggregates them over the pruned partition list):
+        #   part_basic_stats[t] = {fp, all_parts: [rel...],
+        #                          parts: {rel: {num_rows}}}
+        #   part_column_stats[t] = {fp, parts: {rel: {col: stats,
+        #                          __num_rows}}}
+        self.part_basic_stats: dict[str, dict] = {}
+        self.part_column_stats: dict[str, dict] = {}
         # table → data-file fingerprint verified against disk THIS
         # session. Staleness is tracked by EVENT, not by re-listing:
         # every engine write invalidates (register_table), ANALYZE and
@@ -1372,7 +1399,7 @@ class Engine:
             return self._run_refresh(m.group(1))
         m = _ANALYZE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
-            return self._run_analyze(m.group(1), m.group(2))
+            return self._run_analyze(m.group(1), m.group(3), m.group(2))
         m = _RENAME_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_rename(m.group(1), m.group(2))
@@ -2235,6 +2262,8 @@ class Engine:
         answer queries."""
         self.basic_stats.pop(key, None)
         self.column_stats_fp.pop(key, None)
+        self.part_basic_stats.pop(key, None)
+        self.part_column_stats.pop(key, None)
         self._fp_memo.pop(key, None)
 
     @staticmethod
@@ -2267,8 +2296,47 @@ class Engine:
             h.update(e.encode())
         return h.hexdigest()
 
+    @staticmethod
+    def _parse_partition_spec(
+        spec: str | None, part_cols: list[str]
+    ) -> dict[str, str] | None:
+        """PARTITION (dt='2010', pri=1) → {'dt': '2010', 'pri': '1'};
+        PARTITION (dt) (Hive's all-partitions form) and no spec → None.
+        Values keep their directory-encoding (stringified, unquoted)."""
+        if not spec or not spec.strip():
+            return None
+        out: dict[str, str] = {}
+        by_lower = {c.lower(): c for c in part_cols}
+        for item in spec.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if "=" not in item:  # PARTITION (dt) — dynamic/all form
+                return None
+            col, _, val = item.partition("=")
+            col = col.strip().strip("`")
+            if col.lower() not in by_lower:
+                raise HiveQLUnsupportedError(
+                    f"ANALYZE: {col!r} is not a partition column"
+                )
+            out[by_lower[col.lower()]] = val.strip().strip("'\"")
+        return out or None
+
+    def _partition_rels(self, key: str) -> list[str]:
+        """Existing ``col=value/...`` partition dirs of a path-backed
+        partitioned table (directory listing, metadata-only)."""
+        from hive_2_3_2_spark.sources.writers import _staged_partition_rels
+
+        parts = self.table_partitions.get(key) or []
+        return sorted(
+            _staged_partition_rels(self.table_paths[key], len(parts))
+        )
+
     def _run_analyze(
-        self, table: str, for_columns: str | None = None
+        self,
+        table: str,
+        for_columns: str | None = None,
+        part_spec: str | None = None,
     ) -> DataFrame:
         """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS [c, ...]] on
         a path-backed table. Basic stats (numRows/totalSize) come from
@@ -2282,6 +2350,8 @@ class Engine:
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
         key = self._resolve_dml_table(table)
+        part_cols = self.table_partitions.get(key) or []
+        spec = self._parse_partition_spec(part_spec, part_cols)
         noscan = False
         if for_columns is not None:
             if for_columns.strip().upper() == "NOSCAN":
@@ -2290,7 +2360,9 @@ class Engine:
                 # (StatsTask with the noscan work flag).
                 noscan = True
             else:
-                return self._run_analyze_columns(key, for_columns)
+                return self._run_analyze_columns(key, for_columns, spec)
+        if part_cols and not noscan:
+            return self._run_analyze_partitions(key, spec)
         path = self.table_paths[key]
         size = 0
         n_files = 0
@@ -2320,10 +2392,67 @@ class Engine:
             [(n, size)], "num_rows bigint, total_size_bytes bigint"
         )
 
-    def _run_analyze_columns(self, key: str, for_columns: str) -> DataFrame:
+    def _run_analyze_partitions(
+        self, key: str, spec: dict[str, str] | None
+    ) -> DataFrame:
+        """Per-partition basic stats (Hive StatsTask writes one
+        PARTITION_PARAMS row per partition; StatsOptimizer aggregates
+        them over the pruned list at query time). ``spec`` of
+        col→value analyzes one partition; None analyzes every existing
+        partition. Footer reads only — no data scan."""
+        from hive_2_3_2_spark.sources.writers import parquet_row_count
+
+        path = self.table_paths[key]
+        part_cols = self.table_partitions[key]
+        all_rels = self._partition_rels(key)
+        if spec is not None:
+            want = "/".join(f"{c}={spec[c]}" for c in part_cols if c in spec)
+            targets = [r for r in all_rels if r == want]
+            if not targets:
+                raise HiveQLUnsupportedError(
+                    f"ANALYZE: partition ({want}) does not exist in {key}"
+                )
+        else:
+            targets = all_rels
+        fp = self._table_fingerprint(path)
+        store = self.part_basic_stats.get(key)
+        if not store or store.get("fp") != fp:
+            store = {"fp": fp, "all_parts": all_rels, "parts": {}}
+        else:
+            store["all_parts"] = all_rels
+        rows = []
+        for rel in targets:
+            pdir = os.path.join(path, rel)
+            n = parquet_row_count(pdir)
+            size = 0
+            for root, _dirs, files in os.walk(pdir):
+                size += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+            store["parts"][rel] = {"num_rows": n, "total_size": size}
+            rows.append((rel, n, size))
+        self.part_basic_stats[key] = store
+        self._fp_memo[key] = fp  # ANALYZE is a re-fingerprint event
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, num_rows bigint, total_size_bytes bigint",
+        )
+
+    def _run_analyze_columns(
+        self,
+        key: str,
+        for_columns: str,
+        part_spec: dict[str, str] | None = None,
+    ) -> DataFrame:
         """The FOR COLUMNS pass: one aggregation job over the table
         computing every requested column's stats together (map-side
-        partials; the shuffle carries one row of aggregates)."""
+        partials; the shuffle carries one row of aggregates). On a
+        PARTITIONED table this is ONE grouped job over the partition
+        columns — every partition's stats in a single pass (Hive runs
+        ColumnStatsTask per partition; grouping gets the same result in
+        one shuffle, which is the right shape at 10^4 partitions)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import NumericType, StringType, TimestampType
 
@@ -2361,6 +2490,11 @@ class Engine:
                     F.round(F.avg(F.length(c)), 2).alias(f"{c}__avglen"),
                     F.max(F.length(c)).alias(f"{c}__maxlen"),
                 ]
+        tpart_cols = self.table_partitions.get(key) or []
+        if tpart_cols and key in self.table_paths:
+            return self._analyze_columns_partitioned(
+                key, target, fields, cols, aggs, tpart_cols, part_spec
+            )
         row = target.agg(*aggs).collect()[0].asDict()
         if key in self.table_paths:
             fp = self._table_fingerprint(self.table_paths[key])
@@ -2395,22 +2529,204 @@ class Engine:
             "distinct_count bigint, min string, max string",
         )
 
+    def _analyze_columns_partitioned(
+        self, key, target, fields, cols, aggs, part_cols, part_spec
+    ) -> DataFrame:
+        """Per-partition column stats in ONE grouped job (the
+        metastore's PART_COL_STATS role). The collected result is one
+        row PER PARTITION — metadata-sized, not data-sized."""
+        from pyspark.sql import functions as F
+
+        if part_spec:
+            for c, v in part_spec.items():
+                target = target.filter(F.col(c).cast("string") == v)
+        grouped = (
+            target.groupBy(*[F.col(c) for c in part_cols])
+            .agg(F.count(F.lit(1)).alias("__cnt"), *aggs)
+            .collect()
+        )
+        if part_spec and not grouped:
+            raise HiveQLUnsupportedError(
+                f"ANALYZE: partition ({part_spec}) has no rows/does not "
+                f"exist in {key}"
+            )
+        fp = self._table_fingerprint(self.table_paths[key])
+        store = self.part_column_stats.get(key)
+        if not store or store.get("fp") != fp:
+            store = {"fp": fp, "parts": {}}
+        out_rows = []
+        for grow in grouped:
+            row = grow.asDict()
+            rel = "/".join(
+                f"{c}=" + (
+                    "__HIVE_DEFAULT_PARTITION__"
+                    if row[c] is None else str(row[c])
+                )
+                for c in part_cols
+            )
+            pstats = store["parts"].setdefault(rel, {})
+            pstats["__num_rows"] = int(row["__cnt"])
+            for c in cols:
+                s = {
+                    "data_type": fields[c].dataType.simpleString(),
+                    "num_nulls": int(row[f"{c}__nulls"] or 0),
+                    "distinct_count": int(row[f"{c}__ndv"] or 0),
+                    "min": row.get(f"{c}__min"),
+                    "max": row.get(f"{c}__max"),
+                    "avg_col_len": row.get(f"{c}__avglen"),
+                    "max_col_len": row.get(f"{c}__maxlen"),
+                }
+                pstats[c] = s
+                out_rows.append(
+                    (
+                        rel,
+                        c,
+                        s["data_type"],
+                        s["num_nulls"],
+                        s["distinct_count"],
+                        str(s["min"]) if s["min"] is not None else None,
+                        str(s["max"]) if s["max"] is not None else None,
+                    )
+                )
+        self.part_column_stats[key] = store
+        self._fp_memo[key] = fp  # ANALYZE is a re-fingerprint event
+        return self.spark.createDataFrame(
+            out_rows,
+            "partition string, col_name string, data_type string, "
+            "num_nulls bigint, distinct_count bigint, min string, "
+            "max string",
+        )
+
+    def _stats_part_predicate(self, key: str, where: str | None):
+        """Compile a stats-serveable WHERE into rel-path → bool, or
+        None when any conjunct is not a partition-column comparison
+        against a literal (→ the caller falls back to real execution).
+        NULL partitions (__HIVE_DEFAULT_PARTITION__) compare false,
+        like SQL comparisons with NULL."""
+        from pyspark.sql.types import NumericType
+
+        part_cols = self.table_partitions[key]
+        if not where or not where.strip():
+            return lambda rel: True
+        by_lower = {c.lower(): c for c in part_cols}
+        types = {
+            f.name.lower(): f.dataType
+            for f in self._declared_schema(key).fields
+        }
+        ops = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<>": lambda a, b: a != b,
+            "<=": lambda a, b: a <= b,
+            ">=": lambda a, b: a >= b,
+            "<": lambda a, b: a < b,
+            ">": lambda a, b: a > b,
+        }
+        preds: list[tuple[str, object, object, bool]] = []
+        for conj in re.split(r"\s+AND\s+", where.strip(),
+                             flags=re.IGNORECASE):
+            pm = _STATS_PART_PRED.match(conj.strip())
+            if not pm:
+                return None
+            col, op, lit = pm.groups()
+            if col.lower() not in by_lower:
+                return None
+            litv = lit[1:-1] if lit.startswith("'") else lit
+            numeric = isinstance(
+                types.get(col.lower()), NumericType
+            )
+            if numeric:
+                try:
+                    litv = float(litv)
+                except ValueError:
+                    return None
+            preds.append((by_lower[col.lower()], ops[op], litv, numeric))
+
+        def fn(rel: str) -> bool:
+            vals: dict[str, str] = {}
+            for seg in rel.split("/"):
+                c, _, v = seg.partition("=")
+                vals[c] = v
+            for col, op, litv, numeric in preds:
+                raw = vals.get(col)
+                if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                    return False
+                lhs = float(raw) if numeric else raw
+                if not op(lhs, litv):
+                    return False
+            return True
+
+        return fn
+
+    def _partitioned_stats_sources(
+        self, key: str, fp: str, where: str | None
+    ):
+        """(num_rows, col_lookup) over the PRUNED partition list, or
+        None → fall back. Requires basic stats for every candidate
+        partition under the current fingerprint (a partition added or
+        rewritten since ANALYZE changes the table fingerprint, so stale
+        per-partition numbers can never be served)."""
+        pred = self._stats_part_predicate(key, where)
+        if pred is None:
+            return None
+        pb = self.part_basic_stats.get(key)
+        if not pb or pb["fp"] != fp:
+            return None
+        cand = [rel for rel in pb["all_parts"] if pred(rel)]
+        parts = pb["parts"]
+        if any(rel not in parts for rel in cand):
+            return None
+        num_rows = sum(parts[rel]["num_rows"] for rel in cand)
+        pc = self.part_column_stats.get(key)
+        pc_ok = bool(pc) and pc.get("fp") == fp
+
+        def col_lookup(fname: str) -> dict | None:
+            if not pc_ok:
+                return None
+            tot_nulls = 0
+            mins: list = []
+            maxs: list = []
+            for rel in cand:
+                ps = pc["parts"].get(rel)
+                s = ps.get(fname) if ps else None
+                if s is None:
+                    return None
+                tot_nulls += s["num_nulls"]
+                if s.get("min") is not None:
+                    mins.append(s["min"])
+                if s.get("max") is not None:
+                    maxs.append(s["max"])
+            return {
+                "num_nulls": tot_nulls,
+                "min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+            }
+
+        return num_rows, col_lookup
+
     def _try_stats_answer(self, query: str) -> DataFrame | None:
         """Answer aggregate-only queries purely from gathered stats —
         Hive's StatsOptimizer (reference:
         ql/src/java/org/apache/hadoop/hive/ql/optimizer/StatsOptimizer.java,
         wired at Optimizer.java:227 behind hive.compute.query.using.stats,
         default TRUE — HiveConf.java:2043). Scope mirrors the
-        reference's stable core: ``count(*)``/``count(1)`` from basic
-        numRows, ``count(col)`` = numRows - numNulls, ``min/max(col)``
-        from column stats, over ONE unpartitioned path-backed table
-        with no WHERE/GROUP BY. Returns None (normal execution) when
-        the conf is off, the shape doesn't match, stats were never
-        gathered, or the data-file fingerprint no longer matches the
-        one recorded at ANALYZE time (= Hive dropping
-        COLUMN_STATS_ACCURATE on a non-stats-aware write). The result
-        is a driver-local row — zero scan, zero job, exactly like
-        Hive's FetchTask-over-metastore plan."""
+        reference's stable core (metadata_only_queries.q surface):
+        ``count(*)``/``count(1)`` from basic numRows, ``count(col)`` =
+        numRows - numNulls, ``min/max(col)`` from column stats,
+        ``sum(<literal>)`` = literal × numRows, and interleaved
+        CONSTANT select items — over ONE path-backed table. PARTITIONED
+        tables serve from per-partition stats aggregated over the
+        pruned partition list, and the only WHERE accepted is a
+        conjunction of partition-column comparisons (exactly the
+        reference's partition-pruning path,
+        metadata_only_queries_with_filters.q). Returns None (normal
+        execution) when the conf is off, the shape doesn't match, stats
+        were never gathered, any candidate partition lacks stats, or
+        the data-file fingerprint no longer matches the one recorded at
+        ANALYZE time (= Hive dropping COLUMN_STATS_ACCURATE on a
+        non-stats-aware write). The result is a driver-local row — zero
+        scan, zero job, exactly like Hive's FetchTask-over-metastore
+        plan."""
         from pyspark.sql.types import LongType, StructField, StructType
 
         conf = self.hiveconf.get("hive.compute.query.using.stats", "true")
@@ -2424,11 +2740,9 @@ class Engine:
         except Exception:
             return None
         path = self.table_paths.get(key)
-        if path is None or self.table_partitions.get(key):
+        if path is None:
             return None
-        basic = self.basic_stats.get(key)
-        if not basic:
-            return None
+        where = m.group(3)
         # One listing per (table, session): engine writes invalidate
         # via register_table, so only out-of-band file changes need a
         # disk check — paid once here, refreshed by ANALYZE / REFRESH
@@ -2437,64 +2751,134 @@ class Engine:
         if fp is None:
             fp = self._table_fingerprint(path)
             self._fp_memo[key] = fp
-        if basic["fp"] != fp:
-            return None
-        num_rows = basic["num_rows"]
-        colstats = self.column_stats.get(key, {})
-        cols_fresh = self.column_stats_fp.get(key) == fp
+        if self.table_partitions.get(key):
+            src = self._partitioned_stats_sources(key, fp, where)
+            if src is None:
+                return None
+            num_rows, col_lookup = src
+        else:
+            if where and where.strip():
+                return None  # data-column predicate → real execution
+            basic = self.basic_stats.get(key)
+            if not basic or basic["fp"] != fp:
+                return None
+            num_rows = basic["num_rows"]
+            colstats = self.column_stats.get(key, {})
+            cols_fresh = self.column_stats_fp.get(key) == fp
+
+            def col_lookup(fname: str) -> dict | None:
+                return colstats.get(fname) if cols_fresh else None
+
         fields_by_lower = {
             f.name.lower(): f for f in self._declared_schema(key).fields
         }
         out_fields: list[StructField] = []
         out_vals: list[object] = []
+        n_aggs = 0
         for item in _split_top_args(m.group(1)):
-            im = _STATS_AGG_ITEM.match(item.strip())
-            if not im:
-                return None
-            fn = im.group(1).lower()
-            arg = im.group(2).strip("`")
-            alias = (im.group(3) or "").strip("`")
-            if fn == "count" and arg in ("*", "1"):
-                # Spark's real execution names unaliased count(*) as
-                # count(1) — match it so toggling
-                # hive.compute.query.using.stats never changes schema.
-                out_fields.append(
-                    StructField(alias or "count(1)", LongType(), False)
-                )
-                out_vals.append(num_rows)
-                continue
-            f = fields_by_lower.get(arg.lower())
-            if f is None or not cols_fresh:
-                return None
-            s = colstats.get(f.name)
-            if not s:
-                return None
-            if fn == "count":
-                out_fields.append(
-                    StructField(
-                        alias or f"count({f.name})", LongType(), False
+            item = item.strip()
+            im = _STATS_AGG_ITEM.match(item)
+            if im:
+                fn = im.group(1).lower()
+                arg = im.group(2).strip("`")
+                alias = (im.group(3) or "").strip("`")
+                n_aggs += 1
+                if fn == "count" and arg in ("*", "1"):
+                    # Spark's real execution names unaliased count(*)
+                    # as count(1) — match it so toggling
+                    # hive.compute.query.using.stats never changes
+                    # schema.
+                    out_fields.append(
+                        StructField(alias or "count(1)", LongType(), False)
                     )
-                )
-                out_vals.append(num_rows - s["num_nulls"])
-                continue
-            # min/max: only orderable types whose stats carry the value
-            # (strings record lengths, not extrema — fall back, exactly
-            # like the reference's unsupported-type bail-out)
-            if s.get(fn) is None:
-                if s["num_nulls"] == num_rows and num_rows > 0:
+                    out_vals.append(num_rows)
+                    continue
+                f = fields_by_lower.get(arg.lower())
+                if f is None:
+                    return None
+                s = col_lookup(f.name)
+                if not s:
+                    return None
+                if fn == "count":
                     out_fields.append(
                         StructField(
-                            alias or f"{fn}({f.name})", f.dataType, True
+                            alias or f"count({f.name})", LongType(), False
                         )
                     )
-                    out_vals.append(None)
+                    out_vals.append(num_rows - s["num_nulls"])
                     continue
+                # min/max: only orderable types whose stats carry the
+                # value (strings record lengths, not extrema — fall
+                # back, exactly like the reference's unsupported-type
+                # bail-out). All-NULL columns and zero pruned rows
+                # answer NULL like real execution.
+                if s.get(fn) is None:
+                    if num_rows == 0 or s["num_nulls"] == num_rows:
+                        out_fields.append(
+                            StructField(
+                                alias or f"{fn}({f.name})", f.dataType,
+                                True,
+                            )
+                        )
+                        out_vals.append(None)
+                        continue
+                    return None
+                out_fields.append(
+                    StructField(alias or f"{fn}({f.name})", f.dataType, True)
+                )
+                out_vals.append(s[fn])
+                continue
+            sm = _STATS_SUM_LIT.match(item)
+            if sm:
+                lit, alias = sm.group(1), (sm.group(2) or "").strip("`")
+                n_aggs += 1
+                name = alias or f"sum({lit})"
+                if "." in lit:
+                    from decimal import Decimal
+
+                    from pyspark.sql.types import DecimalType
+
+                    d = Decimal(lit)
+                    scale = -d.as_tuple().exponent
+                    prec = len(d.as_tuple().digits)
+                    # Spark: sum over DECIMAL(p,s) → DECIMAL(p+10, s)
+                    out_fields.append(
+                        StructField(
+                            name,
+                            DecimalType(min(38, prec + 10), scale),
+                            True,
+                        )
+                    )
+                    out_vals.append(d * num_rows if num_rows else None)
+                else:
+                    out_fields.append(StructField(name, LongType(), True))
+                    out_vals.append(
+                        int(lit) * num_rows if num_rows else None
+                    )
+                continue
+            # constant select item ('1' as one, 3+4.0 as three, ...):
+            # evaluate standalone — resolves only if it references no
+            # columns; any aggregate-looking call falls back (min(5)
+            # over an EMPTY table is NULL, not 5).
+            if re.search(
+                r"\b(count|sum|min|max|avg|stddev|var\w*|collect|"
+                r"approx)\w*\s*\(",
+                item,
+                re.IGNORECASE,
+            ):
                 return None
-            out_fields.append(
-                StructField(alias or f"{fn}({f.name})", f.dataType, True)
-            )
-            out_vals.append(s[fn])
-        if not out_fields:
+            try:
+                cdf = self.spark.sql(f"SELECT {item}")
+                crows = cdf.collect()
+            except Exception:
+                return None
+            if len(crows) != 1 or len(crows[0]) != 1:
+                return None
+            out_fields.append(cdf.schema.fields[0])
+            out_vals.append(crows[0][0])
+        if n_aggs == 0:
+            # constants-only select returns one row PER TABLE ROW in
+            # real execution — not a stats shape
             return None
         return self.spark.createDataFrame(
             [tuple(out_vals)], StructType(out_fields)
@@ -2590,7 +2974,9 @@ class Engine:
         # gathered stats travel too (rename moves no data files, so the
         # recorded fingerprints stay valid) — migrate AFTER
         # register_table, whose invalidation hook would clear them
-        stats_stores = (self.basic_stats, self.column_stats_fp, self._fp_memo)
+        stats_stores = (self.basic_stats, self.column_stats_fp,
+                        self.part_basic_stats, self.part_column_stats,
+                        self._fp_memo)
         carried = [(s, s.pop(key)) for s in stats_stores if key in s]
         self.spark.catalog.dropTempView(key)
         self.register_table(new_key, path, parts)
