@@ -96,9 +96,20 @@ _REWRITES: list[tuple[re.Pattern[str], str]] = [
     # = most significant bit, 1 = aggregated — exactly Spark's
     # semantics (the pre-2.3 reversed encoding was already fixed in the
     # reference).
+    # (the backtick-quoted `grouping__id` form the goldens also use
+    # must consume the quotes, or the rewrite would produce a quoted
+    # IDENTIFIER named "grouping_id()")
     (
-        re.compile(r"\bGROUPING__ID\b", re.IGNORECASE),
+        re.compile(r"`?\bGROUPING__ID\b`?", re.IGNORECASE),
         "grouping_id()",
+    ),
+    # Hive's "GROUP BY ()" — the explicit empty grouping set
+    # (groupby_empty.q; SemanticAnalyzer treats it as one global
+    # group). Spark's parser rejects the bare form but accepts the
+    # equivalent GROUPING SETS spelling.
+    (
+        re.compile(r"\bGROUP\s+BY\s+\(\s*\)", re.IGNORECASE),
+        "GROUP BY GROUPING SETS (())",
     ),
     # Hive's MySQL-style "LIMIT offset,count" (HiveParser limitClause;
     # offset_limit.q goldens) — Spark only takes LIMIT n [OFFSET m].
@@ -5214,6 +5225,12 @@ def _rewrite_udf_hive_semantics(query: str) -> str:
     - ``logged_in_user()``: NULL — Hive's GenericUDFLoggedInUser
       returns the authenticated session user, null when there is no
       session (the library context here, and the golden's answer).
+    - ``std/stddev/variance``: Hive's are the POPULATION aggregates
+      (GenericUDAFStd / GenericUDAFVariance,
+      FunctionRegistry.java:407-446); Spark aliases all three to the
+      SAMPLE forms — silently different values (groupby3.q golden).
+      Rewritten to the explicit stddev_pop/var_pop, on which both
+      engines agree.
     """
     def fix_add_months(args):
         if len(args) != 2:
@@ -5269,6 +5286,15 @@ def _rewrite_udf_hive_semantics(query: str) -> str:
             return None
         return "CAST(NULL AS STRING)"
 
+    for call_re, target in (
+        (re.compile(r"\bstd\s*\(", re.IGNORECASE), "stddev_pop"),
+        (re.compile(r"\bstddev\s*\(", re.IGNORECASE), "stddev_pop"),
+        (re.compile(r"\bvariance\s*\(", re.IGNORECASE), "var_pop"),
+    ):
+        query = _rewrite_call_args(
+            query, call_re,
+            lambda args, t=target: f"{t}({', '.join(args)})",
+        )
     query = _rewrite_call_args(query, _ADD_MONTHS_CALL, fix_add_months)
     query = _rewrite_call_args(query, _RADIANS_CALL, fix_radians)
     query = _rewrite_call_args(query, _AES_CALL, fix_aes)
