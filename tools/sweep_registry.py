@@ -45,6 +45,28 @@ def main() -> None:
 
     spark = get_spark(app_name="registry-sweep")
     reg = load_all()
+
+    # Extra sweep-only variants: paths a registry entry deliberately
+    # pins away for oracle determinism but that a naive caller hits.
+    # dedup_embedding_cosine_pairs pins n_sign_bits=3; the DEFAULT is
+    # the adaptive ~log2(n/2048) blocking (r7) — the scale dial the
+    # sweep must time is the default, not the pin.
+    from dataclasses import replace as _dc_replace
+
+    def _adaptive_pairs(spark, sf_dir):
+        from hive_2_3_2_spark.catalog import load_table
+        from hive_2_3_2_spark.llm.dedup import embedding_near_dups
+
+        return embedding_near_dups(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        )
+
+    reg["dedup_embedding_cosine_pairs__adaptive"] = _dc_replace(
+        reg["dedup_embedding_cosine_pairs"],
+        name="dedup_embedding_cosine_pairs__adaptive",
+        fn=_adaptive_pairs,
+        oracle=None,
+    )
     names = (
         args.only.split(",") if args.only else list(reg)
     )
