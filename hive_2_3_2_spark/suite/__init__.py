@@ -117,6 +117,8 @@ _MODULES = [
     "statements_r6c",
     # r7 surface — its entries sit inside the r7 window (freeze rule)
     "statements_r7",
+    # r8 surface — its entry sits inside the r8 window (freeze rule)
+    "statements_r8",
 ]
 # R5 WINDOW (verified 50/50): the 18 entries with no driver row after
 # r4 + 5 new r5 entries + 27 high-value re-verifications — after r5,
@@ -148,9 +150,10 @@ _MODULES = [
 # stats_answered_aggregates (its IMPLEMENTATION changed this round:
 # event-driven fingerprint invalidation replaces the per-query walk,
 # and unaliased count(*) now surfaces as count(1) — the
-# changed-implementation rule outranks staleness) + 18 oldest-r4
+# changed-implementation rule outranks staleness) + the new r8
+# stats_partition_pruned_aggregates entry (freeze rule) + 17 oldest-r4
 # re-verifications (the 7 whose first green predates r4, then a family
-# spread across agg/clean/ddl/dedup/dml/emb/fn/sample/text).
+# spread across agg/clean/ddl/dedup/dml/emb/fn/sample).
 _WINDOW = [
     # -- stalest cohort: latest green row is r3 (all 31) --
     "dedup_keep_first_by_priority",
@@ -184,6 +187,8 @@ _WINDOW = [
     "subq_not_exists_correlated",
     "subq_not_in_uncorrelated",
     "subq_scalar_uncorrelated",
+    # -- new in r8 (freeze rule: new entries land inside the window) --
+    "stats_partition_pruned_aggregates",
     # -- changed implementation this round (outranks staleness) --
     "stats_answered_aggregates",
     # -- 18 oldest-r4 re-verifications --
@@ -204,7 +209,6 @@ _WINDOW = [
     "emb_l2_normalize",
     "fn_xpath_family",
     "sample_weighted_reservoir",
-    "text_zipf_head",
 ]
 
 
