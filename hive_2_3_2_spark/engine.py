@@ -2600,6 +2600,39 @@ class Engine:
                     )
                 )
         self.part_column_stats[key] = store
+        # table-level rollup for DESCRIBE t col (the TAB_COL_STATS
+        # serving role): nulls sum, extrema merge, NDV = max over
+        # partitions (a lower bound — NDVs don't add). The serve-from-
+        # stats path never reads this for partitioned tables; it walks
+        # the fingerprint-gated per-partition store above.
+        tstats = self.column_stats.setdefault(key, {})
+        for c in cols:
+            parts_s = [
+                ps[c] for ps in store["parts"].values() if c in ps
+            ]
+            if not parts_s:
+                continue
+            mins = [s["min"] for s in parts_s if s["min"] is not None]
+            maxs = [s["max"] for s in parts_s if s["max"] is not None]
+            lens = [
+                s["max_col_len"] for s in parts_s
+                if s.get("max_col_len") is not None
+            ]
+            avgs = [
+                s["avg_col_len"] for s in parts_s
+                if s.get("avg_col_len") is not None
+            ]
+            tstats[c] = {
+                "data_type": parts_s[0]["data_type"],
+                "num_nulls": sum(s["num_nulls"] for s in parts_s),
+                "distinct_count": max(
+                    s["distinct_count"] for s in parts_s
+                ),
+                "min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+                "avg_col_len": max(avgs) if avgs else None,
+                "max_col_len": max(lens) if lens else None,
+            }
         self._fp_memo[key] = fp  # ANALYZE is a re-fingerprint event
         return self.spark.createDataFrame(
             out_rows,
