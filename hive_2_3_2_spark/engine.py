@@ -2374,6 +2374,33 @@ class Engine:
                 return self._run_analyze_columns(key, for_columns, spec)
         if part_cols and not noscan:
             return self._run_analyze_partitions(key, spec)
+        if part_cols and noscan:
+            # per-partition file-level stats, honoring a (possibly
+            # partial) spec — stats_noscan_1.q's surface
+            base = self.table_paths[key]
+            rels = self._match_partition_rels(
+                self._partition_rels(key), spec
+            )
+            rows = []
+            for rel in rels:
+                nf, sz = 0, 0
+                for root, _dirs, files in os.walk(
+                    os.path.join(base, rel)
+                ):
+                    data = [
+                        f for f in files if not f.startswith(("_", "."))
+                    ]
+                    nf += len(data)
+                    sz += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in data
+                    )
+                rows.append((rel, nf, sz))
+            return self.spark.createDataFrame(
+                rows,
+                "partition string, num_files bigint, "
+                "total_size_bytes bigint",
+            )
         path = self.table_paths[key]
         size = 0
         n_files = 0
@@ -2403,6 +2430,27 @@ class Engine:
             [(n, size)], "num_rows bigint, total_size_bytes bigint"
         )
 
+    @staticmethod
+    def _match_partition_rels(
+        all_rels: list[str], spec: dict[str, str] | None
+    ) -> list[str]:
+        """Partition rel-paths matching a (possibly PARTIAL) spec —
+        Hive's partial-spec semantics: ``PARTITION (ds='x')`` over a
+        (ds, hr) table selects every hr under that ds
+        (stats_noscan_1.q's analyze_srcpart_partial)."""
+        if spec is None:
+            return all_rels
+        want = {c.lower(): v for c, v in spec.items()}
+        out = []
+        for rel in all_rels:
+            vals = {}
+            for seg in rel.split("/"):
+                c, _, v = seg.partition("=")
+                vals[c.lower()] = v
+            if all(vals.get(c) == v for c, v in want.items()):
+                out.append(rel)
+        return out
+
     def _run_analyze_partitions(
         self, key: str, spec: dict[str, str] | None
     ) -> DataFrame:
@@ -2414,17 +2462,12 @@ class Engine:
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
         path = self.table_paths[key]
-        part_cols = self.table_partitions[key]
         all_rels = self._partition_rels(key)
-        if spec is not None:
-            want = "/".join(f"{c}={spec[c]}" for c in part_cols if c in spec)
-            targets = [r for r in all_rels if r == want]
-            if not targets:
-                raise HiveQLUnsupportedError(
-                    f"ANALYZE: partition ({want}) does not exist in {key}"
-                )
-        else:
-            targets = all_rels
+        targets = self._match_partition_rels(all_rels, spec)
+        if spec is not None and not targets:
+            raise HiveQLUnsupportedError(
+                f"ANALYZE: no partition matches ({spec}) in {key}"
+            )
         fp = self._table_fingerprint(path)
         store = self.part_basic_stats.get(key)
         if not store or store.get("fp") != fp:

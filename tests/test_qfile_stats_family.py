@@ -303,3 +303,105 @@ def test_q_stats_partial_partition_coverage(qenv, spark, tmp_path):
     after = eng.sql("SELECT count(*) AS c FROM cover_t WHERE dt = 2010")
     assert not _is_stats_answered(after)
     assert after.collect()[0].c == 21
+
+
+# data/files/null.txt (stats_only_null.q fixture): NULLs in a and b
+NULLROWS = [
+    (1.0, 1, "same", 0), (1.0, 1, "same", 1), (1.0, 1, "same", 2),
+    (1.0, 1, "same", 3), (1.0, 1, "same", 4), (None, 1, "same", 5),
+    (None, None, "same", 6), (1.0, None, "same", 7), (1.0, 1, "same", 8),
+    (1.0, 1, "same", 9),
+]
+
+
+def test_q_stats_only_null(qenv, spark, tmp_path):
+    """stats_only_null.q: count(col) over columns WITH NULLS answered
+    from stats — flat table and per-partition column ANALYZE with the
+    whole-table query aggregating both partitions' null counts."""
+    eng = Engine(spark=spark)
+    eng.sql("SET hive.compute.query.using.stats=true")
+    con = duckdb.connect()
+    p = str(tmp_path / "stats_null")
+    spark.createDataFrame(
+        NULLROWS, "a double, b int, c string, d int"
+    ).coalesce(1).write.parquet(p)
+    eng.register_table("stats_null", p)
+    pp = str(tmp_path / "stats_null_part")
+    from pyspark.sql import functions as F
+
+    (spark.createDataFrame(NULLROWS, "a double, b int, c string, d int")
+        .withColumn("dt", F.when(F.col("d") <= 5, "2010").otherwise("2011"))
+        .repartition("dt").write.partitionBy("dt").parquet(pp))
+    eng.register_table("stats_null_part", pp, ["dt"])
+    for t, path in (("stats_null", p + "/*.parquet"),
+                    ("stats_null_part", pp + "/*/*.parquet")):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}'"
+            + (", hive_partitioning=1)" if "part" in t else ")")
+        )
+    sql = ("SELECT count(*) AS n, count(a) AS ca, count(b) AS cb, "
+           "count(c) AS cc, count(d) AS cd FROM {t}")
+    eng.sql("ANALYZE TABLE stats_null COMPUTE STATISTICS")
+    eng.sql(
+        "ANALYZE TABLE stats_null COMPUTE STATISTICS FOR COLUMNS a,b,c,d"
+    )
+    df = eng.sql(sql.format(t="stats_null"))
+    assert _is_stats_answered(df), explain_str(df)
+    assert_matches_oracle(df, con, sql.format(t="stats_null"))
+    # the golden's per-partition FOR COLUMNS form, one partition at a
+    # time, then the whole-table query aggregates both
+    eng.sql(
+        "ANALYZE TABLE stats_null_part PARTITION (dt) COMPUTE STATISTICS"
+    )
+    eng.sql(
+        "ANALYZE TABLE stats_null_part PARTITION (dt='2010') "
+        "COMPUTE STATISTICS FOR COLUMNS a,b,c,d"
+    )
+    partial = eng.sql(sql.format(t="stats_null_part"))
+    assert not _is_stats_answered(partial)  # dt=2011 columns uncovered
+    eng.sql(
+        "ANALYZE TABLE stats_null_part PARTITION (dt='2011') "
+        "COMPUTE STATISTICS FOR COLUMNS a,b,c,d"
+    )
+    df2 = eng.sql(sql.format(t="stats_null_part"))
+    assert _is_stats_answered(df2), explain_str(df2)
+    assert_matches_oracle(df2, con, sql.format(t="stats_null_part"))
+    con.close()
+
+
+def test_q_stats_noscan_partial_spec(qenv, spark, tmp_path):
+    """stats_noscan_1.q: NOSCAN with full and PARTIAL partition specs
+    over a two-level (ds, hr) layout — per-partition file counts, no
+    row counts, partial spec fans out to every matching hr."""
+    eng = Engine(spark=spark)
+    p = str(tmp_path / "an_srcpart")
+    rows = [(str(i), f"val_{i}", ds, hr)
+            for i in range(20)
+            for ds in ("2008-04-08", "2008-04-09")
+            for hr in (11, 12)]
+    (spark.createDataFrame(rows, "key string, value string, ds string, hr int")
+        .repartition("ds", "hr").write.partitionBy("ds", "hr").parquet(p))
+    eng.register_table("an_srcpart", p, ["ds", "hr"])
+    one = eng.sql(
+        "ANALYZE TABLE an_srcpart PARTITION(ds='2008-04-08',hr=11) "
+        "COMPUTE STATISTICS NOSCAN"
+    ).collect()
+    assert [r.partition for r in one] == ["ds=2008-04-08/hr=11"]
+    assert one[0].num_files > 0 and one[0].total_size_bytes > 0
+    assert "num_rows" not in {f for f in one[0].asDict()}
+    partial = eng.sql(
+        "ANALYZE TABLE an_srcpart PARTITION(ds='2008-04-08') "
+        "COMPUTE STATISTICS NOSCAN"
+    ).collect()
+    assert sorted(r.partition for r in partial) == [
+        "ds=2008-04-08/hr=11", "ds=2008-04-08/hr=12"
+    ]
+    # partial spec on the SCAN form gathers basic stats for both hrs
+    got = eng.sql(
+        "ANALYZE TABLE an_srcpart PARTITION(ds='2008-04-08') "
+        "COMPUTE STATISTICS"
+    ).collect()
+    assert sorted(r.partition for r in got) == [
+        "ds=2008-04-08/hr=11", "ds=2008-04-08/hr=12"
+    ]
+    assert sum(r.num_rows for r in got) == 40
