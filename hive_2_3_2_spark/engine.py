@@ -1361,11 +1361,19 @@ class Engine:
                     return self._run_insert(_INSERT_STMT.match(folded))
         m = _MULTI_INSERT_STMT.match(query)
         if m:
-            targets = re.findall(
-                r"INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)",
-                m.group(2),
-                re.IGNORECASE,
-            )
+            # DIRECTORY branches are always engine-handled sinks
+            # (ppd_multi_insert.q mixes table + directory sinks), so
+            # they don't participate in the table-sink routing check
+            targets = [
+                t
+                for t in re.findall(
+                    r"INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+                    r"(?:LOCAL\s+)?([\w.]+)",
+                    m.group(2),
+                    re.IGNORECASE,
+                )
+                if t.upper() != "DIRECTORY"
+            ]
 
             def _local_sink(t: str) -> bool:
                 # Same sink rules as the single-INSERT dispatch above:
@@ -4040,6 +4048,35 @@ class Engine:
             results, "target_table string, rows_affected bigint"
         )
 
+    @staticmethod
+    def _inject_from(select_part: str, from_clause: str) -> str:
+        """Attach the shared FROM before the first top-level clause
+        keyword (WHERE/GROUP/ORDER/...) of a branch select. LATERAL
+        included: a branch's own LATERAL VIEW attaches AFTER the
+        shared FROM (multi_insert_lateral_view.q — SELECT k, C LATERAL
+        VIEW explode(...) A AS C expands to SELECT k, C FROM src
+        LATERAL VIEW ...)."""
+        depth, cut = 0, len(select_part)
+        kw = re.compile(
+            r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|DISTRIBUTE|SORT|"
+            r"CLUSTER|LATERAL)\b",
+            re.IGNORECASE,
+        )
+        for i, ch in enumerate(select_part):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                km = kw.match(select_part, i)
+                if km and i > 0 and select_part[i - 1].isspace():
+                    cut = i
+                    break
+        return (
+            f"{select_part[:cut].rstrip()} FROM {from_clause} "
+            f"{select_part[cut:]}"
+        )
+
     def _multi_insert_branches(
         self,
         segments: list[str],
@@ -4048,6 +4085,29 @@ class Engine:
         results: list[tuple[str, int]],
     ) -> None:
         for seg in segments:
+            dm = re.match(
+                r"^(INSERT\s+OVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+.*?)"
+                r"\s+(SELECT\b.*)$",
+                seg,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if dm:
+                # directory sink branch (ppd_multi_insert.q's 4th sink)
+                # — reuse the standalone handler on the rebuilt
+                # statement
+                full = (
+                    f"{dm.group(1)} "
+                    f"{self._inject_from(dm.group(2), from_clause)}"
+                )
+                im = _INSERT_DIRECTORY_STMT.match(full)
+                if not im:
+                    raise HiveQLUnsupportedError(
+                        f"unparseable multi-insert DIRECTORY branch: "
+                        f"{seg[:80]!r}"
+                    )
+                n = self._run_insert_directory(im).collect()[0][0]
+                results.append((f"directory:{im.group(2)}", int(n)))
+                continue
             sm = re.match(
                 r"^(INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.]+"
                 r"(?:\s+PARTITION\s*\([^)]*\))?)\s+(SELECT\b.*)$",
@@ -4059,32 +4119,7 @@ class Engine:
                     f"unparseable multi-insert branch: {seg[:80]!r}"
                 )
             head, select_part = sm.group(1), sm.group(2)
-            # inject the shared FROM before the first top-level clause
-            # keyword (WHERE/GROUP/ORDER/...) of the branch select
-            depth, cut = 0, len(select_part)
-            # LATERAL included: a branch's own LATERAL VIEW attaches
-            # AFTER the shared FROM (multi_insert_lateral_view.q —
-            # SELECT k, C LATERAL VIEW explode(...) A AS C expands to
-            # SELECT k, C FROM src LATERAL VIEW ...).
-            kw = re.compile(
-                r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|DISTRIBUTE|SORT|"
-                r"CLUSTER|LATERAL)\b",
-                re.IGNORECASE,
-            )
-            for i, ch in enumerate(select_part):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                elif depth == 0:
-                    km = kw.match(select_part, i)
-                    if km and i > 0 and select_part[i - 1].isspace():
-                        cut = i
-                        break
-            body = (
-                f"{select_part[:cut].rstrip()} FROM {from_clause} "
-                f"{select_part[cut:]}"
-            )
+            body = self._inject_from(select_part, from_clause)
             im = _INSERT_STMT.match(f"{head} {body}")
             if not im:
                 raise HiveQLUnsupportedError(
