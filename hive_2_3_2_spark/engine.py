@@ -401,6 +401,15 @@ _INSERT_STMT = re.compile(
     r"\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# INSERT OVERWRITE ... PARTITION (static spec) IF NOT EXISTS — Hive
+# skips the whole insert when the target partition already exists
+# (insert1_overwrite_partitions.q; SemanticAnalyzer qbp.getInsertOverwriteTables
+# ifNotExists). Detected and stripped before _INSERT_STMT matching.
+_INSERT_IF_NOT_EXISTS = re.compile(
+    r"^(\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+"
+    r"PARTITION\s*\(([^)]*)\))\s+IF\s+NOT\s+EXISTS\b",
+    re.IGNORECASE,
+)
 # FROM src INSERT INTO|OVERWRITE t1 SELECT ... INSERT ... (Hive
 # multi-insert: one scan fans out into several sinks — the MapOperator
 # multi-alias plan, parse/SemanticAnalyzer.java multi-QB handling).
@@ -1327,6 +1336,17 @@ class Engine:
             )
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
+        ine = _INSERT_IF_NOT_EXISTS.match(query)
+        if ine and (
+            self._dml_registered(ine.group(2))
+            or self._is_catalog_table(ine.group(2))
+        ):
+            # Hive's IF NOT EXISTS overwrite guard: when the STATIC
+            # target partition already exists, the insert is a no-op —
+            # the select never runs (insert1_overwrite_partitions.q).
+            if self._static_partition_exists(ine.group(2), ine.group(3)):
+                return self._rows_affected(0)
+            query = query[: ine.end(1)] + query[ine.end(0):]
         m = _INSERT_STMT.match(query)
         if m and self._dml_registered(m.group(2)):
             return self._run_insert(m)
@@ -3029,6 +3049,42 @@ class Engine:
             else 0
         )
         return self._rows_affected(n)
+
+    def _static_partition_exists(self, table: str, spec_txt: str) -> bool:
+        """Does the fully-STATIC partition named by an INSERT OVERWRITE
+        ... IF NOT EXISTS spec already exist? Dynamic/partial specs
+        return False (Hive only allows the guard on full static
+        specs — the insert then proceeds and errors naturally if the
+        spec is bad)."""
+        key = table.split(".")[-1].lower()
+        pairs: dict[str, str] = {}
+        for item in spec_txt.split(","):
+            col, eq, val = item.partition("=")
+            if not eq:
+                return False  # dynamic column → not a static spec
+            pairs[col.strip().strip("`").lower()] = (
+                val.strip().strip("'\"")
+            )
+        if key in self.table_paths:
+            part_cols = self.table_partitions.get(key) or []
+            if set(pairs) != {c.lower() for c in part_cols}:
+                return False
+            spec = {
+                c: pairs[c.lower()] for c in part_cols
+            }
+            return bool(
+                self._match_partition_rels(self._partition_rels(key), spec)
+            )
+        try:
+            rows = self.spark.sql(f"SHOW PARTITIONS {table}").collect()
+        except Exception:
+            return False
+        want = {f"{c}={v}" for c, v in pairs.items()}
+        for r in rows:
+            segs = set(r[0].split("/"))
+            if want <= segs:
+                return True
+        return False
 
     def _run_refresh(self, table: str) -> DataFrame:
         """REFRESH TABLE t — the out-of-band-write escape hatch (same
