@@ -4326,6 +4326,14 @@ class Engine:
         fields = {f.name: f.dataType for f in target.schema.fields}
         sfields = {f.name: f for f in target.schema.fields}
 
+        # HiveQL partition spec NAMES resolve case-insensitively
+        # (loadpart1.q inserts with pCol1= into a pcol1 partition);
+        # normalize to the declared casing before validating
+        parts_by_lower = {p.lower(): p for p in parts}
+        static = {
+            parts_by_lower.get(c.lower(), c): v for c, v in static.items()
+        }
+        dynamic = [parts_by_lower.get(c.lower(), c) for c in dynamic]
         bad = [p for p in list(static) + dynamic if p not in parts]
         if bad:
             raise HiveQLUnsupportedError(
