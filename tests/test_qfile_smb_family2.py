@@ -1,0 +1,205 @@
+"""clientpositive `.q` slice, round 8: the smb_mapjoin tail —
+smb_mapjoin_13.q/14.q/18.q/25.q (reference:
+ql/src/test/queries/clientpositive/). Corners beyond the smb 1-5
+replay: bucket/sort COLUMN ORDER variants (clustered (key,value)
+sorted (key,value) vs sorted (value,key) — same buckets, different
+order → Spark adds a Sort, never an Exchange, when the bucket sets
+match), subquery-wrapped SMB joins with filters above/below the
+subquery boundary, and a join-of-joins where both inputs are
+themselves SMB joins."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from hive_2_3_2_spark.engine import Engine
+
+from tests.conftest import assert_matches_oracle
+
+SRC = [(i % 83, f"val_{i % 83}") for i in range(500)]
+B1 = [(1, "val_1"), (3, "val_3"), (4, "val_4"), (5, "val_5"),
+      (10, "val_10")]
+B2 = [(20, "val_20"), (23, "val_23"), (25, "val_25"), (30, "val_30"),
+      (5, "val_5")]
+B3 = [(4, "val_4"), (5, "val_5"), (10, "val_10"), (17, "val_17"),
+      (20, "val_20"), (23, "val_23")]
+
+_TBLS = ("smb2_t1", "smb2_t2", "smb2_kv", "smb2_vk",
+         "smb2_b1", "smb2_b2", "smb2_b3")
+
+
+@pytest.fixture(scope="module")
+def qenv(spark, tmp_path_factory):
+    eng = Engine(spark=spark)
+    con = duckdb.connect()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in _TBLS:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    # smb_mapjoin_14 fixtures: 2-bucket sorted, keys < 10
+    for t in ("smb2_t1", "smb2_t2"):
+        eng.sql(
+            f"CREATE TABLE {t} (key INT, value STRING) CLUSTERED BY "
+            "(key) SORTED BY (key) INTO 2 BUCKETS STORED AS PARQUET"
+        )
+        spark.createDataFrame(
+            [r for r in SRC if r[0] < 10], "key int, value string"
+        ).write.insertInto(t)
+    # smb_mapjoin_13 fixtures: same compound bucket cols, DIFFERENT
+    # sort orders
+    eng.sql(
+        "CREATE TABLE smb2_kv (key INT, value STRING) CLUSTERED BY "
+        "(key, value) SORTED BY (key, value) INTO 4 BUCKETS "
+        "STORED AS PARQUET"
+    )
+    eng.sql(
+        "CREATE TABLE smb2_vk (key INT, value STRING) CLUSTERED BY "
+        "(key, value) SORTED BY (value, key) INTO 4 BUCKETS "
+        "STORED AS PARQUET"
+    )
+    for t in ("smb2_kv", "smb2_vk"):
+        spark.createDataFrame(SRC, "key int, value string") \
+            .write.insertInto(t)
+    # smb_mapjoin_25 fixtures: 1-bucket minis
+    for t, rows in (("smb2_b1", B1), ("smb2_b2", B2), ("smb2_b3", B3)):
+        eng.sql(
+            f"CREATE TABLE {t} (key INT, value STRING) CLUSTERED BY "
+            "(key) SORTED BY (key) INTO 1 BUCKETS STORED AS PARQUET"
+        )
+        spark.createDataFrame(rows, "key int, value string") \
+            .write.insertInto(t)
+    lt10 = [r for r in SRC if r[0] < 10]
+
+    def vv(name, rows):
+        body = ", ".join(f"({k}, '{v}')" for k, v in rows)
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM (VALUES {body}) "
+            "t(key, value)"
+        )
+
+    vv("smb2_t1", lt10)
+    vv("smb2_t2", lt10)
+    vv("smb2_kv", SRC)
+    vv("smb2_vk", SRC)
+    vv("smb2_b1", B1)
+    vv("smb2_b2", B2)
+    vv("smb2_b3", B3)
+    yield eng, con
+    con.close()
+    for t in _TBLS:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _chk(eng, con, hive_sql, duck_sql=None):
+    df = eng.sql(hive_sql)
+    assert_matches_oracle(df, con, duck_sql or hive_sql)
+    return df
+
+
+def _final_plan(df):
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
+
+
+def test_q_smb13_different_sort_orders_no_exchange(qenv, spark):
+    """smb_mapjoin_13.q: both tables bucketed on (key, value) but
+    sorted (key,value) vs (value,key) — the join on BOTH columns is
+    exchange-free (bucket sets match); Spark re-sorts one side instead
+    of shuffling. A join on key ALONE must shuffle (bucketing is on
+    the pair, not the prefix)."""
+    eng, con = qenv
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _chk(
+            eng, con,
+            "SELECT count(*) AS c FROM smb2_kv a JOIN smb2_vk b ON "
+            "a.key = b.key AND a.value = b.value",
+            "SELECT CAST(count(*) AS BIGINT) AS c FROM smb2_kv a JOIN "
+            "smb2_vk b ON a.key = b.key AND a.value = b.value",
+        )
+        plan = _final_plan(df)
+        assert plan.count("Exchange") <= 1, plan  # count gather only
+        assert "SortMergeJoin" in plan, plan
+        df2 = _chk(
+            eng, con,
+            "SELECT count(*) AS c FROM smb2_kv a JOIN smb2_vk b ON "
+            "a.key = b.key",
+            "SELECT CAST(count(*) AS BIGINT) AS c FROM smb2_kv a JOIN "
+            "smb2_vk b ON a.key = b.key",
+        )
+        assert _final_plan(df2).count("Exchange") >= 2  # pinned fallback
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q_smb14_subquery_wrapped_joins(qenv):
+    """smb_mapjoin_14.q: the SMB join under subqueries — bare count,
+    group-by over the join, count over the grouped output, filtered
+    subqueries joined, and a filter above AND below the subquery
+    boundary."""
+    eng, con = qenv
+    _chk(
+        eng, con,
+        "SELECT count(*) AS c FROM (SELECT /*+mapjoin(a)*/ a.key AS "
+        "key, a.value AS val1, b.value AS val2 FROM smb2_t1 a JOIN "
+        "smb2_t2 b ON a.key = b.key) subq1",
+        "SELECT CAST(count(*) AS BIGINT) AS c FROM (SELECT a.key, "
+        "a.value AS val1, b.value AS val2 FROM smb2_t1 a JOIN smb2_t2 "
+        "b ON a.key = b.key) subq1",
+    )
+    _chk(
+        eng, con,
+        "SELECT key, count(*) AS c FROM (SELECT a.key AS key, a.value "
+        "AS val1, b.value AS val2 FROM smb2_t1 a JOIN smb2_t2 b ON "
+        "a.key = b.key) subq1 GROUP BY key ORDER BY key",
+        "SELECT key, CAST(count(*) AS BIGINT) AS c FROM (SELECT a.key "
+        "AS key FROM smb2_t1 a JOIN smb2_t2 b ON a.key = b.key) subq1 "
+        "GROUP BY key ORDER BY key NULLS FIRST",
+    )
+    _chk(
+        eng, con,
+        "SELECT count(*) AS c FROM (SELECT key, count(*) FROM (SELECT "
+        "a.key AS key FROM smb2_t1 a JOIN smb2_t2 b ON a.key = b.key) "
+        "subq1 GROUP BY key) subq2",
+        "SELECT CAST(count(*) AS BIGINT) AS c FROM (SELECT key FROM "
+        "(SELECT a.key AS key FROM smb2_t1 a JOIN smb2_t2 b ON a.key "
+        "= b.key) subq1 GROUP BY key) subq2",
+    )
+    _chk(
+        eng, con,
+        "SELECT /*+mapjoin(subq1)*/ count(*) AS c FROM (SELECT a.key "
+        "AS key, a.value AS value FROM smb2_t1 a WHERE key < 6) subq1 "
+        "JOIN (SELECT a.key AS key, a.value AS value FROM smb2_t2 a "
+        "WHERE key < 6) subq2 ON subq1.key = subq2.key",
+        "SELECT CAST(count(*) AS BIGINT) AS c FROM (SELECT key FROM "
+        "smb2_t1 WHERE key < 6) subq1 JOIN (SELECT key FROM smb2_t2 "
+        "WHERE key < 6) subq2 ON subq1.key = subq2.key",
+    )
+    _chk(
+        eng, con,
+        "SELECT count(*) AS c FROM (SELECT * FROM (SELECT a.key AS "
+        "key, a.value AS value FROM smb2_t1 a WHERE key < 8) subq1 "
+        "WHERE key < 6) subq2 JOIN smb2_t2 b ON subq2.key = b.key",
+        "SELECT CAST(count(*) AS BIGINT) AS c FROM (SELECT key FROM "
+        "smb2_t1 WHERE key < 8 AND key < 6) subq2 JOIN smb2_t2 b ON "
+        "subq2.key = b.key",
+    )
+
+
+def test_q_smb25_join_of_joins(qenv):
+    """smb_mapjoin_25.q: a LEFT OUTER join whose BOTH inputs are
+    themselves SMB joins, constants pushed through every level."""
+    eng, con = qenv
+    _chk(
+        eng, con,
+        "SELECT t1.key AS k1, t2.key AS k2 FROM (SELECT a.key FROM "
+        "smb2_b1 a JOIN smb2_b2 b ON (a.key = b.key) WHERE a.key = 5) "
+        "t1 LEFT OUTER JOIN (SELECT c.key FROM smb2_b2 c JOIN smb2_b3 "
+        "d ON (c.key = d.key) WHERE c.key = 5) t2 ON (t1.key = "
+        "t2.key) WHERE t2.key = 5",
+    )
