@@ -515,7 +515,9 @@ _RENAME_STMT = re.compile(
     re.IGNORECASE,
 )
 _EXPORT_STMT = re.compile(
-    r"^\s*EXPORT\s+TABLE\s+([\w.]+)\s+TO\s+'([^']+)'\s*;?\s*$",
+    r"^\s*EXPORT\s+TABLE\s+([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+    r"\s+TO\s+'([^']+)'\s*;?\s*$",
     re.IGNORECASE,
 )
 _IMPORT_STMT = re.compile(
@@ -1495,7 +1497,7 @@ class Engine:
                 return handled
         m = _EXPORT_STMT.match(query)
         if m:
-            return self._run_export(m.group(1), m.group(2))
+            return self._run_export(m.group(1), m.group(3), m.group(2))
         m = _IMPORT_STMT.match(query)
         if m:
             return self._run_import(m.group(1), m.group(2), m.group(3))
@@ -2164,12 +2166,19 @@ class Engine:
             [info], "default string, type string, description string"
         )
 
-    def _run_export(self, table: str, out_dir: str) -> DataFrame:
-        """EXPORT TABLE t TO 'path' — copy the data files plus a
-        _metadata.json descriptor (schema + partition columns), the
-        reference's export layout (ExportSemanticAnalyzer + CopyTask;
-        Hive writes a thrift _metadata, ours is JSON). Pure file copy —
-        no scan; row count from parquet footers."""
+    def _run_export(
+        self,
+        table: str,
+        out_dir: str,
+        part_spec: str | None = None,
+    ) -> DataFrame:
+        """EXPORT TABLE t [PARTITION (spec)] TO 'path' — copy the data
+        files plus a _metadata.json descriptor (schema + partition
+        columns), the reference's export layout (ExportSemanticAnalyzer
+        + CopyTask; Hive writes a thrift _metadata, ours is JSON). Pure
+        file copy — no scan; row count from parquet footers. A
+        (possibly partial) PARTITION spec exports only the matching
+        partition subtrees (exim_09_part_spec_nonoverlap.q)."""
         import json
         import shutil
 
@@ -2178,6 +2187,11 @@ class Engine:
         key = self._resolve_dml_table(table)
         path = self.table_paths[key]
         parts = self.table_partitions.get(key) or []
+        spec = self._parse_partition_spec(part_spec, parts)
+        if spec and not parts:
+            raise HiveQLUnsupportedError(
+                f"EXPORT PARTITION on unpartitioned table {key!r}"
+            )
         if os.path.exists(out_dir) and os.listdir(out_dir):
             raise HiveQLUnsupportedError(
                 f"EXPORT target {out_dir!r} exists and is not empty "
@@ -2188,6 +2202,18 @@ class Engine:
         if os.path.isfile(path):
             os.makedirs(data_dir, exist_ok=True)
             shutil.copy2(path, os.path.join(data_dir, os.path.basename(path)))
+        elif spec:
+            rels = self._match_partition_rels(
+                self._partition_rels(key), spec
+            )
+            if not rels:
+                raise HiveQLUnsupportedError(
+                    f"EXPORT: no partition matches ({spec}) in {key}"
+                )
+            for rel in rels:
+                shutil.copytree(
+                    os.path.join(path, rel), os.path.join(data_dir, rel)
+                )
         else:
             shutil.copytree(path, data_dir)
         meta = {
@@ -2197,7 +2223,9 @@ class Engine:
         }
         with open(os.path.join(out_dir, "_metadata.json"), "w") as f:
             json.dump(meta, f)
-        return self._rows_affected(parquet_row_count(path))
+        # count what was EXPORTED (the whole table, or just the
+        # spec-matched partitions)
+        return self._rows_affected(parquet_row_count(data_dir))
 
     def _run_import(
         self, table: str, export_dir: str, location: str | None
