@@ -479,6 +479,13 @@ _ANALYZE_STMT = re.compile(
 _MSCK_STMT = re.compile(
     r"^\s*MSCK\s+(?:REPAIR\s+)?TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
+# CREATE TABLE ... AS SELECT/WITH — the head/body split for Hive's
+# _c<ordinal> auto-naming of unaliased expression columns
+_CTAS_SPLIT = re.compile(
+    r"^(\s*CREATE\s+(?:TEMPORARY\s+)?(?:EXTERNAL\s+)?TABLE\b.*?\bAS)"
+    r"\s+((?:SELECT|WITH)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _REFRESH_STMT = re.compile(
     r"^\s*REFRESH\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
 )
@@ -1197,6 +1204,8 @@ class Engine:
         # INSERT branch parser and spark.sql both see one spelling.
         if _search_code(_MAP_REDUCE_KW, query) is not None:
             query = _rewrite_map_reduce_transform(query)
+        if _CTAS_SPLIT.match(query):
+            query = self._ctas_hive_autonames(query)
         m = _SHELL_STMT.match(query)
         if m:
             raise HiveQLUnsupportedError(
@@ -3113,6 +3122,40 @@ class Engine:
             if want <= segs:
                 return True
         return False
+
+    def _ctas_hive_autonames(self, query: str) -> str:
+        """Hive names unaliased CTAS expression columns ``_c<ordinal>``
+        (SemanticAnalyzer genConvertedNames; ctas_colname.q golden —
+        ``create table s as select *, key+1 from src`` yields columns
+        key, value, _c1). Spark would store the raw expression text
+        ("(key + 1)") as the column name. When the CTAS select's output
+        has any non-identifier name, wrap it in a projection that
+        aliases exactly those columns by ordinal — one extra Project,
+        collapsed by Catalyst."""
+        m = _CTAS_SPLIT.match(query)
+        if not m:
+            return query
+        body = m.group(2).rstrip().rstrip(";")
+        try:
+            schema = self.spark.sql(
+                rewrite_hiveql(self._expand_macros(body), spark=self.spark)
+            ).schema
+        except Exception:
+            return query  # let the real handler surface the error
+        ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        if all(ident.fullmatch(f.name) for f in schema.fields):
+            return query
+        projs = []
+        for i, f in enumerate(schema.fields):
+            quoted = "`" + f.name.replace("`", "``") + "`"
+            if ident.fullmatch(f.name):
+                projs.append(quoted)
+            else:
+                projs.append(f"{quoted} AS _c{i}")
+        return (
+            f"{m.group(1)} SELECT {', '.join(projs)} FROM ({body}) "
+            "__ctas_autoname"
+        )
 
     def _run_refresh(self, table: str) -> DataFrame:
         """REFRESH TABLE t — the out-of-band-write escape hatch (same
