@@ -6786,6 +6786,34 @@ def _pin_distinct_window_decimal(query: str, err: str) -> str | None:
     return query[:lam_start] + pinned + query[m.end():]
 
 
+_RANGE_NO_ORDER = re.compile(
+    r"\(\s*partition\s+by\s+((?:[^()]|\([^()]*\))*?)\s+(range\b)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_range_frame_order(query: str) -> str | None:
+    """Hive allows a RANGE frame on an ORDER-less window spec —
+    WindowingSpec.ensureOrderSpec fills the ORDER BY with the
+    PARTITION BY expressions (all rows are peers, so CURRENT ROW spans
+    the whole partition). Spark rejects it
+    (RANGE_FRAME_WITHOUT_ORDER); inject the same order spec on
+    retry (windowing_windowspec3.q's head shape)."""
+    changed = [False]
+
+    def fix(m: re.Match[str]) -> str:
+        part = m.group(1).strip()
+        if re.search(r"\border\s+by\b", part, re.IGNORECASE):
+            return m.group(0)
+        changed[0] = True
+        return (
+            f"( partition by {part} order by {part} {m.group(2)}"
+        )
+
+    out = _RANGE_NO_ORDER.sub(fix, query)
+    return out if changed[0] else None
+
+
 def _retry_rewrite(query: str, err: str) -> str | None:
     """Dispatch the error-keyed HiveQL retry rewrites (Engine.sql runs
     these in a loop, so chained gaps — e.g. a WINDOW clause refinement
@@ -6804,6 +6832,8 @@ def _retry_rewrite(query: str, err: str) -> str | None:
         and "aggregate(" in err.lower()
     ):
         return _pin_distinct_window_decimal(query, err)
+    if "RANGE_FRAME_WITHOUT_ORDER" in err:
+        return _rewrite_range_frame_order(query)
     if (
         "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE" in err
         or "RANGE_FRAME_INVALID_TYPE" in err
