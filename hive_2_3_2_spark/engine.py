@@ -457,8 +457,12 @@ _SHOW_PARTITIONS_STMT = re.compile(
 )
 _ALTER_PARTITION_STMT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?"
-    r"PARTITION\s*\(([^)]*)\)\s*;?\s*$",
+    r"((?:PARTITION\s*\([^)]*\)\s*,?\s*)+);?\s*$",
     re.IGNORECASE,
+)
+# the individual specs inside a (possibly multi-spec) ADD/DROP clause
+_ALTER_PARTITION_SPEC = re.compile(
+    r"PARTITION\s*\(([^)]*)\)", re.IGNORECASE
 )
 _CONCATENATE_STMT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)"
@@ -4058,25 +4062,34 @@ class Engine:
         action = m.group(2).upper()
         guarded = bool(m.group(3))
         path = self.table_paths[key]
-        dest = os.path.join(
-            path, self._static_partition_reldir(key, m.group(4))
-        )
-        exists = os.path.isdir(dest)
+        # Hive's grammar accepts SEVERAL PARTITION (...) specs in one
+        # ADD/DROP (add_part_exist.q: ADD IF NOT EXISTS PARTITION (a)
+        # PARTITION (b) PARTITION (c))
+        specs = [
+            sm.group(1)
+            for sm in _ALTER_PARTITION_SPEC.finditer(m.group(4))
+        ]
         n = 0
-        if action == "ADD":
-            if exists and not guarded:
-                raise HiveQLUnsupportedError(
-                    f"partition already exists: {dest} (use IF NOT EXISTS)"
-                )
-            os.makedirs(dest, exist_ok=True)
-        else:
-            if not exists and not guarded:
-                raise HiveQLUnsupportedError(
-                    f"no such partition: {dest} (use IF EXISTS)"
-                )
-            if exists:
-                n = parquet_row_count(dest)
-                shutil.rmtree(dest)
+        for spec in specs:
+            dest = os.path.join(
+                path, self._static_partition_reldir(key, spec)
+            )
+            exists = os.path.isdir(dest)
+            if action == "ADD":
+                if exists and not guarded:
+                    raise HiveQLUnsupportedError(
+                        f"partition already exists: {dest} "
+                        "(use IF NOT EXISTS)"
+                    )
+                os.makedirs(dest, exist_ok=True)
+            else:
+                if not exists and not guarded:
+                    raise HiveQLUnsupportedError(
+                        f"no such partition: {dest} (use IF EXISTS)"
+                    )
+                if exists:
+                    n += parquet_row_count(dest)
+                    shutil.rmtree(dest)
         self.register_table(key, path, self.table_partitions.get(key))
         return self._rows_affected(n)
 
