@@ -627,6 +627,48 @@ _SHOW_LOCKS_STMT = re.compile(
 _SHOW_TXN_COMPACT_STMT = re.compile(
     r"^\s*SHOW\s+(TRANSACTIONS|COMPACTIONS)\s*;?\s*$", re.IGNORECASE
 )
+# Database DDL (reference: parse/DDLSemanticAnalyzer.java
+# analyzeCreateDatabase / analyzeDropDatabase / analyzeAlterDatabase →
+# exec/DDLTask.java createDatabase/dropDatabase/alterDatabase; the
+# metastore Database object carries name/comment/locationUri/parameters
+# and an owner). Spark namespaces back the catalog — CREATE/USE/SHOW
+# DATABASES and db.table resolution pass through — but Hive's
+# DBPROPERTIES map is free-form while Spark RESERVES the keys
+# comment/location/owner, so those land in an engine-side overlay; and
+# DESCRIBE DATABASE reshapes Spark's key/value rows into Hive's one-row
+# metastore form (DDLTask.describeDatabase schema).
+_CREATE_DB_STMT = re.compile(
+    r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"`?(\w+)`?\s*(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DB_STMT = re.compile(
+    r"^\s*ALTER\s+(?:DATABASE|SCHEMA)\s+`?(\w+)`?\s+SET\s+"
+    r"(?:DBPROPERTIES\s*\((.*)\)|OWNER\s+(?:USER|ROLE)\s+(\w+))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DESC_DB_STMT = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:DATABASE|SCHEMA)\s+(EXTENDED\s+)?`?(\w+)`?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_CREATE_DB_STMT = re.compile(
+    r"^\s*SHOW\s+CREATE\s+(?:DATABASE|SCHEMA)\s+`?(\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_DB_STMT = re.compile(
+    r"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?`?(\w+)`?"
+    r"\s*(CASCADE|RESTRICT)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+#: DBPROPERTIES keys Spark reserves for namespace metadata
+#: (SupportsNamespaces.RESERVED_PROPERTIES) — Hive stores them as plain
+#: parameters, so the engine keeps them in a per-db overlay instead.
+_DB_RESERVED_PROPS = ("comment", "location", "owner")
+#: default-database qualification of an engine temp-view table
+_DEFAULT_QUAL = re.compile(
+    r"(?:`default`|\bdefault\b)\s*\.\s*`?(\w+)`?", re.IGNORECASE
+)
 # CREATE TABLE t LIKE s [STORED AS fmt] [LOCATION 'p'] — schema-only copy
 # (reference: parse/DDLSemanticAnalyzer.java analyzeCreateTable LIKE →
 # DDLTask.createTableLike: new empty table with the source's schema).
@@ -1021,6 +1063,10 @@ class Engine:
         self.table_schemas: dict[str, object] = {}
         # name → TBLPROPERTIES dict (ALTER TABLE SET/UNSET TBLPROPERTIES)
         self.table_props: dict[str, dict[str, str]] = {}
+        # db name → DBPROPERTIES whose keys Spark reserves
+        # (comment/location/owner) — merged back in DESCRIBE DATABASE
+        # EXTENDED / SHOW CREATE DATABASE for Hive parameter parity
+        self.db_props: dict[str, dict[str, str]] = {}
         # view name → original (pre-rewrite) body SQL — CREATE VIEW
         self.views: dict[str, str] = {}
         # PARTITIONED ON views: name → (partition cols, ADDed specs)
@@ -1203,6 +1249,8 @@ class Engine:
         # (VariableSubstitution wraps each processor) — so substitute
         # first, then dispatch (CommandProcessorFactory.java:59).
         query = self._substitute(query)
+        if "default" in query.lower():
+            query = self._strip_default_db(query)
         # Hive's MAP/REDUCE spellings of script transform normalize to
         # the TRANSFORM form before ANY dispatch, so the FROM-first
         # INSERT branch parser and spark.sql both see one spelling.
@@ -1287,6 +1335,22 @@ class Engine:
                 "partname string, type string, state string, "
                 "workerid string, starttime bigint, duration bigint",
             )
+        m = _CREATE_DB_STMT.match(query)
+        if m:
+            return self._run_create_database(m)
+        m = _ALTER_DB_STMT.match(query)
+        if m:
+            return self._run_alter_database(m)
+        m = _DESC_DB_STMT.match(query)
+        if m:
+            return self._run_describe_database(bool(m.group(1)), m.group(2))
+        m = _SHOW_CREATE_DB_STMT.match(query)
+        if m:
+            return self._run_show_create_database(m.group(1))
+        m = _DROP_DB_STMT.match(query)
+        if m:
+            self.db_props.pop(m.group(2).lower(), None)
+            return self.spark.sql(query.rstrip().rstrip(";"))
         m = _CREATE_LIKE_STMT.match(query)
         if m and self._dml_registered(m.group(3)):
             return self._run_create_like(m)
@@ -1555,6 +1619,39 @@ class Engine:
                     raise
                 rewritten = nxt
         return self.spark.sql(rewritten)
+
+    def _strip_default_db(self, query: str) -> str:
+        """Engine-registered tables are session temp views, which Spark
+        resolves only UNQUALIFIED — but HiveQL freely writes
+        ``default.t`` for default-database tables (database_location.q
+        and ctas_uses_database_location.q read ``default.src`` while
+        USEing another db). Strip the qualifier exactly when the bare
+        name is a table or view this Engine registered; anything else
+        (real catalog tables in `default`) keeps it. Matches inside
+        string literals are left alone."""
+        out: list[str] = []
+        last = 0
+        for m in _DEFAULT_QUAL.finditer(query):
+            name = m.group(1)
+            if (
+                name.lower() not in self.table_paths
+                and name.lower() not in self.views
+            ):
+                continue
+            in_q = None
+            for ch in query[: m.start()]:
+                if in_q:
+                    if ch == in_q:
+                        in_q = None
+                elif ch in "'\"":
+                    in_q = ch
+            if in_q is not None:
+                continue
+            out.append(query[last: m.start()])
+            out.append(name)
+            last = m.end()
+        out.append(query[last:])
+        return "".join(out)
 
     def _substitute(self, text: str) -> str:
         """``${hiveconf:x}`` / ``${hivevar:x}`` / ``${env:X}`` / ``${x}``
@@ -2177,6 +2274,145 @@ class Engine:
             )
         return self.spark.createDataFrame(
             [info], "default string, type string, description string"
+        )
+
+    def _run_create_database(self, m: re.Match[str]) -> DataFrame:
+        """CREATE DATABASE|SCHEMA [IF NOT EXISTS] name [COMMENT ...]
+        [LOCATION ...] [WITH DBPROPERTIES (...)] (reference:
+        parse/DDLSemanticAnalyzer.java analyzeCreateDatabase →
+        DDLTask.createDatabase). Spark's namespace DDL carries the
+        clause forms directly, but rejects the reserved property names
+        comment/location/owner that Hive accepts as plain parameters —
+        those go to the engine overlay and re-merge on DESCRIBE."""
+        ine, name, tail = bool(m.group(1)), m.group(2).lower(), m.group(3)
+        if ine and self.spark.catalog.databaseExists(name):
+            # Hive: CREATE INE on an existing db is a pure no-op — it
+            # must NOT update comment/location/properties
+            return self._rows_affected(0)
+        comment = location = None
+        props: dict[str, str] = {}
+        cm = re.search(r"\bCOMMENT\s+'([^']*)'", tail or "", re.IGNORECASE)
+        if cm:
+            comment = cm.group(1)
+        lm = re.search(r"\bLOCATION\s+'([^']+)'", tail or "", re.IGNORECASE)
+        if lm:
+            location = lm.group(1)
+        pm = re.search(
+            r"(?:WITH\s+)?DBPROPERTIES\s*\((.*)\)", tail or "",
+            re.IGNORECASE | re.DOTALL,
+        )
+        if pm:
+            for k, v in _split_assignments(pm.group(1)):
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        passthru = {
+            k: v for k, v in props.items()
+            if k.lower() not in _DB_RESERVED_PROPS
+        }
+        stmt = "CREATE NAMESPACE "
+        if ine:
+            stmt += "IF NOT EXISTS "
+        stmt += f"`{name}`"
+        if comment is not None:
+            stmt += " COMMENT '" + comment.replace("'", "''") + "'"
+        if location is not None:
+            stmt += f" LOCATION '{location}'"
+        if passthru:
+            stmt += " WITH DBPROPERTIES (" + ", ".join(
+                f"'{k}'='{v}'" for k, v in sorted(passthru.items())
+            ) + ")"
+        self.spark.sql(stmt)
+        if props:
+            # the engine keeps the FULL parameter map: Spark both
+            # rejects reserved keys and REDACTS url/secret-looking
+            # values in DESCRIBE output, so its rendered properties
+            # string cannot round-trip Hive's parameters
+            self.db_props.setdefault(name, {}).update(props)
+        return self._rows_affected(0)
+
+    def _run_alter_database(self, m: re.Match[str]) -> DataFrame:
+        """ALTER DATABASE name SET DBPROPERTIES (...) | SET OWNER USER x
+        (DDLTask.alterDatabase — a merge into the metastore parameter
+        map, never a replace)."""
+        name = m.group(1).lower()
+        if m.group(3):  # SET OWNER USER/ROLE x
+            self.db_props.setdefault(name, {})["owner"] = m.group(3)
+            return self._rows_affected(0)
+        props: dict[str, str] = {}
+        for k, v in _split_assignments(m.group(2)):
+            props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+        passthru = {
+            k: v for k, v in props.items()
+            if k.lower() not in _DB_RESERVED_PROPS
+        }
+        if passthru:
+            self.spark.sql(
+                f"ALTER NAMESPACE `{name}` SET DBPROPERTIES ("
+                + ", ".join(
+                    f"'{k}'='{v}'" for k, v in sorted(passthru.items())
+                )
+                + ")"
+            )
+        elif not self.spark.catalog.databaseExists(name):
+            raise HiveQLUnsupportedError(
+                f"ALTER DATABASE: database {name!r} does not exist"
+            )
+        if props:
+            self.db_props.setdefault(name, {}).update(props)
+        return self._rows_affected(0)
+
+    def _db_info(self, name: str) -> tuple[str, str, str, dict[str, str]]:
+        """(comment, location, owner, parameters) for a namespace, with
+        the reserved-key overlay merged into parameters."""
+        rows = self.spark.sql(f"DESCRIBE NAMESPACE EXTENDED `{name}`")
+        info = {r[0]: r[1] for r in rows.collect()}
+        params: dict[str, str] = {}
+        raw = info.get("Properties", "") or ""
+        for k, v in re.findall(r"\(([^,()]+),\s*([^()]*)\)", raw):
+            params[k.strip()] = v.strip()
+        params.update(self.db_props.get(name.lower(), {}))
+        return (
+            info.get("Comment", "") or "",
+            info.get("Location", "") or "",
+            info.get("Owner", "") or "",
+            params,
+        )
+
+    def _run_describe_database(self, extended: bool, name: str) -> DataFrame:
+        """DESCRIBE DATABASE [EXTENDED] name — Hive's one-row metastore
+        form (DDLTask.describeDatabase writes db_name, comment,
+        location, owner_name, owner_type, parameters; parameters only
+        under EXTENDED)."""
+        comment, location, owner, params = self._db_info(name)
+        pstr = ""
+        if extended and params:
+            pstr = "{" + ", ".join(
+                f"{k}={v}" for k, v in sorted(params.items())
+            ) + "}"
+        return self.spark.createDataFrame(
+            [(name.lower(), comment, location, owner, "USER", pstr)],
+            "db_name string, comment string, location string, "
+            "owner_name string, owner_type string, parameters string",
+        )
+
+    def _run_show_create_database(self, name: str) -> DataFrame:
+        """SHOW CREATE DATABASE name (DDLTask.showCreateDatabase) —
+        reconstructed DDL, one line per row like Hive's text output."""
+        comment, location, owner, params = self._db_info(name)
+        lines = [f"CREATE DATABASE `{name.lower()}`"]
+        if comment:
+            lines += ["COMMENT", f"  '{comment}'"]
+        if location:
+            lines += ["LOCATION", f"  '{location}'"]
+        shown = {k: v for k, v in params.items() if k.lower() != "owner"}
+        if shown:
+            lines.append("WITH DBPROPERTIES (")
+            body = ",\n".join(
+                f"  '{k}'='{v}'" for k, v in sorted(shown.items())
+            )
+            lines += body.split("\n")
+            lines.append(")")
+        return self.spark.createDataFrame(
+            [(ln,) for ln in lines], "createdb_stmt string"
         )
 
     def _run_export(
