@@ -1251,6 +1251,13 @@ class Engine:
         query = self._substitute(query)
         if "default" in query.lower():
             query = self._strip_default_db(query)
+        if (
+            self.hiveconf.get(
+                "hive.int.timestamp.conversion.in.seconds", "true"
+            ).lower() == "false"
+            and re.search(r"\btimestamp\b", query, re.IGNORECASE)
+        ):
+            query = _rewrite_int_ts_casts(query)
         # Hive's MAP/REDUCE spellings of script transform normalize to
         # the TRANSFORM form before ANY dispatch, so the FROM-first
         # INSERT branch parser and spark.sql both see one spelling.
@@ -6284,6 +6291,90 @@ def _search_code(pattern: re.Pattern, text: str):
     return None
 
 
+_CAST_OPEN = re.compile(r"\bcast\s*\(", re.IGNORECASE)
+
+
+def _last_toplevel_as(text: str) -> int | None:
+    """Start index of the last depth-0 ``AS`` keyword in a cast body
+    (string-aware), or None."""
+    depth = 0
+    j = 0
+    n = len(text)
+    last = None
+    while j < n:
+        c = text[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c in "'\"":
+            quote = c
+            j += 1
+            while j < n and text[j] != quote:
+                j += 1
+        elif depth == 0 and c in "aA" and text[j: j + 2].lower() == "as":
+            before_ok = j == 0 or not (text[j - 1].isalnum()
+                                       or text[j - 1] in "_`")
+            after = text[j + 2: j + 3]
+            after_ok = after == "" or not (after.isalnum() or after in "_`")
+            if before_ok and after_ok:
+                last = j
+        j += 1
+    return last
+
+
+def _rewrite_int_ts_casts(query: str) -> str:
+    """``hive.int.timestamp.conversion.in.seconds=false`` mode (the
+    reference DEFAULT — HiveConf.java:1337; TimestampWritable
+    .longToTimestamp): integral and boolean values cast to TIMESTAMP
+    count MILLISECONDS since epoch, while float/double/decimal/string
+    keep their usual meaning. Spark's cast is always seconds, so each
+    ``CAST(x AS TIMESTAMP)`` becomes a typeof-dispatched CASE — the
+    typeof branch is constant per input column type, and the path only
+    activates when the session explicitly SETs the legacy conf (the
+    engine default is the seconds mode both Spark and the oracle
+    share; timestamp_ints_casts.q exercises both settings)."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _CAST_OPEN.search(query, i)
+        if m is None:
+            break
+        in_q = None
+        for ch in query[: m.start()]:
+            if in_q:
+                if ch == in_q:
+                    in_q = None
+            elif ch in "'\"":
+                in_q = ch
+        open_idx = query.index("(", m.start())
+        if in_q is not None:
+            out.append(query[i: open_idx + 1])
+            i = open_idx + 1
+            continue
+        close = _scan_balanced(query, open_idx)
+        if close >= len(query):
+            break
+        inner = query[open_idx + 1: close]
+        k = _last_toplevel_as(inner)
+        if k is None or inner[k + 2:].strip().lower() != "timestamp":
+            # not a cast-to-timestamp: step INSIDE so nested casts are
+            # still scanned
+            out.append(query[i: open_idx + 1])
+            i = open_idx + 1
+            continue
+        expr = _rewrite_int_ts_casts(inner[:k].strip())
+        out.append(query[i: m.start()])
+        out.append(
+            f"CASE WHEN typeof({expr}) IN ('tinyint','smallint','int',"
+            f"'bigint','boolean') THEN timestamp_millis(CAST({expr} AS "
+            f"BIGINT)) ELSE CAST({expr} AS TIMESTAMP) END"
+        )
+        i = close + 1
+    out.append(query[i:])
+    return "".join(out)
+
+
 _GREATEST_CALL = re.compile(r"\b(greatest|least)\s*\(", re.IGNORECASE)
 
 
@@ -7083,6 +7174,8 @@ def _retry_rewrite(query: str, err: str) -> str | None:
         return _pin_distinct_window_decimal(query, err)
     if "RANGE_FRAME_WITHOUT_ORDER" in err:
         return _rewrite_range_frame_order(query)
+    if "AMBIGUOUS_REFERENCE" in err:
+        return _qualify_ambiguous_reference(query, err)
     if (
         "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE" in err
         or "RANGE_FRAME_INVALID_TYPE" in err
@@ -7095,6 +7188,68 @@ def _retry_rewrite(query: str, err: str) -> str | None:
             if ty in err:
                 return _rewrite_range_frame_bounds(query, unit)
     return None
+
+
+_AMBIG_REF = re.compile(
+    r"Reference `([\w]+)` is ambiguous, could be: \[([^\]]+)\]"
+)
+
+
+def _qualify_ambiguous_reference(query: str, err: str) -> str | None:
+    """Hive's RowResolver lets a bare select-list column that is
+    ambiguous across join inputs bind to the one the query ALREADY
+    references qualified elsewhere — tez_join_hash.q groups by
+    ``a.key`` and selects bare ``key`` with ``b.key`` also in scope
+    (SemanticAnalyzer genSelectPlan resolves against the GROUP BY row
+    schema first). Spark raises AMBIGUOUS_REFERENCE; the retry
+    qualifies the bare name with the unique candidate whose qualified
+    spelling appears in the query text, and only when exactly one
+    does — anything less determinate keeps the error."""
+    m = _AMBIG_REF.search(err)
+    if not m:
+        return None
+    name = m.group(1)
+    cands = re.findall(r"`([\w]+)`\.`" + re.escape(name) + r"`", m.group(2))
+    hits = [
+        q for q in dict.fromkeys(cands)
+        if re.search(
+            rf"\b{re.escape(q)}\s*\.\s*`?{re.escape(name)}`?", query,
+            re.IGNORECASE,
+        )
+    ]
+    if len(hits) != 1:
+        return None
+    qual = hits[0]
+    bare = re.compile(
+        rf"(?<![\w.`]){re.escape(name)}(?![\w.`])", re.IGNORECASE
+    )
+    out: list[str] = []
+    last = 0
+    for bm in bare.finditer(query):
+        # only the OUTER query scope (depth 0, outside string literals)
+        # — a bare `name` inside a parenthesized subquery resolves in
+        # its own scope and must stay untouched
+        in_q = None
+        depth = 0
+        for ch in query[: bm.start()]:
+            if in_q:
+                if ch == in_q:
+                    in_q = None
+            elif ch in "'\"":
+                in_q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if in_q is not None or depth != 0:
+            continue
+        out.append(query[last: bm.start()])
+        out.append(f"{qual}.{name}")
+        last = bm.end()
+    if not out:
+        return None
+    out.append(query[last:])
+    return "".join(out)
 
 
 _GROUPING_SETS_CALL = re.compile(r"\bGROUPING\s+SETS\s*\(", re.IGNORECASE)

@@ -299,3 +299,29 @@ def test_q_join_merge_multi_expressions(qenv, spark, tmp_path):
         "b ON a.key = b.key AND a.hr = b.hr JOIN j2_sp c ON a.hr = "
         "c.hr AND a.key = c.key",
     )
+
+
+def test_q_tez_join_hash_ambiguous_groupby_ref(qenv, spark, tmp_path):
+    """tez_join_hash.q: the select list's bare `key` is ambiguous
+    across join inputs (a.key, b.key) but Hive binds it to the one the
+    GROUP BY references qualified (SemanticAnalyzer resolves the
+    select list against the group-by row schema). The engine's
+    AMBIGUOUS_REFERENCE retry qualifies it the same way."""
+    eng, con = qenv
+    rows = [(str(i % 11), f"val_{i % 11}") for i in range(60)]
+    p = str(tmp_path / "j2_th")
+    spark.createDataFrame(rows, "key string, value string") \
+        .coalesce(1).write.parquet(p)
+    eng.register_table("j2_th", p)
+    _values_view(con, "j2_th", rows, "key, value")
+    inner = (
+        "(select x.key as key, y.value as value from j2_th x join "
+        "j2_th y on (x.key = y.key) union all select key, value from "
+        "j2_th z) a join j2_th b on (a.value = b.value) "
+        "group by a.key, a.value"
+    )
+    _chk(
+        eng, con,
+        f"select key, count(*) AS n from {inner}",
+        f"select a.key AS key, CAST(count(*) AS BIGINT) AS n from {inner}",
+    )
