@@ -326,3 +326,99 @@ def test_q_co6_agg_join_agg(qenv):
          "(SELECT x.key AS key, count(1) AS cnt FROM co_src x "
          "JOIN co_src y ON (x.key = y.key) GROUP BY x.key) yy "
          "ON xx.key = yy.key ORDER BY xkey, ykey")
+
+
+def test_q_co4_three_way_join_then_group(qenv):
+    """correlationoptimizer4.q: 3-way join grouped on the MIDDLE
+    table's key — one shared key distribution end to end."""
+    eng, con = qenv
+    _chk(
+        eng, con,
+        "SELECT tmp.key AS key, tmp.cnt AS cnt FROM (SELECT y.key AS "
+        "key, count(1) AS cnt FROM co_src1 x JOIN co_src y ON (x.key = "
+        "y.key) JOIN co_src1 z ON (y.key = z.key) GROUP BY y.key) tmp",
+        "SELECT y.key AS key, CAST(count(1) AS BIGINT) AS cnt "
+        "FROM co_src1 x JOIN co_src y ON x.key = y.key "
+        "JOIN co_src1 z ON y.key = z.key GROUP BY y.key",
+    )
+
+
+def test_q_co5_join_of_joins_insert(qenv, tmp_path):
+    """correlationoptimizer5.q: a join of two JOIN subqueries on the
+    same key, INSERT OVERWRITten — all four inputs share one key
+    distribution."""
+    eng, con = qenv
+    eng.spark.sql("DROP TABLE IF EXISTS co5_dest")
+    eng.sql("CREATE TABLE co5_dest (key STRING, val STRING) "
+            "STORED AS PARQUET")
+    eng.sql(
+        "INSERT OVERWRITE TABLE co5_dest SELECT b.key, d.val FROM "
+        "(SELECT x.key, x.value AS val FROM co_src1 x JOIN co_src y "
+        "ON (x.key = y.key)) b JOIN "
+        "(SELECT m.key, n.value AS val FROM co_src m JOIN co_src1 n "
+        "ON (m.key = n.key)) d ON b.key = d.key"
+    )
+    assert_matches_oracle(
+        eng.sql("SELECT key, val FROM co5_dest"),
+        con,
+        "SELECT b.key, d.val FROM "
+        "(SELECT x.key, x.value AS val FROM co_src1 x JOIN co_src y "
+        "ON x.key = y.key) b JOIN "
+        "(SELECT m.key, n.value AS val FROM co_src m JOIN co_src1 n "
+        "ON m.key = n.key) d ON b.key = d.key",
+    )
+    eng.sql("DROP TABLE co5_dest")
+
+
+def test_q_co7_agg_join_rejoined(qenv):
+    """correlationoptimizer7.q: (join → group) rejoined with the small
+    table on the same key."""
+    eng, con = qenv
+    _chk(
+        eng, con,
+        "SELECT xx.key, xx.cnt, yy.key AS key2, yy.value FROM "
+        "(SELECT x.key AS key, count(1) AS cnt FROM co_src x JOIN "
+        "co_src1 y ON (x.key = y.key) GROUP BY x.key) xx JOIN co_src1 "
+        "yy ON xx.key=yy.key",
+        "SELECT xx.key, xx.cnt, yy.key AS key2, yy.value FROM "
+        "(SELECT x.key AS key, CAST(count(1) AS BIGINT) AS cnt FROM "
+        "co_src x JOIN co_src1 y ON x.key = y.key GROUP BY x.key) xx "
+        "JOIN co_src1 yy ON xx.key = yy.key",
+    )
+
+
+def test_q_co9_two_filtered_aggs_joined(qenv):
+    """correlationoptimizer9.q: two DIFFERENTLY-filtered aggregates of
+    the same table joined on their group keys."""
+    eng, con = qenv
+    _chk(
+        eng, con,
+        "SELECT xx.key, yy.key AS key2, xx.cnt, yy.cnt AS cnt2 FROM "
+        "(SELECT x.key AS key, count(1) AS cnt FROM co_src x WHERE "
+        "x.key < 120 GROUP BY x.key) xx JOIN "
+        "(SELECT x1.key AS key, count(1) AS cnt FROM co_src x1 WHERE "
+        "x1.key > 100 GROUP BY x1.key) yy ON (xx.key = yy.key)",
+        "SELECT xx.key, yy.key AS key2, xx.cnt, yy.cnt AS cnt2 FROM "
+        "(SELECT key, CAST(count(1) AS BIGINT) AS cnt FROM co_src "
+        "WHERE CAST(key AS DOUBLE) < 120 GROUP BY key) xx JOIN "
+        "(SELECT key, CAST(count(1) AS BIGINT) AS cnt FROM co_src "
+        "WHERE CAST(key AS DOUBLE) > 100 GROUP BY key) yy "
+        "ON xx.key = yy.key",
+    )
+
+
+def test_q_co10_semi_join_over_agg(qenv):
+    """correlationoptimizer10.q: LEFT SEMI JOIN whose left side is an
+    aggregate of a self-join — the semi filter applies AFTER the
+    aggregate."""
+    eng, con = qenv
+    _chk(
+        eng, con,
+        "SELECT xx.key, xx.cnt FROM (SELECT x.key as key, count(1) as "
+        "cnt FROM co_src1 x JOIN co_src1 y ON (x.key = y.key) group by "
+        "x.key) xx LEFT SEMI JOIN co_src yy ON xx.key=yy.key",
+        "SELECT xx.key, xx.cnt FROM (SELECT x.key AS key, "
+        "CAST(count(1) AS BIGINT) AS cnt FROM co_src1 x JOIN co_src1 y "
+        "ON x.key = y.key GROUP BY x.key) xx SEMI JOIN co_src yy "
+        "ON xx.key = yy.key",
+    )
