@@ -169,3 +169,54 @@ def test_q_runtime_skewjoin_toggle_preserves_answers(qenv):
              "ON a.key = b.key")
     finally:
         eng.sql("SET hive.optimize.skewjoin = false")
+
+
+def test_q_sjopt10_lateral_view_over_skew_join(qenv, spark):
+    """skewjoinopt10.q: LATERAL VIEW explode over the output of a
+    skew-table join whose right side carries an ARRAY column — the
+    skew split must not duplicate or drop exploded rows."""
+    eng, con = qenv
+    spark.sql("DROP TABLE IF EXISTS sjf_arr")
+    eng.sql(
+        "CREATE TABLE sjf_arr (key STRING, value ARRAY<STRING>) "
+        "STORED AS PARQUET"
+    )
+    eng.sql(
+        "INSERT INTO sjf_arr SELECT key, array(val) FROM sjf_t1"
+    )
+    _chk(
+        eng, con,
+        "select i.key AS key, c.val AS val from (select a.key as key, "
+        "b.value as array_val from sjf_t1 a join sjf_arr b on "
+        "a.key=b.key) i lateral view explode (array_val) c as val",
+        "SELECT a.key AS key, b.val AS val FROM sjf_t1 a JOIN sjf_t1 b "
+        "ON a.key = b.key",
+    )
+    eng.sql("DROP TABLE sjf_arr")
+
+
+def test_q_sjopt12_compound_skew_compound_join(qenv):
+    """skewjoinopt6.q/12.q: BOTH sides skewed on compound (key, val)
+    values, joined on the full compound key."""
+    eng, con = qenv
+    _chk(
+        eng, con,
+        f"SELECT {_PROJ} FROM sjf_t1 a JOIN sjf_t2 b ON a.key = b.key "
+        "and a.val = b.val",
+    )
+
+
+def test_q_sjopt4_one_side_skewed_either_position(qenv):
+    """skewjoinopt4.q: only ONE side declares skew — the join answer
+    is identical whichever side of the JOIN the skewed table is on."""
+    eng, con = qenv
+    _chk(
+        eng, con,
+        f"SELECT {_PROJ} FROM sjf_t1 a JOIN sjf_t3 b ON a.key = b.key",
+        f"SELECT {_PROJ} FROM sjf_t1 a JOIN sjf_t3 b ON a.key = b.key",
+    )
+    _chk(
+        eng, con,
+        f"SELECT {_PROJ} FROM sjf_t3 a JOIN sjf_t1 b ON a.key = b.key",
+        f"SELECT {_PROJ} FROM sjf_t3 a JOIN sjf_t1 b ON a.key = b.key",
+    )
