@@ -7176,6 +7176,8 @@ def _retry_rewrite(query: str, err: str) -> str | None:
         return _rewrite_range_frame_order(query)
     if "AMBIGUOUS_REFERENCE" in err:
         return _qualify_ambiguous_reference(query, err)
+    if "INVALID_ORDERING_TYPE" in err and '"MAP<' in err:
+        return _rewrite_map_orderby(query, err)
     if (
         "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE" in err
         or "RANGE_FRAME_INVALID_TYPE" in err
@@ -7188,6 +7190,35 @@ def _retry_rewrite(query: str, err: str) -> str | None:
             if ty in err:
                 return _rewrite_range_frame_bounds(query, unit)
     return None
+
+
+_MAP_SORT_ITEM = re.compile(
+    r'Cannot resolve "(.+?) (?:ASC|DESC) NULLS (?:FIRST|LAST)"'
+)
+
+
+def _rewrite_map_orderby(query: str, err: str) -> str | None:
+    """Hive ORDERs BY map-typed expressions
+    (groupby_complex_types_multi_single_reducer.q sorts a GROUP BY
+    MAP(...) key); Spark's sortorder rejects MAP. The retry replaces
+    the map sort item with ``sort_array(map_entries(item))`` — a
+    deterministic (key, value)-entry order equivalent to Hive's
+    map comparison for the golden corpus — firing only on the exact
+    INVALID_ORDERING_TYPE/MAP error."""
+    m = _MAP_SORT_ITEM.search(err)
+    if m is None:
+        return None
+    item = m.group(1).strip().strip("`")
+    wrapped = f"sort_array(map_entries({item}))"
+    if wrapped in query:
+        return None
+    pat = re.compile(
+        rf"(\b(?:ORDER|SORT)\s+BY\b[^;]*?)(?<![\w.`(]){re.escape(item)}"
+        r"(?![\w.`(])",
+        re.IGNORECASE | re.DOTALL,
+    )
+    new = pat.sub(lambda mm: mm.group(1) + wrapped, query)
+    return new if new != query else None
 
 
 _AMBIG_REF = re.compile(
