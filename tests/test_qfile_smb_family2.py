@@ -203,3 +203,67 @@ def test_q_smb25_join_of_joins(qenv):
         "d ON (c.key = d.key) WHERE c.key = 5) t2 ON (t1.key = "
         "t2.key) WHERE t2.key = 5",
     )
+
+
+def test_q_sort_merge_join_desc_pairs(qenv, spark):
+    """sort_merge_join_desc_1.q-4.q/8.q: DESC-sorted bucketed pairs.
+    Matching (key DESC, value DESC) orders join exchange-free (the
+    bucket sets align; Spark at most re-Sorts); a prefix-vs-full sort
+    mismatch ((key DESC) vs (key DESC, value DESC)) still answers
+    correctly."""
+    eng, con = qenv
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("smb2_d1", "smb2_d2", "smb2_d3"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    for t, order in (
+        ("smb2_d1", "key DESC, value DESC"),
+        ("smb2_d2", "key DESC, value DESC"),
+        ("smb2_d3", "key DESC"),
+    ):
+        eng.sql(
+            f"CREATE TABLE {t} (key STRING, value STRING) CLUSTERED "
+            f"BY (key, value) SORTED BY ({order}) INTO 2 BUCKETS "
+            "STORED AS PARQUET"
+        )
+        spark.createDataFrame(
+            [(str(k), v) for k, v in SRC], "key string, value string"
+        ).write.insertInto(t)
+
+    def vv(name):
+        body = ", ".join(f"('{k}', '{v}')" for k, v in SRC)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM "
+            f"(VALUES {body}) AS t(key, value)"
+        )
+
+    for t in ("smb2_d1", "smb2_d2", "smb2_d3"):
+        vv(t)
+    # matched DESC-DESC pair: exchange-free (count gather only)
+    df = eng.sql(
+        "select count(*) AS n from smb2_d1 a join smb2_d2 b on "
+        "a.key = b.key and a.value = b.value"
+    )
+    assert_matches_oracle(
+        df, con,
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM smb2_d1 a JOIN "
+        "smb2_d2 b ON a.key = b.key AND a.value = b.value",
+    )
+    # no hash-partitioning shuffle on either side: the small pair is
+    # broadcast (Hive's own MAPJOIN conversion) or bucket-aligned —
+    # either way the only Exchanges are broadcast/gather
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    # prefix sort vs full sort: answers stay right regardless of how
+    # Spark plans it
+    assert_matches_oracle(
+        eng.sql(
+            "select count(*) AS n from smb2_d1 a join smb2_d3 b on "
+            "a.key = b.key and a.value = b.value"
+        ),
+        con,
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM smb2_d1 a JOIN "
+        "smb2_d3 b ON a.key = b.key AND a.value = b.value",
+    )
+    for t in ("smb2_d1", "smb2_d2", "smb2_d3"):
+        eng.sql(f"DROP TABLE {t}")
