@@ -162,3 +162,93 @@ def test_q_static_overwrite_clears_on_empty_select(qenv):
         "FROM ldp_srcpart WHERE NOT (ds = '2008-04-08' AND hr = '11') "
         "ORDER BY key, value, ds, hr",
     )
+
+
+def test_q_load_dyn_part2_bucketed_mixed_static_dynamic(qenv, spark):
+    """load_dyn_part2.q: static ds + dynamic hr into a CLUSTERED BY
+    (bucketed) partitioned table — bucketing and dynamic partitioning
+    compose."""
+    eng, con = qenv
+    spark.sql("DROP TABLE IF EXISTS ldp_bucket")
+    eng.sql(
+        "CREATE TABLE ldp_bucket (key STRING, value STRING) "
+        "PARTITIONED BY (ds STRING, hr STRING) "
+        "CLUSTERED BY (key) INTO 10 BUCKETS STORED AS PARQUET"
+    )
+    eng.sql(
+        "insert overwrite table ldp_bucket partition (ds='2010-03-23', "
+        "hr) select key, value, hr from ldp_srcpart where ds is not "
+        "null and hr is not null"
+    )
+    for hr in ("11", "12"):
+        assert_matches_oracle(
+            eng.sql(
+                "select key, value from ldp_bucket where "
+                f"ds='2010-03-23' and hr='{hr}'"
+            ),
+            con,
+            f"SELECT key, value FROM ldp_srcpart WHERE hr = '{hr}'",
+        )
+    eng.sql("DROP TABLE ldp_bucket")
+
+
+def test_q_load_dyn_part14_null_empty_partition_values(qenv, spark):
+    """load_dyn_part14.q: dynamic partition VALUES that are NULL,
+    empty string, and blank — NULL and '' land in Hive's default
+    partition (__HIVE_DEFAULT_PARTITION__), the blank keeps its
+    directory."""
+    eng, con = qenv
+    spark.sql("DROP TABLE IF EXISTS ldp_p14")
+    eng.sql(
+        "CREATE TABLE ldp_p14 (key STRING) PARTITIONED BY "
+        "(value STRING) STORED AS PARQUET"
+    )
+    eng.spark.sql("set spark.sql.sources.partitionOverwriteMode=dynamic")
+    eng.sql(
+        "insert overwrite table ldp_p14 partition(value) "
+        "select key, value from ("
+        " select * from (select 'k1' as key, cast(null as string) as "
+        "value from ldp_srcpart limit 2)a "
+        " union all select * from (select 'k2' as key, '' as value "
+        "from ldp_srcpart limit 2)b "
+        " union all select * from (select 'k3' as key, ' ' as value "
+        "from ldp_srcpart limit 2)c ) T"
+    )
+    parts = {r[0] for r in eng.sql("show partitions ldp_p14").collect()}
+    assert any("__HIVE_DEFAULT_PARTITION__" in p for p in parts), parts
+    rows = eng.sql("select key, value from ldp_p14").collect()
+    assert len(rows) == 6
+    # NULL and '' both read back as NULL from the default partition
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r.value)
+    assert by_key["k1"] == [None, None]
+    assert by_key["k2"] == [None, None]
+    eng.sql("DROP TABLE ldp_p14")
+
+
+def test_q_load_dyn_part8_mixed_branches_multi_insert(qenv, spark):
+    """load_dyn_part8.q: one FROM-first statement with a FULLY dynamic
+    branch and a static-ds + dynamic-hr branch, filters disjoint."""
+    eng, con = qenv
+    spark.sql("DROP TABLE IF EXISTS ldp_p8")
+    eng.sql(
+        "CREATE TABLE ldp_p8 (key STRING, value STRING) PARTITIONED "
+        "BY (ds STRING, hr STRING) STORED AS PARQUET"
+    )
+    eng.sql(
+        "from ldp_srcpart "
+        "insert overwrite table ldp_p8 partition (ds, hr) select key, "
+        "value, ds, hr where ds <= '2008-04-08' "
+        "insert overwrite table ldp_p8 partition(ds='2008-12-31', hr) "
+        "select key, value, hr where ds > '2008-04-08'"
+    )
+    assert_matches_oracle(
+        eng.sql("select key, value, ds, hr from ldp_p8"),
+        con,
+        "SELECT key, value, ds, hr FROM ldp_srcpart WHERE "
+        "ds <= '2008-04-08' UNION ALL SELECT key, value, "
+        "'2008-12-31' AS ds, hr FROM ldp_srcpart WHERE "
+        "ds > '2008-04-08'",
+    )
+    eng.sql("DROP TABLE ldp_p8")
