@@ -748,6 +748,10 @@ _ALTER_VIEW_STMT = re.compile(
     r"^\s*ALTER\s+VIEW\s+([\w.]+)\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_VIEW_RENAME_STMT = re.compile(
+    r"^\s*ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_VIEW_PART_STMT = re.compile(
     r"^\s*ALTER\s+VIEW\s+([\w.]+)\s+(ADD|DROP)\s+"
     r"(IF\s+(?:NOT\s+)?EXISTS\s+)?PARTITION\s*\(([^)]*)\)\s*;?\s*$",
@@ -1015,6 +1019,26 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
     return out
 
 
+#: characters Hive escapes in partition directory names
+#: (FileUtils.charToEscape — Spark's ExternalCatalogUtils.escapePathName
+#: is a copy, so escaped specs match what partitionBy() writes)
+_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_path_name(v: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS or ord(ch) < 32
+        else ch
+        for ch in v
+    )
+
+
+def _unescape_path_name(v: str) -> str:
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v
+    )
+
+
 def _parse_partition_spec(spec: str) -> tuple[dict[str, str], list[str]]:
     """``PARTITION (p='v', q)`` → ({'p': "'v'"}, ['q']) — static values
     stay SQL literals (evaluated with F.expr, cast to the column type);
@@ -1027,9 +1051,12 @@ def _parse_partition_spec(spec: str) -> tuple[dict[str, str], list[str]]:
             continue
         name, eq, val = part.partition("=")
         if eq:
-            static[name.strip()] = val.strip()
+            # Hive lowercases all column names — a spec written
+            # PARTITION (pCol1=...) addresses column pcol1
+            # (alter_rename_partition.q, loadpart1.q)
+            static[name.strip().lower()] = val.strip()
         else:
-            dynamic.append(part)
+            dynamic.append(part.lower())
     return static, dynamic
 
 
@@ -1149,6 +1176,10 @@ class Engine:
             if remembered is None or "UNABLE_TO_INFER_SCHEMA" not in str(exc):
                 raise
             df = self.spark.createDataFrame([], remembered)
+        if name in self.table_schemas:
+            df = self._apply_char_read_semantics(
+                df, self.table_schemas[name]
+            )
         df.createOrReplaceTempView(name)
         self.tables[name] = df
         self.table_paths[name] = path
@@ -1169,7 +1200,12 @@ class Engine:
         if key in self.table_schemas:
             reader = reader.schema(self.table_schemas[key])
         try:
-            return reader.parquet(self.table_paths[key])
+            return self._apply_char_read_semantics(
+                reader.parquet(self.table_paths[key]),
+                self.table_schemas[key],
+            ) if key in self.table_schemas else reader.parquet(
+                self.table_paths[key]
+            )
         except Exception as exc:
             remembered = self.table_schemas.get(key) or (
                 self.tables[key].schema if key in self.tables else None
@@ -1566,6 +1602,9 @@ class Engine:
         m = _ALTER_VIEW_PART_STMT.match(query)
         if m:
             return self._run_alter_view_partition(m)
+        m = _ALTER_VIEW_RENAME_STMT.match(query)
+        if m:
+            return self._run_alter_view_rename(m.group(1), m.group(2))
         m = _ALTER_VIEW_STMT.match(query)
         if m:
             return self._run_alter_view(m.group(1), m.group(2))
@@ -2537,7 +2576,10 @@ class Engine:
                 f"{parts} (got static={sorted(static)} dynamic={dynamic})"
             )
         return os.path.join(
-            *[f"{p}={static[p].strip(chr(39))}" for p in parts]
+            *[
+                f"{p}={_escape_path_name(static[p].strip(chr(39)))}"
+                for p in parts
+            ]
         )
 
     def _run_truncate(self, m: re.Match[str]) -> DataFrame:
@@ -2758,7 +2800,9 @@ class Engine:
             vals = {}
             for seg in rel.split("/"):
                 c, _, v = seg.partition("=")
-                vals[c.lower()] = v
+                # dirs are stored ESCAPED (FileUtils.escapePathName);
+                # specs carry raw values
+                vals[c.lower()] = _unescape_path_name(v)
             if all(vals.get(c) == v for c, v in want.items()):
                 out.append(rel)
         return out
@@ -3616,6 +3660,59 @@ class Engine:
         return out
 
     @staticmethod
+    def _char_aware_field(name: str, dtype):
+        """Declared-overlay field for one ALTERed column: CHAR(n)/
+        VARCHAR(n) targets become StringType + the char-type metadata
+        (the same encoding Spark's catalog uses, so _store_cast
+        truncates/pads on INSERT) — the parquet reader overlay must be
+        plain string; read-side pad/truncate happens in
+        _apply_char_read_semantics."""
+        from pyspark.sql.types import (
+            CharType, StringType, StructField, VarcharType,
+        )
+
+        if isinstance(dtype, CharType):
+            return StructField(
+                name, StringType(), True,
+                {_CHAR_VARCHAR_META: f"char({dtype.length})"},
+            )
+        if isinstance(dtype, VarcharType):
+            return StructField(
+                name, StringType(), True,
+                {_CHAR_VARCHAR_META: f"varchar({dtype.length})"},
+            )
+        return StructField(name, dtype, True)
+
+    @staticmethod
+    def _apply_char_read_semantics(df, schema):
+        """Hive reads a column ALTERed to CHAR(n)/VARCHAR(n) through
+        the new SerDe: overlong values truncate, CHAR pads
+        (alter_char1.q's char(20) → char(3) golden). Applied after the
+        overlay read; idempotent for data already stored shaped."""
+        from pyspark.sql import functions as F
+
+        exprs = []
+        changed = False
+        for f in schema.fields:
+            raw = (
+                f.metadata.get(_CHAR_VARCHAR_META) if f.metadata else None
+            )
+            m = (
+                re.match(r"(char|varchar)\((\d+)\)", raw)
+                if raw else None
+            )
+            if m and f.name in df.columns:
+                n = int(m.group(2))
+                c = F.substring(F.col(f.name), 1, n)
+                if m.group(1) == "char":
+                    c = F.rpad(c, n, " ")
+                exprs.append(c.alias(f.name))
+                changed = True
+            else:
+                exprs.append(F.col(f.name))
+        return df.select(*exprs) if changed else df
+
+    @staticmethod
     def _parquet_read_compatible(old, new) -> bool:
         """Type changes Spark's parquet reader supports when the declared
         schema differs from the file schema: identity plus the safe
@@ -3626,6 +3723,12 @@ class Engine:
             return True
         chain = ["tinyint", "smallint", "int", "bigint"]
         o, n = old.simpleString(), new.simpleString()
+        # the string family interconverts freely: Hive's string ↔
+        # char(n) ↔ varchar(n) CHANGE is metadata-only (alter_char1.q /
+        # alter_varchar1.q) — reads truncate/pad to the declared shape
+        strings = ("string", "char(", "varchar(")
+        if o.startswith(strings) and n.startswith(strings):
+            return True
         if o in chain and n in chain and chain.index(o) < chain.index(n):
             return True
         if (o, n) in {("float", "double"), ("int", "double"),
@@ -3669,7 +3772,7 @@ class Engine:
         parts = [p.lower() for p in self.table_partitions.get(key, [])]
         data = [f for f in schema.fields if f.name.lower() not in parts]
         part = [f for f in schema.fields if f.name.lower() in parts]
-        added = [StructField(n, t, True) for n, t in new_cols]
+        added = [self._char_aware_field(n, t) for n, t in new_cols]
         return self._set_declared_schema(
             key, StructType(data + added + part)
         )
@@ -3714,7 +3817,7 @@ class Engine:
                     "widening only)"
                 )
         part = [f for f in schema.fields if f.name.lower() in parts]
-        data = [StructField(n, t, True) for n, t in new_cols]
+        data = [self._char_aware_field(n, t) for n, t in new_cols]
         # Column stats survive REPLACE COLUMNS only for columns kept
         # with an identical type; a dropped or retyped column's stats
         # are invalidated (Hive clears metastore stats on this alter —
@@ -3781,7 +3884,7 @@ class Engine:
                             "parquet-compatible conversion"
                         )
                 old_field = f
-                moved = StructField(new_name, new_type, True)
+                moved = self._char_aware_field(new_name, new_type)
                 fields.append(moved)
             else:
                 fields.append(f)
@@ -4041,6 +4144,50 @@ class Engine:
         return self.spark.createDataFrame(
             [(ln,) for ln in lines], "partition string"
         )
+
+    def _run_alter_view_rename(self, old: str, new: str) -> DataFrame:
+        """ALTER VIEW old RENAME TO new (DDLTask renameTable on a VIEW;
+        alter_view_rename.q moves tv1.view1 to tv2.view2 — Hive allows
+        a database change). Engine views move their body plus alias/
+        partition metadata and re-register under the new name; a pure
+        catalog view falls back to Spark's native rename, recreating
+        from the stored view text when the rename crosses databases
+        (which Spark's RENAME refuses)."""
+        okey = old.split(".")[-1].lower()
+        nkey = new.split(".")[-1].lower()
+        if okey in self.views:
+            if nkey in self.views or nkey in self.table_paths:
+                raise HiveQLUnsupportedError(
+                    f"ALTER VIEW RENAME: target {nkey!r} already exists"
+                )
+            body = self.views.pop(okey)
+            self.views[nkey] = body
+            for store in (self.view_aliases, self.view_partitions):
+                if okey in store:
+                    store[nkey] = store.pop(okey)
+            df = self.spark.sql(
+                rewrite_hiveql(self._expand_macros(body), spark=self.spark)
+            )
+            if nkey in self.view_aliases:
+                df = df.toDF(*self.view_aliases[nkey])
+            df.createOrReplaceTempView(nkey)
+            self.spark.catalog.dropTempView(okey)
+            return self._rows_affected(0)
+        try:
+            return self.spark.sql(f"ALTER VIEW {old} RENAME TO {new}")
+        except Exception:
+            text = None
+            for r in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {old}"
+            ).collect():
+                if (r.col_name or "").strip() == "View Text":
+                    text = r.data_type
+                    break
+            if text is None:
+                raise
+            self.spark.sql(f"CREATE VIEW {new} AS {text}")
+            self.spark.sql(f"DROP VIEW {old}")
+            return self._rows_affected(0)
 
     def _run_alter_view(self, view: str, body: str) -> DataFrame:
         key = view.split(".")[-1].lower()
