@@ -43,7 +43,8 @@ class HiveQLUnsupportedError(NotImplementedError):
 #   following joins.
 _TABLESAMPLE = re.compile(
     r"([\w.]+)\s+TABLESAMPLE\s*\(\s*BUCKET\s+(\d+)\s+OUT\s+OF\s+(\d+)"
-    r"\s+ON\s+([\w.]+)\s*\)(\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|JOIN|ON|LEFT|"
+    r"\s+ON\s+(rand\s*\(\s*\)|[\w.]+)\s*\)"
+    r"(\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|JOIN|ON|LEFT|"
     r"RIGHT|FULL|INNER|CROSS|UNION|LIMIT|HAVING\b)(\w+))?",
     re.IGNORECASE,
 )
@@ -66,7 +67,13 @@ def _rewrite_tablesample(m: re.Match[str], col_type: str | None = None) -> str:
     table, x, y, col = m.group(1), m.group(2), m.group(3), m.group(4)
     alias = m.group(6) or table.split(".")[-1]
     bare_col = col.split(".")[-1]
-    if col_type == "string":
+    if re.match(r"rand\s*\(", col, re.IGNORECASE):
+        # ON rand() (sample1.q/sample10.q): a uniform 1-in-y row
+        # sample — Hive buckets the random double's hashCode; any
+        # uniform 1/y predicate is the same distribution, and the
+        # result is nondeterministic by construction either way
+        pred = f"floor(rand() * {y}) = {int(x) - 1}"
+    elif col_type == "string":
         # Hive buckets strings with the signed-UTF-8-byte fold
         # (ObjectInspectorUtils.hashCode:673) then
         # (hash & Integer.MAX_VALUE) % y (getBucketNumber:625) —

@@ -152,3 +152,73 @@ def test_q_sample_implicit_without_bucket_spec_rejected(qenv):
         eng.sql(
             "SELECT * FROM plain_s TABLESAMPLE (BUCKET 1 OUT OF 2) s"
         )
+
+
+def test_q_sample8_sampled_join_inputs(qenv):
+    """sample8.q: TABLESAMPLE on BOTH join inputs — the 1-of-1 side is
+    the full table, the 1-of-10 side filters by hash; the join of the
+    samples equals joining the equivalent hash-filtered subsets."""
+    eng, con = qenv
+    got = eng.sql(
+        "SELECT s.key AS sk, s.value AS sv FROM srcbucket_s TABLESAMPLE "
+        "(BUCKET 1 OUT OF 1 ON key) s JOIN srcbucket_s TABLESAMPLE "
+        "(BUCKET 1 OUT OF 10 ON key) t "
+        "WHERE t.key = s.key and t.value = s.value"
+    ).collect()
+    sampled = eng.sql(
+        "SELECT key, value FROM srcbucket_s TABLESAMPLE "
+        "(BUCKET 1 OUT OF 10 ON key)"
+    ).collect()
+    # self-join on (key, value) multiplies duplicate rows — compare
+    # the DISTINCT row sets plus the duplicate-aware count
+    assert {(r.sk, r.sv) for r in got} == {
+        (r.key, r.value) for r in sampled
+    }
+    from collections import Counter
+    counts = Counter((r.key, r.value) for r in sampled)
+    assert len(got) == sum(c * c for c in counts.values())
+    # 1-of-1 sample IS the whole table
+    assert eng.sql(
+        "SELECT count(*) AS n FROM srcbucket_s TABLESAMPLE "
+        "(BUCKET 1 OUT OF 1 ON key)"
+    ).collect()[0].n == len(ROWS)
+
+
+def test_q_sample10_partitioned_bucketed(qenv, spark):
+    """sample10.q: TABLESAMPLE over a PARTITIONED bucketed table —
+    per-ds counts of the sample equal hand-filtering each partition by
+    the same bucket hash."""
+    eng, con = qenv
+    spark.sql("DROP TABLE IF EXISTS srcpartbucket_s")
+    eng.sql(
+        "CREATE TABLE srcpartbucket_s (key INT, value STRING) "
+        "PARTITIONED BY (ds STRING) CLUSTERED BY (key) INTO 4 BUCKETS "
+        "STORED AS PARQUET"
+    )
+    for ds in ("2008-04-08", "2008-04-09"):
+        eng.sql(
+            f"INSERT INTO srcpartbucket_s PARTITION (ds='{ds}') "
+            "VALUES " + ", ".join(
+                f"({k}, '{v}')" for k, v in ROWS if k < 10
+            )
+        )
+    got = {
+        (r.ds, r.n)
+        for r in eng.sql(
+            "select ds, count(1) AS n from srcpartbucket_s tablesample "
+            "(bucket 1 out of 4 on key) where ds is not null group by ds"
+        ).collect()
+    }
+    per_ds = eng.sql(
+        "select key from srcpartbucket_s tablesample (bucket 1 out of "
+        "4 on key) where ds = '2008-04-08'"
+    ).count()
+    if per_ds:
+        assert got == {("2008-04-08", per_ds), ("2008-04-09", per_ds)}
+    # rand() sampling: nondeterministic subset, bounded by the table
+    n_rand = eng.sql(
+        "SELECT count(*) AS n FROM srcpartbucket_s TABLESAMPLE "
+        "(BUCKET 1 OUT OF 2 ON rand())"
+    ).collect()[0].n
+    assert 0 <= n_rand <= 2 * sum(1 for k, _ in ROWS if k < 10)
+    eng.sql("DROP TABLE srcpartbucket_s")
