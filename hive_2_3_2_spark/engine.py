@@ -676,6 +676,19 @@ _DB_RESERVED_PROPS = ("comment", "location", "owner")
 _DEFAULT_QUAL = re.compile(
     r"(?:`default`|\bdefault\b)\s*\.\s*`?(\w+)`?", re.IGNORECASE
 )
+#: backtick-quoted identifier containing non-word characters — Hive's
+#: special-character table names (hive.support.special.characters
+#: .tablename; special_character_in_tabnames_1.q uses `src/_/cbo`).
+#: Spark's temp-view/catalog namespace rejects them, so Engine.sql
+#: rewrites each to a deterministic mangled identifier before dispatch
+#: (registration and every later reference mangle identically).
+_SPECIAL_IDENT = re.compile(r"`([^`\s]*[^\w`][^`\s]*)`")
+
+
+def _mangle_special_name(name: str) -> str:
+    import hashlib
+
+    return "spec_" + hashlib.md5(name.lower().encode()).hexdigest()[:10]
 # CREATE TABLE t LIKE s [STORED AS fmt] [LOCATION 'p'] — schema-only copy
 # (reference: parse/DDLSemanticAnalyzer.java analyzeCreateTable LIKE →
 # DDLTask.createTableLike: new empty table with the source's schema).
@@ -1159,6 +1172,11 @@ class Engine:
         schema — Spark's parquet reader binds by name, filling missing
         columns with NULL (exactly Hive's metastore-schema semantics)."""
         name = name.split(".")[-1].lower()
+        if re.search(r"[^\w]", name):
+            # Hive special-character table name — registered under the
+            # same mangled identifier Engine.sql rewrites backticked
+            # references to
+            name = _mangle_special_name(name)
         # Every mutating statement re-registers its target, so this is
         # the single chokepoint where gathered stats go stale — the
         # engine's version of Hive clearing COLUMN_STATS_ACCURATE on a
@@ -1292,6 +1310,14 @@ class Engine:
         # (VariableSubstitution wraps each processor) — so substitute
         # first, then dispatch (CommandProcessorFactory.java:59).
         query = self._substitute(query)
+        if "`" in query and self.hiveconf.get(
+            "hive.support.quoted.identifiers", "column"
+        ).lower() != "none":
+            # special-character table names; regex-column mode
+            # (quoted.identifiers=none) keeps its backticked patterns
+            query = _SPECIAL_IDENT.sub(
+                lambda m: _mangle_special_name(m.group(1)), query
+            )
         if "default" in query.lower():
             query = self._strip_default_db(query)
         if (
