@@ -7630,4 +7630,21 @@ def rewrite_hiveql(query: str, spark: SparkSession | None = None) -> str:
         )
     for pat, repl in _REWRITES:
         out = pat.sub(repl, out)
+    if "0x" in out:
+        # Hive's charset-prefixed hex string literal — `_UTF-8 0xE9...`
+        # decodes the bytes in the named charset (inputddl5.q;
+        # LexerNoViableAltException path in ParseDriver handles the
+        # `_<charset> 0x<hex>` token pair)
+        def _decode_hex_literal(m: re.Match[str]) -> str:
+            try:
+                s = bytes.fromhex(m.group(2)).decode(
+                    m.group(1).replace("-", "_")
+                )
+            except (ValueError, LookupError):
+                return m.group(0)
+            return "'" + s.replace("'", "\\'") + "'"
+
+        out = re.sub(
+            r"_([\w-]+)\s+0x([0-9A-Fa-f]+)", _decode_hex_literal, out
+        )
     return out

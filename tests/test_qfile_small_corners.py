@@ -209,3 +209,15 @@ def test_q_parquet_ppd_decimal_comparisons(qenv, spark):
     # the two pinned divergences (Hive returns true for both):
     assert not one("select d = cast('0.22' as float) from sc_nt")
     assert not one("select d in ('0.22', '44.22') from sc_nt")
+
+
+def test_q_inputddl5_utf8_hex_literal(qenv):
+    """inputddl5.q: Hive's charset-prefixed hex literal — SELECT
+    count(1) WHERE name = _UTF-8 0xE982B5E993AE compares against the
+    decoded UTF-8 string (邵铮)."""
+    eng, con = qenv
+    row = eng.sql(
+        "SELECT '邵铮' = _UTF-8 0xE982B5E993AE AS eq, "
+        "_UTF-8 0xE982B5E993AE AS s"
+    ).collect()[0]
+    assert row.eq is True and row.s == "邵铮"
