@@ -668,6 +668,19 @@ _DROP_DB_STMT = re.compile(
     r"\s*(CASCADE|RESTRICT)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# ALTER TABLE t [PARTITION (...)] CLUSTERED BY ... / NOT CLUSTERED —
+# Hive changes bucket METADATA for future writes while old
+# files/partitions keep their layout (alter_numbuckets_partitioned_
+# table_h23.q, bucketmapjoin10.q/13.q exploit exactly that drift).
+# Spark's bucket spec is immutable table-level metadata the planner
+# TRUSTS for shuffle elision — serving a changed spec over unchanged
+# files would return wrong joins, so this is a typed error with the
+# migration path, never a silent wrong answer.
+_ALTER_CLUSTERED_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)(?:\s+PARTITION\s*\([^)]*\))?\s+"
+    r"(?:NOT\s+CLUSTERED|NOT\s+SORTED|CLUSTERED\s+BY\b).*$",
+    re.IGNORECASE | re.DOTALL,
+)
 #: DBPROPERTIES keys Spark reserves for namespace metadata
 #: (SupportsNamespaces.RESERVED_PROPERTIES) — Hive stores them as plain
 #: parameters, so the engine keeps them in a per-db overlay instead.
@@ -1427,6 +1440,17 @@ class Engine:
         if m:
             self.db_props.pop(m.group(2).lower(), None)
             return self.spark.sql(query.rstrip().rstrip(";"))
+        m = _ALTER_CLUSTERED_STMT.match(query)
+        if m:
+            raise HiveQLUnsupportedError(
+                f"ALTER TABLE {m.group(1)} CLUSTERED BY / NOT "
+                "CLUSTERED: Hive changes bucket metadata for FUTURE "
+                "writes while existing files keep their layout — "
+                "Spark's planner trusts the (immutable) bucket spec "
+                "for shuffle elision, so a drifted spec would return "
+                "wrong joins. CREATE a new table with the target "
+                "CLUSTERED BY and INSERT ... SELECT to migrate"
+            )
         m = _CREATE_LIKE_STMT.match(query)
         if m and self._dml_registered(m.group(3)):
             return self._run_create_like(m)

@@ -623,3 +623,25 @@ def test_protected_fixture_dataset_rejects_mutation(spark, sf_dir):
     # reads / metadata remain fine
     assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 25
     assert eng.sql("ANALYZE TABLE nation COMPUTE STATISTICS").count() == 1
+
+
+def test_alter_clustered_by_typed_error(spark, tmp_path):
+    """bucketmapjoin10.q/13.q corner: Hive's ALTER CLUSTERED BY leaves
+    old files in the OLD bucket layout — Spark would trust the new
+    spec and elide shuffles wrongly, so the engine refuses with the
+    migration path (typed, never a silent wrong join)."""
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    spark.sql("DROP TABLE IF EXISTS neg_bmj")
+    eng.sql(
+        "CREATE TABLE neg_bmj (key INT) CLUSTERED BY (key) INTO 2 "
+        "BUCKETS STORED AS PARQUET"
+    )
+    try:
+        with pytest.raises(HiveQLUnsupportedError, match="bucket"):
+            eng.sql("ALTER TABLE neg_bmj CLUSTERED BY (key) INTO 3 BUCKETS")
+        with pytest.raises(HiveQLUnsupportedError, match="bucket"):
+            eng.sql("ALTER TABLE neg_bmj NOT CLUSTERED")
+    finally:
+        spark.sql("DROP TABLE neg_bmj")
