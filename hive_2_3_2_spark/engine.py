@@ -7382,6 +7382,8 @@ def _retry_rewrite(query: str, err: str) -> str | None:
         return _qualify_ambiguous_reference(query, err)
     if "INVALID_ORDERING_TYPE" in err and '"MAP<' in err:
         return _rewrite_map_orderby(query, err)
+    if "FILTER_NOT_BOOLEAN" in err:
+        return _rewrite_nonbool_filter(query, err)
     if (
         "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE" in err
         or "RANGE_FRAME_INVALID_TYPE" in err
@@ -7394,6 +7396,44 @@ def _retry_rewrite(query: str, err: str) -> str | None:
             if ty in err:
                 return _rewrite_range_frame_bounds(query, unit)
     return None
+
+
+_FILTER_NOT_BOOL = re.compile(
+    r'Filter expression "(.+?)" of type '
+    r'"([A-Z_]+(?:\([^)]*\))?(?:<[^"]*>)?)" is not a boolean'
+)
+
+
+def _rewrite_nonbool_filter(query: str, err: str) -> str | None:
+    """Hive implicitly converts any primitive WHERE/HAVING expression
+    to boolean (UDFToBoolean: numerics ``!= 0``, strings
+    ``length != 0``, timestamps ``seconds||nanos != 0`` —
+    vector_empty_where.q filters on bare cstring1/cint/cfloat/
+    ctimestamp1 columns). Spark rejects with FILTER_NOT_BOOLEAN; the
+    retry wraps the exact reported expression with the matching
+    UDFToBoolean spelling, only where it appears after WHERE/HAVING."""
+    m = _FILTER_NOT_BOOL.search(err)
+    if m is None:
+        return None
+    expr, ty = m.group(1), m.group(2)
+    if ty.startswith(("STRING", "CHAR", "VARCHAR")):
+        wrapped = f"(length({expr}) > 0)"
+    elif ty in ("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT",
+                "DOUBLE") or ty.startswith("DECIMAL"):
+        wrapped = f"(({expr}) <> 0)"
+    elif ty.startswith("TIMESTAMP"):
+        wrapped = f"(CAST({expr} AS DOUBLE) <> 0)"
+    else:
+        return None
+    if wrapped in query:
+        return None
+    pat = re.compile(
+        rf"(\b(?:WHERE|HAVING)\b\s*)(?<![\w.`]){re.escape(expr)}"
+        r"(?![\w.`(])",
+        re.IGNORECASE,
+    )
+    new = pat.sub(lambda mm: mm.group(1) + wrapped, query)
+    return new if new != query else None
 
 
 _MAP_SORT_ITEM = re.compile(

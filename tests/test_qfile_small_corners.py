@@ -221,3 +221,26 @@ def test_q_inputddl5_utf8_hex_literal(qenv):
         "_UTF-8 0xE982B5E993AE AS s"
     ).collect()[0]
     assert row.eq is True and row.s == "邵铮"
+
+
+def test_q_vector_empty_where_nonbool_filter(qenv, spark, tmp_path):
+    """vector_empty_where.q: WHERE <non-boolean column> coerces per
+    Hive's UDFToBoolean — strings by length != 0, numerics by != 0;
+    NULLs filter out."""
+    eng, con = qenv
+    p = str(tmp_path / "vew")
+    spark.createDataFrame(
+        [("abc", 1, 1.5), ("", 0, 0.0), (None, None, None),
+         ("x", 7, -2.0)],
+        "cstring1 string, cint int, cfloat double",
+    ).coalesce(1).write.parquet(p)
+    eng.register_table("vew_t", p)
+    assert eng.sql(
+        "select count(cint) AS n from vew_t where cstring1"
+    ).collect()[0].n == 2  # 'abc', 'x' (empty + NULL drop)
+    assert eng.sql(
+        "select count(cint) AS n from vew_t where cint"
+    ).collect()[0].n == 2  # 1, 7 (0 and NULL drop)
+    assert eng.sql(
+        "select count(cint) AS n from vew_t where cfloat"
+    ).collect()[0].n == 2  # 1.5, -2.0

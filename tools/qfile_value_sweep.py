@@ -63,7 +63,23 @@ def extract_statements() -> list[tuple[str, str]]:
         name = os.path.basename(qf)[:-2]
         if name in covered:
             continue
-        txt = re.sub(r"--[^\n]*", "", open(qf, errors="replace").read())
+        raw = open(qf, errors="replace").read()
+        # strip -- comments OUTSIDE string literals only (a '---'
+        # literal argument must survive: udf_from_utc_timestamp.q)
+        lines = []
+        for ln in raw.split("\n"):
+            in_q = None
+            for i, ch in enumerate(ln):
+                if in_q:
+                    if ch == in_q:
+                        in_q = None
+                elif ch in "'\"":
+                    in_q = ch
+                elif ch == "-" and ln[i: i + 2] == "--":
+                    ln = ln[:i]
+                    break
+            lines.append(ln)
+        txt = "\n".join(lines)
         # split on ; outside quotes
         parts, buf, q = [], [], None
         for ch in txt:
