@@ -153,7 +153,8 @@ _MODULES = [
 # changed-implementation rule outranks staleness) + the new r8
 # stats_partition_pruned_aggregates entry (freeze rule) + 17 oldest-r4
 # re-verifications (the 7 whose first green predates r4, then a family
-# spread across agg/clean/ddl/dedup/dml/emb/fn/sample).
+# spread across agg/clean/ddl/dedup/dml/emb/sample;
+# fn_xpath_family swapped out for the new r8 database entry).
 _WINDOW = [
     # -- stalest cohort: latest green row is r3 (all 31) --
     "dedup_keep_first_by_priority",
@@ -189,6 +190,7 @@ _WINDOW = [
     "subq_scalar_uncorrelated",
     # -- new in r8 (freeze rule: new entries land inside the window) --
     "stats_partition_pruned_aggregates",
+    "database_qualified_dml",
     # -- changed implementation this round (outranks staleness) --
     "stats_answered_aggregates",
     # -- 18 oldest-r4 re-verifications --
@@ -207,7 +209,6 @@ _WINDOW = [
     "dedup_semantic_kept",
     "dml_sql_multi_insert",
     "emb_l2_normalize",
-    "fn_xpath_family",
     "sample_weighted_reservoir",
 ]
 

@@ -73,3 +73,51 @@ def stats_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = explain_str(df)
     assert "Scan parquet" not in plan and "Aggregate" not in plan, plan
     return df
+
+
+@query(
+    "database_qualified_dml",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 1000
+    GROUP BY n_name
+    """,
+)
+def database_qualified_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database DDL as a driver-verifiable surface (r8 fourth wave;
+    reference parse/DDLSemanticAnalyzer.java analyzeCreateDatabase /
+    analyzeSwitchDatabase → DDLTask.createDatabase; database.q,
+    cte_mat_1.q): CREATE DATABASE with DBPROPERTIES Spark reserves
+    (engine overlay), a CTAS INTO the database reading the DEFAULT
+    database's engine table via `default.customer` qualification, and
+    the final join back out of the db-qualified table. The db is
+    recreated per run (CASCADE) — the returned frame reads only
+    db-resident data, so it stays collectible after return."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.sql("DROP DATABASE IF EXISTS suite_db8 CASCADE")
+    # a killed/fresh session's in-memory catalog no longer knows the
+    # db, but its warehouse DIRECTORY survives — clear it like
+    # _drop_managed does for tables
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "suite_db8.db"), ignore_errors=True)
+    eng.sql(
+        "CREATE DATABASE suite_db8 COMMENT 'r8 suite database' "
+        "WITH DBPROPERTIES ('owner'='suite', 'round'='8')"
+    )
+    # the reserved 'owner' key must round-trip through the overlay
+    row = eng.sql("DESCRIBE DATABASE EXTENDED suite_db8").collect()[0]
+    assert "owner=suite" in row.parameters, row
+    eng.sql(
+        "CREATE TABLE suite_db8.rich_cust STORED AS PARQUET AS "
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM default.customer "
+        "WHERE c_acctbal > 1000"
+    )
+    return eng.sql(
+        "SELECT n.n_name, count(*) AS n, "
+        "sum(CAST(floor(r.c_acctbal * 100) AS BIGINT)) AS bal_cents "
+        "FROM suite_db8.rich_cust r JOIN default.nation n "
+        "ON r.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    )
