@@ -564,6 +564,13 @@ _EXPLAIN_STMT = re.compile(
     r"(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# EXPLAIN ANALYZE q (HIVE-14362, Hive 2.3's runtime-annotated explain;
+# explainanalyze_1.q-5.q): run the query, annotate operators with
+# ACTUAL output rows.
+_EXPLAIN_ANALYZE_STMT = re.compile(
+    r"^\s*EXPLAIN\s+ANALYZE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # CLI command processors (CommandProcessorFactory.java:59 dispatch):
 # SET → SetProcessor, ADD/LIST/DELETE → AddResourceProcessor /
@@ -1456,6 +1463,9 @@ class Engine:
             return self._run_create_like(m)
         if self.macros:
             query = self._expand_macros(query)
+        m = _EXPLAIN_ANALYZE_STMT.match(query)
+        if m:
+            return self._run_explain_analyze(m.group(1))
         m = _EXPLAIN_STMT.match(query)
         if m:
             if (m.group(1) or "").upper() == "DEPENDENCY":
@@ -2377,6 +2387,48 @@ class Engine:
             )
         return self.spark.createDataFrame(
             [info], "default string, type string, description string"
+        )
+
+    def _run_explain_analyze(self, body: str) -> DataFrame:
+        """EXPLAIN ANALYZE q — Hive 2.3's runtime-annotated explain
+        (HIVE-14362, ExplainTask with the analyze config: the query RUNS
+        and the operator tree is re-printed with actual row counts).
+        Here the body executes once through the engine (DML side
+        effects happen, like Hive), the EXECUTED Spark plan is walked —
+        through AQE's final plan and materialized query stages — and
+        every operator carrying a numOutputRows metric is annotated
+        ``(rows: N)``. Execution drives the plan's own RDD (no driver
+        materialization of the result set)."""
+        df = self.sql(body)
+        qe = df._jdf.queryExecution()
+        qe.toRdd().count()  # execute THIS plan so its metrics populate
+        lines: list[str] = []
+
+        def walk(node, depth: int) -> None:
+            name = node.nodeName()
+            rows = None
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows = kv._2().value()
+            lines.append(
+                "  " * depth + name
+                + ("" if rows is None else f" (rows: {rows})")
+            )
+            if name.startswith("AdaptiveSparkPlan"):
+                walk(node.finalPhysicalPlan(), depth + 1)
+                return
+            if "QueryStage" in name:
+                walk(node.plan(), depth + 1)
+                return
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), depth + 1)
+
+        walk(qe.executedPlan(), 0)
+        return self.spark.createDataFrame(
+            [(ln,) for ln in lines], "plan string"
         )
 
     def _run_create_database(self, m: re.Match[str]) -> DataFrame:

@@ -244,3 +244,23 @@ def test_q_vector_empty_where_nonbool_filter(qenv, spark, tmp_path):
     assert eng.sql(
         "select count(cint) AS n from vew_t where cfloat"
     ).collect()[0].n == 2  # 1.5, -2.0
+
+
+def test_q_explain_analyze_actual_rows(qenv):
+    """explainanalyze_2.q shape (HIVE-14362): EXPLAIN ANALYZE runs the
+    query and annotates operators with ACTUAL row counts — the scan
+    row count and the post-filter aggregate count are both visible."""
+    eng, con = qenv
+    lines = [r.plan for r in eng.sql(
+        "EXPLAIN ANALYZE SELECT key, count(*) FROM sc_src "
+        "WHERE key < 5 GROUP BY key"
+    ).collect()]
+    text = "\n".join(lines)
+    assert "AdaptiveSparkPlan" in lines[0]
+    assert "(rows: " in text
+    # the final aggregate's actual group count is annotated
+    n_groups = con.execute(
+        "SELECT count(DISTINCT key) FROM sc_src WHERE "
+        "CAST(key AS DOUBLE) < 5"
+    ).fetchone()[0]
+    assert f"(rows: {n_groups})" in text
