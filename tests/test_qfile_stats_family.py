@@ -405,3 +405,33 @@ def test_q_stats_noscan_partial_spec(qenv, spark, tmp_path):
         "ds=2008-04-08/hr=11", "ds=2008-04-08/hr=12"
     ]
     assert sum(r.num_rows for r in got) == 40
+
+
+def test_q_stats_empty_partition_and_dyn_part(qenv, spark, tmp_path):
+    """stats_empty_partition.q / stats_empty_dyn_part.q: ANALYZE over
+    a table whose partition holds ZERO rows records numRows=0 for it,
+    the stats-answered count over that partition is 0 (scan-free),
+    and a dynamic-partition insert producing NO partitions leaves the
+    table empty but analyzable."""
+    eng, con = qenv
+    p = str(tmp_path / "stats_empty")
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "a", "p1")], "i int, s string, part string"
+    )
+    df.write.partitionBy("part").parquet(p)
+    import os
+    os.makedirs(os.path.join(p, "part=p2"), exist_ok=True)
+    eng.register_table("stats_empty_t", p, ["part"])
+    eng.sql("ANALYZE TABLE stats_empty_t PARTITION (part) "
+            "COMPUTE STATISTICS")
+    got = eng.sql(
+        "SELECT count(*) AS n FROM stats_empty_t WHERE part = 'p2'"
+    )
+    assert _is_stats_answered(got), explain_str(got)
+    assert got.collect()[0].n == 0
+    got = eng.sql(
+        "SELECT count(*) AS n FROM stats_empty_t WHERE part = 'p1'"
+    )
+    assert _is_stats_answered(got)
+    assert got.collect()[0].n == 1
