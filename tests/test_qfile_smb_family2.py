@@ -267,3 +267,63 @@ def test_q_sort_merge_join_desc_pairs(qenv, spark):
     )
     for t in ("smb2_d1", "smb2_d2", "smb2_d3"):
         eng.sql(f"DROP TABLE {t}")
+
+
+def test_q_smb10_cross_partition_self_join(qenv, spark):
+    """smb_mapjoin_10.q: a bucketed PARTITIONED table self-joined
+    across two different partitions (partition predicates INSIDE the
+    ON) on the full compound sort key."""
+    eng, con = qenv
+    spark.sql("DROP TABLE IF EXISTS smb2_p10")
+    eng.sql(
+        "CREATE TABLE smb2_p10 (userid INT, pageid INT, postid INT, "
+        "type STRING) PARTITIONED BY (ds STRING) CLUSTERED BY (userid) "
+        "SORTED BY (pageid, postid, type, userid) INTO 2 BUCKETS "
+        "STORED AS PARQUET"
+    )
+    rows = [(i % 5, i % 7, i % 3, f"t{i % 2}") for i in range(30)]
+    for ds in ("1", "2"):
+        eng.sql(
+            f"INSERT INTO smb2_p10 PARTITION (ds='{ds}') VALUES "
+            + ", ".join(f"({u}, {p}, {po}, '{t}')"
+                        for u, p, po, t in rows)
+        )
+    got = eng.sql(
+        "select /*+mapjoin(a)*/ count(*) AS n from smb2_p10 a join "
+        "smb2_p10 b on (a.ds = '1' and b.ds = '2' and a.userid = "
+        "b.userid and a.pageid = b.pageid and a.postid = b.postid "
+        "and a.type = b.type)"
+    ).collect()[0].n
+    from collections import Counter
+    c = Counter(rows)
+    assert got == sum(v * v for v in c.values())
+    eng.sql("DROP TABLE smb2_p10")
+
+
+def test_q_smb17_eight_way_chain(qenv, spark):
+    """smb_mapjoin_17.q: an 8-way map-join chain over identically
+    bucketed tables all keyed on the same column."""
+    eng, con = qenv
+    lt10 = [r for r in SRC if r[0] < 10]
+    names = [f"smb2_c{i}" for i in range(1, 9)]
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        eng.sql(
+            f"CREATE TABLE {t} (key INT, value STRING) CLUSTERED BY "
+            "(key) SORTED BY (key) INTO 2 BUCKETS STORED AS PARQUET"
+        )
+        spark.createDataFrame(lt10, "key int, value string") \
+            .write.insertInto(t)
+    joins = " ".join(
+        f"JOIN {t} {chr(98 + i)} ON a.key = {chr(98 + i)}.key"
+        for i, t in enumerate(names[1:])
+    )
+    got = eng.sql(
+        "SELECT /*+ mapjoin(b, c, d, e, f, g, h) */ count(*) AS n "
+        f"FROM smb2_c1 a {joins}"
+    ).collect()[0].n
+    from collections import Counter
+    c = Counter(k for k, _ in lt10)
+    assert got == sum(v ** 8 for v in c.values())
+    for t in names:
+        eng.sql(f"DROP TABLE {t}")
