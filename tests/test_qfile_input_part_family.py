@@ -159,3 +159,63 @@ def test_q_input_part2_multi_insert_pruned(qenv, spark):
         )
     for t in ("ip_dest1", "ip_dest2"):
         eng.sql(f"DROP TABLE {t}")
+
+
+def test_q_input9_null_literal_insert_where_null(qenv, spark):
+    """input9.q: WHERE NULL = NULL is NULL (not true) — the INSERT
+    writes ZERO rows; the NULL select-literal still type-checks
+    against the sink columns."""
+    eng, _ = qenv
+    spark.sql("DROP TABLE IF EXISTS ip_dest9")
+    eng.sql(
+        "CREATE TABLE ip_dest9 (value STRING, key INT) STORED AS PARQUET"
+    )
+    eng.sql(
+        "FROM ip_srcpart INSERT OVERWRITE TABLE ip_dest9 "
+        "SELECT NULL, ip_srcpart.key where NULL = NULL"
+    )
+    assert eng.sql("SELECT * FROM ip_dest9").count() == 0
+    eng.sql("DROP TABLE ip_dest9")
+
+
+def test_q_input24_count_over_empty_added_partition(qenv, spark,
+                                                    tmp_path):
+    """input24.q: ADD PARTITION creates an EMPTY partition — count(1)
+    over it is 0, not an error."""
+    eng, _ = qenv
+    import os
+    p = str(tmp_path / "ip_tst24")
+    spark.createDataFrame(
+        [(1, 2, "2000-01-01")], "a int, b int, d string"
+    ).write.partitionBy("d").parquet(p)
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+    eng.table_schemas["ip_tst24"] = StructType([
+        StructField("a", IntegerType()), StructField("b", IntegerType()),
+        StructField("d", StringType()),
+    ])
+    eng.register_table("ip_tst24", p, ["d"])
+    eng.sql("alter table ip_tst24 add partition (d='2009-01-01')")
+    assert eng.sql(
+        "select count(1) AS n from ip_tst24 x where x.d='2009-01-01'"
+    ).collect()[0].n == 0
+
+
+def test_q_input26_union_ordered_limit_with_empty_branch(qenv):
+    """input26.q: UNION ALL of an ORDER BY...LIMIT subquery and a
+    LIMIT over a NONEXISTENT partition (hr='14') — the empty branch
+    contributes nothing; the ordered branch contributes exactly its
+    limited prefix."""
+    eng, con = qenv
+    got = eng.sql(
+        "select * from (select * from (select * from ip_srcpart a "
+        "where a.ds = '2008-04-08' and a.hr = '11' order by a.key "
+        "limit 5)pa union all select * from (select * from ip_srcpart "
+        "b where b.ds = '2008-04-08' and b.hr = '14' limit 5)pb)subq"
+    ).collect()
+    assert len(got) == 5
+    exp_keys = [r[0] for r in con.execute(
+        "SELECT key FROM ip_srcpart WHERE ds='2008-04-08' AND hr='11' "
+        "ORDER BY key LIMIT 5"
+    ).fetchall()]
+    assert sorted(r.key for r in got) == sorted(exp_keys)
