@@ -225,3 +225,85 @@ def test_q_ppd_multi_insert(qenv, spark, tmp_path):
     )
     for t in ("p_mi1", "p_mi2", "p_mi3"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q_ppd_gby2_filter_above_aggregate(qenv):
+    """ppd_gby2.q: WHERE above a grouped subquery mixing a pushable
+    conjunct (on the group key) with an OR over the aggregate — only
+    the key conjunct may push below the GROUP BY."""
+    eng, con = qenv
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT max(src1.c1) AS m, src1.c2 AS c2 FROM (SELECT "
+            "p_src.value AS c1, count(p_src.key) AS c2 FROM p_src "
+            "WHERE p_src.value > 'val_10' GROUP BY p_src.value) src1 "
+            "WHERE src1.c1 > 'val_200' AND (src1.c2 > 30 OR src1.c1 < "
+            "'val_400') GROUP BY src1.c2"
+        ),
+        con,
+        "SELECT max(c1) AS m, c2 FROM (SELECT value AS c1, "
+        "CAST(count(key) AS BIGINT) AS c2 FROM p_src WHERE value > "
+        "'val_10' GROUP BY value) src1 WHERE c1 > 'val_200' AND "
+        "(c2 > 30 OR c1 < 'val_400') GROUP BY c2",
+    )
+
+
+def test_q_ppd_random_nondeterministic_not_pushed(qenv):
+    """ppd_random.q: rand() > 0.5 above a join must NOT push below it
+    (a nondeterministic filter evaluated early changes semantics) —
+    pinned by the result being a SUBSET of the join, and the plan
+    keeping rand above the join."""
+    eng, _ = qenv
+    df = eng.sql(
+        "SELECT src1.c1, src2.c4 FROM (SELECT p_src.key as c1, "
+        "p_src.value as c2 from p_src) src1 JOIN (SELECT p_src.key as "
+        "c3, p_src.value as c4 from p_src where p_src.key > '2') src2 "
+        "ON src1.c1 = src2.c3 WHERE rand() > 0.5"
+    )
+    total = eng.sql(
+        "SELECT count(*) AS n FROM p_src a JOIN (SELECT key FROM "
+        "p_src WHERE key > '2') b ON a.key = b.key"
+    ).collect()[0].n
+    assert 0 <= df.count() <= total
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = opt.find("Join")
+    rand_pos = opt.find("rand(")
+    assert join_pos != -1 and rand_pos != -1 and rand_pos < join_pos, opt
+
+
+def test_q_ppd_udtf_filter_above_explode(qenv):
+    """ppd_udtf.q: a filter above explode() applies to the EXPLODED
+    values — it cannot push through the generator."""
+    eng, con = qenv
+    assert_matches_oracle(
+        eng.sql(
+            "SELECT value from (select explode(array(key, value)) as "
+            "(value) from (select * FROM p_src WHERE key > 400) A) B "
+            "WHERE value < 450"
+        ),
+        con,
+        "SELECT u.value FROM (SELECT key, value AS v FROM p_src WHERE "
+        "CAST(key AS DOUBLE) > 400) A, LATERAL (SELECT unnest([A.key, "
+        "A.v]) AS value) u WHERE CAST(u.value AS DOUBLE) < 450",
+    )
+
+
+def test_q_ppd_constant_expr_null_arithmetic(qenv, spark):
+    """ppd_constant_expr.q: constant-folded NULL arithmetic (4 + NULL,
+    key - NULL, NULL + NULL) lands as NULLs of the sink types."""
+    eng, _ = qenv
+    spark.sql("DROP TABLE IF EXISTS ppd_ce")
+    eng.sql(
+        "CREATE TABLE ppd_ce (c1 INT, c2 DOUBLE, c3 DOUBLE) "
+        "STORED AS PARQUET"
+    )
+    eng.sql(
+        "FROM p_src INSERT OVERWRITE TABLE ppd_ce "
+        "SELECT 4 + NULL, p_src.key - NULL, NULL + NULL"
+    )
+    rows = eng.sql("SELECT * FROM ppd_ce").collect()
+    assert len(rows) == 500
+    assert all(
+        r.c1 is None and r.c2 is None and r.c3 is None for r in rows
+    )
+    eng.sql("DROP TABLE ppd_ce")
