@@ -702,7 +702,11 @@ _DEFAULT_QUAL = re.compile(
 #: Spark's temp-view/catalog namespace rejects them, so Engine.sql
 #: rewrites each to a deterministic mangled identifier before dispatch
 #: (registration and every later reference mangle identically).
-_SPECIAL_IDENT = re.compile(r"`([^`\s]*[^\w`][^`\s]*)`")
+#: the content must be a plausible NAME (no whitespace/comma/paren
+#: anywhere, incl. the special char itself) — otherwise a pattern
+#: starting at a CLOSING backtick could swallow the text BETWEEN two
+#: ordinary quoted identifiers (`values`, a.`values` regression)
+_SPECIAL_IDENT = re.compile(r"`([^`\s,()]*[^\w`\s,()][^`\s,()]*)`")
 
 
 def _mangle_special_name(name: str) -> str:
