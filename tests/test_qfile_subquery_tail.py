@@ -96,3 +96,49 @@ def test_q_subquery_null_agg_window(qenv):
         "MIN(NULL) OVER () AS int_col FROM part) t1 LIMIT 5"
     ).collect()
     assert rows and all(r.int_col is None for r in rows)
+
+
+def test_q_subquery_multiinsert(qenv, spark, tmp_path):
+    """subquery_multiinsert.q: FROM-first multi-insert whose branches
+    carry a CORRELATED IN and a NOT IN subquery (+ per-branch ORDER
+    BY)."""
+    eng, con = qenv
+    p = str(tmp_path / "sq_src")
+    rows = [(str(i % 13), f"val_{i % 13}") for i in range(60)]
+    spark.createDataFrame(rows, "key string, value string").coalesce(
+        1
+    ).write.parquet(p)
+    eng.register_table("sq_src", p)
+    body = ", ".join(f"('{k}', '{v}')" for k, v in rows)
+    con.execute(
+        "CREATE OR REPLACE VIEW sq_src AS SELECT * FROM (VALUES "
+        + body + ") t(key, value)"
+    )
+    for t in ("sq_4", "sq_5"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        eng.sql(
+            f"CREATE TABLE {t} (key STRING, value STRING) "
+            "STORED AS PARQUET"
+        )
+    eng.sql(
+        "from sq_src b "
+        "INSERT OVERWRITE TABLE sq_4 select * where b.key in "
+        "(select a.key from sq_src a where b.value = a.value and "
+        "a.key > '9') "
+        "INSERT OVERWRITE TABLE sq_5 select * where b.key not in "
+        "(select key from sq_src s1 where s1.key > '2') order by key"
+    )
+    assert_matches_oracle(
+        eng.sql("SELECT key, value FROM sq_4"),
+        con,
+        "SELECT key, value FROM sq_src b WHERE b.key IN (SELECT a.key "
+        "FROM sq_src a WHERE b.value = a.value AND a.key > '9')",
+    )
+    assert_matches_oracle(
+        eng.sql("SELECT key, value FROM sq_5"),
+        con,
+        "SELECT key, value FROM sq_src WHERE key NOT IN "
+        "(SELECT key FROM sq_src WHERE key > '2')",
+    )
+    for t in ("sq_4", "sq_5"):
+        eng.sql(f"DROP TABLE {t}")
