@@ -307,3 +307,55 @@ def test_q_ppd_constant_expr_null_arithmetic(qenv, spark):
         r.c1 is None and r.c2 is None and r.c3 is None for r in rows
     )
     eng.sql("DROP TABLE ppd_ce")
+
+
+def test_q_ppd_union_view_partitioned_view(qenv, spark, tmp_path):
+    """ppd_union_view.q: a PARTITIONED ON view over a union of a new
+    table and an old-table-remapped join — the ds predicate prunes
+    BOTH branches, and each ds serves from its source generation."""
+    eng, _ = qenv
+    for name, schema, rows in (
+        ("puv_new", "key string, value string, ds string",
+         [("key1", "value1", "2011-10-15"),
+          ("key2", "value2", "2011-10-16")]),
+        ("puv_old", "keymap string, value string, ds string",
+         [("keymap3", "value3", "2011-10-13"),
+          ("keymap4", "value4", "2011-10-14")]),
+        ("puv_map", "key string, keymap string, ds string",
+         [("key3", "keymap3", "2011-10-13"),
+          ("key4", "keymap4", "2011-10-14")]),
+    ):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).write.partitionBy(
+            "ds"
+        ).parquet(p)
+        from pyspark.sql.types import StringType, StructField, StructType
+        eng.table_schemas[name] = StructType(
+            [StructField(f.split()[0], StringType())
+             for f in schema.split(", ")]
+        )
+        eng.register_table(name, p, ["ds"])
+    eng.sql("drop view if exists puv_t1")
+    eng.sql(
+        "create view puv_t1 partitioned on (ds) as select * from ("
+        "select key, value, ds from puv_new union all "
+        "select key, value, puv_old.ds from puv_old join puv_map on "
+        "puv_old.keymap = puv_map.keymap and puv_old.ds = puv_map.ds"
+        ") subq"
+    )
+    expected = {
+        "2011-10-13": [("key3", "value3")],
+        "2011-10-14": [("key4", "value4")],
+        "2011-10-15": [("key1", "value1")],
+        "2011-10-16": [("key2", "value2")],
+        "2011-10-17": [],
+    }
+    for ds, exp in expected.items():
+        got = sorted(
+            (r.key, r.value)
+            for r in eng.sql(
+                f"select * from puv_t1 where ds = '{ds}'"
+            ).collect()
+        )
+        assert got == exp, (ds, got)
+    eng.sql("drop view puv_t1")
