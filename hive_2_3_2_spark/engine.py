@@ -675,6 +675,15 @@ _DROP_DB_STMT = re.compile(
     r"\s*(CASCADE|RESTRICT)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# ALTER TABLE t PARTITION COLUMN (col type) — retype ONE partition
+# column (alter_partition_coltype.q; DDLSemanticAnalyzer
+# analyzeAlterTableModifyCols' partition-column branch). Metadata-only
+# in Hive: directory VALUES reparse under the new type.
+_ALTER_PART_COLTYPE_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+PARTITION\s+COLUMN\s*"
+    r"\(\s*(\w+)\s+([\w]+(?:\s*\([\d,\s]*\))?)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 # ALTER TABLE t [PARTITION (...)] CLUSTERED BY ... / NOT CLUSTERED —
 # Hive changes bucket METADATA for future writes while old
 # files/partitions keep their layout (alter_numbuckets_partitioned_
@@ -1650,6 +1659,11 @@ class Engine:
         m = _ALTER_REPLACE_COLS_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_replace_columns(m.group(1), m.group(2))
+        m = _ALTER_PART_COLTYPE_STMT.match(query)
+        if m and self._dml_registered(m.group(1)):
+            return self._run_partition_coltype(
+                m.group(1), m.group(2), m.group(3)
+            )
         m = _ALTER_CHANGE_COL_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_change_column(m)
@@ -3950,6 +3964,33 @@ class Engine:
                 elif kept[0] != cname:
                     stats[kept[0]] = stats.pop(cname)
         return self._set_declared_schema(key, StructType(data + part))
+
+    def _run_partition_coltype(
+        self, table: str, col: str, typ: str
+    ) -> DataFrame:
+        """ALTER TABLE t PARTITION COLUMN (col type) — retype one
+        PARTITION column (alter_partition_coltype.q). Metadata-only:
+        partition directory VALUES reparse under the new declared type
+        on the next read (a value that does not parse reads NULL, the
+        schema-on-read rule)."""
+        from pyspark.sql.types import StructField, StructType
+
+        key = self._resolve_dml_table(table)
+        parts = [p.lower() for p in self.table_partitions.get(key, [])]
+        if col.lower() not in parts:
+            raise HiveQLUnsupportedError(
+                f"ALTER PARTITION COLUMN: {col!r} is not a partition "
+                f"column of {key!r} (partition columns: {parts})"
+            )
+        new_type = self._parse_col_defs(f"{col} {typ}")[0][1]
+        schema = self._declared_schema(key)
+        fields = [
+            self._char_aware_field(f.name, new_type)
+            if f.name.lower() == col.lower()
+            else f
+            for f in schema.fields
+        ]
+        return self._set_declared_schema(key, StructType(fields))
 
     def _run_change_column(self, m: re.Match[str]) -> DataFrame:
         """ALTER TABLE t CHANGE [COLUMN] old new type [FIRST|AFTER c] —

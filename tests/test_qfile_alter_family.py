@@ -52,11 +52,7 @@ def test_q_alter3_rename_partitioned_table(qenv, spark, tmp_path):
     """alter3.q: RENAME of a partitioned table whose partition VALUES
     contain ':' — data and partitions follow the new name."""
     eng, _ = qenv
-    import os
     p = str(tmp_path / "alter3")
-    os.makedirs(p)
-    eng.sql_noop = None
-    eng.register_table  # (engine path-backed partitioned table)
     spark.createDataFrame(
         [("r1", "test_part:", "test_part:")],
         "col1 string, pcol1 string, pcol2 string",
@@ -169,3 +165,41 @@ def test_q_alter_char1_change_to_char(qenv, spark, tmp_path):
         r.value for r in eng.sql("select value from ac1_t").collect()
     )
     assert vals == ["val", "val"]
+
+
+def test_q_alter_partition_coltype(qenv, spark, tmp_path):
+    """alter_partition_coltype.q: retype a partition column (string →
+    int → string) — directory values reparse under the new type; the
+    int comparison prunes numerically after the change."""
+    eng, _ = qenv
+    import os
+    p = str(tmp_path / "apc")
+    spark.createDataFrame(
+        [("k1", "v1", "100", "6.30"), ("k2", "v2", "100", "3.0")],
+        "key string, value string, dt string, ts string",
+    ).write.partitionBy("dt", "ts").parquet(p)
+    from pyspark.sql.types import StringType, StructField, StructType
+    eng.table_schemas["apc_t"] = StructType(
+        [StructField(c, StringType())
+         for c in ("key", "value", "dt", "ts")]
+    )
+    eng.register_table("apc_t", p, ["dt", "ts"])
+    assert eng.sql(
+        "select count(*) AS n from apc_t where dt = '100'"
+    ).collect()[0].n == 2
+    eng.sql("alter table apc_t partition column (dt int)")
+    assert dict(eng.sql("select * from apc_t").dtypes)["dt"] == "int"
+    assert eng.sql(
+        "select count(*) AS n from apc_t where dt = 100"
+    ).collect()[0].n == 2
+    eng.sql("alter table apc_t partition column (ts double)")
+    assert eng.sql(
+        "select count(*) AS n from apc_t where ts = 3.0"
+    ).collect()[0].n == 1
+    # back to string: '6.30' compares as the original text again
+    eng.sql("alter table apc_t partition column (dt string)")
+    assert eng.sql(
+        "select count(*) AS n from apc_t where dt = '100'"
+    ).collect()[0].n == 2
+    with pytest.raises(HiveQLUnsupportedError):
+        eng.sql("alter table apc_t partition column (key int)")
