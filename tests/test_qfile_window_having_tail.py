@@ -107,3 +107,31 @@ def test_q_limit_pushdown2_grouped_order_limit(qenv):
     assert [(r.key, r.value, r.a) for r in got] == [
         (k, v, pytest.approx(a)) for k, v, a in exp
     ]
+
+
+def test_q_windowing_decimal(qenv, spark, tmp_path):
+    """windowing_decimal.q: sum/min/max/running windows over a
+    DECIMAL(4,2) column keep DECIMAL math (no double drift)."""
+    eng, con = qenv
+    p = str(tmp_path / "wht_dec")
+    spark.sql(
+        "SELECT id % 3 AS g, CAST(CAST(id AS DOUBLE) / 7 AS "
+        "DECIMAL(4,2)) AS dec FROM range(30)"
+    ).coalesce(1).write.parquet(p)
+    eng.register_table("wht_dec", p)
+    con.execute(
+        f"CREATE VIEW wht_dec AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    assert_matches_oracle(
+        eng.sql(
+            "select g, dec, sum(dec) over (partition by g order by dec "
+            "rows between unbounded preceding and current row) AS s, "
+            "min(dec) over (partition by g) AS mn, "
+            "max(dec) over (partition by g) AS mx from wht_dec"
+        ),
+        con,
+        "SELECT g, dec, CAST(sum(dec) OVER (PARTITION BY g ORDER BY "
+        "dec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "
+        "DECIMAL(14,2)) AS s, min(dec) OVER (PARTITION BY g) AS mn, "
+        "max(dec) OVER (PARTITION BY g) AS mx FROM wht_dec",
+    )
