@@ -675,6 +675,14 @@ _DROP_DB_STMT = re.compile(
     r"\s*(CASCADE|RESTRICT)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# SELECT DISTINCT <partition cols> FROM t [WHERE <partition conj>] —
+# the MetadataOnlyOptimizer shape (_try_metadata_only)
+_META_DISTINCT = re.compile(
+    r"^\s*SELECT\s+DISTINCT\s+([`\w\s,.]+?)\s+FROM\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b)\w+)?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # ALTER TABLE t PARTITION COLUMN (col type) — retype ONE partition
 # column (alter_partition_coltype.q; DDLSemanticAnalyzer
 # analyzeAlterTableModifyCols' partition-column branch). Metadata-only
@@ -1729,6 +1737,9 @@ class Engine:
             if not re.search(r"\bUSING\b", pre_as, re.IGNORECASE):
                 return self._run_create_temp_table(m)
         ans = self._try_stats_answer(query)
+        if ans is not None:
+            return ans
+        ans = self._try_metadata_only(query)
         if ans is not None:
             return ans
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
@@ -3273,6 +3284,72 @@ class Engine:
             }
 
         return num_rows, col_lookup
+
+    def _try_metadata_only(self, query: str) -> DataFrame | None:
+        """Hive's MetadataOnlyOptimizer
+        (optimizer/MetadataOnlyOptimizer.java, wired behind
+        hive.optimize.metadataonly default TRUE;
+        limit_partition_metadataonly.q): ``SELECT DISTINCT`` over
+        PARTITION COLUMNS ONLY — optionally under a partition-only
+        WHERE conjunction — answers from the partition LISTING. Unlike
+        the stats path this needs no ANALYZE and no staleness gate:
+        the directory list IS ground truth. At 100 TB this is the
+        difference between one listing and a full scan of every file
+        for a query whose answer is the partition layout. Returns
+        None → normal execution for any other shape."""
+        conf = self.hiveconf.get("hive.optimize.metadataonly", "true")
+        if str(conf).strip().lower() not in ("true", "1", "yes"):
+            return None
+        m = _META_DISTINCT.match(query)
+        if not m:
+            return None
+        try:
+            key = self._resolve_dml_table(m.group(2))
+        except Exception:
+            return None
+        parts = self.table_partitions.get(key)
+        if not parts:
+            return None
+        by_lower = {c.lower(): c for c in parts}
+        cols: list[str] = []
+        for raw in m.group(1).split(","):
+            c = raw.strip().strip("`").split(".")[-1].strip("`").lower()
+            if c not in by_lower:
+                return None  # a non-partition column → real execution
+            cols.append(c)
+        pred = self._stats_part_predicate(key, m.group("where"))
+        if pred is None:
+            return None
+        seen: set[tuple] = set()
+        for rel in self._partition_rels(key):
+            if not pred(rel):
+                continue
+            vals = {}
+            for seg in rel.split("/"):
+                c, _, v = seg.partition("=")
+                v = _unescape_path_name(v)
+                vals[c.lower()] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
+            seen.add(tuple(vals.get(c) for c in cols))
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            [StructField(by_lower[c], StringType()) for c in cols]
+        )
+        df = self.spark.createDataFrame(sorted(seen, key=repr), schema)
+        declared = {
+            f.name.lower(): f.dataType
+            for f in self._declared_schema(key).fields
+        }
+        exprs = [
+            f"CAST(`{by_lower[c]}` AS {declared[c].simpleString()}) "
+            f"AS `{by_lower[c]}`"
+            if c in declared and declared[c].simpleString() != "string"
+            else f"`{by_lower[c]}`"
+            for c in cols
+        ]
+        return df.selectExpr(*exprs)
 
     def _try_stats_answer(self, query: str) -> DataFrame | None:
         """Answer aggregate-only queries purely from gathered stats —

@@ -435,3 +435,49 @@ def test_q_stats_empty_partition_and_dyn_part(qenv, spark, tmp_path):
     )
     assert _is_stats_answered(got)
     assert got.collect()[0].n == 1
+
+
+def test_q_limit_partition_metadataonly_distinct(qenv, spark, tmp_path):
+    """limit_partition_metadataonly.q / MetadataOnlyOptimizer: SELECT
+    DISTINCT over partition columns answers from the partition LISTING
+    — scan-free, no ANALYZE needed, correct under partition-only
+    WHERE, falling back for data columns; conf-off disables."""
+    eng, con = qenv
+    p = str(tmp_path / "lpm")
+    rows = [
+        (str(i), ds, hr)
+        for ds in ("2008-04-08", "2008-04-09")
+        for hr in ("11", "12")
+        for i in range(20)
+    ]
+    from pyspark.sql.types import StringType, StructField, StructType
+    spark.createDataFrame(
+        rows, "key string, ds string, hr string"
+    ).write.partitionBy("ds", "hr").parquet(p)
+    eng.table_schemas["lpm_t"] = StructType(
+        [StructField(c, StringType()) for c in ("key", "ds", "hr")]
+    )
+    eng.register_table("lpm_t", p, ["ds", "hr"])
+    df = eng.sql("select distinct hr from lpm_t")
+    plan = explain_str(df)
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    assert sorted(r.hr for r in df.collect()) == ["11", "12"]
+    df = eng.sql(
+        "select distinct ds, hr from lpm_t where ds = '2008-04-08'"
+    )
+    assert "FileScan" not in explain_str(df)
+    assert sorted((r.ds, r.hr) for r in df.collect()) == [
+        ("2008-04-08", "11"), ("2008-04-08", "12"),
+    ]
+    # data column anywhere → REAL execution (still correct)
+    df = eng.sql("select distinct key, hr from lpm_t where key = '7'")
+    assert "Scan" in explain_str(df)
+    assert df.count() == 2
+    # conf off → real execution, same answer
+    eng.sql("set hive.optimize.metadataonly=false")
+    try:
+        df = eng.sql("select distinct hr from lpm_t")
+        assert "Scan" in explain_str(df)
+        assert sorted(r.hr for r in df.collect()) == ["11", "12"]
+    finally:
+        eng.sql("set hive.optimize.metadataonly=true")
