@@ -2733,8 +2733,12 @@ class Engine:
         key = self._resolve_dml_table(m.group(1), mutating=True)
         path = self.table_paths[key]
         parts = self.table_partitions.get(key)
+        auto = self._stats_autogather_on()
+        snap = self._prewrite_stats_snapshot(key) if auto else {}
+        trunc_rel = None
         if m.group(2):
-            dest = os.path.join(path, self._static_partition_reldir(key, m.group(2)))
+            trunc_rel = self._static_partition_reldir(key, m.group(2))
+            dest = os.path.join(path, trunc_rel)
             n = parquet_row_count(dest) if os.path.exists(dest) else 0
             shutil.rmtree(dest, ignore_errors=True)
         else:
@@ -2754,6 +2758,38 @@ class Engine:
             empty.coalesce(1).write.parquet(staging)
             _swap_dirs(path, staging)
         self.register_table(key, path, parts)
+        if auto:
+            # Hive's TRUNCATE resets basic stats to an ACCURATE zero
+            # (DDLTask truncateTable → StatsSetupConst.setBasicStatsState
+            # TRUE with 0 counters); a truncated PARTITION disappears
+            # from this engine's listing, so the carry-forward set is
+            # simply every other partition's fresh stats.
+            if trunc_rel is None:
+                fp, size = self._fingerprint_and_size(path)
+                self.basic_stats[key] = {
+                    "num_rows": 0, "total_size": size, "fp": fp,
+                }
+                self._fp_memo[key] = fp
+            else:
+                carried = dict(
+                    snap.get("parts", {}).get("parts", {}) if snap else {}
+                )
+                carried.pop(trunc_rel, None)
+                pcol = dict(snap.get("pcol") or {})
+                pcol.pop(trunc_rel, None)
+                if carried or pcol:
+                    fp, _size = self._fingerprint_and_size(path)
+                    if carried:
+                        self.part_basic_stats[key] = {
+                            "fp": fp,
+                            "all_parts": self._partition_rels(key),
+                            "parts": carried,
+                        }
+                    if pcol:
+                        self.part_column_stats[key] = {
+                            "fp": fp, "parts": pcol,
+                        }
+                    self._fp_memo[key] = fp
         return self._rows_affected(n)
 
     def _invalidate_stats(self, key: str) -> None:
@@ -2769,6 +2805,134 @@ class Engine:
         self.part_column_stats.pop(key, None)
         self._fp_memo.pop(key, None)
 
+    def _stats_autogather_on(self) -> bool:
+        """hive.stats.autogather (HiveConf.java:1655, default TRUE):
+        stats-aware writes record basic stats as they go, so
+        count(*)-style queries are stats-answerable WITHOUT an explicit
+        ANALYZE — exactly Hive's StatsTask running after MoveTask."""
+        v = self.hiveconf.get("hive.stats.autogather", "true")
+        return str(v).strip().lower() in ("true", "1", "yes")
+
+    def _prewrite_stats_snapshot(self, key: str) -> dict:
+        """Fingerprint-validated copy of the stats an in-engine write
+        can CARRY FORWARD, taken before the write mutates the files.
+        Hive keeps per-partition COLUMN_STATS_ACCURATE flags, so a
+        write to partition A leaves partition B's stats serveable
+        (StatsTask.java:245ff aggregates per-partition parameters);
+        this engine's fingerprint is table-wide, so carrying forward
+        means re-recording the untouched partitions' numbers under the
+        post-write fingerprint. Stale (fingerprint-mismatched) stats
+        are never carried."""
+        import copy
+
+        snap: dict = {}
+        path = self.table_paths.get(key)
+        if path is None:
+            return snap
+        prev_b = self.basic_stats.get(key)
+        prev_p = self.part_basic_stats.get(key)
+        prev_pc = self.part_column_stats.get(key)
+        if not (prev_b or prev_p or prev_pc):
+            return snap
+        fp = self._fp_memo.get(key)
+        if fp is None:
+            fp = self._table_fingerprint(path)
+        if prev_b and prev_b.get("fp") == fp:
+            snap["basic"] = dict(prev_b)
+        if prev_p and prev_p.get("fp") == fp:
+            snap["parts"] = {
+                "all_parts": list(prev_p["all_parts"]),
+                "parts": {
+                    r: dict(v) for r, v in prev_p["parts"].items()
+                },
+            }
+        if prev_pc and prev_pc.get("fp") == fp:
+            snap["pcol"] = copy.deepcopy(prev_pc["parts"])
+        return snap
+
+    def _autogather_insert_stats(
+        self,
+        key: str,
+        n: int,
+        overwrite: bool,
+        rel: str | None,
+        pre_exists: bool,
+        snap: dict,
+    ) -> None:
+        """Record basic stats after an engine INSERT — Hive's
+        hive.stats.autogather StatsTask (exec/StatsTask.java:170-220):
+        INSERT OVERWRITE (LoadTableDesc.getReplace()) sets the target's
+        numRows from the FileSink counter outright; INSERT INTO adds
+        the counter to prior ACCURATE stats and otherwise leaves the
+        target un-gathered (never a guess). Partitioned targets gather
+        only under a FULLY-STATIC spec here — dynamic-partition inserts
+        land per-partition counts inside the writer, not this hook, so
+        they simply stay invalidated (safe fallback, real execution).
+        Column stats remain ANALYZE-only (Hive gates those behind the
+        separate hive.stats.column.autogather, default FALSE in 2.3),
+        but untouched partitions' ANALYZEd column stats are carried
+        forward like Hive's per-partition accuracy flags. Costs one
+        listing walk (the same walk ANALYZE pays) per stats-gathering
+        write — never per query."""
+        path = self.table_paths[key]
+        parts = self.table_partitions.get(key)
+        if not parts:
+            if overwrite:
+                num = n
+            elif "basic" in snap:
+                num = snap["basic"]["num_rows"] + n
+            else:
+                return
+            fp, size = self._fingerprint_and_size(path)
+            self.basic_stats[key] = {
+                "num_rows": num, "total_size": size, "fp": fp,
+            }
+            self._fp_memo[key] = fp
+            return
+        if rel is None:
+            return  # dynamic/partial spec — stays invalidated
+        carried: dict = (
+            snap.get("parts", {}).get("parts", {}) if snap else {}
+        )
+        carried = dict(carried)
+        if overwrite:
+            num = n
+        elif rel in carried:
+            num = carried[rel]["num_rows"] + n
+        elif not pre_exists:
+            num = n  # brand-new partition: its rows ARE this insert's
+        else:
+            # append to an existing partition with no prior stats —
+            # that partition stays un-gathered; others may carry
+            carried.pop(rel, None)
+            num = None
+        pdir = os.path.join(path, rel)
+        if num is not None and not os.path.isdir(pdir):
+            return  # spec→dir mapping missed (exotic literal): skip
+        if num is None and not carried and "pcol" not in snap:
+            return  # nothing worth recording under a new fingerprint
+        fp, _size = self._fingerprint_and_size(path)
+        if num is not None:
+            psize = 0
+            for root, _dirs, files in os.walk(pdir):
+                psize += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+            carried[rel] = {"num_rows": num, "total_size": psize}
+        if carried:
+            self.part_basic_stats[key] = {
+                "fp": fp,
+                "all_parts": self._partition_rels(key),
+                "parts": carried,
+            }
+        pcol = dict(snap.get("pcol") or {})
+        pcol.pop(rel, None)  # this partition's column values changed
+        if pcol:
+            self.part_column_stats[key] = {"fp": fp, "parts": pcol}
+        self._fp_memo[key] = fp
+
     @staticmethod
     def _table_fingerprint(path: str) -> str:
         """Metadata-only digest of a table's data files (relpath, size,
@@ -2777,27 +2941,37 @@ class Engine:
         are served only while the files are bit-for-bit the same set.
         Listing only — no data read — so it costs what a metastore
         lookup costs."""
+        return Engine._fingerprint_and_size(path)[0]
+
+    @staticmethod
+    def _fingerprint_and_size(path: str) -> tuple[str, int]:
+        """(fingerprint, total data-file bytes) in ONE listing walk —
+        the autogather path needs both (StatsTask's updateQuickStats
+        records totalSize from the same FileStatus listing that
+        validates the write)."""
         import hashlib
 
         h = hashlib.md5()
         if os.path.isfile(path):
             st = os.stat(path)
             h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-            return h.hexdigest()
+            return h.hexdigest(), st.st_size
         entries = []
+        size = 0
         for root, _dirs, files in os.walk(path):
             for f in files:
                 if f.startswith(("_", ".")):
                     continue
                 full = os.path.join(root, f)
                 st = os.stat(full)
+                size += st.st_size
                 entries.append(
                     f"{os.path.relpath(full, path)}:{st.st_size}:"
                     f"{st.st_mtime_ns}"
                 )
         for e in sorted(entries):
             h.update(e.encode())
-        return h.hexdigest()
+        return h.hexdigest(), size
 
     @staticmethod
     def _parse_partition_spec(
@@ -5099,10 +5273,14 @@ class Engine:
                 )
             aligned = aligned.select(*target.columns)
         static_values = None
-        if overwrite and parts and not dynamic and set(static) == set(parts):
+        fully_static = bool(
+            parts and not dynamic and set(static) == set(parts)
+        )
+        if fully_static:
             # Fully static spec: pre-resolve the literal partition tuple
             # so the named partition is swapped (= cleared) even when
-            # the SELECT returns zero rows (Hive semantics).
+            # the SELECT returns zero rows (Hive semantics) — and so the
+            # autogather hook knows WHICH partition dir it just wrote.
             row = self.spark.sql(
                 "SELECT "
                 + ", ".join(
@@ -5110,7 +5288,18 @@ class Engine:
                     for p in parts
                 )
             ).first()
-            static_values = [tuple(row)]
+            if overwrite:
+                static_values = [tuple(row)]
+        auto = self._stats_autogather_on()
+        gather_rel = None
+        pre_exists = False
+        if auto and fully_static and all(v is not None for v in row):
+            gather_rel = "/".join(
+                f"{p}={_escape_path_name(str(v))}"
+                for p, v in zip(parts, row)
+            )
+            pre_exists = os.path.isdir(os.path.join(path, gather_rel))
+        snap = self._prewrite_stats_snapshot(key) if auto else {}
         n = insert_rows(
             self.spark,
             path,
@@ -5120,6 +5309,10 @@ class Engine:
             static_partition_values=static_values,
         )
         self.register_table(key, path, parts or None)
+        if auto:
+            self._autogather_insert_stats(
+                key, n, overwrite, gather_rel, pre_exists, snap
+            )
         return self._rows_affected(n)
 
     def _is_catalog_table(self, name: str) -> bool:

@@ -15,10 +15,12 @@ data-column predicates, GROUP BY, expressions over aggregates, and
 partitions without stats — all fall back to real execution with
 correct values.
 
-Divergence (documented): Hive autogathers basic stats on INSERT
-(hive.stats.autogather=true); this engine gathers only on explicit
-ANALYZE, so shapes the goldens answer pre-ANALYZE are replayed
-post-ANALYZE here.
+Since r8 the engine also autogathers basic stats on its own INSERTs
+(hive.stats.autogather=true — tests/test_stats_autogather.py), so
+goldens that answer pre-ANALYZE replay directly when the data arrives
+via engine DML; fixtures seeded by EXTERNAL parquet writes (like this
+module's) still need the explicit ANALYZE, exactly as Hive does for
+files that arrive outside stats-aware writes.
 """
 
 from __future__ import annotations
@@ -298,11 +300,28 @@ def test_q_stats_partial_partition_coverage(qenv, spark, tmp_path):
     whole2 = eng.sql("SELECT count(*) AS c FROM cover_t")
     assert _is_stats_answered(whole2), explain_str(whole2)
     assert whole2.collect()[0].c == 40
-    # engine write → event invalidation, fallback with fresh value
+    # engine write: a STATS-AWARE insert (hive.stats.autogather, the
+    # default) keeps the appended partition accurate — Hive's StatsTask
+    # adds the write's counter to the prior numbers, so the query still
+    # answers from stats WITH the fresh value
     eng.sql("INSERT INTO TABLE cover_t PARTITION (dt=2010) VALUES (99)")
     after = eng.sql("SELECT count(*) AS c FROM cover_t WHERE dt = 2010")
-    assert not _is_stats_answered(after)
+    assert _is_stats_answered(after), explain_str(after)
     assert after.collect()[0].c == 21
+    # with autogather OFF the same write is a pure invalidation event:
+    # fallback, fresh value
+    eng.sql("SET hive.stats.autogather=false")
+    try:
+        eng.sql(
+            "INSERT INTO TABLE cover_t PARTITION (dt=2010) VALUES (98)"
+        )
+        off = eng.sql(
+            "SELECT count(*) AS c FROM cover_t WHERE dt = 2010"
+        )
+        assert not _is_stats_answered(off)
+        assert off.collect()[0].c == 22
+    finally:
+        eng.sql("SET hive.stats.autogather=true")
 
 
 # data/files/null.txt (stats_only_null.q fixture): NULLs in a and b
