@@ -590,6 +590,7 @@ _SHOW_CREATE_STMT = re.compile(
 )
 _DESCRIBE_STMT = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(EXTENDED\s+|FORMATTED\s+)?([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?"
     r"(?:\s+(\w+))?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -1502,8 +1503,18 @@ class Engine:
             return self._run_show_create(m.group(1))
         m = _DESCRIBE_STMT.match(query)
         if m and self._dml_registered(m.group(2)):
+            if m.group(4):
+                if m.group(3):
+                    raise HiveQLUnsupportedError(
+                        "DESCRIBE <table> PARTITION (...) <column> is "
+                        "not supported — DESCRIBE the partition or the "
+                        "column, not both"
+                    )
+                return self._run_describe_column(m.group(2), m.group(4))
             if m.group(3):
-                return self._run_describe_column(m.group(2), m.group(3))
+                return self._run_describe_partition(
+                    m.group(2), m.group(3), m.group(1)
+                )
             return self._run_describe(m.group(2), m.group(1))
         m = _DELETE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
@@ -2765,7 +2776,7 @@ class Engine:
             # from this engine's listing, so the carry-forward set is
             # simply every other partition's fresh stats.
             if trunc_rel is None:
-                fp, size = self._fingerprint_and_size(path)
+                fp, size, _nf = self._fingerprint_and_size(path)
                 self.basic_stats[key] = {
                     "num_rows": 0, "total_size": size, "fp": fp,
                 }
@@ -2778,7 +2789,7 @@ class Engine:
                 pcol = dict(snap.get("pcol") or {})
                 pcol.pop(trunc_rel, None)
                 if carried or pcol:
-                    fp, _size = self._fingerprint_and_size(path)
+                    fp, _size, _nf = self._fingerprint_and_size(path)
                     if carried:
                         self.part_basic_stats[key] = {
                             "fp": fp,
@@ -2883,7 +2894,7 @@ class Engine:
                 num = snap["basic"]["num_rows"] + n
             else:
                 return
-            fp, size = self._fingerprint_and_size(path)
+            fp, size, _nf = self._fingerprint_and_size(path)
             self.basic_stats[key] = {
                 "num_rows": num, "total_size": size, "fp": fp,
             }
@@ -2911,7 +2922,7 @@ class Engine:
             return  # spec→dir mapping missed (exotic literal): skip
         if num is None and not carried and "pcol" not in snap:
             return  # nothing worth recording under a new fingerprint
-        fp, _size = self._fingerprint_and_size(path)
+        fp, _size, _nf = self._fingerprint_and_size(path)
         if num is not None:
             psize = 0
             for root, _dirs, files in os.walk(pdir):
@@ -2944,10 +2955,11 @@ class Engine:
         return Engine._fingerprint_and_size(path)[0]
 
     @staticmethod
-    def _fingerprint_and_size(path: str) -> tuple[str, int]:
-        """(fingerprint, total data-file bytes) in ONE listing walk —
-        the autogather path needs both (StatsTask's updateQuickStats
-        records totalSize from the same FileStatus listing that
+    def _fingerprint_and_size(path: str) -> tuple[str, int, int]:
+        """(fingerprint, total data-file bytes, data-file count) in ONE
+        listing walk — the autogather path and DESCRIBE's quick stats
+        need all three (StatsTask's updateQuickStats records
+        numFiles/totalSize from the same FileStatus listing that
         validates the write)."""
         import hashlib
 
@@ -2955,7 +2967,7 @@ class Engine:
         if os.path.isfile(path):
             st = os.stat(path)
             h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-            return h.hexdigest(), st.st_size
+            return h.hexdigest(), st.st_size, 1
         entries = []
         size = 0
         for root, _dirs, files in os.walk(path):
@@ -2971,7 +2983,7 @@ class Engine:
                 )
         for e in sorted(entries):
             h.update(e.encode())
-        return h.hexdigest(), size
+        return h.hexdigest(), size, len(entries)
 
     @staticmethod
     def _parse_partition_spec(
@@ -4774,17 +4786,7 @@ class Engine:
                     (f.name, f.dataType.simpleString(), None) for f in part
                 ]
             path = self.table_paths[key]
-            n_files = 0
-            total = 0
-            if os.path.isfile(path):
-                n_files, total = 1, os.path.getsize(path)
-            else:
-                for dirpath, _dirs, files in os.walk(path):
-                    for fn in files:
-                        if fn.startswith(("_", ".")):
-                            continue
-                        n_files += 1
-                        total += os.path.getsize(os.path.join(dirpath, fn))
+            fp, total, n_files = self._fingerprint_and_size(path)
             rows += [
                 ("", "", None),
                 ("# Detailed Table Information", "", None),
@@ -4794,10 +4796,88 @@ class Engine:
                 ("totalSize", str(total), None),
                 ("InputFormat", "parquet", None),
             ]
+            # Hive's DESC FORMATTED surfaces the StatsTask parameters
+            # (numRows, COLUMN_STATS_ACCURATE) when the stats are
+            # accurate — the observable stats0.q/stats1.q's goldens pin
+            basic = self.basic_stats.get(key)
+            if basic and basic.get("fp") == fp:
+                rows += [
+                    ("numRows", str(basic["num_rows"]), None),
+                    (
+                        "COLUMN_STATS_ACCURATE",
+                        '{"BASIC_STATS":"true"}',
+                        None,
+                    ),
+                ]
             props = self.table_props.get(key)
             if props:
                 rows += [("", "", None), ("# Table Parameters", "", None)]
                 rows += [(k, v, None) for k, v in sorted(props.items())]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    def _run_describe_partition(
+        self, table: str, spec: str, modifier: str | None
+    ) -> DataFrame:
+        """DESCRIBE [EXTENDED|FORMATTED] t PARTITION (full spec) —
+        Hive prints the table's column listing plus a Detailed
+        Partition Information section with the partition's own
+        quick stats and, when that partition's StatsTask numbers are
+        accurate, numRows/COLUMN_STATS_ACCURATE (stats4.q, stats18.q:
+        an autogathered partition SHOWS numRows; a LOAD DATA into it
+        clears them while numFiles/totalSize stay current)."""
+        key = self._resolve_dml_table(table)
+        rel = self._static_partition_reldir(key, spec)
+        path = self.table_paths[key]
+        pdir = os.path.join(path, rel)
+        if not os.path.isdir(pdir):
+            raise HiveQLUnsupportedError(
+                f"DESCRIBE: partition ({spec}) does not exist in {key!r}"
+            )
+        data, part = self._schema_split(key)
+        rows = [(f.name, f.dataType.simpleString(), None) for f in data]
+        rows += [(f.name, f.dataType.simpleString(), None) for f in part]
+        if modifier:
+            rows += [
+                ("", "", None),
+                ("# Partition Information", "", None),
+                ("# col_name", "data_type", "comment"),
+            ]
+            rows += [
+                (f.name, f.dataType.simpleString(), None) for f in part
+            ]
+            _pfp, total, n_files = self._fingerprint_and_size(pdir)
+            rows += [
+                ("", "", None),
+                ("# Detailed Partition Information", "", None),
+                ("Partition Value", rel, None),
+                ("Location", pdir, None),
+                ("numFiles", str(n_files), None),
+                ("totalSize", str(total), None),
+            ]
+            fp = self._fp_memo.get(key)
+            if fp is None:
+                fp = self._table_fingerprint(path)
+                self._fp_memo[key] = fp
+            pb = self.part_basic_stats.get(key)
+            if (
+                pb
+                and pb.get("fp") == fp
+                and rel in pb.get("parts", {})
+            ):
+                rows += [
+                    (
+                        "numRows",
+                        str(pb["parts"][rel]["num_rows"]),
+                        None,
+                    ),
+                    (
+                        "COLUMN_STATS_ACCURATE",
+                        '{"BASIC_STATS":"true"}',
+                        None,
+                    ),
+                ]
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
         )

@@ -500,3 +500,132 @@ def test_q_limit_partition_metadataonly_distinct(qenv, spark, tmp_path):
         assert sorted(r.hr for r in df.collect()) == ["11", "12"]
     finally:
         eng.sql("set hive.optimize.metadataonly=true")
+
+
+def _desc_params(eng, sql):
+    """DESCRIBE output → {param: value} over the parameter-shaped rows."""
+    return {
+        r.col_name: r.data_type
+        for r in eng.sql(sql).collect()
+        if r.col_name and not r.col_name.startswith("#")
+    }
+
+
+def test_q_stats1_autogather_desc_formatted(spark, tmp_path):
+    """stats1.q: INSERT OVERWRITE from a UNION ALL autogathers basic
+    stats (hive.stats.autogather default TRUE) — DESCRIBE FORMATTED
+    shows numRows and COLUMN_STATS_ACCURATE without any ANALYZE, and
+    count(*) answers scan-free."""
+    eng = Engine(spark=spark)
+    p = str(tmp_path / "tmptable")
+    spark.createDataFrame([("seed", "seed")], "key string, value string") \
+        .write.parquet(p)
+    eng.register_table("tmptable", p)
+    psrc = str(tmp_path / "src_t")
+    spark.createDataFrame(
+        [(str(i), f"val_{i}") for i in range(20)],
+        "key string, value string",
+    ).write.parquet(psrc)
+    eng.register_table("src_t", psrc)
+    eng.sql(
+        "INSERT OVERWRITE TABLE tmptable "
+        "SELECT unionsrc.key, unionsrc.value FROM "
+        "(SELECT 'tst1' AS key, cast(count(1) AS string) AS value "
+        " FROM src_t s1 "
+        " UNION ALL "
+        " SELECT s2.key AS key, s2.value AS value FROM src_t s2) unionsrc"
+    )
+    params = _desc_params(eng, "DESCRIBE FORMATTED tmptable")
+    assert params.get("numRows") == "21"
+    assert params.get("COLUMN_STATS_ACCURATE") == '{"BASIC_STATS":"true"}'
+    df = eng.sql("SELECT count(*) AS c FROM tmptable")
+    assert _is_stats_answered(df), explain_str(df)
+    assert df.collect()[0].c == 21
+
+
+def test_q_stats18_load_clears_numrows_updates_quick_stats(
+    spark, tmp_path
+):
+    """stats18.q: LOAD DATA into an existing autogathered partition —
+    numFiles/totalSize update (quick stats from the listing), numRows
+    and COLUMN_STATS_ACCURATE are CLEARED (a file move is not
+    stats-aware), and the count query falls back to real execution
+    with the right value."""
+    eng = Engine(spark=spark)
+    p = str(tmp_path / "stats_part")
+    spark.createDataFrame(
+        [("0", "v", "2010-04-08", "11")],
+        "key string, value string, ds string, hr string",
+    ).write.partitionBy("ds", "hr").parquet(p)
+    eng.register_table("stats_part", p, ["ds", "hr"])
+    eng.sql(
+        "INSERT OVERWRITE TABLE stats_part "
+        "PARTITION (ds='2010-04-08', hr='13') "
+        "SELECT cast(id AS string), 'x' FROM range(25)"
+    )
+    desc = (
+        "DESCRIBE FORMATTED stats_part "
+        "PARTITION (ds='2010-04-08', hr='13')"
+    )
+    before = _desc_params(eng, desc)
+    assert before.get("numRows") == "25"
+    assert before.get("COLUMN_STATS_ACCURATE") == '{"BASIC_STATS":"true"}'
+    n_files_before = int(before["numFiles"])
+    # a parquet file arriving by pure MOVE (LOAD DATA)
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame(
+        [("91", "loaded")], "key string, value string"
+    ).coalesce(1).write.parquet(extra)
+    eng.sql(
+        f"LOAD DATA INPATH '{extra}' INTO TABLE stats_part "
+        "PARTITION (ds='2010-04-08', hr='13')"
+    )
+    after = _desc_params(eng, desc)
+    assert "numRows" not in after
+    assert "COLUMN_STATS_ACCURATE" not in after
+    assert int(after["numFiles"]) > n_files_before
+    assert int(after["totalSize"]) > int(before["totalSize"])
+    df = eng.sql(
+        "SELECT count(*) AS c FROM stats_part "
+        "WHERE ds='2010-04-08' AND hr='13'"
+    )
+    assert not _is_stats_answered(df)
+    assert df.collect()[0].c == 26
+
+
+def test_q_stats4_dynamic_partitions_quick_stats_only(spark, tmp_path):
+    """stats4.q shape: a DYNAMIC-partition INSERT OVERWRITE. Hive's
+    counters gather per-partition numRows here too; this engine's
+    autogather hook only covers fully-static specs (documented), so
+    the partitions show quick stats (numFiles/totalSize) but no
+    numRows — and queries run for real with correct values. After an
+    explicit ANALYZE the numbers appear."""
+    eng = Engine(spark=spark)
+    p = str(tmp_path / "nzhang_part1")
+    spark.createDataFrame(
+        [("0", "v", "2008-04-08")], "key string, value string, ds string"
+    ).write.partitionBy("ds").parquet(p)
+    eng.register_table("nzhang_part1", p, ["ds"])
+    eng.sql("SET hive.exec.dynamic.partition.mode=nonstrict")
+    eng.sql(
+        "INSERT OVERWRITE TABLE nzhang_part1 PARTITION (ds) "
+        "SELECT cast(id AS string), 'y', "
+        "CASE WHEN id < 4 THEN '2008-04-08' ELSE '2008-04-09' END "
+        "FROM range(10)"
+    )
+    desc = "DESCRIBE FORMATTED nzhang_part1 PARTITION (ds='2008-04-09')"
+    params = _desc_params(eng, desc)
+    assert "numRows" not in params
+    assert int(params["numFiles"]) >= 1
+    df = eng.sql("SELECT count(*) AS c FROM nzhang_part1 WHERE ds='2008-04-09'")
+    assert not _is_stats_answered(df)
+    assert df.collect()[0].c == 6
+    eng.sql(
+        "ANALYZE TABLE nzhang_part1 PARTITION (ds='2008-04-09') "
+        "COMPUTE STATISTICS"
+    )
+    params = _desc_params(eng, desc)
+    assert params.get("numRows") == "6"
+    df = eng.sql("SELECT count(*) AS c FROM nzhang_part1 WHERE ds='2008-04-09'")
+    assert _is_stats_answered(df), explain_str(df)
+    assert df.collect()[0].c == 6
