@@ -2866,25 +2866,26 @@ class Engine:
         key: str,
         n: int,
         overwrite: bool,
-        rel: str | None,
-        pre_exists: bool,
+        part_counts: dict[str, int] | None,
+        pre_rels: set[str] | None,
         snap: dict,
     ) -> None:
         """Record basic stats after an engine INSERT — Hive's
         hive.stats.autogather StatsTask (exec/StatsTask.java:170-220):
         INSERT OVERWRITE (LoadTableDesc.getReplace()) sets the target's
-        numRows from the FileSink counter outright; INSERT INTO adds
-        the counter to prior ACCURATE stats and otherwise leaves the
-        target un-gathered (never a guess). Partitioned targets gather
-        only under a FULLY-STATIC spec here — dynamic-partition inserts
-        land per-partition counts inside the writer, not this hook, so
-        they simply stay invalidated (safe fallback, real execution).
-        Column stats remain ANALYZE-only (Hive gates those behind the
-        separate hive.stats.column.autogather, default FALSE in 2.3),
-        but untouched partitions' ANALYZEd column stats are carried
-        forward like Hive's per-partition accuracy flags. Costs one
-        listing walk (the same walk ANALYZE pays) per stats-gathering
-        write — never per query."""
+        numRows from the FileSink counters outright; INSERT INTO adds
+        the counters to prior ACCURATE stats and otherwise leaves the
+        target un-gathered (never a guess). Partitioned writes carry
+        ``part_counts`` — per-written-partition row counts read from
+        the staged parquet footers (the engine's FileSink counters;
+        StatsTask.java:245ff aggregates one counter row per written
+        partition) — so STATIC and DYNAMIC specs gather alike. Column
+        stats remain ANALYZE-only (Hive gates those behind the separate
+        hive.stats.column.autogather, default FALSE in 2.3), but
+        untouched partitions' ANALYZEd column stats are carried forward
+        like Hive's per-partition accuracy flags. Costs one listing
+        walk (the same walk ANALYZE pays) per stats-gathering write —
+        never per query."""
         path = self.table_paths[key]
         parts = self.table_partitions.get(key)
         if not parts:
@@ -2900,30 +2901,42 @@ class Engine:
             }
             self._fp_memo[key] = fp
             return
-        if rel is None:
-            return  # dynamic/partial spec — stays invalidated
-        carried: dict = (
+        carried: dict = dict(
             snap.get("parts", {}).get("parts", {}) if snap else {}
         )
-        carried = dict(carried)
-        if overwrite:
-            num = n
-        elif rel in carried:
-            num = carried[rel]["num_rows"] + n
-        elif not pre_exists:
-            num = n  # brand-new partition: its rows ARE this insert's
-        else:
-            # append to an existing partition with no prior stats —
-            # that partition stays un-gathered; others may carry
-            carried.pop(rel, None)
-            num = None
-        pdir = os.path.join(path, rel)
-        if num is not None and not os.path.isdir(pdir):
-            return  # spec→dir mapping missed (exotic literal): skip
-        if num is None and not carried and "pcol" not in snap:
+        written: list[str] = []
+        for rel, cnt in (part_counts or {}).items():
+            if overwrite:
+                carried[rel] = {"num_rows": cnt}
+            elif rel in carried:
+                carried[rel] = {
+                    "num_rows": carried[rel]["num_rows"] + cnt
+                }
+            elif pre_rels is not None and rel not in pre_rels:
+                # brand-new partition: its rows ARE this insert's
+                carried[rel] = {"num_rows": cnt}
+            else:
+                # append to an existing partition with no prior stats —
+                # that partition stays un-gathered; others may carry
+                carried.pop(rel, None)
+                continue
+            written.append(rel)
+        pcol = dict(snap.get("pcol") or {})
+        for rel in part_counts or {}:
+            pcol.pop(rel, None)  # written partitions' column values moved
+        all_rels = self._partition_rels(key)
+        existing = set(all_rels)
+        # a fully-static OVERWRITE of zero rows REMOVES the partition —
+        # prune anything no longer on disk
+        carried = {r: v for r, v in carried.items() if r in existing}
+        pcol = {r: v for r, v in pcol.items() if r in existing}
+        if not carried and not pcol:
             return  # nothing worth recording under a new fingerprint
         fp, _size, _nf = self._fingerprint_and_size(path)
-        if num is not None:
+        for rel in written:
+            if rel not in carried:
+                continue
+            pdir = os.path.join(path, rel)
             psize = 0
             for root, _dirs, files in os.walk(pdir):
                 psize += sum(
@@ -2931,15 +2944,13 @@ class Engine:
                     for f in files
                     if not f.startswith(("_", "."))
                 )
-            carried[rel] = {"num_rows": num, "total_size": psize}
+            carried[rel]["total_size"] = psize
         if carried:
             self.part_basic_stats[key] = {
                 "fp": fp,
-                "all_parts": self._partition_rels(key),
+                "all_parts": all_rels,
                 "parts": carried,
             }
-        pcol = dict(snap.get("pcol") or {})
-        pcol.pop(rel, None)  # this partition's column values changed
         if pcol:
             self.part_column_stats[key] = {"fp": fp, "parts": pcol}
         self._fp_memo[key] = fp
@@ -5371,15 +5382,13 @@ class Engine:
             if overwrite:
                 static_values = [tuple(row)]
         auto = self._stats_autogather_on()
-        gather_rel = None
-        pre_exists = False
-        if auto and fully_static and all(v is not None for v in row):
-            gather_rel = "/".join(
-                f"{p}={_escape_path_name(str(v))}"
-                for p, v in zip(parts, row)
-            )
-            pre_exists = os.path.isdir(os.path.join(path, gather_rel))
         snap = self._prewrite_stats_snapshot(key) if auto else {}
+        part_counts: dict[str, int] | None = (
+            {} if auto and parts else None
+        )
+        pre_rels: set[str] | None = None
+        if auto and parts and not overwrite:
+            pre_rels = set(self._partition_rels(key))
         n = insert_rows(
             self.spark,
             path,
@@ -5387,11 +5396,12 @@ class Engine:
             parts or None,
             overwrite=overwrite,
             static_partition_values=static_values,
+            partition_counts=part_counts,
         )
         self.register_table(key, path, parts or None)
         if auto:
             self._autogather_insert_stats(
-                key, n, overwrite, gather_rel, pre_exists, snap
+                key, n, overwrite, part_counts, pre_rels, snap
             )
         return self._rows_affected(n)
 

@@ -259,6 +259,7 @@ def _staged_rewrite(
     df: DataFrame,
     partition_cols: list[str] | None,
     touched: DataFrame | None,
+    partition_counts: dict | None = None,
 ) -> None:
     """Durably rewrite the table at ``target_path`` with ``df`` (whose
     lineage reads target_path): stage to a sibling dir first, so the
@@ -301,6 +302,10 @@ def _staged_rewrite(
             stg_dir = os.path.join(staging, rel)
             shutil.rmtree(tgt_dir, ignore_errors=True)
             if os.path.isdir(stg_dir):
+                if partition_counts is not None:
+                    # staged footers = this partition's NEW total
+                    # (overwrite replaces the dir wholesale)
+                    partition_counts[rel] = parquet_row_count(stg_dir)
                 os.makedirs(os.path.dirname(tgt_dir), exist_ok=True)
                 os.rename(stg_dir, tgt_dir)
         shutil.rmtree(staging)
@@ -610,6 +615,7 @@ def insert_rows(
     partition_cols: list[str] | None = None,
     overwrite: bool = False,
     static_partition_values: list[tuple] | None = None,
+    partition_counts: dict | None = None,
 ) -> int:
     """Execute ``INSERT INTO`` / ``INSERT OVERWRITE`` against the parquet
     table at ``target_path``; returns the number of rows written.
@@ -630,7 +636,13 @@ def insert_rows(
     - OVERWRITE, unpartitioned: whole-directory swap (MoveTask pattern).
 
     The inserted-row count rides the staging write as an observed metric
-    (df.observe) — no separate count job.
+    (df.observe) — no separate count job. When ``partition_counts`` is a
+    dict and the table is partitioned, it is filled with the PER-
+    PARTITION staged row counts (``rel dir → rows in this write``) read
+    from the staged parquet FOOTERS before the move — metadata-only,
+    proportional to the files WRITTEN, never to the table. This is the
+    engine's version of Hive's per-partition FileSink counters
+    (StatsTask aggregates one row of counters per written partition).
     """
     import shutil
 
@@ -649,7 +661,8 @@ def insert_rows(
                 df.select(*partition_cols).schema,
             )
         _staged_rewrite(
-            spark, target_path, df, partition_cols or None, touched
+            spark, target_path, df, partition_cols or None, touched,
+            partition_counts=partition_counts,
         )
         return int(obs.get["__n"] or 0)
     staging = _staging_dir(target_path)
@@ -660,6 +673,11 @@ def insert_rows(
             .mode("overwrite")
             .parquet(staging)
         )
+        if partition_counts is not None:
+            for rel in _staged_partition_rels(staging, len(partition_cols)):
+                partition_counts[rel] = parquet_row_count(
+                    os.path.join(staging, rel)
+                )
     else:
         df.write.mode("overwrite").parquet(staging)
     # Move staged parquet files into place; staged file names embed a

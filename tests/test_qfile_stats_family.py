@@ -593,13 +593,12 @@ def test_q_stats18_load_clears_numrows_updates_quick_stats(
     assert df.collect()[0].c == 26
 
 
-def test_q_stats4_dynamic_partitions_quick_stats_only(spark, tmp_path):
-    """stats4.q shape: a DYNAMIC-partition INSERT OVERWRITE. Hive's
-    counters gather per-partition numRows here too; this engine's
-    autogather hook only covers fully-static specs (documented), so
-    the partitions show quick stats (numFiles/totalSize) but no
-    numRows — and queries run for real with correct values. After an
-    explicit ANALYZE the numbers appear."""
+def test_q_stats4_dynamic_partitions_autogather(spark, tmp_path):
+    """stats4.q: a DYNAMIC-partition INSERT OVERWRITE gathers
+    per-partition numRows from the per-written-partition counters
+    (StatsTask.java:245ff; here the staged parquet footers) — DESCRIBE
+    FORMATTED of each written partition shows numRows without any
+    ANALYZE, and pruned counts answer scan-free."""
     eng = Engine(spark=spark)
     p = str(tmp_path / "nzhang_part1")
     spark.createDataFrame(
@@ -613,19 +612,23 @@ def test_q_stats4_dynamic_partitions_quick_stats_only(spark, tmp_path):
         "CASE WHEN id < 4 THEN '2008-04-08' ELSE '2008-04-09' END "
         "FROM range(10)"
     )
-    desc = "DESCRIBE FORMATTED nzhang_part1 PARTITION (ds='2008-04-09')"
-    params = _desc_params(eng, desc)
-    assert "numRows" not in params
-    assert int(params["numFiles"]) >= 1
-    df = eng.sql("SELECT count(*) AS c FROM nzhang_part1 WHERE ds='2008-04-09'")
-    assert not _is_stats_answered(df)
-    assert df.collect()[0].c == 6
-    eng.sql(
-        "ANALYZE TABLE nzhang_part1 PARTITION (ds='2008-04-09') "
-        "COMPUTE STATISTICS"
-    )
-    params = _desc_params(eng, desc)
-    assert params.get("numRows") == "6"
-    df = eng.sql("SELECT count(*) AS c FROM nzhang_part1 WHERE ds='2008-04-09'")
-    assert _is_stats_answered(df), explain_str(df)
-    assert df.collect()[0].c == 6
+    for ds, want in [("2008-04-08", 4), ("2008-04-09", 6)]:
+        params = _desc_params(
+            eng,
+            f"DESCRIBE FORMATTED nzhang_part1 PARTITION (ds='{ds}')",
+        )
+        assert params.get("numRows") == str(want)
+        assert (
+            params.get("COLUMN_STATS_ACCURATE")
+            == '{"BASIC_STATS":"true"}'
+        )
+        assert int(params["numFiles"]) >= 1
+        df = eng.sql(
+            f"SELECT count(*) AS c FROM nzhang_part1 WHERE ds='{ds}'"
+        )
+        assert _is_stats_answered(df), explain_str(df)
+        assert df.collect()[0].c == want
+    # every partition was (re)written → the whole table answers too
+    df = eng.sql("SELECT count(*) AS c FROM nzhang_part1")
+    assert _is_stats_answered(df)
+    assert df.collect()[0].c == 10

@@ -187,7 +187,12 @@ def test_append_new_vs_existing_partition(eng, spark, tmp_path):
     assert df.collect()[0].c == 7
 
 
-def test_dynamic_partition_insert_stays_invalidated(eng, spark, tmp_path):
+def test_dynamic_partition_insert_gathers_per_partition(
+    eng, spark, tmp_path
+):
+    """Dynamic-partition inserts gather per-written-partition counts
+    from the staged footers — Hive's per-partition FileSink counters
+    (StatsTask.java:245ff). Untouched partitions carry forward."""
     p = str(tmp_path / "td")
     spark.createDataFrame(
         [(0, "z")], "k int, dt string"
@@ -200,16 +205,34 @@ def test_dynamic_partition_insert_stays_invalidated(eng, spark, tmp_path):
     assert _answered(eng.sql("SELECT count(*) AS c FROM td WHERE dt='z'"))
     eng.sql(
         "INSERT OVERWRITE TABLE td PARTITION (dt) "
-        "SELECT id, 'w' FROM range(3)"
+        "SELECT id, CASE WHEN id < 1 THEN 'w' ELSE 'v' END FROM range(3)"
     )
-    # dynamic insert: per-partition counts unknown to the hook → all
-    # serving stops, real execution, right answer
-    df = eng.sql("SELECT count(*) AS c FROM td WHERE dt='z'")
-    assert not _answered(df)
-    assert df.collect()[0].c == 2
+    # written partitions: staged-footer counts; untouched dt='z' carries
+    for clause, want in [("dt='z'", 2), ("dt='w'", 1), ("dt='v'", 2)]:
+        df = eng.sql(f"SELECT count(*) AS c FROM td WHERE {clause}")
+        assert _answered(df), explain_str(df)
+        assert df.collect()[0].c == want
     df = eng.sql("SELECT count(*) AS c FROM td")
-    assert not _answered(df)
+    assert _answered(df)
     assert df.collect()[0].c == 5
+    # dynamic INTO an existing un-gathered partition still falls back:
+    # seed a partition externally so it has no stats, then append to it
+    spark.createDataFrame([(7, "x")], "k int, dt string").write.mode(
+        "append"
+    ).partitionBy("dt").parquet(p)
+    eng.register_table("td", p, ["dt"])  # external write → invalidate
+    eng.sql(
+        "INSERT OVERWRITE TABLE td PARTITION (dt='z') "
+        "SELECT id FROM range(4)"
+    )
+    assert _answered(eng.sql("SELECT count(*) AS c FROM td WHERE dt='z'"))
+    eng.sql("INSERT INTO td PARTITION (dt) SELECT id, 'x' FROM range(2)")
+    df = eng.sql("SELECT count(*) AS c FROM td WHERE dt='x'")
+    assert not _answered(df)  # prior rows never counted → no guess
+    assert df.collect()[0].c == 3
+    df = eng.sql("SELECT count(*) AS c FROM td WHERE dt='z'")
+    assert _answered(df)  # untouched by the append: carried forward
+    assert df.collect()[0].c == 4
 
 
 def test_column_stats_carry_forward_untouched_partition(
