@@ -7839,6 +7839,8 @@ def _retry_rewrite(query: str, err: str) -> str | None:
         return _qualify_ambiguous_reference(query, err)
     if "INVALID_ORDERING_TYPE" in err and '"MAP<' in err:
         return _rewrite_map_orderby(query, err)
+    if "BINARY_OP_DIFF_TYPES" in err and "TIMESTAMP" in err:
+        return _rewrite_ts_numeric_cmp(query, err)
     if "FILTER_NOT_BOOLEAN" in err:
         return _rewrite_nonbool_filter(query, err)
     if (
@@ -7891,6 +7893,55 @@ def _rewrite_nonbool_filter(query: str, err: str) -> str | None:
     )
     new = pat.sub(lambda mm: mm.group(1) + wrapped, query)
     return new if new != query else None
+
+
+_TS_NUM_CMP = re.compile(
+    r'Cannot resolve "\((.+) (<=>|==|=|<=|>=|<|>|!=|<>) (.+)\)" due to '
+    r"data type mismatch: the left and right operands of the binary "
+    r'operator have incompatible types \("([A-Z_]+(?:\([^)]*\))?)" and '
+    r'"([A-Z_]+(?:\([^)]*\))?)"\)'
+)
+_TS_NUM_TYPES = {"TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE"}
+
+
+def _rewrite_ts_numeric_cmp(query: str, err: str) -> str | None:
+    """Hive compares TIMESTAMP against numerics by converting the
+    timestamp to SECONDS-as-double (serde2 TimestampWritable.getDouble
+    — seconds plus fractional nanos; vectorization_short_regress.q
+    filters on ``ctimestamp2 > -5``). Spark rejects the comparison with
+    BINARY_OP_DIFF_TYPES; this retry casts the TIMESTAMP operand of the
+    exact reported comparison to DOUBLE — Spark's cast(timestamp as
+    double) is the same seconds.fraction value — and fires only on that
+    error, so no Spark-valid statement can be touched."""
+    m = _TS_NUM_CMP.search(err)
+    if m is None:
+        return None
+    left, op, right, lt, rt = m.groups()
+
+    def _is_num(t: str) -> bool:
+        return t in _TS_NUM_TYPES or t.startswith("DECIMAL")
+
+    if lt.startswith("TIMESTAMP") and _is_num(rt):
+        repl = f"CAST({left} AS DOUBLE) {op} {right}"
+    elif rt.startswith("TIMESTAMP") and _is_num(lt):
+        repl = f"{left} {op} CAST({right} AS DOUBLE)"
+    else:
+        return None
+    # the analyzer prints != and = — the source may spell them <> / ==
+    ops = {op}
+    if op == "!=":
+        ops.add("<>")
+    elif op == "=":
+        ops.add("==")
+    for o in ops:
+        pat = re.compile(
+            rf"(?<![\w.`]){re.escape(left)}\s*{re.escape(o)}\s*"
+            rf"{re.escape(right)}(?![\w.`])"
+        )
+        new = pat.sub(repl, query)
+        if new != query:
+            return new
+    return None
 
 
 _MAP_SORT_ITEM = re.compile(
