@@ -7922,23 +7922,38 @@ def _rewrite_ts_numeric_cmp(query: str, err: str) -> str | None:
         return t in _TS_NUM_TYPES or t.startswith("DECIMAL")
 
     if lt.startswith("TIMESTAMP") and _is_num(rt):
-        repl = f"CAST({left} AS DOUBLE) {op} {right}"
+        ts_left = True
     elif rt.startswith("TIMESTAMP") and _is_num(lt):
-        repl = f"{left} {op} CAST({right} AS DOUBLE)"
+        ts_left = False
     else:
         return None
-    # the analyzer prints != and = — the source may spell them <> / ==
-    ops = {op}
+    # The analyzer normalizes operators (``a != b`` is reported as the
+    # inner ``(a = b)`` of a NOT; ``<>``/``==`` print as !=/=), so try
+    # the exact op first, then the source spellings it may stand for —
+    # the rewrite preserves whichever operator the source actually used.
+    ops = [op]
     if op == "!=":
-        ops.add("<>")
+        ops.append("<>")
     elif op == "=":
-        ops.add("==")
+        ops += ["==", "!=", "<>"]
     for o in ops:
         pat = re.compile(
-            rf"(?<![\w.`]){re.escape(left)}\s*{re.escape(o)}\s*"
-            rf"{re.escape(right)}(?![\w.`])"
+            rf"(?<![\w.`])({re.escape(left)})\s*({re.escape(o)})\s*"
+            rf"({re.escape(right)})(?![\w.`])"
         )
-        new = pat.sub(repl, query)
+
+        def _rep(mm: re.Match[str]) -> str:
+            if ts_left:
+                return (
+                    f"CAST({mm.group(1)} AS DOUBLE) "
+                    f"{mm.group(2)} {mm.group(3)}"
+                )
+            return (
+                f"{mm.group(1)} {mm.group(2)} "
+                f"CAST({mm.group(3)} AS DOUBLE)"
+            )
+
+        new = pat.sub(_rep, query)
         if new != query:
             return new
     return None

@@ -42,7 +42,10 @@ _EPOCH = datetime.datetime(1969, 12, 31, 23, 59, 30)
 ROWS = []
 for i in range(400):
     ROWS.append((
-        (i % 256) - 128 if i % 7 else None,                    # ctinyint
+        # -127..127: ±128 excluded so the oracle's ANSI negation can't
+        # overflow (Hive/Spark WRAP on -(-128) — pinned in
+        # test_alltypes::test_overflow_wraps_not_errors)
+        (i % 255) - 127 if i % 7 else None,                    # ctinyint
         (i * 37 % 20000) - 10000 if i % 5 else None,           # csmallint
         (i * 9176 % 100000) - 50000 if i % 11 else None,       # cint
         (i * 1_000_003) - 200_000_000 if i % 13 else None,     # cbigint
@@ -213,3 +216,86 @@ def test_q_ts_numeric_comparison_semantics(venv):
         "SELECT COUNT(*) AS n FROM alltypes_vec "
         "WHERE -5 < epoch(ctimestamp2)",
     )
+
+
+def test_q_vectorization_13_grouped_battery(venv):
+    """vectorization_13.q: aggregates + expressions over a 5-column
+    GROUP BY (boolean/tinyint/timestamp/float/string keys), a filter
+    mixing float/double bounds, boolean-vs-int (Hive coerces the
+    literal to boolean — Spark does the same), and two
+    TIMESTAMP-vs-numeric arms. Full ORDER BY + LIMIT for determinism."""
+    spark_sql = (
+        "SELECT cboolean1, ctinyint, ctimestamp1, cfloat, cstring1, "
+        "(-(ctinyint)) AS c1, MAX(ctinyint) AS c2, "
+        "((-(ctinyint)) + MAX(ctinyint)) AS c3, SUM(cfloat) AS c4, "
+        "(SUM(cfloat) * ((-(ctinyint)) + MAX(ctinyint))) AS c5, "
+        "(-(SUM(cfloat))) AS c6, (79.553 * cfloat) AS c7, "
+        "STDDEV_POP(cfloat) AS c8, STDDEV_POP(ctinyint) AS c10, "
+        "(((-(ctinyint)) + MAX(ctinyint)) - 10.175) AS c11, "
+        "(-26.28 / (-((-(SUM(cfloat)))))) AS c13, MAX(cfloat) AS c14, "
+        "((SUM(cfloat) * ((-(ctinyint)) + MAX(ctinyint))) / ctinyint) "
+        "AS c15, MIN(ctinyint) AS c16 "
+        "FROM alltypes_vec "
+        "WHERE (((cfloat < 3569) AND ((10.175 >= cdouble) "
+        "AND (cboolean1 != 1))) OR ((ctimestamp1 > 11) "
+        "AND ((ctimestamp2 != 12) AND (ctinyint < 9763215.5639)))) "
+        "GROUP BY cboolean1, ctinyint, ctimestamp1, cfloat, cstring1 "
+        # Hive and Spark both default ASC to NULLS FIRST; DuckDB
+        # defaults NULLS LAST — spell it so the LIMIT subsets agree
+        + "ORDER BY "
+        + ", ".join(
+            f"{k} NULLS FIRST"
+            for k in (
+                "cboolean1,ctinyint,ctimestamp1,cfloat,cstring1,c1,c2,"
+                "c3,c4,c5,c6,c7,c8,c10,c11,c13,c14,c15,c16".split(",")
+            )
+        )
+        + " LIMIT 40"
+    )
+    duck_sql = (
+        spark_sql
+        .replace("(ctimestamp1 > 11)", "(epoch(ctimestamp1) > 11)")
+        .replace("(ctimestamp2 != 12)", "(epoch(ctimestamp2) != 12)")
+        .replace("(cboolean1 != 1)", "(cboolean1 != true)")
+        # Hive/Spark promote FLOAT to DOUBLE under a decimal-literal
+        # product; DuckDB would multiply at float32
+        .replace(
+            "(79.553 * cfloat)", "(79.553 * CAST(cfloat AS DOUBLE))"
+        )
+    )
+    eng, con = venv
+    assert_matches_oracle(eng.sql(spark_sql), con, duck_sql)
+
+
+def test_q_short_regress_like_rlike_battery(venv):
+    """short_regress second battery: MAX/VAR_POP/STDDEV arithmetic
+    (incl. double %) under a filter with LIKE and RLIKE arms."""
+    spark_sql = (
+        "SELECT MAX(cint) AS c1, (MAX(cint) / -3728) AS c2, "
+        "(MAX(cint) * -3728) AS c3, VAR_POP(cbigint) AS c4, "
+        "STDDEV_POP(csmallint) AS c5, "
+        "(-563 % (MAX(cint) * -3728)) AS c6, "
+        "(VAR_POP(cbigint) / STDDEV_POP(csmallint)) AS c7, "
+        "MAX(cdouble) AS c8, AVG(ctinyint) AS c9, MIN(cint) AS c10, "
+        "(MAX(cdouble) % -26.28) AS c11, MIN(cdouble) AS c12 "
+        "FROM alltypes_vec "
+        "WHERE (((cbigint <= 197) AND (cint < cbigint)) "
+        "OR ((cdouble >= -26.28) AND (csmallint > cdouble)) "
+        "OR ((ctinyint > cfloat) AND (cstring1 RLIKE '.*1.*')) "
+        "OR ((cfloat > 79.553) AND (cstring2 LIKE 't1%')))"
+    )
+    # Hive's % is Java's remainder: the sign FOLLOWS THE DIVIDEND
+    # (a - b*trunc(a/b)); DuckDB's fmod floors toward the divisor's
+    # sign, so the oracle spells the truncation formula explicitly.
+    duck_sql = spark_sql.replace(
+        "RLIKE '.*1.*'", "SIMILAR TO '.*1.*'"
+    ).replace(
+        "(-563 % (MAX(cint) * -3728))",
+        "(-563 - (MAX(cint) * -3728) * trunc(-563.0 / "
+        "(MAX(cint) * -3728)))",
+    ).replace(
+        "(MAX(cdouble) % -26.28)",
+        "(MAX(cdouble) - (-26.28) * trunc(MAX(cdouble) / (-26.28)))",
+    )
+    eng, con = venv
+    assert_matches_oracle(eng.sql(spark_sql), con, duck_sql)
