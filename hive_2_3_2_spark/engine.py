@@ -2824,6 +2824,13 @@ class Engine:
         v = self.hiveconf.get("hive.stats.autogather", "true")
         return str(v).strip().lower() in ("true", "1", "yes")
 
+    def _col_autogather_on(self) -> bool:
+        """hive.stats.column.autogather (HiveConf.java:1657) — FALSE by
+        default, exactly as in Hive 2.3; the autoColumnStats_*.q
+        goldens SET it true."""
+        v = self.hiveconf.get("hive.stats.column.autogather", "false")
+        return str(v).strip().lower() in ("true", "1", "yes")
+
     def _prewrite_stats_snapshot(self, key: str) -> dict:
         """Fingerprint-validated copy of the stats an in-engine write
         can CARRY FORWARD, taken before the write mutates the files.
@@ -3185,6 +3192,39 @@ class Engine:
             "partition string, num_rows bigint, total_size_bytes bigint",
         )
 
+    @staticmethod
+    def _col_stats_aggs(fields: dict, cols: list[str]) -> list:
+        """The per-column statistics aggregate battery (Hive's
+        GenericUDAFComputeStats roles: nulls, approximate NDV — Hive an
+        FM sketch, here HLL++ — min/max for orderables, avg/max length
+        for strings). Shared by ANALYZE ... FOR COLUMNS and the
+        column-autogather observe that rides an INSERT write."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            NumericType,
+            StringType,
+            TimestampType,
+        )
+
+        aggs = []
+        for c in cols:
+            dt = fields[c].dataType
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+            ]
+            if isinstance(dt, (NumericType, TimestampType)):
+                aggs += [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                ]
+            if isinstance(dt, StringType):
+                aggs += [
+                    F.round(F.avg(F.length(c)), 2).alias(f"{c}__avglen"),
+                    F.max(F.length(c)).alias(f"{c}__maxlen"),
+                ]
+        return aggs
+
     def _run_analyze_columns(
         self,
         key: str,
@@ -3218,23 +3258,7 @@ class Engine:
             )
         # HiveQL identifiers are case-insensitive
         cols = [by_lower[c.lower()] for c in requested]
-        aggs = []
-        for c in cols:
-            dt = fields[c].dataType
-            aggs += [
-                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-                F.approx_count_distinct(c).alias(f"{c}__ndv"),
-            ]
-            if isinstance(dt, (NumericType, TimestampType)):
-                aggs += [
-                    F.min(c).alias(f"{c}__min"),
-                    F.max(c).alias(f"{c}__max"),
-                ]
-            if isinstance(dt, StringType):
-                aggs += [
-                    F.round(F.avg(F.length(c)), 2).alias(f"{c}__avglen"),
-                    F.max(F.length(c)).alias(f"{c}__maxlen"),
-                ]
+        aggs = self._col_stats_aggs(fields, cols)
         tpart_cols = self.table_partitions.get(key) or []
         if tpart_cols and key in self.table_paths:
             return self._analyze_columns_partitioned(
@@ -5389,6 +5413,21 @@ class Engine:
         pre_rels: set[str] | None = None
         if auto and parts and not overwrite:
             pre_rels = set(self._partition_rels(key))
+        # hive.stats.column.autogather (HiveConf.java:1657, default
+        # FALSE like Hive 2.3): when SET, an unpartitioned OVERWRITE
+        # gathers column stats RIDING the write — one extra observe on
+        # the same job, zero extra scan (Hive computes these in the
+        # FileSink's side aggregation). Appends would need mergeable
+        # NDV sketches (Hive merges bitvectors) — out of scope, the
+        # write simply leaves column stats un-gathered.
+        colobs = None
+        if auto and overwrite and not parts and self._col_autogather_on():
+            from pyspark.sql import Observation
+
+            colobs = Observation()
+            aligned = aligned.observe(
+                colobs, *self._col_stats_aggs(sfields, list(fields))
+            )
         n = insert_rows(
             self.spark,
             path,
@@ -5403,6 +5442,20 @@ class Engine:
             self._autogather_insert_stats(
                 key, n, overwrite, part_counts, pre_rels, snap
             )
+        if colobs is not None and key in self.basic_stats:
+            row = colobs.get
+            stats = self.column_stats.setdefault(key, {})
+            for c in fields:
+                stats[c] = {
+                    "data_type": sfields[c].dataType.simpleString(),
+                    "num_nulls": int(row.get(f"{c}__nulls") or 0),
+                    "distinct_count": int(row.get(f"{c}__ndv") or 0),
+                    "min": row.get(f"{c}__min"),
+                    "max": row.get(f"{c}__max"),
+                    "avg_col_len": row.get(f"{c}__avglen"),
+                    "max_col_len": row.get(f"{c}__maxlen"),
+                }
+            self.column_stats_fp[key] = self.basic_stats[key]["fp"]
         return self._rows_affected(n)
 
     def _is_catalog_table(self, name: str) -> bool:

@@ -16,8 +16,10 @@ Semantics pinned here, each traced to StatsTask:
 - untouched partitions CARRY their basic and ANALYZEd column stats
   forward (Hive's per-partition COLUMN_STATS_ACCURATE flags,
   StatsTask.java:245ff) while the written partition's column stats
-  drop (column autogather is the separate hive.stats.column.autogather,
-  default FALSE in Hive 2.3 — out of scope);
+  drop;
+- column stats: gathered on unpartitioned OVERWRITE only when
+  hive.stats.column.autogather is SET (default FALSE, as in Hive 2.3)
+  — riding the write job via observe, no second scan;
 - TRUNCATE resets to an ACCURATE zero (DDLTask truncateTable);
 - hive.stats.autogather=false → no gathering, identical values.
 """
@@ -295,3 +297,35 @@ def test_truncate_partition_keeps_other_partitions_serving(
     df = eng.sql("SELECT count(*) AS c FROM tu")
     assert _answered(df)
     assert df.collect()[0].c == 4
+
+
+def test_column_autogather_rides_overwrite(eng, spark, tmp_path):
+    """hive.stats.column.autogather (HiveConf.java:1657, default FALSE
+    — autoColumnStats_*.q SET it): with the conf ON, an unpartitioned
+    INSERT OVERWRITE gathers column stats on the SAME write job
+    (observe — no second scan), so min/max/count(col) answer scan-free
+    with no ANALYZE at all."""
+    p = str(tmp_path / "tca")
+    _seed(spark, p, [(1, "x")], "k int, v string")
+    eng.register_table("tca", p)
+    eng.sql("SET hive.stats.column.autogather=true")
+    try:
+        eng.sql(
+            "INSERT OVERWRITE TABLE tca "
+            "SELECT id * 3, CASE WHEN id = 2 THEN NULL ELSE 'v' END "
+            "FROM range(5)"
+        )
+        df = eng.sql(
+            "SELECT count(*) AS c, count(v) AS cv, min(k) AS mn, "
+            "max(k) AS mx FROM tca"
+        )
+        assert _answered(df), explain_str(df)
+        assert tuple(df.collect()[0]) == (5, 4, 0, 12)
+    finally:
+        eng.sql("SET hive.stats.column.autogather=false")
+    # conf back OFF: the next overwrite gathers only basic stats
+    eng.sql("INSERT OVERWRITE TABLE tca SELECT id, 'y' FROM range(3)")
+    assert _answered(eng.sql("SELECT count(*) AS c FROM tca"))
+    df = eng.sql("SELECT min(k) AS mn FROM tca")
+    assert not _answered(df)
+    assert df.collect()[0].mn == 0
