@@ -684,6 +684,22 @@ _META_DISTINCT = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# min/max/count-DISTINCT over partition columns — the aggregate half of
+# the metadata-only surface (metadataonly1.q)
+_META_AGG = re.compile(
+    r"^\s*SELECT\s+([`\w\s,.()]+?)\s+FROM\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b)\w+)?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<gby>[`\w\s,.]+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_META_AGG_ITEM = re.compile(
+    r"^(?:(MIN|MAX)\s*\(\s*`?([\w]+)`?\s*\)"
+    r"|COUNT\s*\(\s*DISTINCT\s+`?([\w]+)`?\s*\)"
+    r"|`?([\w]+)`?)"
+    r"(?:\s+(?:AS\s+)?`?(\w+)`?)?$",
+    re.IGNORECASE,
+)
 # ALTER TABLE t PARTITION COLUMN (col type) — retype ONE partition
 # column (alter_partition_coltype.q; DDLSemanticAnalyzer
 # analyzeAlterTableModifyCols' partition-column branch). Metadata-only
@@ -3523,7 +3539,7 @@ class Engine:
             return None
         m = _META_DISTINCT.match(query)
         if not m:
-            return None
+            return self._try_metadata_only_aggs(query)
         try:
             key = self._resolve_dml_table(m.group(2))
         except Exception:
@@ -3541,6 +3557,18 @@ class Engine:
         pred = self._stats_part_predicate(key, m.group("where"))
         if pred is None:
             return None
+        return self._partition_tuples_df(key, cols, pred)
+
+    def _partition_tuples_df(self, key: str, cols: list[str], pred):
+        """DISTINCT partition-value tuples for the requested partition
+        columns, built from the directory LISTING (typed via the
+        declared schema). One row per distinct combination — safe for
+        any duplicate-insensitive consumer (DISTINCT, min/max,
+        count(DISTINCT ...)): Hive's metadata-only path reads one null
+        row per partition, and these aggregates can't tell the
+        difference."""
+        parts = self.table_partitions.get(key) or []
+        by_lower = {c.lower(): c for c in parts}
         seen: set[tuple] = set()
         for rel in self._partition_rels(key):
             if not pred(rel):
@@ -3571,6 +3599,69 @@ class Engine:
             for c in cols
         ]
         return df.selectExpr(*exprs)
+
+    def _try_metadata_only_aggs(self, query: str) -> DataFrame | None:
+        """The aggregate half of Hive's metadata-only path
+        (physical/MetadataOnlyOptimizer.java rewrites the scan to ONE
+        NULL ROW PER PARTITION via OneNullRowInputFormat;
+        metadataonly1.q): ``min/max(partition_col)`` and
+        ``count(DISTINCT partition_col)`` — optionally grouped by
+        partition columns under a partition-only WHERE — answer from
+        the partition LISTING. The famous consequence, pinned by the
+        golden: an EMPTY partition still contributes its value, so
+        ``max(ds)`` over a table whose only partition holds zero rows
+        returns that ds, not NULL. Row-counting aggregates
+        (plain count) keep REAL execution — one row per partition
+        would miscount them (metadataonly1.q: count(ds) is 0 over the
+        empty partition while max(ds) is '1')."""
+        m = _META_AGG.match(query)
+        if not m:
+            return None
+        try:
+            key = self._resolve_dml_table(m.group(2))
+        except Exception:
+            return None
+        parts = self.table_partitions.get(key)
+        if not parts:
+            return None
+        by_lower = {c.lower(): c for c in parts}
+        raw_gby = [
+            c.strip() for c in (m.group("gby") or "").split(",")
+            if c.strip()
+        ]
+        if any("." in c for c in raw_gby):
+            return None  # alias-qualified names won't resolve over the
+            # listing view — keep real execution
+        gby = [c.strip("`").lower() for c in raw_gby]
+        if any(c not in by_lower for c in gby):
+            return None
+        needed: set[str] = set(gby)
+        n_aggs = 0
+        for item in _split_top_args(m.group(1)):
+            im = _META_AGG_ITEM.match(item.strip())
+            if im is None:
+                return None
+            mm_col, cd_col, bare = im.group(2), im.group(3), im.group(4)
+            col = (mm_col or cd_col or bare or "").lower()
+            if col not in by_lower:
+                return None
+            if bare:
+                if col not in gby:
+                    return None  # non-grouped bare column
+            else:
+                n_aggs += 1
+            needed.add(col)
+        if n_aggs == 0:
+            return None  # plain projections belong to the DISTINCT path
+        pred = self._stats_part_predicate(key, m.group("where"))
+        if pred is None:
+            return None
+        tuples = self._partition_tuples_df(key, sorted(needed), pred)
+        tuples.createOrReplaceTempView("__meta_only_parts")
+        sql = f"SELECT {m.group(1)} FROM __meta_only_parts"
+        if gby:
+            sql += f" GROUP BY {m.group('gby')}"
+        return self.spark.sql(sql)
 
     def _try_stats_answer(self, query: str) -> DataFrame | None:
         """Answer aggregate-only queries purely from gathered stats —
