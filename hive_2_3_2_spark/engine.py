@@ -1771,6 +1771,22 @@ class Engine:
             return ans
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
+        if _LEGACY_DTF_CALL.search(query):
+            # Hive's datetime patterns ARE Java SimpleDateFormat —
+            # udf_date_format.q uses the week-based fields ('Y', 'u',
+            # 'w', 'W') Spark 3's DateTimeFormatter refuses, and the
+            # refusal surfaces at EXECUTION time (after Engine.sql has
+            # returned the frame), so the error-keyed retry loop can't
+            # catch it. Detect those patterns up front and flip the
+            # session to the legacy parser policy — Spark's own
+            # documented remedy, and exactly the Hive semantics.
+            cur = self.spark.conf.get(
+                "spark.sql.legacy.timeParserPolicy", "CORRECTED"
+            ) or "CORRECTED"
+            if cur.upper() != "LEGACY":
+                self.spark.conf.set(
+                    "spark.sql.legacy.timeParserPolicy", "LEGACY"
+                )
         rewritten = rewrite_hiveql(query, spark=self.spark)
         # Error-keyed retry loop: each pass applies the rewrite matching
         # the exact Spark rejection (nested window hoist, SELECT-alias
@@ -1783,7 +1799,27 @@ class Engine:
             try:
                 return self.spark.sql(rewritten)
             except Exception as exc:
-                nxt = _retry_rewrite(rewritten, str(exc))
+                err = str(exc)
+                # Hive's date_format/unix_timestamp patterns ARE Java
+                # SimpleDateFormat (udf_date_format.q uses 'Y'/'E'/'G'
+                # week-based and era fields Spark 3's DateTimeFormatter
+                # refuses). Spark's own documented remedy is the legacy
+                # parser policy — set it STICKY for the session (it is
+                # exactly the Hive semantics) and retry once.
+                if (
+                    "DATETIME_PATTERN_RECOGNITION" in err
+                    and (
+                        self.spark.conf.get(
+                            "spark.sql.legacy.timeParserPolicy",
+                            "CORRECTED",
+                        ) or "CORRECTED"
+                    ).upper() != "LEGACY"
+                ):
+                    self.spark.conf.set(
+                        "spark.sql.legacy.timeParserPolicy", "LEGACY"
+                    )
+                    continue
+                nxt = _retry_rewrite(rewritten, err)
                 if nxt is None or nxt == rewritten:
                     raise
                 rewritten = nxt
@@ -7983,7 +8019,9 @@ def _retry_rewrite(query: str, err: str) -> str | None:
         return _qualify_ambiguous_reference(query, err)
     if "INVALID_ORDERING_TYPE" in err and '"MAP<' in err:
         return _rewrite_map_orderby(query, err)
-    if "BINARY_OP_DIFF_TYPES" in err and "TIMESTAMP" in err:
+    if "BINARY_OP_DIFF_TYPES" in err and (
+        "TIMESTAMP" in err or "BOOLEAN" in err
+    ):
         return _rewrite_ts_numeric_cmp(query, err)
     if "FILTER_NOT_BOOLEAN" in err:
         return _rewrite_nonbool_filter(query, err)
@@ -8039,6 +8077,14 @@ def _rewrite_nonbool_filter(query: str, err: str) -> str | None:
     return new if new != query else None
 
 
+# A datetime-formatting call whose pattern literal uses the
+# SimpleDateFormat week-based/day-number fields Spark 3 refuses
+_LEGACY_DTF_CALL = re.compile(
+    r"\b(?:date_format|from_unixtime|unix_timestamp|to_unix_timestamp)"
+    r"\s*\([^;]*?'[^']*[YuwW][^']*'",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _TS_NUM_CMP = re.compile(
     r'Cannot resolve "\((.+) (<=>|==|=|<=|>=|<|>|!=|<>) (.+)\)" due to '
     r"data type mismatch: the left and right operands of the binary "
@@ -8049,14 +8095,17 @@ _TS_NUM_TYPES = {"TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE"}
 
 
 def _rewrite_ts_numeric_cmp(query: str, err: str) -> str | None:
-    """Hive compares TIMESTAMP against numerics by converting the
-    timestamp to SECONDS-as-double (serde2 TimestampWritable.getDouble
-    — seconds plus fractional nanos; vectorization_short_regress.q
-    filters on ``ctimestamp2 > -5``). Spark rejects the comparison with
-    BINARY_OP_DIFF_TYPES; this retry casts the TIMESTAMP operand of the
-    exact reported comparison to DOUBLE — Spark's cast(timestamp as
-    double) is the same seconds.fraction value — and fires only on that
-    error, so no Spark-valid statement can be touched."""
+    """Hive compares operand pairs with NO common comparison class by
+    converting BOTH to DOUBLE (GenericUDFBaseCompare.java:141-144 "we
+    always convert to double if we can't find a common type"): a
+    TIMESTAMP becomes SECONDS-as-double (TimestampWritable.getDouble —
+    vectorization_short_regress.q's ``ctimestamp2 > -5``) and a BOOLEAN
+    becomes 1.0/0.0 (vectorization_6.q's ``cboolean1 <= 0``). Spark
+    rejects both with BINARY_OP_DIFF_TYPES; this retry casts the
+    non-numeric operand of the exact reported comparison to DOUBLE —
+    Spark's timestamp→double and boolean→double casts produce the same
+    values — and fires only on that error, so no Spark-valid statement
+    can be touched."""
     m = _TS_NUM_CMP.search(err)
     if m is None:
         return None
@@ -8065,9 +8114,12 @@ def _rewrite_ts_numeric_cmp(query: str, err: str) -> str | None:
     def _is_num(t: str) -> bool:
         return t in _TS_NUM_TYPES or t.startswith("DECIMAL")
 
-    if lt.startswith("TIMESTAMP") and _is_num(rt):
+    def _is_dbl_side(t: str) -> bool:
+        return t.startswith("TIMESTAMP") or t == "BOOLEAN"
+
+    if _is_dbl_side(lt) and _is_num(rt):
         ts_left = True
-    elif rt.startswith("TIMESTAMP") and _is_num(lt):
+    elif _is_dbl_side(rt) and _is_num(lt):
         ts_left = False
     else:
         return None

@@ -190,3 +190,35 @@ def test_hive_bucket_hash_batch_matches_reference_fold():
     ]
     batch = _hash_batch(samples)
     assert [int(h) for h in batch] == [_hash_one(s) for s in samples]
+
+
+def test_date_format_simpledateformat_patterns(spark):
+    """udf_date_format.q: Hive's date_format is Java SimpleDateFormat —
+    'Y' (week year), 'E' (day name), 'G' (era) are valid. Spark 3's
+    DateTimeFormatter refuses them; the engine retries the statement
+    under the legacy parser policy (Spark's documented remedy, and
+    exactly the Hive semantics)."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    before = spark.conf.get(
+        "spark.sql.legacy.timeParserPolicy", "CORRECTED"
+    )
+    try:
+        row = eng.sql(
+            "select date_format('2015-04-08', 'E') AS e, "
+            "date_format('2015-04-08', 'G') AS g, "
+            "date_format('2015-04-08', 'Y') AS y, "
+            "date_format('2015-04-08', 'MMM') AS m, "
+            "date_format(cast('2015-04-08 10:30:45' as timestamp), "
+            "'HH:mm:ss') AS hms"
+        ).collect()[0]
+        assert (row.e, row.g, row.y, row.m, row.hms) == (
+            "Wed", "AD", "2015", "Apr", "10:30:45"
+        )
+    finally:
+        # the engine's flip is deliberately sticky for a session;
+        # restore here so the shared test session stays CORRECTED
+        spark.conf.set(
+            "spark.sql.legacy.timeParserPolicy", before or "CORRECTED"
+        )

@@ -299,3 +299,28 @@ def test_q_short_regress_like_rlike_battery(venv):
     )
     eng, con = venv
     assert_matches_oracle(eng.sql(spark_sql), con, duck_sql)
+
+
+def test_q_boolean_numeric_comparison(venv):
+    """vectorization_6.q / vectorization_12.q filters: BOOLEAN
+    compared to a numeric — Hive converts both to DOUBLE
+    (GenericUDFBaseCompare.java:141-144: true→1.0, false→0.0), so
+    ``cboolean1 <= 0`` means "is false". Oracled with explicit casts."""
+    for op, num in [("<=", 0), (">", 0), ("<=", 1), (">=", 1)]:
+        _chk(
+            venv,
+            "SELECT COUNT(*) AS n FROM alltypes_vec "
+            f"WHERE cboolean1 {op} {num}",
+            "SELECT COUNT(*) AS n FROM alltypes_vec "
+            f"WHERE CAST(cboolean1 AS INT) {op} {num}",
+        )
+    # inside a compound filter with other arms (the golden shape)
+    _chk(
+        venv,
+        "SELECT COUNT(*) AS n, MAX(cfloat) AS mx FROM alltypes_vec "
+        "WHERE (cboolean2 > 0 AND csmallint < 100) "
+        "OR (cboolean1 <= 0 AND ctinyint > 5)",
+        "SELECT COUNT(*) AS n, MAX(cfloat) AS mx FROM alltypes_vec "
+        "WHERE (CAST(cboolean2 AS INT) > 0 AND csmallint < 100) "
+        "OR (CAST(cboolean1 AS INT) <= 0 AND ctinyint > 5)",
+    )
