@@ -155,61 +155,67 @@ _MODULES = [
 # re-verifications (the 7 whose first green predates r4, then a family
 # spread across agg/clean/ddl/dedup/dml/emb/sample;
 # fn_xpath_family swapped out for the new r8 database entry).
+# R9 WINDOW (the r8 verdict's prescription): ALL 27 entries whose
+# latest green row is r4 (agg/clean/ddl/dml/emb/fn_xpath/sample/
+# similarity_topk_pq/sort/text families) + the 23 oldest-r5 entries
+# ranked by FIRST green round (the 9 r1-origin TPC-H/join/agg heads,
+# the 9 r2-origin dedup/dml/chunk/tfidf/window entries, the 3
+# r3-origin events/matchpath entries, and the 2 alphabetically-first
+# r4-origin entries clean_decontaminate_bloom +
+# dml_sql_insert_into_select). Post-window staleness floor becomes r5.
 _WINDOW = [
-    # -- stalest cohort: latest green row is r3 (all 31) --
-    "dedup_keep_first_by_priority",
-    "events_click_purchase_attribution",
-    "events_dedup_distinct",
-    "events_rate_per_type_share",
-    "events_rollup_incremental",
-    "events_rollup_ndv_sketch",
-    "events_sliding_window",
-    "hiveql_case_insensitive_keywords",
-    "hiveql_cluster_by",
-    "hiveql_distribute_sort_by",
-    "hiveql_grouping_sets_id",
-    "hiveql_tablesample_bucket",
-    "hiveql_tablesample_bucket_string",
-    "hiveql_union_mixed",
-    "lateral_explode_outer_empty",
-    "lateral_inline_structs",
-    "lateral_json_tuple_props",
-    "lateral_posexplode_first_tokens",
-    "lateral_stack_unpivot",
-    "op_masking_family",
-    "op_ngrams_top20",
-    "op_salted_skew_join",
-    "op_transform_script",
-    "pipeline_corpus_prep",
-    "setop_union_type_coercion",
-    "stream_stateful_running_totals",
-    "subq_cte_reuse",
-    "subq_in_uncorrelated",
-    "subq_not_exists_correlated",
-    "subq_not_in_uncorrelated",
-    "subq_scalar_uncorrelated",
-    # -- new in r8 (freeze rule: new entries land inside the window) --
-    "stats_partition_pruned_aggregates",
-    "database_qualified_dml",
-    # -- changed implementation this round (outranks staleness) --
-    "stats_answered_aggregates",
-    # -- 18 oldest-r4 re-verifications --
-    "agg_boolean_family",
-    "fn_array_family",
-    "fn_interval_arithmetic",
-    "window_ignore_nulls",
-    "similarity_topk_lsh",
-    "sort_nulls_ordering",
-    "sort_order_by_multi",
-    "agg_histogram_numeric",
-    "agg_min_max_by",
-    "clean_pii_scrub",
-    "clean_quality_flags",
-    "ddl_sql_export_import",
-    "dedup_semantic_kept",
-    "dml_sql_multi_insert",
-    "emb_l2_normalize",
-    "sample_weighted_reservoir",
+    # -- stalest cohort: latest green row is r4 (all 27) --
+    "agg_histogram_equiwidth",
+    "agg_regression_family",
+    "clean_decontaminate",
+    "clean_length_outliers",
+    "clean_repeated_segments",
+    "clean_repetition_topgram",
+    "ddl_sql_show_partitions",
+    "ddl_sql_truncate_partition",
+    "dml_sql_insert_overwrite_dynamic",
+    "emb_dimension_stats",
+    "emb_quantize_int8",
+    "emb_random_projection",
+    "embedding_label_centroids",
+    "fn_xpath_family",
+    "sample_bucket_deterministic",
+    "sample_fraction",
+    "sample_temperature_mixture",
+    "similarity_topk_pq",
+    "sort_distribute_cluster_by",
+    "sort_limit_offset",
+    "sort_topk_pushdown",
+    "text_bpe_merge_candidates",
+    "text_countmin_heavy_hitters",
+    "text_lm_quality_score",
+    "text_pmi_collocations",
+    "text_top_terms_per_lang",
+    "text_zipf_head",
+    # -- 23 oldest-r5 re-verifications (ranked by first green) --
+    "agg_count_distinct",
+    "join_skew_salted",
+    "tpch_q10_returned_items",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "chunk_documents_overlapping",
+    "dedup_connected_clusters",
+    "dedup_minhash_near_duplicates",
+    "dedup_ngram_jaccard_pairs",
+    "dml_delete_where",
+    "dml_merge_upsert",
+    "similarity_topk_bruteforce",
+    "text_tfidf_keywords",
+    "window_rank_top_parts",
+    "events_session_window",
+    "events_tumbling_window",
+    "op_match_path_sessions",
+    "clean_decontaminate_bloom",
+    "dml_sql_insert_into_select",
 ]
 
 
