@@ -41,6 +41,9 @@ _REQUIRED_RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # SimpleDateFormat datetime semantics (Hive parity) — session-wide so
+    # results are independent of statement order (see session.ENGINE_CONFS).
+    "spark.sql.legacy.timeParserPolicy": "LEGACY",
 }
 
 

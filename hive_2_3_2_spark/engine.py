@@ -21,7 +21,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hive_2_3_2_spark.catalog import register_star_schema
+from hive_2_3_2_spark.catalog import ensure_engine_confs, register_star_schema
 from hive_2_3_2_spark.session import get_spark
 
 
@@ -1097,24 +1097,12 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
     return out
 
 
-#: characters Hive escapes in partition directory names
-#: (FileUtils.charToEscape — Spark's ExternalCatalogUtils.escapePathName
-#: is a copy, so escaped specs match what partitionBy() writes)
-_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^')
-
-
-def _escape_path_name(v: str) -> str:
-    return "".join(
-        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS or ord(ch) < 32
-        else ch
-        for ch in v
-    )
-
-
-def _unescape_path_name(v: str) -> str:
-    return re.sub(
-        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v
-    )
+# Partition-dir escaping lives in sources.writers (next to the staged
+# write paths that must produce the SAME dir names partitionBy writes).
+from hive_2_3_2_spark.sources.writers import (  # noqa: E402
+    _escape_path_name,
+    _unescape_path_name,
+)
 
 
 def _parse_partition_spec(spec: str) -> tuple[dict[str, str], list[str]]:
@@ -1147,6 +1135,11 @@ class Engine:
         sf_dir: str | None = None,
     ) -> None:
         self.spark = spark or get_spark()
+        # The driver (or an embedding app) may hand us a vanilla session;
+        # the engine's Hive-parity semantics depend on these runtime confs
+        # (non-ANSI casts, UTC, SimpleDateFormat patterns) from statement
+        # ONE — not only after the first table load.
+        ensure_engine_confs(self.spark)
         self.tables: dict[str, DataFrame] = {}
         self.table_paths: dict[str, str] = {}
         self.table_partitions: dict[str, list[str]] = {}
@@ -1380,7 +1373,9 @@ class Engine:
             query = self._strip_default_db(query)
         if (
             self.hiveconf.get(
-                "hive.int.timestamp.conversion.in.seconds", "true"
+                # Reference DEFAULT is false (HiveConf.java:1337):
+                # integral/boolean → TIMESTAMP counts MILLISECONDS.
+                "hive.int.timestamp.conversion.in.seconds", "false"
             ).lower() == "false"
             and re.search(r"\btimestamp\b", query, re.IGNORECASE)
         ):
@@ -1771,22 +1766,6 @@ class Engine:
             return ans
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
-        if _LEGACY_DTF_CALL.search(query):
-            # Hive's datetime patterns ARE Java SimpleDateFormat —
-            # udf_date_format.q uses the week-based fields ('Y', 'u',
-            # 'w', 'W') Spark 3's DateTimeFormatter refuses, and the
-            # refusal surfaces at EXECUTION time (after Engine.sql has
-            # returned the frame), so the error-keyed retry loop can't
-            # catch it. Detect those patterns up front and flip the
-            # session to the legacy parser policy — Spark's own
-            # documented remedy, and exactly the Hive semantics.
-            cur = self.spark.conf.get(
-                "spark.sql.legacy.timeParserPolicy", "CORRECTED"
-            ) or "CORRECTED"
-            if cur.upper() != "LEGACY":
-                self.spark.conf.set(
-                    "spark.sql.legacy.timeParserPolicy", "LEGACY"
-                )
         rewritten = rewrite_hiveql(query, spark=self.spark)
         # Error-keyed retry loop: each pass applies the rewrite matching
         # the exact Spark rejection (nested window hoist, SELECT-alias
@@ -1800,25 +1779,13 @@ class Engine:
                 return self.spark.sql(rewritten)
             except Exception as exc:
                 err = str(exc)
-                # Hive's date_format/unix_timestamp patterns ARE Java
-                # SimpleDateFormat (udf_date_format.q uses 'Y'/'E'/'G'
-                # week-based and era fields Spark 3's DateTimeFormatter
-                # refuses). Spark's own documented remedy is the legacy
-                # parser policy — set it STICKY for the session (it is
-                # exactly the Hive semantics) and retry once.
-                if (
-                    "DATETIME_PATTERN_RECOGNITION" in err
-                    and (
-                        self.spark.conf.get(
-                            "spark.sql.legacy.timeParserPolicy",
-                            "CORRECTED",
-                        ) or "CORRECTED"
-                    ).upper() != "LEGACY"
-                ):
-                    self.spark.conf.set(
-                        "spark.sql.legacy.timeParserPolicy", "LEGACY"
-                    )
-                    continue
+                # SimpleDateFormat patterns are handled session-wide:
+                # spark.sql.legacy.timeParserPolicy=LEGACY is set at
+                # session build (ENGINE_CONFS) and re-ensured in
+                # __init__, so the SAME statement parses identically no
+                # matter what ran before it. A DATETIME_PATTERN_
+                # RECOGNITION retry arm here would reintroduce the
+                # order-dependence — keep all datetime parity static.
                 nxt = _retry_rewrite(rewritten, err)
                 if nxt is None or nxt == rewritten:
                     raise
@@ -3457,7 +3424,13 @@ class Engine:
         against a literal (→ the caller falls back to real execution).
         NULL partitions (__HIVE_DEFAULT_PARTITION__) compare false,
         like SQL comparisons with NULL."""
-        from pyspark.sql.types import NumericType
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            NumericType,
+            ShortType,
+        )
 
         part_cols = self.table_partitions[key]
         if not where or not where.strip():
@@ -3467,6 +3440,7 @@ class Engine:
             f.name.lower(): f.dataType
             for f in self._declared_schema(key).fields
         }
+        integral_types = (ByteType, ShortType, IntegerType, LongType)
         ops = {
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -3486,26 +3460,42 @@ class Engine:
             if col.lower() not in by_lower:
                 return None
             litv = lit[1:-1] if lit.startswith("'") else lit
-            numeric = isinstance(
-                types.get(col.lower()), NumericType
-            )
-            if numeric:
+            # Integral partition columns compare via int() — float()
+            # loses precision above 2^53, so a bigint partition value
+            # would otherwise match the wrong literal.
+            coerce = None
+            ctype = types.get(col.lower())
+            if isinstance(ctype, integral_types):
+                coerce = int
+            elif isinstance(ctype, NumericType):
+                coerce = float
+            if coerce is not None:
                 try:
-                    litv = float(litv)
+                    litv = coerce(litv)
                 except ValueError:
                     return None
-            preds.append((by_lower[col.lower()], ops[op], litv, numeric))
+            preds.append((by_lower[col.lower()], ops[op], litv, coerce))
 
         def fn(rel: str) -> bool:
+            # Dir values are stored ESCAPED (ExternalCatalogUtils
+            # charset: '/', ':', '%', '=' ...); WHERE literals are the
+            # logical values — unescape before comparing, exactly like
+            # _find_matching_partitions / _partition_tuples_df.
             vals: dict[str, str] = {}
             for seg in rel.split("/"):
                 c, _, v = seg.partition("=")
-                vals[c] = v
-            for col, op, litv, numeric in preds:
+                vals[c] = _unescape_path_name(v)
+            for col, op, litv, coerce in preds:
                 raw = vals.get(col)
                 if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
                     return False
-                lhs = float(raw) if numeric else raw
+                if coerce is not None:
+                    try:
+                        lhs = coerce(raw)
+                    except ValueError:
+                        return False
+                else:
+                    lhs = raw
                 if not op(lhs, litv):
                     return False
             return True
@@ -7170,11 +7160,15 @@ def _rewrite_int_ts_casts(query: str) -> str:
     .longToTimestamp): integral and boolean values cast to TIMESTAMP
     count MILLISECONDS since epoch, while float/double/decimal/string
     keep their usual meaning. Spark's cast is always seconds, so each
-    ``CAST(x AS TIMESTAMP)`` becomes a typeof-dispatched CASE — the
-    typeof branch is constant per input column type, and the path only
-    activates when the session explicitly SETs the legacy conf (the
-    engine default is the seconds mode both Spark and the oracle
-    share; timestamp_ints_casts.q exercises both settings)."""
+    ``CAST(x AS TIMESTAMP)`` becomes a typeof-dispatched CASE bound
+    once inside ``transform(array(expr), x -> ...)`` — the operand is
+    evaluated EXACTLY once (safe for rand()/uuid()), and every branch
+    analyzes for every operand type (integrals route through a STRING
+    round-trip because e.g. DATE has no BIGINT cast; the branch is only
+    TAKEN for integral x, where the round-trip is exact). This mode is
+    the engine DEFAULT (reference parity); SET ...in.seconds=true
+    restores Spark's plain seconds cast
+    (timestamp_ints_casts.q exercises both settings)."""
     out: list[str] = []
     i = 0
     while True:
@@ -7207,9 +7201,13 @@ def _rewrite_int_ts_casts(query: str) -> str:
         expr = _rewrite_int_ts_casts(inner[:k].strip())
         out.append(query[i: m.start()])
         out.append(
-            f"CASE WHEN typeof({expr}) IN ('tinyint','smallint','int',"
-            f"'bigint','boolean') THEN timestamp_millis(CAST({expr} AS "
-            f"BIGINT)) ELSE CAST({expr} AS TIMESTAMP) END"
+            f"transform(array({expr}), x_its -> CASE "
+            "WHEN typeof(x_its) = 'boolean' THEN timestamp_millis("
+            "CASE WHEN CAST(x_its AS STRING) = 'true' THEN 1 "
+            "WHEN x_its IS NOT NULL THEN 0 END) "
+            "WHEN typeof(x_its) IN ('tinyint','smallint','int','bigint')"
+            " THEN timestamp_millis(CAST(CAST(x_its AS STRING) AS BIGINT))"
+            " ELSE CAST(x_its AS TIMESTAMP) END)[0]"
         )
         i = close + 1
     out.append(query[i:])
@@ -8076,14 +8074,6 @@ def _rewrite_nonbool_filter(query: str, err: str) -> str | None:
     new = pat.sub(lambda mm: mm.group(1) + wrapped, query)
     return new if new != query else None
 
-
-# A datetime-formatting call whose pattern literal uses the
-# SimpleDateFormat week-based/day-number fields Spark 3 refuses
-_LEGACY_DTF_CALL = re.compile(
-    r"\b(?:date_format|from_unixtime|unix_timestamp|to_unix_timestamp)"
-    r"\s*\([^;]*?'[^']*[YuwW][^']*'",
-    re.IGNORECASE | re.DOTALL,
-)
 
 _TS_NUM_CMP = re.compile(
     r'Cannot resolve "\((.+) (<=>|==|=|<=|>=|<|>|!=|<>) (.+)\)" due to '

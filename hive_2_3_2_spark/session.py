@@ -49,6 +49,14 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     # Arrow for the Pandas-UDF slow path (only used where JVM exprs can't).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Hive's datetime patterns ARE Java SimpleDateFormat (GenericUDFDateFormat
+    # / UDFUnixTimeStamp wrap SimpleDateFormat directly) — week-based fields
+    # ('Y'/'u'/'w'/'W'), 'E', 'G' are valid and lenient-parse semantics apply.
+    # Spark 3+'s DateTimeFormatter refuses them; LEGACY is Spark's documented
+    # remedy and exactly the reference semantics. Set at session build so the
+    # SAME query returns the SAME result regardless of what ran before it
+    # (a per-statement flip would be order-dependent).
+    "spark.sql.legacy.timeParserPolicy": "LEGACY",
     # Engine.sql owns ${...} substitution (VariableSubstitution parity,
     # typed error on unbound names); Spark's own layer would otherwise
     # double-substitute and silently blank unbound references.

@@ -243,12 +243,45 @@ def _staged_partition_rels(staging: str, depth: int) -> list[str]:
     return rels
 
 
+#: characters Hive escapes in partition directory names
+#: (FileUtils.charToEscape — Spark's ExternalCatalogUtils.escapePathName
+#: is a copy, so escaped specs match what partitionBy() writes)
+_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_path_name(v: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS or ord(ch) < 32
+        else ch
+        for ch in v
+    )
+
+
+def _unescape_path_name(v: str) -> str:
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v
+    )
+
+
 def _partition_rel_dir(partition_cols: list[str], values) -> str:
     """Relative partition directory for one partition-value tuple, using
-    Hive's layout (col=value/...; NULL → __HIVE_DEFAULT_PARTITION__)."""
+    Hive's layout (col=value/...; NULL → __HIVE_DEFAULT_PARTITION__).
+    Values are ESCAPED with the ExternalCatalogUtils charset — these
+    rels are matched against directories partitionBy() staged, so a
+    special-char value ('2020/01', 'a:b') must produce the same dir
+    name Spark wrote, or the swap silently skips the partition."""
     parts = []
     for c, v in zip(partition_cols, values):
-        sv = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        # NULL *and* empty-string both land in the default partition
+        # (ExternalCatalogUtils.getPartitionPathString, matching Hive's
+        # hive.exec.default.partition.name behavior).
+        sv = (
+            "__HIVE_DEFAULT_PARTITION__"
+            if v is None or str(v) == ""
+            else _escape_path_name(str(v))
+        )
         parts.append(f"{c}={sv}")
     return os.path.join(*parts)
 

@@ -195,9 +195,10 @@ def test_hive_bucket_hash_batch_matches_reference_fold():
 def test_date_format_simpledateformat_patterns(spark):
     """udf_date_format.q: Hive's date_format is Java SimpleDateFormat —
     'Y' (week year), 'E' (day name), 'G' (era) are valid. Spark 3's
-    DateTimeFormatter refuses them; the engine retries the statement
-    under the legacy parser policy (Spark's documented remedy, and
-    exactly the Hive semantics)."""
+    DateTimeFormatter refuses them; the engine runs session-wide under
+    spark.sql.legacy.timeParserPolicy=LEGACY (set in ENGINE_CONFS and
+    re-ensured by Engine.__init__ — Spark's documented remedy, and
+    exactly the Hive semantics, with no statement-order dependence)."""
     from hive_2_3_2_spark.engine import Engine
 
     eng = Engine(spark=spark)

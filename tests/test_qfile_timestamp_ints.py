@@ -3,9 +3,9 @@ modes. ``hive.int.timestamp.conversion.in.seconds`` (HiveConf.java:1337,
 default FALSE in the reference) makes integral and boolean casts count
 MILLISECONDS since epoch (TimestampWritable.longToTimestamp), while
 float/double always count seconds and strings always parse. Spark's
-cast is always seconds — the engine default keeps that (the mode the
-whole oracled corpus shares, = conf true) and SETting the conf to
-false activates the typeof-dispatched millis rewrite.
+cast is always seconds — the engine DEFAULT matches the reference
+(conf false → the typeof-dispatched millis rewrite is active) and
+SETting the conf to true restores Spark's plain seconds cast.
 
 Golden pin (timestamp_ints_casts.q.out, UTC-normalized): in millis
 mode ctinyint=-36 → epoch-0.036s; in seconds mode → epoch-36s.
@@ -140,12 +140,24 @@ def test_q_int_ts_golden_values_millis(qenv):
         eng.sql("set hive.int.timestamp.conversion.in.seconds=true")
 
 
-def test_q_int_ts_default_is_seconds(qenv):
-    """Documented divergence pin: a FRESH engine (no SET) uses seconds
-    — the mode Spark, DuckDB, and the entire oracled corpus share.
-    The reference's own default is the millis mode; users migrating a
-    cluster that relies on it SET the conf explicitly."""
+def test_q_int_ts_default_is_millis(qenv):
+    """Reference-parity pin (HiveConf.java:1337 default FALSE): a FRESH
+    engine (no SET) counts MILLISECONDS for integral casts — 60 is
+    epoch+0.060s, exactly what a Hive 2.3.2 cluster returns
+    default-config."""
     eng, _ = qenv
     fresh = Engine(spark=eng.spark)
     row = fresh.sql("select cast(60 as timestamp) AS t").collect()[0]
-    assert row.t.isoformat() == "1970-01-01T00:01:00"
+    assert row.t.isoformat() == "1970-01-01T00:00:00.060000"
+
+
+def test_q_int_ts_rewrite_single_evaluation():
+    """The millis rewrite binds the operand ONCE inside
+    transform(array(expr), ...) — nondeterministic operands (rand(),
+    uuid()) are evaluated a single time, and the typeof dispatch plus
+    both cast branches all reference the bound lambda variable."""
+    from hive_2_3_2_spark.engine import _rewrite_int_ts_casts
+
+    out = _rewrite_int_ts_casts("select cast(rand() * 10 as timestamp) t")
+    assert out.count("rand()") == 1
+    assert "transform(array(rand() * 10)" in out
