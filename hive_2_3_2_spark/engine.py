@@ -1154,6 +1154,9 @@ class Engine:
         self.macros: dict[str, tuple[list[str], str]] = {}
         # name → qualified Python source — CREATE TEMPORARY FUNCTION
         self.functions: dict[str, str] = {}
+        # user PTF name → canonical head (matchpath/noop/noopwithmap):
+        # CREATE TEMPORARY FUNCTION x AS '<hive ptf resolver class>'
+        self.ptf_aliases: dict[str, str] = {}
         # Declared-schema overlay (ALTER TABLE ADD/CHANGE/REPLACE
         # COLUMNS): Hive stores the declared schema in the metastore and
         # parquet binds BY NAME at read time; tables with no overlay
@@ -1385,6 +1388,21 @@ class Engine:
         # INSERT branch parser and spark.sql both see one spelling.
         if _search_code(_MAP_REDUCE_KW, query) is not None:
             query = _rewrite_map_reduce_transform(query)
+        # PTFs registered under user names (ptf_register_tblfn.q:
+        # CREATE TEMPORARY FUNCTION x AS '...MatchPath$MatchPathResolver')
+        # normalize to their canonical head before the PTF rewrites.
+        if self.ptf_aliases:
+            for alias, canon in self.ptf_aliases.items():
+                pat = re.compile(
+                    rf"\b{re.escape(alias)}(\s*\(\s*on\b)", re.IGNORECASE
+                )
+                mm = _search_code(pat, query)
+                if mm:
+                    query = pat.sub(rf"{canon}\1", query)
+        # Noop pass-through PTFs reduce to subqueries before ANY
+        # dispatch (they appear in FROM-first multi-insert too).
+        if _search_code(_NOOP_PTF_HEAD, query) is not None:
+            query = self._rewrite_noop_ptf_calls(query)
         if _CTAS_SPLIT.match(query):
             query = self._ctas_hive_autonames(query)
         m = _SHELL_STMT.match(query)
@@ -2197,6 +2215,26 @@ class Engine:
                 "db-qualified names are for permanent functions "
                 "(FunctionTask rejects qualified temporary names)"
             )
+        # Hive PTF resolver classes register as PTF aliases — the SQL
+        # head ``x(on ...)`` then normalizes to the canonical rewrite
+        # (ptf_register_tblfn.q registers MatchPath under a user name).
+        if ".udf.ptf." in qual or qual.endswith("Resolver"):
+            low = qual.lower()
+            if "matchpath" in low:
+                canon = "matchpath"
+            elif "noopwithmap" in low:
+                canon = "noopwithmap"
+            elif "noop" in low:
+                canon = "noop"
+            else:
+                raise HiveQLUnsupportedError(
+                    f"CREATE TEMPORARY FUNCTION: unknown Hive PTF "
+                    f"resolver {qual!r} — supported: MatchPath, Noop, "
+                    "NoopWithMap (reference udf/ptf/)"
+                )
+            self.ptf_aliases[name.lower()] = canon
+            self.functions[name.lower()] = qual
+            return self._conf_frame([])
         obj = _resolve_python_callable(qual)
         # Prebuilt UDF detection: the same duck-type check spark.udf
         # .register itself uses (a UserDefinedFunction or the pandas_udf
@@ -2264,7 +2302,12 @@ class Engine:
                 f"DROP FUNCTION {name}: not a temporary function this "
                 "session registered (use IF EXISTS to make this a no-op)"
             )
-        self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        if name.lower() in self.ptf_aliases:
+            # PTF aliases live only in the engine's rewrite table —
+            # nothing was registered with Spark.
+            self.ptf_aliases.pop(name.lower(), None)
+        else:
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         self.functions.pop(name.lower(), None)
         return self._conf_frame([])
 
@@ -5226,7 +5269,7 @@ class Engine:
         depth, cut = 0, len(select_part)
         kw = re.compile(
             r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|DISTRIBUTE|SORT|"
-            r"CLUSTER|LATERAL)\b",
+            r"CLUSTER|LATERAL|WINDOW)\b",
             re.IGNORECASE,
         )
         for i, ch in enumerate(select_part):
@@ -5964,6 +6007,78 @@ class Engine:
                 "the result distributed"
             )
         return self.spark.createDataFrame(rows, df.schema)
+
+    def _rewrite_noop_ptf_calls(self, query: str) -> str:
+        """Hive's Noop family of PTFs (reference: udf/ptf/Noop.java,
+        NoopWithMap.java, NoopStreaming.java — ptf.q, ptf_streaming.q):
+        pass-through table functions whose partition/order (or
+        distribute/sort) clause establishes the PTF input ordering.
+        Row content is unchanged, and every windowing expression in the
+        golden corpus carries its OWN explicit OVER spec, so the
+        Spark-first translation is a plain subquery over the source —
+        Catalyst then plans the real partitioning from the window specs
+        (one Exchange per distinct spec, not one per noop level, which
+        also drops the redundant per-chain-link shuffles Hive's PTF
+        operator chain would execute at 100 TB).
+
+        Rewrites RIGHTMOST-first so chained calls (test 12/18-23:
+        ``noop(on noopwithmap(on noop(on part ...)))``) reduce from the
+        innermost out. A call in FROM position with no explicit alias
+        gets a generated one (the FROM-first multi-insert branch and
+        older SQL dialects require aliased subqueries)."""
+        n = 0
+        while True:
+            m = None
+            for cand in _NOOP_PTF_HEAD.finditer(query):
+                in_q = None
+                for ch in query[:cand.start()]:
+                    if in_q:
+                        if ch == in_q:
+                            in_q = None
+                    elif ch in "'\"":
+                        in_q = ch
+                if in_q is None:
+                    m = cand  # keep the RIGHTMOST code match
+            if m is None:
+                return query
+            open_idx = query.index("(", m.start())
+            close = _scan_balanced(query, open_idx)
+            if close >= len(query):
+                return query
+            body = re.sub(
+                r"^\s*on\b", "", query[open_idx + 1:close],
+                flags=re.IGNORECASE,
+            )
+            # src = body up to the first TOP-LEVEL ptf clause keyword
+            cut = len(body)
+            for cm in _PTF_SPEC_CLAUSE.finditer(body):
+                depth = 0
+                for ch in body[:cm.start()]:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                if depth == 0:
+                    cut = cm.start()
+                    break
+            src = body[:cut].strip().rstrip(",").strip()
+            if not src:
+                raise HiveQLUnsupportedError(
+                    "noop PTF: missing input relation after ON"
+                )
+            # explicit alias right after the call? (``) abc join ...``)
+            tail = query[close + 1:]
+            am = re.match(r"\s*(?:as\s+)?([A-Za-z_]\w*)", tail)
+            has_alias = bool(
+                am and am.group(1).lower() not in _FROM_TAIL_KEYWORDS
+            )
+            alias = "" if has_alias else f" __ptf_{n}"
+            n += 1
+            query = (
+                query[:m.start()]
+                + f"(SELECT * FROM {src}){alias}"
+                + query[close + 1:]
+            )
 
     def _rewrite_matchpath_calls(self, query: str) -> str:
         """Hive's MatchPath PTF SQL invocation (reference:
@@ -7121,6 +7236,25 @@ def _search_code(pattern: re.Pattern, text: str):
             return m
     return None
 
+
+# Noop pass-through PTF family (udf/ptf/Noop*.java) — SQL invocation
+# ``noop(on <src> partition by ... order by ...)``
+_NOOP_PTF_HEAD = re.compile(
+    r"\b(?:noop|noopwithmap|noopstreaming|noopwithmapstreaming)"
+    r"\s*\(\s*on\b",
+    re.IGNORECASE,
+)
+_PTF_SPEC_CLAUSE = re.compile(
+    r"\b(?:partition\s+by|distribute\s+by|order\s+by|sort\s+by|"
+    r"cluster\s+by)\b",
+    re.IGNORECASE,
+)
+#: words that can follow a FROM-item where an alias CANNOT appear
+_FROM_TAIL_KEYWORDS = frozenset(
+    "join inner left right full cross outer semi anti on where group "
+    "order sort distribute cluster window having limit union intersect "
+    "except insert select lateral using natural".split()
+)
 
 _CAST_OPEN = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 

@@ -119,6 +119,7 @@ _MODULES = [
     "statements_r7",
     # r8 surface — its entry sits inside the r8 window (freeze rule)
     "statements_r8",
+    "statements_r9",
 ]
 # R5 WINDOW (verified 50/50): the 18 entries with no driver row after
 # r4 + 5 new r5 entries + 27 high-value re-verifications — after r5,
@@ -161,8 +162,10 @@ _MODULES = [
 # ranked by FIRST green round (the 9 r1-origin TPC-H/join/agg heads,
 # the 9 r2-origin dedup/dml/chunk/tfidf/window entries, the 3
 # r3-origin events/matchpath entries, and the 2 alphabetically-first
-# r4-origin entries clean_decontaminate_bloom +
-# dml_sql_insert_into_select). Post-window staleness floor becomes r5.
+# r4-origin entries — then two of those marginal picks
+# (clean_decontaminate_bloom, dml_sql_insert_into_select) swapped out
+# for the two NEW r9 entries per the freeze rule: op_noop_ptf_chain +
+# fn_int_timestamp_millis_default. Post-window staleness floor r5.
 _WINDOW = [
     # -- stalest cohort: latest green row is r4 (all 27) --
     "agg_histogram_equiwidth",
@@ -214,8 +217,9 @@ _WINDOW = [
     "events_session_window",
     "events_tumbling_window",
     "op_match_path_sessions",
-    "clean_decontaminate_bloom",
-    "dml_sql_insert_into_select",
+    # -- new in r9 (freeze rule: new entries land inside the window) --
+    "op_noop_ptf_chain",
+    "fn_int_timestamp_millis_default",
 ]
 
 
