@@ -1784,6 +1784,11 @@ class Engine:
             return ans
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
+        if _search_code(_DTF_CALLS, query) is not None:
+            # invalid SimpleDateFormat patterns → typed NULL (Hive
+            # initialize-time behavior; Spark would raise at EXECUTION,
+            # past the error-keyed retry loop)
+            query = _rewrite_invalid_sdf_literals(query)
         rewritten = rewrite_hiveql(query, spark=self.spark)
         # Error-keyed retry loop: each pass applies the rewrite matching
         # the exact Spark rejection (nested window hoist, SELECT-alias
@@ -8127,6 +8132,110 @@ def _rewrite_range_frame_order(query: str) -> str | None:
     return out if changed[0] else None
 
 
+_DTF_CALLS = re.compile(
+    r"\b(date_format|from_unixtime|unix_timestamp|to_unix_timestamp|"
+    r"to_date|to_timestamp)\s*\(",
+    re.IGNORECASE,
+)
+#: NULL result type per datetime-formatting function (Hive returns a
+#: typed NULL when the pattern is invalid)
+_DTF_NULL_TYPE = {
+    "date_format": "STRING",
+    "from_unixtime": "STRING",
+    "unix_timestamp": "BIGINT",
+    "to_unix_timestamp": "BIGINT",
+    "to_date": "DATE",
+    "to_timestamp": "TIMESTAMP",
+}
+
+
+#: pattern letters SimpleDateFormat accepts (Java 8 — the parser Hive
+#: 2.3 wraps; anything else raises at GenericUDFDateFormat.initialize)
+_SDF_LETTERS = frozenset("GyYMLwWDdFEuaHkKhmsSzZX")
+
+
+def _invalid_sdf_pattern(pattern: str) -> bool:
+    """True when the pattern is NOT a valid SimpleDateFormat — an
+    unquoted ASCII letter outside the SimpleDateFormat alphabet."""
+    in_quote = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "'":
+            if pattern[i + 1: i + 2] == "'":
+                i += 2
+                continue
+            in_quote = not in_quote
+        elif not in_quote and ch.isalpha() and ch not in _SDF_LETTERS:
+            return True
+        i += 1
+    return False
+
+
+def _rewrite_invalid_sdf_literals(query: str) -> str:
+    """Hive's datetime UDFs return NULL when their pattern argument is
+    not a valid SimpleDateFormat (GenericUDFDateFormat.initialize
+    catches the IllegalArgumentException; udf_date_format.q golden:
+    date_format('2015-04-08','Q') → NULL for every row). Spark raises
+    INVALID_DATETIME_PATTERN at EXECUTION time — after Engine.sql has
+    returned the lazy frame — so this is validated up front: any
+    datetime call whose LAST top-level argument is a string literal
+    with a non-SimpleDateFormat letter becomes a typed NULL."""
+    out = query
+    pos = 0
+    while True:
+        cm = _DTF_CALLS.search(out, pos)
+        if cm is None:
+            return out
+        open_idx = out.index("(", cm.start())
+        close = _scan_balanced(out, open_idx)
+        if close >= len(out):
+            return out
+        args = _split_top_commas(out[open_idx + 1: close])
+        last = args[-1].strip() if len(args) >= 2 else ""
+        lm = re.fullmatch(r"'((?:[^']|'')*)'", last)
+        if lm and _invalid_sdf_pattern(lm.group(1)):
+            ty = _DTF_NULL_TYPE[cm.group(1).lower()]
+            out = (
+                out[:cm.start()] + f"CAST(NULL AS {ty})" + out[close + 1:]
+            )
+            pos = cm.start()
+        else:
+            pos = open_idx + 1
+    return out
+
+
+def _rewrite_invalid_dtf_pattern(query: str, err: str) -> str | None:
+    """Hive's datetime UDFs return NULL when the pattern is not a valid
+    SimpleDateFormat (GenericUDFDateFormat.initialize catches the
+    IllegalArgumentException and every evaluate yields NULL —
+    udf_date_format.q golden: date_format('2015-04-08','Q') → NULL).
+    Spark raises INVALID_DATETIME_PATTERN instead; replace each call
+    carrying that exact pattern literal with a typed NULL."""
+    pm = re.search(r"pattern: '([^']*)'", err)
+    if not pm:
+        return None
+    pattern = pm.group(1)
+    needle = f"'{pattern}'"
+    out = query
+    changed = False
+    while True:
+        hit = None
+        for cm in _DTF_CALLS.finditer(out):
+            open_idx = out.index("(", cm.start())
+            close = _scan_balanced(out, open_idx)
+            if close < len(out) and needle in out[open_idx:close]:
+                hit = (cm, open_idx, close)
+                break
+        if hit is None:
+            break
+        cm, open_idx, close = hit
+        ty = _DTF_NULL_TYPE[cm.group(1).lower()]
+        out = out[:cm.start()] + f"CAST(NULL AS {ty})" + out[close + 1:]
+        changed = True
+    return out if changed else None
+
+
 def _retry_rewrite(query: str, err: str) -> str | None:
     """Dispatch the error-keyed HiveQL retry rewrites (Engine.sql runs
     these in a loop, so chained gaps — e.g. a WINDOW clause refinement
@@ -8157,6 +8266,8 @@ def _retry_rewrite(query: str, err: str) -> str | None:
         return _rewrite_ts_numeric_cmp(query, err)
     if "FILTER_NOT_BOOLEAN" in err:
         return _rewrite_nonbool_filter(query, err)
+    if "INVALID_DATETIME_PATTERN" in err:
+        return _rewrite_invalid_dtf_pattern(query, err)
     if (
         "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE" in err
         or "RANGE_FRAME_INVALID_TYPE" in err

@@ -349,3 +349,23 @@ def test_q_rewriters_ignore_string_literals(eng):
     assert r.b == "noop(on x)"
     assert r.c == "field(a, b)"
     assert r.d is None
+
+
+def test_q_date_format_invalid_pattern_null(spark):
+    """udf_date_format.q golden: date_format('2015-04-08','Q') → NULL —
+    Hive's GenericUDFDateFormat.initialize catches the SimpleDateFormat
+    IllegalArgumentException and yields NULL for every row; Spark would
+    raise INVALID_DATETIME_PATTERN at execution, so Engine.sql
+    pre-validates pattern literals (engine._rewrite_invalid_sdf_literals)."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    row = eng.sql(
+        "select date_format('2015-04-08', 'Q') AS q, "
+        "date_format('2015-04-08', 'EEEE') AS e, "
+        "unix_timestamp('2015-04-08', 'QQ') AS u, "
+        "from_unixtime(0, 'yyyy-MM-dd') AS f"
+    ).collect()[0]
+    assert row.q is None and row.u is None
+    assert row.e == "Wednesday"
+    assert row.f == "1970-01-01"
