@@ -422,3 +422,79 @@ def test_q_multi_insert_union_source(qenv):
         "CAST(key AS DOUBLE) < 10 UNION ALL SELECT * FROM src WHERE "
         "CAST(key AS DOUBLE) > 70) s WHERE CAST(key AS DOUBLE) > 77",
     )
+
+
+def test_q_multi_insert_gby2_global_aggregate_branches(qenv):
+    """multi_insert_gby2.q (HIVE-3699: multiple global-aggregate
+    branches must NOT store the same result in every table): the
+    shared FROM is a subquery, branch one is COUNT(*), branch two is a
+    different global aggregate — two different one-row answers."""
+    eng, con, root = qenv
+    _mktarget(eng, root, "mi_g1", "cnt bigint")
+    _mktarget(eng, root, "mi_g2", "mx double")
+    eng.sql(
+        "FROM (select key, cast(key as double) as value from src "
+        "order by key) a "
+        "INSERT OVERWRITE TABLE mi_g1 SELECT COUNT(*) "
+        "INSERT OVERWRITE TABLE mi_g2 SELECT max(value) + min(value)"
+    )
+    assert_matches_oracle(
+        eng.table("mi_g1"), con,
+        "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM src",
+    )
+    assert_matches_oracle(
+        eng.table("mi_g2"), con,
+        "SELECT max(CAST(key AS DOUBLE)) + min(CAST(key AS DOUBLE)) "
+        "AS mx FROM src",
+    )
+
+
+def test_q_multi_insert_gby3_distinct_branches_both_orders(qenv):
+    """multi_insert_gby3.q: branches with their own GROUP BY where one
+    carries COUNT(DISTINCT) — Hive plans these as separate reduce
+    phases off one scan; both branch ORDERS must produce identical
+    content (the golden runs e1-then-e2 and e2-then-e1), plus the
+    3-sink form."""
+    eng, con, root = qenv
+    _mktarget(eng, root, "mi_d1", "key string, cd bigint")
+    _mktarget(eng, root, "mi_d2", "key string, s double, val string")
+    _mktarget(eng, root, "mi_d3", "val string, cd bigint")
+    src_sub = (
+        "FROM (select key, cast(key as double) as keyD, val from src "
+        "order by key) a "
+    )
+    for stmt in (
+        src_sub
+        + "INSERT OVERWRITE TABLE mi_d1 "
+        "SELECT key, COUNT(distinct val) group by key "
+        "INSERT OVERWRITE TABLE mi_d2 "
+        "SELECT key, sum(keyD), val group by key, val",
+        src_sub
+        + "INSERT OVERWRITE TABLE mi_d2 "
+        "SELECT key, sum(keyD), val group by key, val "
+        "INSERT OVERWRITE TABLE mi_d1 "
+        "SELECT key, COUNT(distinct val) group by key",
+    ):
+        eng.sql(stmt)
+        assert_matches_oracle(
+            eng.table("mi_d1"), con,
+            "SELECT key, CAST(COUNT(DISTINCT val) AS BIGINT) AS cd "
+            "FROM src GROUP BY key",
+        )
+        assert_matches_oracle(
+            eng.table("mi_d2"), con,
+            "SELECT key, sum(CAST(key AS DOUBLE)) AS s, val FROM src "
+            "GROUP BY key, val",
+        )
+    eng.sql(
+        "from src "
+        "insert overwrite table mi_d1 "
+        "select key, count(distinct val) group by key "
+        "insert overwrite table mi_d3 "
+        "select val, count(distinct key) group by val"
+    )
+    assert_matches_oracle(
+        eng.table("mi_d3"), con,
+        "SELECT val, CAST(COUNT(DISTINCT key) AS BIGINT) AS cd "
+        "FROM src GROUP BY val",
+    )
