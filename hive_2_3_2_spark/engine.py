@@ -2736,7 +2736,7 @@ class Engine:
             json.dump(meta, f)
         # count what was EXPORTED (the whole table, or just the
         # spec-matched partitions)
-        return self._rows_affected(parquet_row_count(data_dir))
+        return self._rows_affected(parquet_row_count(data_dir, self.spark))
 
     def _run_import(
         self, table: str, export_dir: str, location: str | None
@@ -2774,7 +2774,7 @@ class Engine:
         else:
             dest = data_dir
         self.register_table(key, dest, meta.get("partition_cols") or None)
-        return self._rows_affected(parquet_row_count(dest))
+        return self._rows_affected(parquet_row_count(dest, self.spark))
 
     def _static_partition_reldir(self, key: str, spec: str) -> str:
         """``p='v', q=1`` → ``p=v/q=1`` for a registered table, validating
@@ -2817,7 +2817,7 @@ class Engine:
         if m.group(2):
             trunc_rel = self._static_partition_reldir(key, m.group(2))
             dest = os.path.join(path, trunc_rel)
-            n = parquet_row_count(dest) if os.path.exists(dest) else 0
+            n = parquet_row_count(dest, self.spark) if os.path.exists(dest) else 0
             shutil.rmtree(dest, ignore_errors=True)
         else:
             if parts:
@@ -2828,7 +2828,7 @@ class Engine:
                 )
             from hive_2_3_2_spark.sources.writers import _swap_dirs
 
-            n = parquet_row_count(path)
+            n = parquet_row_count(path, self.spark)
             schema = self._target_frame(key).schema
             empty = self.spark.createDataFrame([], schema)
             staging = f"{path}__truncate_staging"
@@ -3181,7 +3181,7 @@ class Engine:
                 [(n_files, size)],
                 "num_files bigint, total_size_bytes bigint",
             )
-        n = parquet_row_count(path)
+        n = parquet_row_count(path, self.spark)
         fp = self._table_fingerprint(path)
         self.basic_stats[key] = {
             "num_rows": n,
@@ -3242,7 +3242,7 @@ class Engine:
         rows = []
         for rel in targets:
             pdir = os.path.join(path, rel)
-            n = parquet_row_count(pdir)
+            n = parquet_row_count(pdir, self.spark)
             size = 0
             for root, _dirs, files in os.walk(pdir):
                 size += sum(
@@ -4135,7 +4135,7 @@ class Engine:
                 f"EXCHANGE PARTITION: destination partition {rel!r} "
                 "already exists (Hive refuses to overwrite)"
             )
-        n = parquet_row_count(src_dir)
+        n = parquet_row_count(src_dir, self.spark)
         os.makedirs(os.path.dirname(dest_dir), exist_ok=True)
         shutil.move(src_dir, dest_dir)
         self.register_table(dest, self.table_paths[dest], d_parts)
@@ -4164,7 +4164,7 @@ class Engine:
                 f"RENAME PARTITION: target partition {new_rel!r} "
                 "already exists"
             )
-        n = parquet_row_count(old_dir)
+        n = parquet_row_count(old_dir, self.spark)
         os.makedirs(os.path.dirname(new_dir), exist_ok=True)
         shutil.move(old_dir, new_dir)
         self.register_table(
@@ -5163,7 +5163,7 @@ class Engine:
                         f"no such partition: {dest} (use IF EXISTS)"
                     )
                 if exists:
-                    n += parquet_row_count(dest)
+                    n += parquet_row_count(dest, self.spark)
                     shutil.rmtree(dest)
         self.register_table(key, path, self.table_partitions.get(key))
         return self._rows_affected(n)
@@ -5190,7 +5190,7 @@ class Engine:
             if m.group(2)
             else path
         )
-        before = parquet_row_count(dest)
+        before = parquet_row_count(dest, self.spark)
         size = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _d, fs in os.walk(dest)
@@ -5202,7 +5202,7 @@ class Engine:
         staging = f"{dest.rstrip('/')}__concat_staging"
         shutil.rmtree(staging, ignore_errors=True)
         df.coalesce(n_files).write.parquet(staging)
-        if parquet_row_count(staging) != before:
+        if parquet_row_count(staging, self.spark) != before:
             shutil.rmtree(staging)
             raise RuntimeError(
                 "CONCATENATE row-count mismatch — aborted before swap"
@@ -5431,7 +5431,7 @@ class Engine:
         from hive_2_3_2_spark.sources.writers import ensure_dir_table
 
         try:
-            n = sum(parquet_row_count(f) for f in files)
+            n = sum(parquet_row_count(f, self.spark) for f in files)
         except Exception as exc:
             # load_wrong_fileformat.q parity: LOAD moves files without a
             # rewrite, so a non-parquet payload would poison the table —

@@ -21,18 +21,37 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
-def parquet_row_count(path: str) -> int:
-    """Table row count from parquet FOOTER metadata only — no Spark job,
-    no data scan (the same num_rows Hive's StatsTask reads; at 100 TB
-    this is a metadata listing, not a query)."""
+# Above this many files the per-file footer read leaves the driver:
+# serial pyarrow at ~1-5 ms/footer is fine for a write's staged files,
+# but a LOAD DATA / IMPORT / whole-table ANALYZE target at 10^5-10^6
+# files would pin the driver for minutes, so the count runs as a Spark
+# job instead (parquet count(*) is answered from row-group metadata on
+# the executors, never materializing columns).
+DISTRIBUTED_COUNT_THRESHOLD = 256
+
+
+def parquet_row_count(path: str, spark=None) -> int:
+    """Table row count from parquet FOOTER metadata only — no data
+    scan (the same num_rows Hive's StatsTask reads; at 100 TB this is
+    a metadata listing, not a query). With a SparkSession and more
+    than DISTRIBUTED_COUNT_THRESHOLD files, the footer reads
+    distribute as one Spark metadata-count job instead of a serial
+    driver walk."""
     if os.path.isfile(path):
         return _pq.ParquetFile(path).metadata.num_rows
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                total += _pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-    return total
+    files = [
+        os.path.join(root, fn)
+        for root, _dirs, fnames in os.walk(path)
+        for fn in fnames
+        if fn.endswith(".parquet")
+    ]
+    if spark is not None and len(files) > DISTRIBUTED_COUNT_THRESHOLD:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
+            .count()
+        )
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def write_partitioned(

