@@ -1157,6 +1157,10 @@ class Engine:
         # user PTF name → canonical head (matchpath/noop/noopwithmap):
         # CREATE TEMPORARY FUNCTION x AS '<hive ptf resolver class>'
         self.ptf_aliases: dict[str, str] = {}
+        # user fn name → Spark builtin: CREATE TEMPORARY FUNCTION x AS
+        # '<hive builtin UDF/UDAF class>' (windowing_udaf2.q registers
+        # GenericUDAFSum under a user name and windows over it)
+        self.fn_aliases: dict[str, str] = {}
         # Declared-schema overlay (ALTER TABLE ADD/CHANGE/REPLACE
         # COLUMNS): Hive stores the declared schema in the metastore and
         # parquet binds BY NAME at read time; tables with no overlay
@@ -1399,6 +1403,14 @@ class Engine:
                 mm = _search_code(pat, query)
                 if mm:
                     query = pat.sub(rf"{canon}\1", query)
+        if self.fn_aliases:
+            # Hive-builtin-class registrations invoke the Spark builtin
+            for alias, fn in self.fn_aliases.items():
+                pat = re.compile(
+                    rf"\b{re.escape(alias)}\s*\(", re.IGNORECASE
+                )
+                if _search_code(pat, query):
+                    query = pat.sub(f"{fn}(", query)
         # Noop pass-through PTFs reduce to subqueries before ANY
         # dispatch (they appear in FROM-first multi-insert too).
         if _search_code(_NOOP_PTF_HEAD, query) is not None:
@@ -2240,6 +2252,31 @@ class Engine:
             self.ptf_aliases[name.lower()] = canon
             self.functions[name.lower()] = qual
             return self._conf_frame([])
+        # Hive BUILTIN UDF/UDAF classes registered under user names
+        # alias to the Spark builtin of the same function
+        # (windowing_udaf2.q: mysum AS '...GenericUDAFSum' then
+        # mysum(key) OVER () — FunctionRegistry maps these classes to
+        # the same evaluators the builtin names use).
+        cm = re.match(
+            r"org\.apache\.hadoop\.hive\.ql\.udf\."
+            r"(?:generic\.)?(?:GenericUDAF|GenericUDF|UDAF|UDF)(\w+)$",
+            qual,
+        )
+        if cm:
+            fn = _HIVE_CLASS_FN_EXCEPTIONS.get(
+                cm.group(1).lower(), cm.group(1).lower()
+            )
+            try:
+                self.spark.sql(f"DESCRIBE FUNCTION {fn}")
+            except Exception:
+                raise HiveQLUnsupportedError(
+                    f"CREATE TEMPORARY FUNCTION: Hive builtin class "
+                    f"{qual!r} has no Spark builtin equivalent "
+                    f"({fn!r} not found)"
+                ) from None
+            self.fn_aliases[name.lower()] = fn
+            self.functions[name.lower()] = qual
+            return self._conf_frame([])
         obj = _resolve_python_callable(qual)
         # Prebuilt UDF detection: the same duck-type check spark.udf
         # .register itself uses (a UserDefinedFunction or the pandas_udf
@@ -2307,10 +2344,11 @@ class Engine:
                 f"DROP FUNCTION {name}: not a temporary function this "
                 "session registered (use IF EXISTS to make this a no-op)"
             )
-        if name.lower() in self.ptf_aliases:
-            # PTF aliases live only in the engine's rewrite table —
-            # nothing was registered with Spark.
+        if name.lower() in self.ptf_aliases or name.lower() in self.fn_aliases:
+            # PTF / builtin-class aliases live only in the engine's
+            # rewrite tables — nothing was registered with Spark.
             self.ptf_aliases.pop(name.lower(), None)
+            self.fn_aliases.pop(name.lower(), None)
         else:
             self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         self.functions.pop(name.lower(), None)
@@ -7241,6 +7279,23 @@ def _search_code(pattern: re.Pattern, text: str):
             return m
     return None
 
+
+#: Hive builtin class tails whose Spark function name differs from the
+#: lowercased class tail (FunctionRegistry.java registrations)
+_HIVE_CLASS_FN_EXCEPTIONS = {
+    "average": "avg",
+    "opplus": "+",
+    "opnegative": "negative",
+    "stddevsamp": "stddev_samp",
+    "stddev": "stddev_pop",     # Hive std/stddev are POPULATION forms
+    "variance": "var_pop",
+    "varsamp": "var_samp",
+    "collectset": "collect_set",
+    "collectlist": "collect_list",
+    "rowsequence": "monotonically_increasing_id",
+    "tolower": "lower",
+    "toupper": "upper",
+}
 
 # Noop pass-through PTF family (udf/ptf/Noop*.java) — SQL invocation
 # ``noop(on <src> partition by ... order by ...)``
