@@ -1161,6 +1161,14 @@ class Engine:
         # '<hive builtin UDF/UDAF class>' (windowing_udaf2.q registers
         # GenericUDAFSum under a user name and windows over it)
         self.fn_aliases: dict[str, str] = {}
+        # table → [(frozenset of data-file relpaths, read StructType)]:
+        # files written BEFORE a type-CONVERTING column alter, with the
+        # schema they must be read under (then CAST to the declared
+        # schema). Hive's schema-evolution converters
+        # (schema_evol_*.q; enabled when hive.metastore.disallow.
+        # incompatible.col.type.changes=false) re-expressed as
+        # per-epoch scans unioned after casting.
+        self.schema_epochs: dict[str, list[tuple[frozenset, object]]] = {}
         # Declared-schema overlay (ALTER TABLE ADD/CHANGE/REPLACE
         # COLUMNS): Hive stores the declared schema in the metastore and
         # parquet binds BY NAME at read time; tables with no overlay
@@ -1242,6 +1250,16 @@ class Engine:
         # Column VALUES survive for DESCRIBE (Hive keeps TAB_COL_STATS
         # rows too); only the serve-from-stats gates drop.
         self._invalidate_stats(name)
+        epoch_df = self._epoch_union_frame(name, path)
+        if epoch_df is not None:
+            epoch_df.createOrReplaceTempView(name)
+            self.tables[name] = epoch_df
+            self.table_paths[name] = path
+            if partition_cols:
+                self.table_partitions[name] = list(partition_cols)
+            if self.views:
+                self._refresh_dependent_views(name)
+            return epoch_df
         reader = self.spark.read
         if name in self.table_schemas:
             reader = reader.schema(self.table_schemas[name])
@@ -1279,6 +1297,9 @@ class Engine:
         path must use this (a bare ``spark.read.parquet`` after schema
         evolution would adopt ONE file's schema and could silently drop
         a column that newer files carry)."""
+        epoch_df = self._epoch_union_frame(key, self.table_paths[key])
+        if epoch_df is not None:
+            return epoch_df
         reader = self.spark.read
         if key in self.table_schemas:
             reader = reader.schema(self.table_schemas[key])
@@ -1568,6 +1589,10 @@ class Engine:
             affected = delete_where(
                 self.spark, path, cond, parts,
                 schema=self._declared_schema(key),
+                target_df=(
+                    self._epoch_union_frame(key, path)
+                    if key in self.schema_epochs else None
+                ),
             )
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
@@ -1595,6 +1620,10 @@ class Engine:
                     r"\(\s*SELECT\b", cond_txt or "", re.IGNORECASE
                 ),
                 schema=self._declared_schema(key),
+                target_df=(
+                    self._epoch_union_frame(key, path)
+                    if key in self.schema_epochs else None
+                ),
             )
             self.register_table(key, path, parts)
             return self._rows_affected(affected)
@@ -4109,7 +4138,8 @@ class Engine:
         path = self.table_paths.pop(key)
         parts = self.table_partitions.pop(key, None)
         self.tables.pop(key, None)
-        for store in (self.table_schemas, self.table_props, self.column_stats):
+        for store in (self.table_schemas, self.table_props,
+                      self.column_stats, self.schema_epochs):
             if key in store:
                 store[new_key] = store.pop(key)
         # gathered stats travel too (rename moves no data files, so the
@@ -4405,6 +4435,110 @@ class Engine:
             key, StructType(data + added + part)
         )
 
+    def _conversion_alter_allowed(self, old, new) -> bool:
+        """A non-parquet-bindable type change is permitted when the
+        session disables Hive's incompatible-change guard
+        (hive.metastore.disallow.incompatible.col.type.changes=false —
+        HiveConf default TRUE; the schema_evol_*.q matrix runs with the
+        evolution converters active) AND Spark can CAST the old type to
+        the new one (the converters' semantics are exactly the
+        permissive cast: unparseable → NULL)."""
+        if self.hiveconf.get(
+            "hive.metastore.disallow.incompatible.col.type.changes",
+            "true",
+        ).lower() != "false":
+            return False
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        try:
+            self.spark.createDataFrame(
+                [], StructType([StructField("c", old)])
+            ).select(F.col("c").cast(new))
+            return True
+        except Exception:
+            return False
+
+    def _snapshot_schema_epoch(self, key: str) -> None:
+        """Record the CURRENT data files + the schema they read under,
+        so a type-converting alter can keep serving them (cast on
+        read). One listing per converting ALTER — the same event-scoped
+        cost as Hive rewriting the metastore SD. Files later rewritten
+        by DML drop out of the epoch naturally (the fileset no longer
+        matches disk)."""
+        path = self.table_paths.get(key)
+        if not path or not os.path.isdir(path):
+            return
+        rels = frozenset(
+            os.path.relpath(os.path.join(root, fn), path)
+            for root, _d, files in os.walk(path)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+        if not rels:
+            return
+        schema = self._declared_schema(key)
+        self.schema_epochs.setdefault(key, []).append((rels, schema))
+
+    def _epoch_union_frame(self, name: str, path: str):
+        """Conversion-aware read: files captured in a schema epoch scan
+        under THEIR schema and CAST to the declared one; everything
+        else scans declared directly. Returns None when no epoch file
+        survives on disk (and drops the bookkeeping — the table has
+        been fully rewritten under the new schema). Scale: the listing
+        is per-registration (event), the per-epoch scans are ordinary
+        distributed parquet scans, and the union is a plan-level
+        concat — no extra shuffle."""
+        from pyspark.sql import functions as F
+
+        epochs = self.schema_epochs.get(name)
+        if not epochs or name not in self.table_schemas:
+            return None
+        current = set(
+            os.path.relpath(os.path.join(root, fn), path)
+            for root, _d, files in os.walk(path)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+        declared = self.table_schemas[name]
+
+        def conform(df):
+            have = {f.name.lower(): f.name for f in df.schema.fields}
+            cols = []
+            for f in declared.fields:
+                src = have.get(f.name.lower())
+                if src is None:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.col(src).cast(f.dataType).alias(f.name))
+            return df.select(cols)
+
+        claimed: set = set()
+        frames = []
+        for fileset, schema in epochs:
+            live = (set(fileset) & current) - claimed
+            if not live:
+                continue
+            claimed |= live
+            rdr = self.spark.read.option("basePath", path).schema(schema)
+            frames.append(
+                conform(rdr.parquet(*[os.path.join(path, f)
+                                      for f in sorted(live)]))
+            )
+        if not frames:
+            self.schema_epochs.pop(name, None)
+            return None
+        rest = current - claimed
+        if rest:
+            rdr = self.spark.read.option("basePath", path).schema(declared)
+            frames.append(
+                rdr.parquet(*[os.path.join(path, f) for f in sorted(rest)])
+            )
+        df = frames[0]
+        for o in frames[1:]:
+            df = df.unionByName(o)
+        return self._apply_char_read_semantics(df, declared)
+
     def _run_replace_columns(self, table: str, coldefs: str) -> DataFrame:
         """ALTER TABLE t REPLACE COLUMNS (...) — the declared DATA
         columns become exactly this list (partition columns are kept —
@@ -4435,15 +4569,23 @@ class Engine:
             for f in schema.fields
             if f.name.lower() not in parts
         }
+        converting = False
         for n, t in new_cols:
             old = old_types.get(n.lower())
             if old is not None and not self._parquet_read_compatible(old, t):
+                if self._conversion_alter_allowed(old, t):
+                    converting = True
+                    continue
                 raise HiveQLUnsupportedError(
                     f"REPLACE COLUMNS changes {n!r} from "
                     f"{old.simpleString()} to {t.simpleString()} — not a "
                     "parquet-compatible conversion (identity or numeric "
-                    "widening only)"
+                    "widening only; SET hive.metastore.disallow."
+                    "incompatible.col.type.changes=false for Hive's "
+                    "schema-evolution conversion matrix)"
                 )
+        if converting:
+            self._snapshot_schema_epoch(key)
         part = [f for f in schema.fields if f.name.lower() in parts]
         data = [self._char_aware_field(n, t) for n, t in new_cols]
         # Column stats survive REPLACE COLUMNS only for columns kept
@@ -4532,12 +4674,20 @@ class Engine:
             if f.name.lower() == old_name.lower():
                 if new_name.lower() == old_name.lower():
                     if not self._parquet_read_compatible(f.dataType, new_type):
-                        raise HiveQLUnsupportedError(
-                            f"CHANGE COLUMN {old_name!r}: "
-                            f"{f.dataType.simpleString()} → "
-                            f"{new_type.simpleString()} is not a "
-                            "parquet-compatible conversion"
-                        )
+                        if self._conversion_alter_allowed(
+                            f.dataType, new_type
+                        ):
+                            self._snapshot_schema_epoch(key)
+                        else:
+                            raise HiveQLUnsupportedError(
+                                f"CHANGE COLUMN {old_name!r}: "
+                                f"{f.dataType.simpleString()} → "
+                                f"{new_type.simpleString()} is not a "
+                                "parquet-compatible conversion (SET "
+                                "hive.metastore.disallow.incompatible."
+                                "col.type.changes=false for Hive's "
+                                "schema-evolution conversion matrix)"
+                            )
                 old_field = f
                 moved = self._char_aware_field(new_name, new_type)
                 fields.append(moved)

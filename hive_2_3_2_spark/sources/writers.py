@@ -449,6 +449,7 @@ def delete_where(
     condition: Column,
     partition_cols: list[str] | None = None,
     schema=None,
+    target_df: DataFrame | None = None,
 ) -> int:
     """Standalone ``DELETE FROM t WHERE cond`` over a parquet table;
     returns the number of deleted rows.
@@ -466,7 +467,9 @@ def delete_where(
     rewrite only, with the count derived from parquet footer row counts
     before/after (metadata, not a scan).
     """
-    target = _read_target(spark, target_path, schema)
+    target = target_df if target_df is not None else _read_target(
+        spark, target_path, schema
+    )
     survivors = target.filter(~F.coalesce(condition, F.lit(False)))
     if partition_cols:
         affected, touched, values = _touched_partitions(
@@ -500,6 +503,7 @@ def update_where(
     partition_cols: list[str] | None = None,
     observe_count: bool = True,
     schema=None,
+    target_df: DataFrame | None = None,
 ) -> None:
     """Standalone ``UPDATE t SET c = expr, ... WHERE cond``.
 
@@ -521,7 +525,9 @@ def update_where(
                 f"cannot UPDATE partition column(s) {bad}: Hive forbids it "
                 "(UpdateDeleteSemanticAnalyzer); use delete + insert instead"
             )
-    target = _read_target(spark, target_path, schema)
+    target = target_df if target_df is not None else _read_target(
+        spark, target_path, schema
+    )
     hit = F.coalesce(condition, F.lit(False))
     obs: Observation | None = None
     pre_counted: int | None = None
