@@ -7544,15 +7544,40 @@ def _rewrite_int_ts_casts(query: str) -> str:
             continue
         expr = _rewrite_int_ts_casts(inner[:k].strip())
         out.append(query[i: m.start()])
-        out.append(
-            f"transform(array({expr}), x_its -> CASE "
-            "WHEN typeof(x_its) = 'boolean' THEN timestamp_millis("
-            "CASE WHEN CAST(x_its AS STRING) = 'true' THEN 1 "
-            "WHEN x_its IS NOT NULL THEN 0 END) "
-            "WHEN typeof(x_its) IN ('tinyint','smallint','int','bigint')"
-            " THEN timestamp_millis(CAST(CAST(x_its AS STRING) AS BIGINT))"
-            " ELSE CAST(x_its AS TIMESTAMP) END)[0]"
-        )
+        # Literal operands stay FOLDABLE — wrapping a constant in the
+        # typeof CASE would turn `l_shipdate <= CAST('1998-09-02' AS
+        # TIMESTAMP)` into a non-constant comparison and LOSE the
+        # parquet PushedFilter (a full-scan regression at 100 TB).
+        if re.fullmatch(r"'(?:[^']|'')*'", expr) or re.fullmatch(
+            r"(?:date|timestamp)\s*'[^']*'", expr, re.IGNORECASE
+        ):
+            out.append(f"CAST({expr} AS TIMESTAMP)")
+        elif re.fullmatch(r"[+-]?\d+", expr):
+            out.append(f"timestamp_millis({expr})")
+        elif re.fullmatch(
+            r"[+-]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|"
+            r"[+-]?\d+[eE][+-]?\d+",
+            expr,
+        ):
+            out.append(f"CAST({expr} AS TIMESTAMP)")
+        elif re.fullmatch(r"(?:true|false)", expr, re.IGNORECASE):
+            out.append(
+                f"timestamp_millis({1 if expr.lower() == 'true' else 0})"
+            )
+        elif re.fullmatch(r"null", expr, re.IGNORECASE):
+            out.append("CAST(NULL AS TIMESTAMP)")
+        else:
+            out.append(
+                f"transform(array({expr}), x_its -> CASE "
+                "WHEN typeof(x_its) = 'boolean' THEN timestamp_millis("
+                "CASE WHEN CAST(x_its AS STRING) = 'true' THEN 1 "
+                "WHEN x_its IS NOT NULL THEN 0 END) "
+                "WHEN typeof(x_its) IN "
+                "('tinyint','smallint','int','bigint')"
+                " THEN timestamp_millis("
+                "CAST(CAST(x_its AS STRING) AS BIGINT))"
+                " ELSE CAST(x_its AS TIMESTAMP) END)[0]"
+            )
         i = close + 1
     out.append(query[i:])
     return "".join(out)

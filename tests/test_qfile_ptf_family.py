@@ -544,3 +544,56 @@ def test_q_ptf_register_matchpath_alias(spark, tmp_path):
         assert ("361", 20, 3, 20) in got_set
     finally:
         eng.sql("drop temporary function matchpathtest")
+
+
+def test_q_ptfgroupbyjoin_window_over_group_into_join(spark, tmp_path):
+    """ptfgroupbyjoin.q: row_number over a GROUP BY subquery joined to
+    a dim — the PTF sits between the aggregate and the join (Hive's
+    HIVE-12504 shape); with and without projecting the window column."""
+    eng = Engine(spark=spark)
+    con = duckdb.connect()
+    p1 = str(tmp_path / "tlb1")
+    p2 = str(tmp_path / "tlb2")
+    spark.createDataFrame(
+        [(100, 1, "abc"), (200, 1, "efg")], "id int, fkey int, val string"
+    ).coalesce(1).write.parquet(p1)
+    spark.createDataFrame(
+        [(1, "key1")], "fid int, name string"
+    ).coalesce(1).write.parquet(p2)
+    eng.register_table("tlb1", p1)
+    eng.register_table("tlb2", p2)
+    con.execute(
+        f"CREATE VIEW tlb1 AS SELECT * FROM read_parquet('{p1}/*.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW tlb2 AS SELECT * FROM read_parquet('{p2}/*.parquet')"
+    )
+    for proj_h, proj_d in (
+        ("ddd.id, ddd.fkey, aaa.name", "ddd.id, ddd.fkey, aaa.name"),
+        ("ddd.id, ddd.fkey, aaa.name, ddd.rnum",
+         "ddd.id, ddd.fkey, aaa.name, ddd.rnum"),
+    ):
+        assert_matches_oracle(
+            eng.sql(
+                f"""
+                select {proj_h}
+                from (
+                    select id, fkey,
+                    row_number() over (partition by id, fkey) as rnum
+                    from tlb1 group by id, fkey
+                 ) ddd
+                inner join tlb2 aaa on aaa.fid = ddd.fkey
+                """
+            ),
+            con,
+            f"""
+            SELECT {proj_d}
+            FROM (
+                SELECT id, fkey,
+                row_number() OVER (PARTITION BY id, fkey) AS rnum
+                FROM tlb1 GROUP BY id, fkey
+             ) ddd
+            INNER JOIN tlb2 aaa ON aaa.fid = ddd.fkey
+            """,
+        )
+    con.close()
