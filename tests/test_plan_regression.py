@@ -342,3 +342,56 @@ def test_stats_answered_query_is_scan_free(spark, sf_dir):
         or "LocalRelation" in plan
         or "Scan ExistingRDD" in plan  # createDataFrame from Python
     ), plan
+
+
+def test_noop_ptf_chain_plans_one_window_exchange(spark, sf_dir):
+    """op_noop_ptf_chain (ptf.q chains): a 3-level noop chain must NOT
+    plan one shuffle per chain link (Hive's PTFOperator chain would) —
+    exactly ONE hashpartitioning Exchange feeds the single Window of
+    the one distinct OVER spec."""
+    plan = _plan(spark, sf_dir, "op_noop_ptf_chain")
+    # formatted explain puts the partitioning on the Arguments line:
+    # exactly one hash exchange (the window's); the only other exchange
+    # is the final ORDER BY's rangepartitioning
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int_ts_literal_cast_keeps_pushed_filter(spark, sf_dir):
+    """The millis-mode cast rewrite must keep LITERAL timestamp casts
+    foldable: a WHERE against CAST('...' AS TIMESTAMP) still reaches
+    the parquet scan as a PushedFilter (a wrapped constant would force
+    a full scan at any size)."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    plan = explain_str(eng.sql(
+        "select l_orderkey from lineitem "
+        "where l_shipdate <= cast('1998-09-02' as timestamp)"
+    ))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    assert "transform(" not in plan
+
+
+def test_schema_epoch_read_is_union_of_scans_no_shuffle(spark, tmp_path):
+    """A post-conversion read plans as a UNION of ordinary parquet
+    scans with per-epoch casts — zero Exchange operators (the epochs
+    are a metadata overlay, not a repartition)."""
+    import os
+
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.sql(
+        "set hive.metastore.disallow.incompatible.col.type.changes=false"
+    )
+    p = os.path.join(str(tmp_path), "epoch_plan_t")
+    spark.createDataFrame(
+        [(1, "1.5"), (2, "2.5")], "k int, v string"
+    ).coalesce(1).write.parquet(p)
+    eng.register_table("epoch_plan_t", p)
+    eng.sql("alter table epoch_plan_t replace columns (k int, v double)")
+    eng.sql("insert into table epoch_plan_t values (3, 3.5)")
+    plan = explain_str(eng.sql("select k, v from epoch_plan_t"))
+    assert "Union" in plan, plan
+    assert "Exchange" not in plan, plan
