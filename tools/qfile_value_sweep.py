@@ -198,6 +198,29 @@ def duck_translate(s: str) -> str:
         r"\b(sum|avg)\s*\(\s*(substr(?:ing)?\([^()]*\))\s*\)",
         r"\1(TRY_CAST(\2 AS DOUBLE))", s, flags=re.IGNORECASE,
     )
+    # bitwise shifts: Hive functions → DuckDB operators (both 64-bit;
+    # Hive's 32-bit wraparound on INT inputs would surface as a
+    # reviewed mismatch, which is the point of the sweep)
+    s = re.sub(
+        r"\bshiftleft\s*\(([^,()]+),([^()]+)\)", r"((\1) << (\2))", s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(
+        r"\bshiftright\s*\(([^,()]+),([^()]+)\)", r"((\1) >> (\2))", s,
+        flags=re.IGNORECASE,
+    )
+    # date_add/date_sub(expr, n) — DuckDB's date_sub is a different
+    # (part, start, end) function entirely
+    s = re.sub(
+        r"\bdate_add\s*\(([^,()]+),([^()]+)\)",
+        r"(TRY_CAST(\1 AS DATE) + CAST(\2 AS INT))", s,
+        flags=re.IGNORECASE,
+    )
+    s = re.sub(
+        r"\bdate_sub\s*\(([^,()]+),([^()]+)\)",
+        r"(TRY_CAST(\1 AS DATE) - CAST(\2 AS INT))", s,
+        flags=re.IGNORECASE,
+    )
     return s
 
 
