@@ -1823,6 +1823,17 @@ class Engine:
         ans = self._try_metadata_only(query)
         if ans is not None:
             return ans
+        if self.hiveconf.get(
+            "hive.exec.script.allow.partial.consumption", "false"
+        ).lower() == "true":
+            # ScriptOperator's tolerated-broken-pipe mode
+            # (script_pipe.q): Spark's native TRANSFORM fails the task
+            # when the script exits early, so this conf routes simple
+            # TRANSFORM selects through the per-partition subprocess
+            # operator instead.
+            pm = _TRANSFORM_PARTIAL_STMT.match(query)
+            if pm:
+                return self._run_transform_partial(pm)
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
         if _search_code(_DTF_CALLS, query) is not None:
@@ -6201,6 +6212,33 @@ class Engine:
             )
         return self.spark.createDataFrame(rows, df.schema)
 
+    def _run_transform_partial(self, m: re.Match[str]) -> DataFrame:
+        """TRANSFORM under hive.exec.script.allow.partial.consumption
+        (reference ScriptOperator.java: an early-exiting script is not
+        an error in this mode — script_pipe.q's `true` and `head -n 1`
+        scripts). Input rows come from the statement's own FROM via the
+        normal rewrite pipeline; the piping runs per partition on the
+        executors (operators/transform.transform_script_partial)."""
+        from hive_2_3_2_spark.operators.transform import (
+            transform_script_partial,
+        )
+
+        cols, cmd, outs, rest = m.groups()
+        if not outs:
+            outs = "key, value"  # Hive's default TRANSFORM output names
+        out_names = [
+            part.strip().split()[0]
+            for part in outs.strip().strip("()").split(",")
+            if part.strip()
+        ]
+        src = rewrite_hiveql(
+            f"SELECT {cols.strip()} FROM {rest.strip().rstrip(';')}",
+            spark=self.spark,
+        )
+        return transform_script_partial(
+            self.spark.sql(src), cmd, out_names
+        )
+
     def _rewrite_noop_ptf_calls(self, query: str) -> str:
         """Hive's Noop family of PTFs (reference: udf/ptf/Noop.java,
         NoopWithMap.java, NoopStreaming.java — ptf.q, ptf_streaming.q):
@@ -7446,6 +7484,14 @@ _HIVE_CLASS_FN_EXCEPTIONS = {
     "tolower": "lower",
     "toupper": "upper",
 }
+
+# Simple TRANSFORM select — the shape the partial-consumption mode
+# handles (script_pipe.q); anything fancier keeps the native path
+_TRANSFORM_PARTIAL_STMT = re.compile(
+    r"^\s*SELECT\s+TRANSFORM\s*\((.*?)\)\s+USING\s+'([^']+)'"
+    r"(?:\s+AS\s+(\([^)]*\)|[\w\s,]+?))?\s+FROM\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # Noop pass-through PTF family (udf/ptf/Noop*.java) — SQL invocation
 # ``noop(on <src> partition by ... order by ...)``

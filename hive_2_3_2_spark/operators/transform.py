@@ -37,6 +37,74 @@ def transform_script(
     )
 
 
+def transform_script_partial(
+    df: DataFrame,
+    cmd: str,
+    out_names: list[str],
+) -> DataFrame:
+    """ScriptOperator under hive.exec.script.allow.partial.consumption
+    = true (reference: ScriptOperator.java close()/processOp() broken-
+    pipe handling; script_pipe.q): a script that EXITS before consuming
+    all of its input — ``head -n 1``, ``true`` — is not an error.
+    Spark's native ScriptTransformationExec fails the task on the
+    broken pipe, so this mode pipes per PARTITION through a subprocess
+    directly: the feeder thread stops at the broken pipe, and whatever
+    the script emitted is the partition's output. Same execution shape
+    as Hive (one script per task), one subprocess per partition, rows
+    streamed — nothing driver-side.
+
+    Outputs are STRINGS (Hive's default TRANSFORM SerDe); missing
+    fields read NULL, extra fields are dropped (LazySimpleSerDe
+    contract). ``\\N`` is the NULL marker both directions."""
+    import subprocess
+    import threading
+
+    from pyspark.sql.types import StringType, StructField
+
+    names = list(out_names)
+    schema = StructType([StructField(n, StringType()) for n in names])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proc = subprocess.Popen(
+            cmd, shell=True, stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE, text=True, bufsize=1,
+        )
+
+        def feed() -> None:
+            try:
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        line = "\t".join(
+                            "\\N" if v is None or v != v else str(v)
+                            for v in row
+                        )
+                        proc.stdin.write(line + "\n")
+                proc.stdin.close()
+            except (BrokenPipeError, OSError, ValueError):
+                # the script stopped reading — the allowed case
+                try:
+                    proc.stdin.close()
+                except Exception:
+                    pass
+
+        feeder = threading.Thread(target=feed)
+        feeder.start()
+        rows: list[list] = []
+        for line in proc.stdout:
+            parts = line.rstrip("\n").split("\t")
+            rows.append([
+                None
+                if i >= len(parts) or parts[i] == "\\N"
+                else parts[i]
+                for i in range(len(names))
+            ])
+        feeder.join()
+        proc.wait()
+        yield pd.DataFrame(rows, columns=names, dtype=object)
+
+    return df.mapInPandas(run, schema)
+
+
 def transform_pandas(
     df: DataFrame,
     fn: Callable[[pd.DataFrame], pd.DataFrame],

@@ -172,3 +172,40 @@ def test_q_map_rewrite_inert_forms():
         "SELECT 1 REDUCE BY noise",  # no USING '<script>'
     ):
         assert _rewrite_map_reduce_transform(s) == s, s
+
+
+def test_q_script_pipe_partial_consumption(spark, tmp_path):
+    """script_pipe.q: with hive.exec.script.allow.partial.consumption
+    = true, a script that exits BEFORE consuming its input is not an
+    error — `true` reads nothing and emits nothing (0 rows); `head -n
+    1` emits exactly one line per task (ScriptOperator.close()/
+    processOp() broken-pipe tolerance). Single-partition fixture = one
+    task, matching the golden's one mapper."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    p = str(tmp_path / "sp_src")
+    rows = [(str(i % 83), f"val_{i % 83}") for i in range(500)]
+    spark.createDataFrame(rows, "key string, value string") \
+        .coalesce(1).write.parquet(p)
+    eng.register_table("sp_src", p)
+    eng.sql("set hive.exec.script.allow.partial.consumption = true")
+    try:
+        got = eng.sql(
+            "SELECT TRANSFORM(*) USING 'true' AS a, b, c "
+            "FROM (SELECT * FROM sp_src LIMIT 1) tmp"
+        ).collect()
+        assert got == []
+        got = eng.sql(
+            "SELECT TRANSFORM(key, value, key, value, key, value, key, "
+            "value, key, value, key, value) USING 'head -n 1' "
+            "as a,b,c,d FROM sp_src"
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        # first four fields of the first serialized line
+        assert (r.b, r.d) == (r.a and r.b, r.d)
+        assert r.a == rows[0][0] and r.b == rows[0][1]
+        assert r.c == rows[0][0] and r.d == rows[0][1]
+    finally:
+        eng.sql("set hive.exec.script.allow.partial.consumption = false")
