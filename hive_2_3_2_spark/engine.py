@@ -6812,7 +6812,15 @@ _HINT_BEFORE_TRANSFORM = re.compile(
 )
 _MASK_FAMILY_CALL = re.compile(
     r"\b(mask_hash|mask_first_n|mask_last_n|mask_show_first_n|"
-    r"mask_show_last_n)\s*\(",
+    r"mask_show_last_n|mask)\s*\(",
+    re.IGNORECASE,
+)
+
+#: a numeric literal, optionally cast to a numeric type — the statically
+#: detectable inputs of Hive's NUMERIC mask overload
+_NUMERIC_LITERAL_ARG = re.compile(
+    r"\(?\s*(?:cast\s*\(\s*)?([-+]?\d+)\s*"
+    r"(?:as\s+(tinyint|smallint|int|integer|bigint)\s*\))?\s*\)?",
     re.IGNORECASE,
 )
 _OVER_AFTER = re.compile(r"\s*\bOVER\b\s*", re.IGNORECASE)
@@ -7185,6 +7193,40 @@ def _rewrite_mask_family(query: str) -> str:
             if not args:
                 return None
             x = f"({args[0].strip()})"
+            if name == "mask":
+                # Hive's NUMERIC masking overload (GenericUDFMask 6th
+                # arg = numberChar; udf_mask.q: mask(123,-1,-1,-1,-1,
+                # '5') → 555): every digit of the NUMBER becomes the
+                # mask digit. Spark's native mask is string-only and
+                # 5-arg max. Statically-numeric inputs rewrite to a
+                # digit translate; other 6-arg calls drop the (string-
+                # irrelevant) numberChar and stay native.
+                if len(args) < 6:
+                    return None
+                num = re.fullmatch(
+                    _NUMERIC_LITERAL_ARG, args[0].strip()
+                )
+                nc = args[5].strip().strip("'\"")
+                if nc in ("-1", ""):
+                    nc = "1"  # Hive's default maskedNumber digit
+                if num:
+                    masked = "".join(
+                        nc if ch.isdigit() else ch
+                        for ch in num.group(1)
+                    )
+                    # Hive masks the DIGITS then converts back to the
+                    # input's type — the golden wraps: 555 AS TINYINT
+                    # = 43, 55555 AS SMALLINT = -9981
+                    ty = (num.group(2) or "INT").upper()
+                    return f"CAST({masked} AS {ty})"
+                # -1 char args mean "Hive default" (upper X, lower x,
+                # digit n, other kept = Spark NULL)
+                defaults = ["'X'", "'x'", "'n'", "NULL"]
+                rest = [
+                    defaults[i] if a.strip() == "-1" else a.strip()
+                    for i, a in enumerate(args[1:5])
+                ]
+                return f"mask({args[0].strip()}, {', '.join(rest)})"
             if name == "mask_hash":
                 # Hive's GenericUDFMaskHash hashes only string/char/
                 # varchar and answers NULL for anything else

@@ -92,3 +92,25 @@ def test_q_mask_family_over_column(eng, spark):
         "select mask_first_n(s) AS m from mk_t"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q_mask_numeric_overload_golden(spark):
+    """udf_mask.q numeric arm: mask(n, -1,-1,-1,-1, '5') masks every
+    DIGIT then converts back to the input type — the golden WRAPS:
+    555 as tinyint = 43, 55555 as smallint = -9981 (GenericUDFMask
+    transformer + type conversion). String inputs with 6 args ignore
+    the numberChar; -1 char args mean the Hive defaults."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    row = eng.sql(
+        "select mask(cast(123 as tinyint), -1, -1, -1, -1, '5') a, "
+        "mask(cast(12345 as smallint), -1, -1, -1, -1, '5') b, "
+        "mask(cast(12345 as int), -1, -1, -1, -1, '5') c, "
+        "mask(cast(12345 as bigint), -1, -1, -1, -1, '5') d, "
+        "mask(-12345, -1, -1, -1, -1, '7') e, "
+        "mask('Test-123', -1, -1, -1, -1, '9') f"
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (43, -9981, 55555, 55555)
+    assert row.e == -77777
+    assert row.f == "Xxxx-nnn"
