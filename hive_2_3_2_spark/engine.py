@@ -795,6 +795,12 @@ _SHOW_TBLPROPS_STMT = re.compile(
     r"\s*(?:\(\s*'?([^')]+?)'?\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_TABLE_EXTENDED_STMT = re.compile(
+    r"^\s*SHOW\s+TABLE\s+EXTENDED\s+(?:(?:IN|FROM)\s+[\w.]+\s+)?"
+    r"LIKE\s+['`]?([\w.]+)['`]?"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_COLUMNS_STMT = re.compile(
     r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.]+)\s*;?\s*$",
     re.IGNORECASE,
@@ -1169,6 +1175,17 @@ class Engine:
         # incompatible.col.type.changes=false) re-expressed as
         # per-epoch scans unioned after casting.
         self.schema_epochs: dict[str, list[tuple[frozenset, object]]] = {}
+        # Per-partition STORAGE DESCRIPTORS (partition_wise_fileformat*
+        # .q; the metastore's SDS role — each partition remembers the
+        # format it was written with, metastore/api/StorageDescriptor).
+        # table_format[t] is the TABLE-level format ALTER TABLE SET
+        # FILEFORMAT changes for FUTURE writes (absent = parquet);
+        # partition_formats[t][rel_dir] records partitions whose files
+        # are NOT parquet. Reads of a table with any non-parquet
+        # partition union one format-grouped scan per format
+        # (_mixed_format_frame).
+        self.table_format: dict[str, str] = {}
+        self.partition_formats: dict[str, dict[str, str]] = {}
         # Declared-schema overlay (ALTER TABLE ADD/CHANGE/REPLACE
         # COLUMNS): Hive stores the declared schema in the metastore and
         # parquet binds BY NAME at read time; tables with no overlay
@@ -1250,16 +1267,20 @@ class Engine:
         # Column VALUES survive for DESCRIBE (Hive keeps TAB_COL_STATS
         # rows too); only the serve-from-stats gates drop.
         self._invalidate_stats(name)
-        epoch_df = self._epoch_union_frame(name, path)
-        if epoch_df is not None:
-            epoch_df.createOrReplaceTempView(name)
-            self.tables[name] = epoch_df
-            self.table_paths[name] = path
-            if partition_cols:
-                self.table_partitions[name] = list(partition_cols)
+        if partition_cols:
+            # _mixed_format_frame needs the partition depth before the
+            # read below resolves
+            self.table_partitions[name] = list(partition_cols)
+        self.table_paths[name] = path
+        overlay_df = self._epoch_union_frame(name, path)
+        if overlay_df is None:
+            overlay_df = self._mixed_format_frame(name, path)
+        if overlay_df is not None:
+            overlay_df.createOrReplaceTempView(name)
+            self.tables[name] = overlay_df
             if self.views:
                 self._refresh_dependent_views(name)
-            return epoch_df
+            return overlay_df
         reader = self.spark.read
         if name in self.table_schemas:
             reader = reader.schema(self.table_schemas[name])
@@ -1298,6 +1319,8 @@ class Engine:
         evolution would adopt ONE file's schema and could silently drop
         a column that newer files carry)."""
         epoch_df = self._epoch_union_frame(key, self.table_paths[key])
+        if epoch_df is None:
+            epoch_df = self._mixed_format_frame(key, self.table_paths[key])
         if epoch_df is not None:
             return epoch_df
         reader = self.spark.read
@@ -1583,6 +1606,7 @@ class Engine:
             from hive_2_3_2_spark.sources.writers import delete_where
 
             key = self._resolve_dml_table(m.group(1), mutating=True)
+            self._assert_not_mixed(key, "DELETE")
             cond = F.expr(m.group(2)) if m.group(2) else F.lit(True)
             path = self.table_paths[key]
             parts = self.table_partitions.get(key)
@@ -1601,6 +1625,7 @@ class Engine:
             from hive_2_3_2_spark.sources.writers import update_where
 
             key = self._resolve_dml_table(m.group(1), mutating=True)
+            self._assert_not_mixed(key, "UPDATE")
             sets = {
                 col: F.expr(expr)
                 for col, expr in _split_assignments(m.group(2))
@@ -1764,6 +1789,12 @@ class Engine:
             return self._run_set_fileformat(
                 m.group(1), m.group(2), m.group(3)
             )
+        m = _SHOW_TABLE_EXTENDED_STMT.match(query)
+        if m and (
+            self._dml_registered(m.group(1))
+            or self._is_catalog_table(m.group(1))
+        ):
+            return self._run_show_table_extended(m.group(1), m.group(2))
         m = _SHOW_TBLPROPS_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             return self._run_show_tblproperties(m.group(1), m.group(2))
@@ -2774,6 +2805,7 @@ class Engine:
         from hive_2_3_2_spark.sources.writers import parquet_row_count
 
         key = self._resolve_dml_table(table)
+        self._assert_not_mixed(key, "EXPORT")
         path = self.table_paths[key]
         parts = self.table_partitions.get(key) or []
         spec = self._parse_partition_spec(part_spec, parts)
@@ -2960,6 +2992,24 @@ class Engine:
         self.part_basic_stats.pop(key, None)
         self.part_column_stats.pop(key, None)
         self._fp_memo.pop(key, None)
+
+    def _mixed_format(self, key: str) -> bool:
+        """True when the table carries per-partition storage
+        descriptors other than parquet (partition_wise_fileformat*.q)
+        or its table-level write format was altered."""
+        return bool(self.partition_formats.get(key)) or (
+            self.table_format.get(key, "parquet") != "parquet"
+        )
+
+    def _assert_not_mixed(self, key: str, op: str) -> None:
+        if self._mixed_format(key):
+            raise HiveQLUnsupportedError(
+                f"{op} on {key!r}: the table carries per-partition "
+                "file formats (ALTER ... SET FILEFORMAT) and this "
+                "operation's rewrite path is parquet-only — INSERT "
+                "OVERWRITE the non-parquet partitions back to parquet "
+                "(and ALTER ... SET FILEFORMAT PARQUET) first"
+            )
 
     def _stats_autogather_on(self) -> bool:
         """hive.stats.autogather (HiveConf.java:1655, default TRUE):
@@ -3259,7 +3309,13 @@ class Engine:
                 [(n_files, size)],
                 "num_files bigint, total_size_bytes bigint",
             )
-        n = parquet_row_count(path, self.spark)
+        if self._mixed_format(key):
+            # non-parquet partitions have no parquet footers — ANALYZE
+            # pays one real distributed count (what Hive's StatsTask
+            # without NOSCAN does for non-footer formats)
+            n = self._target_frame(key).count()
+        else:
+            n = parquet_row_count(path, self.spark)
         fp = self._table_fingerprint(path)
         self.basic_stats[key] = {
             "num_rows": n,
@@ -3317,10 +3373,32 @@ class Engine:
             store = {"fp": fp, "all_parts": all_rels, "parts": {}}
         else:
             store["all_parts"] = all_rels
+        pmap = self.partition_formats.get(key, {})
         rows = []
         for rel in targets:
             pdir = os.path.join(path, rel)
-            n = parquet_row_count(pdir, self.spark)
+            if pmap.get(rel, "parquet") != "parquet":
+                # no parquet footers in this partition — one real
+                # per-partition count (its own format's scan)
+                src, opts = self._MIXED_FORMAT_SOURCES[pmap[rel]]
+                rdr = self.spark.read
+                declared = self.table_schemas.get(key)
+                if declared is not None:
+                    from pyspark.sql.types import StructType
+
+                    parts_l = {
+                        p.lower()
+                        for p in self.table_partitions.get(key, [])
+                    }
+                    rdr = rdr.schema(StructType([
+                        f for f in declared.fields
+                        if f.name.lower() not in parts_l
+                    ]))
+                for k, v in opts.items():
+                    rdr = rdr.option(k, v)
+                n = rdr.format(src).load(pdir).count()
+            else:
+                n = parquet_row_count(pdir, self.spark)
             size = 0
             for root, _dirs, files in os.walk(pdir):
                 size += sum(
@@ -4181,6 +4259,8 @@ class Engine:
 
         dest = self._resolve_dml_table(m.group(1), mutating=True)
         src = self._resolve_dml_table(m.group(3), mutating=True)
+        self._assert_not_mixed(dest, "EXCHANGE PARTITION")
+        self._assert_not_mixed(src, "EXCHANGE PARTITION")
         spec = m.group(2)
         d_parts = self.table_partitions.get(dest)
         s_parts = self.table_partitions.get(src)
@@ -4246,6 +4326,11 @@ class Engine:
         n = parquet_row_count(old_dir, self.spark)
         os.makedirs(os.path.dirname(new_dir), exist_ok=True)
         shutil.move(old_dir, new_dir)
+        pm = self.partition_formats.get(key)
+        if pm and old_rel in pm:
+            # the partition keeps its storage descriptor under the
+            # new spec (metastore SDS rides the rename)
+            pm[new_rel] = pm.pop(old_rel)
         self.register_table(
             key, self.table_paths[key], self.table_partitions.get(key)
         )
@@ -4550,6 +4635,87 @@ class Engine:
             df = df.unionByName(o)
         return self._apply_char_read_semantics(df, declared)
 
+    #: Spark DataSource + read/write options per supported Hive
+    #: fileformat for MIXED-format partitioned tables. TEXTFILE uses
+    #: Hive's LazySimpleSerDe defaults: ^A field delimiter, \N null
+    #: sentinel, empty string kept distinct from NULL. AVRO is excluded
+    #: (this container reads avro via the pure-python fallback, not a
+    #: Spark DataSource); RCFILE/SEQUENCEFILE are out of scope per
+    #: SURVEY §2.2.
+    @property
+    def _MIXED_FORMAT_SOURCES(self) -> dict:  # noqa: N802
+        from hive_2_3_2_spark.sources.writers import FORMAT_SOURCES
+
+        return FORMAT_SOURCES
+
+    def _mixed_format_frame(self, name: str, path: str):
+        """Per-partition storage-descriptor read
+        (partition_wise_fileformat*.q): partitions whose recorded format
+        differs from parquet scan with THEIR OWN DataSource, grouped by
+        format — ONE distributed scan per format, partition columns
+        recovered by directory discovery (basePath), then a plan-level
+        unionByName. Returns None when every surviving partition is
+        parquet (the bookkeeping is dropped — the table has been fully
+        rewritten). Scale: the listing is per-registration (event);
+        partition pruning pushes into each per-format scan exactly as it
+        would for a homogeneous table (Hive's ExecMapper binds one
+        deserializer per partition SD, reference exec/MapOperator.java —
+        here Catalyst gets one FileSourceScanExec per format instead of
+        one serde per split)."""
+        pmap = self.partition_formats.get(name)
+        if not pmap:
+            return None
+        parts = self.table_partitions.get(name) or []
+        if not parts:
+            return None
+        live = set(self._partition_rels_at(path, len(parts)))
+        pmap = {r: f for r, f in pmap.items() if r in live and f != "parquet"}
+        if not pmap:
+            self.partition_formats.pop(name, None)
+            return None
+        self.partition_formats[name] = pmap
+        declared = self.table_schemas.get(name)
+        if declared is None:
+            # discover the data schema from the parquet partitions (or
+            # the remembered frame) + partition column discovery
+            base = self.tables.get(name)
+            if base is not None:
+                declared = base.schema
+        groups: dict[str, list[str]] = {}
+        for rel in live:
+            groups.setdefault(pmap.get(rel, "parquet"), []).append(rel)
+        frames = []
+        for fmt, rels in sorted(groups.items()):
+            src, opts = self._MIXED_FORMAT_SOURCES[fmt]
+            rdr = self.spark.read.option("basePath", path)
+            if declared is not None:
+                rdr = rdr.schema(declared)
+            elif fmt in ("csv", "json"):
+                raise HiveQLUnsupportedError(
+                    f"table {name!r} has {fmt} partitions but no "
+                    "declared schema to read them under"
+                )
+            for k, v in opts.items():
+                rdr = rdr.option(k, v)
+            frames.append(
+                rdr.format(src).load(
+                    [os.path.join(path, r) for r in sorted(rels)]
+                )
+            )
+        df = frames[0]
+        for o in frames[1:]:
+            df = df.unionByName(o)
+        if declared is not None:
+            df = df.select(*[f.name for f in declared.fields])
+            df = self._apply_char_read_semantics(df, declared)
+        return df
+
+    @staticmethod
+    def _partition_rels_at(path: str, depth: int) -> list[str]:
+        from hive_2_3_2_spark.sources.writers import _staged_partition_rels
+
+        return sorted(_staged_partition_rels(path, depth))
+
     def _run_replace_columns(self, table: str, coldefs: str) -> DataFrame:
         """ALTER TABLE t REPLACE COLUMNS (...) — the declared DATA
         columns become exactly this list (partition columns are kept —
@@ -4774,38 +4940,248 @@ class Engine:
     ) -> DataFrame:
         """ALTER TABLE [PARTITION] SET FILEFORMAT
         (partition_wise_fileformat.q; DDLTask alterTable
-        AlterTableTypes.SETFILEFORMAT). Hive changes the format for
-        FUTURE writes while existing partitions keep theirs — a
-        mixed-format table this engine deliberately does not model
-        (every in-scope format is supported as a whole-table format;
-        see COVERAGE.md). Setting the format the table already has is
-        Hive's common no-op migration step and succeeds; an actual
-        format CHANGE is a typed error with the supported migration
-        path, never a silent wrong answer."""
+        AlterTableTypes.SETFILEFORMAT). Hive's per-partition storage
+        descriptors: a table-level change applies to FUTURE writes —
+        NEW partitions and INSERT OVERWRITE of existing ones adopt it
+        (partition_wise_fileformat3.q's golden: re-overwritten dt=101
+        flips to the new format) while untouched partitions keep the
+        format they were written with; reads union one format-grouped
+        scan per format (_mixed_format_frame). A PARTITION-level spec
+        retargets that one partition's descriptor (only when it holds
+        no files — Hive lets the files/SD disagree and the next read
+        throws a serde error; a typed error here is strictly better).
+        Table-level changes on UNPARTITIONED tables with data are
+        refused: both formats would share one directory, which no
+        reader (Hive included) can serve correctly."""
         new = self._FILEFORMAT_PROVIDERS.get(fmt.upper())
-        current = None
+        if new is None or new not in self._MIXED_FORMAT_SOURCES:
+            raise HiveQLUnsupportedError(
+                f"ALTER TABLE {table} SET FILEFORMAT {fmt}: supported "
+                "target formats are PARQUET, ORC, TEXTFILE, JSONFILE "
+                "(RCFILE/SEQUENCEFILE are out of scope per SURVEY §2.2; "
+                "AVRO reads via the pure-python fallback, not a "
+                "DataSource this mixed-partition path can scan)"
+            )
         if self._dml_registered(table):
-            current = "parquet"  # registered path tables are parquet
+            key = self._resolve_dml_table(table)
+        elif self._is_catalog_table(table):
+            key = self._adopt_catalog_table(table)
         else:
-            try:
+            raise HiveQLUnsupportedError(
+                f"ALTER TABLE {table} SET FILEFORMAT: {table!r} is not "
+                "a table this Engine knows"
+            )
+        if key in self.schema_epochs:
+            raise HiveQLUnsupportedError(
+                f"ALTER TABLE {table} SET FILEFORMAT: table has pending "
+                "schema-conversion epochs; rewrite it (INSERT OVERWRITE) "
+                "before changing its format"
+            )
+        current_tbl = self.table_format.get(key, "parquet")
+        if part_spec:
+            rel = self._static_partition_reldir(key, part_spec)
+            cur = self.partition_formats.get(key, {}).get(rel, "parquet")
+            if new == cur:
+                return self._rows_affected(0)
+            pdir = os.path.join(self.table_paths[key], rel)
+            has_files = any(
+                files for _r, _d, files in os.walk(pdir)
+            ) if os.path.isdir(pdir) else False
+            if has_files:
+                raise HiveQLUnsupportedError(
+                    f"ALTER TABLE {table} PARTITION ({part_spec}) SET "
+                    f"FILEFORMAT {fmt}: partition holds {cur} files; "
+                    "changing its descriptor without rewriting them "
+                    "would make every read fail — INSERT OVERWRITE the "
+                    "partition instead (it adopts the table format)"
+                )
+            if new == "parquet":
+                self.partition_formats.get(key, {}).pop(rel, None)
+            else:
+                self.partition_formats.setdefault(key, {})[rel] = new
+            return self._rows_affected(0)
+        if new == current_tbl:
+            return self._rows_affected(0)
+        if not self.table_partitions.get(key):
+            raise HiveQLUnsupportedError(
+                f"ALTER TABLE {table} SET FILEFORMAT {fmt}: the table "
+                f"is unpartitioned (currently {current_tbl}) — both "
+                "formats would share one directory, which no reader "
+                "(Hive included) can serve; CREATE a new table STORED "
+                "AS the target format and INSERT ... SELECT to migrate"
+            )
+        if self.table_schemas.get(key) is None and key in self.tables:
+            # remember the declared schema now — csv/json partition
+            # scans need it even after every parquet partition is gone
+            self.table_schemas[key] = self.tables[key].schema
+        self.table_format[key] = new
+        return self._rows_affected(0)
+
+    def _adopt_catalog_table(self, name: str) -> str:
+        """Convert a session-catalog table into a path-backed registered
+        table so the per-partition-format machinery (engine-side reads
+        and writes) can manage it. The catalog entry stays — the temp
+        view registered under the same name shadows it for reads, and
+        the INSERT dispatch prefers the path registry."""
+        key = name.split(".")[-1].lower()
+        info = {
+            r.col_name.strip(): (r.data_type or "").strip()
+            for r in self.spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        }
+        provider = (info.get("Provider") or "parquet").lower()
+        location = info.get("Location") or ""
+        if location.startswith("file:"):
+            location = re.sub(r"^file:(//)?", "", location)
+        if not location or not os.path.isdir(location):
+            raise HiveQLUnsupportedError(
+                f"cannot adopt catalog table {name!r}: location "
+                f"{location!r} is not a local directory"
+            )
+        if provider not in self._MIXED_FORMAT_SOURCES:
+            raise HiveQLUnsupportedError(
+                f"cannot adopt catalog table {name!r}: provider "
+                f"{provider!r} is not scannable per-partition"
+            )
+        part_cols = [
+            c.name
+            for c in self.spark.catalog.listColumns(name)
+            if c.isPartition
+        ]
+        if provider != "parquet" and not part_cols:
+            raise HiveQLUnsupportedError(
+                f"cannot adopt catalog table {name!r}: unpartitioned "
+                f"{provider} tables have no per-partition descriptors "
+                "to manage"
+            )
+        self.table_schemas[key] = self.spark.table(name).schema
+        if provider != "parquet":
+            if part_cols:
+                rels = self._partition_rels_at(location, len(part_cols))
+                if rels:
+                    self.partition_formats[key] = {
+                        r: provider for r in rels
+                    }
+            self.table_format[key] = provider
+        self.register_table(key, location, part_cols or None)
+        return key
+
+    #: Hive InputFormat/OutputFormat class names per engine format —
+    #: what SHOW TABLE EXTENDED prints (ShowTableStatus golden lines,
+    #: partition_wise_fileformat*.q)
+    _HIVE_FORMAT_CLASSES = {
+        "parquet": (
+            "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+            "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+        ),
+        "orc": (
+            "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+            "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat",
+        ),
+        "csv": (
+            "org.apache.hadoop.mapred.TextInputFormat",
+            "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+        ),
+        "json": (
+            "org.apache.hadoop.mapred.TextInputFormat",
+            "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+        ),
+    }
+
+    @staticmethod
+    def _thrift_type(dt) -> str:
+        """Hive renders SHOW TABLE EXTENDED column types in thrift DDL
+        (MetaStoreUtils.typeToThriftType): int→i32, bigint→i64, ..."""
+        s = dt.simpleString()
+        return {
+            "int": "i32", "bigint": "i64", "smallint": "i16",
+            "tinyint": "byte", "boolean": "bool",
+        }.get(s, s)
+
+    def _run_show_table_extended(
+        self, table: str, part_spec: str | None
+    ) -> DataFrame:
+        """SHOW TABLE EXTENDED LIKE t [PARTITION (spec)] — Hive's
+        ShowTableStatus output (DDLTask showTableStatus,
+        partition_wise_fileformat*.q goldens): table name, location,
+        the INPUT/OUTPUT format classes of the table's — or the named
+        PARTITION's — storage descriptor, the thrift-DDL column struct,
+        partition columns, and file-level stats (count/total/max/min
+        bytes) from a directory listing (metadata-only, never a
+        scan)."""
+        if self._dml_registered(table):
+            key = self._resolve_dml_table(table)
+            path = self.table_paths[key]
+            fmt = self.table_format.get(key, "parquet")
+            schema = self._declared_schema(key)
+        else:
+            key = table.split(".")[-1].lower()
+            info = {
+                r.col_name.strip(): (r.data_type or "").strip()
                 for r in self.spark.sql(
                     f"DESCRIBE EXTENDED {table}"
-                ).collect():
-                    if r.col_name.strip() == "Provider":
-                        current = (r.data_type or "").strip().lower()
-                        break
-            except Exception:
-                current = None
-        if new is not None and current is not None and new == current:
-            return self._rows_affected(0)
-        raise HiveQLUnsupportedError(
-            f"ALTER TABLE {table}"
-            + (f" PARTITION ({part_spec})" if part_spec else "")
-            + f" SET FILEFORMAT {fmt}: changing an existing table's "
-            f"format (currently {current or 'unknown'}) would create a "
-            "mixed-format table, which this engine does not model — "
-            "CREATE a new table STORED AS the target format and INSERT "
-            "... SELECT to migrate"
+                ).collect()
+            }
+            fmt = (info.get("Provider") or "parquet").lower()
+            path = re.sub(r"^file:(//)?", "", info.get("Location") or "")
+            schema = self.spark.table(table).schema
+        parts = self.table_partitions.get(key) or [
+            c.name
+            for c in (
+                self.spark.catalog.listColumns(table)
+                if self._is_catalog_table(table) else []
+            )
+            if c.isPartition
+        ]
+        parts_l = {p.lower() for p in parts}
+        target_dir = path
+        if part_spec:
+            if not self._dml_registered(table):
+                raise HiveQLUnsupportedError(
+                    "SHOW TABLE EXTENDED ... PARTITION is supported for "
+                    "path-backed tables"
+                )
+            rel = self._static_partition_reldir(key, part_spec)
+            if not os.path.isdir(os.path.join(path, rel)):
+                raise HiveQLUnsupportedError(
+                    f"SHOW TABLE EXTENDED: no such partition {rel!r}"
+                )
+            fmt = self.partition_formats.get(key, {}).get(rel, "parquet")
+            target_dir = os.path.join(path, rel)
+        sizes = [
+            os.path.getsize(os.path.join(root, f))
+            for root, _d, fs in os.walk(target_dir)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ] if os.path.isdir(target_dir) else []
+        inf, outf = self._HIVE_FORMAT_CLASSES[fmt]
+        data_cols = ", ".join(
+            f"{self._thrift_type(f.dataType)} {f.name}"
+            for f in schema.fields
+            if f.name.lower() not in parts_l
+        )
+        lines = [
+            f"tableName:{key}",
+            f"location:{os.path.abspath(path)}" if path else "location:",
+            f"inputformat:{inf}",
+            f"outputformat:{outf}",
+            "columns:struct columns { " + data_cols + "}",
+            f"partitioned:{'true' if parts else 'false'}",
+            (
+                "partitionColumns:struct partition_columns { "
+                + ", ".join(
+                    f"{self._thrift_type(f.dataType)} {f.name}"
+                    for f in schema.fields
+                    if f.name.lower() in parts_l
+                )
+                + "}"
+            ) if parts else "partitionColumns:",
+            f"totalNumberFiles:{len(sizes)}",
+            f"totalFileSize:{sum(sizes)}",
+            f"maxFileSize:{max(sizes) if sizes else 0}",
+            f"minFileSize:{min(sizes) if sizes else 0}",
+        ]
+        return self.spark.createDataFrame(
+            [(ln,) for ln in lines], "tab_name string"
         )
 
     def _run_show_tblproperties(
@@ -5383,6 +5759,7 @@ class Engine:
         )
 
         key = self._resolve_dml_table(m.group(1), mutating=True)
+        self._assert_not_mixed(key, "CONCATENATE")
         path = self.table_paths[key]
         dest = (
             os.path.join(path, self._static_partition_reldir(key, m.group(2)))
@@ -5586,6 +5963,7 @@ class Engine:
             m.group(4),
         )
         key = self._resolve_dml_table(table, mutating=True)
+        self._assert_not_mixed(key, "LOAD DATA")
         path = self.table_paths[key]
         parts = self.table_partitions.get(key)
         if parts and not partspec:
@@ -5755,6 +6133,7 @@ class Engine:
         fully_static = bool(
             parts and not dynamic and set(static) == set(parts)
         )
+        static_rel = None
         if fully_static:
             # Fully static spec: pre-resolve the literal partition tuple
             # so the named partition is swapped (= cleared) even when
@@ -5769,7 +6148,42 @@ class Engine:
             ).first()
             if overwrite:
                 static_values = [tuple(row)]
+            from hive_2_3_2_spark.sources.writers import _partition_rel_dir
+
+            static_rel = _partition_rel_dir(parts, tuple(row))
+        # Per-partition storage descriptors (partition_wise_fileformat*
+        # .q): new partitions and OVERWRITEs adopt the TABLE's current
+        # format; an append into an existing partition keeps the
+        # PARTITION's own descriptor (its files must stay homogeneous).
+        fmt = self.table_format.get(key, "parquet")
+        pmap = self.partition_formats.get(key, {})
+        if parts and (fmt != "parquet" or pmap):
+            if fully_static and not overwrite:
+                pdir = os.path.join(path, static_rel)
+                if os.path.isdir(pdir) and any(
+                    f for _r, _d, fs in os.walk(pdir) for f in fs
+                    if not f.startswith(("_", "."))
+                ):
+                    fmt = pmap.get(static_rel, "parquet")
+            elif not fully_static and not overwrite:
+                clash = [
+                    r for r in self._partition_rels(key)
+                    if pmap.get(r, "parquet") != fmt
+                ]
+                if clash:
+                    raise HiveQLUnsupportedError(
+                        f"dynamic INSERT INTO {key}: existing "
+                        f"partition(s) {clash[:3]} hold a different "
+                        f"format than the table's current {fmt!r}; an "
+                        "append could mix formats inside one partition "
+                        "directory — use INSERT OVERWRITE (adopts the "
+                        "table format) or static specs"
+                    )
         auto = self._stats_autogather_on()
+        if fmt != "parquet" or pmap:
+            # mixed/non-parquet writes don't stage parquet footers —
+            # stats would be partial; leave autogather to ANALYZE
+            auto = False
         snap = self._prewrite_stats_snapshot(key) if auto else {}
         part_counts: dict[str, int] | None = (
             {} if auto and parts else None
@@ -5792,6 +6206,7 @@ class Engine:
             aligned = aligned.observe(
                 colobs, *self._col_stats_aggs(sfields, list(fields))
             )
+        written: set[str] = set()
         n = insert_rows(
             self.spark,
             path,
@@ -5800,7 +6215,18 @@ class Engine:
             overwrite=overwrite,
             static_partition_values=static_values,
             partition_counts=part_counts,
+            fmt=fmt,
+            written_rels=written,
         )
+        if parts and (fmt != "parquet" or pmap):
+            pm = self.partition_formats.setdefault(key, {})
+            for r in written:
+                if fmt == "parquet":
+                    pm.pop(r, None)
+                else:
+                    pm[r] = fmt
+            if not pm:
+                self.partition_formats.pop(key, None)
         self.register_table(key, path, parts or None)
         if auto:
             self._autogather_insert_stats(
@@ -6026,6 +6452,7 @@ class Engine:
         from hive_2_3_2_spark.sources.writers import merge_apply
 
         key = self._resolve_dml_table(m.group(1), mutating=True)
+        self._assert_not_mixed(key, "MERGE")
         talias = m.group(2) or key
         src_spec, salias = m.group(3), m.group(4)
         on_cond, when_part = m.group(5), m.group(6)

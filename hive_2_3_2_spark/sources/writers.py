@@ -29,6 +29,35 @@ from pyspark.sql import functions as F
 # the executors, never materializing columns).
 DISTRIBUTED_COUNT_THRESHOLD = 256
 
+#: Spark DataSource + options per Hive fileformat, for tables whose
+#: partitions carry per-partition storage descriptors
+#: (partition_wise_fileformat*.q — Engine._mixed_format_frame reads,
+#: insert_rows writes). TEXTFILE = Hive LazySimpleSerDe defaults:
+#: ^A delimiter, \N null sentinel, empty string ≠ NULL (Spark's csv
+#: quotes the empty string on write so the round trip is lossless; a
+#: RAW empty field in externally-written text data reads as NULL — a
+#: documented divergence from LazySimpleSerDe).
+FORMAT_SOURCES: dict = {
+    "parquet": ("parquet", {}),
+    "orc": ("orc", {}),
+    "csv": ("csv", {"sep": "\x01", "nullValue": "\\N"}),
+    "json": ("json", {}),
+}
+
+
+def _format_writer(writer, fmt: str):
+    src, opts = FORMAT_SOURCES[fmt]
+    w = writer.format(src)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    return w
+
+
+def _is_data_file(fn: str) -> bool:
+    """Staged data files regardless of format (parquet/orc/csv/json
+    part files); skips _SUCCESS, .crc and other hidden bookkeeping."""
+    return not fn.startswith(("_", "."))
+
 
 def parquet_row_count(path: str, spark=None) -> int:
     """Table row count from parquet FOOTER metadata only — no data
@@ -312,6 +341,8 @@ def _staged_rewrite(
     partition_cols: list[str] | None,
     touched: DataFrame | None,
     partition_counts: dict | None = None,
+    fmt: str = "parquet",
+    written_rels: set | None = None,
 ) -> None:
     """Durably rewrite the table at ``target_path`` with ``df`` (whose
     lineage reads target_path): stage to a sibling dir first, so the
@@ -333,12 +364,12 @@ def _staged_rewrite(
 
     staging = _staging_dir(target_path)
     if partition_cols:
-        (
+        _format_writer(
             df.repartition(*partition_cols)
             .write.partitionBy(*partition_cols)
-            .mode("overwrite")
-            .parquet(staging)
-        )
+            .mode("overwrite"),
+            fmt,
+        ).save(staging)
         if touched is None:
             # Derive the touched set from what was actually staged — no
             # recompute of df's lineage (INSERT OVERWRITE path: the df IS
@@ -353,8 +384,10 @@ def _staged_rewrite(
             tgt_dir = os.path.join(target_path, rel)
             stg_dir = os.path.join(staging, rel)
             shutil.rmtree(tgt_dir, ignore_errors=True)
+            if written_rels is not None:
+                written_rels.add(rel)
             if os.path.isdir(stg_dir):
-                if partition_counts is not None:
+                if partition_counts is not None and fmt == "parquet":
                     # staged footers = this partition's NEW total
                     # (overwrite replaces the dir wholesale)
                     partition_counts[rel] = parquet_row_count(stg_dir)
@@ -362,7 +395,7 @@ def _staged_rewrite(
                 os.rename(stg_dir, tgt_dir)
         shutil.rmtree(staging)
     else:
-        df.write.mode("overwrite").parquet(staging)
+        _format_writer(df.write.mode("overwrite"), fmt).save(staging)
         _swap_dirs(target_path, staging)
 
 
@@ -674,6 +707,8 @@ def insert_rows(
     overwrite: bool = False,
     static_partition_values: list[tuple] | None = None,
     partition_counts: dict | None = None,
+    fmt: str = "parquet",
+    written_rels: set | None = None,
 ) -> int:
     """Execute ``INSERT INTO`` / ``INSERT OVERWRITE`` against the parquet
     table at ``target_path``; returns the number of rows written.
@@ -721,36 +756,37 @@ def insert_rows(
         _staged_rewrite(
             spark, target_path, df, partition_cols or None, touched,
             partition_counts=partition_counts,
+            fmt=fmt, written_rels=written_rels,
         )
         return int(obs.get["__n"] or 0)
     staging = _staging_dir(target_path)
     if partition_cols:
-        (
+        _format_writer(
             df.repartition(*partition_cols)
             .write.partitionBy(*partition_cols)
-            .mode("overwrite")
-            .parquet(staging)
-        )
-        if partition_counts is not None:
-            for rel in _staged_partition_rels(staging, len(partition_cols)):
+            .mode("overwrite"),
+            fmt,
+        ).save(staging)
+        staged = _staged_partition_rels(staging, len(partition_cols))
+        if written_rels is not None:
+            written_rels.update(staged)
+        if partition_counts is not None and fmt == "parquet":
+            for rel in staged:
                 partition_counts[rel] = parquet_row_count(
                     os.path.join(staging, rel)
                 )
     else:
-        df.write.mode("overwrite").parquet(staging)
-    # Move staged parquet files into place; staged file names embed a
+        _format_writer(df.write.mode("overwrite"), fmt).save(staging)
+    # Move staged data files into place; staged file names embed a
     # task/job UUID so collisions with existing files are impossible.
     ensure_dir_table(target_path)
     for root, _dirs, files in os.walk(staging):
         rel = os.path.relpath(root, staging)
         dst_dir = target_path if rel == "." else os.path.join(target_path, rel)
-        moved = False
         for fn in files:
-            if fn.endswith(".parquet"):
+            if _is_data_file(fn):
                 os.makedirs(dst_dir, exist_ok=True)
                 os.rename(os.path.join(root, fn), os.path.join(dst_dir, fn))
-                moved = True
-        del moved
     shutil.rmtree(staging)
     return int(obs.get["__n"] or 0)
 

@@ -165,7 +165,12 @@ _MODULES = [
 # r4-origin entries — then two of those marginal picks
 # (clean_decontaminate_bloom, dml_sql_insert_into_select) swapped out
 # for the two NEW r9 entries per the freeze rule: op_noop_ptf_chain +
-# fn_int_timestamp_millis_default. Post-window staleness floor r5.
+# fn_int_timestamp_millis_default; a third marginal pick
+# (op_match_path_sessions, the youngest-origin r3 re-verification)
+# swapped for the NEW late-r9 op_partitionwise_fileformat entry (the
+# per-partition storage-descriptor component needs a driver row, and
+# the freeze rule puts new entries inside the window). Post-window
+# staleness floor r5.
 _WINDOW = [
     # -- stalest cohort: latest green row is r4 (all 27) --
     "agg_histogram_equiwidth",
@@ -216,10 +221,10 @@ _WINDOW = [
     "window_rank_top_parts",
     "events_session_window",
     "events_tumbling_window",
-    "op_match_path_sessions",
     # -- new in r9 (freeze rule: new entries land inside the window) --
     "op_noop_ptf_chain",
     "fn_int_timestamp_millis_default",
+    "op_partitionwise_fileformat",
 ]
 
 

@@ -90,3 +90,72 @@ def fn_int_timestamp_millis_default(
         order by l_orderkey
         """
     )
+
+
+@query(
+    "op_partitionwise_fileformat",
+    oracle="""
+    SELECT 'p' || CAST(o_orderkey % 3 AS VARCHAR) AS band,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey <= 3000
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def op_partitionwise_fileformat(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-partition STORAGE DESCRIPTORS (partition_wise_fileformat*.q;
+    metastore SDS — reference exec/MapOperator.java binds one
+    deserializer per partition descriptor): three partitions of the
+    same table written as PARQUET, ORC and TEXTFILE via ALTER TABLE SET
+    FILEFORMAT between inserts, then ONE aggregate over the whole table
+    — the engine reads it as one format-grouped DataSource scan per
+    format unioned at the plan level, with partition pruning pushing
+    into each group. The oracle recomputes the same aggregate from the
+    source rows."""
+    import os
+    import shutil
+
+    from hive_2_3_2_spark.suite._scratch import scratch_root
+
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    path = os.path.join(
+        scratch_root("dml"),
+        f"pwf_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    eng.table_schemas["pwf_orders"] = spark.createDataFrame(
+        [], "o_orderkey bigint, o_totalprice double, band string"
+    ).schema
+    eng.register_table("pwf_orders", path, ["band"])
+    sel = (
+        "select o_orderkey, o_totalprice from orders "
+        "where o_orderkey <= 3000 and o_orderkey % 3 = {r}"
+    )
+    eng.sql(
+        "insert overwrite table pwf_orders partition(band='p0') "
+        + sel.format(r=0)
+    )
+    eng.sql("alter table pwf_orders set fileformat orc")
+    eng.sql(
+        "insert overwrite table pwf_orders partition(band='p1') "
+        + sel.format(r=1)
+    )
+    eng.sql("alter table pwf_orders set fileformat textfile")
+    eng.sql(
+        "insert overwrite table pwf_orders partition(band='p2') "
+        + sel.format(r=2)
+    )
+    return eng.sql(
+        """
+        select band, count(*) as cnt,
+               round(sum(o_totalprice), 2) as total
+        from pwf_orders
+        group by band
+        order by band
+        """
+    )

@@ -32,6 +32,7 @@ def qenv(spark, tmp_path_factory):
     eng = Engine(spark=spark)
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in _TABLES:
+        spark.catalog.dropTempView(t)
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     con = duckdb.connect()
@@ -208,17 +209,40 @@ def test_q_sort_merge_join_desc(qenv, spark):
 
 def test_q_alter_set_fileformat_dispositions(qenv, spark):
     """partition_wise_fileformat.q head: SET FILEFORMAT to the format
-    the table already has is Hive's no-op migration step; an actual
-    format change would create a mixed-format table, which is a typed
-    error (never Spark's parse error, never a silent wrong answer)."""
+    the table already has is Hive's no-op migration step; a real change
+    on a PARTITIONED table now flips the table-level storage descriptor
+    for FUTURE writes (r9: per-partition formats are modeled);
+    SEQUENCEFILE stays a typed error (out of scope per SURVEY §2.2),
+    and retargeting a NON-EMPTY partition's descriptor without
+    rewriting its files is a typed error (Hive would let the next read
+    throw a serde error instead)."""
     from hive_2_3_2_spark.engine import HiveQLUnsupportedError
 
     eng, con = qenv
-    eng.sql("ALTER TABLE u22_dst SET FILEFORMAT PARQUET")
-    with pytest.raises(HiveQLUnsupportedError, match="mixed-format"):
-        eng.sql("ALTER TABLE u22_dst SET FILEFORMAT ORC")
-    with pytest.raises(HiveQLUnsupportedError, match="mixed-format"):
+    try:
+        eng.sql("ALTER TABLE u22_dst SET FILEFORMAT PARQUET")
+        _fileformat_dispositions(eng)
+    finally:
+        # adoption registers a session-global temp view shadowing the
+        # catalog table — drop it (and the module-scoped engine's
+        # registration) so later tests see the catalog state
+        spark.catalog.dropTempView("u22_dst")
+        for store in (eng.table_paths, eng.tables, eng.table_partitions,
+                      eng.table_format, eng.partition_formats,
+                      eng.table_schemas):
+            store.pop("u22_dst", None)
+
+
+def _fileformat_dispositions(eng):
+    from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
+    with pytest.raises(HiveQLUnsupportedError, match="SEQUENCEFILE"):
         eng.sql(
             "ALTER TABLE u22_dst PARTITION (ds='1') SET FILEFORMAT "
             "SEQUENCEFILE"
         )
+    eng.sql("ALTER TABLE u22_dst SET FILEFORMAT ORC")
+    assert eng.table_format.get("u22_dst") == "orc"
+    with pytest.raises(HiveQLUnsupportedError, match="INSERT OVERWRITE"):
+        eng.sql("ALTER TABLE u22_dst PARTITION (ds='1') SET FILEFORMAT ORC")
+    eng.sql("ALTER TABLE u22_dst SET FILEFORMAT PARQUET")
