@@ -1186,6 +1186,14 @@ class Engine:
         # (_mixed_format_frame).
         self.table_format: dict[str, str] = {}
         self.partition_formats: dict[str, dict[str, str]] = {}
+        # Session-scoped TEMPORARY TABLES (temp_table*.q;
+        # SessionHiveMetaStoreClient keeps them in a session map that
+        # SHADOWS same-named metastore tables until dropped): key →
+        # declared db (for qualified-reference rewriting).
+        # temp_shadowed remembers what the temp table hid so DROP
+        # restores it (getTempTable wins over the metastore lookup).
+        self.temp_tables: dict[str, str] = {}
+        self.temp_shadowed: dict[str, dict] = {}
         # Declared-schema overlay (ALTER TABLE ADD/CHANGE/REPLACE
         # COLUMNS): Hive stores the declared schema in the metastore and
         # parquet binds BY NAME at read time; tables with no overlay
@@ -1422,6 +1430,14 @@ class Engine:
             )
         if "default" in query.lower():
             query = self._strip_default_db(query)
+        if self.temp_tables and "." in query:
+            # temp tables SHADOW same-named permanent tables even under
+            # their declared-db qualifier (SessionHiveMetaStoreClient
+            # getTempTable resolves before the metastore;
+            # temp_table_precedence.q) — but Spark resolves db.t against
+            # the catalog, so rewrite the qualified form to the bare
+            # temp-view name.
+            query = self._strip_temp_db_quals(query)
         if (
             self.hiveconf.get(
                 # Reference DEFAULT is false (HiveConf.java:1337):
@@ -1897,6 +1913,33 @@ class Engine:
                     raise
                 rewritten = nxt
         return self.spark.sql(rewritten)
+
+    def _strip_temp_db_quals(self, query: str) -> str:
+        """Rewrite ``<declared_db>.<temp_table>`` to the bare temp-view
+        name (string literals left alone) — Hive resolves temp tables
+        before the metastore under their declared database."""
+        for key, db in self.temp_tables.items():
+            pat = re.compile(
+                rf"\b{re.escape(db)}\.{re.escape(key)}\b", re.IGNORECASE
+            )
+            out: list[str] = []
+            last = 0
+            for m in pat.finditer(query):
+                in_q = None
+                for ch in query[: m.start()]:
+                    if in_q:
+                        if ch == in_q:
+                            in_q = None
+                    elif ch in "'\"":
+                        in_q = ch
+                if in_q is not None:
+                    continue
+                out.append(query[last: m.start()])
+                out.append(key)
+                last = m.end()
+            out.append(query[last:])
+            query = "".join(out)
+        return query
 
     def _strip_default_db(self, query: str) -> str:
         """Engine-registered tables are session temp views, which Spark
@@ -5474,10 +5517,31 @@ class Engine:
         self.table_partitions.pop(key, None)
         self.table_schemas.pop(key, None)
         self.table_props.pop(key, None)
+        self.table_format.pop(key, None)
+        self.partition_formats.pop(key, None)
         self.column_stats.pop(key, None)
         self._invalidate_stats(key)
         self.tables.pop(key, None)
         self.spark.catalog.dropTempView(key)
+        if self.temp_tables.pop(key, None) is not None:
+            # dropping a TEMPORARY table un-shadows whatever it hid
+            # (SessionHiveMetaStoreClient.dropTempTable — the permanent
+            # table resolves again)
+            shadow = self.temp_shadowed.pop(key, None)
+            if shadow and shadow["kind"] == "path":
+                if shadow.get("schema") is not None:
+                    self.table_schemas[key] = shadow["schema"]
+                if shadow.get("props") is not None:
+                    self.table_props[key] = shadow["props"]
+                if shadow.get("format") is not None:
+                    self.table_format[key] = shadow["format"]
+                if shadow.get("pformats") is not None:
+                    self.partition_formats[key] = shadow["pformats"]
+                self.register_table(
+                    key, shadow["path"], shadow.get("partitions")
+                )
+            self._refresh_dependent_views(key)
+            return self._rows_affected(0)
         # A view over the dropped table must not keep its bound plan and
         # silently return the dropped table's data — resolve-or-drop it
         # (Hive late binding errors when the view is queried).
@@ -6916,7 +6980,7 @@ class Engine:
 
         if_not_exists, name, rest = m.groups()
         rest = rest.strip()
-        coldefs = body = None
+        coldefs = body = like_src = None
         if rest.startswith("("):
             close = _scan_balanced(rest, 0)
             if close >= len(rest):
@@ -6926,31 +6990,51 @@ class Engine:
             coldefs = rest[1:close]
             rest = rest[close + 1:].strip()
         rest = re.sub(r"^STORED\s+AS\s+\w+\s*", "", rest, flags=re.IGNORECASE)
+        lm = re.match(r"^LIKE\s+([\w.]+)\s*$", rest, re.IGNORECASE)
         am = re.match(r"^AS\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
-        if am:
+        if lm and coldefs is None:
+            like_src = lm.group(1)
+        elif am:
             body = am.group(1)
         elif rest:
             raise HiveQLUnsupportedError(
                 f"CREATE TEMPORARY TABLE: unsupported clause {rest[:40]!r}"
             )
-        if coldefs is None and body is None:
+        if coldefs is None and body is None and like_src is None:
             raise HiveQLUnsupportedError(
-                "CREATE TEMPORARY TABLE needs a column list or AS SELECT"
+                "CREATE TEMPORARY TABLE needs a column list, LIKE, or "
+                "AS SELECT"
             )
-        key = name.split(".")[-1].lower()
-        if key in self.table_paths or key in self.views:
+        parts = name.split(".")
+        key = parts[-1].lower()
+        decl_db = (
+            parts[-2].lower() if len(parts) > 1
+            else self.spark.catalog.currentDatabase().lower()
+        )
+        if key in self.temp_tables or key in self.views:
+            # a second TEMP table of the same name is Hive's
+            # "already exists"; shadowing a VIEW is not a thing the
+            # session metastore does either
             if if_not_exists:
                 return self._rows_affected(0)
             raise HiveQLUnsupportedError(
                 f"CREATE TEMPORARY TABLE: {key!r} already exists"
             )
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="hive232_tmp_tbl_"), key
-        )
+        # Evaluate the CTAS/LIKE source BEFORE the registration flips —
+        # `CREATE TEMPORARY TABLE s AS SELECT * FROM s` reads the
+        # PERMANENT s (SessionHiveMetaStoreClient shadowing starts only
+        # once the temp table exists).
         if body:
             df = self.spark.sql(
                 rewrite_hiveql(self._expand_macros(body), spark=self.spark)
             )
+        elif like_src is not None:
+            src_key = like_src.split(".")[-1].lower()
+            if src_key in self.tables:
+                template = self.tables[src_key].schema
+            else:
+                template = self.spark.table(like_src).schema
+            df = self.spark.createDataFrame([], template)
         else:
             from pyspark.sql.types import StructField, StructType
 
@@ -6959,8 +7043,34 @@ class Engine:
                 for n, t in self._parse_col_defs(coldefs)
             ]
             df = self.spark.createDataFrame([], StructType(fields))
+        # Shadow snapshot: Hive's session metastore resolves temp tables
+        # FIRST, hiding a same-named permanent table until DROP
+        # (temp_table.q's `create temporary table s as select * from s`;
+        # temp_table_precedence.q). Save whatever this name resolved to.
+        if key in self.table_paths:
+            self.temp_shadowed[key] = {
+                "kind": "path",
+                "path": self.table_paths[key],
+                "partitions": self.table_partitions.get(key),
+                "schema": self.table_schemas.get(key),
+                "props": self.table_props.get(key),
+                "format": self.table_format.get(key),
+                "pformats": self.partition_formats.get(key),
+            }
+        elif self._is_catalog_table(name) or self._is_catalog_table(key):
+            # the temp view registered below shadows the catalog table;
+            # DROP just removes the view and the catalog wins again
+            self.temp_shadowed[key] = {"kind": "catalog"}
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="hive232_tmp_tbl_"), key
+        )
         df.write.parquet(path)
+        for store in (self.table_schemas, self.table_props,
+                      self.table_format, self.partition_formats,
+                      self.table_partitions):
+            store.pop(key, None)
         self.register_table(key, path)
+        self.temp_tables[key] = decl_db
         return self._rows_affected(0)
 
     def _run_insert_directory(self, m: re.Match[str]) -> DataFrame:
