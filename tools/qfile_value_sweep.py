@@ -139,6 +139,70 @@ def extract_statements() -> list[tuple[str, str]]:
 _IDENT = r"[a-zA-Z_][\w.]*"
 
 
+def _split_top_args(argstr: str) -> list[str]:
+    """Split a call's argument text at top-level commas (quote- and
+    paren-aware)."""
+    args: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    q = None
+    for ch in argstr:
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+        elif ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+def _rewrite_calls(s: str, name: str, repl_fn) -> str:
+    """Replace every balanced `name(...)` call via repl_fn(args) —
+    repl_fn returns the replacement text or None to leave the call."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    i = 0
+    while True:
+        m = pat.search(s, i)
+        if not m:
+            return s
+        depth, j, q = 1, m.end(), None
+        while j < len(s) and depth:
+            ch = s[j]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return s
+        repl = repl_fn(_split_top_args(s[m.end(): j - 1]))
+        if repl is None:
+            i = m.end()
+            continue
+        s = s[: m.start()] + repl + s[j:]
+        i = m.start() + len(repl)
+
+
 def duck_translate(s: str) -> str:
     """Best-effort HiveQL → DuckDB oracle translation for the retry
     pass: Hive's permissive coercions spelled explicitly, plus the
@@ -146,8 +210,58 @@ def duck_translate(s: str) -> str:
     statement already failed in DuckDB — a bad translation can only
     turn a skip into a skip or a (reviewed) mismatch, never corrupt a
     raw-match."""
+    # HiveQL double quotes are STRING LITERALS (never identifiers by
+    # default) — convert them to single quotes BEFORE backticks take
+    # the double-quote spelling ("val_2" = 'val_2', index_bitmap2.q;
+    # "2016-12-30" dates, date_withtimestamp.q)
+    def _dq(m):
+        return "'" + m.group(1).replace("'", "''") + "'"
+
+    out: list[str] = []
+    q = None
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if q == "'":
+            out.append(ch)
+            if ch == "'":
+                q = None
+            i += 1
+        elif ch == "'":
+            q = "'"
+            out.append(ch)
+            i += 1
+        elif ch == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                out.append(ch)
+                i += 1
+            else:
+                out.append(_dq(re.match(r'"([^"]*)"', s[i:])))
+                i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    s = "".join(out)
     # backquoted identifiers → ANSI double quotes
     s = re.sub(r"`([^`]*)`", r'"\1"', s)
+    # Hive integer division keyword
+    s = re.sub(r"\bDIV\b", "//", s, flags=re.IGNORECASE)
+    # Hive spells GROUPING SETS after a redundant GROUP BY column list;
+    # DuckDB wants GROUP BY GROUPING SETS directly
+    s = re.sub(
+        r"\bGROUP\s+BY\s+(?:[^()]|\([^()]*\))*?\s*GROUPING\s+SETS\b",
+        "GROUP BY GROUPING SETS", s, flags=re.IGNORECASE,
+    )
+    # JOIN with the condition in WHERE (no ON clause) is Hive's
+    # old-style inner join = a cross join + filter
+    if not re.search(r"\bON\b", s, re.IGNORECASE) and re.search(
+        r"\bJOIN\b", s, re.IGNORECASE
+    ) and not re.search(
+        r"\b(LEFT|RIGHT|FULL|SEMI|ANTI|CROSS|OUTER)\s+JOIN\b",
+        s, re.IGNORECASE,
+    ):
+        s = re.sub(r"\bJOIN\b", "CROSS JOIN", s, flags=re.IGNORECASE)
     # Hive LIMIT offset,count → LIMIT count OFFSET offset
     s = re.sub(
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", r"LIMIT \2 OFFSET \1", s,
@@ -174,7 +288,16 @@ def duck_translate(s: str) -> str:
     )
     # data-layout directives: the comparator is order-insensitive and
     # LIMIT-without-ORDER statements are filtered out upstream, so
-    # dropping them preserves the compared multiset
+    # dropping them preserves the compared multiset. The operand list
+    # may be a parenthesized (even nested) tuple — CLUSTER BY
+    # ((key),(value)), ambiguitycheck.q — handled first as one balanced
+    # group, then the plain comma-list form.
+    s = re.sub(
+        r"\b(?:CLUSTER|DISTRIBUTE|SORT)\s+BY\s*"
+        r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+        r"\s*(?=\bLIMIT\b|\)|$)",
+        " ", s, flags=re.IGNORECASE,
+    )
     s = re.sub(
         r"\b(?:CLUSTER|DISTRIBUTE|SORT)\s+BY\s+[\w.,\s]+?(?=\bLIMIT\b|\)|$)",
         " ", s, flags=re.IGNORECASE,
@@ -221,6 +344,79 @@ def duck_translate(s: str) -> str:
         r"(TRY_CAST(\1 AS DATE) - CAST(\2 AS INT))", s,
         flags=re.IGNORECASE,
     )
+    # numeric UDAFs over string columns — Hive's GenericUDAFSum/Avg/
+    # Variance coerce string operands through double
+    s = re.sub(
+        r"\b(sum|avg|variance|var_pop|var_samp|stddev|stddev_pop|"
+        r"stddev_samp)\s*\(\s*((?:\w+\.)?(?:\"[\w]+\"|[a-zA-Z_]\w*))"
+        r"\s*\)",
+        r"\1(TRY_CAST(\2 AS DOUBLE))", s, flags=re.IGNORECASE,
+    )
+    # Hive struct(a, b) names fields col1..colN; named_struct
+    # alternates name literals and values — both are struct_pack
+    s = _rewrite_calls(
+        s, "named_struct",
+        lambda a: (
+            "struct_pack("
+            + ", ".join(
+                f"{a[k].strip(chr(39))} := {a[k + 1]}"
+                for k in range(0, len(a) - 1, 2)
+            )
+            + ")"
+        ) if len(a) >= 2 and len(a) % 2 == 0 else None,
+    )
+    s = _rewrite_calls(
+        s, "struct",
+        lambda a: "struct_pack(" + ", ".join(
+            f"col{k + 1} := {v}" for k, v in enumerate(a)
+        ) + ")" if a else None,
+    )
+    # scalar spellings DuckDB names differently
+    s = _rewrite_calls(
+        s, "get_json_object",
+        lambda a: f"json_extract_string({a[0]}, {a[1]})"
+        if len(a) == 2 else None,
+    )
+    s = _rewrite_calls(
+        s, "sha2",
+        lambda a: f"sha256({a[0]})"
+        if len(a) == 2 and a[1].strip() in ("0", "256") else None,
+    )
+    s = _rewrite_calls(
+        s, "datediff",
+        lambda a: (
+            f"date_diff('day', TRY_CAST({a[1]} AS DATE), "
+            f"TRY_CAST({a[0]} AS DATE))"
+        ) if len(a) == 2 else None,
+    )
+    _TRUNC_PARTS = {
+        "MM": "month", "MON": "month", "MONTH": "month",
+        "YY": "year", "YYYY": "year", "YEAR": "year", "Q": "quarter",
+    }
+    s = _rewrite_calls(
+        s, "trunc",
+        lambda a: (
+            f"CAST(date_trunc('"
+            f"{_TRUNC_PARTS[a[1].strip().strip(chr(39)).upper()]}'"
+            f", TRY_CAST({a[0]} AS TIMESTAMP)) AS DATE)"
+        ) if len(a) == 2
+        and a[1].strip().strip(chr(39)).upper() in _TRUNC_PARTS
+        else None,
+    )
+    # Hive percentile = exact linear-interpolation percentile
+    # (GenericUDAFPercentile) = DuckDB quantile_cont; array literals
+    # become DuckDB lists
+    if re.search(r"\bpercentile\s*\(", s, re.IGNORECASE):
+        s = _rewrite_calls(
+            s, "array",
+            lambda a: "[" + ", ".join(a) + "]" if a else None,
+        )
+        s = _rewrite_calls(
+            s, "percentile",
+            lambda a: (
+                f"quantile_cont(TRY_CAST({a[0]} AS DOUBLE), {a[1]})"
+            ) if len(a) == 2 else None,
+        )
     return s
 
 
