@@ -5823,26 +5823,59 @@ class Engine:
         )
 
         key = self._resolve_dml_table(m.group(1), mutating=True)
-        self._assert_not_mixed(key, "CONCATENATE")
+        fmt = "parquet"
+        if m.group(2):
+            rel = self._static_partition_reldir(key, m.group(2))
+            # a partition compacts under ITS OWN storage descriptor
+            # (Hive's merge task binds the partition SD; orc_merge*.q)
+            fmt = self.partition_formats.get(key, {}).get(rel, "parquet")
+            dest = os.path.join(self.table_paths[key], rel)
+        else:
+            self._assert_not_mixed(key, "CONCATENATE")
+            dest = self.table_paths[key]
         path = self.table_paths[key]
-        dest = (
-            os.path.join(path, self._static_partition_reldir(key, m.group(2)))
-            if m.group(2)
-            else path
-        )
-        before = parquet_row_count(dest, self.spark)
+        src, opts = self._MIXED_FORMAT_SOURCES[fmt]
+
+        def _reader():
+            rdr = self.spark.read
+            if fmt != "parquet":
+                from pyspark.sql.types import StructType
+
+                declared = self.table_schemas.get(key)
+                if declared is not None:
+                    parts_l = {
+                        p.lower()
+                        for p in self.table_partitions.get(key, [])
+                    }
+                    rdr = rdr.schema(StructType([
+                        f for f in declared.fields
+                        if f.name.lower() not in parts_l
+                    ]))
+                for k, v in opts.items():
+                    rdr = rdr.option(k, v)
+            return rdr.format(src)
+
+        def _count(d):
+            if fmt == "parquet":
+                return parquet_row_count(d, self.spark)
+            return _reader().load(d).count()
+
+        before = _count(dest)
         size = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _d, fs in os.walk(dest)
             for f in fs
-            if f.endswith(".parquet")
+            if not f.startswith(("_", "."))
         )
         n_files = max(1, math.ceil(size / (128 * 1024 * 1024)))
-        df = self.spark.read.parquet(dest)
+        df = _reader().load(dest)
         staging = f"{dest.rstrip('/')}__concat_staging"
         shutil.rmtree(staging, ignore_errors=True)
-        df.coalesce(n_files).write.parquet(staging)
-        if parquet_row_count(staging, self.spark) != before:
+        w = df.coalesce(n_files).write
+        from hive_2_3_2_spark.sources.writers import _format_writer
+
+        _format_writer(w, fmt).save(staging)
+        if _count(staging) != before:
             shutil.rmtree(staging)
             raise RuntimeError(
                 "CONCATENATE row-count mismatch — aborted before swap"

@@ -267,6 +267,35 @@ def test_q_analyze_and_guards_on_mixed_table(env):
             eng.sql(stmt)
 
 
+def test_q_concatenate_partition_under_its_descriptor(env):
+    """orc_merge*.q over the mixed table: partition-level CONCATENATE
+    compacts under the PARTITION's own storage descriptor — the orc
+    partition's many files become one orc file, row count invariant;
+    table-level CONCATENATE on a mixed table stays a typed error."""
+    eng, con = env
+    eng.sql("alter table ptp set fileformat orc")
+    for i in range(3):
+        eng.sql(f"insert {'overwrite' if i == 0 else 'into'} table ptp "
+                "partition(dt=101) select * from src1")
+    pdir = os.path.join(eng.table_paths["ptp"], "dt=101")
+    files_before = [f for _r, _d, fs in os.walk(pdir) for f in fs
+                    if not f.startswith(("_", "."))]
+    assert len(files_before) >= 2
+    eng.sql("alter table ptp partition (dt=101) concatenate")
+    files_after = [f for _r, _d, fs in os.walk(pdir) for f in fs
+                   if not f.startswith(("_", "."))]
+    assert len(files_after) == 1
+    assert eng.partition_formats["ptp"]["dt=101"] == "orc"
+    assert_matches_oracle(
+        eng.sql("select key from ptp where dt=101"),
+        con,
+        "SELECT key FROM src1 UNION ALL SELECT key FROM src1 "
+        "UNION ALL SELECT key FROM src1",
+    )
+    with pytest.raises(HiveQLUnsupportedError, match="parquet-only"):
+        eng.sql("alter table ptp concatenate")
+
+
 def test_q_catalog_table_adoption(spark, tmp_path):
     """fileformat.q as written: the table starts as an engine-created
     CATALOG table; SET FILEFORMAT adopts it into the path registry and
