@@ -849,6 +849,26 @@ _DROP_TABLE_STMT = re.compile(
     r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(?:PURGE\s*)?;?\s*$",
     re.IGNORECASE,
 )
+# Informational constraint DDL (create_with_constraints.q;
+# DDLSemanticAnalyzer analyzeAlterTableAddConstraint/DropConstraint)
+_ALTER_ADD_CONSTRAINT_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    r"(PRIMARY\s+KEY|FOREIGN\s+KEY)\s*\(([^)]*)\)\s*"
+    r"(?:REFERENCES\s+([\w.]+)\s*\(([^)]*)\)\s*)?"
+    r"(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CONSTRAINT_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+# a constraint ITEM inside a CREATE TABLE column list
+_CONSTRAINT_ITEM = re.compile(
+    r"^\s*(?:CONSTRAINT\s+(\w+)\s+)?(PRIMARY\s+KEY|FOREIGN\s+KEY)\s*"
+    r"\(([^)]*)\)\s*(?:REFERENCES\s+([\w.]+)\s*\(([^)]*)\))?\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _VAR_REF = re.compile(r"\$\{([\w.:-]+)\}")
 
 # Python return-annotation → Spark SQL type, for plain callables
@@ -1194,6 +1214,13 @@ class Engine:
         # restores it (getTempTable wins over the metastore lookup).
         self.temp_tables: dict[str, str] = {}
         self.temp_shadowed: dict[str, dict] = {}
+        # Informational constraints (create_with_constraints.q; Hive
+        # 2.1+ metastore KEY_CONSTRAINTS — PRIMARY KEY / FOREIGN KEY
+        # ... DISABLE NOVALIDATE [RELY]): never enforced (Hive doesn't
+        # either), recorded for DESCRIBE EXTENDED/FORMATTED and the
+        # ADD/DROP CONSTRAINT DDL. key → {"pk": {...}|None,
+        # "fks": [...]}.
+        self.table_constraints: dict[str, dict] = {}
         # Declared-schema overlay (ALTER TABLE ADD/CHANGE/REPLACE
         # COLUMNS): Hive stores the declared schema in the metastore and
         # parquet binds BY NAME at read time; tables with no overlay
@@ -1438,6 +1465,13 @@ class Engine:
             # the catalog, so rewrite the qualified form to the bare
             # temp-view name.
             query = self._strip_temp_db_quals(query)
+        if re.search(
+            r"\b(?:PRIMARY|FOREIGN)\s+KEY\b", query, re.IGNORECASE
+        ) and _CREATE_TABLE_PREFIX.match(query):
+            # inline PK/FK constraint items (create_with_constraints.q)
+            # are recorded engine-side and stripped — Spark's CREATE
+            # grammar has no constraint clause
+            query = self._extract_create_constraints(query)
         if (
             self.hiveconf.get(
                 # Reference DEFAULT is false (HiveConf.java:1337):
@@ -1617,6 +1651,17 @@ class Engine:
                     m.group(2), m.group(3), m.group(1)
                 )
             return self._run_describe(m.group(2), m.group(1))
+        if m and m.group(1) and not m.group(3) and not m.group(4):
+            dkey = m.group(2).split(".")[-1].lower()
+            if dkey in self.table_constraints and (
+                self._is_catalog_table(m.group(2))
+                or self._is_catalog_table(dkey)
+            ):
+                # catalog table with recorded informational constraints
+                # — Spark's DESCRIBE + the Constraints section
+                return self._describe_catalog_with_constraints(
+                    m.group(2), dkey, m.group(1)
+                )
         m = _DELETE_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
             from hive_2_3_2_spark.sources.writers import delete_where
@@ -1805,6 +1850,12 @@ class Engine:
             return self._run_set_fileformat(
                 m.group(1), m.group(2), m.group(3)
             )
+        m = _ALTER_ADD_CONSTRAINT_STMT.match(query)
+        if m:
+            return self._run_add_constraint(m)
+        m = _ALTER_DROP_CONSTRAINT_STMT.match(query)
+        if m:
+            return self._run_drop_constraint(m)
         m = _SHOW_TABLE_EXTENDED_STMT.match(query)
         if m and (
             self._dml_registered(m.group(1))
@@ -5060,6 +5111,271 @@ class Engine:
         self.table_format[key] = new
         return self._rows_affected(0)
 
+    # ----- informational constraints (create_with_constraints.q) -----
+
+    @staticmethod
+    def _constraint_rely(tail: str, ctx: str) -> bool:
+        """Validate the DISABLE NOVALIDATE [RELY|NORELY] tail (Hive 2.x
+        grammar: ENABLE and VALIDATE are 'not supported yet',
+        ErrorMsg.INVALID_CSTR_SYNTAX) and return the RELY flag."""
+        tokens = tail.upper().split()
+        if "ENABLE" in tokens:
+            raise HiveQLUnsupportedError(
+                f"{ctx}: ENABLE feature not supported yet (Hive 2.x "
+                "constraints are informational — use DISABLE NOVALIDATE)"
+            )
+        if "VALIDATE" in tokens:
+            raise HiveQLUnsupportedError(
+                f"{ctx}: VALIDATE feature not supported yet — use "
+                "NOVALIDATE"
+            )
+        if "DISABLE" not in tokens or "NOVALIDATE" not in tokens:
+            raise HiveQLUnsupportedError(
+                f"{ctx}: Hive 2.x constraints must be declared DISABLE "
+                f"NOVALIDATE (got {tail.strip()!r})"
+            )
+        return "RELY" in tokens and "NORELY" not in tokens
+
+    def _constraint_names(self, key: str) -> set[str]:
+        cons = self.table_constraints.get(key) or {}
+        names = set()
+        if cons.get("pk"):
+            names.add(cons["pk"]["name"].lower())
+        for fk in cons.get("fks", []):
+            names.add(fk["name"].lower())
+        return names
+
+    def _assert_ref_table(self, ref: str, cols: list[str]) -> str:
+        rkey = ref.split(".")[-1].lower()
+        if rkey not in self.table_paths and not (
+            self._is_catalog_table(ref) or self._is_catalog_table(rkey)
+        ):
+            raise HiveQLUnsupportedError(
+                f"FOREIGN KEY references unknown table {ref!r}"
+            )
+        if not cols:
+            raise HiveQLUnsupportedError(
+                "FOREIGN KEY REFERENCES needs a column list"
+            )
+        return rkey
+
+    def _extract_create_constraints(self, query: str) -> str:
+        """Strip PRIMARY KEY / FOREIGN KEY items out of a CREATE TABLE
+        column list (Hive 2.1+ grammar puts them inline,
+        parse/HiveParser.g columnNameTypeOrPKOrFK; Spark has no
+        constraint grammar at all) and record them on the engine —
+        the metastore KEY_CONSTRAINTS role."""
+        m = re.match(
+            r"\s*CREATE\s+(?:TEMPORARY\s+|EXTERNAL\s+)*TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(",
+            query, re.IGNORECASE,
+        )
+        if not m:
+            return query
+        key = m.group(1).split(".")[-1].lower()
+        open_idx = m.end() - 1
+        close = _scan_balanced(query, open_idx)
+        inner = query[open_idx + 1: close]
+        # split at top-level commas
+        items: list[str] = []
+        buf: list[str] = []
+        depth, q = 0, None
+        for ch in inner:
+            if q:
+                if ch == q:
+                    q = None
+                buf.append(ch)
+            elif ch in "'\"":
+                q = ch
+                buf.append(ch)
+            elif ch == "(":
+                depth += 1
+                buf.append(ch)
+            elif ch == ")":
+                depth -= 1
+                buf.append(ch)
+            elif ch == "," and depth == 0:
+                items.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        items.append("".join(buf))
+        cols_out: list[str] = []
+        pk = None
+        fks: list[dict] = []
+        n_unnamed = 0
+        for item in items:
+            cm = _CONSTRAINT_ITEM.match(item)
+            if not cm:
+                cols_out.append(item)
+                continue
+            name, kind, cols_txt, ref, ref_cols_txt, tail = cm.groups()
+            kind = " ".join(kind.upper().split())
+            cols = [c.strip().lower() for c in cols_txt.split(",") if c.strip()]
+            rely = self._constraint_rely(tail or "", f"CREATE TABLE {key}")
+            if not name:
+                n_unnamed += 1
+                name = f"{key}_{'pk' if kind == 'PRIMARY KEY' else 'fk'}" \
+                       f"_{n_unnamed}"
+            if kind == "PRIMARY KEY":
+                if ref:
+                    raise HiveQLUnsupportedError(
+                        "PRIMARY KEY does not take REFERENCES"
+                    )
+                if pk is not None:
+                    raise HiveQLUnsupportedError(
+                        f"table {key!r} declares more than one PRIMARY KEY"
+                    )
+                pk = {"name": name, "cols": cols, "rely": rely}
+            else:
+                if not ref:
+                    raise HiveQLUnsupportedError(
+                        "FOREIGN KEY needs REFERENCES t(cols)"
+                    )
+                ref_cols = [
+                    c.strip().lower()
+                    for c in (ref_cols_txt or "").split(",") if c.strip()
+                ]
+                rkey = self._assert_ref_table(ref, ref_cols)
+                if len(ref_cols) != len(cols):
+                    raise HiveQLUnsupportedError(
+                        f"FOREIGN KEY ({cols}) and REFERENCES "
+                        f"({ref_cols}) column counts differ"
+                    )
+                fks.append({
+                    "name": name, "cols": cols, "ref_table": rkey,
+                    "ref_cols": ref_cols, "rely": rely,
+                })
+        if pk is None and not fks:
+            return query
+        if not any(c.strip() for c in cols_out):
+            raise HiveQLUnsupportedError(
+                f"CREATE TABLE {key}: constraints-only column list"
+            )
+        self.table_constraints[key] = {"pk": pk, "fks": fks}
+        return (
+            query[:open_idx + 1]
+            + ", ".join(c.strip() for c in cols_out)
+            + query[close:]
+        )
+
+    def _run_add_constraint(self, m: re.Match[str]) -> DataFrame:
+        """ALTER TABLE t ADD CONSTRAINT name PRIMARY KEY|FOREIGN KEY
+        (...) [REFERENCES r(...)] DISABLE NOVALIDATE [RELY]."""
+        table, name, kind, cols_txt, ref, ref_cols_txt, tail = m.groups()
+        key = table.split(".")[-1].lower()
+        if key not in self.table_paths and not (
+            self._is_catalog_table(table) or self._is_catalog_table(key)
+        ):
+            raise HiveQLUnsupportedError(
+                f"ALTER TABLE {table} ADD CONSTRAINT: unknown table"
+            )
+        kind = " ".join(kind.upper().split())
+        rely = self._constraint_rely(
+            tail or "", f"ALTER TABLE {key} ADD CONSTRAINT"
+        )
+        if name.lower() in self._constraint_names(key):
+            raise HiveQLUnsupportedError(
+                f"constraint {name!r} already exists on {key!r}"
+            )
+        cols = [c.strip().lower() for c in cols_txt.split(",") if c.strip()]
+        cons = self.table_constraints.setdefault(
+            key, {"pk": None, "fks": []}
+        )
+        if kind == "PRIMARY KEY":
+            if ref:
+                raise HiveQLUnsupportedError(
+                    "PRIMARY KEY does not take REFERENCES"
+                )
+            if cons.get("pk"):
+                raise HiveQLUnsupportedError(
+                    f"table {key!r} already has a PRIMARY KEY "
+                    f"({cons['pk']['name']})"
+                )
+            cons["pk"] = {"name": name, "cols": cols, "rely": rely}
+        else:
+            if not ref:
+                raise HiveQLUnsupportedError(
+                    "FOREIGN KEY needs REFERENCES t(cols)"
+                )
+            ref_cols = [
+                c.strip().lower()
+                for c in (ref_cols_txt or "").split(",") if c.strip()
+            ]
+            rkey = self._assert_ref_table(ref, ref_cols)
+            if len(ref_cols) != len(cols):
+                raise HiveQLUnsupportedError(
+                    "FOREIGN KEY and REFERENCES column counts differ"
+                )
+            cons.setdefault("fks", []).append({
+                "name": name, "cols": cols, "ref_table": rkey,
+                "ref_cols": ref_cols, "rely": rely,
+            })
+        return self._rows_affected(0)
+
+    def _run_drop_constraint(self, m: re.Match[str]) -> DataFrame:
+        table, name = m.group(1), m.group(2)
+        key = table.split(".")[-1].lower()
+        cons = self.table_constraints.get(key)
+        nl = name.lower()
+        if cons:
+            if cons.get("pk") and cons["pk"]["name"].lower() == nl:
+                cons["pk"] = None
+                return self._rows_affected(0)
+            for i, fk in enumerate(cons.get("fks", [])):
+                if fk["name"].lower() == nl:
+                    cons["fks"].pop(i)
+                    return self._rows_affected(0)
+        raise HiveQLUnsupportedError(
+            f"ALTER TABLE {table} DROP CONSTRAINT: no constraint "
+            f"{name!r} (Hive: Constraint not found)"
+        )
+
+    def _constraint_rows(self, key: str) -> list[tuple]:
+        """DESCRIBE EXTENDED/FORMATTED's Constraints section
+        (MetaDataFormatUtils.getConstraintsInformation)."""
+        cons = self.table_constraints.get(key)
+        if not cons or not (cons.get("pk") or cons.get("fks")):
+            return []
+        rows: list[tuple] = [("", "", None)]
+        label = "Constraints"
+        pk = cons.get("pk")
+        if pk:
+            rows.append((
+                label,
+                f"Primary Key for default.{key}:[{', '.join(pk['cols'])}]"
+                f", Constraint Name: {pk['name']}",
+                None,
+            ))
+            label = ""
+        for fk in cons.get("fks", []):
+            pairs = ", ".join(
+                f"(Parent Column Name: default.{fk['ref_table']}.{rc}, "
+                f"Column Name: {c}, Key Sequence: {i + 1})"
+                for i, (c, rc) in enumerate(
+                    zip(fk["cols"], fk["ref_cols"])
+                )
+            )
+            rows.append((
+                label,
+                f"Foreign Keys for default.{key}:[ "
+                f"{{Constraint Name: {fk['name']}, {pairs}}}]",
+                None,
+            ))
+            label = ""
+        return rows
+
+    def _describe_catalog_with_constraints(
+        self, table: str, key: str, modifier: str
+    ) -> DataFrame:
+        base = self.spark.sql(
+            f"DESCRIBE {modifier.strip()} {table}"
+        ).collect()
+        rows = [tuple(r) for r in base] + self._constraint_rows(key)
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
     def _adopt_catalog_table(self, name: str) -> str:
         """Convert a session-catalog table into a path-backed registered
         table so the per-partition-format machinery (engine-side reads
@@ -5511,6 +5827,7 @@ class Engine:
             raise HiveQLUnsupportedError(
                 f"Cannot drop a view {key!r} with DROP TABLE"
             )
+        self.table_constraints.pop(key, None)
         if key not in self.table_paths:
             return None
         self.table_paths.pop(key)
@@ -5652,6 +5969,7 @@ class Engine:
             if props:
                 rows += [("", "", None), ("# Table Parameters", "", None)]
                 rows += [(k, v, None) for k, v in sorted(props.items())]
+            rows += self._constraint_rows(key)
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
         )
