@@ -79,7 +79,6 @@ _SQL_RENAMED = {
     "regexp": "rlike",                    # FunctionRegistry.java:276
     "$sum0": "sum",                       # :411 (sum-or-zero internal)
     "ewah_bitmap": None,                  # placeholder, see _SKIP
-    "compute_stats": "count",             # :441 → ANALYZE TABLE path
     "context_ngrams": None,
     "floor_year": "date_trunc",           # :299-310 Druid granularities
     "floor_quarter": "date_trunc",
@@ -134,6 +133,11 @@ _GAPS = {
 
 _SKIP = {
     # engine-internal, not user query surface
+    "compute_stats": "internal UDAF behind ANALYZE ... FOR COLUMNS "
+                     "(GenericUDAFComputeStats, FunctionRegistry.java"
+                     ":441) — the engine's ANALYZE path computes the "
+                     "same statistics battery; a direct call is a "
+                     "resolution error, never a silent wrong answer",
     "ewah_bitmap": "internal bitmap-index UDAF (indexes dropped in 2.3)",
     "ewah_bitmap_and": "internal",
     "ewah_bitmap_or": "internal",
