@@ -1481,6 +1481,10 @@ class Engine:
             and re.search(r"\btimestamp\b", query, re.IGNORECASE)
         ):
             query = _rewrite_int_ts_casts(query)
+        if re.search(r"\bAS\s+FLOAT\s*\)", query, re.IGNORECASE):
+            # decimal-vs-float-literal comparisons compare at FLOAT in
+            # Hive (parquet_ppd_decimal.q) — typeof-dispatched rewrite
+            query = _rewrite_float_cast_compares(query)
         # Hive's MAP/REDUCE spellings of script transform normalize to
         # the TRANSFORM form before ANY dispatch, so the FROM-first
         # INSERT branch parser and spark.sql both see one spelling.
@@ -8472,6 +8476,53 @@ def _last_toplevel_as(text: str) -> int | None:
                 last = j
         j += 1
     return last
+
+
+_FLOAT_LIT_CAST = r"CAST\s*\(\s*(?:'[^']*'|-?\d+(?:\.\d+)?)\s*AS\s+FLOAT\s*\)"
+_FLOAT_LIT_CMP_R = re.compile(
+    rf"([\w.]+)\s*(==|=|!=|<>|<=|>=|<|>)\s*({_FLOAT_LIT_CAST})",
+    re.IGNORECASE,
+)
+_FLOAT_LIT_CMP_L = re.compile(
+    rf"({_FLOAT_LIT_CAST})\s*(==|=|!=|<>|<=|>=|<|>)\s*([\w.]+)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_float_cast_compares(query: str) -> str:
+    """DECIMAL vs FLOAT comparisons happen AT FLOAT in Hive: the
+    common-comparison type walks TypeInfoUtils.numericTypeList in
+    registration order (BYTE<SHORT<INT<LONG<DECIMAL<FLOAT<DOUBLE), and
+    DECIMAL(5) < FLOAT(6) means decimal converts UP to float
+    (FunctionRegistry.getCommonClassForComparison:836-841) — so
+    ``decimal_col = cast('0.22' as float)`` MATCHES 0.220 in Hive
+    (parquet_ppd_decimal.q golden) while Spark compares both at double
+    and misses. Rewrite ``<ident> <op> CAST(<literal> AS FLOAT)`` (and
+    the mirrored form) to a typeof-dispatched CASE: decimal operands
+    compare at float, everything else keeps Spark's plan (and its
+    pushdown). Scope: literal float casts against simple column
+    references — the only spelling float values have in HiveQL text;
+    decimal-vs-float-COLUMN comparisons would need schema resolution
+    and remain a documented gap."""
+
+    def repl_r(m: re.Match[str]) -> str:
+        a, op, c = m.group(1), m.group(2), m.group(3)
+        return (
+            f"(CASE WHEN typeof({a}) LIKE 'decimal%' "
+            f"THEN CAST({a} AS FLOAT) {op} {c} "
+            f"ELSE {a} {op} {c} END)"
+        )
+
+    def repl_l(m: re.Match[str]) -> str:
+        c, op, a = m.group(1), m.group(2), m.group(3)
+        return (
+            f"(CASE WHEN typeof({a}) LIKE 'decimal%' "
+            f"THEN {c} {op} CAST({a} AS FLOAT) "
+            f"ELSE {c} {op} {a} END)"
+        )
+
+    query = _FLOAT_LIT_CMP_R.sub(repl_r, query)
+    return _FLOAT_LIT_CMP_L.sub(repl_l, query)
 
 
 def _rewrite_int_ts_casts(query: str) -> str:
