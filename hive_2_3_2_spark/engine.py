@@ -539,7 +539,8 @@ _EXPORT_STMT = re.compile(
     re.IGNORECASE,
 )
 _IMPORT_STMT = re.compile(
-    r"^\s*IMPORT\s+(?:EXTERNAL\s+)?TABLE\s+([\w.]+)\s+FROM\s+'([^']+)'"
+    r"^\s*IMPORT\s+(?:EXTERNAL\s+)?(?:TABLE\s+([\w.]+)\s+)?"
+    r"FROM\s+'([^']+)'"
     r"(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -2947,12 +2948,21 @@ class Engine:
         return self._rows_affected(parquet_row_count(data_dir, self.spark))
 
     def _run_import(
-        self, table: str, export_dir: str, location: str | None
+        self, table: str | None, export_dir: str, location: str | None
     ) -> DataFrame:
-        """IMPORT TABLE t FROM 'path' [LOCATION 'loc'] — register (and,
-        with LOCATION, copy) an exported table (ImportSemanticAnalyzer +
-        MoveTask). Without LOCATION the export's data directory is used
-        in place (external-table style)."""
+        """IMPORT [TABLE t] FROM 'path' [LOCATION 'loc'] — register
+        (and, with LOCATION, copy) an exported table
+        (ImportSemanticAnalyzer + MoveTask). Without a table name the
+        export's own name is used (exim_03's ``import from 'dir'``
+        form). Without LOCATION the export's data directory is used in
+        place (external-table style). Importing INTO AN EXISTING table
+        follows Hive's rules: the schemas must match (else the typed
+        'Table exists and schema does not match'), a nonpartitioned
+        import APPENDS the exported files, and a partitioned import
+        adds only NEW partitions — an already-present partition is the
+        typed 'Partition already exists'
+        (exim_03_nonpart_over_compat.q, exim_09_part_spec_nonoverlap.q
+        semantics)."""
         import json
         import shutil
 
@@ -2967,11 +2977,14 @@ class Engine:
             )
         with open(meta_path) as f:
             meta = json.load(f)
-        key = table.split(".")[-1].lower()
-        if key in self.table_paths:
+        key = (table or meta.get("table") or "").split(".")[-1].lower()
+        if not key:
             raise HiveQLUnsupportedError(
-                f"IMPORT target table {key!r} already exists"
+                "IMPORT: no table name given and the export metadata "
+                "carries none"
             )
+        if key in self.table_paths:
+            return self._import_into_existing(key, meta, data_dir)
         if location:
             if os.path.exists(location) and os.listdir(location):
                 raise HiveQLUnsupportedError(
@@ -2983,6 +2996,88 @@ class Engine:
             dest = data_dir
         self.register_table(key, dest, meta.get("partition_cols") or None)
         return self._rows_affected(parquet_row_count(dest, self.spark))
+
+    def _import_into_existing(
+        self, key: str, meta: dict, data_dir: str
+    ) -> DataFrame:
+        """IMPORT into an existing table (ImportSemanticAnalyzer
+        checkTable + the partition-existence walk)."""
+        import json
+        import shutil
+        import uuid
+
+        from pyspark.sql.types import StructType
+
+        from hive_2_3_2_spark.sources.writers import (
+            _staged_partition_rels,
+            parquet_row_count,
+        )
+
+        self._assert_mutable(key)
+        self._assert_not_mixed(key, "IMPORT")
+        exp_parts = [
+            p.lower() for p in (meta.get("partition_cols") or [])
+        ]
+        tgt_parts = [
+            p.lower() for p in (self.table_partitions.get(key) or [])
+        ]
+        if exp_parts != tgt_parts:
+            raise HiveQLUnsupportedError(
+                f"IMPORT into {key!r}: table exists and partition "
+                f"columns do not match (export {exp_parts}, "
+                f"table {tgt_parts})"
+            )
+        exp_schema = StructType.fromJson(json.loads(meta["schema_json"]))
+        tgt_schema = self._target_frame(key).schema
+        exp_sig = [
+            (f.name.lower(), f.dataType.simpleString())
+            for f in exp_schema.fields
+        ]
+        tgt_sig = [
+            (f.name.lower(), f.dataType.simpleString())
+            for f in tgt_schema.fields
+        ]
+        if exp_sig != tgt_sig:
+            raise HiveQLUnsupportedError(
+                f"IMPORT into {key!r}: table exists and schema does "
+                f"not match (export {exp_sig}, table {tgt_sig})"
+            )
+        path = self.table_paths[key]
+        n = parquet_row_count(data_dir, self.spark)
+        if tgt_parts:
+            rels = _staged_partition_rels(data_dir, len(tgt_parts))
+            existing = {
+                r for r in self._partition_rels(key)
+                if any(
+                    fs for _r, _d, fs in os.walk(os.path.join(path, r))
+                )
+            }
+            clash = sorted(set(rels) & existing)
+            if clash:
+                raise HiveQLUnsupportedError(
+                    f"IMPORT into {key!r}: partition(s) {clash[:3]} "
+                    "already exist (Hive: Partition already exists)"
+                )
+            for rel in rels:
+                shutil.copytree(
+                    os.path.join(data_dir, rel),
+                    os.path.join(path, rel),
+                    dirs_exist_ok=True,
+                )
+        else:
+            # nonpartitioned: append the exported files under fresh
+            # names (an import is file copies, never a rewrite)
+            tag = uuid.uuid4().hex[:8]
+            for i, fn in enumerate(sorted(os.listdir(data_dir))):
+                src = os.path.join(data_dir, fn)
+                if not os.path.isfile(src) or fn.startswith(("_", ".")):
+                    continue
+                shutil.copy2(
+                    src,
+                    os.path.join(path, f"import_{tag}_{i:05d}.parquet"),
+                )
+        self.register_table(key, path, self.table_partitions.get(key))
+        return self._rows_affected(n)
 
     def _static_partition_reldir(self, key: str, spec: str) -> str:
         """``p='v', q=1`` → ``p=v/q=1`` for a registered table, validating
