@@ -1486,6 +1486,9 @@ class Engine:
             # decimal-vs-float-literal comparisons compare at FLOAT in
             # Hive (parquet_ppd_decimal.q) — typeof-dispatched rewrite
             query = _rewrite_float_cast_compares(query)
+        if re.search(r"\bIN\s*\(\s*'-?\d", query, re.IGNORECASE):
+            # decimal IN ('quoted numerics') — Hive's numeric IN route
+            query = _rewrite_decimal_in_strings(query)
         # Hive's MAP/REDUCE spellings of script transform normalize to
         # the TRANSFORM form before ANY dispatch, so the FROM-first
         # INSERT branch parser and spark.sql both see one spelling.
@@ -8618,6 +8621,42 @@ def _rewrite_float_cast_compares(query: str) -> str:
 
     query = _FLOAT_LIT_CMP_R.sub(repl_r, query)
     return _FLOAT_LIT_CMP_L.sub(repl_l, query)
+
+
+_IN_NUMERIC_STRINGS = re.compile(
+    r"([\w.]+)\s+(NOT\s+)?IN\s*\(\s*"
+    r"('-?\d+(?:\.\d+)?'(?:\s*,\s*'-?\d+(?:\.\d+)?')*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_decimal_in_strings(query: str) -> str:
+    """``decimal_col IN ('0.22', ...)`` matches in Hive (GenericUDFIn
+    folds decimal+string through the numeric comparison path) but
+    Spark's IN coercion picks STRING — '0.220' != '0.22', silently no
+    rows (parquet_ppd_decimal.q). When every list item is a QUOTED
+    NUMERIC literal, dispatch on typeof: decimal operands compare the
+    list at double (Hive's string-vs-numeric route), everything else
+    keeps Spark's plan."""
+
+    def repl(m: re.Match[str]) -> str:
+        a, neg, lst = m.group(1), (m.group(2) or ""), m.group(3)
+        if "." not in lst:
+            # integer-looking string lists (key IN ('238','86') over
+            # string columns everywhere in the golden corpus) compare
+            # string-wise identically in Hive and Spark — leave them
+            # on Spark's plan so the IN still pushes to the scan
+            return m.group(0)
+        unq = ", ".join(
+            x.strip().strip("'") for x in lst.split(",")
+        )
+        return (
+            f"(CASE WHEN typeof({a}) LIKE 'decimal%' "
+            f"THEN CAST({a} AS DOUBLE) {neg}IN ({unq}) "
+            f"ELSE {a} {neg}IN ({lst}) END)"
+        )
+
+    return _IN_NUMERIC_STRINGS.sub(repl, query)
 
 
 def _rewrite_int_ts_casts(query: str) -> str:

@@ -183,17 +183,17 @@ def test_q_interval_alt_eq_in_precedence(qenv):
 
 def test_q_parquet_ppd_decimal_comparisons(qenv, spark):
     """parquet_ppd_decimal.q: comparisons against a DECIMAL column
-    across literal spellings — plus two DOCUMENTED DIVERGENCES Spark
-    users must know:
+    across literal spellings. The two formerly-documented divergences
+    are FIXED in r9 by typeof-dispatched rewrites (Hive returns true
+    for both, and now so does the engine):
 
-    - d = CAST('0.22' AS FLOAT): Hive converts the float through its
-      decimal string and matches; Spark widens float to double
-      (0.2199999988...) and does not. Workaround: cast to DOUBLE or
-      DECIMAL explicitly.
-    - d IN ('0.22'): Spark's IN coercion for decimal-vs-string picks
-      STRING ('0.220' != '0.22' — silently no rows); Hive picks
-      decimal and matches. The = form picks double and agrees with
-      Hive. Workaround: unquote the literals (d IN (0.22)) or cast.
+    - d = CAST('0.22' AS FLOAT): Hive compares decimal-vs-float AT
+      FLOAT (numericTypeList puts DECIMAL below FLOAT), so both sides
+      round to 0.22f and match; Spark alone widens both to double and
+      misses (_rewrite_float_cast_compares).
+    - d IN ('0.22'): Hive folds decimal+string through the numeric
+      comparison route; Spark's IN coercion picks STRING and silently
+      matches nothing (_rewrite_decimal_in_strings).
     """
     eng, _ = qenv
     spark.sql(
@@ -206,9 +206,15 @@ def test_q_parquet_ppd_decimal_comparisons(qenv, spark):
     assert one("select d <= 0.22 from sc_nt")
     assert one("select d between 0 and 1 from sc_nt")
     assert one("select d in (0.22, 44.22) from sc_nt")  # unquoted: fine
-    # the two pinned divergences (Hive returns true for both):
-    assert not one("select d = cast('0.22' as float) from sc_nt")
-    assert not one("select d in ('0.22', '44.22') from sc_nt")
+    # Hive-parity after the r9 rewrites:
+    assert one("select d = cast('0.22' as float) from sc_nt")
+    assert one("select d in ('0.22', '44.22') from sc_nt")
+    assert not one("select d in ('0.23', '44.22') from sc_nt")
+    assert not one("select d not in ('0.22', '44.22') from sc_nt")
+    # non-decimal operands keep Spark's plan: string IN stays string
+    spark.sql("SELECT '0.22' AS s").createOrReplaceTempView("sc_ns")
+    assert one("select s in ('0.22') from sc_ns")
+    assert not one("select s in ('0.220') from sc_ns")
 
 
 def test_q_inputddl5_utf8_hex_literal(qenv):
