@@ -850,6 +850,24 @@ _DROP_TABLE_STMT = re.compile(
     r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(?:PURGE\s*)?;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_SET_SERDE_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+    r"\s+SET\s+SERDE\s+'([^']+)'"
+    r"(?:\s+WITH\s+SERDEPROPERTIES\s*\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_SET_SERDEPROPS_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+    r"\s+SET\s+SERDEPROPERTIES\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_TOUCH_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+TOUCH"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # Informational constraint DDL (create_with_constraints.q;
 # DDLSemanticAnalyzer analyzeAlterTableAddConstraint/DropConstraint)
 _ALTER_ADD_CONSTRAINT_STMT = re.compile(
@@ -1858,6 +1876,40 @@ class Engine:
             return self._run_set_fileformat(
                 m.group(1), m.group(2), m.group(3)
             )
+        m = _ALTER_SET_SERDE_STMT.match(query)
+        if m and (
+            self._dml_registered(m.group(1))
+            or self._is_catalog_table(m.group(1))
+        ):
+            return self._run_set_serde(
+                m.group(1), m.group(2), m.group(3), m.group(4)
+            )
+        m = _ALTER_SET_SERDEPROPS_STMT.match(query)
+        if m and (
+            self._dml_registered(m.group(1))
+            or self._is_catalog_table(m.group(1))
+        ):
+            return self._run_set_serde(
+                m.group(1), m.group(2), None, m.group(3)
+            )
+        m = _ALTER_TOUCH_STMT.match(query)
+        if m and (
+            self._dml_registered(m.group(1))
+            or self._is_catalog_table(m.group(1))
+        ):
+            # ALTER TABLE ... TOUCH [PARTITION] (touch.q; DDLTask
+            # touch): fires hooks and bumps timestamps in Hive — a
+            # validated no-op here (the named partition must exist)
+            if m.group(2) and self._dml_registered(m.group(1)):
+                tkey = self._resolve_dml_table(m.group(1))
+                rel = self._static_partition_reldir(tkey, m.group(2))
+                if not os.path.isdir(
+                    os.path.join(self.table_paths[tkey], rel)
+                ):
+                    raise HiveQLUnsupportedError(
+                        f"TOUCH: no such partition {rel!r}"
+                    )
+            return self._rows_affected(0)
         m = _ALTER_ADD_CONSTRAINT_STMT.match(query)
         if m:
             return self._run_add_constraint(m)
@@ -5211,6 +5263,73 @@ class Engine:
             # scans need it even after every parquet partition is gone
             self.table_schemas[key] = self.tables[key].schema
         self.table_format[key] = new
+        return self._rows_affected(0)
+
+    #: Hive serde classes whose row layout the engine's physical
+    #: formats already model — SET SERDE to one of these is the
+    #: metadata-only change it is in Hive (the data files don't move;
+    #: partition_wise_fileformat8/11.q's LazyBinaryColumnarSerDe flip).
+    _KNOWN_SERDES = (
+        "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+        "org.apache.hadoop.hive.serde2.lazybinary.LazyBinarySerDe",
+        "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe",
+        "org.apache.hadoop.hive.serde2.columnar.LazyBinaryColumnarSerDe",
+        "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe",
+        "org.apache.hadoop.hive.ql.io.orc.OrcSerde",
+        "org.apache.hadoop.hive.serde2.avro.AvroSerDe",
+        "org.apache.hadoop.hive.serde2.OpenCSVSerde",
+        "org.apache.hive.hcatalog.data.JsonSerDe",
+        "org.apache.hadoop.hive.serde2.JsonSerDe",
+    )
+
+    def _run_set_serde(
+        self,
+        table: str,
+        part_spec: str | None,
+        serde: str | None,
+        props_txt: str | None,
+    ) -> DataFrame:
+        """ALTER TABLE [PARTITION] SET SERDE 'class' [WITH
+        SERDEPROPERTIES (...)] / SET SERDEPROPERTIES (...) on a
+        path-backed table (DDLTask alterTable ADDSERDE/ADDPROPS).
+        Hive's serde assignment is metastore metadata — recorded here
+        (DESCRIBE FORMATTED surfaces it) with the class validated
+        against the layouts the engine models; a CUSTOM serde class
+        would change how existing bytes parse, which nothing here can
+        honor, so it's a typed error (partition_wise_fileformat17.q's
+        CustomSerDe jars are out of scope per SURVEY §2.2)."""
+        if self._dml_registered(table):
+            key = self._resolve_dml_table(table)
+            if part_spec:
+                # validate the partition exists; the descriptor is
+                # recorded table-level (the engine's formats are
+                # uniform per partition already)
+                rel = self._static_partition_reldir(key, part_spec)
+                if not os.path.isdir(
+                    os.path.join(self.table_paths[key], rel)
+                ):
+                    raise HiveQLUnsupportedError(
+                        f"SET SERDE: no such partition {rel!r}"
+                    )
+        else:
+            # catalog table (Spark itself refuses ALTER ... SERDE on
+            # datasource tables) — record engine-side
+            key = table.split(".")[-1].lower()
+        if serde is not None and serde not in self._KNOWN_SERDES:
+            raise HiveQLUnsupportedError(
+                f"ALTER TABLE {table} SET SERDE {serde!r}: custom serde "
+                "classes change how existing bytes parse — out of scope "
+                "(supported: the Lazy/Columnar/Parquet/Orc/Avro/CSV/"
+                "Json serdes the engine's formats model)"
+            )
+        props = self.table_props.setdefault(key, {})
+        if serde is not None:
+            props["serialization.lib"] = serde
+        if props_txt:
+            for pm in re.finditer(
+                r"'([^']+)'\s*=\s*'([^']*)'", props_txt
+            ):
+                props[f"serde.{pm.group(1)}"] = pm.group(2)
         return self._rows_affected(0)
 
     # ----- informational constraints (create_with_constraints.q) -----

@@ -343,3 +343,42 @@ def test_q_mixed_read_prunes_partitions(env):
     # every file-scan node in the union must carry the dt pushdown
     scans = _re.findall(r"PartitionFilters: \[[^\]]*dt[^\]]*\]", plan)
     assert scans, plan
+
+
+def test_q_set_serde_and_touch(env, spark):
+    """partition_wise_fileformat8/11.q's SET SERDE flips + touch.q:
+    known serde classes record as metastore metadata (surfaced via
+    TBLPROPERTIES), custom serde classes are typed errors, TOUCH is a
+    validated no-op for tables and existing partitions."""
+    eng, con = env
+    eng.sql("insert overwrite table ptp partition(dt=100) "
+            "select * from src1")
+    eng.sql("alter table ptp set serde "
+            "'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'")
+    eng.sql("alter table ptp partition (dt=100) set serde "
+            "'org.apache.hadoop.hive.serde2.columnar."
+            "LazyBinaryColumnarSerDe'")
+    eng.sql("alter table ptp set serdeproperties "
+            "('serialization.null.format'='\\\\N')")
+    props = {r.key: r.value
+             for r in eng.sql("show tblproperties ptp").collect()}
+    assert props["serialization.lib"].endswith("LazyBinaryColumnarSerDe")
+    assert "serde.serialization.null.format" in props
+    with pytest.raises(HiveQLUnsupportedError, match="custom serde"):
+        eng.sql("alter table ptp set serde "
+                "'org.apache.hadoop.hive.serde2.CustomSerDe1'")
+    eng.sql("alter table ptp touch")
+    eng.sql("alter table ptp touch partition (dt=100)")
+    with pytest.raises(HiveQLUnsupportedError, match="no such partition"):
+        eng.sql("alter table ptp touch partition (dt=999)")
+    # catalog table route (Spark refuses ALTER SERDE on datasource
+    # tables; the engine records it instead)
+    spark.sql("DROP TABLE IF EXISTS serde_cat9")
+    try:
+        eng.sql("create table serde_cat9 (a int) stored as orc")
+        eng.sql("alter table serde_cat9 set serde "
+                "'org.apache.hadoop.hive.ql.io.orc.OrcSerde'")
+        assert eng.table_props["serde_cat9"]["serialization.lib"] \
+            .endswith("OrcSerde")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS serde_cat9")
