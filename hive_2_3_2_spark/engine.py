@@ -1146,6 +1146,7 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
 # write paths that must produce the SAME dir names partitionBy writes).
 from hive_2_3_2_spark.sources.writers import (  # noqa: E402
     _escape_path_name,
+    _obs_count as _obs_count_w,
     _unescape_path_name,
 )
 
@@ -6961,7 +6962,7 @@ class Engine:
         obs = Observation()
         aligned = aligned.observe(obs, F.count(F.lit(1)).alias("__n"))
         aligned.write.insertInto(name, overwrite=overwrite)
-        return self._rows_affected(int(obs.get["__n"] or 0))
+        return self._rows_affected(_obs_count_w(obs))
 
     def _insert_catalog_partitioned(
         self, name, target, sfields, part_txt, src, overwrite, col_list
@@ -7051,7 +7052,7 @@ class Engine:
                 aligned.write.insertInto(name, overwrite=True)
             finally:
                 self.spark.conf.set(conf, prev)
-            if int(obs.get["__n"] or 0) == 0:
+            if _obs_count_w(obs) == 0:
                 # Hive registers the static target partition even for a
                 # zero-row insert — ADD covers the never-existed case,
                 # TRUNCATE empties a pre-existing one.
@@ -7062,7 +7063,7 @@ class Engine:
                 self.spark.sql(
                     f"TRUNCATE TABLE {name} PARTITION ({part_txt})"
                 )
-            return self._rows_affected(int(obs.get["__n"] or 0))
+            return self._rows_affected(_obs_count_w(obs))
         elif overwrite:
             conf = "spark.sql.sources.partitionOverwriteMode"
             prev = self.spark.conf.get(conf, "static")
@@ -7073,7 +7074,7 @@ class Engine:
                 self.spark.conf.set(conf, prev)
         else:
             aligned.write.insertInto(name, overwrite=False)
-        return self._rows_affected(int(obs.get["__n"] or 0))
+        return self._rows_affected(_obs_count_w(obs))
 
     def _run_merge(self, m: re.Match[str]) -> DataFrame:
         """MERGE statement with Hive's full clause surface (reference:

@@ -59,6 +59,18 @@ def _is_data_file(fn: str) -> bool:
     return not fn.startswith(("_", "."))
 
 
+def _obs_count(obs, name: str = "__n") -> int:
+    """Read an observed row count AFTER its write action completed.
+    An EMPTY write whose plan repartitions before the sink can leave
+    the observation unpopulated (the CollectMetrics result row comes
+    back empty and toPyRow refuses it) — after a successful write that
+    can only mean zero rows observed."""
+    try:
+        return int(obs.get[name] or 0)
+    except Exception:
+        return 0
+
+
 def parquet_row_count(path: str, spark=None) -> int:
     """Table row count from parquet FOOTER metadata only — no data
     scan (the same num_rows Hive's StatsTask reads; at 100 TB this is
@@ -758,7 +770,7 @@ def insert_rows(
             partition_counts=partition_counts,
             fmt=fmt, written_rels=written_rels,
         )
-        return int(obs.get["__n"] or 0)
+        return _obs_count(obs)
     staging = _staging_dir(target_path)
     if partition_cols:
         _format_writer(
@@ -788,7 +800,7 @@ def insert_rows(
                 os.makedirs(dst_dir, exist_ok=True)
                 os.rename(os.path.join(root, fn), os.path.join(dst_dir, fn))
     shutil.rmtree(staging)
-    return int(obs.get["__n"] or 0)
+    return _obs_count(obs)
 
 
 def merge_apply(

@@ -382,3 +382,38 @@ def test_q_set_serde_and_touch(env, spark):
             .endswith("OrcSerde")
     finally:
         spark.sql("DROP TABLE IF EXISTS serde_cat9")
+
+
+def test_q_fileformat10_15_partitioned_schema_evolution(env, spark):
+    """partition_wise_fileformat10/15/16.q: schema evolution on a
+    PARTITIONED table — ADD COLUMNS fills NULLs on old partitions,
+    a type-CONVERTING CHANGE COLUMN (string→int, behind the
+    incompatible-changes conf) reads old files through the epoch
+    converters, and a post-alter insert lands under the new schema —
+    all partitions read together."""
+    eng, con = env
+    eng.sql("insert overwrite table ptp partition(dt='1') "
+            "select * from src1 where key = 238")
+    eng.sql("alter table ptp add columns (value2 string)")
+    rows = eng.sql("select * from ptp where dt is not null").collect()
+    assert [(r.key, r.value2) for r in rows] == [("238", None)]
+    eng.sql(
+        "set hive.metastore.disallow.incompatible.col.type.changes=false"
+    )
+    eng.sql("alter table ptp change key key int")
+    r = eng.sql("select key+key as kk, value from ptp "
+                "where dt is not null").collect()[0]
+    assert (r.kk, r.value) == (476, "val_238")
+    eng.sql("insert overwrite table ptp partition(dt='2') "
+            "select 98, 'val_98', 'x2' from src1 where key = 98")
+    # empty-select static overwrite (key 999 absent): clears the named
+    # partition and reports 0 rows — the Observation hardening path
+    n = eng.sql("insert overwrite table ptp partition(dt='3') "
+                "select 999, 'x', 'y' from src1 where key = 999") \
+        .collect()[0].rows_affected
+    assert n == 0
+    got = sorted(
+        (x.key, x.value2, x.dt)
+        for x in eng.sql("select * from ptp").collect()
+    )
+    assert got == [(98, "x2", "2"), (238, None, "1")]
