@@ -171,7 +171,15 @@ _MODULES = [
 # per-partition storage-descriptor component needs a driver row, and
 # the freeze rule puts new entries inside the window). Post-window
 # staleness floor r5.
-_WINDOW = [
+# R10 WINDOW (the r9 verdict's prescription): ALL 29 entries whose
+# latest green row is r5 (clean/ddl_sql/dml_sql/events/hiveql/join_smb/
+# matchpath/multimodal/pipeline/sample_group/similarity_ivf*/text/
+# tpch_q13/window families) + the 21 oldest-r6 re-verifications ranked
+# by FIRST green round (all from the r1-origin [1,6] cohort, taken
+# alphabetically: the agg_* heads, fn_* scalar heads, and join_* core).
+# New r10 entries (freeze rule) swap out the marginal picks — the
+# alphabetically-last of the 21 re-verifications.
+_R9_WINDOW = [
     # -- stalest cohort: latest green row is r4 (all 27) --
     "agg_histogram_equiwidth",
     "agg_regression_family",
@@ -225,6 +233,62 @@ _WINDOW = [
     "op_noop_ptf_chain",
     "fn_int_timestamp_millis_default",
     "op_partitionwise_fileformat",
+]
+del _R9_WINDOW  # history above; the live window follows
+
+_WINDOW = [
+    # -- stalest cohort: latest green row is r5 (all 29) --
+    "clean_decontaminate_bloom",
+    "clean_normalize_unicode",
+    "ddl_sql_analyze_columns",
+    "ddl_sql_describe_formatted",
+    "ddl_sql_drop_recreate_latebind_view",
+    "ddl_sql_rename_metadata_migration",
+    "ddl_sql_schema_evolution",
+    "ddl_sql_temp_function",
+    "ddl_sql_view_stack",
+    "dml_sql_insert_into_select",
+    "dml_sql_merge_multi_clause",
+    "dml_sql_merge_statement",
+    "events_cohort_retention",
+    "events_funnel_ordered_steps",
+    "hiveql_greatest_least_null",
+    "hiveql_macro_expansion",
+    "join_smb_bucketed",
+    "multimodal_real_decode_ppm",
+    "op_match_path_sessions",
+    "op_matchpath_sql_invocation",
+    "pipeline_quality_classifier_bootstrap",
+    "sample_group_split_leakage_free",
+    "similarity_topk_ivf",
+    "similarity_topk_ivfpq",
+    "text_nb_lang_classifier",
+    "text_vocab_tokenize",
+    "tpch_q13_customer_distribution",
+    "window_time_range_frame",
+    "window_unordered_ranking",
+    # -- 21 oldest-r6 re-verifications (first green = r1, A-Z) --
+    "agg_collect_set_sorted",
+    "agg_cube_returnflag_linestatus",
+    "agg_exact_percentile",
+    "agg_grouping_sets_custom",
+    "agg_having_filter",
+    "agg_rollup_order_priority",
+    "agg_statistical_moments",
+    "fn_bitwise_ops",
+    "fn_months_between_trunc",
+    "fn_null_ops",
+    "fn_str_to_map",
+    "fn_string_family2",
+    "fn_unix_time_family",
+    "join_cross_region_nation",
+    "join_full_outer_daily_activity",
+    "join_inner_orders_customer",
+    "join_left_anti_inactive_customers",
+    "join_left_outer_customer_orders",
+    "join_left_semi_active_customers",
+    "join_mixed_equi_residual",
+    "join_right_outer_orders_customer",
 ]
 
 
