@@ -1289,6 +1289,9 @@ class Engine:
         # per-query file walk on a 10^6-file table would be a
         # driver-side bottleneck the StatsOptimizer exists to avoid).
         self._fp_memo: dict[str, str] = {}
+        # catalog-table schema memo for the decimal-vs-float rewrite —
+        # cleared on any DDL statement (Engine.sql)
+        self._catalog_schema_memo: dict[str, object] = {}
         if sf_dir is not None:
             self.tables = register_star_schema(self.spark, sf_dir)
             import os
@@ -1322,11 +1325,37 @@ class Engine:
         # Column VALUES survive for DESCRIBE (Hive keeps TAB_COL_STATS
         # rows too); only the serve-from-stats gates drop.
         self._invalidate_stats(name)
-        if partition_cols:
-            # _mixed_format_frame needs the partition depth before the
-            # read below resolves
-            self.table_partitions[name] = list(partition_cols)
-        self.table_paths[name] = path
+        # The reads below may fail (bad path, unreadable files): set the
+        # new path/partition metadata provisionally and ROLL BACK on
+        # exception, so a failed registration doesn't leave metadata
+        # pointing at the new path while tables/views still serve the
+        # old frame.
+        prev_path = self.table_paths.get(name)
+        prev_parts = self.table_partitions.get(name)
+        try:
+            if partition_cols:
+                # _mixed_format_frame needs the partition depth before
+                # the read below resolves
+                self.table_partitions[name] = list(partition_cols)
+            self.table_paths[name] = path
+            return self._register_table_read(name, path, partition_cols)
+        except Exception:
+            if prev_path is None:
+                self.table_paths.pop(name, None)
+            else:
+                self.table_paths[name] = prev_path
+            if prev_parts is None:
+                self.table_partitions.pop(name, None)
+            else:
+                self.table_partitions[name] = prev_parts
+            raise
+
+    def _register_table_read(
+        self,
+        name: str,
+        path: str,
+        partition_cols: list[str] | None,
+    ) -> DataFrame:
         overlay_df = self._epoch_union_frame(name, path)
         if overlay_df is None:
             overlay_df = self._mixed_format_frame(name, path)
@@ -1467,6 +1496,13 @@ class Engine:
         # (VariableSubstitution wraps each processor) — so substitute
         # first, then dispatch (CommandProcessorFactory.java:59).
         query = self._substitute(query)
+        if self._catalog_schema_memo and re.match(
+            r"\s*(alter|create|drop|replace|truncate|import|load)\b",
+            query,
+            re.IGNORECASE,
+        ):
+            # DDL can change a catalog table's column types
+            self._catalog_schema_memo.clear()
         if "`" in query and self.hiveconf.get(
             "hive.support.quoted.identifiers", "column"
         ).lower() != "none":
@@ -1508,6 +1544,10 @@ class Engine:
         if re.search(r"\bIN\s*\(\s*'-?\d", query, re.IGNORECASE):
             # decimal IN ('quoted numerics') — Hive's numeric IN route
             query = _rewrite_decimal_in_strings(query)
+        if re.search(r"[=<>]", query):
+            # decimal COLUMN vs float COLUMN comparisons happen at
+            # FLOAT in Hive — schema-resolved static rewrite
+            query = self._rewrite_decimal_float_col_compares(query)
         # Hive's MAP/REDUCE spellings of script transform normalize to
         # the TRANSFORM form before ANY dispatch, so the FROM-first
         # INSERT branch parser and spark.sql both see one spelling.
@@ -1924,7 +1964,14 @@ class Engine:
         ):
             return self._run_show_table_extended(m.group(1), m.group(2))
         m = _SHOW_TBLPROPS_STMT.match(query)
-        if m and self._dml_registered(m.group(1)):
+        if m and (
+            self._dml_registered(m.group(1))
+            # catalog tables with engine-side props (SET SERDE /
+            # SERDEPROPERTIES route through the engine because Spark
+            # refuses ALTER SERDE on datasource tables) — serve the
+            # MERGED view so the recorded metadata is observable
+            or m.group(1).split(".")[-1].lower() in self.table_props
+        ):
             return self._run_show_tblproperties(m.group(1), m.group(2))
         m = _SHOW_COLUMNS_STMT.match(query)
         if m and self._dml_registered(m.group(1)):
@@ -2031,8 +2078,13 @@ class Engine:
         name (string literals left alone) — Hive resolves temp tables
         before the metastore under their declared database."""
         for key, db in self.temp_tables.items():
+            # (?<![\w.]) — the db qualifier must START the dotted chain:
+            # \b holds after a dot, so spark_catalog.default.t would
+            # otherwise match its 'default.t' tail and rewrite to the
+            # broken spark_catalog.t.
             pat = re.compile(
-                rf"\b{re.escape(db)}\.{re.escape(key)}\b", re.IGNORECASE
+                rf"(?<![\w.]){re.escape(db)}\.{re.escape(key)}\b",
+                re.IGNORECASE,
             )
             out: list[str] = []
             last = 0
@@ -4739,6 +4791,123 @@ class Engine:
             return True
         return False
 
+    _COL_CMP = re.compile(
+        r"([A-Za-z_][\w.]*)\s*(==|!=|<>|<=|>=|=|<|>)\s*"
+        r"([A-Za-z_][\w.]*)"
+    )
+    _FROM_ALIAS = re.compile(
+        r"\b(?:from|join)\s+([\w.]+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_decimal_float_col_compares(self, query: str) -> str:
+        """DECIMAL column vs FLOAT column comparisons compare AT FLOAT
+        in Hive: getCommonClassForComparison walks numericTypeList in
+        registration order (BYTE<SHORT<INT<LONG<DECIMAL<FLOAT<DOUBLE,
+        FunctionRegistry.java:836-841), so the common type of decimal
+        and float is FLOAT — while Spark widens both to double and a
+        float 0.22 (double value 0.2199999988...) misses a decimal
+        0.22. The engine knows the declared schemas of its registered
+        tables, so this resolves BOTH comparison operands statically
+        and casts the decimal side to float — no typeof dispatch, no
+        run-time branching; comparisons not involving a
+        decimal-column/float-column pair are untouched (their
+        PushedFilters survive — pinned)."""
+        from pyspark.sql.types import DecimalType, FloatType
+
+        if not self._COL_CMP.search(query):
+            return query
+        lowered = query.lower()
+        mentioned: dict[str, object] = {}
+        for key in set(self.tables) | set(self.table_schemas):
+            if re.search(rf"\b{re.escape(key)}\b", lowered):
+                try:
+                    mentioned[key] = self._declared_schema(key)
+                except Exception:
+                    continue
+        # catalog tables named in FROM/JOIN (the engine serves those
+        # through spark.sql directly, so they have no registered
+        # schema) — memoized; the memo clears on any DDL statement
+        for am in self._FROM_ALIAS.finditer(query):
+            t = am.group(1).split(".")[-1].lower()
+            if t in mentioned or t in _FROM_TAIL_KEYWORDS:
+                continue
+            if t not in self._catalog_schema_memo:
+                try:
+                    self._catalog_schema_memo[t] = self.spark.table(
+                        am.group(1)
+                    ).schema
+                except Exception:
+                    self._catalog_schema_memo[t] = None
+            if self._catalog_schema_memo[t] is not None:
+                mentioned[t] = self._catalog_schema_memo[t]
+        if not mentioned:
+            return query
+        # category per (table, column) + ambiguity-aware bare-name map
+        percol: dict[tuple[str, str], str] = {}
+        bare: dict[str, set[str]] = {}
+        any_pair = {"decimal": False, "float": False}
+        for t, schema in mentioned.items():
+            for f in schema.fields:
+                dt = f.dataType
+                cat = (
+                    "decimal" if isinstance(dt, DecimalType)
+                    else "float" if isinstance(dt, FloatType)
+                    else "other"
+                )
+                percol[(t, f.name.lower())] = cat
+                bare.setdefault(f.name.lower(), set()).add(cat)
+                if cat != "other":
+                    any_pair[cat] = True
+        if not (any_pair["decimal"] and any_pair["float"]):
+            return query
+        alias_of: dict[str, str] = {}
+        for am in self._FROM_ALIAS.finditer(query):
+            t = am.group(1).split(".")[-1].lower()
+            if t in mentioned:
+                alias_of[t] = t
+                a = (am.group(2) or "").lower()
+                if a and a not in _FROM_TAIL_KEYWORDS:
+                    alias_of[a] = t
+
+        def resolve(ident: str) -> str | None:
+            parts = ident.lower().split(".")
+            if len(parts) == 2:
+                t = alias_of.get(parts[0])
+                return percol.get((t, parts[1])) if t else None
+            if len(parts) == 1:
+                cats = bare.get(parts[0])
+                if cats is not None and len(cats) == 1:
+                    return next(iter(cats))
+            return None
+
+        out: list[str] = []
+        last = 0
+        for m in self._COL_CMP.finditer(query):
+            in_q = None
+            for ch in query[: m.start()]:
+                if in_q:
+                    if ch == in_q:
+                        in_q = None
+                elif ch in "'\"":
+                    in_q = ch
+            if in_q is not None:
+                continue
+            a, op, b = m.group(1), m.group(2), m.group(3)
+            ca, cb = resolve(a), resolve(b)
+            if {ca, cb} != {"decimal", "float"}:
+                continue
+            out.append(query[last: m.start()])
+            if ca == "decimal":
+                out.append(f"CAST({a} AS FLOAT) {op} {b}")
+            else:
+                out.append(f"{a} {op} CAST({b} AS FLOAT)")
+            last = m.end()
+        if not out:
+            return query
+        out.append(query[last:])
+        return "".join(out)
+
     def _declared_schema(self, key: str):
         """Current declared schema: the overlay if one exists, else the
         file-discovered schema of the registered view."""
@@ -5283,6 +5452,17 @@ class Engine:
         "org.apache.hadoop.hive.serde2.JsonSerDe",
     )
 
+    #: Serde classes bound to one physical format the engine models —
+    #: used to refuse cross-format SET SERDE flips (see _run_set_serde).
+    _SERDE_PHYSICAL_FORMAT = {
+        "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe":
+            "parquet",
+        "org.apache.hadoop.hive.ql.io.orc.OrcSerde": "orc",
+        "org.apache.hadoop.hive.serde2.avro.AvroSerDe": "avro",
+        "org.apache.hive.hcatalog.data.JsonSerDe": "json",
+        "org.apache.hadoop.hive.serde2.JsonSerDe": "json",
+    }
+
     def _run_set_serde(
         self,
         table: str,
@@ -5312,16 +5492,42 @@ class Engine:
                     raise HiveQLUnsupportedError(
                         f"SET SERDE: no such partition {rel!r}"
                     )
+            current_fmt = self.table_format.get(key, "parquet")
         else:
             # catalog table (Spark itself refuses ALTER ... SERDE on
             # datasource tables) — record engine-side
             key = table.split(".")[-1].lower()
+            try:
+                current_fmt = next(
+                    (r.data_type or "").strip().lower()
+                    for r in self.spark.sql(
+                        f"DESCRIBE EXTENDED {table}"
+                    ).collect()
+                    if r.col_name.strip() == "Provider"
+                )
+            except StopIteration:
+                current_fmt = "parquet"
         if serde is not None and serde not in self._KNOWN_SERDES:
             raise HiveQLUnsupportedError(
                 f"ALTER TABLE {table} SET SERDE {serde!r}: custom serde "
                 "classes change how existing bytes parse — out of scope "
                 "(supported: the Lazy/Columnar/Parquet/Orc/Avro/CSV/"
                 "Json serdes the engine's formats model)"
+            )
+        # Cross-PHYSICAL-format flips among formats the engine models
+        # (e.g. OrcSerde on a parquet table): Hive records the metadata
+        # and every subsequent read throws a serde error — surfacing the
+        # mismatch eagerly is strictly better than a silently-inert
+        # descriptor. The row-layout serdes (Lazy*/Columnar*/OpenCSV)
+        # stay metadata-only, as in Hive's own text-family flips
+        # (partition_wise_fileformat8/11.q).
+        target_fmt = self._SERDE_PHYSICAL_FORMAT.get(serde or "")
+        if target_fmt is not None and target_fmt != current_fmt:
+            raise HiveQLUnsupportedError(
+                f"ALTER TABLE {table} SET SERDE {serde!r}: the table's "
+                f"physical format is {current_fmt} — Hive would accept "
+                "the metadata and fail every subsequent read; use SET "
+                "FILEFORMAT / INSERT OVERWRITE to migrate the data first"
             )
         props = self.table_props.setdefault(key, {})
         if serde is not None:
@@ -5768,8 +5974,21 @@ class Engine:
     def _run_show_tblproperties(
         self, table: str, prop: str | None
     ) -> DataFrame:
-        key = self._resolve_dml_table(table)
-        props = self.table_props.get(key, {})
+        if self._dml_registered(table):
+            key = self._resolve_dml_table(table)
+            props = dict(self.table_props.get(key, {}))
+        else:
+            # catalog table with engine-side props: merge Spark's own
+            # TBLPROPERTIES under the engine's recorded ones (the
+            # engine-side serde/props are the newer writes)
+            key = table.split(".")[-1].lower()
+            props = {
+                r.key: r.value
+                for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {table}"
+                ).collect()
+            }
+            props.update(self.table_props.get(key, {}))
         if prop is not None:
             name = prop.strip().strip("'\"")
             if name not in props:
@@ -6059,6 +6278,9 @@ class Engine:
         self.table_format.pop(key, None)
         self.partition_formats.pop(key, None)
         self.column_stats.pop(key, None)
+        # Epochs die with the table (a temp table's own ALTER-created
+        # epochs are discarded here BEFORE the shadow restore below).
+        self.schema_epochs.pop(key, None)
         self._invalidate_stats(key)
         self.tables.pop(key, None)
         self.spark.catalog.dropTempView(key)
@@ -6076,6 +6298,8 @@ class Engine:
                     self.table_format[key] = shadow["format"]
                 if shadow.get("pformats") is not None:
                     self.partition_formats[key] = shadow["pformats"]
+                if shadow.get("epochs") is not None:
+                    self.schema_epochs[key] = shadow["epochs"]
                 self.register_table(
                     key, shadow["path"], shadow.get("partitions")
                 )
@@ -7629,6 +7853,12 @@ class Engine:
                 "props": self.table_props.get(key),
                 "format": self.table_format.get(key),
                 "pformats": self.partition_formats.get(key),
+                # Pending schema-conversion epochs belong to the HIDDEN
+                # permanent table: move them into the shadow so a read
+                # (or later ALTER) of the temp table can neither apply
+                # them to the temp files nor drop the bookkeeping when
+                # no epoch file survives under the temp path.
+                "epochs": self.schema_epochs.pop(key, None),
             }
         elif self._is_catalog_table(name) or self._is_catalog_table(key):
             # the temp view registered below shadows the catalog table;
@@ -7817,9 +8047,9 @@ class Engine:
         return explain_str(self.sql(query))
 
 
-_NOOP_PTF_HEAD = re.compile(
-    r"\bnoop(withmap)?(streaming)?\s*\(\s*on\b", re.IGNORECASE
-)
+# _NOOP_PTF_HEAD (the single module-level definition lives further
+# down, next to the FROM-item machinery) matches the whole noop PTF
+# family: noop/noopwithmap/noopstreaming/noopwithmapstreaming.
 _PTF_CLAUSE_SPLIT = re.compile(
     r"\b(partition\s+by|distribute\s+by|sort\s+by|order\s+by)\b",
     re.IGNORECASE,
@@ -8720,8 +8950,8 @@ def _rewrite_float_cast_compares(query: str) -> str:
     compare at float, everything else keeps Spark's plan (and its
     pushdown). Scope: literal float casts against simple column
     references — the only spelling float values have in HiveQL text;
-    decimal-vs-float-COLUMN comparisons would need schema resolution
-    and remain a documented gap."""
+    decimal-vs-float-COLUMN comparisons resolve statically in
+    Engine._rewrite_decimal_float_col_compares (schema-resolved)."""
 
     def repl_r(m: re.Match[str]) -> str:
         a, op, c = m.group(1), m.group(2), m.group(3)

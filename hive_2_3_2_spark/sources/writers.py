@@ -67,8 +67,20 @@ def _obs_count(obs, name: str = "__n") -> int:
     can only mean zero rows observed."""
     try:
         return int(obs.get[name] or 0)
-    except Exception:
+    except KeyError:
+        # empty CollectMetrics row → row.asDict() has no such key
         return 0
+    except Exception as exc:  # noqa: BLE001 — filtered below
+        msg = f"{type(exc).__name__}: {exc}"
+        known = (
+            "toPyRow",
+            "NullPointerException",
+            "empty iterator",
+            "NO_OBSERVE_BEFORE_GET",
+        )
+        if any(tok in msg for tok in known):
+            return 0
+        raise
 
 
 def parquet_row_count(path: str, spark=None) -> int:
