@@ -1207,6 +1207,9 @@ class Engine:
         # '<hive builtin UDF/UDAF class>' (windowing_udaf2.q registers
         # GenericUDAFSum under a user name and windows over it)
         self.fn_aliases: dict[str, str] = {}
+        # Python UDTF classes registered via CREATE TEMPORARY FUNCTION
+        # — their Hive SELECT-head invocations rewrite to TABLE args
+        self.python_udtfs: set[str] = set()
         # table → [(frozenset of data-file relpaths, read StructType)]:
         # files written BEFORE a type-CONVERTING column alter, with the
         # schema they must be read under (then CAST to the declared
@@ -1572,6 +1575,26 @@ class Engine:
                 )
                 if _search_code(pat, query):
                     query = pat.sub(f"{fn}(", query)
+        if self.python_udtfs:
+            # Hive's SELECT-head UDTF spelling ``SELECT f() FROM t``
+            # (SemanticAnalyzer genSelectPlan UDTF branch) → Spark's
+            # TABLE-argument invocation; SINGLE PARTITION reproduces
+            # the single fetch/reduce task the golden runs under
+            # (udtf_nofetchtask.q). Argless only — UDTFs with per-row
+            # args use LATERAL VIEW, which Spark plans natively.
+            for uname in self.python_udtfs:
+                pat = re.compile(
+                    rf"^\s*select\s+{re.escape(uname)}\s*\(\s*\)\s+"
+                    rf"from\s+(.+?)\s*;?\s*$",
+                    re.IGNORECASE | re.DOTALL,
+                )
+                um = pat.match(query)
+                if um:
+                    query = (
+                        f"SELECT * FROM {uname}(TABLE(SELECT * FROM "
+                        f"{um.group(1)}) WITH SINGLE PARTITION)"
+                    )
+                    break
         # Noop pass-through PTFs reduce to subqueries before ANY
         # dispatch (they appear in FROM-first multi-insert too).
         if _search_code(_NOOP_PTF_HEAD, query) is not None:
@@ -2530,6 +2553,19 @@ class Engine:
             self.ptf_aliases[name.lower()] = canon
             self.functions[name.lower()] = qual
             return self._conf_frame([])
+        # The reference's TEST-JAR classes (itests/util, contrib
+        # example UDTF, custom-udfs jars) — mapped to the Python
+        # equivalents in functions/test_jar_udfs.py so the golden .q
+        # files' exact AS-strings register (create_udaf.q,
+        # udf_testlength.q, udtf_nofetchtask.q, vector_udf3.q ...).
+        spec = _TEST_JAR_CLASSES.get(qual)
+        if spec is not None:
+            kind, target = spec
+            if kind == "alias":
+                self.fn_aliases[name.lower()] = target
+                self.functions[name.lower()] = qual
+                return self._conf_frame([])
+            qual = target  # fall through to the python-resolver path
         # Hive BUILTIN UDF/UDAF classes registered under user names
         # alias to the Spark builtin of the same function
         # (windowing_udaf2.q: mysum AS '...GenericUDAFSum' then
@@ -2556,6 +2592,23 @@ class Engine:
             self.functions[name.lower()] = qual
             return self._conf_frame([])
         obj = _resolve_python_callable(qual)
+        # A UDTF class (GenericUDTF parity: eval ≈ process, terminate ≈
+        # close/forward) registers through spark.udtf; the SELECT-head
+        # Hive spelling ``SELECT f() FROM t`` rewrites to the TABLE-
+        # argument form in Engine.sql.
+        if isinstance(obj, type) and hasattr(obj, "eval"):
+            from pyspark.sql import functions as _F
+
+            ret = getattr(obj, "RETURN_TYPE", None)
+            if not ret:
+                raise HiveQLUnsupportedError(
+                    f"CREATE TEMPORARY FUNCTION: UDTF class {qual!r} "
+                    "needs a RETURN_TYPE attribute (its output schema)"
+                )
+            self.spark.udtf.register(name, _F.udtf(obj, returnType=ret))
+            self.python_udtfs.add(name.lower())
+            self.functions[name.lower()] = qual
+            return self._conf_frame([])
         # Prebuilt UDF detection: the same duck-type check spark.udf
         # .register itself uses (a UserDefinedFunction or the pandas_udf
         # wrapper both carry asNondeterministic).
@@ -8849,6 +8902,28 @@ def _search_code(pattern: re.Pattern, text: str):
             return m
     return None
 
+
+#: The reference's TEST-JAR function classes → Python equivalents
+#: (functions/test_jar_udfs.py documents each source file). "alias"
+#: entries are behaviorally a Spark builtin — registered as fn_aliases
+#: so every type overload works.
+_TEST_JAR_CLASSES: dict[str, tuple[str, str]] = {
+    "org.apache.hadoop.hive.ql.udf.UDFTestLength": (
+        "py", "hive_2_3_2_spark.functions.test_jar_udfs.testlength"),
+    "org.apache.hadoop.hive.ql.udf.UDFTestLength2": (
+        "py", "hive_2_3_2_spark.functions.test_jar_udfs.testlength2"),
+    "org.apache.hadoop.hive.ql.udf.UDAFTestMax": ("alias", "max"),
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDAFSumList": (
+        "py", "hive_2_3_2_spark.functions.test_jar_udfs.sum_list"),
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestGetJavaString":
+        ("py",
+         "hive_2_3_2_spark.functions.test_jar_udfs"
+         ".test_udf_get_java_string"),
+    "org.apache.hadoop.hive.contrib.udtf.example.GenericUDTFCount2": (
+        "py", "hive_2_3_2_spark.functions.test_jar_udfs.UDTFCount2"),
+    "hive.it.custom.udfs.GenericUDFRot13": (
+        "py", "hive_2_3_2_spark.functions.test_jar_udfs.rot13"),
+}
 
 #: Hive builtin class tails whose Spark function name differs from the
 #: lowercased class tail (FunctionRegistry.java registrations)

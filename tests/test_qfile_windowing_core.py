@@ -1,6 +1,9 @@
-"""windowing.q core battery, round 9 (reference:
-ql/src/test/queries/clientpositive/windowing.q tests 2-6, 15-21, 27-30
-— tests 11-14 and 31-34 were replayed in test_qfile_windowing_clause).
+"""windowing.q core battery, rounds 9-10 (reference:
+ql/src/test/queries/clientpositive/windowing.q — now the WHOLE file:
+tests 2-6, 15-21, 27-30 (r9), tests 7-14 and 22-26 (r10: join+PTF
+input, first/last_value, named-window reuse, view inputs both ways,
+lateral views, the 3-sink windowed multi-insert, group-by+having);
+31-34 were replayed in test_qfile_windowing_clause).
 
 Conventions: goldens use p_mfgr (absent in the synthetic part) → shapes
 run over p_brand; ROWS frames and navigation functions tiebreak on
@@ -394,5 +397,454 @@ def test_q_windowing_28_29_30_partitioning_spec_rules(qeng, oracle):
           ORDER BY p_name NULLS FIRST
           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
         FROM part
+        """,
+    )
+
+
+def test_q_windowing_7_join_with_windowing_and_ptf(qeng, oracle):
+    """windowing.q test 7 (testJoinWithWindowingAndPTF): windowing over
+    the JOIN of a noop PTF chain with the base table — the PTF reduces
+    to a clustered subquery, the join keys on p_partkey, and the window
+    functions re-declare their partitioning above it."""
+    _chk(
+        qeng, oracle,
+        """
+        select abc.p_brand, abc.p_name,
+        rank() over(distribute by abc.p_brand
+          sort by abc.p_name, abc.p_partkey) as r,
+        dense_rank() over(distribute by abc.p_brand
+          sort by abc.p_name, abc.p_partkey) as dr,
+        abc.p_retailprice,
+        round(sum(abc.p_retailprice) over (distribute by abc.p_brand
+          sort by abc.p_name, abc.p_partkey
+          rows between unbounded preceding and current row),2) as s1,
+        abc.p_size,
+        abc.p_size - lag(abc.p_size,1,abc.p_size) over(
+          distribute by abc.p_brand
+          sort by abc.p_name, abc.p_partkey) as deltaSz
+        from noop(on part
+        partition by p_brand
+        order by p_name
+        ) abc join part p1 on abc.p_partkey = p1.p_partkey
+        """,
+        """
+        SELECT abc.p_brand, abc.p_name,
+        rank() OVER w AS r,
+        dense_rank() OVER w AS dr,
+        abc.p_retailprice,
+        round(sum(abc.p_retailprice) OVER (PARTITION BY abc.p_brand
+          ORDER BY abc.p_name NULLS FIRST, abc.p_partkey NULLS FIRST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS s1,
+        abc.p_size,
+        abc.p_size - lag(abc.p_size,1,abc.p_size) OVER w AS deltaSz
+        FROM part abc JOIN part p1 ON abc.p_partkey = p1.p_partkey
+        WINDOW w AS (PARTITION BY abc.p_brand
+          ORDER BY abc.p_name NULLS FIRST, abc.p_partkey NULLS FIRST)
+        """,
+    )
+
+
+def test_q_windowing_8_mixed_case_alias(qeng, oracle):
+    """windowing.q test 8 (testMixedCaseAlias): an upper-case window
+    alias survives (Hive lower-cases resolution, keeps the spelling)."""
+    _chk(
+        qeng, oracle,
+        """
+        select p_brand, p_name, p_size,
+        rank() over(distribute by p_brand
+          sort by p_name, p_size desc) as R
+        from part
+        """,
+        """
+        SELECT p_brand, p_name, p_size,
+        rank() OVER (PARTITION BY p_brand
+          ORDER BY p_name NULLS FIRST, p_size DESC NULLS LAST) AS R
+        FROM part
+        """,
+    )
+
+
+def test_q_windowing_9_10_having_no_gby_forms(qeng, oracle):
+    """windowing.q tests 9+10 (testHavingWithWindowing*NoGBY): the
+    goldens' HAVING-less spellings — rank/dense_rank + a running sum
+    over the same clustered sort."""
+    _chk(
+        qeng, oracle,
+        """
+        select p_brand, p_name, p_size,
+        rank() over(distribute by p_brand
+          sort by p_name, p_partkey) as r,
+        dense_rank() over(distribute by p_brand
+          sort by p_name, p_partkey) as dr,
+        round(sum(p_retailprice) over (distribute by p_brand
+          sort by p_name, p_partkey
+          rows between unbounded preceding and current row),2) as s1
+        from part
+        """,
+        """
+        SELECT p_brand, p_name, p_size,
+        rank() OVER w AS r,
+        dense_rank() OVER w AS dr,
+        round(sum(p_retailprice) OVER (PARTITION BY p_brand
+          ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS s1
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand
+          ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST)
+        """,
+    )
+
+
+def test_q_windowing_11_12_first_last(qeng, oracle):
+    """windowing.q tests 11+12 (testFirstLast, testFirstLastWithWhere):
+    first_value/last_value over a named ±2 ROWS window (the 2-arg
+    last_value(x, false) = don't skip nulls, Spark/Duck default), a
+    current-row-only sum, plus the WHERE-filtered variant."""
+    for where_h, where_d in (
+        ("", ""),
+        ("where p_brand = (select min(p_brand) from part)",
+         "WHERE p_brand = (SELECT min(p_brand) FROM part)"),
+    ):
+        _chk(
+            qeng, oracle,
+            f"""
+            select p_brand, p_name, p_size,
+            sum(p_size) over (distribute by p_brand
+              sort by p_name, p_partkey
+              rows between current row and current row) as s2,
+            first_value(p_size) over w1 as f,
+            last_value(p_size, false) over w1 as l
+            from part
+            {where_h}
+            window w1 as (distribute by p_brand
+              sort by p_name, p_partkey
+              rows between 2 preceding and 2 following)
+            """,
+            f"""
+            SELECT p_brand, p_name, p_size,
+            sum(p_size) OVER (PARTITION BY p_brand
+              ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST
+              ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS s2,
+            first_value(p_size) OVER w1 AS f,
+            last_value(p_size) OVER w1 AS l
+            FROM part
+            {where_d}
+            WINDOW w1 AS (PARTITION BY p_brand
+              ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST
+              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            """,
+        )
+
+
+def test_q_windowing_13_14_sum_window_and_unused_window_clause(
+    qeng, oracle
+):
+    """windowing.q tests 13+14 (testSumWindow, testNoSortClause): two
+    sums over different frames; then rank/dense_rank with a WINDOW
+    clause nothing references (must parse and be ignored)."""
+    _chk(
+        qeng, oracle,
+        """
+        select p_brand, p_name, p_size,
+        sum(p_size) over w1 as s1,
+        sum(p_size) over (distribute by p_brand
+          sort by p_name, p_partkey
+          rows between current row and current row) as s2
+        from part
+        window w1 as (distribute by p_brand sort by p_name, p_partkey
+          rows between 2 preceding and 2 following)
+        """,
+        """
+        SELECT p_brand, p_name, p_size,
+        sum(p_size) OVER w1 AS s1,
+        sum(p_size) OVER (PARTITION BY p_brand
+          ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST
+          ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS s2
+        FROM part
+        WINDOW w1 AS (PARTITION BY p_brand
+          ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST
+          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        """,
+    )
+    _chk(
+        qeng, oracle,
+        """
+        select p_brand, p_name, p_size,
+        rank() over(distribute by p_brand sort by p_name, p_partkey)
+          as r,
+        dense_rank() over(distribute by p_brand
+          sort by p_name, p_partkey) as dr
+        from part
+        window w1 as (distribute by p_brand sort by p_name
+          rows between 2 preceding and 2 following)
+        """,
+        """
+        SELECT p_brand, p_name, p_size,
+        rank() OVER w AS r, dense_rank() OVER w AS dr
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand
+          ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST)
+        """,
+    )
+
+
+def test_q_windowing_22_view_as_table_input(qeng, oracle):
+    """windowing.q test 22 (testViewAsTableInputWithWindowing): a
+    GROUP-BY view consumed by windowed selects — whole-partition sum
+    (sort key = partition key → every row is a peer) and a ±2 ROWS
+    frame over the view's aggregate."""
+    qeng.sql("drop view if exists mfgr_price_view")
+    qeng.sql(
+        """
+        create view IF NOT EXISTS mfgr_price_view as
+        select p_brand, p_type,
+        round(sum(p_retailprice),2) as s
+        from part
+        group by p_brand, p_type
+        """
+    )
+    try:
+        _chk(
+            qeng, oracle,
+            """
+            select *
+            from (
+            select p_brand, p_type, s,
+            round(sum(s) over w1 , 2) as s1
+            from mfgr_price_view
+            window w1 as (distribute by p_brand sort by p_brand)
+            ) sq
+            order by p_brand, p_type
+            """,
+            """
+            SELECT * FROM (
+            SELECT p_brand, p_type, s,
+            round(sum(s) OVER (PARTITION BY p_brand), 2) AS s1
+            FROM (SELECT p_brand, p_type,
+                  round(sum(p_retailprice),2) AS s
+                  FROM part GROUP BY p_brand, p_type) v
+            ) sq ORDER BY p_brand, p_type
+            """,
+        )
+        _chk(
+            qeng, oracle,
+            """
+            select p_brand, p_type, s,
+            round(sum(s) over w1 ,2) as s1
+            from mfgr_price_view
+            window w1 as (distribute by p_brand sort by p_type
+              rows between 2 preceding and current row)
+            """,
+            """
+            SELECT p_brand, p_type, s,
+            round(sum(s) OVER (PARTITION BY p_brand
+              ORDER BY p_type NULLS FIRST
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) AS s1
+            FROM (SELECT p_brand, p_type,
+                  round(sum(p_retailprice),2) AS s
+                  FROM part GROUP BY p_brand, p_type) v
+            """,
+        )
+    finally:
+        qeng.sql("drop view if exists mfgr_price_view")
+
+
+def test_q_windowing_23_create_view_with_windowing_query(qeng, oracle):
+    """windowing.q test 23 (testCreateViewWithWindowingQuery): the
+    window spec lives INSIDE the view definition."""
+    qeng.sql("drop view if exists mfgr_brand_price_view")
+    qeng.sql(
+        """
+        create view IF NOT EXISTS mfgr_brand_price_view as
+        select p_brand, p_type,
+        round(sum(p_retailprice) over w1,2) as s
+        from part
+        window w1 as (distribute by p_brand sort by p_name, p_partkey
+          rows between 2 preceding and current row)
+        """
+    )
+    try:
+        _chk(
+            qeng, oracle,
+            "select * from mfgr_brand_price_view",
+            """
+            SELECT p_brand, p_type,
+            round(sum(p_retailprice) OVER (PARTITION BY p_brand
+              ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) AS s
+            FROM part
+            """,
+        )
+    finally:
+        qeng.sql("drop view if exists mfgr_brand_price_view")
+
+
+def test_q_windowing_24_lateral_views(qeng, oracle):
+    """windowing.q test 24 (testLateralViews): LATERAL VIEW explode
+    feeding a windowed sum whose sort includes the exploded column."""
+    _chk(
+        qeng, oracle,
+        """
+        select p_brand, p_name,
+        lv_col, p_size, sum(p_size) over w1 as s
+        from (select p_brand, p_name, p_partkey, p_size,
+              array(1,2,3) arr from part) p
+        lateral view explode(arr) part_lv as lv_col
+        window w1 as (distribute by p_brand
+          sort by p_size, p_partkey, lv_col
+          rows between 2 preceding and current row)
+        """,
+        """
+        SELECT p_brand, p_name, lv_col, p_size,
+        sum(p_size) OVER (PARTITION BY p_brand
+          ORDER BY p_size NULLS FIRST, p_partkey NULLS FIRST,
+                   lv_col NULLS FIRST
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s
+        FROM (SELECT p_brand, p_name, p_partkey, p_size,
+              unnest([1,2,3]) AS lv_col FROM part) p
+        """,
+    )
+
+
+def test_q_windowing_25_multi_insert_three_swqs(qeng, oracle, spark):
+    """windowing.q test 25 (testMultipleInserts3SWQs): a FROM-first
+    multi-insert whose three sinks each carry their own windowed
+    select (incl. a WINDOW clause per branch and an INT column
+    truncating cume_dist — Hive's implicit insert cast)."""
+    for t in ("part_w1", "part_w2", "part_w3"):
+        qeng.sql(f"drop table if exists {t}")
+    qeng.sql("CREATE TABLE part_w1(p_brand STRING, p_name STRING, "
+             "p_size INT, r INT, dr INT, s DOUBLE)")
+    qeng.sql("CREATE TABLE part_w2(p_brand STRING, p_name STRING, "
+             "p_size INT, r INT, dr INT, cud INT, s2 DOUBLE, fv1 INT)")
+    qeng.sql("CREATE TABLE part_w3(p_brand STRING, p_name STRING, "
+             "p_size INT, c INT, ca INT, fv INT)")
+    try:
+        qeng.sql(
+            """
+            from part
+            INSERT OVERWRITE TABLE part_w1
+            select p_brand, p_name, p_size,
+            rank() over(distribute by p_brand
+              sort by p_name, p_partkey) as r,
+            dense_rank() over(distribute by p_brand
+              sort by p_name, p_partkey) as dr,
+            round(sum(p_retailprice) over (distribute by p_brand
+              sort by p_name, p_partkey
+              rows between unbounded preceding and current row),2) as s
+            INSERT OVERWRITE TABLE part_w2
+            select p_brand, p_name, p_size,
+            rank() over(distribute by p_brand
+              sort by p_name, p_partkey) as r,
+            dense_rank() over(distribute by p_brand
+              sort by p_name, p_partkey) as dr,
+            cume_dist() over(distribute by p_brand
+              sort by p_name, p_partkey) as cud,
+            round(sum(p_size) over (distribute by p_brand sort by p_size
+              range between 5 preceding and current row),1) as s2,
+            first_value(p_size) over w1 as fv1
+            window w1 as (distribute by p_brand
+              sort by p_brand, p_name, p_partkey
+              rows between 2 preceding and 2 following)
+            INSERT OVERWRITE TABLE part_w3
+            select p_brand, p_name, p_size,
+            count(*) over(distribute by p_brand
+              sort by p_name, p_partkey) as c,
+            count(p_size) over(distribute by p_brand
+              sort by p_name, p_partkey) as ca,
+            first_value(p_size) over w1 as fv
+            window w1 as (distribute by p_brand
+              sort by p_brand, p_name, p_partkey
+              rows between 2 preceding and 2 following)
+            """
+        )
+        _chk(
+            qeng, oracle,
+            "select * from part_w1",
+            """
+            SELECT p_brand, p_name, p_size,
+            CAST(rank() OVER w AS INT) AS r,
+            CAST(dense_rank() OVER w AS INT) AS dr,
+            round(sum(p_retailprice) OVER (PARTITION BY p_brand
+              ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS s
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand
+              ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST)
+            """,
+        )
+        _chk(
+            qeng, oracle,
+            "select * from part_w2",
+            """
+            SELECT p_brand, p_name, p_size,
+            CAST(rank() OVER w AS INT) AS r,
+            CAST(dense_rank() OVER w AS INT) AS dr,
+            CAST(trunc(cume_dist() OVER w) AS INT) AS cud,
+            round(sum(p_size) OVER (PARTITION BY p_brand
+              ORDER BY p_size NULLS FIRST
+              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),1) AS s2,
+            first_value(p_size) OVER w1 AS fv1
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand
+              ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST),
+            w1 AS (PARTITION BY p_brand
+              ORDER BY p_brand NULLS FIRST, p_name NULLS FIRST,
+                       p_partkey NULLS FIRST
+              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            """,
+        )
+        _chk(
+            qeng, oracle,
+            "select * from part_w3",
+            """
+            SELECT p_brand, p_name, p_size,
+            CAST(count(*) OVER w AS INT) AS c,
+            CAST(count(p_size) OVER w AS INT) AS ca,
+            first_value(p_size) OVER w1 AS fv
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand
+              ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST),
+            w1 AS (PARTITION BY p_brand
+              ORDER BY p_brand NULLS FIRST, p_name NULLS FIRST,
+                       p_partkey NULLS FIRST
+              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            """,
+        )
+    finally:
+        for t in ("part_w1", "part_w2", "part_w3"):
+            qeng.sql(f"drop table if exists {t}")
+
+
+def test_q_windowing_26_group_by_having_swq_alias(qeng, oracle):
+    """windowing.q test 26 (testGroupByHavingWithSWQAndAlias): GROUP
+    BY + HAVING under rank/dense_rank/lag windows (the golden repeats
+    p_size in the select list; aliased p_size2 here so the name-keyed
+    comparator has distinct columns)."""
+    _chk(
+        qeng, oracle,
+        """
+        select p_brand, p_name, p_size, min(p_retailprice) as mi,
+        rank() over(distribute by p_brand sort by p_name, p_size) as r,
+        dense_rank() over(distribute by p_brand
+          sort by p_name, p_size) as dr,
+        p_size as p_size2, p_size - lag(p_size,1,p_size) over(
+          distribute by p_brand sort by p_name, p_size) as deltaSz
+        from part
+        group by p_brand, p_name, p_size
+        having p_size > 0
+        """,
+        """
+        SELECT p_brand, p_name, p_size, mi,
+        rank() OVER w AS r,
+        dense_rank() OVER w AS dr,
+        p_size AS p_size2,
+        p_size - lag(p_size,1,p_size) OVER w AS deltaSz
+        FROM (SELECT p_brand, p_name, p_size,
+                     min(p_retailprice) AS mi
+              FROM part GROUP BY p_brand, p_name, p_size
+              HAVING p_size > 0) g
+        WINDOW w AS (PARTITION BY p_brand
+          ORDER BY p_name NULLS FIRST, p_size NULLS FIRST)
         """,
     )

@@ -56,8 +56,63 @@ def covered_files() -> set[str]:
     return names
 
 
+ALLOWED_TABLES = {"src", "src1", "srcpart", "alltypesorc", "over10k",
+                  "cbo_t1", "cbo_t2", "cbo_t3", "part"}
+
+_CTAS_PRELUDE = re.compile(
+    r"^create\s+table\s+`?(\w+)`?\s+(?:stored\s+as\s+\w+\s+)?as\s+select\b",
+    re.IGNORECASE,
+)
+_CREATE_TBL_PRELUDE = re.compile(
+    r"^create\s+table\s+`?(\w+)`?\s*\(", re.IGNORECASE
+)
+_INSERT_PRELUDE = re.compile(
+    r"^insert\s+(?:into|overwrite)\s+table\s+`?(\w+)`?", re.IGNORECASE
+)
+_DROP_PRELUDE = re.compile(
+    r"^drop\s+table\s+(?:if\s+exists\s+)?`?(\w+)`?\s*$", re.IGNORECASE
+)
+_FN_PRELUDE = re.compile(
+    r"^create\s+temporary\s+function\s+\w+\s+as\s+'([^']+)'\s*$",
+    re.IGNORECASE,
+)
+_DROP_FN_PRELUDE = re.compile(
+    r"^drop\s+temporary\s+function\s+(?:if\s+exists\s+)?\w+\s*$",
+    re.IGNORECASE,
+)
+#: AS-strings the engine's CREATE TEMPORARY FUNCTION accepts without a
+#: JVM: its test-jar map plus Hive builtin classes (engine resolves
+#: those to Spark builtins itself)
+_FN_CLASS_OK = re.compile(
+    r"^(?:org\.apache\.hadoop\.hive\.(?:ql\.udf|contrib)\.|"
+    r"hive\.it\.custom\.udfs\.)"
+)
+
+
+def _stmt_tables(s: str) -> set[str]:
+    return {
+        t.lower()
+        for t in re.findall(
+            r"\b(?:from|join)\s+`?(\w+)`?", s, re.IGNORECASE
+        )
+    }
+
+
 def extract_statements() -> list[tuple[str, str]]:
-    stmts = []
+    """Flat (file, select) pairs for files with no usable preludes —
+    kept for the simple path; prelude-bearing files come from
+    extract_file_records()."""
+    return [
+        (rec["file"], s)
+        for rec in extract_file_records()
+        if not rec["preludes_used"]
+        for kind, s in rec["stmts"]
+        if kind == "select"
+    ]
+
+
+def extract_file_records() -> list[dict]:
+    recs = []
     covered = covered_files()
     for qf in sorted(glob.glob(f"{QDIR}/*.q")):
         name = os.path.basename(qf)[:-2]
@@ -96,18 +151,72 @@ def extract_statements() -> list[tuple[str, str]]:
             else:
                 buf.append(ch)
         parts.append("".join(buf))
+        created: set[str] = set()
+        poisoned: set[str] = set()
+        fn_names: set[str] = set()
+        stmts: list[tuple[str, str]] = []
         for raw in parts:
             s = raw.strip()
-            if not re.match(r"^select\b", s, re.IGNORECASE):
+            if not s:
                 continue
-            tbls = set(
-                t.lower()
-                for t in re.findall(
-                    r"\b(?:from|join)\s+`?(\w+)`?", s, re.IGNORECASE
-                )
-            )
-            if tbls - {"src", "src1", "srcpart", "alltypesorc",
-                       "over10k", "cbo_t1", "cbo_t2", "cbo_t3", "part"}:
+            if not re.match(r"^select\b", s, re.IGNORECASE):
+                # ---- prelude candidates (fixture chains) ----
+                cm = _CTAS_PRELUDE.match(s) or _CREATE_TBL_PRELUDE.match(s)
+                if cm:
+                    t = cm.group(1).lower()
+                    if t in ALLOWED_TABLES:
+                        continue
+                    srcs = _stmt_tables(s) - {t}
+                    if srcs - ALLOWED_TABLES - created or t in poisoned:
+                        poisoned.add(t)
+                    else:
+                        created.add(t)
+                        stmts.append(("exec", s))
+                    continue
+                im = _INSERT_PRELUDE.match(s)
+                if im:
+                    t = im.group(1).lower()
+                    if t in created and not (
+                        _stmt_tables(s) - ALLOWED_TABLES - created - {t}
+                    ):
+                        stmts.append(("exec", s))
+                    elif t in created:
+                        poisoned.add(t)
+                        created.discard(t)
+                    continue
+                dm = _DROP_PRELUDE.match(s)
+                if dm:
+                    if dm.group(1).lower() in created:
+                        stmts.append(("exec", s))
+                    continue
+                fm = _FN_PRELUDE.match(s)
+                if fm and _FN_CLASS_OK.match(fm.group(1)):
+                    fn_names.add(
+                        re.match(
+                            r"^create\s+temporary\s+function\s+(\w+)",
+                            s, re.IGNORECASE,
+                        ).group(1).lower()
+                    )
+                    stmts.append(("exec", s))
+                    continue
+                if _DROP_FN_PRELUDE.match(s):
+                    stmts.append(("exec", s))
+                    continue
+                # any OTHER statement touching a created table mutates
+                # it in a way the prelude engine doesn't replay —
+                # conservatively poison (its selects get skipped)
+                low_head = s.split(None, 1)[0].lower()
+                if low_head not in ("explain", "set", "show", "describe",
+                                    "desc", "analyze"):
+                    touched = {
+                        t for t in created
+                        if re.search(rf"\b{t}\b", s, re.IGNORECASE)
+                    }
+                    poisoned |= touched
+                    created -= touched
+                continue
+            tbls = _stmt_tables(s)
+            if tbls - ALLOWED_TABLES - created:
                 continue
             if len(s) > 3000 or _NONDET.search(s):
                 continue
@@ -143,8 +252,34 @@ def extract_statements() -> list[tuple[str, str]]:
                 # NAME differs between engines and the comparator keys
                 # columns by name — a naming artifact, not a value issue
                 continue
-            stmts.append((name, s))
-    return stmts
+            stmts.append(("select", s))
+        # preludes only pay for themselves when some kept select needs
+        # a created table or a registered function — otherwise drop
+        # them (the classic no-side-effect path)
+        needed = False
+        for kind, s in stmts:
+            if kind != "select":
+                continue
+            if _stmt_tables(s) & created:
+                needed = True
+                break
+            if fn_names and any(
+                re.search(rf"\b{fn}\s*\(", s, re.IGNORECASE)
+                for fn in fn_names
+            ):
+                needed = True
+                break
+        if not needed:
+            stmts = [(k, s) for k, s in stmts if k == "select"]
+        if stmts:
+            recs.append({
+                "file": name,
+                "stmts": stmts,
+                # cleanup list: poisoned tables may half-exist too
+                "created": sorted(created | poisoned),
+                "preludes_used": needed,
+            })
+    return recs
 
 
 _IDENT = r"[a-zA-Z_][\w.]*"
@@ -221,6 +356,38 @@ def duck_translate(s: str) -> str:
     statement already failed in DuckDB — a bad translation can only
     turn a skip into a skip or a (reviewed) mismatch, never corrupt a
     raw-match."""
+    # reference TEST-JAR aggregate registrations are behaviorally the
+    # builtins (create_udaf.q / create_genericudaf.q) — rename FIRST so
+    # the coercion rules below see the builtin spellings
+    s = re.sub(r"\btest_max\s*\(", "max(", s, flags=re.IGNORECASE)
+    s = re.sub(r"\btest_avg\s*\(", "avg(", s, flags=re.IGNORECASE)
+    # sum_list(array(a, b, ...)) sums every element toLong
+    # (GenericUDAFSumList) — spell it as a bigint sum of the elements
+    s = _rewrite_calls(
+        s, "sum_list",
+        lambda a: (
+            "sum("
+            + " + ".join(
+                f"TRY_CAST({x} AS BIGINT)"
+                for x in _split_top_args(
+                    re.match(r"(?is)^\s*array\s*\((.*)\)\s*$", a[0])
+                    .group(1)
+                )
+            )
+            + ")"
+        ) if len(a) == 1
+        and re.match(r"(?is)^\s*array\s*\(.*\)\s*$", a[0]) else None,
+    )
+    # udtfCount2() emits the row count twice (GenericUDTFCount2)
+    um = re.match(
+        r"(?is)^\s*select\s+udtfcount2\s*\(\s*\)\s+from\s+(\w+)\s*$", s
+    )
+    if um:
+        t = um.group(1)
+        return (
+            f"SELECT * FROM (SELECT count(*) FROM {t} "
+            f"UNION ALL SELECT count(*) FROM {t}) u"
+        )
     # HiveQL double quotes are STRING LITERALS (never identifiers by
     # default) — convert them to single quotes BEFORE backticks take
     # the double-quote spelling ("val_2" = 'val_2', index_bitmap2.q;
@@ -441,9 +608,73 @@ def duck_translate(s: str) -> str:
     return s
 
 
+def duck_exec_statements(s: str) -> list[str]:
+    """HiveQL prelude DDL/DML → DuckDB statements. Partitioned CREATE
+    TABLE folds the partition columns into the column list (DuckDB has
+    no partition dirs — the data is what's compared); INSERT ...
+    PARTITION drops the clause; INSERT OVERWRITE becomes DELETE +
+    INSERT. Returns [] for statements DuckDB doesn't need (function
+    DDL — the python equivalents register once up front)."""
+    if re.match(
+        r"(?is)^\s*(?:create|drop)\s+temporary\s+function\b", s
+    ):
+        return []
+    m = re.match(
+        r"(?is)^\s*create\s+table\s+`?(\w+)`?\s*\((.*?)\)\s*"
+        r"(?:partitioned\s+by\s*\((.*?)\))?\s*(?:stored\s+as\s+\w+)?"
+        r"\s*$",
+        s,
+    )
+    if m:
+        cols = m.group(2).strip()
+        if m.group(3):
+            cols += ", " + m.group(3).strip()
+        return [f"CREATE TABLE {m.group(1)} ({cols})"]
+    s = re.sub(
+        r"(?is)\bstored\s+as\s+\w+\s+as\s+select\b", " AS SELECT ", s
+    )
+    im = re.match(
+        r"(?is)^\s*insert\s+(into|overwrite)\s+table\s+`?(\w+)`?\s*"
+        r"(?:partition\s*\([^)]*\)\s*)?(select\b.*)$",
+        s,
+    )
+    if im:
+        verb, t, body = im.groups()
+        out = []
+        if verb.lower() == "overwrite":
+            out.append(f"DELETE FROM {t}")
+        out.append(f"INSERT INTO {t} {duck_translate(body)}")
+        return out
+    return [duck_translate(s)]
+
+
+def register_duck_test_fns(con) -> None:
+    """DuckDB equivalents of the scalar test-jar UDFs (NULLs short-
+    circuit via DuckDB's default null handling); the aggregates/UDTF
+    translate structurally in duck_translate."""
+    import codecs
+
+    from duckdb.typing import INTEGER, VARCHAR
+
+    con.create_function(
+        "testlength", lambda s: len(s), [VARCHAR], INTEGER
+    )
+    con.create_function(
+        "testlength2", lambda s: len(s), [VARCHAR], INTEGER
+    )
+    con.create_function(
+        "test_udf_get_java_string", lambda s: s, [VARCHAR], VARCHAR
+    )
+    con.create_function(
+        "rot13", lambda s: codecs.encode(s, "rot13"), [VARCHAR], VARCHAR
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="QFILE_SWEEP.json")
+    ap.add_argument("--files", default="",
+                    help="comma-separated .q basenames to sweep (debug)")
     args = ap.parse_args()
 
     import duckdb
@@ -623,79 +854,145 @@ def main() -> None:
         + body + ") AS t(key, value, ds, hr)"
     )
 
-    stmts = extract_statements()
+    register_duck_test_fns(con)
+    recs = extract_file_records()
+    if args.files:
+        only = set(args.files.split(","))
+        recs = [r for r in recs if r["file"] in only]
     counts = {"match": 0, "match_translated": 0, "spark_err": 0,
-              "duck_err": 0, "mismatch": 0, "mismatch_translated": 0}
+              "duck_err": 0, "mismatch": 0, "mismatch_translated": 0,
+              "prelude_err": 0, "prelude_skip": 0}
     mismatches = []
     spark_errs = []
-    for name, s in stmts:
-        try:
-            df = eng.sql(s)
-            sp_rows = df.collect()
-            sp_cols = df.columns
-        except Exception as e:
-            counts["spark_err"] += 1
-            spark_errs.append(
-                {"file": name, "stmt": s[:200],
-                 "err": " ".join(str(e).split())[:160]}
-            )
-            continue
-        translated = False
-        try:
-            rel = con.execute(s)
-            du_rows = rel.fetchall()
-            du_cols = [d[0] for d in rel.description]
-        except Exception:
-            try:
-                rel = con.execute(duck_translate(s))
-                du_rows = rel.fetchall()
-                du_cols = [d[0] for d in rel.description]
-                translated = True
-            except Exception:
-                counts["duck_err"] += 1
+    for rec in recs:
+        broken = False
+        if rec["preludes_used"]:
+            # defensive: a crashed prior run may have left created
+            # tables behind in the shared warehouse
+            for t in rec["created"]:
+                try:
+                    eng.sql(f"drop table if exists {t}").collect()
+                except Exception:
+                    pass
+                try:
+                    con.execute(f"DROP TABLE IF EXISTS {t}")
+                except Exception:
+                    pass
+        for kind, s in rec["stmts"]:
+            # statements run IN FILE ORDER — a select between a create
+            # and the end-of-file drop sees the table live
+            if kind == "select":
+                _run_select(
+                    rec["file"], s, not broken, eng, con, counts,
+                    mismatches, spark_errs, _norm,
+                )
                 continue
-        # the SAME SQL text runs on both engines, so columns align by
-        # POSITION — positional canonicalization sidesteps the
-        # unaliased-expression naming differences between engines
-        try:
-            sp_canon = sorted(
-                (tuple(_norm(v) for v in row) for row in sp_rows),
-                key=repr,
-            )
-            du_canon = sorted(
-                (tuple(_norm(v) for v in row) for row in du_rows),
-                key=repr,
-            )
-        except Exception:
-            counts["duck_err"] += 1
-            continue
-        lim = re.search(r"\blimit\s+(\d+)\s*(?:,\s*(\d+))?\s*$", s,
-                        re.IGNORECASE)
-        if sp_canon == du_canon:
-            counts["match_translated" if translated else "match"] += 1
-        elif lim and len(sp_canon) == int(lim.group(2) or lim.group(1)):
-            # the LIMIT binds and the ORDER BY evidently is not total
-            # (equal prefixes would have matched): a tie-broken subset,
-            # not a value bug
-            counts["tie_limit_skip"] = counts.get("tie_limit_skip", 0) + 1
-        else:
-            counts["mismatch_translated" if translated else "mismatch"] += 1
-            mismatches.append(
-                {"file": name, "stmt": s[:300],
-                 "translated": translated,
-                 "spark_rows": len(sp_canon), "duck_rows": len(du_canon)}
-            )
+            if broken:
+                continue
+            try:
+                eng.sql(s).collect()
+            except Exception as e:
+                counts["prelude_err"] += 1
+                spark_errs.append(
+                    {"file": rec["file"], "stmt": s[:200], "kind":
+                     "prelude",
+                     "err": " ".join(str(e).split())[:160]}
+                )
+                broken = True
+                continue
+            for ds in duck_exec_statements(s):
+                try:
+                    con.execute(ds)
+                except Exception:
+                    # the select over this table will surface as
+                    # duck_err — the engine side still ran
+                    pass
+        for t in rec["created"]:
+            try:
+                eng.sql(f"drop table if exists {t}").collect()
+            except Exception:
+                pass
+            try:
+                con.execute(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
     result = {
-        "total_statements": len(stmts),
+        "total_statements": sum(
+            1 for r in recs for k, _s in r["stmts"] if k == "select"
+        ),
         "counts": counts,
         "mismatches": mismatches,
         "spark_errors": spark_errs[:40],
     }
     json.dump(result, open(args.out, "w"), indent=1)
-    print(json.dumps({"total": len(stmts), **counts}))
+    print(json.dumps({"total": result["total_statements"], **counts}))
     for m in mismatches[:25]:
         print("MISMATCH", m["file"], m["stmt"][:120].replace("\n", " "))
     spark.stop()
+
+
+def _run_select(
+    name, s, runnable, eng, con, counts, mismatches, spark_errs, _norm
+) -> None:
+    if not runnable:
+        counts["prelude_skip"] += 1
+        return
+    try:
+        df = eng.sql(s)
+        sp_rows = df.collect()
+        sp_cols = df.columns
+    except Exception as e:
+        counts["spark_err"] += 1
+        spark_errs.append(
+            {"file": name, "stmt": s[:200],
+             "err": " ".join(str(e).split())[:160]}
+        )
+        return
+    translated = False
+    try:
+        rel = con.execute(s)
+        du_rows = rel.fetchall()
+        du_cols = [d[0] for d in rel.description]
+    except Exception:
+        try:
+            rel = con.execute(duck_translate(s))
+            du_rows = rel.fetchall()
+            du_cols = [d[0] for d in rel.description]
+            translated = True
+        except Exception:
+            counts["duck_err"] += 1
+            return
+    # the SAME SQL text runs on both engines, so columns align by
+    # POSITION — positional canonicalization sidesteps the
+    # unaliased-expression naming differences between engines
+    try:
+        sp_canon = sorted(
+            (tuple(_norm(v) for v in row) for row in sp_rows),
+            key=repr,
+        )
+        du_canon = sorted(
+            (tuple(_norm(v) for v in row) for row in du_rows),
+            key=repr,
+        )
+    except Exception:
+        counts["duck_err"] += 1
+        return
+    lim = re.search(r"\blimit\s+(\d+)\s*(?:,\s*(\d+))?\s*$", s,
+                    re.IGNORECASE)
+    if sp_canon == du_canon:
+        counts["match_translated" if translated else "match"] += 1
+    elif lim and len(sp_canon) == int(lim.group(2) or lim.group(1)):
+        # the LIMIT binds and the ORDER BY evidently is not total
+        # (equal prefixes would have matched): a tie-broken subset,
+        # not a value bug
+        counts["tie_limit_skip"] = counts.get("tie_limit_skip", 0) + 1
+    else:
+        counts["mismatch_translated" if translated else "mismatch"] += 1
+        mismatches.append(
+            {"file": name, "stmt": s[:300],
+             "translated": translated,
+             "spark_rows": len(sp_canon), "duck_rows": len(du_canon)}
+        )
 
 
 if __name__ == "__main__":
