@@ -6,12 +6,12 @@ exec/FunctionRegistry.java:531-536). The engine rewrites the family
 onto Spark's native string ``mask`` (engine.py _rewrite_mask_family);
 STRING-form golden cells are asserted against Hive's own q.out values.
 
-Out of scope (documented): Hive's numeric/date masking overloads
-(mask(123, -1, -1, -1, -1, '5') digit-substitutes integers;
-mask(date, ..., day, month, year) rewrites date fields) — Spark's
-mask is string-only, and the string surface is what the reference's
-column-masking policies actually use. mask_hash of a NON-string is
-NULL in Hive; here it hashes the stringified value (divergence noted).
+Hive's NUMERIC overload (mask(123, -1,-1,-1,-1,'5') digit-substitutes
+then converts back through the input type) and the DATE overload
+(args 7-9 rewrite day/month/year with java.sql.Date field semantics)
+are both implemented for statically-typed inputs — golden-pinned
+below. mask_hash of a NON-string is NULL in Hive; here it hashes the
+stringified value for non-literal args (divergence noted).
 """
 
 from __future__ import annotations
@@ -114,3 +114,53 @@ def test_q_mask_numeric_overload_golden(spark):
     assert (row.a, row.b, row.c, row.d) == (43, -9981, 55555, 55555)
     assert row.e == -77777
     assert row.f == "Xxxx-nnn"
+
+
+def test_q_mask_date_overload_golden(spark):
+    """udf_mask.q date arm (r10): mask(date, ..., dayValue, monthValue,
+    yearValue) — java.sql.Date field semantics: masked year N renders
+    as 1900+N, monthValue is 0-based, out-of-range day/month fall back
+    to the defaults 1/0, -1 keeps the field. All eight golden cells
+    from udf_mask.q.out, byte-exact."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    row = eng.sql(
+        "select "
+        "mask(cast('2016-04-20' as date), -1,-1,-1,-1,-1, 0, 0, 0) a, "
+        "mask(cast('2016-04-20' as date), -1,-1,-1,-1,-1, -1, 0, 0) b, "
+        "mask(cast('2016-04-20' as date), -1,-1,-1,-1,-1, 1, -1, 0) c, "
+        "mask(cast('2016-04-20' as date), -1,-1,-1,-1,-1, 1, 0, -1) d, "
+        "mask(cast('2016-04-20' as date), -1,-1,-1,-1,-1, 1, -1, -1) e, "
+        "mask(cast('2016-04-20' as date), -1,-1,-1,-1,-1, -1, 0, -1) f, "
+        "mask(cast('2016-04-20' as date), -1,-1,-1,-1,-1, -1, -1, 0) g, "
+        "mask(cast('2016-04-20' as date), -1,-1,-1,-1,-1, -1, -1, -1) h"
+    ).collect()[0]
+    assert [str(v) for v in row] == [
+        "1900-01-01", "1900-01-20", "1900-04-01", "2016-01-01",
+        "2016-04-01", "2016-01-20", "1900-04-20", "2016-04-20",
+    ]
+
+
+def test_q_mask_date_overload_day_rollover_and_column(spark):
+    """Lenient-calendar day overflow rolls over (Feb + day 31 → Mar 2
+    in a leap year, like GregorianCalendar), and the overload works
+    over a date COLUMN, not just literals."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    v = eng.sql(
+        "select mask(cast('2016-02-10' as date), "
+        "-1,-1,-1,-1,-1, 31, -1, -1) a"
+    ).collect()[0].a
+    assert str(v) == "2016-03-02"
+    spark.createDataFrame(
+        [("2016-04-20",), ("1999-12-31",)], "d string"
+    ).selectExpr("cast(d as date) as d").createOrReplaceTempView(
+        "mask_dates"
+    )
+    rows = eng.sql(
+        "select mask(cast(d as date), -1,-1,-1,-1,-1, 1, 0, -1) as m "
+        "from mask_dates order by m"
+    ).collect()
+    assert [str(r.m) for r in rows] == ["1999-01-01", "2016-01-01"]

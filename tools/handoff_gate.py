@@ -1,0 +1,70 @@
+"""Round-handoff freshness gate (the r9 verdict's "What's wrong #1",
+third occurrence of the class): the committed sweep artifacts must be
+newer than the last commit that touched engine code, or the round ends
+with a sweep that never saw its final engine state.
+
+    python tools/handoff_gate.py            # check, exit 1 on stale
+    python tools/handoff_gate.py --explain  # print the timestamps
+
+Checks, for each artifact in ARTIFACTS, that its git-committed content
+is from a commit NOT OLDER than the last commit touching ENGINE_PATHS.
+Working-tree mtimes are advisory only (a rebuilt checkout resets them);
+the commit graph is the truth. The intended end-of-round sequence:
+
+    1. ...final engine commit...
+    2. python tools/qfile_value_sweep.py --out QFILE_SWEEP.json
+    3. python tools/sweep_registry.py --out BENCH_sf1_registry.json
+    4. git commit QFILE_SWEEP.json BENCH_sf1_registry.json
+    5. python tools/handoff_gate.py   # must print OK
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACTS = ["QFILE_SWEEP.json", "BENCH_sf1_registry.json"]
+ENGINE_PATHS = ["hive_2_3_2_spark", "__spark_entry__.py", "bench.py"]
+
+
+def _last_commit_time(paths: list[str]) -> tuple[int, str]:
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct %h %s", "--"] + paths,
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if not out:
+        return 0, "(none)"
+    ts, rest = out.split(" ", 1)
+    return int(ts), rest
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--explain", action="store_true")
+    args = ap.parse_args()
+    eng_ts, eng_info = _last_commit_time(ENGINE_PATHS)
+    stale = []
+    for art in ARTIFACTS:
+        art_ts, art_info = _last_commit_time([art])
+        if args.explain:
+            print(f"{art}: committed {art_ts} ({art_info})")
+        if art_ts < eng_ts:
+            stale.append((art, art_ts, art_info))
+    if args.explain:
+        print(f"engine: committed {eng_ts} ({eng_info})")
+    if stale:
+        print("HANDOFF GATE: STALE — refresh and commit these sweeps "
+              f"AFTER the last engine commit ({eng_info}):")
+        for art, ts, info in stale:
+            print(f"  {art} (from {info})")
+        return 1
+    print("HANDOFF GATE: OK — sweep artifacts are at or after the "
+          f"last engine commit ({eng_info})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
