@@ -72,6 +72,19 @@ _INSERT_PRELUDE = re.compile(
 _DROP_PRELUDE = re.compile(
     r"^drop\s+table\s+(?:if\s+exists\s+)?`?(\w+)`?\s*$", re.IGNORECASE
 )
+_CREATE_VIEW_PRELUDE = re.compile(
+    r"^create\s+view\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?\s+as\s+select\b",
+    re.IGNORECASE,
+)
+_DROP_VIEW_PRELUDE = re.compile(
+    r"^drop\s+view\s+(?:if\s+exists\s+)?`?(\w+)`?\s*$", re.IGNORECASE
+)
+#: statement heads that can MUTATE a table's contents/layout — any of
+#: these touching a created table poisons it (the replay doesn't model
+#: them); read-only heads (create view, explain, select...) never do
+_MUTATING_HEADS = ("load", "alter", "truncate", "msck", "import",
+                   "touch", "update", "delete", "merge")
+
 _FN_PRELUDE = re.compile(
     r"^create\s+temporary\s+function\s+\w+\s+as\s+'([^']+)'\s*$",
     re.IGNORECASE,
@@ -167,7 +180,14 @@ def extract_file_records() -> list[dict]:
                     if t in ALLOWED_TABLES:
                         continue
                     srcs = _stmt_tables(s) - {t}
-                    if srcs - ALLOWED_TABLES - created or t in poisoned:
+                    nondet = _NONDET.search(s) or (
+                        _LIMITED.search(s) and not _TOTAL_ORDER.search(s)
+                    )
+                    if (srcs - ALLOWED_TABLES - created or t in poisoned
+                            or nondet):
+                        # nondeterministic fixture bodies (rand, LIMIT
+                        # without a total order) would make the two
+                        # engines' derived tables legitimately differ
                         poisoned.add(t)
                     else:
                         created.add(t)
@@ -176,17 +196,62 @@ def extract_file_records() -> list[dict]:
                 im = _INSERT_PRELUDE.match(s)
                 if im:
                     t = im.group(1).lower()
-                    if t in created and not (
-                        _stmt_tables(s) - ALLOWED_TABLES - created - {t}
-                    ):
+                    if (t in created
+                            and not (_stmt_tables(s) - ALLOWED_TABLES
+                                     - created - {t})
+                            and not _NONDET.search(s)
+                            and not (_LIMITED.search(s)
+                                     and not _TOTAL_ORDER.search(s))):
                         stmts.append(("exec", s))
                     elif t in created:
                         poisoned.add(t)
                         created.discard(t)
                     continue
-                dm = _DROP_PRELUDE.match(s)
+                if re.match(r"(?is)^\s*from\b", s) and re.search(
+                    r"\binsert\s+(?:into|overwrite)\s+table\b", s,
+                    re.IGNORECASE,
+                ):
+                    # Hive's FROM-first (multi-)insert — the engine
+                    # runs it natively; duck_exec_statements splits it
+                    # into one INSERT ... SELECT per sink
+                    targets = {
+                        t.lower() for t in re.findall(
+                            r"insert\s+(?:into|overwrite)\s+table\s+"
+                            r"`?(\w+)`?", s, re.IGNORECASE,
+                        )
+                    }
+                    nondet = _NONDET.search(s) or (
+                        _LIMITED.search(s)
+                        and not _TOTAL_ORDER.search(s)
+                    )
+                    srcs = _stmt_tables(s) - targets
+                    if (targets <= created
+                            and not (srcs - ALLOWED_TABLES - created)
+                            and not nondet):
+                        stmts.append(("exec", s))
+                    else:
+                        poisoned |= targets & created
+                        created -= targets
+                    continue
+                dm = _DROP_PRELUDE.match(s) or _DROP_VIEW_PRELUDE.match(s)
                 if dm:
                     if dm.group(1).lower() in created:
+                        stmts.append(("exec", s))
+                    continue
+                vm = _CREATE_VIEW_PRELUDE.match(s)
+                if vm:
+                    t = vm.group(1).lower()
+                    if t in ALLOWED_TABLES:
+                        continue
+                    srcs = _stmt_tables(s) - {t}
+                    nondet = _NONDET.search(s) or (
+                        _LIMITED.search(s) and not _TOTAL_ORDER.search(s)
+                    )
+                    if (srcs - ALLOWED_TABLES - created or t in poisoned
+                            or nondet):
+                        poisoned.add(t)
+                    else:
+                        created.add(t)
                         stmts.append(("exec", s))
                     continue
                 fm = _FN_PRELUDE.match(s)
@@ -202,12 +267,12 @@ def extract_file_records() -> list[dict]:
                 if _DROP_FN_PRELUDE.match(s):
                     stmts.append(("exec", s))
                     continue
-                # any OTHER statement touching a created table mutates
-                # it in a way the prelude engine doesn't replay —
-                # conservatively poison (its selects get skipped)
+                # a MUTATING statement touching a created table changes
+                # it in a way the prelude replay doesn't model —
+                # poison it (its later selects get skipped); read-only
+                # statements (explain/show/create view over it) don't
                 low_head = s.split(None, 1)[0].lower()
-                if low_head not in ("explain", "set", "show", "describe",
-                                    "desc", "analyze"):
+                if low_head in _MUTATING_HEADS:
                     touched = {
                         t for t in created
                         if re.search(rf"\b{t}\b", s, re.IGNORECASE)
@@ -256,11 +321,12 @@ def extract_file_records() -> list[dict]:
         # preludes only pay for themselves when some kept select needs
         # a created table or a registered function — otherwise drop
         # them (the classic no-side-effect path)
+        ever_created = created | poisoned
         needed = False
         for kind, s in stmts:
             if kind != "select":
                 continue
-            if _stmt_tables(s) & created:
+            if _stmt_tables(s) & ever_created:
                 needed = True
                 break
             if fn_names and any(
@@ -377,6 +443,48 @@ def duck_translate(s: str) -> str:
             + ")"
         ) if len(a) == 1
         and re.match(r"(?is)^\s*array\s*\(.*\)\s*$", a[0]) else None,
+    )
+    # Hive interval literal spellings DuckDB doesn't share
+    s = re.sub(
+        r"(?i)\binterval\s+'(\d+)-(\d+)'\s+year\s+to\s+month\b",
+        lambda mm: f"INTERVAL '{int(mm.group(1)) * 12 + int(mm.group(2))} months'",
+        s,
+    )
+    def _dts(mm):
+        d, h, mi, sec = mm.groups()
+        return (f"INTERVAL '{d} days {h} hours {mi} minutes "
+                f"{sec} seconds'")
+    s = re.sub(
+        r"(?i)\binterval\s+'(\d+)\s+(\d+):(\d+):(\d+(?:\.\d+)?)'\s+"
+        r"day\s+to\s+second\b",
+        _dts, s,
+    )
+    s = re.sub(
+        r"(?i)\binterval\s+'(\d+)'\s+(year|month|day|hour|minute|second)\b",
+        r"INTERVAL '\1 \2s'", s,
+    )
+    # Hive's SQL-standard floor(ts TO unit) = date_trunc
+    s = re.sub(
+        r"(?i)\bfloor\s*\(\s*([\w.]+)\s+to\s+"
+        r"(year|quarter|month|week|day|hour|minute|second)\s*\)",
+        r"date_trunc('\2', \1)", s,
+    )
+    # array(...) literals — DuckDB spells them [...] (no array() fn)
+    s = _rewrite_calls(
+        s, "array", lambda a: "[" + ", ".join(a) + "]" if a else None
+    )
+    # DuckDB refuses its reserved words as BARE aliases right after a
+    # closing paren (cast(x as int) key) — Hive allows them; insert AS
+    s = re.sub(
+        r"(?i)\)\s+(key|value|type|end|row|rows|range|order|limit)"
+        r"\b(?=\s*(?:,|\bfrom\b))",
+        r") AS \1", s,
+    )
+    # LATERAL VIEW explode(arr) t AS col → DuckDB's UNNEST-in-FROM
+    s = re.sub(
+        r"(?is)\blateral\s+view\s+explode\s*"
+        r"\(([^()]*(?:\([^()]*\))*[^()]*)\)\s+(\w+)\s+as\s+(\w+)",
+        r", UNNEST(\1) AS \2(\3)", s,
     )
     # udtfCount2() emits the row count twice (GenericUDTFCount2)
     um = re.match(
@@ -511,16 +619,55 @@ def duck_translate(s: str) -> str:
         flags=re.IGNORECASE,
     )
     # date_add/date_sub(expr, n) — DuckDB's date_sub is a different
-    # (part, start, end) function entirely
-    s = re.sub(
-        r"\bdate_add\s*\(([^,()]+),([^()]+)\)",
-        r"(TRY_CAST(\1 AS DATE) + CAST(\2 AS INT))", s,
-        flags=re.IGNORECASE,
+    # (part, start, end) function entirely; paren-aware so CAST
+    # arguments survive (udf_date_add.q)
+    s = _rewrite_calls(
+        s, "date_add",
+        lambda a: (f"(TRY_CAST({a[0]} AS DATE) + CAST({a[1]} AS INT))")
+        if len(a) == 2 else None,
     )
+    s = _rewrite_calls(
+        s, "date_sub",
+        lambda a: (f"(TRY_CAST({a[0]} AS DATE) - CAST({a[1]} AS INT))")
+        if len(a) == 2 else None,
+    )
+    # hour/minute/second/last_day over STRING operands: Hive coerces
+    # through timestamp/date; Hive also accepts bare 'HH:MM:SS'
+    def _ts_extract(fn):
+        def fix(a):
+            if len(a) != 1:
+                return None
+            arg = a[0].strip()
+            if re.fullmatch(r"'\d{1,2}:\d{2}:\d{2}(?:\.\d+)?'", arg):
+                arg = "'1970-01-01 " + arg[1:]
+            return f"{fn}(TRY_CAST({arg} AS TIMESTAMP))"
+        return fix
+
+    for _fn in ("hour", "minute", "second"):
+        s = _rewrite_calls(s, _fn, _ts_extract(_fn))
+    s = _rewrite_calls(
+        s, "last_day",
+        lambda a: f"last_day(TRY_CAST({a[0]} AS DATE))"
+        if len(a) == 1 else None,
+    )
+    # Hive's multi-argument COUNT(DISTINCT a, b, ...) counts distinct
+    # tuples with NO null field — DuckDB count is single-argument
+    def _multi_distinct(a):
+        if len(a) < 2 or not re.match(r"(?is)^\s*distinct\b", a[0]):
+            return None
+        first = re.sub(r"(?is)^\s*distinct\s+", "", a[0])
+        items = [first] + [x.strip() for x in a[1:]]
+        notnull = " AND ".join(f"({x}) IS NOT NULL" for x in items)
+        tup = ", ".join(items)
+        return (f"count(DISTINCT CASE WHEN {notnull} "
+                f"THEN ({tup}) END)")
+
+    s = _rewrite_calls(s, "count", _multi_distinct)
+    # string-typed arithmetic between two columns coerces through
+    # double in Hive (retry-only: the raw statement already failed)
     s = re.sub(
-        r"\bdate_sub\s*\(([^,()]+),([^()]+)\)",
-        r"(TRY_CAST(\1 AS DATE) - CAST(\2 AS INT))", s,
-        flags=re.IGNORECASE,
+        rf"\b({_IDENT})\s*([+\-*/%])\s*({_IDENT})(?!\s*\()",
+        r"(TRY_CAST(\1 AS DOUBLE) \2 TRY_CAST(\3 AS DOUBLE))", s,
     )
     # numeric UDAFs over string columns — Hive's GenericUDAFSum/Avg/
     # Variance coerce string operands through double
@@ -608,6 +755,35 @@ def duck_translate(s: str) -> str:
     return s
 
 
+def _hive_types_to_duck(cols: str) -> str:
+    """Hive complex-type spellings → DuckDB's, innermost-first:
+    array<T> → T[], map<K,V> → MAP(K,V), struct<a:T,...> →
+    STRUCT(a T, ...); string → VARCHAR (DuckDB has no STRING in
+    column DDL)."""
+    cols = re.sub(r"(?i)\bstring\b", "VARCHAR", cols)
+    for _ in range(8):  # bounded nesting
+        if "<" not in cols:
+            break
+        def _inner(mm):
+            kind, body = mm.group(1).lower(), mm.group(2)
+            if kind == "array":
+                return f"{body}[]"
+            if kind == "map":
+                return f"MAP({body})"
+            # struct<a:T,b:U> → STRUCT(a T, b U)
+            fields = [f.strip() for f in body.split(",")]
+            return "STRUCT(" + ", ".join(
+                f.replace(":", " ", 1) for f in fields
+            ) + ")"
+        nxt = re.sub(
+            r"(?i)\b(array|map|struct)\s*<([^<>]*)>", _inner, cols
+        )
+        if nxt == cols:
+            break
+        cols = nxt
+    return cols
+
+
 def duck_exec_statements(s: str) -> list[str]:
     """HiveQL prelude DDL/DML → DuckDB statements. Partitioned CREATE
     TABLE folds the partition columns into the column list (DuckDB has
@@ -621,29 +797,102 @@ def duck_exec_statements(s: str) -> list[str]:
         return []
     m = re.match(
         r"(?is)^\s*create\s+table\s+`?(\w+)`?\s*\((.*?)\)\s*"
-        r"(?:partitioned\s+by\s*\((.*?)\))?\s*(?:stored\s+as\s+\w+)?"
-        r"\s*$",
+        r"(?:partitioned\s+by\s*\((.*?)\))?\s*"
+        r"(?:clustered\s+by\s*\([^)]*\)\s*"
+        r"(?:sorted\s+by\s*\([^)]*\)\s*)?"
+        r"into\s+\d+\s+buckets\s*)?"
+        r"(?:row\s+format\s+delimited[^;]*?)?"
+        r"(?:stored\s+as\s+\w+)?\s*(?:tblproperties\s*\(.*\))?\s*$",
         s,
     )
     if m:
         cols = m.group(2).strip()
         if m.group(3):
             cols += ", " + m.group(3).strip()
+        cols = re.sub(r"(?is)\bkey\b", '"key"', cols)
+        cols = re.sub(r"(?is)\bvalue\b", '"value"', cols)
+        cols = _hive_types_to_duck(cols)
         return [f"CREATE TABLE {m.group(1)} ({cols})"]
     s = re.sub(
         r"(?is)\bstored\s+as\s+\w+\s+as\s+select\b", " AS SELECT ", s
     )
+    fm = re.match(
+        r"(?is)^\s*from\s+(.*?)\s*"
+        r"(insert\s+(?:into|overwrite)\s+table\s+.*)$",
+        s,
+    )
+    if fm and "(" not in fm.group(1):
+        src_clause, rest = fm.groups()
+        out = []
+        branches = re.split(
+            r"(?i)(?=insert\s+(?:into|overwrite)\s+table\s)", rest
+        )
+        for br in branches:
+            br = br.strip()
+            if not br:
+                continue
+            bm = re.match(
+                r"(?is)^insert\s+(into|overwrite)\s+table\s+"
+                r"`?(\w+)`?\s*(?:partition\s*\(([^)]*)\)\s*)?"
+                r"(select\b.*)$",
+                br,
+            )
+            if not bm:
+                return [duck_translate(s)]
+            verb, t, pspec, body = bm.groups()
+            # inject the shared FROM before the first tail clause
+            tail = re.search(
+                r"(?i)\b(where|group\s+by|order\s+by|sort\s+by|"
+                r"distribute\s+by|cluster\s+by|limit|window)\b",
+                body,
+            )
+            if tail:
+                body = (body[: tail.start()] + f" FROM {src_clause} "
+                        + body[tail.start():])
+            else:
+                body = body + f" FROM {src_clause}"
+            rebuilt = f"insert {verb} table {t} "
+            if pspec:
+                rebuilt += f"partition ({pspec}) "
+            rebuilt += body
+            out.extend(duck_exec_statements(rebuilt))
+        return out
     im = re.match(
         r"(?is)^\s*insert\s+(into|overwrite)\s+table\s+`?(\w+)`?\s*"
-        r"(?:partition\s*\([^)]*\)\s*)?(select\b.*)$",
+        r"(?:partition\s*\(([^)]*)\)\s*)?((?:select|values|from)\b.*)$",
         s,
     )
     if im:
-        verb, t, body = im.groups()
+        verb, t, pspec, body = im.groups()
         out = []
+        statics = []
+        if pspec:
+            # STATIC partition values become trailing constant columns
+            # (the CREATE folded partition cols to the end); dynamic
+            # entries already come from the select
+            for item in pspec.split(","):
+                if "=" in item:
+                    statics.append(item.split("=", 1)[1].strip())
         if verb.lower() == "overwrite":
-            out.append(f"DELETE FROM {t}")
-        out.append(f"INSERT INTO {t} {duck_translate(body)}")
+            if statics and len(pspec.split(",")) == len(statics):
+                # static overwrite clears only that partition
+                conds = []
+                for item in pspec.split(","):
+                    k, v = item.split("=", 1)
+                    conds.append(f"{k.strip()} = {v.strip()}")
+                out.append(
+                    f"DELETE FROM {t} WHERE " + " AND ".join(conds)
+                )
+            else:
+                out.append(f"DELETE FROM {t}")
+        body_t = duck_translate(body)
+        if statics:
+            extra = ", ".join(statics)
+            out.append(
+                f"INSERT INTO {t} SELECT *, {extra} FROM ({body_t}) __p"
+            )
+        else:
+            out.append(f"INSERT INTO {t} {body_t}")
         return out
     return [duck_translate(s)]
 
@@ -870,14 +1119,18 @@ def main() -> None:
             # defensive: a crashed prior run may have left created
             # tables behind in the shared warehouse
             for t in rec["created"]:
-                try:
-                    eng.sql(f"drop table if exists {t}").collect()
-                except Exception:
-                    pass
-                try:
-                    con.execute(f"DROP TABLE IF EXISTS {t}")
-                except Exception:
-                    pass
+                for stmt in (f"drop table if exists {t}",
+                             f"drop view if exists {t}"):
+                    try:
+                        eng.sql(stmt).collect()
+                    except Exception:
+                        pass
+                for stmt in (f"DROP TABLE IF EXISTS {t}",
+                             f"DROP VIEW IF EXISTS {t}"):
+                    try:
+                        con.execute(stmt)
+                    except Exception:
+                        pass
         for kind, s in rec["stmts"]:
             # statements run IN FILE ORDER — a select between a create
             # and the end-of-file drop sees the table live
@@ -908,14 +1161,18 @@ def main() -> None:
                     # duck_err — the engine side still ran
                     pass
         for t in rec["created"]:
-            try:
-                eng.sql(f"drop table if exists {t}").collect()
-            except Exception:
-                pass
-            try:
-                con.execute(f"DROP TABLE IF EXISTS {t}")
-            except Exception:
-                pass
+            for stmt in (f"drop table if exists {t}",
+                         f"drop view if exists {t}"):
+                try:
+                    eng.sql(stmt).collect()
+                except Exception:
+                    pass
+            for stmt in (f"DROP TABLE IF EXISTS {t}",
+                         f"DROP VIEW IF EXISTS {t}"):
+                try:
+                    con.execute(stmt)
+                except Exception:
+                    pass
     result = {
         "total_statements": sum(
             1 for r in recs for k, _s in r["stmts"] if k == "select"
