@@ -1124,6 +1124,7 @@ from hive_2_3_2_spark.hiveql_rewrites import (  # noqa: F401
     _rewrite_float_cast_compares,
     _rewrite_greatest_least,
     _rewrite_int_ts_casts,
+    _rewrite_ancient_ts_filters,
     _rewrite_invalid_sdf_literals,
     _rewrite_map_reduce_transform,
     _rewrite_printf_double_literals,
@@ -1540,6 +1541,11 @@ class Engine:
             # decimal COLUMN vs float COLUMN comparisons happen at
             # FLOAT in Hive — schema-resolved static rewrite
             query = self._rewrite_decimal_float_col_compares(query)
+        am = re.search(r"\btimestamp\s+'(\d{1,4})-", query, re.IGNORECASE)
+        if am and int(am.group(1)) < 1583:
+            # pre-Gregorian timestamp filters must not reach the ORC
+            # SearchArgument (hybrid-calendar stripe elimination)
+            query = _rewrite_ancient_ts_filters(query)
         # Hive's MAP/REDUCE spellings of script transform normalize to
         # the TRANSFORM form before ANY dispatch, so the FROM-first
         # INSERT branch parser and spark.sql both see one spelling.

@@ -420,6 +420,63 @@ _FLOAT_LIT_CMP_L = re.compile(
 )
 
 
+_TS_LIT = r"TIMESTAMP\s+'(\d{1,4})-\d{1,2}-\d{1,2}[^']*'"
+_ANCIENT_TS_CMP_R = re.compile(
+    rf"([A-Za-z_][\w.]*)\s*(==|=|!=|<>|<=|>=|<|>)\s*({_TS_LIT})",
+    re.IGNORECASE,
+)
+_ANCIENT_TS_CMP_L = re.compile(
+    rf"({_TS_LIT})\s*(==|=|!=|<>|<=|>=|<|>)\s*([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_ANCIENT_TS_IN = re.compile(
+    rf"([A-Za-z_][\w.]*)\s+((?:NOT\s+)?IN)\s*"
+    rf"(\(\s*{_TS_LIT}(?:\s*,\s*{_TS_LIT})*\s*\))",
+    re.IGNORECASE,
+)
+#: first year safely past the Julian/Gregorian cutover
+_GREGORIAN_SAFE_YEAR = 1583
+
+
+def _rewrite_ancient_ts_filters(query: str) -> str:
+    """Filters comparing a column against a PRE-GREGORIAN timestamp
+    literal (year < 1583) must not push to the ORC reader: Spark
+    builds the ORC SearchArgument from the proleptic micros without
+    the hybrid-calendar rebase ORC files use, so stripe elimination
+    silently drops the matching rows (vectorized_timestamp.q's
+    0001-01-01 golden returns the row in Hive; pushed-down Spark
+    returns nothing). Wrapping the COLUMN side in ``+ INTERVAL 0
+    SECOND`` is a value-identity that makes the predicate an
+    expression instead of an attribute ref — unpushable, evaluated
+    row-side, correct. Modern literals (≥ 1583) are untouched and
+    keep their pushdown."""
+
+    def _wrap_r(m: re.Match[str]) -> str:
+        if int(m.group(4)) >= _GREGORIAN_SAFE_YEAR:
+            return m.group(0)
+        return (f"({m.group(1)} + INTERVAL 0 SECOND) {m.group(2)} "
+                f"{m.group(3)}")
+
+    def _wrap_l(m: re.Match[str]) -> str:
+        if int(m.group(2)) >= _GREGORIAN_SAFE_YEAR:
+            return m.group(0)
+        return (f"{m.group(1)} {m.group(3)} "
+                f"({m.group(4)} + INTERVAL 0 SECOND)")
+
+    def _wrap_in(m: re.Match[str]) -> str:
+        years = [int(y) for y in re.findall(
+            r"TIMESTAMP\s+'(\d{1,4})-", m.group(3), re.IGNORECASE
+        )]
+        if not years or min(years) >= _GREGORIAN_SAFE_YEAR:
+            return m.group(0)
+        return (f"({m.group(1)} + INTERVAL 0 SECOND) {m.group(2)} "
+                f"{m.group(3)}")
+
+    query = _ANCIENT_TS_CMP_R.sub(_wrap_r, query)
+    query = _ANCIENT_TS_CMP_L.sub(_wrap_l, query)
+    return _ANCIENT_TS_IN.sub(_wrap_in, query)
+
+
 def _rewrite_float_cast_compares(query: str) -> str:
     """DECIMAL vs FLOAT comparisons happen AT FLOAT in Hive: the
     common-comparison type walks TypeInfoUtils.numericTypeList in

@@ -3,10 +3,17 @@ golden corpus.
 
 For every `.q` file NOT already replayed by a tests/test_qfile_* module,
 extract the SELECT statements whose table surface is the standard
-src/src1/srcpart fixtures, run each through BOTH this engine and DuckDB
-on identical parquet, and compare with the same canonicalization the
-driver's correctness gate uses (column-name-sorted, order-insensitive,
-float-normalized).
+src/src1/srcpart fixtures PLUS any fixture-chain tables the file itself
+builds (CTAS, CREATE TABLE + INSERT/VALUES, FROM-first multi-inserts,
+CREATE VIEW, CREATE TEMPORARY FUNCTION over builtin/test-jar classes —
+executed in file order on BOTH engines, dropped per file), run each
+through BOTH this engine and DuckDB, and compare with the same
+canonicalization the driver's correctness gate uses (column-name-
+sorted, order-insensitive, float-normalized). Prelude statements that
+are nondeterministic (rand, LIMIT without total order, TABLESAMPLE) or
+mutate a fixture in unreplayed ways (LOAD DATA, ALTER) poison their
+targets — later selects over them are counted prelude_skip, never
+compared against divergent fixtures.
 
 Statements are skipped (not failed) when:
 - DuckDB itself cannot run the raw HiveQL (its coercion rules differ —
@@ -427,6 +434,12 @@ def duck_translate(s: str) -> str:
     # the coercion rules below see the builtin spellings
     s = re.sub(r"\btest_max\s*\(", "max(", s, flags=re.IGNORECASE)
     s = re.sub(r"\btest_avg\s*\(", "avg(", s, flags=re.IGNORECASE)
+    # Hive's std/stddev/variance are POPULATION forms
+    # (FunctionRegistry: std/stddev → GenericUDAFStd, variance →
+    # GenericUDAFVariance); DuckDB's bare spellings are SAMPLE forms
+    s = re.sub(r"\bstd\s*\(", "stddev_pop(", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bstddev\s*\(", "stddev_pop(", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bvariance\s*\(", "var_pop(", s, flags=re.IGNORECASE)
     # sum_list(array(a, b, ...)) sums every element toLong
     # (GenericUDAFSumList) — spell it as a bigint sum of the elements
     s = _rewrite_calls(
@@ -476,9 +489,9 @@ def duck_translate(s: str) -> str:
     # DuckDB refuses its reserved words as BARE aliases right after a
     # closing paren (cast(x as int) key) — Hive allows them; insert AS
     s = re.sub(
-        r"(?i)\)\s+(key|value|type|end|row|rows|range|order|limit)"
+        r"(?i)([)'])\s+(key|value|type|end|row|rows|range|order|limit)"
         r"\b(?=\s*(?:,|\bfrom\b))",
-        r") AS \1", s,
+        r"\1 AS \2", s,
     )
     # LATERAL VIEW explode(arr) t AS col → DuckDB's UNNEST-in-FROM
     s = re.sub(
@@ -486,6 +499,8 @@ def duck_translate(s: str) -> str:
         r"\(([^()]*(?:\([^()]*\))*[^()]*)\)\s+(\w+)\s+as\s+(\w+)",
         r", UNNEST(\1) AS \2(\3)", s,
     )
+    # bare explode() outside LATERAL VIEW (handled above) → UNNEST
+    s = re.sub(r"(?i)\bexplode\s*\(", "UNNEST(", s)
     # udtfCount2() emits the row count twice (GenericUDTFCount2)
     um = re.match(
         r"(?is)^\s*select\s+udtfcount2\s*\(\s*\)\s+from\s+(\w+)\s*$", s
@@ -604,8 +619,8 @@ def duck_translate(s: str) -> str:
     )
     # sum/avg over substr(string) — Hive's GenericUDAFSum string path
     s = re.sub(
-        r"\b(sum|avg)\s*\(\s*(substr(?:ing)?\([^()]*\))\s*\)",
-        r"\1(TRY_CAST(\2 AS DOUBLE))", s, flags=re.IGNORECASE,
+        r"\b(sum|avg)\s*\(\s*(DISTINCT\s+)?(substr(?:ing)?\([^()]*\))\s*\)",
+        r"\1(\2TRY_CAST(\3 AS DOUBLE))", s, flags=re.IGNORECASE,
     )
     # bitwise shifts: Hive functions → DuckDB operators (both 64-bit;
     # Hive's 32-bit wraparound on INT inputs would surface as a
@@ -664,10 +679,23 @@ def duck_translate(s: str) -> str:
 
     s = _rewrite_calls(s, "count", _multi_distinct)
     # string-typed arithmetic between two columns coerces through
-    # double in Hive (retry-only: the raw statement already failed)
+    # double in Hive (retry-only: the raw statement already failed).
+    # '*' is excluded (SELECT * FROM would match) and SQL keywords
+    # never rewrite as operands.
+    _ARITH_KW = {"select", "from", "where", "and", "or", "not", "on",
+                 "by", "as", "join", "in", "is", "then", "else",
+                 "when", "case", "end", "between", "like", "group",
+                 "order", "sort", "distribute", "cluster", "having",
+                 "limit", "union", "all", "distinct", "interval"}
+
+    def _arith(mm):
+        a, op, b = mm.group(1), mm.group(2), mm.group(3)
+        if a.lower() in _ARITH_KW or b.lower() in _ARITH_KW:
+            return mm.group(0)
+        return f"(TRY_CAST({a} AS DOUBLE) {op} TRY_CAST({b} AS DOUBLE))"
+
     s = re.sub(
-        rf"\b({_IDENT})\s*([+\-*/%])\s*({_IDENT})(?!\s*\()",
-        r"(TRY_CAST(\1 AS DOUBLE) \2 TRY_CAST(\3 AS DOUBLE))", s,
+        rf"\b({_IDENT})\s*([+/%])\s*({_IDENT})(?!\s*\()", _arith, s,
     )
     # numeric UDAFs over string columns — Hive's GenericUDAFSum/Avg/
     # Variance coerce string operands through double
@@ -816,13 +844,29 @@ def duck_exec_statements(s: str) -> list[str]:
     s = re.sub(
         r"(?is)\bstored\s+as\s+\w+\s+as\s+select\b", " AS SELECT ", s
     )
-    fm = re.match(
-        r"(?is)^\s*from\s+(.*?)\s*"
-        r"(insert\s+(?:into|overwrite)\s+table\s+.*)$",
-        s,
-    )
-    if fm and "(" not in fm.group(1):
-        src_clause, rest = fm.groups()
+    fm = None
+    if re.match(r"(?is)^\s*from\b", s):
+        # find the first TOP-LEVEL 'insert' (the source clause may be
+        # a parenthesized subquery containing anything)
+        depth = 0
+        q = None
+        for i in range(len(s)):
+            ch = s[i]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and s[i:i + 7].lower() == "insert " :
+                fm = (s[s.lower().index("from") + 4:i].strip(),
+                      s[i:].strip())
+                break
+    if fm:
+        src_clause, rest = fm
         out = []
         branches = re.split(
             r"(?i)(?=insert\s+(?:into|overwrite)\s+table\s)", rest
@@ -1113,8 +1157,37 @@ def main() -> None:
               "prelude_err": 0, "prelude_skip": 0}
     mismatches = []
     spark_errs = []
+    fixture_divergent: list[dict] = []
     for rec in recs:
         broken = False
+        checked: dict[str, bool] = {}
+        created_set = set(rec["created"])
+
+        def _fixture_ok(t, _checked=None):
+            ck = _checked if _checked is not None else checked
+            if t not in ck:
+                try:
+                    sp = sorted(
+                        (tuple(_norm(v) for v in row)
+                         for row in eng.sql(
+                             f"select * from {t}").collect()),
+                        key=repr,
+                    )
+                    du = sorted(
+                        (tuple(_norm(v) for v in row)
+                         for row in con.execute(
+                             f"SELECT * FROM {t}").fetchall()),
+                        key=repr,
+                    )
+                    ck[t] = sp == du
+                except Exception:
+                    ck[t] = False
+                if not ck[t]:
+                    fixture_divergent.append(
+                        {"file": rec["file"], "table": t}
+                    )
+            return ck[t]
+
         if rec["preludes_used"]:
             # defensive: a crashed prior run may have left created
             # tables behind in the shared warehouse
@@ -1135,6 +1208,19 @@ def main() -> None:
             # statements run IN FILE ORDER — a select between a create
             # and the end-of-file drop sees the table live
             if kind == "select":
+                # a select over a created relation only compares when
+                # the two engines' FIXTURES agree — a tie-broken LIMIT
+                # subset or an untranslatable insert would otherwise
+                # surface as a fake value mismatch (parity checked
+                # lazily per exec-epoch; divergences are reported)
+                tabs = _stmt_tables(s) & created_set
+                if (not broken) and tabs and not all(
+                    _fixture_ok(t) for t in tabs
+                ):
+                    counts["fixture_skip"] = (
+                        counts.get("fixture_skip", 0) + 1
+                    )
+                    continue
                 _run_select(
                     rec["file"], s, not broken, eng, con, counts,
                     mismatches, spark_errs, _norm,
@@ -1142,6 +1228,7 @@ def main() -> None:
                 continue
             if broken:
                 continue
+            checked.clear()
             try:
                 eng.sql(s).collect()
             except Exception as e:
@@ -1180,6 +1267,7 @@ def main() -> None:
         "counts": counts,
         "mismatches": mismatches,
         "spark_errors": spark_errs[:40],
+        "fixture_divergent": fixture_divergent[:60],
     }
     json.dump(result, open(args.out, "w"), indent=1)
     print(json.dumps({"total": result["total_statements"], **counts}))
