@@ -120,6 +120,8 @@ _MODULES = [
     # r8 surface — its entry sits inside the r8 window (freeze rule)
     "statements_r8",
     "statements_r9",
+    # r10 surface — its entries sit inside the r10 window (freeze rule)
+    "statements_r10",
 ]
 # R5 WINDOW (verified 50/50): the 18 entries with no driver row after
 # r4 + 5 new r5 entries + 27 high-value re-verifications — after r5,
@@ -286,9 +288,13 @@ _WINDOW = [
     "join_inner_orders_customer",
     "join_left_anti_inactive_customers",
     "join_left_outer_customer_orders",
-    "join_left_semi_active_customers",
-    "join_mixed_equi_residual",
-    "join_right_outer_orders_customer",
+    # -- new in r10 (freeze rule: new entries land inside the window,
+    # -- swapping the three alphabetically-last marginal picks:
+    # -- join_left_semi_active_customers, join_mixed_equi_residual,
+    # -- join_right_outer_orders_customer) --
+    "fn_decimal_float_col_compare",
+    "fn_mask_date_fields",
+    "op_testjar_udtf_count2",
 ]
 
 
