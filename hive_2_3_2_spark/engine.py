@@ -2568,7 +2568,9 @@ class Engine:
         # the same evaluators the builtin names use).
         cm = re.match(
             r"org\.apache\.hadoop\.hive\.ql\.udf\."
-            r"(?:generic\.)?(?:GenericUDAF|GenericUDF|UDAF|UDF)(\w+)$",
+            r"(?:generic\.)?"
+            r"(?:GenericUDTF|GenericUDAF|GenericUDF|UDTF|UDAF|UDF)"
+            r"(\w+)$",
             qual,
         )
         if cm:
@@ -6992,10 +6994,23 @@ class Engine:
         # as `1`.`5`) can't break resolution.
         src = src.toDF(*[f"__src_c{i}" for i in range(len(src.columns))])
         if col_list:
-            if static or dynamic:
+            # A FULLY-STATIC partition spec composes with a column
+            # list (insert_into_with_schema.q: PARTITION (ds='..', i=1)
+            # (userid, link) — HIVE-9481's schema-insert grammar); the
+            # list names DATA columns, the spec supplies the partition
+            # values. Dynamic/partial specs with a column list stay
+            # refused.
+            if dynamic or (static and set(static) != set(parts)):
                 raise HiveQLUnsupportedError(
-                    "INSERT with both a PARTITION spec and an explicit "
-                    "column list is not supported — use one or the other"
+                    "INSERT with a DYNAMIC/partial PARTITION spec and "
+                    "an explicit column list is not supported — use a "
+                    "fully-static spec or positional columns"
+                )
+            in_parts = [c for c in col_list if c in parts]
+            if static and in_parts:
+                raise HiveQLUnsupportedError(
+                    f"INSERT column list names partition column(s) "
+                    f"{in_parts} already bound by the PARTITION spec"
                 )
             unknown = [c for c in col_list if c not in fields]
             if unknown:
@@ -7017,6 +7032,11 @@ class Engine:
                     for c in target.columns
                 ]
             )
+            for name, lit_sql in static.items():
+                aligned = aligned.withColumn(
+                    name, F.expr(lit_sql).cast(fields[name])
+                )
+            aligned = aligned.select(*target.columns)
         else:
             dyn = dynamic or [p for p in parts if p not in static]
             expected = [c for c in target.columns if c not in parts] + dyn
@@ -7252,13 +7272,6 @@ class Engine:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
-        if col_list:
-            raise HiveQLUnsupportedError(
-                "INSERT with both a PARTITION spec and an explicit "
-                "column list is not supported (Hive's grammar allows "
-                "it only for non-partition columns; use positional "
-                "form)"
-            )
         static, dynamic = _parse_partition_spec(part_txt)
         part_cols = [
             c.name
@@ -7280,21 +7293,46 @@ class Engine:
         data_cols = [
             c for c in target.columns if c.lower() not in part_set
         ]
-        expected = len(data_cols) + len(dynamic)
+        expected = (len(col_list) if col_list
+                    else len(data_cols) + len(dynamic))
         if len(src.columns) != expected:
             raise HiveQLUnsupportedError(
                 f"INSERT into {name} PARTITION ({part_txt}) expects "
-                f"{expected} columns ({len(data_cols)} data + "
-                f"{len(dynamic)} dynamic partition) but the query "
-                f"supplies {len(src.columns)}"
+                f"{expected} columns but the query supplies "
+                f"{len(src.columns)}"
             )
         exprs: dict[str, object] = {}
-        for i, c in enumerate(data_cols):
-            exprs[c] = _store_cast(F.col(src.columns[i]), sfields[c])
-        for j, c in enumerate(dynamic):
-            exprs[c] = _store_cast(
-                F.col(src.columns[len(data_cols) + j]), sfields[c]
-            )
+        if col_list:
+            # PARTITION spec + column list (HIVE-9481,
+            # insert_into_with_schema.q): the list names DATA columns
+            # and DYNAMIC partition columns by name, in any order;
+            # unnamed columns are NULL (a NULL dynamic value lands in
+            # __HIVE_DEFAULT_PARTITION__, same as Hive); static
+            # partition values come from the spec only.
+            addressable = {c.lower(): c for c in data_cols}
+            addressable.update({c.lower(): c for c in dynamic})
+            for i, c in enumerate(col_list):
+                tc = addressable.get(c.lower())
+                if tc is None:
+                    raise HiveQLUnsupportedError(
+                        f"INSERT column list names {c!r}, which is "
+                        f"neither a data column nor a dynamic "
+                        f"partition column of {name} (static-bound "
+                        "partition columns can't be listed)"
+                    )
+                exprs[tc] = _store_cast(
+                    F.col(src.columns[i]), sfields[tc]
+                )
+            for c in list(data_cols) + list(dynamic):
+                if c not in exprs:
+                    exprs[c] = F.lit(None).cast(sfields[c].dataType)
+        else:
+            for i, c in enumerate(data_cols):
+                exprs[c] = _store_cast(F.col(src.columns[i]), sfields[c])
+            for j, c in enumerate(dynamic):
+                exprs[c] = _store_cast(
+                    F.col(src.columns[len(data_cols) + j]), sfields[c]
+                )
         for c, lit in static.items():
             exprs[c] = _store_cast(F.expr(lit), sfields[c])
         aligned = src.select(

@@ -331,6 +331,10 @@ _TEST_JAR_CLASSES: dict[str, tuple[str, str]] = {
         "py", "hive_2_3_2_spark.functions.test_jar_udfs.UDTFCount2"),
     "hive.it.custom.udfs.GenericUDFRot13": (
         "py", "hive_2_3_2_spark.functions.test_jar_udfs.rot13"),
+    # itests/util .../generic/GenericUDFTestTranslate.java — "Mimics
+    # oracle's function translate(str1, str2, str3)" = Spark's builtin
+    "org.apache.hadoop.hive.ql.udf.generic.GenericUDFTestTranslate": (
+        "alias", "translate"),
 }
 
 #: Hive builtin class tails whose Spark function name differs from the

@@ -101,3 +101,69 @@ def test_q_insert_into3_values_and_select_mix(qenv):
         ORDER BY key, value
         """,
     )
+
+
+def test_q_insert_schema_with_partition_spec(spark):
+    """insert_into_with_schema.q (r10): HIVE-9481 column lists compose
+    with PARTITION specs — fully static (list names data columns),
+    mixed static+dynamic (the dynamic column appears IN the list), and
+    fully dynamic with an UNLISTED partition column (NULL →
+    __HIVE_DEFAULT_PARTITION__)."""
+    from hive_2_3_2_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    spark.sql("DROP TABLE IF EXISTS pageviews_r10")
+    try:
+        eng.sql(
+            "CREATE TABLE pageviews_r10 (userid STRING, link STRING, "
+            "source STRING) PARTITIONED BY (datestamp STRING, i int) "
+            "STORED AS PARQUET"
+        )
+        eng.sql(
+            "INSERT INTO TABLE pageviews_r10 PARTITION "
+            "(datestamp = '2014-09-23', i = 1)(userid,link) "
+            "VALUES ('jsmith', 'mail.com')"
+        )
+        eng.sql(
+            "INSERT INTO TABLE pageviews_r10 PARTITION "
+            "(datestamp='2014-09-23',i)(userid,i,link) "
+            "VALUES ('jsmith', 7, '7mail.com')"
+        )
+        eng.sql(
+            "INSERT INTO TABLE pageviews_r10 PARTITION "
+            "(datestamp,i)(userid,i,link,datestamp) "
+            "VALUES ('jsmith', 17, '17mail.com', '2014-09-23')"
+        )
+        rows = sorted(
+            (r.userid, r.link, r.source, r.datestamp, r.i)
+            for r in eng.sql("select * from pageviews_r10").collect()
+        )
+        assert rows == [
+            ("jsmith", "17mail.com", None, "2014-09-23", 17),
+            ("jsmith", "7mail.com", None, "2014-09-23", 7),
+            ("jsmith", "mail.com", None, "2014-09-23", 1),
+        ]
+        # unlisted dynamic partition column → NULL partition
+        eng.sql(
+            "INSERT INTO TABLE pageviews_r10 PARTITION "
+            "(datestamp,i)(userid,i,link) "
+            "VALUES ('jsmith', 23, '23mail.com')"
+        )
+        got = eng.sql(
+            "select datestamp from pageviews_r10 where i = 23"
+        ).collect()
+        assert [r.datestamp for r in got] in (
+            [None], ["__HIVE_DEFAULT_PARTITION__"]
+        )
+        # static-bound partition column in the list stays a typed error
+        import pytest as _pytest
+
+        from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+        with _pytest.raises(HiveQLUnsupportedError):
+            eng.sql(
+                "INSERT INTO TABLE pageviews_r10 PARTITION "
+                "(datestamp='x', i=9)(userid,datestamp) "
+                "VALUES ('a','b')"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pageviews_r10")

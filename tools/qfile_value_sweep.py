@@ -97,7 +97,7 @@ _FN_PRELUDE = re.compile(
     re.IGNORECASE,
 )
 _DROP_FN_PRELUDE = re.compile(
-    r"^drop\s+temporary\s+function\s+(?:if\s+exists\s+)?\w+\s*$",
+    r"^drop\s+temporary\s+function\s+(?:if\s+exists\s+)?(\w+)\s*$",
     re.IGNORECASE,
 )
 #: AS-strings the engine's CREATE TEMPORARY FUNCTION accepts without a
@@ -172,6 +172,7 @@ def extract_file_records() -> list[dict]:
                 buf.append(ch)
         parts.append("".join(buf))
         created: set[str] = set()
+        ever_created: set[str] = set()
         poisoned: set[str] = set()
         fn_names: set[str] = set()
         stmts: list[tuple[str, str]] = []
@@ -198,6 +199,7 @@ def extract_file_records() -> list[dict]:
                         poisoned.add(t)
                     else:
                         created.add(t)
+                        ever_created.add(t)
                         stmts.append(("exec", s))
                     continue
                 im = _INSERT_PRELUDE.match(s)
@@ -242,8 +244,13 @@ def extract_file_records() -> list[dict]:
                     continue
                 dm = _DROP_PRELUDE.match(s) or _DROP_VIEW_PRELUDE.match(s)
                 if dm:
-                    if dm.group(1).lower() in created:
+                    t = dm.group(1).lower()
+                    if t in created:
                         stmts.append(("exec", s))
+                        # a later re-create is a fresh relation; a
+                        # second DROP (or an unreplayed recreate's
+                        # drop) must not error the replay
+                        created.discard(t)
                     continue
                 vm = _CREATE_VIEW_PRELUDE.match(s)
                 if vm:
@@ -271,8 +278,12 @@ def extract_file_records() -> list[dict]:
                     )
                     stmts.append(("exec", s))
                     continue
-                if _DROP_FN_PRELUDE.match(s):
-                    stmts.append(("exec", s))
+                dfm = _DROP_FN_PRELUDE.match(s)
+                if dfm:
+                    # only replay drops of functions THIS file
+                    # registered (a file often drops defensively first)
+                    if dfm.group(1).lower() in fn_names:
+                        stmts.append(("exec", s))
                     continue
                 # a MUTATING statement touching a created table changes
                 # it in a way the prelude replay doesn't model —
@@ -328,7 +339,7 @@ def extract_file_records() -> list[dict]:
         # preludes only pay for themselves when some kept select needs
         # a created table or a registered function — otherwise drop
         # them (the classic no-side-effect path)
-        ever_created = created | poisoned
+        ever_created |= created | poisoned
         needed = False
         for kind, s in stmts:
             if kind != "select":
@@ -348,8 +359,8 @@ def extract_file_records() -> list[dict]:
             recs.append({
                 "file": name,
                 "stmts": stmts,
-                # cleanup list: poisoned tables may half-exist too
-                "created": sorted(created | poisoned),
+                # cleanup list: dropped/poisoned tables may half-exist
+                "created": sorted(ever_created),
                 "preludes_used": needed,
             })
     return recs
@@ -1232,6 +1243,10 @@ def main() -> None:
             try:
                 eng.sql(s).collect()
             except Exception as e:
+                if _DROP_PRELUDE.match(s) or _DROP_VIEW_PRELUDE.match(s):
+                    # defensive drops (DROP TABLE of a view, drop of an
+                    # unreplayed recreate) are non-fatal in the goldens
+                    continue
                 counts["prelude_err"] += 1
                 spark_errs.append(
                     {"file": rec["file"], "stmt": s[:200], "kind":
