@@ -383,3 +383,72 @@ def test_skewed_by_ddl_advisory(spark, tmp_path):
             "SKEWED BY (key) ON (('2')) STORED AS DIRECTORIES "
             "STORED AS PARQUET"
         )
+
+
+def test_create_table_long_form_storage_clauses(spark):
+    """r10: Hive's long-form CREATE TABLE storage clauses
+    (create_escape.q, groupby_nullvalues.q's parquet serde pair,
+    fileformat_text.q's TextInputFormat pair) — ROW FORMAT DELIMITED
+    maps to a csv datasource with its delimiters as options, known
+    serde classes and INPUTFORMAT/OUTPUTFORMAT pairs map to their
+    physical format, custom serde classes are typed errors."""
+    import pytest as _pytest
+
+    from hive_2_3_2_spark.engine import Engine, HiveQLUnsupportedError
+
+    eng = Engine(spark=spark)
+    for t in ("lf_delim", "lf_pq", "lf_text"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        # DELIMITED with a tab separator and escape char, no STORED AS
+        eng.sql(
+            "CREATE TABLE lf_delim (a STRING, b STRING) ROW FORMAT "
+            "DELIMITED FIELDS TERMINATED BY '\\t' ESCAPED BY '\\\\'"
+        )
+        eng.sql("INSERT INTO lf_delim VALUES ('x\\ty', 'z')")
+        assert [tuple(r) for r in
+                eng.sql("select * from lf_delim").collect()] \
+            == [("x\ty", "z")]
+        # serde + INPUTFORMAT/OUTPUTFORMAT class pair = parquet
+        eng.sql(
+            "CREATE TABLE lf_pq (c1 int, s1 string) ROW FORMAT SERDE "
+            "'org.apache.hadoop.hive.ql.io.parquet.serde."
+            "ParquetHiveSerDe' STORED AS INPUTFORMAT "
+            "'org.apache.hadoop.hive.ql.io.parquet."
+            "MapredParquetInputFormat' OUTPUTFORMAT "
+            "'org.apache.hadoop.hive.ql.io.parquet."
+            "MapredParquetOutputFormat'"
+        )
+        eng.sql("INSERT INTO lf_pq VALUES (1, 'a')")
+        assert spark.sql(
+            "select * from lf_pq"
+        ).collect()[0].asDict() == {"c1": 1, "s1": "a"}
+        # bare INPUTFORMAT/OUTPUTFORMAT text pair = default-delim csv
+        eng.sql(
+            "CREATE TABLE lf_text (key INT, value STRING) STORED AS "
+            "INPUTFORMAT 'org.apache.hadoop.mapred.TextInputFormat' "
+            "OUTPUTFORMAT 'org.apache.hadoop.hive.ql.io."
+            "HiveIgnoreKeyTextOutputFormat'"
+        )
+        eng.sql("INSERT INTO lf_text VALUES (7, 'val_7')")
+        assert [tuple(r) for r in
+                eng.sql("select * from lf_text").collect()] \
+            == [(7, "val_7")]
+        with _pytest.raises(HiveQLUnsupportedError, match="custom serde"):
+            eng.sql(
+                "CREATE TABLE lf_bad (a int) ROW FORMAT SERDE "
+                "'org.apache.hadoop.hive.serde2.dynamic_type."
+                "DynamicSerDe'"
+            )
+        with _pytest.raises(
+            HiveQLUnsupportedError, match="no Spark datasource"
+        ):
+            eng.sql(
+                "CREATE TABLE lf_seq (a int) STORED AS INPUTFORMAT "
+                "'org.apache.hadoop.mapred.SequenceFileInputFormat' "
+                "OUTPUTFORMAT 'org.apache.hadoop.mapred."
+                "SequenceFileOutputFormat'"
+            )
+    finally:
+        for t in ("lf_delim", "lf_pq", "lf_text"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -384,10 +384,10 @@ def _split_top_args(argstr: str) -> list[str]:
         elif ch in "'\"":
             q = ch
             buf.append(ch)
-        elif ch in "([":
+        elif ch in "([{":
             depth += 1
             buf.append(ch)
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
             buf.append(ch)
         elif ch == "," and depth == 0:
@@ -496,6 +496,42 @@ def duck_translate(s: str) -> str:
     # array(...) literals — DuckDB spells them [...] (no array() fn)
     s = _rewrite_calls(
         s, "array", lambda a: "[" + ", ".join(a) + "]" if a else None
+    )
+    # Hive map(k1,v1,k2,v2,...) → DuckDB MAP {k1: v1, ...}
+    s = _rewrite_calls(
+        s, "map",
+        lambda a: (
+            "MAP {" + ", ".join(
+                f"{a[i]}: {a[i + 1]}" for i in range(0, len(a) - 1, 2)
+            ) + "}"
+        ) if len(a) >= 2 and len(a) % 2 == 0 else None,
+    )
+    # Hive array subscripts are 0-based; DuckDB lists are 1-based
+    s = re.sub(r"\[(\d+)\]", lambda mm: f"[{int(mm.group(1)) + 1}]", s)
+    # Hive bround = HALF_EVEN (banker's) rounding = DuckDB round_even
+    s = re.sub(r"\bbround\s*\(", "round_even(", s, flags=re.IGNORECASE)
+    # shiftrightunsigned: logical shift = shift on the unsigned view
+    s = _rewrite_calls(
+        s, "shiftrightunsigned",
+        lambda a: (
+            f"CAST(CAST({a[0]} AS UBIGINT) >> ({a[1]}) AS BIGINT)"
+        ) if len(a) == 2 else None,
+    )
+    # sort_array(collect_set/list(x)) — the only order-deterministic
+    # spellings of Hive's collection aggregates
+    s = re.sub(
+        r"(?is)\bsort_array\s*\(\s*collect_set\s*\(([^()]+)\)\s*\)",
+        r"list_sort(list(DISTINCT \1))", s,
+    )
+    s = re.sub(
+        r"(?is)\bsort_array\s*\(\s*collect_list\s*\(([^()]+)\)\s*\)",
+        r"list_sort(list(\1))", s,
+    )
+    s = re.sub(r"(?is)\bsort_array\s*\(", "list_sort(", s)
+    # binary(x) → BLOB cast
+    s = _rewrite_calls(
+        s, "binary",
+        lambda a: f"CAST({a[0]} AS BLOB)" if len(a) == 1 else None,
     )
     # DuckDB refuses its reserved words as BARE aliases right after a
     # closing paren (cast(x as int) key) — Hive allows them; insert AS
@@ -718,17 +754,21 @@ def duck_translate(s: str) -> str:
     )
     # Hive struct(a, b) names fields col1..colN; named_struct
     # alternates name literals and values — both are struct_pack
-    s = _rewrite_calls(
-        s, "named_struct",
-        lambda a: (
-            "struct_pack("
-            + ", ".join(
-                f"{a[k].strip(chr(39))} := {a[k + 1]}"
-                for k in range(0, len(a) - 1, 2)
-            )
-            + ")"
-        ) if len(a) >= 2 and len(a) % 2 == 0 else None,
-    )
+    for _ in range(8):  # innermost calls live inside replacements
+        before_ns = s
+        s = _rewrite_calls(
+            s, "named_struct",
+            lambda a: (
+                "struct_pack("
+                + ", ".join(
+                    f"{a[k].strip(chr(39))} := {a[k + 1]}"
+                    for k in range(0, len(a) - 1, 2)
+                )
+                + ")"
+            ) if len(a) >= 2 and len(a) % 2 == 0 else None,
+        )
+        if s == before_ns:
+            break
     def _struct_field(k: int, v: str) -> str:
         # Spark names a BARE-COLUMN struct() arg after the column and
         # computed args colN — mirror that so the canonicalized dict
@@ -950,6 +990,27 @@ def duck_exec_statements(s: str) -> list[str]:
             out.append(f"INSERT INTO {t} {body_t}")
         return out
     return [duck_translate(s)]
+
+
+def _duckmap(v):
+    """DuckDB's python client materializes MAP cells as
+    {'key': [...], 'value': [...]} pairs — convert (recursively) to a
+    plain dict so the shared canonicalizer sees the same shape Spark
+    returns."""
+    if isinstance(v, dict):
+        if set(v.keys()) == {"key", "value"} and isinstance(
+            v["key"], list
+        ) and isinstance(v["value"], list) and len(v["key"]) == len(
+            v["value"]
+        ):
+            return {
+                _duckmap(k): _duckmap(x)
+                for k, x in zip(v["key"], v["value"])
+            }
+        return {k: _duckmap(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return type(v)(_duckmap(x) for x in v)
+    return v
 
 
 def register_duck_test_fns(con) -> None:
@@ -1185,7 +1246,7 @@ def main() -> None:
                         key=repr,
                     )
                     du = sorted(
-                        (tuple(_norm(v) for v in row)
+                        (tuple(_norm(_duckmap(v)) for v in row)
                          for row in con.execute(
                              f"SELECT * FROM {t}").fetchall()),
                         key=repr,
@@ -1310,6 +1371,10 @@ def _run_select(
         return
     translated = False
     try:
+        if re.search(r"\[\d+\]", s):
+            # integer subscripts are 0-based in Hive, 1-based in DuckDB
+            # — raw would "succeed" with silently shifted elements
+            raise ValueError("subscript-bearing: translate first")
         rel = con.execute(s)
         du_rows = rel.fetchall()
         du_cols = [d[0] for d in rel.description]
@@ -1331,7 +1396,7 @@ def _run_select(
             key=repr,
         )
         du_canon = sorted(
-            (tuple(_norm(v) for v in row) for row in du_rows),
+            (tuple(_norm(_duckmap(v)) for v in row) for row in du_rows),
             key=repr,
         )
     except Exception:
