@@ -1521,12 +1521,44 @@ def _rewrite_invalid_dtf_pattern(query: str, err: str) -> str | None:
     return out if changed else None
 
 
+_GROUPBY_ORDINALS = re.compile(
+    r"(\bGROUP\s+BY\s+)(\d+(?:\s*,\s*\d+)*)(?=\s*(?:;|$|\bORDER\b|"
+    r"\bHAVING\b|\bLIMIT\b|\bSORT\b|\bCLUSTER\b|\bDISTRIBUTE\b|"
+    r"\bWINDOW\b|\)))",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_groupby_ordinal_constants(query: str) -> str | None:
+    """Hive 2.3's DEFAULT is hive.groupby.orderby.position.alias=false
+    (HiveConf.java): an integer literal in GROUP BY is a CONSTANT, not
+    an ordinal — ``select count(1) from t1 group by 1`` groups every
+    row into one bucket (constGby.q). Spark's groupByOrdinal treats it
+    as a position and ERRORS when that position is an aggregate
+    (GROUP_BY_POS_AGGREGATE) — exactly the shape where the two
+    interpretations visibly diverge, so the retry rewrite fires only
+    there: each bare ordinal becomes the non-bare constant ``(N+0)``
+    (constant-folded after ordinal substitution, so the grouping is by
+    the literal like Hive). Positions that resolve to plain select
+    items never error and keep Spark's (and modern Hive's) ordinal
+    behavior."""
+    out = _GROUPBY_ORDINALS.sub(
+        lambda m: m.group(1) + ", ".join(
+            f"({n.strip()}+0)" for n in m.group(2).split(",")
+        ),
+        query,
+    )
+    return out if out != query else None
+
+
 def _retry_rewrite(query: str, err: str) -> str | None:
     """Dispatch the error-keyed HiveQL retry rewrites (Engine.sql runs
     these in a loop, so chained gaps — e.g. a WINDOW clause refinement
     whose inlined spec then exposes a string RANGE frame — resolve in
     successive passes). Every rewrite fires only on its exact Spark
     error, so statements Spark already accepts are untouchable."""
+    if "GROUP_BY_POS_AGGREGATE" in err:
+        return _rewrite_groupby_ordinal_constants(query)
     if "WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE" in err:
         return _rewrite_nested_window(query)
     if "LATERAL_COLUMN_ALIAS_IN_WINDOW" in err:

@@ -155,3 +155,25 @@ def test_register_table_rolls_back_metadata_on_bad_path(eng, tmp_path):
         eng.register_table("ghost", bad, ["dt"])
     assert "ghost" not in eng.table_paths
     assert "ghost" not in eng.table_partitions
+
+
+def test_groupby_integer_literal_is_constant_like_hive(spark):
+    """Hive 2.3's default hive.groupby.orderby.position.alias=false
+    (HiveConf.java) makes an integer literal in GROUP BY a CONSTANT:
+    ``select count(1) from t group by 1`` = one global bucket. Spark
+    treats it as an ordinal and ERRORS when the position lands on an
+    aggregate — the retry rewrite fires exactly there and nowhere
+    else (positional group-by on plain select items keeps working)."""
+    eng = Engine(spark=spark)
+    spark.createDataFrame(
+        [(i % 3,) for i in range(9)], "a int"
+    ).createOrReplaceTempView("gbyord_t")
+    assert eng.sql(
+        "select count(1) from gbyord_t group by 1"
+    ).collect()[0][0] == 9
+    rows = sorted(
+        tuple(r) for r in eng.sql(
+            "select a, count(*) c from gbyord_t group by 1"
+        ).collect()
+    )
+    assert rows == [(0, 3), (1, 3), (2, 3)]

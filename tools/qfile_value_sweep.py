@@ -266,6 +266,7 @@ def extract_file_records() -> list[dict]:
                         poisoned.add(t)
                     else:
                         created.add(t)
+                        ever_created.add(t)
                         stmts.append(("exec", s))
                     continue
                 fm = _FN_PRELUDE.match(s)
