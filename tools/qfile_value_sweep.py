@@ -279,6 +279,16 @@ def extract_file_records() -> list[dict]:
                     )
                     stmts.append(("exec", s))
                     continue
+                if re.match(
+                    r"(?is)^set\s+hive\.support\.quoted\.identifiers"
+                    r"\s*=",
+                    s,
+                ):
+                    # the regex-column mode switch changes how
+                    # backticked projections parse (ambiguous_col.q) —
+                    # replayed, and reset at file end
+                    stmts.append(("exec", s))
+                    continue
                 dfm = _DROP_FN_PRELUDE.match(s)
                 if dfm:
                     # only replay drops of functions THIS file
@@ -341,7 +351,12 @@ def extract_file_records() -> list[dict]:
         # a created table or a registered function — otherwise drop
         # them (the classic no-side-effect path)
         ever_created |= created | poisoned
-        needed = False
+        # replayed SET statements change parse semantics for the whole
+        # file — keep them whenever present
+        needed = any(
+            k == "exec" and s.lower().lstrip().startswith("set ")
+            for k, s in stmts
+        )
         for kind, s in stmts:
             if kind != "select":
                 continue
@@ -1324,6 +1339,14 @@ def main() -> None:
                     # the select over this table will surface as
                     # duck_err — the engine side still ran
                     pass
+        if any(k == "exec" and s.lower().lstrip().startswith("set ")
+               for k, s in rec["stmts"]):
+            try:
+                eng.sql(
+                    "set hive.support.quoted.identifiers=column"
+                ).collect()
+            except Exception:
+                pass
         for t in rec["created"]:
             for stmt in (f"drop table if exists {t}",
                          f"drop view if exists {t}"):
