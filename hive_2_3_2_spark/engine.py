@@ -252,6 +252,16 @@ def _rewrite_row_format(query: str) -> str:
 
     def _delim(m: re.Match[str]) -> str:
         body = m.group(1) or ""
+        # Hive ignores DELIMITED row-format options for binary file
+        # formats (the serde comes from the STORED AS clause) — when a
+        # non-TEXTFILE STORED AS follows, drop the delimiter clause
+        # and let the file format win, matching Hive instead of
+        # producing a double-USING parse error.
+        tail = re.match(
+            r"\s*STORED\s+AS\s+(\w+)", m.string[m.end():], re.IGNORECASE
+        )
+        if tail and tail.group(1).upper() != "TEXTFILE":
+            return ""
         for clause in ("COLLECTION", "MAP"):
             if re.search(rf"\b{clause}\b", body, re.IGNORECASE):
                 raise HiveQLUnsupportedError(
@@ -274,8 +284,13 @@ def _rewrite_row_format(query: str) -> str:
         nm = re.search(
             r"NULL\s+DEFINED\s+AS\s+'([^']*)'", body, re.IGNORECASE
         )
+        # the default Hive null marker is backslash-N; inside a Spark
+        # SQL string literal the backslash must be DOUBLED or
+        # unescapeSQLString drops it (effective marker would be 'N').
+        # Captured NULL DEFINED AS values pass through raw — they came
+        # from a SQL literal and re-embed with the same escaping.
         opts.append(
-            f"nullValue '{nm.group(1) if nm else chr(92) + 'N'}'"
+            f"nullValue '{nm.group(1) if nm else chr(92) * 2 + 'N'}'"
         )
         lm = re.search(
             r"LINES\s+TERMINATED\s+BY\s+'([^']*)'", body,
@@ -1662,8 +1677,12 @@ class Engine:
             # decimal COLUMN vs float COLUMN comparisons happen at
             # FLOAT in Hive — schema-resolved static rewrite
             query = self._rewrite_decimal_float_col_compares(query)
-        am = re.search(r"\btimestamp\s+'(\d{1,4})-", query, re.IGNORECASE)
-        if am and int(am.group(1)) < 1583:
+        if any(
+            int(m.group(1)) < 1583
+            for m in re.finditer(
+                r"\btimestamp\s+'(\d{1,4})-", query, re.IGNORECASE
+            )
+        ):
             # pre-Gregorian timestamp filters must not reach the ORC
             # SearchArgument (hybrid-calendar stripe elimination)
             query = _rewrite_ancient_ts_filters(query)
@@ -4966,8 +4985,21 @@ class Engine:
         r"([A-Za-z_][\w.]*)\s*(==|!=|<>|<=|>=|=|<|>)\s*"
         r"([A-Za-z_][\w.]*)"
     )
+    #: statement heads that carry no query body unless a SELECT appears
+    _NON_QUERY_HEADS = frozenset(
+        "CREATE ALTER DROP TRUNCATE MSCK SHOW DESCRIBE DESC USE SET "
+        "ANALYZE LOAD EXPORT IMPORT GRANT REVOKE REFRESH".split()
+    )
+    # the alias group must NOT consume a tail keyword — 'from t join u'
+    # would otherwise bind 'join' as t's alias and skip u entirely
     _FROM_ALIAS = re.compile(
-        r"\b(?:from|join)\s+([\w.]+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?",
+        r"\b(?:from|join)\s+([\w.]+)"
+        r"(?:\s+(?:as\s+)?"
+        r"(?!(?:join|inner|left|right|full|cross|outer|semi|anti|on"
+        r"|where|group|order|sort|distribute|cluster|window|having"
+        r"|limit|union|intersect|except|insert|select|lateral|using"
+        r"|natural)\b)"
+        r"([A-Za-z_]\w*))?",
         re.IGNORECASE,
     )
 
@@ -4989,6 +5021,17 @@ class Engine:
         if not self._COL_CMP.search(query):
             return query
         lowered = query.lower()
+        # DDL with no query body can still trip _COL_CMP (array<int> in
+        # a column list matches '<') — skip those entirely instead of
+        # regex-scanning table names and issuing catalog lookups. CTAS
+        # and other SELECT-bearing statements keep the rewrite.
+        head = re.match(r"\s*(\w+)", query)
+        if (
+            head
+            and head.group(1).upper() in self._NON_QUERY_HEADS
+            and "select" not in lowered
+        ):
+            return query
         mentioned: dict[str, object] = {}
         for key in set(self.tables) | set(self.table_schemas):
             if re.search(rf"\b{re.escape(key)}\b", lowered):
@@ -5005,11 +5048,26 @@ class Engine:
                 continue
             if t not in self._catalog_schema_memo:
                 try:
-                    self._catalog_schema_memo[t] = self.spark.table(
-                        am.group(1)
-                    ).schema
+                    schema = self.spark.table(am.group(1)).schema
                 except Exception:
-                    self._catalog_schema_memo[t] = None
+                    schema = None
+                # temp views can be replaced via spark.sql directly,
+                # bypassing Engine.sql's DDL memo invalidation — never
+                # memoize them (fresh lookup per statement); permanent
+                # catalog tables memoize and invalidate on routed DDL.
+                is_temp = True
+                if schema is not None:
+                    try:
+                        is_temp = self.spark.catalog.getTable(
+                            am.group(1)
+                        ).isTemporary
+                    except Exception:
+                        is_temp = True
+                if is_temp:
+                    if schema is not None:
+                        mentioned[t] = schema
+                    continue
+                self._catalog_schema_memo[t] = schema
             if self._catalog_schema_memo[t] is not None:
                 mentioned[t] = self._catalog_schema_memo[t]
         if not mentioned:
