@@ -238,7 +238,8 @@ _R9_WINDOW = [
 ]
 del _R9_WINDOW  # history above; the live window follows
 
-_WINDOW = [
+# R10 WINDOW (verified 50/50 — the fourth consecutive all-green gate):
+_R10_WINDOW = [
     # -- stalest cohort: latest green row is r5 (all 29) --
     "clean_decontaminate_bloom",
     "clean_normalize_unicode",
@@ -295,6 +296,70 @@ _WINDOW = [
     "fn_decimal_float_col_compare",
     "fn_mask_date_fields",
     "op_testjar_udtf_count2",
+]
+del _R10_WINDOW  # history above; the live window follows
+
+# R11 WINDOW (the r10 verdict's prescription): ALL 31 entries whose
+# latest green row is r6 (the TPC-H tail q2/q4/q7/q8/q11-q22, setops
+# head, window frames, the r6-implementation-changed dedup/decontam
+# pair, statement heads, regex columns, tablesample) + the 19 oldest-r7
+# re-verifications ranked by FIRST green round then A-Z (all from the
+# r2-origin cohort: approx aggs, dedup head, DML triple, multimodal
+# quartet, pack pair, samplers head). New r11 entries (freeze rule)
+# swap out the alphabetically-last marginal picks.
+_WINDOW = [
+    # -- stalest cohort: latest green row is r6 (all 31) --
+    "clean_decontaminate_embeddings",
+    "ddl_sql_describe_function",
+    "dedup_embedding_cosine_pairs",
+    "dml_dynamic_partition_insert",
+    "hiveql_regex_columns",
+    "join_left_semi_active_customers",
+    "join_mixed_equi_residual",
+    "join_right_outer_orders_customer",
+    "setop_union_all",
+    "setop_union_distinct",
+    "stmt_create_temp_table",
+    "stmt_insert_overwrite_directory",
+    "stmt_map_transform_spelling",
+    "tablesample_implicit_bucket",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_case_agg",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "window_range_frame",
+    "window_running_sum_rows_frame",
+    "window_string_range_frame",
+    # -- 19 oldest-r7 re-verifications (first green = r2, A-Z) --
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "dedup_exact_groups",
+    "dedup_incremental_batch",
+    "dedup_simhash_near_duplicates",
+    "dml_delete_partitioned",
+    "dml_merge_matched_delete",
+    "dml_update_where",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "pack_length_buckets",
+    "pack_sequences_greedy",
+    "sample_domain_cap",
+    "sample_hash_split",
+    "sample_interleave_weighted",
+    "sample_mixture_rates",
+    "sample_shuffle_shard",
 ]
 
 
