@@ -584,6 +584,16 @@ _CREATE_TEMP_TABLE_STMT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+#: CREATE TABLE ... STORED AS AVRO — intercepted ONLY when the spark
+#: avro datasource is absent (jar-less container): the engine then
+#: manages the table itself through the pure-python Avro codec
+#: (sources/avro_py.py), same fallback the reader API uses.
+_CREATE_AVRO_STMT = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"`?([\w.]+)`?\s*(.*?)\s*STORED\s+AS\s+AVRO\s*(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _INSERT_DIRECTORY_STMT = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(LOCAL\s+)?DIRECTORY\s+'([^']+)'\s*"
     r"(?:ROW\s+FORMAT\s+DELIMITED\s+"
@@ -1355,6 +1365,8 @@ class Engine:
         # (_mixed_format_frame).
         self.table_format: dict[str, str] = {}
         self.partition_formats: dict[str, dict[str, str]] = {}
+        # spark-avro datasource availability — probed lazily, once
+        self._avro_native_memo: bool | None = None
         # Session-scoped TEMPORARY TABLES (temp_table*.q;
         # SessionHiveMetaStoreClient keeps them in a session map that
         # SHADOWS same-named metastore tables until dropped): key →
@@ -1485,6 +1497,13 @@ class Engine:
         path: str,
         partition_cols: list[str] | None,
     ) -> DataFrame:
+        if self.table_format.get(name) == "avro":
+            df = self._avro_py_frame(name, path)
+            df.createOrReplaceTempView(name)
+            self.tables[name] = df
+            if self.views:
+                self._refresh_dependent_views(name)
+            return df
         overlay_df = self._epoch_union_frame(name, path)
         if overlay_df is None:
             overlay_df = self._mixed_format_frame(name, path)
@@ -1531,6 +1550,8 @@ class Engine:
         path must use this (a bare ``spark.read.parquet`` after schema
         evolution would adopt ONE file's schema and could silently drop
         a column that newer files carry)."""
+        if self.table_format.get(key) == "avro":
+            return self._avro_py_frame(key, self.table_paths[key])
         epoch_df = self._epoch_union_frame(key, self.table_paths[key])
         if epoch_df is None:
             epoch_df = self._mixed_format_frame(key, self.table_paths[key])
@@ -2181,6 +2202,10 @@ class Engine:
             )[0]
             if not re.search(r"\bUSING\b", pre_as, re.IGNORECASE):
                 return self._run_create_temp_table(m)
+        if "avro" in query.lower() and not self._avro_native:
+            m = _CREATE_AVRO_STMT.match(query)
+            if m:
+                return self._run_create_avro_fallback(m)
         ans = self._try_stats_answer(query)
         if ans is not None:
             return ans
@@ -8027,6 +8052,136 @@ class Engine:
             view = f"__matchpath_{self._matchpath_seq}"
             final.createOrReplaceTempView(view)
             query = query[:m.start()] + view + query[close + 1:]
+
+    @property
+    def _avro_native(self) -> bool:
+        """Whether spark-avro is loadable in this session — probed ONCE
+        (a jar-less container raises 'Failed to find data source' even
+        for a nonexistent path; a present datasource raises a
+        path-not-found instead)."""
+        if self._avro_native_memo is None:
+            try:
+                self.spark.read.format("avro").load(
+                    "/__avro_datasource_probe_nonexistent__"
+                )
+                self._avro_native_memo = True
+            except Exception as e:
+                self._avro_native_memo = (
+                    "Failed to find data source" not in str(e)
+                )
+        return self._avro_native_memo
+
+    def _avro_py_frame(self, key: str, path: str) -> DataFrame:
+        """Read an engine-managed avro_py table: pure-python container
+        decode over a distributed binaryFile scan, or an empty relation
+        with the declared schema when no files exist yet (a freshly
+        CREATEd table — Hive's metastore carries the schema)."""
+        import glob as _glob
+
+        from hive_2_3_2_spark.sources.avro_py import read_avro_py
+
+        if os.path.isdir(path) and _glob.glob(
+            os.path.join(path, "*.avro")
+        ):
+            df = read_avro_py(self.spark, path)
+        else:
+            schema = self.table_schemas.get(key)
+            if schema is None:
+                raise ValueError(
+                    f"no .avro files and no declared schema for {key!r}"
+                )
+            df = self.spark.createDataFrame([], schema)
+        if key in self.table_schemas:
+            df = self._apply_char_read_semantics(
+                df, self.table_schemas[key]
+            )
+        return df
+
+    def _run_create_avro_fallback(self, m: re.Match[str]) -> DataFrame:
+        """CREATE TABLE ... STORED AS AVRO without the spark-avro
+        datasource (avrocountemptytbl.q): the engine materializes a
+        path-backed table whose reads/writes go through the pure-python
+        Avro container codec (sources/avro_py.py) — the same files a
+        native AvroSerDe table would hold. Reference:
+        ql/src/test/queries/clientpositive/avrocountemptytbl.q;
+        serde2/avro/AvroSerDe.java (schema-from-columns path)."""
+        import tempfile
+
+        from pyspark.sql.types import StructField, StructType
+
+        if_not_exists, name, mid, tail = m.groups()
+        key = name.split(".")[-1].lower()
+        if re.search(r"\bpartitioned\s+by\b", mid, re.IGNORECASE):
+            raise HiveQLUnsupportedError(
+                "STORED AS AVRO with PARTITIONED BY: the jar-less "
+                "fallback manages unpartitioned avro tables only "
+                "(per-partition avro descriptors are excluded from the "
+                "mixed-format matrix by design)"
+            )
+        if re.search(
+            r"\b(tblproperties|location|row\s+format)\b", mid + tail,
+            re.IGNORECASE,
+        ):
+            raise HiveQLUnsupportedError(
+                "STORED AS AVRO fallback supports a plain column list "
+                "or CTAS only (avro.schema.literal/url TBLPROPERTIES "
+                "would override the declared schema — out of scope)"
+            )
+        if (
+            key in self.table_paths
+            or key in self.views
+            or self._is_catalog_table(key)
+        ):
+            if if_not_exists:
+                return self._rows_affected(0)
+            raise HiveQLUnsupportedError(
+                f"CREATE TABLE: {key!r} already exists"
+            )
+        coldefs = None
+        if mid.startswith("("):
+            close = _scan_balanced(mid, 0)
+            if close >= len(mid):
+                raise HiveQLUnsupportedError(
+                    "CREATE TABLE ... AVRO: unbalanced column list"
+                )
+            coldefs = mid[1:close]
+            if mid[close + 1:].strip():
+                raise HiveQLUnsupportedError(
+                    "CREATE TABLE ... AVRO: unsupported clause "
+                    f"{mid[close + 1:].strip()[:40]!r}"
+                )
+        elif mid.strip():
+            raise HiveQLUnsupportedError(
+                f"CREATE TABLE ... AVRO: unsupported clause {mid[:40]!r}"
+            )
+        am = re.match(r"^AS\s+(.+)$", tail, re.IGNORECASE | re.DOTALL)
+        if coldefs is None and am is None:
+            raise HiveQLUnsupportedError(
+                "CREATE TABLE ... AVRO needs a column list or AS SELECT"
+            )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="hive232_avro_tbl_"), key
+        )
+        os.makedirs(path, exist_ok=True)
+        if am is not None:
+            from hive_2_3_2_spark.sources.avro_py import write_avro_py
+
+            df = self.spark.sql(
+                rewrite_hiveql(
+                    self._expand_macros(am.group(1)), spark=self.spark
+                )
+            )
+            write_avro_py(df, path)
+            schema = df.schema
+        else:
+            schema = StructType([
+                StructField(n, t, True)
+                for n, t in self._parse_col_defs(coldefs)
+            ])
+        self.table_schemas[key] = schema
+        self.table_format[key] = "avro"
+        self.register_table(key, path)
+        return self._rows_affected(0)
 
     def _run_create_temp_table(self, m: re.Match[str]) -> DataFrame:
         """Hive's session-scoped ``CREATE TEMPORARY TABLE`` (Hive 0.14+,

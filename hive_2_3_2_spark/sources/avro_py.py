@@ -474,7 +474,7 @@ def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
 
 def write_avro_py(
     df: DataFrame, path: str, codec: str = "deflate"
-) -> None:
+) -> int:
     """Distributed Avro write: one container file per partition, written
     from the executors (FileSinkOperator pattern — assumes ``path`` is on
     a filesystem all executors share, true for local mode and HDFS/NFS).
@@ -524,4 +524,4 @@ def write_avro_py(
         os.replace(tmp, os.path.join(path, f"part-{idx:05d}.avro"))
         return iter((len(data),))
 
-    df.rdd.mapPartitionsWithIndex(sink).count()
+    return df.rdd.mapPartitionsWithIndex(sink).sum()

@@ -763,6 +763,39 @@ def insert_rows(
     """
     import shutil
 
+    if fmt == "avro":
+        # jar-less avro tables write through the pure-python container
+        # codec (one file per partition, from the executors). Staged
+        # like every other write; appended files get a fresh uuid name
+        # so they can never collide with existing parts.
+        import uuid
+
+        from hive_2_3_2_spark.sources.avro_py import write_avro_py
+
+        if partition_cols:
+            raise ValueError(
+                "avro_py tables are unpartitioned by design "
+                "(per-partition avro descriptors are out of the "
+                "mixed-format matrix)"
+            )
+        staging = _staging_dir(target_path)
+        n = write_avro_py(df, staging)
+        if overwrite:
+            _swap_dirs(target_path, staging)
+        else:
+            ensure_dir_table(target_path)
+            for fn in os.listdir(staging):
+                if _is_data_file(fn):
+                    os.rename(
+                        os.path.join(staging, fn),
+                        os.path.join(
+                            target_path,
+                            f"part-{uuid.uuid4().hex}.avro",
+                        ),
+                    )
+            shutil.rmtree(staging)
+        return n
+
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("__n"))
     if overwrite:

@@ -1,7 +1,15 @@
-"""Round-handoff freshness gate (the r9 verdict's "What's wrong #1",
-third occurrence of the class): the committed sweep artifacts must be
-newer than the last commit that touched engine code, or the round ends
-with a sweep that never saw its final engine state.
+"""Round-handoff freshness + self-containment gate.
+
+Freshness (the r9 verdict's "What's wrong #1", third occurrence of the
+class): the committed sweep artifacts must be newer than the last
+commit that touched engine code, or the round ends with a sweep that
+never saw its final engine state.
+
+Self-containment (the r10 verdict's "What's wrong #1"): every
+QFILE_SWEEP mismatch and every value/row_count-class fixture
+divergence must carry its adjudication string IN the artifact, and
+every BENCH_sf1_registry flagged entry must carry a verdict — prose
+adjudications that live only in COVERAGE.md can't ship.
 
     python tools/handoff_gate.py            # check, exit 1 on stale
     python tools/handoff_gate.py --explain  # print the timestamps
@@ -21,6 +29,7 @@ the commit graph is the truth. The intended end-of-round sequence:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import subprocess
 import sys
@@ -61,9 +70,47 @@ def main() -> int:
         for art, ts, info in stale:
             print(f"  {art} (from {info})")
         return 1
+    unadjudicated = _unadjudicated()
+    if unadjudicated:
+        print("HANDOFF GATE: UNADJUDICATED — these artifact entries "
+              "need an adjudication/verdict string before shipping:")
+        for line in unadjudicated:
+            print(f"  {line}")
+        return 1
     print("HANDOFF GATE: OK — sweep artifacts are at or after the "
-          f"last engine commit ({eng_info})")
+          f"last engine commit ({eng_info}) and fully adjudicated")
     return 0
+
+
+def _unadjudicated() -> list[str]:
+    """Artifact entries that claim a divergence without a verdict."""
+    out: list[str] = []
+    sweep_path = os.path.join(REPO, "QFILE_SWEEP.json")
+    if os.path.exists(sweep_path):
+        sweep = json.load(open(sweep_path))
+        for m in sweep.get("mismatches", []):
+            if not m.get("adjudication"):
+                out.append(
+                    f"QFILE_SWEEP mismatch {m['file']}: "
+                    f"{' '.join(m['stmt'][:80].split())}"
+                )
+        for d in sweep.get("fixture_divergent", []):
+            # err/tie-limit classes self-adjudicate in the sweep;
+            # value and row_count divergences need a human verdict
+            if d.get("class") in (None, "value", "row_count") and not \
+                    d.get("adjudication"):
+                out.append(
+                    f"QFILE_SWEEP fixture_divergent {d['file']}."
+                    f"{d['table']} (class={d.get('class')})"
+                )
+    bench_path = os.path.join(REPO, "BENCH_sf1_registry.json")
+    if os.path.exists(bench_path):
+        bench = json.load(open(bench_path))
+        verdicts = bench.get("verdicts", {})
+        for name in bench.get("flagged", []):
+            if not verdicts.get(name):
+                out.append(f"BENCH_sf1_registry flag {name}")
+    return out
 
 
 if __name__ == "__main__":

@@ -296,6 +296,20 @@ def extract_file_records() -> list[dict]:
                     if dfm.group(1).lower() in fn_names:
                         stmts.append(("exec", s))
                     continue
+                am_ = re.match(r"(?is)^add\s+file\s+(\S+)\s*$", s)
+                if am_:
+                    # TRANSFORM scripts: the reference's are python-2;
+                    # replay ADD FILE against the python-3 port in
+                    # tools/sweep_scripts/ when one exists (same
+                    # stdout), else drop (the select stays spark_err)
+                    base = os.path.basename(am_.group(1))
+                    port = os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "sweep_scripts", base,
+                    )
+                    if os.path.exists(port):
+                        stmts.append(("exec", f"add file {port}"))
+                    continue
                 # a MUTATING statement touching a created table changes
                 # it in a way the prelude replay doesn't model —
                 # poison it (its later selects get skipped); read-only
@@ -357,6 +371,11 @@ def extract_file_records() -> list[dict]:
             k == "exec" and s.lower().lstrip().startswith("set ")
             for k, s in stmts
         )
+        script_bases = [
+            os.path.basename(s.split()[-1])
+            for k, s in stmts
+            if k == "exec" and s.lower().startswith("add file")
+        ]
         for kind, s in stmts:
             if kind != "select":
                 continue
@@ -367,6 +386,9 @@ def extract_file_records() -> list[dict]:
                 re.search(rf"\b{fn}\s*\(", s, re.IGNORECASE)
                 for fn in fn_names
             ):
+                needed = True
+                break
+            if any(base in s for base in script_bases):
                 needed = True
                 break
         if not needed:
@@ -449,6 +471,20 @@ def _rewrite_calls(s: str, name: str, repl_fn) -> str:
         i = m.start() + len(repl)
 
 
+#: deterministic-stdout TRANSFORM scripts → DuckDB relation modeling
+#: their exact output (reference: data/scripts/<name>; the python-3
+#: ports the engine side runs live in tools/sweep_scripts/)
+_SCRIPT_ORACLES = {
+    # dumpdata_script.py ignores stdin and prints 20000*i + k for
+    # i<50, j<5, k<20022 (each value 5x; multiplicity irrelevant under
+    # the count(distinct) the only golden runs over it)
+    "dumpdata_script.py": (
+        "(SELECT CAST((20000 * a.range) + b.range AS VARCHAR) AS key "
+        "FROM range(50) a CROSS JOIN range(20022) b)"
+    ),
+}
+
+
 def duck_translate(s: str) -> str:
     """Best-effort HiveQL → DuckDB oracle translation for the retry
     pass: Hive's permissive coercions spelled explicitly, plus the
@@ -456,6 +492,18 @@ def duck_translate(s: str) -> str:
     statement already failed in DuckDB — a bad translation can only
     turn a skip into a skip or a (reviewed) mismatch, never corrupt a
     raw-match."""
+    # deterministic TRANSFORM scripts model as SQL: the harness ships a
+    # python-3 port of the reference script to the engine (ADD FILE),
+    # and the oracle side replaces the transform subquery with a
+    # relation producing the script's exact stdout (the script ignores
+    # stdin, so its output is a closed form)
+    for script, oracle_rel in _SCRIPT_ORACLES.items():
+        if script in s:
+            s = re.sub(
+                rf"\(\s*FROM\s+\w+\s+(?:MAP|REDUCE|SELECT\s+TRANSFORM)"
+                rf"[^()]*'[^']*{re.escape(script)}'[^()]*\)",
+                oracle_rel, s, flags=re.IGNORECASE,
+            )
     # reference TEST-JAR aggregate registrations are behaviorally the
     # builtins (create_udaf.q / create_genericudaf.q) — rename FIRST so
     # the coercion rules below see the builtin spellings
@@ -755,7 +803,10 @@ def duck_translate(s: str) -> str:
         a, op, b = mm.group(1), mm.group(2), mm.group(3)
         if a.lower() in _ARITH_KW or b.lower() in _ARITH_KW:
             return mm.group(0)
-        return f"(TRY_CAST({a} AS DOUBLE) {op} TRY_CAST({b} AS DOUBLE))"
+        # NO outer parens: the replacement must be exactly in-place —
+        # wrapping (a + b) changes precedence when the left operand
+        # belonged to a surrounding product (20000 * a + b)
+        return f"TRY_CAST({a} AS DOUBLE) {op} TRY_CAST({b} AS DOUBLE)"
 
     s = re.sub(
         rf"\b({_IDENT})\s*([+/%])\s*({_IDENT})(?!\s*\()", _arith, s,
@@ -1029,6 +1080,105 @@ def _duckmap(v):
     return v
 
 
+#: standing adjudications for value-sweep mismatches, keyed by .q
+#: basename — written INTO the artifact so a fresh reader can audit a
+#: mismatch without COVERAGE.md archaeology. A mismatch whose file has
+#: no entry gets adjudication null, which tools/handoff_gate.py REFUSES
+#: — an unadjudicated mismatch can't ship.
+MISMATCH_ADJUDICATIONS: dict[str, str] = {
+    "udf_bitwise_shiftright": (
+        "java_shift_mask: Hive/Spark mask the shift distance to the "
+        "operand width (Java << semantics, distance mod 32/64); DuckDB "
+        "shifts past the width to 0. Spark matches the reference "
+        "goldens (udf_bitwise_shiftright.q.out)."
+    ),
+    "udf_bitwise_shiftrightunsigned": (
+        "java_shift_mask: same distance-mask divergence as shiftright "
+        "— DuckDB zero-fills past the width; Spark matches the "
+        "reference goldens."
+    ),
+    "udf_current_database": (
+        "environment_identity: current_database() reflects each "
+        "engine's own session database ('default' vs DuckDB's "
+        "'memory'); the reference golden is 'default' — Spark matches."
+    ),
+    "udf_version": (
+        "environment_identity: version() is the engine's own build "
+        "string by design; the golden itself regexp-masks it."
+    ),
+    "udf_factorial": (
+        "oracle_range: DuckDB computes factorial in 128-bit "
+        "(factorial(21+) stays finite); Hive/Spark overflow bigint to "
+        "NULL exactly as the reference golden records."
+    ),
+    "lineage2": (
+        "oracle_rendering: sum(substr(value,5)) over VARCHAR — DuckDB "
+        "sums as DOUBLE and renders '79.0'-style, Hive/Spark sum to "
+        "the golden's integral rendering inside concat(); values agree "
+        "numerically (verified r8)."
+    ),
+    "cbo_rp_lineage2": (
+        "oracle_rendering: same statement as lineage2 — DuckDB's "
+        "double rendering inside concat() vs the golden's integral "
+        "form; numerically equal."
+    ),
+    "cbo_input26": (
+        "tie_limit_subset: the inner 'order by a.ds limit 5' orders by "
+        "a constant-per-partition column (non-total order) — both "
+        "engines return a legitimate but different 5-row subset; the "
+        "reference golden is itself one such subset."
+    ),
+}
+
+#: standing adjudications for fixture-divergent tables that are NOT
+#: auto-classified (class 'value' / 'row_count' need a human verdict;
+#: tie_limit_subset and duck_fixture_err self-adjudicate). Keyed by
+#: (file, table).
+FIXTURE_ADJUDICATIONS: dict[tuple[str, str], str] = {
+}
+
+
+def _classify_fixture_divergence(
+    sp_rows, du_rows, tie_limit: bool
+) -> tuple[str, dict]:
+    """(class, evidence) for a fixture whose two materializations
+    disagree. Classes: tie_limit_subset (the build ran a LIMIT under a
+    non-total order — both engines hold a legitimate subset),
+    row_count, collation (same cells, aggregation-order strings
+    differ), value (same count, genuinely different cells — the class
+    that can hide a real engine write-path bug and always needs an
+    adjudication)."""
+    import collections
+
+    sp_c = collections.Counter(sp_rows)
+    du_c = collections.Counter(du_rows)
+    sp_only = list((sp_c - du_c).elements())
+    du_only = list((du_c - sp_c).elements())
+    evidence = {
+        "spark_rows": len(sp_rows),
+        "duck_rows": len(du_rows),
+        "first_spark_only": repr(sp_only[0])[:200] if sp_only else None,
+        "first_duck_only": repr(du_only[0])[:200] if du_only else None,
+    }
+    if tie_limit:
+        return "tie_limit_subset", evidence
+
+    def _collate_key(row):
+        return tuple(
+            "".join(sorted(re.split(r"[^0-9A-Za-z.]+", v)))
+            if isinstance(v, str) else v
+            for v in row
+        )
+
+    if len(sp_rows) != len(du_rows):
+        return "row_count", evidence
+    if collections.Counter(
+        _collate_key(r) for r in sp_rows
+    ) == collections.Counter(_collate_key(r) for r in du_rows):
+        return "collation", evidence
+    return "value", evidence
+
+
 def register_duck_test_fns(con) -> None:
     """DuckDB equivalents of the scalar test-jar UDFs (NULLs short-
     circuit via DuckDB's default null handling); the aggregates/UDTF
@@ -1245,6 +1395,7 @@ def main() -> None:
               "prelude_err": 0, "prelude_skip": 0}
     mismatches = []
     spark_errs = []
+    duck_errs: list[dict] = []
     fixture_divergent: list[dict] = []
     for rec in recs:
         broken = False
@@ -1254,6 +1405,8 @@ def main() -> None:
         def _fixture_ok(t, _checked=None):
             ck = _checked if _checked is not None else checked
             if t not in ck:
+                sp = du = None
+                err_cls = None
                 try:
                     sp = sorted(
                         (tuple(_norm(v) for v in row)
@@ -1261,18 +1414,55 @@ def main() -> None:
                              f"select * from {t}").collect()),
                         key=repr,
                     )
-                    du = sorted(
-                        (tuple(_norm(_duckmap(v)) for v in row)
-                         for row in con.execute(
-                             f"SELECT * FROM {t}").fetchall()),
-                        key=repr,
-                    )
-                    ck[t] = sp == du
-                except Exception:
-                    ck[t] = False
+                except Exception as e:
+                    err_cls = ("spark_fixture_err",
+                               " ".join(str(e).split())[:160])
+                if err_cls is None:
+                    try:
+                        du = sorted(
+                            (tuple(_norm(_duckmap(v)) for v in row)
+                             for row in con.execute(
+                                 f"SELECT * FROM {t}").fetchall()),
+                            key=repr,
+                        )
+                    except Exception as e:
+                        err_cls = ("duck_fixture_err",
+                                   " ".join(str(e).split())[:160])
+                ck[t] = err_cls is None and sp == du
                 if not ck[t]:
+                    if err_cls is not None:
+                        cls, evidence = err_cls[0], {"err": err_cls[1]}
+                        adjudication = (
+                            "duck-side prelude could not build this "
+                            "table (oracle translation gap) — the "
+                            "selects over it are unverified here, not "
+                            "divergent"
+                        ) if cls == "duck_fixture_err" else None
+                    else:
+                        tie_limit = any(
+                            k == "exec"
+                            and re.search(
+                                rf"\b{re.escape(t)}\b", s, re.IGNORECASE
+                            )
+                            and _LIMITED.search(s)
+                            for k, s in rec["stmts"]
+                        )
+                        cls, evidence = _classify_fixture_divergence(
+                            sp, du, tie_limit
+                        )
+                        adjudication = (
+                            "the build statement LIMITs under a "
+                            "non-total order — both engines hold a "
+                            "legitimate but different row subset"
+                        ) if cls == "tie_limit_subset" else (
+                            FIXTURE_ADJUDICATIONS.get(
+                                (rec["file"], t)
+                            )
+                        )
                     fixture_divergent.append(
-                        {"file": rec["file"], "table": t}
+                        {"file": rec["file"], "table": t,
+                         "class": cls, "evidence": evidence,
+                         "adjudication": adjudication}
                     )
             return ck[t]
 
@@ -1311,7 +1501,7 @@ def main() -> None:
                     continue
                 _run_select(
                     rec["file"], s, not broken, eng, con, counts,
-                    mismatches, spark_errs, _norm,
+                    mismatches, spark_errs, _norm, duck_errs,
                 )
                 continue
             if broken:
@@ -1360,6 +1550,14 @@ def main() -> None:
                     con.execute(stmt)
                 except Exception:
                     pass
+    # a table re-checked across exec epochs can diverge repeatedly —
+    # keep one record per (file, table, class), preferring the first
+    seen_div: set[tuple] = set()
+    fixture_divergent = [
+        d for d in fixture_divergent
+        if (k := (d["file"], d["table"], d["class"])) not in seen_div
+        and not seen_div.add(k)
+    ]
     result = {
         "total_statements": sum(
             1 for r in recs for k, _s in r["stmts"] if k == "select"
@@ -1367,7 +1565,8 @@ def main() -> None:
         "counts": counts,
         "mismatches": mismatches,
         "spark_errors": spark_errs[:40],
-        "fixture_divergent": fixture_divergent[:60],
+        "duck_errors": duck_errs,
+        "fixture_divergent": fixture_divergent,
     }
     json.dump(result, open(args.out, "w"), indent=1)
     print(json.dumps({"total": result["total_statements"], **counts}))
@@ -1377,7 +1576,8 @@ def main() -> None:
 
 
 def _run_select(
-    name, s, runnable, eng, con, counts, mismatches, spark_errs, _norm
+    name, s, runnable, eng, con, counts, mismatches, spark_errs, _norm,
+    duck_errs=None,
 ) -> None:
     if not runnable:
         counts["prelude_skip"] += 1
@@ -1408,8 +1608,13 @@ def _run_select(
             du_rows = rel.fetchall()
             du_cols = [d[0] for d in rel.description]
             translated = True
-        except Exception:
+        except Exception as e:
             counts["duck_err"] += 1
+            if duck_errs is not None:
+                duck_errs.append(
+                    {"file": name, "stmt": s[:200],
+                     "err": " ".join(str(e).split())[:160]}
+                )
             return
     # the SAME SQL text runs on both engines, so columns align by
     # POSITION — positional canonicalization sidesteps the
@@ -1440,7 +1645,8 @@ def _run_select(
         mismatches.append(
             {"file": name, "stmt": s[:300],
              "translated": translated,
-             "spark_rows": len(sp_canon), "duck_rows": len(du_canon)}
+             "spark_rows": len(sp_canon), "duck_rows": len(du_canon),
+             "adjudication": MISMATCH_ADJUDICATIONS.get(name)}
         )
 
 
