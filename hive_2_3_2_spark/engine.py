@@ -1266,6 +1266,7 @@ from hive_2_3_2_spark.hiveql_rewrites import (  # noqa: F401
     _rewrite_call_args,
     _rewrite_decimal_in_strings,
     _rewrite_distinct_window,
+    _rewrite_groupby_ordinal_constants,
     _rewrite_field_calls,
     _rewrite_float_cast_compares,
     _rewrite_greatest_least,
@@ -1687,6 +1688,23 @@ class Engine:
             and re.search(r"\btimestamp\b", query, re.IGNORECASE)
         ):
             query = _rewrite_int_ts_casts(query)
+        if (
+            self.hiveconf.get(
+                # Reference DEFAULT is false (HiveConf.java
+                # HIVE_GROUPBY_ORDERBY_POSITION_ALIAS): a bare integer
+                # literal in GROUP BY is a CONSTANT, not an ordinal —
+                # `select count(1) from t group by 1` is one global
+                # bucket (constGby.q), and `select key, count(*) ...
+                # group by 1` ERRORS (key not grouped), which Spark's
+                # MISSING_AGGREGATION reproduces once the literal stops
+                # being an ordinal. With the conf SET true, Spark's own
+                # groupByOrdinal IS Hive's position-alias behavior
+                # (groupby_position.q) and the literals pass through.
+                "hive.groupby.orderby.position.alias", "false"
+            ).lower() != "true"
+            and re.search(r"\bGROUP\s+BY\s+\d", query, re.IGNORECASE)
+        ):
+            query = _rewrite_groupby_ordinal_constants(query) or query
         if re.search(r"\bAS\s+FLOAT\s*\)", query, re.IGNORECASE):
             # decimal-vs-float-literal comparisons compare at FLOAT in
             # Hive (parquet_ppd_decimal.q) — typeof-dispatched rewrite

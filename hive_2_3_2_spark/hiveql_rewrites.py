@@ -1533,15 +1533,16 @@ def _rewrite_groupby_ordinal_constants(query: str) -> str | None:
     """Hive 2.3's DEFAULT is hive.groupby.orderby.position.alias=false
     (HiveConf.java): an integer literal in GROUP BY is a CONSTANT, not
     an ordinal — ``select count(1) from t1 group by 1`` groups every
-    row into one bucket (constGby.q). Spark's groupByOrdinal treats it
-    as a position and ERRORS when that position is an aggregate
-    (GROUP_BY_POS_AGGREGATE) — exactly the shape where the two
-    interpretations visibly diverge, so the retry rewrite fires only
-    there: each bare ordinal becomes the non-bare constant ``(N+0)``
-    (constant-folded after ordinal substitution, so the grouping is by
-    the literal like Hive). Positions that resolve to plain select
-    items never error and keep Spark's (and modern Hive's) ordinal
-    behavior."""
+    row into one bucket (constGby.q), and ``select key, count(*) ...
+    group by 1`` raises Hive's not-grouped SemanticException. Each bare
+    ordinal becomes the non-bare constant ``(N+0)`` (constant-folded
+    after ordinal substitution, so the grouping is by the literal like
+    Hive, and ungrouped select columns surface Spark's
+    MISSING_AGGREGATION — the same error class Hive raises). The engine
+    applies this BEFORE dispatch whenever the position-alias conf is
+    off; with the conf SET true the literals pass through to Spark's
+    groupByOrdinal, which is exactly Hive's alias-on behavior
+    (groupby_position.q)."""
     out = _GROUPBY_ORDINALS.sub(
         lambda m: m.group(1) + ", ".join(
             f"({n.strip()}+0)" for n in m.group(2).split(",")
@@ -1557,8 +1558,10 @@ def _retry_rewrite(query: str, err: str) -> str | None:
     whose inlined spec then exposes a string RANGE frame — resolve in
     successive passes). Every rewrite fires only on its exact Spark
     error, so statements Spark already accepts are untouchable."""
-    if "GROUP_BY_POS_AGGREGATE" in err:
-        return _rewrite_groupby_ordinal_constants(query)
+    # no GROUP_BY_POS_AGGREGATE arm: with position alias OFF (the
+    # default) the engine rewrites bare GROUP BY integers to constants
+    # BEFORE dispatch, and with the conf SET true Hive errors on an
+    # aggregate position exactly like Spark — the error must surface.
     if "WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE" in err:
         return _rewrite_nested_window(query)
     if "LATERAL_COLUMN_ALIAS_IN_WINDOW" in err:

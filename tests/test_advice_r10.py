@@ -160,10 +160,12 @@ def test_register_table_rolls_back_metadata_on_bad_path(eng, tmp_path):
 def test_groupby_integer_literal_is_constant_like_hive(spark):
     """Hive 2.3's default hive.groupby.orderby.position.alias=false
     (HiveConf.java) makes an integer literal in GROUP BY a CONSTANT:
-    ``select count(1) from t group by 1`` = one global bucket. Spark
-    treats it as an ordinal and ERRORS when the position lands on an
-    aggregate — the retry rewrite fires exactly there and nowhere
-    else (positional group-by on plain select items keeps working)."""
+    ``select count(1) from t group by 1`` = one global bucket, and
+    ``select a, count(*) ... group by 1`` is Hive's not-grouped
+    SemanticException (r11 completes the r10 partial fix — with the
+    conf OFF the constant interpretation now applies everywhere, not
+    just where Spark's ordinal reading happened to error; the full
+    matrix lives in tests/test_qfile_groupby_position.py)."""
     eng = Engine(spark=spark)
     spark.createDataFrame(
         [(i % 3,) for i in range(9)], "a int"
@@ -171,9 +173,16 @@ def test_groupby_integer_literal_is_constant_like_hive(spark):
     assert eng.sql(
         "select count(1) from gbyord_t group by 1"
     ).collect()[0][0] == 9
+    with pytest.raises(Exception, match="MISSING_AGGREGATION"):
+        eng.sql(
+            "select a, count(*) c from gbyord_t group by 1"
+        ).collect()
+    # with the conf SET, positions are Hive's alias-on ordinals
+    eng.sql("set hive.groupby.orderby.position.alias=true")
     rows = sorted(
         tuple(r) for r in eng.sql(
             "select a, count(*) c from gbyord_t group by 1"
         ).collect()
     )
     assert rows == [(0, 3), (1, 3), (2, 3)]
+    eng.sql("set hive.groupby.orderby.position.alias=false")

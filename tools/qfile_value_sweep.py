@@ -43,6 +43,10 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from hive_2_3_2_spark.hiveql_rewrites import (  # noqa: E402
+    _rewrite_groupby_ordinal_constants,
+)
+
 QDIR = "/root/reference/ql/src/test/queries/clientpositive"
 
 _NONDET = re.compile(
@@ -280,12 +284,14 @@ def extract_file_records() -> list[dict]:
                     stmts.append(("exec", s))
                     continue
                 if re.match(
-                    r"(?is)^set\s+hive\.support\.quoted\.identifiers"
-                    r"\s*=",
+                    r"(?is)^set\s+(?:hive\.support\.quoted\."
+                    r"identifiers|hive\.groupby\.orderby\.position\."
+                    r"alias)\s*=",
                     s,
                 ):
-                    # the regex-column mode switch changes how
-                    # backticked projections parse (ambiguous_col.q) —
+                    # parse-semantics switches the engine honors: the
+                    # regex-column mode (ambiguous_col.q) and the
+                    # group-by position alias (groupby_position.q) —
                     # replayed, and reset at file end
                     stmts.append(("exec", s))
                     continue
@@ -1482,7 +1488,14 @@ def main() -> None:
                         con.execute(stmt)
                     except Exception:
                         pass
+        gby_alias_on = False
         for kind, s in rec["stmts"]:
+            mset = re.match(
+                r"(?is)^set\s+hive\.groupby\.orderby\.position\.alias"
+                r"\s*=\s*(\w+)", s,
+            )
+            if mset:
+                gby_alias_on = mset.group(1).lower() == "true"
             # statements run IN FILE ORDER — a select between a create
             # and the end-of-file drop sees the table live
             if kind == "select":
@@ -1499,9 +1512,21 @@ def main() -> None:
                         counts.get("fixture_skip", 0) + 1
                     )
                     continue
+                # with position alias OFF (the Hive 2.3 default) bare
+                # GROUP BY integers are CONSTANTS in both Hive and the
+                # engine — DuckDB reads them as ordinals, so the duck
+                # side gets the same constant spelling the engine uses
+                duck_stmt = s
+                if not gby_alias_on and re.search(
+                    r"\bGROUP\s+BY\s+\d", s, re.IGNORECASE
+                ):
+                    duck_stmt = (
+                        _rewrite_groupby_ordinal_constants(s) or s
+                    )
                 _run_select(
                     rec["file"], s, not broken, eng, con, counts,
                     mismatches, spark_errs, _norm, duck_errs,
+                    duck_stmt=duck_stmt,
                 )
                 continue
             if broken:
@@ -1531,12 +1556,14 @@ def main() -> None:
                     pass
         if any(k == "exec" and s.lower().lstrip().startswith("set ")
                for k, s in rec["stmts"]):
-            try:
-                eng.sql(
-                    "set hive.support.quoted.identifiers=column"
-                ).collect()
-            except Exception:
-                pass
+            for reset in (
+                "set hive.support.quoted.identifiers=column",
+                "set hive.groupby.orderby.position.alias=false",
+            ):
+                try:
+                    eng.sql(reset).collect()
+                except Exception:
+                    pass
         for t in rec["created"]:
             for stmt in (f"drop table if exists {t}",
                          f"drop view if exists {t}"):
@@ -1577,7 +1604,7 @@ def main() -> None:
 
 def _run_select(
     name, s, runnable, eng, con, counts, mismatches, spark_errs, _norm,
-    duck_errs=None,
+    duck_errs=None, duck_stmt=None,
 ) -> None:
     if not runnable:
         counts["prelude_skip"] += 1
@@ -1594,17 +1621,18 @@ def _run_select(
         )
         return
     translated = False
+    ds = duck_stmt if duck_stmt is not None else s
     try:
-        if re.search(r"\[\d+\]", s):
+        if re.search(r"\[\d+\]", ds):
             # integer subscripts are 0-based in Hive, 1-based in DuckDB
             # — raw would "succeed" with silently shifted elements
             raise ValueError("subscript-bearing: translate first")
-        rel = con.execute(s)
+        rel = con.execute(ds)
         du_rows = rel.fetchall()
         du_cols = [d[0] for d in rel.description]
     except Exception:
         try:
-            rel = con.execute(duck_translate(s))
+            rel = con.execute(duck_translate(ds))
             du_rows = rel.fetchall()
             du_cols = [d[0] for d in rel.description]
             translated = True
@@ -1612,7 +1640,7 @@ def _run_select(
             counts["duck_err"] += 1
             if duck_errs is not None:
                 duck_errs.append(
-                    {"file": name, "stmt": s[:200],
+                    {"file": name, "stmt": ds[:200],
                      "err": " ".join(str(e).split())[:160]}
                 )
             return
