@@ -166,7 +166,9 @@ def test_q_groupby_position_ordinals_multi_insert(qenv, spark,
                                                   tmp_path_factory):
     """groupby_position.q: GROUP BY 1 / GROUP BY 1, 2 ordinals inside
     MULTI-INSERT branches with COUNT(DISTINCT substr(...)) — ordinal
-    resolution must survive the shared-FROM reattachment."""
+    resolution must survive the shared-FROM reattachment. The .q file
+    SETs hive.groupby.orderby.position.alias=true up top (Hive 2.3's
+    default treats bare GROUP BY integers as constants) — replayed."""
     eng, con = qenv
     root = tmp_path_factory.mktemp("gbpos")
     for name, ddl in (("gbp_t1", "key string, cnt bigint"),
@@ -174,6 +176,7 @@ def test_q_groupby_position_ordinals_multi_insert(qenv, spark,
         p = str(root / name)
         spark.createDataFrame([], ddl).write.parquet(p)
         eng.register_table(name, p)
+    eng.sql("set hive.groupby.orderby.position.alias=true")
     eng.sql(
         "FROM src "
         "INSERT OVERWRITE TABLE gbp_t1 "
@@ -194,6 +197,7 @@ def test_q_groupby_position_ordinals_multi_insert(qenv, spark,
         "AS BIGINT) AS cnt FROM src WHERE CAST(key AS DOUBLE) < 20 "
         "GROUP BY key, value",
     )
+    eng.sql("set hive.groupby.orderby.position.alias=false")
 
 
 def test_q_groupby_distinct_samekey(qenv):

@@ -72,8 +72,12 @@ def test_q_nullgroup2_grouped_agg_over_empty(qenv):
 def test_q_groupby_position_ordinals_multi_insert(qenv):
     """groupby_position.q: GROUP BY 1 / GROUP BY 1,2 / GROUP BY 2,1
     ordinals inside a multi-insert, plus ORDER BY ordinals on the
-    read-back — ordinal resolution against the branch select list."""
+    read-back — ordinal resolution against the branch select list.
+    The .q file SETs hive.groupby.orderby.position.alias=true up top
+    (Hive 2.3's default treats bare GROUP BY integers as constants) —
+    replayed, reset at the end."""
     eng, con, root = qenv
+    eng.sql("set hive.groupby.orderby.position.alias=true")
     spark = eng.spark
     spark.createDataFrame([], "key string, cnt long").write.mode(
         "overwrite"
@@ -111,6 +115,7 @@ def test_q_groupby_position_ordinals_multi_insert(qenv):
         FROM src WHERE CAST(key AS DOUBLE) < 20 GROUP BY value, key
         """,
     )
+    eng.sql("set hive.groupby.orderby.position.alias=false")
 
 
 def test_q_limit_pushdown_order_group_distinct(qenv):
