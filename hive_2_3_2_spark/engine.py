@@ -1267,6 +1267,7 @@ from hive_2_3_2_spark.hiveql_rewrites import (  # noqa: F401
     _rewrite_decimal_in_strings,
     _rewrite_distinct_window,
     _rewrite_groupby_ordinal_constants,
+    _rewrite_months_between,
     _rewrite_field_calls,
     _rewrite_float_cast_compares,
     _rewrite_greatest_least,
@@ -1705,6 +1706,10 @@ class Engine:
             and re.search(r"\bGROUP\s+BY\s+\d", query, re.IGNORECASE)
         ):
             query = _rewrite_groupby_ordinal_constants(query) or query
+        if re.search(r"\bmonths_between\s*\(", query, re.IGNORECASE):
+            # Hive's lenient string parse for months_between operands
+            # (rollover + partial-time skip) — real golden divergences
+            query = _rewrite_months_between(query)
         if re.search(r"\bAS\s+FLOAT\s*\)", query, re.IGNORECASE):
             # decimal-vs-float-literal comparisons compare at FLOAT in
             # Hive (parquet_ppd_decimal.q) — typeof-dispatched rewrite

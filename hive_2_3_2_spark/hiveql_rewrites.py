@@ -111,6 +111,64 @@ def _rewrite_call_args(
     return "".join(out)
 
 
+_MONTHS_BETWEEN_CALL = re.compile(r"\bmonths_between\s*\(", re.IGNORECASE)
+
+
+def _hv_mb_norm(arg: str) -> str:
+    """Hive's lenient string→timestamp for months_between operands as
+    a pure Catalyst expression: out-of-range month/day fields ROLL
+    OVER via add_months/date_add from the year start, and only a FULL
+    H:M:S time-of-day counts (a partial '10:39' is midnight)."""
+    xs = f"CAST({arg} AS STRING)"
+    y = (
+        f"CAST(regexp_extract({xs}, "
+        "'^\\\\s*(\\\\d{1,4})-', 1) AS INT)"
+    )
+    mo = (
+        f"CAST(regexp_extract({xs}, "
+        "'^\\\\s*\\\\d{1,4}-(\\\\d{1,2})', 1) AS INT)"
+    )
+    d = (
+        f"CAST(regexp_extract({xs}, "
+        "'^\\\\s*\\\\d{1,4}-\\\\d{1,2}-(\\\\d{1,2})', 1) AS INT)"
+    )
+    ymd = f"date_add(add_months(make_date({y}, 1, 1), {mo} - 1), {d} - 1)"
+    tpart = (
+        f"regexp_extract({xs}, '^\\\\s*\\\\d{{1,4}}-\\\\d{{1,2}}-"
+        "\\\\d{1,2}\\\\s+(\\\\d{1,2}:\\\\d{1,2}:\\\\d{1,2})', 1)"
+    )
+    return (
+        f"CASE WHEN {xs} RLIKE "
+        "'^\\\\s*\\\\d{1,4}-\\\\d{1,2}-\\\\d{1,2}' "
+        f"THEN to_timestamp(CAST({ymd} AS STRING) || ' ' || "
+        f"CASE WHEN {tpart} = '' THEN '00:00:00' ELSE {tpart} END) "
+        "ELSE NULL END"
+    )
+
+
+def _rewrite_months_between(query: str) -> str:
+    """Hive GenericUDFMonthsBetween parses STRING operands with a
+    LENIENT GregorianCalendar — out-of-range fields roll over
+    ('2002-02-31' → 2002-03-03, udf_months_between.q golden
+    0.06451613) — and SKIPS a partial time-of-day ('1995-02-02 10:39'
+    counts as midnight, golden 1.03225806). Spark's months_between
+    NULLs the former and COUNTS the latter — two real value
+    divergences found by the r11 sweep. Both operands normalize
+    through a pure Catalyst expression (regexp_extract + make_date +
+    add_months rollover), so the fix stays JVM-side: no UDF in the
+    path, codegen intact."""
+
+    def fn(args):
+        if len(args) < 2:
+            return None
+        return (
+            [_hv_mb_norm(args[0]), _hv_mb_norm(args[1])]
+            + list(args[2:])
+        )
+
+    return _rewrite_call_args(query, _MONTHS_BETWEEN_CALL, fn)
+
+
 def _rewrite_distinct_window(query: str) -> str:
     """Hive's DISTINCT windowed aggregates — ``COUNT/SUM/AVG(DISTINCT
     x) OVER (...)`` (windowing_distinct.q; HIVE-9534) — which Spark's

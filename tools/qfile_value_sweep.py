@@ -491,6 +491,19 @@ _SCRIPT_ORACLES = {
 }
 
 
+def _sub_nonliteral(pattern, repl, s: str, flags: int = 0) -> str:
+    """re.sub applied ONLY outside quoted string literals — operand-
+    shaped text inside a literal ("value2-1") must never rewrite."""
+    out: list[str] = []
+    i = 0
+    for m in re.finditer(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", s):
+        out.append(re.sub(pattern, repl, s[i:m.start()], flags=flags))
+        out.append(m.group(0))
+        i = m.end()
+    out.append(re.sub(pattern, repl, s[i:], flags=flags))
+    return "".join(out)
+
+
 def duck_translate(s: str) -> str:
     """Best-effort HiveQL → DuckDB oracle translation for the retry
     pass: Hive's permissive coercions spelled explicitly, plus the
@@ -510,6 +523,199 @@ def duck_translate(s: str) -> str:
                 rf"[^()]*'[^']*{re.escape(script)}'[^()]*\)",
                 oracle_rel, s, flags=re.IGNORECASE,
             )
+    # ---- translation batch 4 (r11) ----
+    # typed numeric literal suffixes: 1L bigint, 2S smallint, 3Y
+    # tinyint, 1.5BD decimal — DuckDB has no suffix literals
+    s = _sub_nonliteral(
+        r"(?<![\w.])(\d+(?:\.\d+)?)BD\b", r"\1", s, re.IGNORECASE
+    )
+    s = _sub_nonliteral(r"(?<![\w.])(\d+)L\b", r"CAST(\1 AS BIGINT)", s)
+    s = _sub_nonliteral(
+        r"(?<![\w.])(\d+)S\b", r"CAST(\1 AS SMALLINT)", s
+    )
+    s = _sub_nonliteral(r"(?<![\w.])(\d+)Y\b", r"CAST(\1 AS TINYINT)", s)
+    # identity transform: TRANSFORM(plain cols) USING 'cat' = a cast
+    # projection (tab-delimited round trip is lossless for plain column
+    # references; literal args with embedded tabs — newline.q — keep
+    # their duck_err, that escaping is exactly what those goldens test)
+
+    def _cat_identity(mm):
+        args = _split_top_args(mm.group(1))
+        names = [
+            n.strip().split()[0]
+            for n in _split_top_args(mm.group(2) or mm.group(3))
+        ]
+        if len(args) != len(names) or any(
+            not re.fullmatch(r"[\w.]+", a.strip()) or a.strip() == "*"
+            for a in args
+        ):
+            return mm.group(0)
+        return ", ".join(
+            f"CAST({a.strip()} AS VARCHAR) AS {n}"
+            for a, n in zip(args, names)
+        )
+
+    s = re.sub(
+        r"(?is)\btransform\s*\(([^()]*)\)\s+using\s+'cat'\s+as\s+"
+        r"(?:\(([^()]*)\)|([a-z_]\w*))",
+        _cat_identity, s,
+    )
+    # implicit alias after a numeric literal (SELECT 11 key, ...)
+    s = _sub_nonliteral(
+        r"(?i)((?:\bselect|,)\s*)(\d+(?:\.\d+)?)\s+([a-z_]\w*)"
+        r"(?=\s*,|\s+from\b|\s*\))",
+        r"\1\2 AS \3", s,
+    )
+    # Hive's cast-function spelling int(x)
+    s = _rewrite_calls(
+        s, "int",
+        lambda a: f"CAST({a[0]} AS INTEGER)" if len(a) == 1 else None,
+    )
+    # struct(...) IN (struct(...), ...) — duck's struct_pack literals
+    # would mismatch on field names; row() tuples compare natively
+    if re.search(
+        r"(?is)struct\s*\((?:[^()]|\([^()]*\))*\)\s+in\s*\(", s
+    ):
+        s = re.sub(r"(?is)\bstruct\s*\(", "row(", s)
+    # MINUS is Hive's EXCEPT [DISTINCT]
+    s = _sub_nonliteral(r"(?i)\bminus\b", "EXCEPT", s)
+    # isnull/isnotnull predicates
+    s = _rewrite_calls(
+        s, "isnull",
+        lambda a: f"(({a[0]}) IS NULL)" if len(a) == 1 else None,
+    )
+    s = _rewrite_calls(
+        s, "isnotnull",
+        lambda a: f"(({a[0]}) IS NOT NULL)" if len(a) == 1 else None,
+    )
+    # date-part functions over string literals (duck needs a DATE/
+    # TIMESTAMP operand; Hive accepts the string form)
+    s = re.sub(
+        r"(?i)\b(day|dayofmonth|month|year|hour|minute|second)\s*"
+        r"\(\s*('[^']*')\s*\)",
+        lambda m: (
+            ("day" if m.group(1).lower() == "dayofmonth"
+             else m.group(1).lower())
+            + f"(CAST({m.group(2)} AS TIMESTAMP))"
+        ),
+        s,
+    )
+    # trunc(x, 'fmt') — Hive's date truncation (returns yyyy-MM-dd)
+    _TRUNC_FMT = {"mm": "month", "month": "month", "mon": "month",
+                  "yyyy": "year", "yy": "year", "year": "year",
+                  "q": "quarter"}
+
+    def _trunc_date(a):
+        if len(a) != 2:
+            return None
+        fm = re.fullmatch(r"\s*'(\w+)'\s*", a[1])
+        unit = fm and _TRUNC_FMT.get(fm.group(1).lower())
+        if not unit:
+            return None
+        return (
+            f"CAST(date_trunc('{unit}', CAST({a[0]} AS TIMESTAMP)) "
+            "AS DATE)"
+        )
+
+    s = _rewrite_calls(s, "trunc", _trunc_date)
+    # from_utc_timestamp(ts, tz) → double AT TIME ZONE hop. Duck reads
+    # 'GMT+8'/'UTC+8' as plain UTC — fixed offsets must spell as the
+    # POSIX-inverted Etc/GMT-8 zone.
+
+    def _from_utc_ts(a):
+        if len(a) != 2:
+            return None
+        tz = a[1].strip()
+        zm = re.fullmatch(
+            r"'(?:GMT|UTC)([+-])(\d{1,2})(?::00)?'", tz
+        )
+        if zm:
+            inv = "-" if zm.group(1) == "+" else "+"
+            tz = f"'Etc/GMT{inv}{int(zm.group(2))}'"
+        return (
+            f"((TRY_CAST({a[0]} AS TIMESTAMP) AT TIME ZONE 'UTC') "
+            f"AT TIME ZONE {tz})"
+        )
+
+    s = _rewrite_calls(s, "from_utc_timestamp", _from_utc_ts)
+    # Hive CAST to DATE/TIMESTAMP yields NULL on invalid values
+    # ('2002-02-31'); duck's plain CAST errors — TRY_CAST matches Hive
+    s = _rewrite_calls(
+        s, "cast",
+        lambda a: (
+            (lambda mm: (
+                f"TRY_CAST({mm.group(1)} AS {mm.group(2).upper()})"
+                if mm else None
+            ))(
+                re.match(
+                    r"(?is)^(.+?)\s+AS\s+(TIMESTAMP|DATE)\s*$", a[0]
+                )
+            )
+        ) if len(a) == 1 else None,
+    )
+    # from_unixtime(epoch[, fmt]) — common Hive patterns only
+    _HFMT = (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"), ("HH", "%H"),
+             ("mm", "%M"), ("ss", "%S"))
+
+    def _from_unixtime(a):
+        fmt = "%Y-%m-%d %H:%M:%S"
+        if len(a) == 2:
+            fm = re.fullmatch(r"\s*'([^']*)'\s*", a[1])
+            if not fm:
+                return None
+            fmt = fm.group(1)
+            for h, d in _HFMT:
+                fmt = fmt.replace(h, d)
+            if "%" not in fmt:
+                return None
+        elif len(a) != 1:
+            return None
+        return f"strftime(to_timestamp({a[0]}), '{fmt}')"
+
+    s = _rewrite_calls(s, "from_unixtime", _from_unixtime)
+    # months_between/add_months/substring_index/sha2 run as python
+    # UDFs over VARCHAR args — wrap the date-ish operands so DATE/
+    # TIMESTAMP inputs coerce (duck does not implicit-cast them)
+
+    def _varchar_arg_wrapper(nm, varchar_positions):
+        def fn(a):
+            wrapped = [
+                f"CAST({x} AS VARCHAR)" if i in varchar_positions
+                else x
+                for i, x in enumerate(a)
+            ]
+            return nm + "(" + ", ".join(wrapped) + ")"
+        return fn
+
+    s = _rewrite_calls(
+        s, "months_between", _varchar_arg_wrapper("months_between",
+                                                  {0, 1})
+    )
+    s = _rewrite_calls(
+        s, "add_months", _varchar_arg_wrapper("add_months", {0})
+    )
+    s = _rewrite_calls(
+        s, "substring_index",
+        _varchar_arg_wrapper("substring_index", {0}),
+    )
+    s = _rewrite_calls(s, "sha2", _varchar_arg_wrapper("sha2", {0}))
+    # COALESCE(string_col, <int literal>): Hive's common type is
+    # STRING — quote the literal so duck agrees
+    s = _rewrite_calls(
+        s, "coalesce",
+        lambda a: (
+            "coalesce(" + ", ".join(
+                f"CAST({x} AS VARCHAR)"
+                if re.fullmatch(r"\s*\d+\s*", x) else x
+                for x in a
+            ) + ")"
+        ) if len(a) > 1
+        and any(re.fullmatch(r"\s*\d+\s*", x) for x in a)
+        and any(not re.fullmatch(r"\s*[\d.']+\s*", x) for x in a)
+        else None,
+    )
+    # empty array() literal
+    s = re.sub(r"(?i)\barray\s*\(\s*\)", "[]", s)
     # reference TEST-JAR aggregate registrations are behaviorally the
     # builtins (create_udaf.q / create_genericudaf.q) — rename FIRST so
     # the coercion rules below see the builtin spellings
@@ -704,6 +910,16 @@ def duck_translate(s: str) -> str:
         r"((?:\bover|\bwindow\s+\w+\s+as)\s*\()([^()]*)\)",
         _conv_window, s, flags=re.IGNORECASE,
     )
+    if re.search(r"\bwindow\s+\w+\s+as\b", s, re.IGNORECASE):
+        # chained window defs — `window w1 as (...), w2 as (...)` —
+        # convert the continuations' bodies too (gated on windowing
+        # keywords so CTE `name as (select...)` bodies are untouched)
+        s = re.sub(
+            r"(,\s*\w+\s+as\s*\()"
+            r"((?:[^()]*\b(?:distribute|sort|cluster|partition|order|"
+            r"rows|range)\b[^()]*))\)",
+            _conv_window, s, flags=re.IGNORECASE,
+        )
     # data-layout directives: the comparator is order-insensitive and
     # LIMIT-without-ORDER statements are filtered out upstream, so
     # dropping them preserves the compared multiset. The operand list
@@ -712,7 +928,7 @@ def duck_translate(s: str) -> str:
     # group, then the plain comma-list form.
     s = re.sub(
         r"\b(?:CLUSTER|DISTRIBUTE|SORT)\s+BY\s*"
-        r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+        r"\((?:[^()]|\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))*\)"
         r"\s*(?=\bLIMIT\b|\)|$)",
         " ", s, flags=re.IGNORECASE,
     )
@@ -720,20 +936,44 @@ def duck_translate(s: str) -> str:
         r"\b(?:CLUSTER|DISTRIBUTE|SORT)\s+BY\s+[\w.,\s]+?(?=\bLIMIT\b|\)|$)",
         " ", s, flags=re.IGNORECASE,
     )
-    # string-vs-number comparison coerces through double in Hive
-    s = re.sub(
+    # string-vs-number comparison coerces through double in Hive.
+    # These operand-pattern rules MUST NOT see string literals — a
+    # literal like "value2-1" (parquet_join.q) would otherwise rewrite
+    # its CONTENTS into TRY_CAST noise.
+    s = _sub_nonliteral(
         rf"\b({_IDENT})\s*(<=|>=|<>|!=|=|<|>)\s*(\d+(?:\.\d+)?)(?![\w.])",
         r"TRY_CAST(\1 AS DOUBLE) \2 \3", s,
     )
-    s = re.sub(
+    s = _sub_nonliteral(
         rf"(?<![\w.])(\d+(?:\.\d+)?)\s*(<=|>=|<>|!=|=|<|>)\s*({_IDENT})\b",
         r"\1 \2 TRY_CAST(\3 AS DOUBLE)", s,
     )
     # string arithmetic coerces through double
-    s = re.sub(
+    s = _sub_nonliteral(
         rf"\b({_IDENT})\s*([+\-*/%])\s*(\d+(?:\.\d+)?)(?![\w.])",
         r"TRY_CAST(\1 AS DOUBLE) \2 \3", s,
     )
+    # Hive CAST(x AS INT-family) TRUNCATES the double toward zero
+    # (mapreduce5.q golden: CAST(15/10 AS INT) = 1); DuckDB's cast
+    # ROUNDS (15/10 -> 2). Applied only when the operand divides —
+    # the one shape where the fraction systematically appears; a
+    # blanket wrap through DOUBLE would corrupt huge-bigint casts.
+    def _cast_trunc(a):
+        if len(a) != 1 or "/" not in a[0]:
+            return None
+        mm = re.match(
+            r"(?is)^(.+?)\s+AS\s+"
+            r"(INT|INTEGER|BIGINT|SMALLINT|TINYINT)\s*$",
+            a[0],
+        )
+        if not mm:
+            return None
+        return (
+            f"CAST(TRUNC(CAST({mm.group(1)} AS DOUBLE)) AS "
+            f"{mm.group(2).upper()})"
+        )
+
+    s = _rewrite_calls(s, "cast", _cast_trunc)
     # sum/avg over substr(string) — Hive's GenericUDAFSum string path
     s = re.sub(
         r"\b(sum|avg)\s*\(\s*(DISTINCT\s+)?(substr(?:ing)?\([^()]*\))\s*\)",
@@ -814,16 +1054,19 @@ def duck_translate(s: str) -> str:
         # belonged to a surrounding product (20000 * a + b)
         return f"TRY_CAST({a} AS DOUBLE) {op} TRY_CAST({b} AS DOUBLE)"
 
-    s = re.sub(
-        rf"\b({_IDENT})\s*([+/%])\s*({_IDENT})(?!\s*\()", _arith, s,
+    # the \b before the lookahead stops backtracking from shortening
+    # the right ident (TRY_CAST → TRY_CAS) to sneak past (?!\s*\()
+    s = _sub_nonliteral(
+        rf"\b({_IDENT})\s*([+/%])\s*({_IDENT})\b(?!\s*\()", _arith, s,
     )
     # numeric UDAFs over string columns — Hive's GenericUDAFSum/Avg/
     # Variance coerce string operands through double
     s = re.sub(
         r"\b(sum|avg|variance|var_pop|var_samp|stddev|stddev_pop|"
-        r"stddev_samp)\s*\(\s*((?:\w+\.)?(?:\"[\w]+\"|[a-zA-Z_]\w*))"
+        r"stddev_samp)\s*\(\s*((?:DISTINCT\s+)?)"
+        r"((?:\w+\.)?(?:\"[\w]+\"|[a-zA-Z_]\w*))"
         r"\s*\)",
-        r"\1(TRY_CAST(\2 AS DOUBLE))", s, flags=re.IGNORECASE,
+        r"\1(\2TRY_CAST(\3 AS DOUBLE))", s, flags=re.IGNORECASE,
     )
     # Hive struct(a, b) names fields col1..colN; named_struct
     # alternates name literals and values — both are struct_pack
@@ -913,6 +1156,10 @@ def _hive_types_to_duck(cols: str) -> str:
     STRUCT(a T, ...); string → VARCHAR (DuckDB has no STRING in
     column DDL)."""
     cols = re.sub(r"(?i)\bstring\b", "VARCHAR", cols)
+    # Hive's bare DECIMAL is decimal(10,0) (HiveDecimal defaults);
+    # DuckDB's bare DECIMAL is DECIMAL(18,3) — a p1=100 partition
+    # value would render '100.000' and fake a fixture divergence
+    cols = re.sub(r"(?i)\bdecimal\b(?!\s*\()", "DECIMAL(10,0)", cols)
     for _ in range(8):  # bounded nesting
         if "<" not in cols:
             break
@@ -934,6 +1181,11 @@ def _hive_types_to_duck(cols: str) -> str:
             break
         cols = nxt
     return cols
+
+
+#: duck-side declared column order per created table:
+#: name → (all column names incl. partitions, partition column names)
+_DUCK_TABLE_COLS: dict[str, tuple[list[str], list[str]]] = {}
 
 
 def duck_exec_statements(s: str) -> list[str]:
@@ -959,8 +1211,23 @@ def duck_exec_statements(s: str) -> list[str]:
     )
     if m:
         cols = m.group(2).strip()
+        part_names = []
         if m.group(3):
             cols += ", " + m.group(3).strip()
+            part_names = [
+                seg.strip().split()[0].strip('`').lower()
+                for seg in _split_top_args(m.group(3))
+            ]
+        # remember declared/partition column order — INSERT ...
+        # PARTITION translations with MIXED static+dynamic specs need
+        # it to land values in the right columns
+        _DUCK_TABLE_COLS[m.group(1).lower()] = (
+            [
+                seg.strip().split()[0].strip('`').lower()
+                for seg in _split_top_args(cols)
+            ],
+            part_names,
+        )
         cols = re.sub(r"(?is)\bkey\b", '"key"', cols)
         cols = re.sub(r"(?is)\bvalue\b", '"value"', cols)
         cols = _hive_types_to_duck(cols)
@@ -1033,32 +1300,85 @@ def duck_exec_statements(s: str) -> list[str]:
     if im:
         verb, t, pspec, body = im.groups()
         out = []
-        statics = []
+        spec_items: list[tuple[str, str | None]] = []
         if pspec:
-            # STATIC partition values become trailing constant columns
-            # (the CREATE folded partition cols to the end); dynamic
-            # entries already come from the select
-            for item in pspec.split(","):
-                if "=" in item:
-                    statics.append(item.split("=", 1)[1].strip())
+            spec_items = [
+                (it.split("=", 1)[0].strip().lower(),
+                 it.split("=", 1)[1].strip() if "=" in it else None)
+                for it in pspec.split(",")
+            ]
+        statics = [v for _n, v in spec_items if v is not None]
+        n_dyn = sum(1 for _n, v in spec_items if v is None)
+        known = _DUCK_TABLE_COLS.get(t.lower())
+        body_t = duck_translate(body)
+        if verb.lower() == "overwrite" and n_dyn and known:
+            # DYNAMIC-partition overwrite swaps only the partitions the
+            # select TOUCHES (Hive nonstrict semantics) — a blanket
+            # DELETE would drop untouched partitions
+            # (partitions_filter_default.q: the c=NULL partition must
+            # survive the second overwrite). Statics interleave per the
+            # declared partition order (llap_smb.q).
+            all_cols, part_cols = known
+            n_data = len(all_cols) - len(part_cols)
+            aliases = [f"__c{i}" for i in range(n_data + n_dyn)]
+            dyn_iter = iter(aliases[n_data:])
+            proj = [
+                f'{a} AS "{c}"'
+                for a, c in zip(aliases[:n_data], all_cols[:n_data])
+            ]
+            for (_nm, v), pcol in zip(spec_items, part_cols):
+                src = v if v is not None else next(dyn_iter)
+                proj.append(f'{src} AS "{pcol}"')
+            out.append(
+                "CREATE OR REPLACE TEMP TABLE __dyn_ins AS SELECT "
+                + ", ".join(proj)
+                + f" FROM ({body_t}) __p(" + ", ".join(aliases) + ")"
+            )
+            conds = " AND ".join(
+                f'd."{p}" IS NOT DISTINCT FROM {t}."{p}"'
+                for p in part_cols
+            )
+            out.append(
+                f"DELETE FROM {t} WHERE EXISTS "
+                f"(SELECT 1 FROM __dyn_ins d WHERE {conds})"
+            )
+            out.append(f"INSERT INTO {t} SELECT * FROM __dyn_ins")
+            out.append("DROP TABLE __dyn_ins")
+            return out
         if verb.lower() == "overwrite":
-            if statics and len(pspec.split(",")) == len(statics):
-                # static overwrite clears only that partition
-                conds = []
-                for item in pspec.split(","):
-                    k, v = item.split("=", 1)
-                    conds.append(f"{k.strip()} = {v.strip()}")
+            if statics and not n_dyn:
+                # fully-static overwrite clears only that partition
+                conds = [
+                    f"{nm} = {v}" for nm, v in spec_items
+                ]
                 out.append(
                     f"DELETE FROM {t} WHERE " + " AND ".join(conds)
                 )
             else:
                 out.append(f"DELETE FROM {t}")
-        body_t = duck_translate(body)
         if statics:
-            extra = ", ".join(statics)
-            out.append(
-                f"INSERT INTO {t} SELECT *, {extra} FROM ({body_t}) __p"
-            )
+            if n_dyn and known:
+                # append with a MIXED spec: statics interleave per the
+                # declared partition order, not append last
+                all_cols, part_cols = known
+                n_data = len(all_cols) - len(part_cols)
+                aliases = [f"__c{i}" for i in range(n_data + n_dyn)]
+                proj = list(aliases[:n_data])
+                dyn_iter = iter(aliases[n_data:])
+                for _nm, v in spec_items:
+                    proj.append(v if v is not None else next(dyn_iter))
+                out.append(
+                    f"INSERT INTO {t} SELECT "
+                    + ", ".join(proj)
+                    + f" FROM ({body_t}) __p("
+                    + ", ".join(aliases) + ")"
+                )
+            else:
+                extra = ", ".join(statics)
+                out.append(
+                    f"INSERT INTO {t} SELECT *, {extra} "
+                    f"FROM ({body_t}) __p"
+                )
         else:
             out.append(f"INSERT INTO {t} {body_t}")
         return out
@@ -1138,9 +1458,34 @@ MISMATCH_ADJUDICATIONS: dict[str, str] = {
 
 #: standing adjudications for fixture-divergent tables that are NOT
 #: auto-classified (class 'value' / 'row_count' need a human verdict;
-#: tie_limit_subset and duck_fixture_err self-adjudicate). Keyed by
+#: tie_limit_subset and duck_*_err self-adjudicate). Keyed by
 #: (file, table).
+_CHAR_PAD = (
+    "char-padding oracle artifact: Hive CHAR(N) reads back "
+    "blank-padded to N — the engine pads per Hive's CHAR read "
+    "semantics and matches the reference golden's padded form; "
+    "DuckDB has no CHAR type, its fixture stores the bare VARCHAR. "
+    "Values equal modulo the declared pad (evidence shows "
+    "'val_0' + 15 spaces vs 'val_0')."
+)
+_DEC_ULP = (
+    "double->decimal expansion artifact: the fixture casts double "
+    "expressions to decimal(>16 significant digits); the engines "
+    "differ in the 17th digit — beyond IEEE double precision, both "
+    "are faithful expansions of the same double. Spark matches the "
+    "reference golden's rendering (vector_decimal goldens pinned in "
+    "tests/test_qfile_vector_decimal2.py)."
+)
 FIXTURE_ADJUDICATIONS: dict[tuple[str, str], str] = {
+    ("char_nested_types", "char_nested_array"): _CHAR_PAD,
+    ("char_nested_types", "char_nested_map"): _CHAR_PAD,
+    ("char_nested_types", "char_nested_struct"): _CHAR_PAD,
+    ("char_nested_types", "char_nested_cta"): _CHAR_PAD,
+    ("char_nested_types", "char_nested_view"): _CHAR_PAD,
+    ("char_2", "char_2"): _CHAR_PAD,
+    ("hybridgrace_hashjoin_1", "decimal_mapjoin"): _DEC_ULP,
+    ("vector_decimal_math_funcs", "decimal_test"): _DEC_ULP,
+    ("vector_reduce_groupby_decimal", "decimal_test"): _DEC_ULP,
 }
 
 
@@ -1205,6 +1550,105 @@ def register_duck_test_fns(con) -> None:
     con.create_function(
         "rot13", lambda s: codecs.encode(s, "rot13"), [VARCHAR], VARCHAR
     )
+    # --- Hive date/string scalar functions DuckDB lacks (r11 batch 4;
+    # args arrive as VARCHAR — duck_translate wraps them in CASTs) ---
+    import calendar
+    import datetime
+    import hashlib
+
+    from duckdb.typing import DOUBLE
+
+    def _parse_dt(x):
+        """Hive's LENIENT date parse (GregorianCalendar lenient mode):
+        out-of-range fields ROLL OVER ('2002-02-31' → 2002-03-03,
+        golden cell 0.06451613), a PARTIAL time like '10:39' is
+        SKIPPED (full H:M:S counts — udf_months_between.q golden
+        comments), unparseable → None."""
+        if x is None:
+            return None
+        m = re.match(
+            r"^\s*(\d{1,4})-(\d{1,2})-(\d{1,2})"
+            r"(?:\s+(\d{1,2}):(\d{1,2}):(\d{1,2}))?",
+            str(x),
+        )
+        if not m:
+            return None
+        y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        yy, mm0 = divmod(y * 12 + (mo - 1), 12)
+        if yy < 1:
+            return None
+        base = datetime.datetime(yy, mm0 + 1, 1)
+        dt = base + datetime.timedelta(days=d - 1)
+        if m.group(4) is not None:
+            dt += datetime.timedelta(
+                hours=int(m.group(4)), minutes=int(m.group(5)),
+                seconds=int(m.group(6)),
+            )
+        return dt
+
+    def _months_between(a, b):
+        """GenericUDFMonthsBetween: same day-of-month or both last day
+        → whole months; else (d1-d2 incl. time)/31 days, 8-digit
+        round."""
+        d1, d2 = _parse_dt(a), _parse_dt(b)
+        if d1 is None or d2 is None:
+            return None
+        last1 = calendar.monthrange(d1.year, d1.month)[1] == d1.day
+        last2 = calendar.monthrange(d2.year, d2.month)[1] == d2.day
+        months = (d1.year - d2.year) * 12 + (d1.month - d2.month)
+        if d1.day == d2.day or (last1 and last2):
+            return round(float(months), 8)
+        s1 = d1.day * 86400 + d1.hour * 3600 + d1.minute * 60 + d1.second
+        s2 = d2.day * 86400 + d2.hour * 3600 + d2.minute * 60 + d2.second
+        return round(months + (s1 - s2) / (31.0 * 86400), 8)
+
+    def _add_months(d, n):
+        """GenericUDFAddMonths: last-day input pins to the target
+        month's last day (golden: 2014-02-28 -1 → 2014-01-31); other
+        days clamp. Returns the yyyy-MM-dd string Hive returns."""
+        dt = _parse_dt(d)
+        if dt is None or n is None:
+            return None
+        n = int(n)
+        y, m = divmod((dt.year * 12 + dt.month - 1) + n, 12)
+        m += 1
+        last_src = calendar.monthrange(dt.year, dt.month)[1]
+        last_dst = calendar.monthrange(y, m)[1]
+        day = last_dst if dt.day == last_src else min(dt.day, last_dst)
+        return f"{y:04d}-{m:02d}-{day:02d}"
+
+    def _substring_index(s_, delim, count):
+        """MySQL/Hive substring_index semantics incl. negatives."""
+        if s_ is None or delim is None or count is None:
+            return None
+        count = int(count)
+        if delim == "" or count == 0:
+            return ""
+        parts = s_.split(delim)
+        if count > 0:
+            return delim.join(parts[:count])
+        return delim.join(parts[count:])
+
+    def _sha2(s_, bits):
+        if s_ is None or bits is None:
+            return None
+        algo = {0: "sha256", 256: "sha256", 224: "sha224",
+                384: "sha384", 512: "sha512"}.get(int(bits))
+        if algo is None:
+            return None
+        return getattr(hashlib, algo)(s_.encode()).hexdigest()
+
+    con.create_function(
+        "months_between", _months_between, [VARCHAR, VARCHAR], DOUBLE
+    )
+    con.create_function(
+        "add_months", _add_months, [VARCHAR, INTEGER], VARCHAR
+    )
+    con.create_function(
+        "substring_index", _substring_index,
+        [VARCHAR, VARCHAR, INTEGER], VARCHAR,
+    )
+    con.create_function("sha2", _sha2, [VARCHAR, INTEGER], VARCHAR)
 
 
 def main() -> None:
@@ -1407,6 +1851,36 @@ def main() -> None:
         broken = False
         checked: dict[str, bool] = {}
         created_set = set(rec["created"])
+        duck_failed: dict[str, str] = {}
+        # tables built (transitively) through a LIMIT: both engines
+        # hold a legitimate but possibly different row subset — the
+        # vector_outer_join small_alltypesorc chains derive from
+        # ORDER BY ... LIMIT parents, so the tie propagates
+        tie_tables: set[str] = set()
+        for k2, s2 in rec["stmts"]:
+            if k2 != "exec":
+                continue
+            tm = (
+                _CTAS_PRELUDE.match(s2)
+                or _CREATE_TBL_PRELUDE.match(s2)
+                or _INSERT_PRELUDE.match(s2)
+                or _CREATE_VIEW_PRELUDE.match(s2)
+            )
+            if tm:
+                targets = {tm.group(1).lower()}
+            elif re.match(r"(?is)^\s*from\b", s2):
+                targets = {
+                    t.lower() for t in re.findall(
+                        r"insert\s+(?:into|overwrite)\s+table\s+"
+                        r"`?(\w+)`?", s2, re.IGNORECASE,
+                    )
+                }
+            else:
+                continue
+            if _LIMITED.search(s2) or (
+                (_stmt_tables(s2) - targets) & tie_tables
+            ):
+                tie_tables |= targets
 
         def _fixture_ok(t, _checked=None):
             ck = _checked if _checked is not None else checked
@@ -1444,22 +1918,27 @@ def main() -> None:
                             "selects over it are unverified here, not "
                             "divergent"
                         ) if cls == "duck_fixture_err" else None
-                    else:
-                        tie_limit = any(
-                            k == "exec"
-                            and re.search(
-                                rf"\b{re.escape(t)}\b", s, re.IGNORECASE
-                            )
-                            and _LIMITED.search(s)
-                            for k, s in rec["stmts"]
+                    elif t in duck_failed:
+                        cls = "duck_prelude_err"
+                        evidence = {"err": duck_failed[t],
+                                    "spark_rows": len(sp),
+                                    "duck_rows": len(du)}
+                        adjudication = (
+                            "a duck-side INSERT into this table failed "
+                            "(oracle translation gap, error recorded) "
+                            "— the duck fixture is incomplete; selects "
+                            "over it are unverified here, not "
+                            "divergent"
                         )
+                    else:
                         cls, evidence = _classify_fixture_divergence(
-                            sp, du, tie_limit
+                            sp, du, t in tie_tables
                         )
                         adjudication = (
-                            "the build statement LIMITs under a "
-                            "non-total order — both engines hold a "
-                            "legitimate but different row subset"
+                            "built (transitively) through a LIMIT "
+                            "under a non-total order — both engines "
+                            "hold a legitimate but different row "
+                            "subset"
                         ) if cls == "tie_limit_subset" else (
                             FIXTURE_ADJUDICATIONS.get(
                                 (rec["file"], t)
@@ -1550,10 +2029,19 @@ def main() -> None:
             for ds in duck_exec_statements(s):
                 try:
                     con.execute(ds)
-                except Exception:
+                except Exception as de:
                     # the select over this table will surface as
-                    # duck_err — the engine side still ran
-                    pass
+                    # duck_err/fixture class — the engine side still
+                    # ran; remember WHICH table's duck build broke so
+                    # the divergence classifies as duck_prelude_err
+                    dt = re.match(
+                        r"(?is)^\s*insert\s+into\s+`?(\w+)`?", ds
+                    )
+                    if dt:
+                        duck_failed.setdefault(
+                            dt.group(1).lower(),
+                            " ".join(str(de).split())[:160],
+                        )
         if any(k == "exec" and s.lower().lstrip().startswith("set ")
                for k, s in rec["stmts"]):
             for reset in (
