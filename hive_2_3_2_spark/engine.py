@@ -1266,6 +1266,7 @@ from hive_2_3_2_spark.hiveql_rewrites import (  # noqa: F401
     _rewrite_call_args,
     _rewrite_decimal_in_strings,
     _rewrite_distinct_window,
+    _rewrite_add_months,
     _rewrite_groupby_ordinal_constants,
     _rewrite_months_between,
     _rewrite_field_calls,
@@ -1706,6 +1707,11 @@ class Engine:
             and re.search(r"\bGROUP\s+BY\s+\d", query, re.IGNORECASE)
         ):
             query = _rewrite_groupby_ordinal_constants(query) or query
+        if re.search(r"\badd_months\s*\(", query, re.IGNORECASE):
+            # Hive's lenient string parse for add_months (rollover) —
+            # must precede the months_between rewrite, which emits
+            # internal add_months calls of its own
+            query = _rewrite_add_months(query)
         if re.search(r"\bmonths_between\s*\(", query, re.IGNORECASE):
             # Hive's lenient string parse for months_between operands
             # (rollover + partial-time skip) — real golden divergences

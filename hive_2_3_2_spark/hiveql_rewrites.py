@@ -146,6 +146,28 @@ def _hv_mb_norm(arg: str) -> str:
     )
 
 
+_ADD_MONTHS_CALL = re.compile(r"\badd_months\s*\(", re.IGNORECASE)
+
+
+def _rewrite_add_months(query: str) -> str:
+    """Hive GenericUDFAddMonths shares months_between's LENIENT string
+    parse: add_months('2014-01-32', 1) rolls Jan 32 over to Feb 1 and
+    returns '2014-03-01' (udf_add_months.q golden), where Spark's
+    add_months NULLs the invalid date. The first operand normalizes
+    through the same pure Catalyst expression; Spark's own
+    add_months then applies (it already pins last-day → last-day like
+    Hive). MUST run BEFORE _rewrite_months_between in the pipeline —
+    that rewrite emits internal add_months(make_date(...)) calls that
+    need no (and must not get) re-normalization."""
+
+    def fn(args):
+        if len(args) < 2 or "make_date" in args[0]:
+            return None
+        return [_hv_mb_norm(args[0])] + list(args[1:])
+
+    return _rewrite_call_args(query, _ADD_MONTHS_CALL, fn)
+
+
 def _rewrite_months_between(query: str) -> str:
     """Hive GenericUDFMonthsBetween parses STRING operands with a
     LENIENT GregorianCalendar — out-of-range fields roll over

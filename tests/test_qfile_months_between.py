@@ -84,3 +84,20 @@ def test_months_between_third_arg_roundoff(eng):
         "select months_between('1995-02-02', '1995-01-01', false) a"
     ).collect()[0]
     assert abs(r.a - 1.0322580645161292) < 1e-12
+
+
+def test_add_months_lenient_rollover(eng):
+    """udf_add_months.q golden: the same lenient-calendar parse —
+    add_months('2014-01-32', 1) rolls Jan 32 to Feb 1 → '2014-03-01';
+    Spark alone NULLs it. Unparseable stays NULL; last-day pinning and
+    timestamp inputs are Spark-native and unchanged."""
+    r = eng.sql(
+        "select add_months('2014-01-14', 1) a, "
+        "add_months('2014-01-31', 1) b, add_months('2014-02-28', -1) c, "
+        "add_months('2014-01-32', 1) d, add_months('01/14/2014', 1) e, "
+        "add_months('2014-01-14 10:30:00', 1) g"
+    ).collect()[0]
+    assert [str(v) for v in r] == [
+        "2014-02-14", "2014-02-28", "2014-01-31", "2014-03-01",
+        "None", "2014-02-14",
+    ]

@@ -638,8 +638,47 @@ def duck_translate(s: str) -> str:
         )
 
     s = _rewrite_calls(s, "from_utc_timestamp", _from_utc_ts)
+    # Hive CAST(integral AS TIMESTAMP) counts epoch MILLISECONDS
+    # (boolean → 0/1 ms), CAST(floating AS TIMESTAMP) counts SECONDS
+    # (int.timestamp.conversion defaults, mirrored by the engine) —
+    # duck has no such cast. Keyed to the alltypesorc fixture's typed
+    # column names (vectorized_timestamp_ints_casts.q).
+    def _epoch_ts_cast(a):
+        if len(a) != 1:
+            return None
+        mm = re.match(
+            r"(?is)^\s*((?:\w+\.)?c(tinyint|smallint|int|bigint|"
+            r"float|double|boolean[12])"
+            r"(?:\s*\*\s*\d+)?)\s+AS\s+TIMESTAMP\s*$",
+            a[0],
+        )
+        if mm:
+            op = mm.group(1)
+            if "boolean" in mm.group(2):
+                op = f"({op})::INT"
+            div = (
+                "1.0" if mm.group(2) in ("float", "double") else "1000.0"
+            )
+            return (
+                f"CAST(to_timestamp(CAST({op} AS DOUBLE) / {div}) "
+                "AS TIMESTAMP)"
+            )
+        sm = re.match(
+            r"(?is)^\s*((?:\w+\.)?cstring\d|substr\s*\(.*\))\s+AS\s+"
+            r"TIMESTAMP\s*$",
+            a[0],
+        )
+        if sm:
+            # Hive string→timestamp yields NULL on junk text
+            return f"TRY_CAST({sm.group(1)} AS TIMESTAMP)"
+        return None
+
+    s = _rewrite_calls(s, "cast", _epoch_ts_cast)
     # Hive CAST to DATE/TIMESTAMP yields NULL on invalid values
-    # ('2002-02-31'); duck's plain CAST errors — TRY_CAST matches Hive
+    # ('2002-02-31'); duck's plain CAST errors — TRY_CAST matches
+    # Hive. LITERAL operands only: column casts must stay as-written
+    # for the int→timestamp epoch translation downstream
+    # (vectorized_timestamp_ints_casts.q).
     s = _rewrite_calls(
         s, "cast",
         lambda a: (
@@ -648,7 +687,9 @@ def duck_translate(s: str) -> str:
                 if mm else None
             ))(
                 re.match(
-                    r"(?is)^(.+?)\s+AS\s+(TIMESTAMP|DATE)\s*$", a[0]
+                    r"(?is)^(\s*(?:'[^']*'|null)\s*)"
+                    r"AS\s+(TIMESTAMP|DATE)\s*$",
+                    a[0],
                 )
             )
         ) if len(a) == 1 else None,
@@ -896,6 +937,19 @@ def duck_translate(s: str) -> str:
     # DISTRIBUTE BY / SORT BY are synonyms for PARTITION BY / ORDER BY
     # — convert them FIRST so the layout-directive strip below cannot
     # corrupt a window spec
+    if re.search(r"\bwindow\s+\w+\s+as\s*\(", s, re.IGNORECASE):
+        # duck can't COPY a named window that carries a frame clause
+        # (cbo_rp_windowing_2.q's `over (w3 rows ...)` refinements) —
+        # inline the definitions with the engine's own rewrite, then
+        # the OVER(...) bodies get the Hive→ANSI spelling conversion
+        from hive_2_3_2_spark.hiveql_rewrites import (
+            _rewrite_named_windows,
+        )
+
+        inlined = _rewrite_named_windows(s)
+        if inlined:
+            s = inlined
+
     def _conv_window(m):
         body = m.group(2)
         body = re.sub(r"\bdistribute\s+by\b", "partition by", body,
@@ -1199,6 +1253,18 @@ def duck_exec_statements(s: str) -> list[str]:
         r"(?is)^\s*(?:create|drop)\s+temporary\s+function\b", s
     ):
         return []
+    if re.search(r"\busing\s+'", s, re.IGNORECASE) and re.search(
+        r"\b(?:MAP|REDUCE)\s", s, re.IGNORECASE
+    ):
+        # Hive's MAP/REDUCE transform spellings normalize to SELECT
+        # TRANSFORM (the engine's own rewrite) so the FROM-first
+        # splitter sees select-headed branches and the identity-cat
+        # oracle can model them (mapreduce3.q)
+        from hive_2_3_2_spark.hiveql_rewrites import (
+            _rewrite_map_reduce_transform,
+        )
+
+        s = _rewrite_map_reduce_transform(s)
     m = re.match(
         r"(?is)^\s*create\s+table\s+`?(\w+)`?\s*\((.*?)\)\s*"
         r"(?:partitioned\s+by\s*\((.*?)\))?\s*"
