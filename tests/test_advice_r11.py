@@ -158,11 +158,16 @@ def test_decimal_float_rewrite_never_memoizes_temp_views(
 
 
 def test_target_artifacts_untracked():
-    """ADVICE #5 (low): no committed Spark output artifacts; target/
-    is gitignored."""
+    """ADVICE #5 (low): no committed Spark output artifacts — target/
+    is gitignored and nothing under it is TRACKED (tests recreate the
+    directory at runtime, which is fine; committing it was the bug)."""
+    import subprocess
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     gi = open(os.path.join(repo, ".gitignore")).read().splitlines()
     assert "target/" in gi
-    assert not os.path.exists(
-        os.path.join(repo, "target", "warehouse", "dest4.out")
-    )
+    tracked = subprocess.run(
+        ["git", "ls-files", "target/"],
+        cwd=repo, capture_output=True, text=True,
+    ).stdout.strip()
+    assert tracked == ""

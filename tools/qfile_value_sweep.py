@@ -1549,6 +1549,9 @@ FIXTURE_ADJUDICATIONS: dict[tuple[str, str], str] = {
     ("char_nested_types", "char_nested_cta"): _CHAR_PAD,
     ("char_nested_types", "char_nested_view"): _CHAR_PAD,
     ("char_2", "char_2"): _CHAR_PAD,
+    ("vector_char_2", "char_2"): _CHAR_PAD,
+    ("vector_char_simple", "char_2"): _CHAR_PAD,
+    ("hybridgrace_hashjoin_1", "parttbl"): _CHAR_PAD,
     ("hybridgrace_hashjoin_1", "decimal_mapjoin"): _DEC_ULP,
     ("vector_decimal_math_funcs", "decimal_test"): _DEC_ULP,
     ("vector_reduce_groupby_decimal", "decimal_test"): _DEC_ULP,
@@ -2000,16 +2003,27 @@ def main() -> None:
                         cls, evidence = _classify_fixture_divergence(
                             sp, du, t in tie_tables
                         )
-                        adjudication = (
-                            "built (transitively) through a LIMIT "
-                            "under a non-total order — both engines "
-                            "hold a legitimate but different row "
-                            "subset"
-                        ) if cls == "tie_limit_subset" else (
-                            FIXTURE_ADJUDICATIONS.get(
+                        if cls == "tie_limit_subset":
+                            adjudication = (
+                                "built (transitively) through a LIMIT "
+                                "under a non-total order — both "
+                                "engines hold a legitimate but "
+                                "different row subset"
+                            )
+                        else:
+                            adjudication = FIXTURE_ADJUDICATIONS.get(
                                 (rec["file"], t)
                             )
-                        )
+                            if adjudication is None and \
+                                    cls == "collation":
+                                adjudication = (
+                                    "rendering-only (machine-checked): "
+                                    "the row multisets are EQUAL under "
+                                    "per-cell token normalization — "
+                                    "CHAR pad/decimal scale/timestamp "
+                                    "fraction spellings differ between "
+                                    "the engines, the digits do not"
+                                )
                     fixture_divergent.append(
                         {"file": rec["file"], "table": t,
                          "class": cls, "evidence": evidence,
