@@ -491,6 +491,11 @@ _SCRIPT_ORACLES = {
 }
 
 
+#: Hive SimpleDateFormat → strftime pattern pieces (common subset)
+_HFMT = (("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
+         ("HH", "%H"), ("mm", "%M"), ("ss", "%S"))
+
+
 def _sub_nonliteral(pattern, repl, s: str, flags: int = 0) -> str:
     """re.sub applied ONLY outside quoted string literals — operand-
     shaped text inside a literal ("value2-1") must never rewrite."""
@@ -588,17 +593,70 @@ def duck_translate(s: str) -> str:
         s, "isnotnull",
         lambda a: f"(({a[0]}) IS NOT NULL)" if len(a) == 1 else None,
     )
-    # date-part functions over string literals (duck needs a DATE/
-    # TIMESTAMP operand; Hive accepts the string form)
-    s = re.sub(
-        r"(?i)\b(day|dayofmonth|month|year|hour|minute|second)\s*"
-        r"\(\s*('[^']*')\s*\)",
-        lambda m: (
-            ("day" if m.group(1).lower() == "dayofmonth"
-             else m.group(1).lower())
-            + f"(CAST({m.group(2)} AS TIMESTAMP))"
+    # date-part functions over strings (duck needs a DATE/TIMESTAMP
+    # operand; Hive accepts the string form — columns too, e.g.
+    # day(srcpart.ds) in dynamic_partition_pruning.q). TRY_CAST is a
+    # no-op for already-typed operands and Hive-NULLs junk strings.
+    for dp in ("day", "dayofmonth", "month", "year", "hour", "minute",
+               "second", "quarter", "weekofyear"):
+        s = _rewrite_calls(
+            s, dp,
+            (lambda name: lambda a: (
+                None if len(a) != 1
+                or "TRY_CAST" in a[0].upper() else
+                ("day" if name == "dayofmonth"
+                 else "week" if name == "weekofyear" else name)
+                + f"(TRY_CAST({a[0]} AS TIMESTAMP))"
+            ))(dp),
+        )
+    # to_date(x) / Hive's date(x) spelling
+    s = _rewrite_calls(
+        s, "to_date",
+        lambda a: (
+            f"CAST(TRY_CAST({a[0]} AS TIMESTAMP) AS DATE)"
+            if len(a) == 1 else None
         ),
-        s,
+    )
+    s = _rewrite_calls(
+        s, "date",
+        lambda a: (
+            f"TRY_CAST({a[0]} AS DATE)" if len(a) == 1 else None
+        ),
+    )
+    # unix_timestamp(x[, fmt]) → epoch seconds
+
+    def _unix_ts(a):
+        if len(a) == 1:
+            return f"epoch(TRY_CAST({a[0]} AS TIMESTAMP))"
+        if len(a) == 2:
+            fm = re.fullmatch(r"\s*'([^']*)'\s*", a[1])
+            if not fm:
+                return None
+            fmt = fm.group(1)
+            for h, dd in _HFMT:
+                fmt = fmt.replace(h, dd)
+            if "%" not in fmt:
+                return None
+            return f"epoch(strptime({a[0]}, '{fmt}'))"
+        return None
+
+    s = _rewrite_calls(s, "unix_timestamp", _unix_ts)
+    s = _rewrite_calls(s, "to_unix_timestamp", _unix_ts)
+    # binary(x) → the string's utf8 bytes ARE what Hive hashes/decodes
+    s = _rewrite_calls(
+        s, "binary", lambda a: a[0] if len(a) == 1 else None
+    )
+    s = _rewrite_calls(
+        s, "decode",
+        lambda a: a[0] if len(a) == 2 and "utf" in a[1].lower()
+        else None,
+    )
+    # null-safe equality (operands consume quoted literals explicitly,
+    # so plain re.sub is literal-safe here)
+    s = re.sub(
+        r"('(?:[^'\\]|\\.)*'|[\w.]+|\([^()]*\))\s*<=>\s*"
+        r"('(?:[^'\\]|\\.)*'|[\w.]+|\([^()]*\))",
+        r"(\1 IS NOT DISTINCT FROM \2)", s,
     )
     # trunc(x, 'fmt') — Hive's date truncation (returns yyyy-MM-dd)
     _TRUNC_FMT = {"mm": "month", "month": "month", "mon": "month",
@@ -695,8 +753,6 @@ def duck_translate(s: str) -> str:
         ) if len(a) == 1 else None,
     )
     # from_unixtime(epoch[, fmt]) — common Hive patterns only
-    _HFMT = (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"), ("HH", "%H"),
-             ("mm", "%M"), ("ss", "%S"))
 
     def _from_unixtime(a):
         fmt = "%Y-%m-%d %H:%M:%S"
