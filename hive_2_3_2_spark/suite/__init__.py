@@ -307,7 +307,7 @@ del _R10_WINDOW  # history above; the live window follows
 # r2-origin cohort: approx aggs, dedup head, DML triple, multimodal
 # quartet, pack pair, samplers head). New r11 entries (freeze rule)
 # swap out the alphabetically-last marginal picks.
-_WINDOW = [
+_R11_WINDOW = [
     # -- stalest cohort: latest green row is r6 (all 31) --
     "clean_decontaminate_embeddings",
     "ddl_sql_describe_function",
@@ -360,6 +360,70 @@ _WINDOW = [
     "sample_interleave_weighted",
     "sample_mixture_rates",
     "sample_shuffle_shard",
+]
+del _R11_WINDOW  # history above; the live window follows
+
+# R12 WINDOW (the r11 verdict's prescription): ALL 30 entries whose
+# latest green row is r7 (the scalar-function families, lateral views,
+# asof/banded joins, setops tail, correlated subqueries, text-analysis
+# family, window tail) + the 20 oldest-r8 re-verifications ranked by
+# FIRST green round then A-Z (r1-origin agg/array/interval/ignore-nulls,
+# r2 LSH + sorts, r3 events/hiveql dialect cohort). Computed from
+# verification_ledger.json regenerated through r11 (histogram
+# r7:30 r8:50 r9:50 r10:50 r11:50); post-r12 staleness floor is r8.
+_WINDOW = [
+    # -- stalest cohort: latest green row is r7 (all 30) --
+    "fn_cast_coercion",
+    "fn_complex_types",
+    "fn_conditional_family",
+    "fn_datetime_family",
+    "fn_hash_codec_family",
+    "fn_math_family",
+    "fn_regex_family",
+    "fn_string_family",
+    "hiveql_lateral_view",
+    "join_null_safe_equality",
+    "lateral_explode_tokens",
+    "op_asof_join_last_click",
+    "op_banded_range_join",
+    "sample_stratified_per_lang",
+    "setop_except_all",
+    "setop_except_distinct",
+    "setop_intersect_all",
+    "setop_intersect_distinct",
+    "subq_exists_correlated",
+    "subq_scalar_correlated",
+    "text_fingerprint_groups",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_rolling_fingerprint",
+    "text_token_counts",
+    "window_distribution_functions",
+    "window_lead_lag_offsets",
+    "window_lead_lag_orders",
+    "window_named_window_inheritance",
+    "window_share_of_partition",
+    # -- 20 oldest-r8 re-verifications (by first green round, A-Z) --
+    "agg_boolean_family",
+    "fn_array_family",
+    "fn_interval_arithmetic",
+    "window_ignore_nulls",
+    "similarity_topk_lsh",
+    "sort_nulls_ordering",
+    "sort_order_by_multi",
+    "dedup_keep_first_by_priority",
+    "events_click_purchase_attribution",
+    "events_dedup_distinct",
+    "events_rate_per_type_share",
+    "events_rollup_incremental",
+    "events_rollup_ndv_sketch",
+    "events_sliding_window",
+    "hiveql_case_insensitive_keywords",
+    "hiveql_cluster_by",
+    "hiveql_distribute_sort_by",
+    "hiveql_grouping_sets_id",
+    "hiveql_tablesample_bucket",
+    "hiveql_tablesample_bucket_string",
 ]
 
 
