@@ -206,8 +206,17 @@ _ROW_FORMAT_DELIM = re.compile(
     r"|MAP\s+KEYS\s+TERMINATED\s+BY\s+'[^']*'"
     r"|LINES\s+TERMINATED\s+BY\s+'[^']*'"
     r"|NULL\s+DEFINED\s+AS\s+'[^']*'))*)"
-    r"(\s+STORED\s+AS\s+TEXTFILE)?",
+    r"(\s+STORED\s+AS\s+(?:TEXTFILE\b"
+    r"|INPUTFORMAT\s+'[^']+'\s+OUTPUTFORMAT\s+'[^']+'))?",
     re.IGNORECASE,
+)
+#: STORED AS words whose serde comes from the file format itself — Hive
+#: ignores a preceding ROW FORMAT DELIMITED clause for these (the
+#: delimiters only ever reach LazySimpleSerDe, i.e. text tables; a
+#: STORED AS INPUTFORMAT spelling names classes but NOT a serde, so
+#: text input formats keep honoring the delimiters).
+_BINARY_STORED_AS = frozenset(
+    {"ORC", "PARQUET", "AVRO", "RCFILE", "SEQUENCEFILE", "JSONFILE"}
 )
 _ROW_FORMAT_SERDE = re.compile(
     r"ROW\s+FORMAT\s+SERDE\s+'([^']+)'"
@@ -252,16 +261,29 @@ def _rewrite_row_format(query: str) -> str:
 
     def _delim(m: re.Match[str]) -> str:
         body = m.group(1) or ""
-        # Hive ignores DELIMITED row-format options for binary file
-        # formats (the serde comes from the STORED AS clause) — when a
-        # non-TEXTFILE STORED AS follows, drop the delimiter clause
-        # and let the file format win, matching Hive instead of
-        # producing a double-USING parse error.
-        tail = re.match(
-            r"\s*STORED\s+AS\s+(\w+)", m.string[m.end():], re.IGNORECASE
-        )
-        if tail and tail.group(1).upper() != "TEXTFILE":
-            return ""
+        stored = m.group(2) or ""
+        # Hive ignores DELIMITED row-format options only for file
+        # formats that carry their OWN serde (the binary STORED AS
+        # words) — there the clause drops and the format wins. A
+        # STORED AS INPUTFORMAT spelling names classes but not a
+        # serde: LazySimpleSerDe still honors the delimiters for
+        # text-based input formats, so only binary class pairs drop.
+        im = _STORED_AS_IOF.search(stored)
+        if im is not None:
+            if "textinputformat" not in im.group(1).lower():
+                # binary IOF pair: drop the delimiters, re-emit the
+                # STORED AS for the downstream _iof format mapping
+                return stored
+            # text IOF pair: the delimiters win; the IOF clause is
+            # consumed here (its mapping would be a second USING)
+        elif not stored:
+            tail = re.match(
+                r"\s*STORED\s+AS\s+(\w+)",
+                m.string[m.end():],
+                re.IGNORECASE,
+            )
+            if tail and tail.group(1).upper() in _BINARY_STORED_AS:
+                return ""
         for clause in ("COLLECTION", "MAP"):
             if re.search(rf"\b{clause}\b", body, re.IGNORECASE):
                 raise HiveQLUnsupportedError(
@@ -1267,7 +1289,7 @@ from hive_2_3_2_spark.hiveql_rewrites import (  # noqa: F401
     _rewrite_decimal_in_strings,
     _rewrite_distinct_window,
     _rewrite_add_months,
-    _rewrite_groupby_ordinal_constants,
+    _rewrite_positional_constants,
     _rewrite_months_between,
     _rewrite_field_calls,
     _rewrite_float_cast_compares,
@@ -1632,6 +1654,97 @@ class Engine:
     def _rows_affected(self, n: int) -> DataFrame:
         return self.spark.createDataFrame([(n,)], "rows_affected bigint")
 
+    def _semantic_rewrites(self, query: str) -> str:
+        """The value-semantics pre-dispatch rewrites. EVERY path that
+        evaluates HiveQL — a standalone statement through sql(), or a
+        SELECT body lifted out of CREATE ... AS / CREATE TEMPORARY
+        TABLE ... AS (_body_df) — must pass through here, so the same
+        SELECT cannot yield different values inside a CTAS than when
+        run standalone. These model Hive RUNTIME semantics (type
+        coercion, lenient date parses, GROUP BY constant mode), not
+        statement syntax, so they compose safely with body fragments."""
+        if (
+            self.hiveconf.get(
+                # Reference DEFAULT is false (HiveConf.java:1337):
+                # integral/boolean → TIMESTAMP counts MILLISECONDS.
+                "hive.int.timestamp.conversion.in.seconds", "false"
+            ).lower() == "false"
+            and re.search(r"\btimestamp\b", query, re.IGNORECASE)
+        ):
+            query = _rewrite_int_ts_casts(query)
+        if re.search(
+            r"\b(?:GROUP|ORDER|SORT)\s+BY\b", query, re.IGNORECASE
+        ) and re.search(r"(?<![\w.'\"`])\d", query):
+            # Position-alias semantics, PER ITEM (SemanticAnalyzer
+            # processPositionAlias, SemanticAnalyzer.java:12743-12846):
+            # a bare integer in GROUP BY is a CONSTANT unless
+            # hive.groupby.position.alias (default false,
+            # HiveConf.java:1154) or the deprecated combined conf is
+            # true — `select count(1) from t group by 1` is one global
+            # bucket (constGby.q), and `select key, count(*) ...
+            # group by 1` ERRORS (key not grouped), which Spark's
+            # MISSING_AGGREGATION reproduces once the literal stops
+            # being an ordinal; with the alias ON, Spark's own
+            # groupByOrdinal IS Hive's behavior (groupby_position.q).
+            # ORDER BY defaults to ORDINALS
+            # (hive.orderby.position.alias default TRUE,
+            # HiveConf.java:1156 — Spark's orderByOrdinal matches), so
+            # constants only when the user turns it off. SORT BY is
+            # never position-processed in Hive: always constants.
+            combined = self.hiveconf.get(
+                "hive.groupby.orderby.position.alias", "false"
+            ).lower() == "true"
+            gby_pos = combined or self.hiveconf.get(
+                "hive.groupby.position.alias", "false"
+            ).lower() == "true"
+            oby_pos = combined or self.hiveconf.get(
+                "hive.orderby.position.alias", "true"
+            ).lower() == "true"
+            query = _rewrite_positional_constants(
+                query,
+                gby_constants=not gby_pos,
+                oby_constants=not oby_pos,
+                sortby_constants=True,
+            ) or query
+        if re.search(r"\badd_months\s*\(", query, re.IGNORECASE):
+            # Hive's lenient string parse for add_months (rollover) —
+            # must precede the months_between rewrite, which emits
+            # internal add_months calls of its own
+            query = self._rewrite_add_months_typed(query)
+        if re.search(r"\bmonths_between\s*\(", query, re.IGNORECASE):
+            # Hive's lenient string parse for months_between operands
+            # (rollover + partial-time skip) — real golden divergences
+            query = self._rewrite_months_between_typed(query)
+        if re.search(r"\bAS\s+FLOAT\s*\)", query, re.IGNORECASE):
+            # decimal-vs-float-literal comparisons compare at FLOAT in
+            # Hive (parquet_ppd_decimal.q) — typeof-dispatched rewrite
+            query = _rewrite_float_cast_compares(query)
+        if re.search(r"\bIN\s*\(\s*'-?\d", query, re.IGNORECASE):
+            # decimal IN ('quoted numerics') — Hive's numeric IN route
+            query = _rewrite_decimal_in_strings(query)
+        if re.search(r"[=<>]", query):
+            # decimal COLUMN vs float COLUMN comparisons happen at
+            # FLOAT in Hive — schema-resolved static rewrite
+            query = self._rewrite_decimal_float_col_compares(query)
+        if any(
+            int(m.group(1)) < 1583
+            for m in re.finditer(
+                r"\btimestamp\s+'(\d{1,4})-", query, re.IGNORECASE
+            )
+        ):
+            # pre-Gregorian timestamp filters must not reach the ORC
+            # SearchArgument (hybrid-calendar stripe elimination)
+            query = _rewrite_ancient_ts_filters(query)
+        return query
+
+    def _body_df(self, body: str) -> DataFrame:
+        """Evaluate a SELECT body extracted from a larger statement
+        (CTAS, CREATE TEMPORARY TABLE ... AS, avro-fallback CTAS) with
+        the SAME pre-dispatch semantic rewrites Engine.sql applies to a
+        standalone SELECT."""
+        body = self._semantic_rewrites(self._expand_macros(body))
+        return self.spark.sql(rewrite_hiveql(body, spark=self.spark))
+
     def sql(self, query: str) -> DataFrame:
         """Run HiveQL-compatible SQL (reference entry:
         ql/src/java/org/apache/hadoop/hive/ql/Driver.java:1371 ``run``).
@@ -1681,61 +1794,7 @@ class Engine:
             # are recorded engine-side and stripped — Spark's CREATE
             # grammar has no constraint clause
             query = self._extract_create_constraints(query)
-        if (
-            self.hiveconf.get(
-                # Reference DEFAULT is false (HiveConf.java:1337):
-                # integral/boolean → TIMESTAMP counts MILLISECONDS.
-                "hive.int.timestamp.conversion.in.seconds", "false"
-            ).lower() == "false"
-            and re.search(r"\btimestamp\b", query, re.IGNORECASE)
-        ):
-            query = _rewrite_int_ts_casts(query)
-        if (
-            self.hiveconf.get(
-                # Reference DEFAULT is false (HiveConf.java
-                # HIVE_GROUPBY_ORDERBY_POSITION_ALIAS): a bare integer
-                # literal in GROUP BY is a CONSTANT, not an ordinal —
-                # `select count(1) from t group by 1` is one global
-                # bucket (constGby.q), and `select key, count(*) ...
-                # group by 1` ERRORS (key not grouped), which Spark's
-                # MISSING_AGGREGATION reproduces once the literal stops
-                # being an ordinal. With the conf SET true, Spark's own
-                # groupByOrdinal IS Hive's position-alias behavior
-                # (groupby_position.q) and the literals pass through.
-                "hive.groupby.orderby.position.alias", "false"
-            ).lower() != "true"
-            and re.search(r"\bGROUP\s+BY\s+\d", query, re.IGNORECASE)
-        ):
-            query = _rewrite_groupby_ordinal_constants(query) or query
-        if re.search(r"\badd_months\s*\(", query, re.IGNORECASE):
-            # Hive's lenient string parse for add_months (rollover) —
-            # must precede the months_between rewrite, which emits
-            # internal add_months calls of its own
-            query = _rewrite_add_months(query)
-        if re.search(r"\bmonths_between\s*\(", query, re.IGNORECASE):
-            # Hive's lenient string parse for months_between operands
-            # (rollover + partial-time skip) — real golden divergences
-            query = _rewrite_months_between(query)
-        if re.search(r"\bAS\s+FLOAT\s*\)", query, re.IGNORECASE):
-            # decimal-vs-float-literal comparisons compare at FLOAT in
-            # Hive (parquet_ppd_decimal.q) — typeof-dispatched rewrite
-            query = _rewrite_float_cast_compares(query)
-        if re.search(r"\bIN\s*\(\s*'-?\d", query, re.IGNORECASE):
-            # decimal IN ('quoted numerics') — Hive's numeric IN route
-            query = _rewrite_decimal_in_strings(query)
-        if re.search(r"[=<>]", query):
-            # decimal COLUMN vs float COLUMN comparisons happen at
-            # FLOAT in Hive — schema-resolved static rewrite
-            query = self._rewrite_decimal_float_col_compares(query)
-        if any(
-            int(m.group(1)) < 1583
-            for m in re.finditer(
-                r"\btimestamp\s+'(\d{1,4})-", query, re.IGNORECASE
-            )
-        ):
-            # pre-Gregorian timestamp filters must not reach the ORC
-            # SearchArgument (hybrid-calendar stripe elimination)
-            query = _rewrite_ancient_ts_filters(query)
+        query = self._semantic_rewrites(query)
         # Hive's MAP/REDUCE spellings of script transform normalize to
         # the TRANSFORM form before ANY dispatch, so the FROM-first
         # INSERT branch parser and spark.sql both see one spelling.
@@ -5057,6 +5116,120 @@ class Engine:
         re.IGNORECASE,
     )
 
+    def _mentioned_schemas(self, query: str) -> dict[str, object]:
+        """table-key → schema for every table a statement can read:
+        engine-registered tables whose name appears anywhere, plus
+        catalog tables named in FROM/JOIN (memoized — the memo clears
+        on any DDL statement; temp views never memoize, they can be
+        replaced via spark.sql without routing through Engine.sql)."""
+        lowered = query.lower()
+        mentioned: dict[str, object] = {}
+        for key in set(self.tables) | set(self.table_schemas):
+            if re.search(rf"\b{re.escape(key)}\b", lowered):
+                try:
+                    mentioned[key] = self._declared_schema(key)
+                except Exception:
+                    continue
+        for am in self._FROM_ALIAS.finditer(query):
+            t = am.group(1).split(".")[-1].lower()
+            if t in mentioned or t in _FROM_TAIL_KEYWORDS:
+                continue
+            if t not in self._catalog_schema_memo:
+                try:
+                    schema = self.spark.table(am.group(1)).schema
+                except Exception:
+                    schema = None
+                is_temp = True
+                if schema is not None:
+                    try:
+                        is_temp = self.spark.catalog.getTable(
+                            am.group(1)
+                        ).isTemporary
+                    except Exception:
+                        is_temp = True
+                if is_temp:
+                    if schema is not None:
+                        mentioned[t] = schema
+                    continue
+                self._catalog_schema_memo[t] = schema
+            if self._catalog_schema_memo[t] is not None:
+                mentioned[t] = self._catalog_schema_memo[t]
+        return mentioned
+
+    def _from_alias_map(
+        self, query: str, mentioned: dict[str, object]
+    ) -> dict[str, str]:
+        """alias-or-name → mentioned-table-key for FROM/JOIN items."""
+        alias_of: dict[str, str] = {}
+        for am in self._FROM_ALIAS.finditer(query):
+            t = am.group(1).split(".")[-1].lower()
+            if t in mentioned:
+                alias_of[t] = t
+                a = (am.group(2) or "").lower()
+                if a and a not in _FROM_TAIL_KEYWORDS:
+                    alias_of[a] = t
+        return alias_of
+
+    def _datetime_operand_type(self, query: str):
+        """Schema-resolved classifier for the months_between/add_months
+        typed gate: expression → 'date' | 'timestamp' | None. Typed
+        literals and CASTs classify syntactically; bare/qualified
+        column identifiers resolve against the mentioned tables'
+        declared schemas (ambiguous bare names stay None → the lenient
+        normalization keeps them, which is always value-safe)."""
+        from pyspark.sql.types import DateType, TimestampType
+
+        mentioned = self._mentioned_schemas(query)
+        percol: dict[tuple[str, str], str | None] = {}
+        bare: dict[str, set] = {}
+        for t, schema in mentioned.items():
+            for f in schema.fields:
+                cat = (
+                    "date" if isinstance(f.dataType, DateType)
+                    else "timestamp"
+                    if isinstance(f.dataType, TimestampType)
+                    else None
+                )
+                percol[(t, f.name.lower())] = cat
+                bare.setdefault(f.name.lower(), set()).add(cat)
+        alias_of = self._from_alias_map(query, mentioned)
+
+        def operand_type(expr: str) -> str | None:
+            expr = expr.strip()
+            lm = re.match(
+                r"^(date|timestamp)\s*'", expr, re.IGNORECASE
+            )
+            if lm:
+                return lm.group(1).lower()
+            cm = re.match(
+                r"^cast\s*\(.*\bas\s+(date|timestamp)\s*\)$",
+                expr,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if cm:
+                return cm.group(1).lower()
+            if re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_]\w*)?", expr):
+                parts = expr.lower().split(".")
+                if len(parts) == 2:
+                    t = alias_of.get(parts[0])
+                    return percol.get((t, parts[1])) if t else None
+                cats = bare.get(parts[0])
+                if cats is not None and len(cats) == 1:
+                    return next(iter(cats))
+            return None
+
+        return operand_type
+
+    def _rewrite_add_months_typed(self, query: str) -> str:
+        return _rewrite_add_months(
+            query, operand_type=self._datetime_operand_type(query)
+        )
+
+    def _rewrite_months_between_typed(self, query: str) -> str:
+        return _rewrite_months_between(
+            query, operand_type=self._datetime_operand_type(query)
+        )
+
     def _rewrite_decimal_float_col_compares(self, query: str) -> str:
         """DECIMAL column vs FLOAT column comparisons compare AT FLOAT
         in Hive: getCommonClassForComparison walks numericTypeList in
@@ -5086,44 +5259,7 @@ class Engine:
             and "select" not in lowered
         ):
             return query
-        mentioned: dict[str, object] = {}
-        for key in set(self.tables) | set(self.table_schemas):
-            if re.search(rf"\b{re.escape(key)}\b", lowered):
-                try:
-                    mentioned[key] = self._declared_schema(key)
-                except Exception:
-                    continue
-        # catalog tables named in FROM/JOIN (the engine serves those
-        # through spark.sql directly, so they have no registered
-        # schema) — memoized; the memo clears on any DDL statement
-        for am in self._FROM_ALIAS.finditer(query):
-            t = am.group(1).split(".")[-1].lower()
-            if t in mentioned or t in _FROM_TAIL_KEYWORDS:
-                continue
-            if t not in self._catalog_schema_memo:
-                try:
-                    schema = self.spark.table(am.group(1)).schema
-                except Exception:
-                    schema = None
-                # temp views can be replaced via spark.sql directly,
-                # bypassing Engine.sql's DDL memo invalidation — never
-                # memoize them (fresh lookup per statement); permanent
-                # catalog tables memoize and invalidate on routed DDL.
-                is_temp = True
-                if schema is not None:
-                    try:
-                        is_temp = self.spark.catalog.getTable(
-                            am.group(1)
-                        ).isTemporary
-                    except Exception:
-                        is_temp = True
-                if is_temp:
-                    if schema is not None:
-                        mentioned[t] = schema
-                    continue
-                self._catalog_schema_memo[t] = schema
-            if self._catalog_schema_memo[t] is not None:
-                mentioned[t] = self._catalog_schema_memo[t]
+        mentioned = self._mentioned_schemas(query)
         if not mentioned:
             return query
         # category per (table, column) + ambiguity-aware bare-name map
@@ -5144,14 +5280,7 @@ class Engine:
                     any_pair[cat] = True
         if not (any_pair["decimal"] and any_pair["float"]):
             return query
-        alias_of: dict[str, str] = {}
-        for am in self._FROM_ALIAS.finditer(query):
-            t = am.group(1).split(".")[-1].lower()
-            if t in mentioned:
-                alias_of[t] = t
-                a = (am.group(2) or "").lower()
-                if a and a not in _FROM_TAIL_KEYWORDS:
-                    alias_of[a] = t
+        alias_of = self._from_alias_map(query, mentioned)
 
         def resolve(ident: str) -> str | None:
             parts = ident.lower().split(".")
@@ -8095,8 +8224,12 @@ class Engine:
                 )
                 self._avro_native_memo = True
             except Exception as e:
-                self._avro_native_memo = (
-                    "Failed to find data source" not in str(e)
+                from hive_2_3_2_spark.sources.readers import (
+                    MISSING_DATASOURCE,
+                )
+
+                self._avro_native_memo = not MISSING_DATASOURCE.search(
+                    str(e)
                 )
         return self._avro_native_memo
 
@@ -8195,11 +8328,7 @@ class Engine:
         if am is not None:
             from hive_2_3_2_spark.sources.avro_py import write_avro_py
 
-            df = self.spark.sql(
-                rewrite_hiveql(
-                    self._expand_macros(am.group(1)), spark=self.spark
-                )
-            )
+            df = self._body_df(am.group(1))
             write_avro_py(df, path)
             schema = df.schema
         else:
@@ -8271,9 +8400,7 @@ class Engine:
         # PERMANENT s (SessionHiveMetaStoreClient shadowing starts only
         # once the temp table exists).
         if body:
-            df = self.spark.sql(
-                rewrite_hiveql(self._expand_macros(body), spark=self.spark)
-            )
+            df = self._body_df(body)
         elif like_src is not None:
             src_key = like_src.split(".")[-1].lower()
             if src_key in self.tables:

@@ -117,8 +117,11 @@ _MONTHS_BETWEEN_CALL = re.compile(r"\bmonths_between\s*\(", re.IGNORECASE)
 def _hv_mb_norm(arg: str) -> str:
     """Hive's lenient string→timestamp for months_between operands as
     a pure Catalyst expression: out-of-range month/day fields ROLL
-    OVER via add_months/date_add from the year start, and only a FULL
-    H:M:S time-of-day counts (a partial '10:39' is midnight)."""
+    OVER via add_months/date_add from the year start, out-of-range
+    time fields roll ARITHMETICALLY (lenient GregorianCalendar: hour
+    25 lands in the next day, minute 70 adds an hour — seconds since
+    midnight added onto the rolled date), and only a FULL H:M:S
+    time-of-day counts (a partial '10:39' is midnight)."""
     xs = f"CAST({arg} AS STRING)"
     y = (
         f"CAST(regexp_extract({xs}, "
@@ -133,15 +136,24 @@ def _hv_mb_norm(arg: str) -> str:
         "'^\\\\s*\\\\d{1,4}-\\\\d{1,2}-(\\\\d{1,2})', 1) AS INT)"
     )
     ymd = f"date_add(add_months(make_date({y}, 1, 1), {mo} - 1), {d} - 1)"
-    tpart = (
-        f"regexp_extract({xs}, '^\\\\s*\\\\d{{1,4}}-\\\\d{{1,2}}-"
-        "\\\\d{1,2}\\\\s+(\\\\d{1,2}:\\\\d{1,2}:\\\\d{1,2})', 1)"
+    tpat = (
+        "'^\\\\s*\\\\d{1,4}-\\\\d{1,2}-\\\\d{1,2}\\\\s+"
+        "(\\\\d{1,2}):(\\\\d{1,2}):(\\\\d{1,2})'"
+    )
+
+    def _tfield(idx: int) -> str:
+        # '' (no full H:M:S match) casts to NULL INT → secs coalesces 0
+        return f"CAST(regexp_extract({xs}, {tpat}, {idx}) AS INT)"
+
+    secs = (
+        f"COALESCE({_tfield(1)} * 3600 + {_tfield(2)} * 60 "
+        f"+ {_tfield(3)}, 0)"
     )
     return (
         f"CASE WHEN {xs} RLIKE "
         "'^\\\\s*\\\\d{1,4}-\\\\d{1,2}-\\\\d{1,2}' "
-        f"THEN to_timestamp(CAST({ymd} AS STRING) || ' ' || "
-        f"CASE WHEN {tpart} = '' THEN '00:00:00' ELSE {tpart} END) "
+        f"THEN timestampadd(SECOND, {secs}, "
+        f"CAST({ymd} AS TIMESTAMP)) "
         "ELSE NULL END"
     )
 
@@ -149,7 +161,15 @@ def _hv_mb_norm(arg: str) -> str:
 _ADD_MONTHS_CALL = re.compile(r"\badd_months\s*\(", re.IGNORECASE)
 
 
-def _rewrite_add_months(query: str) -> str:
+#: typed-operand classifier result: operands that CANNOT carry
+#: out-of-range fields keep Spark's native intrinsic (a DATE column
+#: passes through untouched; a TIMESTAMP column only truncates to
+#: whole seconds the way GenericUDFMonthsBetween.java:135-140 does)
+_DT_DATE = "date"
+_DT_TIMESTAMP = "timestamp"
+
+
+def _rewrite_add_months(query: str, operand_type=None) -> str:
     """Hive GenericUDFAddMonths shares months_between's LENIENT string
     parse: add_months('2014-01-32', 1) rolls Jan 32 over to Feb 1 and
     returns '2014-03-01' (udf_add_months.q golden), where Spark's
@@ -158,35 +178,63 @@ def _rewrite_add_months(query: str) -> str:
     add_months then applies (it already pins last-day → last-day like
     Hive). MUST run BEFORE _rewrite_months_between in the pipeline —
     that rewrite emits internal add_months(make_date(...)) calls that
-    need no (and must not get) re-normalization."""
+    need no (and must not get) re-normalization.
+
+    ``operand_type`` (engine-provided, schema-resolved) classifies an
+    operand expression as 'date'/'timestamp'/None: typed DATE and
+    TIMESTAMP operands cannot carry out-of-range fields, so they skip
+    the normalization entirely — Spark's native add_months IS Hive's
+    behavior there (both take the date part)."""
+    typed = operand_type or (lambda expr: None)
 
     def fn(args):
         if len(args) < 2 or "make_date" in args[0]:
+            return None
+        if typed(args[0]) in (_DT_DATE, _DT_TIMESTAMP):
             return None
         return [_hv_mb_norm(args[0])] + list(args[1:])
 
     return _rewrite_call_args(query, _ADD_MONTHS_CALL, fn)
 
 
-def _rewrite_months_between(query: str) -> str:
+def _rewrite_months_between(query: str, operand_type=None) -> str:
     """Hive GenericUDFMonthsBetween parses STRING operands with a
     LENIENT GregorianCalendar — out-of-range fields roll over
     ('2002-02-31' → 2002-03-03, udf_months_between.q golden
     0.06451613) — and SKIPS a partial time-of-day ('1995-02-02 10:39'
     counts as midnight, golden 1.03225806). Spark's months_between
     NULLs the former and COUNTS the latter — two real value
-    divergences found by the r11 sweep. Both operands normalize
+    divergences found by the r11 sweep. String operands normalize
     through a pure Catalyst expression (regexp_extract + make_date +
     add_months rollover), so the fix stays JVM-side: no UDF in the
-    path, codegen intact."""
+    path, codegen intact.
+
+    ``operand_type`` classifies schema-resolved operands: a DATE
+    operand passes through untouched (native months_between); a
+    TIMESTAMP operand only truncates to whole seconds —
+    GenericUDFMonthsBetween.java:135-140 counts the time part in
+    SECONDS, where Spark's native intrinsic counts microseconds —
+    no regex battery on operands that cannot have out-of-range
+    fields."""
+    typed = operand_type or (lambda expr: None)
+
+    def _norm(arg: str) -> str:
+        t = typed(arg)
+        if t == _DT_DATE:
+            return arg
+        if t == _DT_TIMESTAMP:
+            return f"date_trunc('SECOND', {arg})"
+        return _hv_mb_norm(arg)
 
     def fn(args):
         if len(args) < 2:
             return None
-        return (
-            [_hv_mb_norm(args[0]), _hv_mb_norm(args[1])]
-            + list(args[2:])
-        )
+        if (
+            typed(args[0]) == _DT_DATE
+            and typed(args[1]) == _DT_DATE
+        ):
+            return None  # both native — leave the call untouched
+        return [_norm(args[0]), _norm(args[1])] + list(args[2:])
 
     return _rewrite_call_args(query, _MONTHS_BETWEEN_CALL, fn)
 
@@ -1601,35 +1649,148 @@ def _rewrite_invalid_dtf_pattern(query: str, err: str) -> str | None:
     return out if changed else None
 
 
-_GROUPBY_ORDINALS = re.compile(
-    r"(\bGROUP\s+BY\s+)(\d+(?:\s*,\s*\d+)*)(?=\s*(?:;|$|\bORDER\b|"
-    r"\bHAVING\b|\bLIMIT\b|\bSORT\b|\bCLUSTER\b|\bDISTRIBUTE\b|"
-    r"\bWINDOW\b|\)))",
+#: words that END a GROUP BY / ORDER BY / SORT BY expression list at
+#: paren depth 0 (clause keywords + set operators + multi-insert)
+_POSITIONAL_LIST_TERMINATORS = frozenset({
+    "ORDER", "HAVING", "LIMIT", "SORT", "CLUSTER", "DISTRIBUTE",
+    "WINDOW", "UNION", "INTERSECT", "EXCEPT", "MINUS", "GROUPING",
+    "GROUP", "INSERT", "SELECT", "FROM", "WHERE", "OFFSET",
+})
+_POSITIONAL_HEAD = re.compile(
+    r"\b(GROUP|ORDER|SORT)\s+BY\s+", re.IGNORECASE
+)
+#: a list item that is a bare integer literal (optionally carrying an
+#: ORDER BY direction/null-order suffix) — the rewrite target
+_BARE_INT_ITEM = re.compile(
+    r"(\s*)(\d+)(\s*(?:ASC|DESC)?\s*(?:NULLS\s+(?:FIRST|LAST))?\s*)$",
     re.IGNORECASE,
 )
 
 
+def _rewrite_positional_constants(
+    query: str,
+    gby_constants: bool = True,
+    oby_constants: bool = False,
+    sortby_constants: bool = True,
+) -> str | None:
+    """Hive 2.3 position-alias semantics, PER ITEM (SemanticAnalyzer
+    processPositionAlias, SemanticAnalyzer.java:12743): each bare
+    integer literal in a GROUP BY / ORDER BY list is individually an
+    ordinal or a constant depending on the conf — so a MIXED list like
+    ``GROUP BY key, 2`` keeps ``key`` and turns ``2`` into a constant
+    when the group-by alias is off (HIVE_GROUPBY_POSITION_ALIAS and
+    the deprecated combined conf both default false). ORDER BY
+    defaults to ordinals (HIVE_ORDERBY_POSITION_ALIAS default TRUE —
+    Spark's orderByOrdinal IS that behavior), so ``oby_constants``
+    only fires when the user sets it false. SORT BY is NEVER
+    position-processed in Hive (TOK_SORTBY is absent from
+    processPositionAlias), so its integers are ALWAYS constants.
+
+    Each rewritten ordinal becomes the non-bare constant ``(N+0)``
+    (constant after folding — grouping collapses to one bucket like
+    constGby.q, ungrouped select columns surface Spark's
+    MISSING_AGGREGATION, a constant sort is a no-op). Only TOP-LEVEL
+    list items rewrite: integers inside function calls/parens are
+    expression arguments, and ORDER BY inside an OVER(...) window
+    spec keeps Spark semantics (the conf governs statement-level
+    clauses only). Returns None when nothing changed."""
+    over_spans: list[tuple[int, int]] = []
+    for om in re.finditer(r"\bover\s*\(", query, re.IGNORECASE):
+        open_idx = query.index("(", om.start())
+        over_spans.append((om.start(), _scan_balanced(query, open_idx)))
+
+    def in_over(abs_pos: int) -> bool:
+        return any(s < abs_pos <= e for s, e in over_spans)
+
+    want = {
+        "GROUP": gby_constants,
+        "ORDER": oby_constants,
+        "SORT": sortby_constants,
+    }
+    out: list[str] = []
+    base = 0
+    rest = query
+    changed = False
+    while True:
+        m = _search_code(_POSITIONAL_HEAD, rest)
+        if m is None:
+            break
+        kw = m.group(1).upper()
+        list_start = m.end()
+        if not want[kw] or (kw == "ORDER" and in_over(base + m.start())):
+            out.append(rest[:list_start])
+            base += list_start
+            rest = rest[list_start:]
+            continue
+        # top-level item spans: depth-0 commas split; a depth-0 clause
+        # keyword, ';', unbalanced ')', or end-of-string terminates
+        items: list[tuple[int, int]] = []
+        i = item_start = list_start
+        depth = 0
+        quote: str | None = None
+        end = len(rest)
+        while i < len(rest):
+            ch = rest[i]
+            if quote is not None:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and ch == ";":
+                end = i
+                break
+            elif depth == 0 and ch == ",":
+                items.append((item_start, i))
+                item_start = i + 1
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                wm = re.match(r"\w+", rest[i:])
+                if wm.group(0).upper() in _POSITIONAL_LIST_TERMINATORS:
+                    end = i
+                    break
+                i += len(wm.group(0))
+                continue
+            i += 1
+        else:
+            end = len(rest)
+        items.append((item_start, end))
+        buf = [rest[:list_start]]
+        prev = list_start
+        for s, e in items:
+            buf.append(rest[prev:s])
+            text = rest[s:e]
+            im = _BARE_INT_ITEM.fullmatch(text)
+            if im:
+                buf.append(
+                    f"{im.group(1)}({im.group(2)}+0){im.group(3)}"
+                )
+                changed = True
+            else:
+                buf.append(text)
+            prev = e
+        out.append("".join(buf))
+        base += end
+        rest = rest[end:]
+    out.append(rest)
+    result = "".join(out)
+    return result if changed else None
+
+
 def _rewrite_groupby_ordinal_constants(query: str) -> str | None:
-    """Hive 2.3's DEFAULT is hive.groupby.orderby.position.alias=false
-    (HiveConf.java): an integer literal in GROUP BY is a CONSTANT, not
-    an ordinal — ``select count(1) from t1 group by 1`` groups every
-    row into one bucket (constGby.q), and ``select key, count(*) ...
-    group by 1`` raises Hive's not-grouped SemanticException. Each bare
-    ordinal becomes the non-bare constant ``(N+0)`` (constant-folded
-    after ordinal substitution, so the grouping is by the literal like
-    Hive, and ungrouped select columns surface Spark's
-    MISSING_AGGREGATION — the same error class Hive raises). The engine
-    applies this BEFORE dispatch whenever the position-alias conf is
-    off; with the conf SET true the literals pass through to Spark's
-    groupByOrdinal, which is exactly Hive's alias-on behavior
-    (groupby_position.q)."""
-    out = _GROUPBY_ORDINALS.sub(
-        lambda m: m.group(1) + ", ".join(
-            f"({n.strip()}+0)" for n in m.group(2).split(",")
-        ),
+    """GROUP BY-only wrapper (the qfile sweep mirrors the engine's
+    constant semantics onto the DuckDB side with this)."""
+    return _rewrite_positional_constants(
         query,
+        gby_constants=True,
+        oby_constants=False,
+        sortby_constants=False,
     )
-    return out if out != query else None
 
 
 def _retry_rewrite(query: str, err: str) -> str | None:

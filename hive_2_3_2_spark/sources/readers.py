@@ -19,6 +19,14 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: a missing optional datasource (spark-avro off the classpath) — the
+#: one error class the Avro probes/fallbacks may swallow. Spark spells
+#: it both with and without 'the' across versions, plus the error-class
+#: name; every probe site shares this regex so they can't drift apart.
+MISSING_DATASOURCE = re.compile(
+    r"DATA_SOURCE_NOT_FOUND|Failed to find (the )?data source"
+)
+
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
@@ -41,10 +49,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         # fall back ONLY on the missing-datasource error — any other
         # failure (bad path, corrupt file) must surface, not be
         # silently retried through the slower reader
-        if not re.search(
-            r"DATA_SOURCE_NOT_FOUND|Failed to find (the )?data source",
-            str(exc),
-        ):
+        if not MISSING_DATASOURCE.search(str(exc)):
             raise
         from hive_2_3_2_spark.sources.avro_py import read_avro_py
 
@@ -58,10 +63,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     try:
         df.write.format("avro").mode("overwrite").save(path)
     except Exception as exc:
-        if not re.search(
-            r"DATA_SOURCE_NOT_FOUND|Failed to find (the )?data source",
-            str(exc),
-        ):
+        if not MISSING_DATASOURCE.search(str(exc)):
             raise
         from hive_2_3_2_spark.sources.avro_py import write_avro_py
 
