@@ -240,14 +240,15 @@ _SERDE_CLASS_USING = {
     "org.apache.hive.hcatalog.data.JsonSerDe": "USING json",
     "org.apache.hadoop.hive.serde2.JsonSerDe": "USING json",
     "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe":
-        "USING csv OPTIONS (sep '\x01')",
+        "USING csv OPTIONS (sep '\x01', nullValue '\\\\N')",
     "org.apache.hadoop.hive.serde2.OpenCSVSerde": "USING csv",
 }
 _IOF_CLASS_FORMAT = (
     ("parquet", "USING parquet"),
     ("orc", "USING orc"),
     ("avro", "USING avro"),
-    ("TextInputFormat", "USING csv OPTIONS (sep '\x01')"),
+    ("TextInputFormat",
+     "USING csv OPTIONS (sep '\x01', nullValue '\\\\N')"),
 )
 
 
@@ -340,7 +341,10 @@ def _rewrite_row_format(query: str) -> str:
         )
         fd = props.get("field.delim") or props.get("separatorChar")
         if fd and using.startswith("USING csv"):
-            using = f"USING csv OPTIONS (sep '{fd}')"
+            using = (
+                f"USING csv OPTIONS (sep '{fd}', "
+                "nullValue '" + chr(92) * 2 + "N')"
+            )
         return using
 
     def _iof(m: re.Match[str]) -> str:
@@ -370,7 +374,13 @@ _STORED_AS_MAP = {
     "ORC": "USING orc",
     "AVRO": "USING avro",
     "JSONFILE": "USING json",
-    "TEXTFILE": "USING csv OPTIONS (sep '\x01')",  # Hive default delim
+    # Hive default delim + the \\N null marker (doubled backslash in
+    # the OPTIONS literal — unescapeSQLString eats one; a csv table
+    # WITHOUT a nullValue both writes NULLs as empty AND silently
+    # DROPS all-null rows on read, losing input7.q's (NULL, NULL))
+    "TEXTFILE":
+        "USING csv OPTIONS (sep '\x01', nullValue '\\\\N')",
+
 }
 
 
@@ -1392,6 +1402,7 @@ class Engine:
         self.partition_formats: dict[str, dict[str, str]] = {}
         # spark-avro datasource availability — probed lazily, once
         self._avro_native_memo: bool | None = None
+        self._system_props: dict[str, str] | None = None
         # Session-scoped TEMPORARY TABLES (temp_table*.q;
         # SessionHiveMetaStoreClient keeps them in a session map that
         # SHADOWS same-named metastore tables until dropped): key →
@@ -1706,6 +1717,14 @@ class Engine:
                 oby_constants=not oby_pos,
                 sortby_constants=True,
             ) or query
+        if self._COMPUTE_STATS_CALL.search(query):
+            # the internal stats UDAF's direct spelling → native
+            # aggregate struct composition (type-dispatched)
+            query = self._rewrite_compute_stats(query)
+        if _search_code(self._HIVE_HASH_CALL, query) is not None:
+            # Hive's hash() is the getBucketHashCode 31-fold, NOT
+            # Spark's Murmur3 — schema-resolved typed rewrite
+            query = self._rewrite_hive_hash(query)
         if re.search(r"\badd_months\s*\(", query, re.IGNORECASE):
             # Hive's lenient string parse for add_months (rollover) —
             # must precede the months_between rewrite, which emits
@@ -1800,6 +1819,11 @@ class Engine:
         # INSERT branch parser and spark.sql both see one spelling.
         if _search_code(_MAP_REDUCE_KW, query) is not None:
             query = _rewrite_map_reduce_transform(query)
+        # no-AS TRANSFORM subqueries evaluate eagerly (takes-rest
+        # output contract) and splice back as views, BEFORE the
+        # INSERT/multi-insert dispatch reads the statement
+        if _search_code(self._NOAS_TRANSFORM_SUBQ, query) is not None:
+            query = self._rewrite_noas_transform_subqueries(query)
         # PTFs registered under user names (ptf_register_tblfn.q:
         # CREATE TEMPORARY FUNCTION x AS '...MatchPath$MatchPathResolver')
         # normalize to their canonical head before the PTF rewrites.
@@ -2300,17 +2324,23 @@ class Engine:
         ans = self._try_metadata_only(query)
         if ans is not None:
             return ans
-        if self.hiveconf.get(
-            "hive.exec.script.allow.partial.consumption", "false"
-        ).lower() == "true":
-            # ScriptOperator's tolerated-broken-pipe mode
-            # (script_pipe.q): Spark's native TRANSFORM fails the task
-            # when the script exits early, so this conf routes simple
-            # TRANSFORM selects through the per-partition subprocess
-            # operator instead.
-            pm = _TRANSFORM_PARTIAL_STMT.match(query)
-            if pm:
-                return self._run_transform_partial(pm)
+        pm = _TRANSFORM_PARTIAL_STMT.match(query)
+        if pm and (
+            pm.group(3) is None
+            or self.hiveconf.get(
+                "hive.exec.script.allow.partial.consumption", "false"
+            ).lower() == "true"
+        ):
+            # Two reasons to leave Spark's native script transform:
+            # (1) ScriptOperator's tolerated-broken-pipe mode
+            # (script_pipe.q) — native fails the task when the script
+            # exits early; (2) NO AS clause — Hive's default (key,
+            # value) schema carries last.column.takes.rest semantics
+            # (value = remainder of the line, tabs included;
+            # PlanUtils.java:257) where native truncates value to the
+            # second field. Both route through the per-partition
+            # subprocess operator.
+            return self._run_transform_partial(pm)
         if re.search(r"\bmatchpath\s*\(\s*on\b", query, re.IGNORECASE):
             query = self._rewrite_matchpath_calls(query)
         if _search_code(_DTF_CALLS, query) is not None:
@@ -2409,18 +2439,66 @@ class Engine:
         out.append(query[last:])
         return "".join(out)
 
+    @property
+    def system_props(self) -> dict[str, str]:
+        """The ``${system:...}`` namespace (JVM system properties in
+        Hive; SystemVariables.java:52-56). Built lazily: the JVM-ish
+        standards get OS equivalents, plus the QTestUtil test-harness
+        properties the reference's own .q corpus reads
+        (``${system:test.tmp.dir}`` appears in 357 statements —
+        QTestUtil sets them before every golden run). ``SET
+        system:x=y`` writes here, matching SetProcessor (which calls
+        System.getProperties().setProperty)."""
+        if self._system_props is None:
+            import getpass
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="hive232_qtest_tmp_")
+            try:
+                warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+            except Exception:
+                warehouse = tmp
+            try:
+                user = getpass.getuser()
+            except Exception:
+                user = "hive"
+            self._system_props = {
+                "user.name": user,
+                "user.dir": os.getcwd(),
+                "user.home": os.path.expanduser("~"),
+                "java.io.tmpdir": tempfile.gettempdir(),
+                "file.separator": os.sep,
+                "path.separator": os.pathsep,
+                "line.separator": "\n",
+                "hive.version": "2.3.2",
+                # QTestUtil-style harness properties
+                "test.tmp.dir": tmp,
+                "test.tmp.dir.uri": "file://" + tmp,
+                "test.warehouse.dir": warehouse,
+            }
+        return self._system_props
+
     def _substitute(self, text: str) -> str:
-        """``${hiveconf:x}`` / ``${hivevar:x}`` / ``${env:X}`` / ``${x}``
-        text substitution before dispatch (VariableSubstitution parity —
-        Hive substitutes every command when hive.variable.substitute=true,
-        including inside string literals). Unbound names are a typed
-        error rather than silently running with the literal text."""
-        if "${" not in text:
-            return text
+        """``${hiveconf:x}`` / ``${hivevar:x}`` / ``${env:X}`` /
+        ``${system:x}`` / ``${x}`` text substitution before dispatch
+        (VariableSubstitution parity — Hive substitutes every command
+        when hive.variable.substitute=true, including inside string
+        literals). Substitution iterates to
+        hive.variable.substitute.depth (default 40,
+        SystemVariables.java:96-120), so nested spellings like
+        ``${hivevar:${hivevar:b}}`` resolve inside-out like the
+        set_variable_sub.q golden. One deliberate divergence, pinned in
+        tests: UNBOUND names are a typed error rather than Hive's
+        leave-the-literal-text (which just fails parse later with a
+        worse message)."""
         if self.hiveconf.get("hive.variable.substitute", "true") == "false":
             return text
 
+        fired = False
+
         def repl(m: re.Match[str]) -> str:
+            nonlocal fired
+            fired = True
             name = m.group(1)
             ns, _, bare = name.partition(":")
             if not _:
@@ -2432,9 +2510,12 @@ class Engine:
                     f"unbound environment variable ${{{name}}}"
                 )
             if ns == "system":
+                if bare in self.system_props:
+                    return self.system_props[bare]
                 raise HiveQLUnsupportedError(
-                    "${system:...} substitution (Java system properties) "
-                    "has no equivalent here — use ${env:...} or SET"
+                    f"unbound system property ${{{name}}} — SET "
+                    f"system:{bare}=... first (emulated JVM/QTestUtil "
+                    "properties are pre-seeded)"
                 )
             if bare in self.hiveconf:
                 return self.hiveconf[bare]
@@ -2443,7 +2524,23 @@ class Engine:
                 "first, or pass it in run_script(variables={...})"
             )
 
-        return _VAR_REF.sub(repl, text)
+        depth = int(
+            self.hiveconf.get("hive.variable.substitute.depth", "40")
+        )
+        for _round in range(depth + 1):
+            if "${" not in text:
+                return text
+            fired = False
+            text = _VAR_REF.sub(repl, text)
+            if not fired:
+                # braces present but nothing matched the variable
+                # pattern — nothing to substitute, pass through
+                return text
+        raise HiveQLUnsupportedError(
+            "Variable substitution depth is deeper than "
+            f"{depth} for expression (hive.variable.substitute.depth; "
+            "SystemVariables.java:118)"
+        )
 
     def _conf_frame(self, rows: list[tuple[str, str | None]]) -> DataFrame:
         return self.spark.createDataFrame(rows, "name string, value string")
@@ -2468,13 +2565,26 @@ class Engine:
             if name.lower().startswith(prefix):
                 name = name[len(prefix):]
         if not eq:
+            if name.lower().startswith("system:"):
+                return self._conf_frame(
+                    [(name, self.system_props.get(name[len("system:"):]))]
+                )
+            if name.lower().startswith("env:"):
+                return self._conf_frame(
+                    [(name, os.environ.get(name[len("env:"):]))]
+                )
             return self._conf_frame([(name, self.hiveconf.get(name))])
         value = value.strip()
-        if name.lower().startswith(("system:", "env:")):
+        if name.lower().startswith("env:"):
             raise HiveQLUnsupportedError(
-                f"SET {name}: the system:/env: namespaces are read-only "
-                "(SetProcessor rejects env: writes; system: not emulated)"
+                f"SET {name}: env:* variables can not be set "
+                "(SetProcessor.java rejects env: writes)"
             )
+        if name.lower().startswith("system:"):
+            # SetProcessor writes JVM system properties
+            # (System.getProperties().setProperty) — emulated map here
+            self.system_props[name[len("system:"):]] = value
+            return self._conf_frame([(name, value)])
         self.hiveconf[name] = value
         if name.startswith("spark."):
             self.spark.conf.set(name, value)
@@ -5154,6 +5264,26 @@ class Engine:
                 self._catalog_schema_memo[t] = schema
             if self._catalog_schema_memo[t] is not None:
                 mentioned[t] = self._catalog_schema_memo[t]
+        # a table named ONLY as an INSERT target doesn't resolve body
+        # columns (Hive binds the select list against the FROM sources;
+        # orc_merge10.q's hash(key) reads src.key, not the target's
+        # same-named INT column)
+        ins_targets = {
+            mm.group(1).split(".")[-1].lower()
+            for mm in re.finditer(
+                r"(?is)\binsert\s+(?:into|overwrite)\s+(?:table\s+)?"
+                r"([\w.]+)",
+                query,
+            )
+        }
+        if ins_targets:
+            from_names = {
+                am.group(1).split(".")[-1].lower()
+                for am in self._FROM_ALIAS.finditer(query)
+            }
+            for t in list(mentioned):
+                if t in ins_targets and t not in from_names:
+                    del mentioned[t]
         return mentioned
 
     def _from_alias_map(
@@ -5179,20 +5309,7 @@ class Engine:
         normalization keeps them, which is always value-safe)."""
         from pyspark.sql.types import DateType, TimestampType
 
-        mentioned = self._mentioned_schemas(query)
-        percol: dict[tuple[str, str], str | None] = {}
-        bare: dict[str, set] = {}
-        for t, schema in mentioned.items():
-            for f in schema.fields:
-                cat = (
-                    "date" if isinstance(f.dataType, DateType)
-                    else "timestamp"
-                    if isinstance(f.dataType, TimestampType)
-                    else None
-                )
-                percol[(t, f.name.lower())] = cat
-                bare.setdefault(f.name.lower(), set()).add(cat)
-        alias_of = self._from_alias_map(query, mentioned)
+        resolve = self._spark_type_resolver(query)
 
         def operand_type(expr: str) -> str | None:
             expr = expr.strip()
@@ -5208,14 +5325,11 @@ class Engine:
             )
             if cm:
                 return cm.group(1).lower()
-            if re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_]\w*)?", expr):
-                parts = expr.lower().split(".")
-                if len(parts) == 2:
-                    t = alias_of.get(parts[0])
-                    return percol.get((t, parts[1])) if t else None
-                cats = bare.get(parts[0])
-                if cats is not None and len(cats) == 1:
-                    return next(iter(cats))
+            dt = resolve(expr)
+            if isinstance(dt, DateType):
+                return "date"
+            if isinstance(dt, TimestampType):
+                return "timestamp"
             return None
 
         return operand_type
@@ -5229,6 +5343,235 @@ class Engine:
         return _rewrite_months_between(
             query, operand_type=self._datetime_operand_type(query)
         )
+
+    _HIVE_HASH_CALL = re.compile(r"\bhash\s*\(", re.IGNORECASE)
+
+    #: portable signed-int32 wraparound over BIGINT intermediates —
+    #: Java's implicit (int) truncation in the 31-fold, spelled so the
+    #: same text evaluates identically on Spark AND the DuckDB oracle
+    #: (% keeps the dividend's sign in both)
+    @staticmethod
+    def _hh_wrap(x: str) -> str:
+        return (
+            f"((({x}) % 4294967296 + 4294967296 + 2147483648) "
+            "% 4294967296 - 2147483648)"
+        )
+
+    def _rewrite_hive_hash(self, query: str) -> str:
+        """``hash(a1, a2, ...)`` with HIVE's semantics — Spark's native
+        hash() is Murmur3, a DIFFERENT function, so every golden that
+        prints or checksums hash values (the join family's
+        sum(hash(...)) canonicalization pattern — 600+ statements)
+        diverges without this. Reference: GenericUDFHash.evaluate →
+        ObjectInspectorUtils.getBucketHashCode (31-fold,
+        ObjectInspectorUtils.java:633-640) over per-type hashCode
+        (:643-707): null→0, boolean→1/0, byte/short/int→value,
+        long/double→(int)((bits>>>32)^bits), float→floatToIntBits,
+        string→signed-byte 31-fold, date→days, timestamp→(secs<<30|nanos)
+        folded. int-family args stay pure Catalyst; the bit/byte folds
+        run as the Arrow UDF family (functions/hive_hash.py). An arg
+        whose type can't be schema-resolved (or an unsupported type:
+        decimal, binary, complex) leaves the whole call on Spark's
+        native hash — same-engine-deterministic, documented
+        divergence."""
+        resolve = self._spark_type_resolver(query)
+
+        def _arg_hash(a: str) -> str | None:
+            from pyspark.sql import types as T
+
+            a = a.strip()
+            if re.fullmatch(r"[-+]?\d+", a):
+                return f"({a})"  # int literal hashes to itself
+            if re.fullmatch(r"'(?:[^'\\]|\\.)*'", a):
+                return f"__hive_hash_str({a})"
+            dt = resolve(a)
+            if isinstance(dt, T.StringType):
+                return f"__hive_hash_str({a})"
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+                return f"CAST({a} AS INT)"
+            if isinstance(dt, T.BooleanType):
+                return f"(CASE WHEN {a} THEN 1 ELSE 0 END)"
+            if isinstance(dt, T.LongType):
+                return f"__hive_hash_long({a})"
+            if isinstance(dt, T.DoubleType):
+                return f"__hive_hash_double({a})"
+            if isinstance(dt, T.FloatType):
+                return f"__hive_hash_float({a})"
+            if isinstance(dt, T.TimestampType):
+                return f"__hive_hash_ts({a})"
+            if isinstance(dt, T.DateType):
+                return f"__hive_hash_date({a})"
+            return None
+
+        needs_udfs = False
+
+        def fn(args):
+            nonlocal needs_udfs
+            hashes = []
+            for a in args:
+                h = _arg_hash(a)
+                if h is None:
+                    return None  # keep Spark's native hash
+                hashes.append(h)
+            acc = "0"
+            for h in hashes:
+                acc = self._hh_wrap(f"31 * {acc} + coalesce({h}, 0)")
+            needs_udfs = True
+            return f"CAST({acc} AS INT)"
+
+        out = _rewrite_call_args(query, self._HIVE_HASH_CALL, fn)
+        if needs_udfs and not getattr(self, "_hive_hash_registered", False):
+            from hive_2_3_2_spark.functions.hive_hash import (
+                register_hive_hash_family,
+            )
+
+            register_hive_hash_family(self.spark)
+            self._hive_hash_registered = True
+        return out
+
+    _COMPUTE_STATS_CALL = re.compile(
+        r"\bcompute_stats\s*\(", re.IGNORECASE
+    )
+
+    def _rewrite_compute_stats(self, query: str) -> str:
+        """``SELECT compute_stats(col, nbitvectors)`` — the direct
+        spelling of the internal stats UDAF — as a struct-returning
+        composition of native aggregates, type-dispatched on the
+        schema-resolved operand exactly like the reference's
+        getEvaluator switch (GenericUDAFComputeStats.java:58-97,
+        FunctionRegistry.java:441): boolean→Boolean,
+        integrals/timestamp→Long, float/double→Double,
+        string/char/varchar→String, binary→Binary, decimal→Decimal,
+        date→Date. ``numdistinctvalues`` uses approx_count_distinct
+        (HLL) standing in for Hive's FM-sketch NDV estimate;
+        ``ndvbitvector`` is the FM sketch's Hive-internal serialized
+        form and stays '' (the empty-table golden value) — both are
+        sketch encodings, not exact values, so a bit-for-bit match is
+        a non-goal (compute_stats_empty_table.q value-verifies; the
+        non-empty goldens differ only in those two sketch fields)."""
+        from pyspark.sql import types as T
+
+        resolve = self._spark_type_resolver(query)
+
+        def _counts(col: str) -> str:
+            return f"COUNT(*) - COUNT({col})"
+
+        def fn(args):
+            if len(args) != 2:
+                raise HiveQLUnsupportedError(
+                    "compute_stats: exactly two arguments are "
+                    "expected (GenericUDAFComputeStats.java:60)"
+                )
+            col = args[0].strip()
+            dt = resolve(col)
+            if dt is None:
+                raise HiveQLUnsupportedError(
+                    f"compute_stats({col!r}, ...): operand type is "
+                    "not schema-resolvable here — only a column of a "
+                    "known table dispatches (the reference switches "
+                    "on the primitive category the same way)"
+                )
+            zero = "CAST(0 AS BIGINT)"
+            nulls = f"'countnulls', {_counts(col)}"
+            ndv = (
+                f"'numdistinctvalues', approx_count_distinct({col}), "
+                "'ndvbitvector', ''"
+            )
+            if isinstance(dt, T.BooleanType):
+                return (
+                    "named_struct('columntype', 'Boolean', "
+                    f"'counttrues', coalesce(sum(case when {col} "
+                    f"then 1 else 0 end), {zero}), "
+                    f"'countfalses', coalesce(sum(case when not {col} "
+                    f"then 1 else 0 end), {zero}), "
+                    f"{nulls})"
+                )
+            if isinstance(
+                dt,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.TimestampType),
+            ):
+                return (
+                    "named_struct('columntype', 'Long', "
+                    f"'min', CAST(min({col}) AS BIGINT), "
+                    f"'max', CAST(max({col}) AS BIGINT), "
+                    f"{nulls}, {ndv})"
+                )
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return (
+                    "named_struct('columntype', 'Double', "
+                    f"'min', CAST(min({col}) AS DOUBLE), "
+                    f"'max', CAST(max({col}) AS DOUBLE), "
+                    f"{nulls}, {ndv})"
+                )
+            if isinstance(dt, T.DecimalType):
+                return (
+                    "named_struct('columntype', 'Decimal', "
+                    f"'min', min({col}), 'max', max({col}), "
+                    f"{nulls}, {ndv})"
+                )
+            if isinstance(dt, T.DateType):
+                return (
+                    "named_struct('columntype', 'Date', "
+                    f"'min', min({col}), 'max', max({col}), "
+                    f"{nulls}, {ndv})"
+                )
+            if isinstance(dt, T.StringType):
+                return (
+                    "named_struct('columntype', 'String', "
+                    f"'maxlength', coalesce(CAST(max(length({col})) "
+                    f"AS BIGINT), {zero}), "
+                    f"'avglength', coalesce(avg(length({col})), "
+                    "CAST(0.0 AS DOUBLE)), "
+                    f"{nulls}, {ndv})"
+                )
+            if isinstance(dt, T.BinaryType):
+                return (
+                    "named_struct('columntype', 'Binary', "
+                    f"'maxlength', coalesce(CAST(max(length({col})) "
+                    f"AS BIGINT), {zero}), "
+                    f"'avglength', coalesce(avg(length({col})), "
+                    "CAST(0.0 AS DOUBLE)), "
+                    f"{nulls})"
+                )
+            raise HiveQLUnsupportedError(
+                "compute_stats: only integer/long/timestamp/date/"
+                "float/double/string/binary/boolean/decimal type "
+                f"argument is accepted but {dt.simpleString()} is "
+                "passed (GenericUDAFComputeStats.java:90-95)"
+            )
+
+        return _rewrite_call_args(query, self._COMPUTE_STATS_CALL, fn)
+
+    def _spark_type_resolver(self, query: str):
+        """expression → Spark DataType for bare/qualified column
+        identifiers of the statement's mentioned tables (None when not
+        an identifier or ambiguous)."""
+        mentioned = self._mentioned_schemas(query)
+        percol: dict[tuple[str, str], object] = {}
+        bare: dict[str, list] = {}
+        for t, schema in mentioned.items():
+            for f in schema.fields:
+                percol[(t, f.name.lower())] = f.dataType
+                bare.setdefault(f.name.lower(), []).append(f.dataType)
+        alias_of = self._from_alias_map(query, mentioned)
+
+        def resolve(expr: str):
+            expr = expr.strip()
+            if not re.fullmatch(
+                r"[A-Za-z_][\w]*(\.[A-Za-z_]\w*)?", expr
+            ):
+                return None
+            parts = expr.lower().split(".")
+            if len(parts) == 2:
+                t = alias_of.get(parts[0])
+                return percol.get((t, parts[1])) if t else None
+            cands = bare.get(parts[0], [])
+            if len({c.simpleString() for c in cands}) == 1:
+                return cands[0]
+            return None
+
+        return resolve
 
     def _rewrite_decimal_float_col_compares(self, query: str) -> str:
         """DECIMAL column vs FLOAT column comparisons compare AT FLOAT
@@ -7948,6 +8291,64 @@ class Engine:
             )
         return self.spark.createDataFrame(rows, df.schema)
 
+    _NOAS_TRANSFORM_SUBQ = re.compile(
+        r"\(\s*FROM\s+([\w.]+)\s+SELECT\s+TRANSFORM\s*\(",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_noas_transform_subqueries(self, query: str) -> str:
+        """``( FROM t SELECT TRANSFORM(exprs) USING 'cmd' [layout-BY] )``
+        subqueries WITHOUT an AS clause — Hive's default output schema
+        is (key, value) with serialization.last.column.takes.rest
+        (genScriptPlan SemanticAnalyzer.java:3843-3874,
+        PlanUtils.java:257): value carries the REMAINDER of the output
+        line, embedded tabs included. Spark's native script transform
+        truncates value to the second field (input38.q's
+        '0\\tval_0\\t3\\t7' would lose '3\\t7'), so these evaluate
+        through the per-partition subprocess operator and splice back
+        as temp views. A trailing CLUSTER/SORT/DISTRIBUTE BY is a
+        reduce-distribution directive (no result-set semantics) and
+        drops with the subquery."""
+        from hive_2_3_2_spark.operators.transform import (
+            transform_script_partial,
+        )
+
+        pos = 0
+        while True:
+            m = self._NOAS_TRANSFORM_SUBQ.search(query, pos)
+            if m is None:
+                return query
+            open_idx = query.rindex("(", m.start(), m.end())
+            close = _scan_balanced(query, open_idx)
+            if close >= len(query):
+                return query
+            args = query[open_idx + 1:close]
+            rest = query[close + 1:]
+            um = re.match(
+                r"(?is)^\s*using\s+'([^']+)'\s*"
+                r"((?:CLUSTER|SORT|DISTRIBUTE)\s+BY\s+[\w.`\s,]*?)?"
+                r"\s*\)",
+                rest,
+            )
+            if um is None:  # AS clause or unexpected tail → native
+                pos = close
+                continue
+            src = rewrite_hiveql(
+                f"SELECT {args} FROM {m.group(1)}", spark=self.spark
+            )
+            df = transform_script_partial(
+                self.spark.sql(src), um.group(1), ["key", "value"],
+                rest_of_line=True,
+            )
+            self._matchpath_seq = getattr(self, "_matchpath_seq", 0) + 1
+            view = f"__transkv_{self._matchpath_seq}"
+            df.createOrReplaceTempView(view)
+            query = (
+                query[:m.start()] + view
+                + query[close + 1 + um.end():]
+            )
+            pos = m.start() + len(view)
+
     def _run_transform_partial(self, m: re.Match[str]) -> DataFrame:
         """TRANSFORM under hive.exec.script.allow.partial.consumption
         (reference ScriptOperator.java: an early-exiting script is not
@@ -7960,6 +8361,7 @@ class Engine:
         )
 
         cols, cmd, outs, rest = m.groups()
+        rest_of_line = not outs
         if not outs:
             outs = "key, value"  # Hive's default TRANSFORM output names
         out_names = [
@@ -7972,7 +8374,8 @@ class Engine:
             spark=self.spark,
         )
         return transform_script_partial(
-            self.spark.sql(src), cmd, out_names
+            self.spark.sql(src), cmd, out_names,
+            rest_of_line=rest_of_line,
         )
 
     def _rewrite_noop_ptf_calls(self, query: str) -> str:

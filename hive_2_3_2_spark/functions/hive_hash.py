@@ -94,3 +94,134 @@ def hive_bucket_hash(col):
 def register_hive_hash(spark: SparkSession) -> None:
     """Make hive_bucket_hash callable from SQL (idempotent)."""
     spark.udf.register(_UDF_NAME, hive_bucket_hash_udf())
+
+
+# ---------------------------------------------------------------------
+# Full GenericUDFHash parity — hash(a1, a2, ...) —
+# ObjectInspectorUtils.hashCode per type (ObjectInspectorUtils.java:
+# 643-707) + the getBucketHashCode 31-fold (:633-640). The byte/bit
+# folds aren't expressible as portable Catalyst, so each non-trivial
+# primitive gets a vectorized Arrow UDF; int/short/byte/boolean stay
+# pure SQL (engine._rewrite_hive_hash builds the fold expression).
+# numpy does every fold batch-at-once; NULL → NULL here (the caller
+# wraps coalesce(..., 0), Hive's null-hash).
+# ---------------------------------------------------------------------
+
+def _fold_u64(u: np.ndarray) -> np.ndarray:
+    """Java's ``(int) ((a >>> 32) ^ a)`` over a uint64 batch."""
+    x = (u >> np.uint64(32)) ^ u
+    return (x & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+
+
+def hive_hash_long_py(v: int | None) -> int | None:
+    """Scalar yardstick (LONG case, ObjectInspectorUtils.java:661-664)."""
+    if v is None:
+        return None
+    a = v & 0xFFFFFFFFFFFFFFFF
+    return int(np.uint32(((a >> 32) ^ a) & 0xFFFFFFFF).view(np.int32))
+
+
+def hive_hash_double_py(v: float | None) -> int | None:
+    """Scalar yardstick (DOUBLE case :667-672 — doubleToLongBits)."""
+    if v is None:
+        return None
+    bits = int(np.float64(v).view(np.uint64))
+    return int(np.uint32(((bits >> 32) ^ bits) & 0xFFFFFFFF).view(np.int32))
+
+
+def hive_hash_float_py(v: float | None) -> int | None:
+    """Scalar yardstick (FLOAT case :665-666 — floatToIntBits)."""
+    if v is None:
+        return None
+    return int(np.float32(v).view(np.int32))
+
+
+def hive_hash_timestamp_py(epoch_us: int | None) -> int | None:
+    """Scalar yardstick (TIMESTAMP — TimestampWritable.hashCode:406-411:
+    ``seconds << 30 | nanos`` then the long fold; floor division keeps
+    pre-epoch timestamps on Hive's seconds/nanos split)."""
+    if epoch_us is None:
+        return None
+    secs, rem_us = divmod(epoch_us, 1_000_000)
+    packed = ((secs << 30) | (rem_us * 1000)) & 0xFFFFFFFFFFFFFFFF
+    return int(
+        np.uint32(((packed >> 32) ^ packed) & 0xFFFFFFFF).view(np.int32)
+    )
+
+
+def hive_hash_udfs():
+    """The typed pandas UDFs, name → udf. Factory (see
+    hive_bucket_hash_udf on why not module-level)."""
+
+    @pandas_udf("int")
+    def __hive_hash_long(s: pd.Series) -> pd.Series:
+        mask = s.notna()
+        out = pd.array([None] * len(s), dtype="Int32")
+        if mask.any():
+            u = s[mask].to_numpy(dtype=np.int64).view(np.uint64)
+            out[np.asarray(mask)] = _fold_u64(u)
+        return pd.Series(out, index=s.index)
+
+    @pandas_udf("int")
+    def __hive_hash_double(s: pd.Series) -> pd.Series:
+        mask = s.notna()
+        out = pd.array([None] * len(s), dtype="Int32")
+        if mask.any():
+            u = s[mask].to_numpy(dtype=np.float64).view(np.uint64)
+            out[np.asarray(mask)] = _fold_u64(u)
+        return pd.Series(out, index=s.index)
+
+    @pandas_udf("int")
+    def __hive_hash_float(s: pd.Series) -> pd.Series:
+        mask = s.notna()
+        out = pd.array([None] * len(s), dtype="Int32")
+        if mask.any():
+            out[np.asarray(mask)] = (
+                s[mask].to_numpy(dtype=np.float32).view(np.int32)
+            )
+        return pd.Series(out, index=s.index)
+
+    @pandas_udf("int")
+    def __hive_hash_ts(s: pd.Series) -> pd.Series:
+        mask = s.notna()
+        out = pd.array([None] * len(s), dtype="Int32")
+        if mask.any():
+            us = s[mask].astype("datetime64[us]").to_numpy().astype(
+                np.int64
+            )
+            secs = np.floor_divide(us, 1_000_000)
+            nanos = np.mod(us, 1_000_000) * 1000
+            packed = (
+                (secs.view(np.uint64) << np.uint64(30))
+                | nanos.view(np.uint64)
+            )
+            out[np.asarray(mask)] = _fold_u64(packed)
+        return pd.Series(out, index=s.index)
+
+    @pandas_udf("int")
+    def __hive_hash_date(s: pd.Series) -> pd.Series:
+        # DateWritable.hashCode IS daysSinceEpoch (DateWritable.java:222)
+        mask = s.notna()
+        out = pd.array([None] * len(s), dtype="Int32")
+        if mask.any():
+            days = (
+                s[mask].astype("datetime64[D]").to_numpy()
+                .astype(np.int64)
+            )
+            out[np.asarray(mask)] = days.astype(np.int32)
+        return pd.Series(out, index=s.index)
+
+    return {
+        "__hive_hash_str": hive_bucket_hash_udf(),
+        "__hive_hash_long": __hive_hash_long,
+        "__hive_hash_double": __hive_hash_double,
+        "__hive_hash_float": __hive_hash_float,
+        "__hive_hash_ts": __hive_hash_ts,
+        "__hive_hash_date": __hive_hash_date,
+    }
+
+
+def register_hive_hash_family(spark: SparkSession) -> None:
+    """Register every typed hash UDF for SQL use (idempotent)."""
+    for name, udf in hive_hash_udfs().items():
+        spark.udf.register(name, udf)

@@ -36,7 +36,7 @@ _SQL_SAME = [
     "tan", "atan", "e", "factorial", "conv", "bin", "hex", "unhex", "crc32",
     # hash/codec (:243-256, 465)
     "md5", "sha1", "sha", "sha2", "aes_encrypt", "aes_decrypt", "base64",
-    "unbase64", "encode", "decode", "hash", "uuid", "chr",
+    "unbase64", "encode", "decode", "uuid", "chr",
     # datetime (:289-320, 353-354, 485-489)
     "day", "dayofmonth", "dayofweek", "month", "quarter", "year", "hour",
     "minute", "second", "from_unixtime", "to_date", "weekofyear",
@@ -94,6 +94,19 @@ _SQL_RENAMED = {
 
 _GAPS = {
     # hive name -> functions/gaps.py symbol or pattern
+    "hash": "Engine._rewrite_hive_hash — Hive's getBucketHashCode "
+            "31-fold over per-type hashCode (GenericUDFHash; "
+            "ObjectInspectorUtils.java:633-707), NOT Spark's Murmur3: "
+            "typed pre-dispatch rewrite + the __hive_hash_* Arrow UDF "
+            "family (functions/hive_hash.py); unresolvable operand "
+            "types fall back to Spark's native hash (documented)",
+    "compute_stats": "Engine._rewrite_compute_stats — the direct "
+                     "spelling of the internal stats UDAF "
+                     "(GenericUDAFComputeStats, FunctionRegistry.java"
+                     ":441) expands pre-dispatch to a type-dispatched "
+                     "named_struct of native aggregates; NDV via "
+                     "approx_count_distinct standing in for the FM "
+                     "sketch estimate",
     "ngrams": "hive_2_3_2_spark.functions.gaps.ngrams",
     "context_ngrams": "hive_2_3_2_spark.functions.gaps.context_ngrams",
     "field": "hive_2_3_2_spark.functions.gaps.field",
@@ -133,11 +146,6 @@ _GAPS = {
 
 _SKIP = {
     # engine-internal, not user query surface
-    "compute_stats": "internal UDAF behind ANALYZE ... FOR COLUMNS "
-                     "(GenericUDAFComputeStats, FunctionRegistry.java"
-                     ":441) — the engine's ANALYZE path computes the "
-                     "same statistics battery; a direct call is a "
-                     "resolution error, never a silent wrong answer",
     "ewah_bitmap": "internal bitmap-index UDAF (indexes dropped in 2.3)",
     "ewah_bitmap_and": "internal",
     "ewah_bitmap_or": "internal",

@@ -41,6 +41,7 @@ def transform_script_partial(
     df: DataFrame,
     cmd: str,
     out_names: list[str],
+    rest_of_line: bool = False,
 ) -> DataFrame:
     """ScriptOperator under hive.exec.script.allow.partial.consumption
     = true (reference: ScriptOperator.java close()/processOp() broken-
@@ -55,7 +56,14 @@ def transform_script_partial(
 
     Outputs are STRINGS (Hive's default TRANSFORM SerDe); missing
     fields read NULL, extra fields are dropped (LazySimpleSerDe
-    contract). ``\\N`` is the NULL marker both directions."""
+    contract). ``\\N`` is the NULL marker both directions.
+
+    ``rest_of_line=True`` is the no-AS default schema's
+    serialization.last.column.takes.rest contract (PlanUtils.java:257;
+    genScriptPlan SemanticAnalyzer.java:3843-3874): the LAST declared
+    column receives the remainder of the output line VERBATIM,
+    embedded tabs included — input38.q's value column is
+    'val_0\\t3\\t7', which a plain tab split would truncate."""
     import subprocess
     import threading
 
@@ -91,7 +99,11 @@ def transform_script_partial(
         feeder.start()
         rows: list[list] = []
         for line in proc.stdout:
-            parts = line.rstrip("\n").split("\t")
+            line = line.rstrip("\n")
+            parts = (
+                line.split("\t", len(names) - 1)
+                if rest_of_line else line.split("\t")
+            )
             rows.append([
                 None
                 if i >= len(parts) or parts[i] == "\\N"

@@ -87,8 +87,12 @@ def test_variable_substitution_unbound_and_disabled(eng):
     eng.sql("SET hive.variable.substitute=true")
     with pytest.raises(HiveQLUnsupportedError, match="env"):
         eng.sql("SELECT '${env:NO_SUCH_ENV_VAR_XYZ}' AS v")
+    # system: resolves from the emulated JVM/QTestUtil property map;
+    # unbound system properties stay typed errors
+    v = eng.sql("SELECT '${system:hive.version}' AS v").collect()[0].v
+    assert v == "2.3.2"
     with pytest.raises(HiveQLUnsupportedError, match="system"):
-        eng.sql("SELECT '${system:user.name}' AS v")
+        eng.sql("SELECT '${system:no.such.prop.xyz}' AS v")
 
 
 def test_set_inside_script_binds_later_statements(eng, sf_dir):

@@ -355,10 +355,13 @@ def extract_file_records() -> list[dict]:
                 # nulls-first) — an oracle artifact, not a value bug
                 # (min_structvalue.q; adjudicated r9)
                 continue
-            if re.search(r"\bhash\s*\(", s, re.IGNORECASE):
-                # SUM(HASH(...)) canonicalization goldens: hash() is
-                # engine-specific in all three engines (documented
-                # divergence: Hive=Java hashCode, Spark=Murmur3)
+            if re.search(r"\bhash\s*\(\s*[\w.]*\*", s, re.IGNORECASE):
+                # hash(*) / hash(t.*): the star expansion needs the
+                # subquery's resolved schema — out of the typed-rewrite
+                # matrix, stays a documented skip. Explicit-arg hash()
+                # statements now COMPARE: the engine rewrites them to
+                # Hive's getBucketHashCode semantics and the duck side
+                # runs the identical fold (r12).
                 continue
             if re.search(r"\bover\s*\(", s, re.IGNORECASE) and \
                     "select *" in s.lower():
@@ -509,6 +512,117 @@ def _sub_nonliteral(pattern, repl, s: str, flags: int = 0) -> str:
     return "".join(out)
 
 
+def _rewrite_cat_transforms(s: str) -> str:
+    """``TRANSFORM(exprs) USING 'cat' [AS (names)|AS n1, n2]`` → a
+    cast projection (the identity script serializes each expression to
+    its string form). With no AS clause the output schema is Hive's
+    default ``(key, value)``: key = first field, value = the remaining
+    fields tab-joined."""
+    pat = re.compile(r"(?is)\btransform\s*\(")
+    out: list[str] = []
+    while True:
+        m = pat.search(s)
+        if m is None:
+            break
+        open_idx = s.index("(", m.start())
+        depth, i, q = 1, open_idx + 1, None
+        while i < len(s) and depth:
+            ch = s[i]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        close = i - 1
+        args = [
+            a.strip() for a in _split_top_args(s[open_idx + 1:close])
+        ]
+        # expand `t.*` through the declared column order when known
+        # (mapreduce7.q's MAP src.*, ...); a bare/unknown star bails
+        expanded: list[str] = []
+        star_ok = True
+        for a in args:
+            sm = re.fullmatch(r"(\w+)\.\*", a)
+            if sm and sm.group(1).lower() in _DUCK_TABLE_COLS:
+                expanded.extend(
+                    f'{sm.group(1)}."{c}"'
+                    if c in ("key", "value") else f"{sm.group(1)}.{c}"
+                    for c in _DUCK_TABLE_COLS[sm.group(1).lower()][0]
+                )
+            elif "*" in a:
+                star_ok = False
+                break
+            else:
+                expanded.append(a)
+        args = expanded if star_ok else ["*"]
+        rest = s[close + 1:]
+        # optional ROW FORMAT DELIMITED on the INPUT side (input35.q
+        # uses '\002') — with the identity script and matching in/out
+        # delimiters the sep only matters for the no-AS value join
+        rowfmt = re.compile(
+            r"(?is)^\s*ROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+"
+            r"TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'\s*"
+        )
+        sep_ord = 9
+        eaten = 0
+        fm_ = rowfmt.match(rest)
+        if fm_:
+            raw = fm_.group(1)
+            om_ = re.fullmatch(r"\\(\d{1,3})", raw)
+            sep_ord = (
+                int(om_.group(1), 8) if om_
+                else 9 if raw in ("\\t", "\t") else ord(raw[:1] or "\t")
+            )
+            eaten = fm_.end()
+            rest = rest[eaten:]
+        um = re.match(r"(?is)^\s*using\s+'(?:\S*/)?cat'\s*", rest)
+        proj = consumed = None
+        if um is not None and args and "*" not in args:
+            rest2 = rest[um.end():]
+            am = re.match(
+                r"(?is)^as\s*\(([^()]*)\)"
+                r"|^as\s+([a-z_]\w*(?:\s*,\s*[a-z_]\w*)*)",
+                rest2,
+            )
+            casts = [f"CAST({a} AS VARCHAR)" for a in args]
+            if am:
+                names = [
+                    n.strip().split()[0]
+                    for n in _split_top_args(am.group(1) or am.group(2))
+                ]
+                if len(names) == len(args):
+                    proj = ", ".join(
+                        f'{c} AS "{n}"' for c, n in zip(casts, names)
+                    )
+                    consumed = close + 1 + eaten + um.end() + am.end()
+                    # optional OUTPUT-side ROW FORMAT after the AS
+                    tm_ = rowfmt.match(rest2[am.end():])
+                    if tm_:
+                        consumed += tm_.end()
+            else:
+                val = (
+                    casts[1] if len(casts) == 2
+                    else f"concat_ws(chr({sep_ord}), "
+                    + ", ".join(casts[1:])
+                    + ")" if len(casts) > 2 else "NULL"
+                )
+                proj = f'{casts[0]} AS "key", {val} AS "value"'
+                consumed = close + 1 + eaten + um.end()
+        if proj is None:
+            out.append(s[:close + 1])
+            s = s[close + 1:]
+            continue
+        out.append(s[:m.start()] + proj + " ")
+        s = s[consumed:]
+    out.append(s)
+    return "".join(out)
+
+
 def duck_translate(s: str) -> str:
     """Best-effort HiveQL → DuckDB oracle translation for the retry
     pass: Hive's permissive coercions spelled explicitly, plus the
@@ -539,32 +653,16 @@ def duck_translate(s: str) -> str:
         r"(?<![\w.])(\d+)S\b", r"CAST(\1 AS SMALLINT)", s
     )
     s = _sub_nonliteral(r"(?<![\w.])(\d+)Y\b", r"CAST(\1 AS TINYINT)", s)
-    # identity transform: TRANSFORM(plain cols) USING 'cat' = a cast
-    # projection (tab-delimited round trip is lossless for plain column
-    # references; literal args with embedded tabs — newline.q — keep
-    # their duck_err, that escaping is exactly what those goldens test)
-
-    def _cat_identity(mm):
-        args = _split_top_args(mm.group(1))
-        names = [
-            n.strip().split()[0]
-            for n in _split_top_args(mm.group(2) or mm.group(3))
-        ]
-        if len(args) != len(names) or any(
-            not re.fullmatch(r"[\w.]+", a.strip()) or a.strip() == "*"
-            for a in args
-        ):
-            return mm.group(0)
-        return ", ".join(
-            f"CAST({a.strip()} AS VARCHAR) AS {n}"
-            for a, n in zip(args, names)
-        )
-
-    s = re.sub(
-        r"(?is)\btransform\s*\(([^()]*)\)\s+using\s+'cat'\s+as\s+"
-        r"(?:\(([^()]*)\)|([a-z_]\w*))",
-        _cat_identity, s,
-    )
+    # identity transform: TRANSFORM(exprs) USING 'cat' = a cast
+    # projection (tab-delimited round trip is lossless — 'cat' echoes
+    # the serialized fields; literal args with embedded tabs —
+    # newline.q — keep their duck_err, that escaping is exactly what
+    # those goldens test). Balanced-paren scan so expression args
+    # (CAST(key/10 AS INT), mapreduce3.q) work; WITHOUT an AS clause
+    # Hive types the output (key, value) with value = remaining fields
+    # tab-joined (SemanticAnalyzer genScriptPlan's default schema —
+    # input18.q's regexp_replace(tmap.value,'\t','+') reads it).
+    s = _rewrite_cat_transforms(s)
     # implicit alias after a numeric literal (SELECT 11 key, ...)
     s = _sub_nonliteral(
         r"(?i)((?:\bselect|,)\s*)(\d+(?:\.\d+)?)\s+([a-z_]\w*)"
@@ -696,6 +794,54 @@ def duck_translate(s: str) -> str:
         )
 
     s = _rewrite_calls(s, "from_utc_timestamp", _from_utc_ts)
+
+    # to_utc_timestamp(ts, tz) — the inverse hop: interpret the naive
+    # timestamp in tz, render it in UTC (same POSIX zone inversion)
+    def _to_utc_ts(a):
+        if len(a) != 2:
+            return None
+        tz = a[1].strip()
+        zm = re.fullmatch(
+            r"'(?:GMT|UTC)([+-])(\d{1,2})(?::00)?'", tz
+        )
+        if zm:
+            inv = "-" if zm.group(1) == "+" else "+"
+            tz = f"'Etc/GMT{inv}{int(zm.group(2))}'"
+        return (
+            f"((TRY_CAST({a[0]} AS TIMESTAMP) AT TIME ZONE {tz}) "
+            "AT TIME ZONE 'UTC')"
+        )
+
+    s = _rewrite_calls(s, "to_utc_timestamp", _to_utc_ts)
+    # Hive's SQL-standard length spellings duck lacks: character
+    # semantics → length(), byte semantics → strlen()
+    for _nm in ("character_length", "char_length"):
+        s = _rewrite_calls(
+            s, _nm,
+            lambda a: f"length({a[0]})" if len(a) == 1 else None,
+        )
+    s = _rewrite_calls(
+        s, "octet_length",
+        lambda a: f"strlen({a[0]})" if len(a) == 1 else None,
+    )
+    # pmod(a, b) — Hive's positive modulus; DuckDB has only %
+    s = _rewrite_calls(
+        s, "pmod",
+        lambda a: (
+            f"((({a[0]}) % ({a[1]}) + ({a[1]})) % ({a[1]}))"
+            if len(a) == 2 else None
+        ),
+    )
+    # Hive's regexp_replace replaces EVERY occurrence; DuckDB's
+    # replaces only the first unless passed the 'g' option
+    # (input18.q: regexp_replace(value,'\t','+') over 'val_0\t3\t7')
+    s = _rewrite_calls(
+        s, "regexp_replace",
+        lambda a: (
+            f"regexp_replace({a[0]}, {a[1]}, {a[2]}, 'g')"
+            if len(a) == 3 else None
+        ),
+    )
     # Hive CAST(integral AS TIMESTAMP) counts epoch MILLISECONDS
     # (boolean → 0/1 ms), CAST(floating AS TIMESTAMP) counts SECONDS
     # (int.timestamp.conversion defaults, mirrored by the engine) —
@@ -1293,9 +1439,10 @@ def _hive_types_to_duck(cols: str) -> str:
     return cols
 
 
-#: duck-side declared column order per created table:
-#: name → (all column names incl. partitions, partition column names)
-_DUCK_TABLE_COLS: dict[str, tuple[list[str], list[str]]] = {}
+#: duck-side declared column order per created table: name →
+#: (all column names incl. partitions, partition column names,
+#:  duck-side column types in declaration order)
+_DUCK_TABLE_COLS: dict[str, tuple[list[str], list[str], list[str]]] = {}
 
 
 def duck_exec_statements(s: str) -> list[str]:
@@ -1340,19 +1487,26 @@ def duck_exec_statements(s: str) -> list[str]:
                 seg.strip().split()[0].strip('`').lower()
                 for seg in _split_top_args(m.group(3))
             ]
-        # remember declared/partition column order — INSERT ...
-        # PARTITION translations with MIXED static+dynamic specs need
-        # it to land values in the right columns
-        _DUCK_TABLE_COLS[m.group(1).lower()] = (
-            [
-                seg.strip().split()[0].strip('`').lower()
-                for seg in _split_top_args(cols)
-            ],
-            part_names,
-        )
+        col_names = [
+            seg.strip().split()[0].strip('`').lower()
+            for seg in _split_top_args(cols)
+        ]
         cols = re.sub(r"(?is)\bkey\b", '"key"', cols)
         cols = re.sub(r"(?is)\bvalue\b", '"value"', cols)
         cols = _hive_types_to_duck(cols)
+        # remember declared/partition column order AND the duck-side
+        # types — INSERT ... PARTITION translations with MIXED
+        # static+dynamic specs need the order to land values in the
+        # right columns, and the lenient INSERT retry (duck_lenient)
+        # needs the types to spell Hive's implicit insert conversions
+        duck_types = []
+        for seg in _split_top_args(cols):
+            seg = re.sub(r"(?is)\s+COMMENT\s+'[^']*'", "", seg).strip()
+            parts = seg.split(None, 1)
+            duck_types.append(parts[1] if len(parts) > 1 else "VARCHAR")
+        _DUCK_TABLE_COLS[m.group(1).lower()] = (
+            col_names, part_names, duck_types
+        )
         return [f"CREATE TABLE {m.group(1)} ({cols})"]
     s = re.sub(
         r"(?is)\bstored\s+as\s+\w+\s+as\s+select\b", " AS SELECT ", s
@@ -1397,15 +1551,41 @@ def duck_exec_statements(s: str) -> list[str]:
             if not bm:
                 return [duck_translate(s)]
             verb, t, pspec, body = bm.groups()
-            # inject the shared FROM before the first tail clause
-            tail = re.search(
-                r"(?i)\b(where|group\s+by|order\s+by|sort\s+by|"
-                r"distribute\s+by|cluster\s+by|limit|window)\b",
-                body,
-            )
-            if tail:
-                body = (body[: tail.start()] + f" FROM {src_clause} "
-                        + body[tail.start():])
+            # inject the shared FROM before the first TOP-LEVEL tail
+            # clause — keyword text inside parens (an OVER's
+            # `distribute by`, cbo_rp_windowing_2.q) must not split
+            tail_pos = None
+            depth, i, q = 0, 0, None
+            while i < len(body):
+                ch = body[i]
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in "'\"":
+                    q = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and (ch.isalpha() or ch == "_"):
+                    wm2 = re.match(r"\w+", body[i:])
+                    w1 = wm2.group(0).lower()
+                    if w1 in ("where", "limit", "window"):
+                        tail_pos = i
+                        break
+                    if w1 in ("group", "order", "sort",
+                              "distribute", "cluster") and re.match(
+                        r"\s+by\b", body[i + wm2.end():],
+                        re.IGNORECASE,
+                    ):
+                        tail_pos = i
+                        break
+                    i += wm2.end()
+                    continue
+                i += 1
+            if tail_pos is not None:
+                body = (body[:tail_pos] + f" FROM {src_clause} "
+                        + body[tail_pos:])
             else:
                 body = body + f" FROM {src_clause}"
             rebuilt = f"insert {verb} table {t} "
@@ -1440,7 +1620,7 @@ def duck_exec_statements(s: str) -> list[str]:
             # (partitions_filter_default.q: the c=NULL partition must
             # survive the second overwrite). Statics interleave per the
             # declared partition order (llap_smb.q).
-            all_cols, part_cols = known
+            all_cols, part_cols = known[0], known[1]
             n_data = len(all_cols) - len(part_cols)
             aliases = [f"__c{i}" for i in range(n_data + n_dyn)]
             dyn_iter = iter(aliases[n_data:])
@@ -1482,7 +1662,7 @@ def duck_exec_statements(s: str) -> list[str]:
             if n_dyn and known:
                 # append with a MIXED spec: statics interleave per the
                 # declared partition order, not append last
-                all_cols, part_cols = known
+                all_cols, part_cols = known[0], known[1]
                 n_data = len(all_cols) - len(part_cols)
                 aliases = [f"__c{i}" for i in range(n_data + n_dyn)]
                 proj = list(aliases[:n_data])
@@ -1505,6 +1685,69 @@ def duck_exec_statements(s: str) -> list[str]:
             out.append(f"INSERT INTO {t} {body_t}")
         return out
     return [duck_translate(s)]
+
+
+#: aggregates whose Hive evaluators coerce ANY operand through double
+#: (GenericUDAFSum/Average/Variance resolve string args via the
+#: implicit string→double conversion)
+_NUMERIC_ONLY_AGGS = (
+    "sum", "avg", "variance", "var_pop", "var_samp", "std", "stddev",
+    "stddev_pop", "stddev_samp",
+)
+
+
+def duck_lenient(s: str) -> str:
+    """Second-level duck-side RETRY translation — coercions that are
+    exactly Hive's implicit behavior but would be wrong to apply
+    blindly (they change result types), so they only run after both
+    the raw statement and duck_translate have failed:
+
+    1. numeric-only aggregates coerce their argument (expression args
+       included — duck_translate's base rule handles bare columns
+       only) through TRY_CAST(... AS DOUBLE);
+    2. an INSERT INTO a table with KNOWN declared duck types TRY_CASTs
+       every projected column to its target type — Hive's insert
+       conversion path (UDFToInteger & co) NULLs junk strings where
+       DuckDB's strict insert cast errors ('' → INT, input7.q)."""
+    for agg in _NUMERIC_ONLY_AGGS:
+        def _wrap(a, _agg=agg):
+            if len(a) != 1 or "TRY_CAST" in a[0].upper():
+                return None
+            arg = a[0].strip()
+            dm = re.match(r"(?is)^distinct\s+(.*)$", arg)
+            inner = dm.group(1) if dm else arg
+            pre = "DISTINCT " if dm else ""
+            duck_agg = {
+                "std": "stddev_pop", "stddev": "stddev_pop",
+                "variance": "var_pop",
+            }.get(_agg, _agg)
+            return f"{duck_agg}({pre}TRY_CAST({inner} AS DOUBLE))"
+
+        s = _rewrite_calls(s, agg, _wrap)
+    # Hive CASTs never throw — junk strings become NULL (UDFToInteger
+    # & co return null on NumberFormatException); duck's CAST errors
+    # (udf3.q: CAST('' AS INT)). \b keeps TRY_CAST itself untouched.
+    s = _sub_nonliteral(r"\bCAST\s*\(", "TRY_CAST(", s, re.IGNORECASE)
+    im = re.match(
+        r"(?is)^\s*insert\s+into\s+`?(\w+)`?\s+"
+        r"((?:select|values|from)\b.*)$",
+        s,
+    )
+    if im:
+        t, body = im.groups()
+        known = _DUCK_TABLE_COLS.get(t.lower())
+        if known and len(known) > 2 and known[2]:
+            types = known[2]
+            aliases = [f"__l{i}" for i in range(len(types))]
+            proj = ", ".join(
+                f"TRY_CAST({a} AS {ty})"
+                for a, ty in zip(aliases, types)
+            )
+            s = (
+                f"INSERT INTO {t} SELECT {proj} FROM ({body}) "
+                f"__lt({', '.join(aliases)})"
+            )
+    return s
 
 
 def _duckmap(v):
@@ -1674,6 +1917,49 @@ def register_duck_test_fns(con) -> None:
     )
     con.create_function(
         "rot13", lambda s: codecs.encode(s, "rot13"), [VARCHAR], VARCHAR
+    )
+    # --- Hive hash() parity family (r12): duck-side equivalents of
+    # the engine's __hive_hash_* Arrow UDFs, so the engine-rewritten
+    # hash fold runs verbatim on the oracle (ObjectInspectorUtils
+    # .hashCode semantics; scalar forms from functions/hive_hash) ---
+    import datetime as _dt
+
+    from duckdb.typing import BIGINT, DOUBLE, FLOAT, DATE, TIMESTAMP
+
+    from hive_2_3_2_spark.functions.hive_hash import (
+        _hash_one,
+        hive_hash_double_py,
+        hive_hash_float_py,
+        hive_hash_long_py,
+        hive_hash_timestamp_py,
+    )
+
+    def _hh_ts(ts):
+        delta = ts - _dt.datetime(1970, 1, 1)
+        us = (
+            delta.days * 86_400_000_000
+            + delta.seconds * 1_000_000
+            + delta.microseconds
+        )
+        return hive_hash_timestamp_py(us)
+
+    con.create_function(
+        "__hive_hash_str", _hash_one, [VARCHAR], INTEGER
+    )
+    con.create_function(
+        "__hive_hash_long", hive_hash_long_py, [BIGINT], INTEGER
+    )
+    con.create_function(
+        "__hive_hash_double", hive_hash_double_py, [DOUBLE], INTEGER
+    )
+    con.create_function(
+        "__hive_hash_float", hive_hash_float_py, [FLOAT], INTEGER
+    )
+    con.create_function("__hive_hash_ts", _hh_ts, [TIMESTAMP], INTEGER)
+    con.create_function(
+        "__hive_hash_date",
+        lambda d: (d - _dt.date(1970, 1, 1)).days,
+        [DATE], INTEGER,
     )
     # --- Hive date/string scalar functions DuckDB lacks (r11 batch 4;
     # args arrive as VARCHAR — duck_translate wraps them in CASTs) ---
@@ -1961,6 +2247,19 @@ def main() -> None:
     )
 
     register_duck_test_fns(con)
+    # base-fixture column orders (the created-table entries land via
+    # duck_exec_statements; these pre-seed t.* expansion for the
+    # harness tables)
+    _DUCK_TABLE_COLS.setdefault(
+        "src", (["key", "value"], [], ["VARCHAR", "VARCHAR"])
+    )
+    _DUCK_TABLE_COLS.setdefault(
+        "src1", (["key", "value"], [], ["VARCHAR", "VARCHAR"])
+    )
+    _DUCK_TABLE_COLS.setdefault(
+        "srcpart",
+        (["key", "value", "ds", "hr"], ["ds", "hr"], ["VARCHAR"] * 4),
+    )
     recs = extract_file_records()
     if args.files:
         only = set(args.files.split(","))
@@ -2138,6 +2437,21 @@ def main() -> None:
                     duck_stmt = (
                         _rewrite_groupby_ordinal_constants(s) or s
                     )
+                if re.search(r"\bhash\s*\(", duck_stmt, re.IGNORECASE):
+                    # the engine runs its own typed hash() rewrite
+                    # inside eng.sql; the duck side needs the SAME
+                    # expansion text (the __hive_hash_* fns are
+                    # registered python UDFs here)
+                    duck_stmt = eng._rewrite_hive_hash(duck_stmt)
+                    if re.search(
+                        r"(?<![\w_])hash\s*\(", duck_stmt, re.IGNORECASE
+                    ):
+                        # an arg the typed rewrite couldn't resolve —
+                        # native-Murmur3 on the engine side, documented
+                        counts["hash_native_skip"] = (
+                            counts.get("hash_native_skip", 0) + 1
+                        )
+                        continue
                 _run_select(
                     rec["file"], s, not broken, eng, con, counts,
                     mismatches, spark_errs, _norm, duck_errs,
@@ -2162,10 +2476,24 @@ def main() -> None:
                 )
                 broken = True
                 continue
-            for ds in duck_exec_statements(s):
+            s_duck = s
+            if re.search(r"\bhash\s*\(", s, re.IGNORECASE):
+                # fixture INSERTs computing hash() (orc_merge10's
+                # pmod(hash(key),2) partition column) build the duck
+                # copy from the engine's typed expansion
+                s_duck = eng._rewrite_hive_hash(s)
+            for ds in duck_exec_statements(s_duck):
                 try:
                     con.execute(ds)
                 except Exception as de:
+                    # retry with the lenient coercion pass (Hive's
+                    # implicit insert/aggregate conversions spelled
+                    # out) before declaring the duck build broken
+                    try:
+                        con.execute(duck_lenient(ds))
+                        continue
+                    except Exception:
+                        pass
                     # the select over this table will surface as
                     # duck_err/fixture class — the engine side still
                     # ran; remember WHICH table's duck build broke so
