@@ -550,7 +550,7 @@ def _rewrite_cat_transforms(s: str) -> str:
             sm = re.fullmatch(r"(\w+)\.\*", a)
             if sm and sm.group(1).lower() in _DUCK_TABLE_COLS:
                 expanded.extend(
-                    f'{sm.group(1)}."{c}"'
+                    f"{sm.group(1)}.`{c}`"
                     if c in ("key", "value") else f"{sm.group(1)}.{c}"
                     for c in _DUCK_TABLE_COLS[sm.group(1).lower()][0]
                 )
@@ -597,7 +597,7 @@ def _rewrite_cat_transforms(s: str) -> str:
                 ]
                 if len(names) == len(args):
                     proj = ", ".join(
-                        f'{c} AS "{n}"' for c, n in zip(casts, names)
+                        f"{c} AS `{n}`" for c, n in zip(casts, names)
                     )
                     consumed = close + 1 + eaten + um.end() + am.end()
                     # optional OUTPUT-side ROW FORMAT after the AS
@@ -611,7 +611,7 @@ def _rewrite_cat_transforms(s: str) -> str:
                     + ", ".join(casts[1:])
                     + ")" if len(casts) > 2 else "NULL"
                 )
-                proj = f'{casts[0]} AS "key", {val} AS "value"'
+                proj = f"{casts[0]} AS `key`, {val} AS `value`"
                 consumed = close + 1 + eaten + um.end()
         if proj is None:
             out.append(s[:close + 1])
@@ -653,6 +653,15 @@ def duck_translate(s: str) -> str:
         r"(?<![\w.])(\d+)S\b", r"CAST(\1 AS SMALLINT)", s
     )
     s = _sub_nonliteral(r"(?<![\w.])(\d+)Y\b", r"CAST(\1 AS TINYINT)", s)
+    # D/F float-literal suffixes (1.5D double, 2.5F float)
+    s = _sub_nonliteral(
+        r"(?<![\w.])(\d+\.\d+)D\b", r"CAST(\1 AS DOUBLE)", s,
+        re.IGNORECASE,
+    )
+    s = _sub_nonliteral(
+        r"(?<![\w.])(\d+\.\d+)F\b", r"CAST(\1 AS FLOAT)", s,
+        re.IGNORECASE,
+    )
     # identity transform: TRANSFORM(exprs) USING 'cat' = a cast
     # projection (tab-delimited round trip is lossless — 'cat' echoes
     # the serialized fields; literal args with embedded tabs —
@@ -832,6 +841,23 @@ def duck_translate(s: str) -> str:
             if len(a) == 2 else None
         ),
     )
+    # CAST/TRY_CAST ... AS STRING — duck's column type is VARCHAR
+    s = _sub_nonliteral(r"(?i)\bAS\s+STRING\b", "AS VARCHAR", s)
+    # locate(needle, haystack[, pos]) → instr with Hive's 1-based
+    # from-pos semantics (GenericUDFLocate)
+
+    def _locate(a):
+        if len(a) == 2:
+            return f"instr({a[1]}, {a[0]})"
+        if len(a) == 3:
+            sub = f"instr(substr({a[1]}, {a[2]}), {a[0]})"
+            return (
+                f"(CASE WHEN {sub} = 0 THEN 0 "
+                f"ELSE {sub} + {a[2]} - 1 END)"
+            )
+        return None
+
+    s = _rewrite_calls(s, "locate", _locate)
     # Hive's regexp_replace replaces EVERY occurrence; DuckDB's
     # replaces only the first unless passed the 'g' option
     # (input18.q: regexp_replace(value,'\t','+') over 'val_0\t3\t7')
@@ -955,6 +981,9 @@ def duck_translate(s: str) -> str:
         ) if len(a) > 1
         and any(re.fullmatch(r"\s*\d+\s*", x) for x in a)
         and any(not re.fullmatch(r"\s*[\d.']+\s*", x) for x in a)
+        # the engine-emitted hash folds coalesce an INT-returning
+        # UDF with 0 — integer is the right common type there
+        and not any("__hive_hash" in x for x in a)
         else None,
     )
     # empty array() literal
@@ -1122,7 +1151,9 @@ def duck_translate(s: str) -> str:
     )
     # JOIN with the condition in WHERE (no ON clause) is Hive's
     # old-style inner join = a cross join + filter
-    if not re.search(r"\bON\b", s, re.IGNORECASE) and re.search(
+    if not re.search(r"\bON\b", s, re.IGNORECASE) and not re.search(
+        r"\bUSING\s*\(", s, re.IGNORECASE  # named-column join keeps JOIN
+    ) and re.search(
         r"\bJOIN\b", s, re.IGNORECASE
     ) and not re.search(
         r"\b(LEFT|RIGHT|FULL|SEMI|ANTI|CROSS|OUTER)\s+JOIN\b",
@@ -1209,6 +1240,10 @@ def duck_translate(s: str) -> str:
         rf"\b({_IDENT})\s*([+\-*/%])\s*(\d+(?:\.\d+)?)(?![\w.])",
         r"TRY_CAST(\1 AS DOUBLE) \2 \3", s,
     )
+    # a bitwise OR whose left side the arith coercion just turned
+    # DOUBLE needs integral operands in duck ((empno*2)|1,
+    # multi_column_in.q) — ::BIGINT restores the integral type
+    s = _sub_nonliteral(r"\)\s*\|(?!\|)", ")::BIGINT |", s)
     # Hive CAST(x AS INT-family) TRUNCATES the double toward zero
     # (mapreduce5.q golden: CAST(15/10 AS INT) = 1); DuckDB's cast
     # ROUNDS (15/10 -> 2). Applied only when the operand divides —
@@ -1469,13 +1504,19 @@ def duck_exec_statements(s: str) -> list[str]:
 
         s = _rewrite_map_reduce_transform(s)
     m = re.match(
-        r"(?is)^\s*create\s+table\s+`?(\w+)`?\s*\((.*?)\)\s*"
+        r"(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"
+        r"`?(\w+)`?\s*\((.*?)\)\s*"
         r"(?:partitioned\s+by\s*\((.*?)\))?\s*"
-        r"(?:clustered\s+by\s*\([^)]*\)\s*"
-        r"(?:sorted\s+by\s*\([^)]*\)\s*)?"
+        r"(?:clustered\s+by\s*\((?:[^()`]|`[^`]*`)*\)\s*"
+        r"(?:sorted\s+by\s*\((?:[^()`]|`[^`]*`)*\)\s*)?"
         r"into\s+\d+\s+buckets\s*)?"
-        r"(?:row\s+format\s+delimited[^;]*?)?"
-        r"(?:stored\s+as\s+\w+)?\s*(?:tblproperties\s*\(.*\))?\s*$",
+        r"(?:row\s+format\s+delimited[^;]*?"
+        r"|row\s+format\s+serde\s+'[^']*'\s*"
+        r"(?:with\s+serdeproperties\s*\([^)]*\)\s*)?)?"
+        r"(?:stored\s+as\s+(?:inputformat\s+'[^']*'\s+"
+        r"outputformat\s+'[^']*'|\w+))?"
+        r"\s*(?:location\s+'[^']*')?"
+        r"\s*(?:tblproperties\s*\(.*\))?\s*$",
         s,
     )
     if m:
@@ -1491,8 +1532,11 @@ def duck_exec_statements(s: str) -> list[str]:
             seg.strip().split()[0].strip('`').lower()
             for seg in _split_top_args(cols)
         ]
-        cols = re.sub(r"(?is)\bkey\b", '"key"', cols)
-        cols = re.sub(r"(?is)\bvalue\b", '"value"', cols)
+        # backticked column names (reserved words, innerjoin.q's
+        # `inner`) → ANSI quotes BEFORE the bare key/value quoting
+        cols = re.sub(r"`([^`]*)`", r'"\1"', cols)
+        cols = re.sub(r'(?is)(?<!")\bkey\b(?!")', '"key"', cols)
+        cols = re.sub(r'(?is)(?<!")\bvalue\b(?!")', '"value"', cols)
         cols = _hive_types_to_duck(cols)
         # remember declared/partition column order AND the duck-side
         # types — INSERT ... PARTITION translations with MIXED
@@ -1507,7 +1551,7 @@ def duck_exec_statements(s: str) -> list[str]:
         _DUCK_TABLE_COLS[m.group(1).lower()] = (
             col_names, part_names, duck_types
         )
-        return [f"CREATE TABLE {m.group(1)} ({cols})"]
+        return [f'CREATE TABLE "{m.group(1)}" ({cols})']
     s = re.sub(
         r"(?is)\bstored\s+as\s+\w+\s+as\s+select\b", " AS SELECT ", s
     )
@@ -1588,7 +1632,7 @@ def duck_exec_statements(s: str) -> list[str]:
                         + body[tail_pos:])
             else:
                 body = body + f" FROM {src_clause}"
-            rebuilt = f"insert {verb} table {t} "
+            rebuilt = f"insert {verb} table `{t}` "
             if pspec:
                 rebuilt += f"partition ({pspec}) "
             rebuilt += body
@@ -1637,14 +1681,14 @@ def duck_exec_statements(s: str) -> list[str]:
                 + f" FROM ({body_t}) __p(" + ", ".join(aliases) + ")"
             )
             conds = " AND ".join(
-                f'd."{p}" IS NOT DISTINCT FROM {t}."{p}"'
+                f'd."{p}" IS NOT DISTINCT FROM "{t}"."{p}"'
                 for p in part_cols
             )
             out.append(
-                f"DELETE FROM {t} WHERE EXISTS "
+                f'DELETE FROM "{t}" WHERE EXISTS '
                 f"(SELECT 1 FROM __dyn_ins d WHERE {conds})"
             )
-            out.append(f"INSERT INTO {t} SELECT * FROM __dyn_ins")
+            out.append(f'INSERT INTO "{t}" SELECT * FROM __dyn_ins')
             out.append("DROP TABLE __dyn_ins")
             return out
         if verb.lower() == "overwrite":
@@ -1654,10 +1698,10 @@ def duck_exec_statements(s: str) -> list[str]:
                     f"{nm} = {v}" for nm, v in spec_items
                 ]
                 out.append(
-                    f"DELETE FROM {t} WHERE " + " AND ".join(conds)
+                    f'DELETE FROM "{t}" WHERE ' + " AND ".join(conds)
                 )
             else:
-                out.append(f"DELETE FROM {t}")
+                out.append(f'DELETE FROM "{t}"')
         if statics:
             if n_dyn and known:
                 # append with a MIXED spec: statics interleave per the
@@ -1670,7 +1714,7 @@ def duck_exec_statements(s: str) -> list[str]:
                 for _nm, v in spec_items:
                     proj.append(v if v is not None else next(dyn_iter))
                 out.append(
-                    f"INSERT INTO {t} SELECT "
+                    f'INSERT INTO "{t}" SELECT '
                     + ", ".join(proj)
                     + f" FROM ({body_t}) __p("
                     + ", ".join(aliases) + ")"
@@ -1682,9 +1726,47 @@ def duck_exec_statements(s: str) -> list[str]:
                     f"FROM ({body_t}) __p"
                 )
         else:
-            out.append(f"INSERT INTO {t} {body_t}")
+            known2 = _DUCK_TABLE_COLS.get(t.lower())
+            if (
+                known2 and len(known2) > 2 and known2[2]
+                and re.match(r"(?is)^\s*select\b", body_t)
+            ):
+                # spell Hive's insert conversion (trunc-not-round for
+                # int targets) whenever the declared types are known
+                out.append(_typed_insert(t, body_t, known2[2]))
+            else:
+                out.append(f'INSERT INTO "{t}" {body_t}')
         return out
     return [duck_translate(s)]
+
+
+def _typed_insert(t: str, body: str, types: list[str]) -> str:
+    """INSERT with Hive's insert-conversion semantics spelled out:
+    TRY_CAST per declared column (junk strings → NULL like the
+    UDFToX converters), and int-family targets TRUNCATE fractional
+    sources toward zero — Hive converts via the Java (int)/(long)
+    casts where DuckDB's cast ROUNDS (cbo_rp_windowing_2.q's
+    cume_dist() into an INT column is golden 0, duck rounded to 1).
+    Integral-valued sources keep the DIRECT cast so huge bigints
+    don't round-trip through double."""
+    aliases = [f"__t{i}" for i in range(len(types))]
+    proj = []
+    for a, ty in zip(aliases, types):
+        if ty.upper() in (
+            "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT"
+        ):
+            d = f"TRY_CAST({a} AS DOUBLE)"
+            proj.append(
+                f"CASE WHEN {d} IS NOT NULL AND TRUNC({d}) <> {d} "
+                f"THEN TRY_CAST(TRUNC({d}) AS {ty}) "
+                f"ELSE TRY_CAST({a} AS {ty}) END"
+            )
+        else:
+            proj.append(f"TRY_CAST({a} AS {ty})")
+    return (
+        f'INSERT INTO "{t}" SELECT ' + ", ".join(proj)
+        + f" FROM ({body}) __tp({', '.join(aliases)})"
+    )
 
 
 #: aggregates whose Hive evaluators coerce ANY operand through double
@@ -1729,7 +1811,7 @@ def duck_lenient(s: str) -> str:
     # (udf3.q: CAST('' AS INT)). \b keeps TRY_CAST itself untouched.
     s = _sub_nonliteral(r"\bCAST\s*\(", "TRY_CAST(", s, re.IGNORECASE)
     im = re.match(
-        r"(?is)^\s*insert\s+into\s+`?(\w+)`?\s+"
+        r'(?is)^\s*insert\s+into\s+["`]?(\w+)["`]?\s+'
         r"((?:select|values|from)\b.*)$",
         s,
     )
@@ -1737,16 +1819,7 @@ def duck_lenient(s: str) -> str:
         t, body = im.groups()
         known = _DUCK_TABLE_COLS.get(t.lower())
         if known and len(known) > 2 and known[2]:
-            types = known[2]
-            aliases = [f"__l{i}" for i in range(len(types))]
-            proj = ", ".join(
-                f"TRY_CAST({a} AS {ty})"
-                for a, ty in zip(aliases, types)
-            )
-            s = (
-                f"INSERT INTO {t} SELECT {proj} FROM ({body}) "
-                f"__lt({', '.join(aliases)})"
-            )
+            s = _typed_insert(t, body, known[2])
     return s
 
 
@@ -1854,6 +1927,10 @@ FIXTURE_ADJUDICATIONS: dict[tuple[str, str], str] = {
     ("hybridgrace_hashjoin_1", "decimal_mapjoin"): _DEC_ULP,
     ("vector_decimal_math_funcs", "decimal_test"): _DEC_ULP,
     ("vector_reduce_groupby_decimal", "decimal_test"): _DEC_ULP,
+    # r12: unlocked by the typed-insert translation — the CTAS casts
+    # (cdouble*9.3)/13 to DECIMAL(23,14); evidence shows
+    # '717.70961538461540' vs '...44', the 17th significant digit
+    ("vector_between_in", "decimal_date_test"): _DEC_ULP,
 }
 
 
@@ -2315,7 +2392,7 @@ def main() -> None:
                     sp = sorted(
                         (tuple(_norm(v) for v in row)
                          for row in eng.sql(
-                             f"select * from {t}").collect()),
+                             f"select * from `{t}`").collect()),
                         key=repr,
                     )
                 except Exception as e:
@@ -2326,7 +2403,7 @@ def main() -> None:
                         du = sorted(
                             (tuple(_norm(_duckmap(v)) for v in row)
                              for row in con.execute(
-                                 f"SELECT * FROM {t}").fetchall()),
+                                 f'SELECT * FROM "{t}"').fetchall()),
                             key=repr,
                         )
                     except Exception as e:
@@ -2499,7 +2576,7 @@ def main() -> None:
                     # ran; remember WHICH table's duck build broke so
                     # the divergence classifies as duck_prelude_err
                     dt = re.match(
-                        r"(?is)^\s*insert\s+into\s+`?(\w+)`?", ds
+                        r'(?is)^\s*insert\s+into\s+["`]?(\w+)["`]?', ds
                     )
                     if dt:
                         duck_failed.setdefault(
@@ -2523,8 +2600,8 @@ def main() -> None:
                     eng.sql(stmt).collect()
                 except Exception:
                     pass
-            for stmt in (f"DROP TABLE IF EXISTS {t}",
-                         f"DROP VIEW IF EXISTS {t}"):
+            for stmt in (f'DROP TABLE IF EXISTS "{t}"',
+                         f'DROP VIEW IF EXISTS "{t}"'):
                 try:
                     con.execute(stmt)
                 except Exception:
