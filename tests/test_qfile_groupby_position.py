@@ -1,6 +1,10 @@
 """The group-by-constant / position-alias matrix under BOTH settings
 of hive.groupby.orderby.position.alias (reference default: false,
-HiveConf.java HIVE_GROUPBY_ORDERBY_POSITION_ALIAS).
+HiveConf.java HIVE_GROUPBY_ORDERBY_POSITION_ALIAS) — and the SPLIT
+confs Hive 2.3 actually dispatches on (processPositionAlias,
+SemanticAnalyzer.java:12743-12748): hive.groupby.position.alias
+(default false) and hive.orderby.position.alias (default TRUE — ORDER
+BY ordinals by default, which is exactly Spark's orderByOrdinal).
 
 Reference: ql/src/test/queries/clientpositive/constGby.q (alias OFF —
 bare GROUP BY integers are constants; over the empty t1 every
@@ -8,10 +12,11 @@ group-by-constant select returns ZERO rows while the plain counts
 return 0) and groupby_position.q (alias ON — positions resolve to
 select items in FROM-first multi-inserts, subqueries, and joins).
 
-Deliberate, documented divergence: ORDER BY positions keep Spark's
-ordinal semantics under BOTH settings. With the conf off Hive orders
-by a constant — every row ties, so ANY permutation (including Spark's
-ordinal one) is a valid Hive outcome; the result SET is identical.
+r12 additions: the per-ITEM semantics — processPositionAlias walks
+each Number node individually, so a MIXED list ('group by 1, value')
+turns only the integer into a constant with the alias off; SORT BY is
+absent from processPositionAlias entirely, so its integers are ALWAYS
+constants.
 """
 
 from __future__ import annotations
@@ -86,6 +91,81 @@ def test_alias_off_ungrouped_column_errors_like_hive(eng):
         ).collect()
     with pytest.raises(Exception, match="MISSING_AGGREGATION"):
         eng.sql("select key from src_gbp group by 1").collect()
+
+
+def test_alias_off_mixed_list_integer_is_constant(eng):
+    """Mixed GROUP BY list, alias OFF: 'group by 1, value' groups by
+    (const, value) — selecting key surfaces the not-grouped error
+    class (previously Spark silently grouped by (key, value))."""
+    with pytest.raises(Exception, match="MISSING_AGGREGATION"):
+        eng.sql(
+            "select key, value, count(*) from src_gbp group by 1, value"
+        ).collect()
+    # integer in SECOND position, same rule
+    with pytest.raises(Exception, match="MISSING_AGGREGATION"):
+        eng.sql(
+            "select key, value, count(*) from src_gbp group by key, 2"
+        ).collect()
+    # grouping by the real column plus a constant works and yields
+    # the per-column groups
+    got = sorted(
+        tuple(r) for r in eng.sql(
+            "select key, count(*) from src_gbp group by key, 2"
+        ).collect()
+    )
+    assert len(got) == len({k for k, _ in SRC_ROWS})
+
+
+def test_alias_on_mixed_list_resolves_positions(eng, spark):
+    """Split conf: hive.groupby.position.alias=true resolves the
+    integer inside a mixed list to its select item."""
+    eng.sql("set hive.groupby.position.alias=true")
+    try:
+        got = sorted(
+            tuple(r) for r in eng.sql(
+                "select key, value, count(*) from src_gbp "
+                "group by 1, value"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in spark.sql(
+                "select key, value, count(*) from src_gbp "
+                "group by key, value"
+            ).collect()
+        )
+        assert got == want and len(got) > 1
+    finally:
+        eng.sql("set hive.groupby.position.alias=false")
+
+
+def test_sortby_integer_always_constant_in_matrix(eng):
+    """TOK_SORTBY is absent from processPositionAlias — SORT BY 1 is a
+    constant under EVERY conf combination (no-op per-partition sort,
+    full result set back)."""
+    for conf in (
+        "set hive.groupby.orderby.position.alias=true",
+        "set hive.groupby.orderby.position.alias=false",
+    ):
+        eng.sql(conf)
+        rows = eng.sql("select key from src_gbp sort by 1").collect()
+        assert len(rows) == len(SRC_ROWS)
+
+
+def test_orderby_split_conf_matrix(eng):
+    """hive.orderby.position.alias default TRUE → ordinal; explicitly
+    false → constant (no-op, every row still returned)."""
+    got = [
+        r.key for r in eng.sql(
+            "select key from src_gbp order by 1 limit 3"
+        ).collect()
+    ]
+    assert got == sorted((k for k, _ in SRC_ROWS))[:3]
+    eng.sql("set hive.orderby.position.alias=false")
+    try:
+        rows = eng.sql("select key from src_gbp order by 1").collect()
+        assert len(rows) == len(SRC_ROWS)
+    finally:
+        eng.sql("set hive.orderby.position.alias=true")
 
 
 def test_alias_on_positions_resolve_to_select_items(eng, spark):

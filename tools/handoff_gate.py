@@ -103,6 +103,19 @@ def _unadjudicated() -> list[str]:
                     f"QFILE_SWEEP fixture_divergent {d['file']}."
                     f"{d['table']} (class={d.get('class')})"
                 )
+        for e in sweep.get("spark_errors", []):
+            if not e.get("adjudication"):
+                out.append(
+                    f"QFILE_SWEEP spark_error {e['file']}: "
+                    f"{' '.join(e.get('stmt', '')[:80].split())}"
+                )
+        for e in sweep.get("duck_errors", []):
+            if e.get("status") not in ("duck_cannot", "untranslated"):
+                out.append(
+                    f"QFILE_SWEEP duck_error without status "
+                    f"{e['file']}: "
+                    f"{' '.join(e.get('stmt', '')[:80].split())}"
+                )
     bench_path = os.path.join(REPO, "BENCH_sf1_registry.json")
     if os.path.exists(bench_path):
         bench = json.load(open(bench_path))

@@ -1844,6 +1844,67 @@ def _duckmap(v):
     return v
 
 
+#: self-adjudication for spark_errors raised as the engine's OWN typed
+#: error — the deliberate out-of-scope surface names itself
+_TYPED_GAP_ADJ = (
+    "typed engine gap (HiveQLUnsupportedError): the engine refuses "
+    "this surface deliberately and the err text names why — the error "
+    "IS the adjudication (negative-corpus behavior, not a crash)"
+)
+
+#: per-file adjudications for UNTYPED spark errors (real Spark
+#: rejections the engine does not catch) — same contract as
+#: MISMATCH_ADJUDICATIONS: a null adjudication fails the handoff gate
+SPARK_ERROR_ADJUDICATIONS: dict[str, str] = {
+    "quotedid_basic": (
+        "quoted-identifier ESCAPED backtick (`x+1``` is x+1` — "
+        "doubled-backtick escape inside the name): Spark's parser has "
+        "no backtick-escape in this engine's mangling path; the "
+        "downstream selects are skipped with the fixture. Narrow "
+        "lexer-level gap, recorded."
+    ),
+    "quotedid_smb": (
+        "same doubled-backtick escape family as quotedid_basic where "
+        "present; bucketed-join selects over the special-char columns "
+        "replay in tests/test_qfile_bucketmapjoin_family.py instead."
+    ),
+    "struct_in_view": (
+        "a COLUMN literally named `default`: Hive resolves "
+        "default.src.`end`.key as column-field chain where Spark "
+        "reads `default` as the database qualifier — resolution-order "
+        "divergence on a reserved-word column name, recorded "
+        "(struct-IN itself value-verifies in vector_struct_in)."
+    ),
+    "binary_output_format": (
+        "TRANSFORM ... RECORDWRITER with a custom output format "
+        "class — custom serde/recordwriter classes are out of scope "
+        "per SURVEY §2.2."
+    ),
+}
+
+#: duck_errors carry a status: 'duck_cannot' = DuckDB lacks the
+#: capability (interval literals, collect_set/list, histogram sketch,
+#: aes, grouping__id, windowed RANGE frames over named windows) —
+#: translation can't help; 'untranslated' = a translation COULD exist
+#: but hasn't been written (the batch-N backlog the verdict tracks).
+_DUCK_CANNOT_STMT = re.compile(
+    r"(?is)\binterval_year_month\s*\(|\binterval_day_time\s*\("
+    r"|\binterval\s+'[^']*'\s+(?:year|month|day|hour|minute|second)"
+    r"|\bhistogram_numeric\s*\(|\baes_(?:en|de)crypt\s*\("
+    r"|\bgrouping__id\b"
+    r"|\bcollect_(?:set|list)\s*\("
+    r"|\bwindow\s+\w+\s+as\s*\((?:[^()]|\([^)]*\))*\b(?:rows|range)"
+    r"\s+between\b"
+)
+
+
+def _duck_status(stmt: str) -> str:
+    return (
+        "duck_cannot" if _DUCK_CANNOT_STMT.search(stmt)
+        else "untranslated"
+    )
+
+
 #: standing adjudications for value-sweep mismatches, keyed by .q
 #: basename — written INTO the artifact so a fresh reader can audit a
 #: mismatch without COVERAGE.md archaeology. A mismatch whose file has
@@ -2545,11 +2606,22 @@ def main() -> None:
                     # defensive drops (DROP TABLE of a view, drop of an
                     # unreplayed recreate) are non-fatal in the goldens
                     continue
+                from hive_2_3_2_spark.engine import (
+                    HiveQLUnsupportedError,
+                )
+
                 counts["prelude_err"] += 1
                 spark_errs.append(
                     {"file": rec["file"], "stmt": s[:200], "kind":
                      "prelude",
-                     "err": " ".join(str(e).split())[:160]}
+                     "err": " ".join(str(e).split())[:160],
+                     "adjudication": SPARK_ERROR_ADJUDICATIONS.get(
+                         rec["file"]
+                     ) or (
+                         _TYPED_GAP_ADJ
+                         if isinstance(e, HiveQLUnsupportedError)
+                         else None
+                     )}
                 )
                 broken = True
                 continue
@@ -2643,10 +2715,16 @@ def _run_select(
         sp_rows = df.collect()
         sp_cols = df.columns
     except Exception as e:
+        from hive_2_3_2_spark.engine import HiveQLUnsupportedError
+
         counts["spark_err"] += 1
         spark_errs.append(
             {"file": name, "stmt": s[:200],
-             "err": " ".join(str(e).split())[:160]}
+             "err": " ".join(str(e).split())[:160],
+             "adjudication": SPARK_ERROR_ADJUDICATIONS.get(name) or (
+                 _TYPED_GAP_ADJ
+                 if isinstance(e, HiveQLUnsupportedError) else None
+             )}
         )
         return
     translated = False
@@ -2665,14 +2743,22 @@ def _run_select(
             du_rows = rel.fetchall()
             du_cols = [d[0] for d in rel.description]
             translated = True
-        except Exception as e:
-            counts["duck_err"] += 1
-            if duck_errs is not None:
-                duck_errs.append(
-                    {"file": name, "stmt": ds[:200],
-                     "err": " ".join(str(e).split())[:160]}
-                )
-            return
+        except Exception:
+            try:
+                # lenient pass: Hive's implicit coercions spelled out
+                rel = con.execute(duck_lenient(duck_translate(ds)))
+                du_rows = rel.fetchall()
+                du_cols = [d[0] for d in rel.description]
+                translated = True
+            except Exception as e:
+                counts["duck_err"] += 1
+                if duck_errs is not None:
+                    duck_errs.append(
+                        {"file": name, "stmt": ds[:200],
+                         "err": " ".join(str(e).split())[:160],
+                         "status": _duck_status(ds)}
+                    )
+                return
     # the SAME SQL text runs on both engines, so columns align by
     # POSITION — positional canonicalization sidesteps the
     # unaliased-expression naming differences between engines
