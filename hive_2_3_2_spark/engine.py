@@ -5357,6 +5357,179 @@ class Engine:
             "% 4294967296 - 2147483648)"
         )
 
+    _HASH_STAR = re.compile(
+        r"\bhash\s*\(\s*(?:(\w+)\s*\.)?\*\s*\)", re.IGNORECASE
+    )
+
+    def _expand_hash_star(
+        self, query: str
+    ) -> tuple[str, dict[str, object]]:
+        """``hash(*)`` / ``hash(t.*)`` → the explicit column list
+        (GenericUDFHash receives the expanded row like any * in Hive's
+        select analysis). Three resolvable shapes: a qualified alias, a
+        single plain FROM table, and FROM (subselect) alias — where the
+        inner select list's plain columns resolve by schema and its
+        ``expr AS alias`` items contribute TYPE HINTS (count(*) is a
+        bigint, CAST pins its target) returned for the typed-hash
+        resolver. Anything else leaves the star in place (the caller
+        then keeps Spark's native hash)."""
+        from pyspark.sql import types as T
+
+        if not self._HASH_STAR.search(query):
+            return query, {}
+        mentioned = self._mentioned_schemas(query)
+        alias_of = self._from_alias_map(query, mentioned)
+        extra: dict[str, object] = {}
+
+        _CAST_T = {
+            "int": T.IntegerType(), "integer": T.IntegerType(),
+            "bigint": T.LongType(), "smallint": T.ShortType(),
+            "tinyint": T.ByteType(), "double": T.DoubleType(),
+            "float": T.FloatType(), "string": T.StringType(),
+            "boolean": T.BooleanType(), "date": T.DateType(),
+            "timestamp": T.TimestampType(),
+        }
+
+        def _depth0(pos: int) -> bool:
+            depth = 0
+            in_q = None
+            for ch in query[:pos]:
+                if in_q:
+                    if ch == in_q:
+                        in_q = None
+                elif ch in "'\"":
+                    in_q = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+            return depth == 0
+
+        def _plain_from_cols() -> list[str] | None:
+            if re.search(r"\bjoin\b", query, re.IGNORECASE):
+                return None
+            for fm in re.finditer(
+                r"(?is)\bfrom\s+([\w.]+)", query
+            ):
+                if not _depth0(fm.start()):
+                    continue
+                t = fm.group(1).split(".")[-1].lower()
+                schema = mentioned.get(t)
+                if schema is None:
+                    return None
+                return [f.name for f in schema.fields]
+            return None
+
+        def _subselect_cols() -> list[str] | None:
+            fsm = next(
+                (
+                    mm
+                    for mm in re.finditer(r"(?is)\bfrom\s*\(", query)
+                    if _depth0(mm.start())
+                ),
+                None,
+            )
+            if fsm is None:
+                return None
+            open_idx = query.index("(", fsm.start())
+            close = _scan_balanced(query, open_idx)
+            inner = query[open_idx + 1:close]
+            sm = re.match(
+                r"(?is)^\s*select\s+(?:distinct\s+)?(.*)$", inner
+            )
+            if sm is None:
+                return None
+            body = sm.group(1)
+            # top-level select list: scan to the depth-0 FROM
+            items: list[str] = []
+            depth = 0
+            quote = None
+            i = start = 0
+            end = len(body)
+            while i < len(body):
+                ch = body[i]
+                if quote:
+                    if ch == quote:
+                        quote = None
+                elif ch in "'\"":
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and ch == ",":
+                    items.append(body[start:i])
+                    start = i + 1
+                elif depth == 0 and ch in "fF" and re.match(
+                    r"(?i)from\b", body[i:]
+                ) and (i == 0 or not (
+                    body[i - 1].isalnum() or body[i - 1] == "_"
+                )):
+                    end = i
+                    break
+                i += 1
+            items.append(body[start:end])
+            names: list[str] = []
+            for it in items:
+                it = it.strip().rstrip()
+                if it == "*":
+                    # (select * from <one table> ...) — recurse once
+                    if re.search(r"\bjoin\b", inner, re.IGNORECASE):
+                        return None
+                    fm2 = re.search(
+                        r"(?is)\bfrom\s+([\w.]+)", body[end:]
+                    )
+                    sch = mentioned.get(
+                        fm2.group(1).split(".")[-1].lower()
+                    ) if fm2 else None
+                    if sch is None:
+                        return None
+                    names.extend(f.name for f in sch.fields)
+                    continue
+                if re.fullmatch(r"[\w.]+", it):
+                    names.append(it.split(".")[-1])
+                    continue
+                am = re.match(
+                    r"(?is)^(.*?)\s+as\s+`?(\w+)`?\s*$", it
+                )
+                if am is None:
+                    return None
+                expr, alias = am.group(1).strip(), am.group(2)
+                names.append(alias)
+                if re.match(r"(?is)^count\s*\(", expr):
+                    extra[alias.lower()] = T.LongType()
+                else:
+                    cm = re.match(
+                        r"(?is)^cast\s*\(.*\bas\s+(\w+)"
+                        r"(?:\(\s*\d+[^)]*\))?\s*\)$",
+                        expr,
+                    )
+                    if cm and cm.group(1).lower() in _CAST_T:
+                        extra[alias.lower()] = _CAST_T[
+                            cm.group(1).lower()
+                        ]
+                    # plain-identifier exprs resolve by schema later;
+                    # anything else stays unresolvable → native hash
+            return names
+
+        def repl(m: re.Match[str]) -> str:
+            qual = m.group(1)
+            if qual:
+                t = alias_of.get(qual.lower())
+                schema = mentioned.get(t) if t else None
+                if schema is None:
+                    return m.group(0)
+                cols = [f"{qual}.{f.name}" for f in schema.fields]
+            else:
+                # a depth-0 parenthesized FROM binds the star to the
+                # SUBQUERY's output; otherwise the plain FROM table
+                cols = _subselect_cols() or _plain_from_cols()
+                if not cols:
+                    return m.group(0)
+            return "hash(" + ", ".join(cols) + ")"
+
+        return self._HASH_STAR.sub(repl, query), extra
+
     def _rewrite_hive_hash(self, query: str) -> str:
         """``hash(a1, a2, ...)`` with HIVE's semantics — Spark's native
         hash() is Murmur3, a DIFFERENT function, so every golden that
@@ -5374,7 +5547,14 @@ class Engine:
         decimal, binary, complex) leaves the whole call on Spark's
         native hash — same-engine-deterministic, documented
         divergence."""
-        resolve = self._spark_type_resolver(query)
+        query, extra_types = self._expand_hash_star(query)
+        resolve0 = self._spark_type_resolver(query)
+
+        def resolve(expr: str):
+            dt = resolve0(expr)
+            if dt is None:
+                return extra_types.get(expr.strip().lower())
+            return dt
 
         def _arg_hash(a: str) -> str | None:
             from pyspark.sql import types as T

@@ -118,6 +118,55 @@ def test_hive_hash_typed_operands(eng, spark):
     spark.catalog.dropTempView("hh_t")
 
 
+def test_hive_hash_star_expansion(src):
+    """hash(*) / hash(t.*) expand to the row's columns (Hive's select
+    analysis feeds GenericUDFHash the expanded row): plain table,
+    qualified alias, subselect output (typed via alias hints), and the
+    one-level (select * ...) recursion — the orc_llap family's
+    sum(hash(*)) checksum pattern."""
+    rows = [
+        (r.key, r.value)
+        for r in src.sql("select key, value from src").collect()
+    ]
+
+    def fold(*hs):
+        h = 0
+        for x in hs:
+            h = ((31 * h + x) + 2**31) % 2**32 - 2**31
+        return h
+
+    want = sum(fold(_jhash(k), _jhash(v)) for k, v in rows)
+    assert src.sql(
+        "select sum(hash(*)) s from src"
+    ).collect()[0].s == want
+    assert src.sql(
+        "select sum(hash(a.*)) s from src a"
+    ).collect()[0].s == want
+    assert src.sql(
+        "select sum(hash(*)) s from (select * from src "
+        "where key >= '') t"
+    ).collect()[0].s == want
+    per_key = {}
+    for k, _v in rows:
+        per_key[k] = per_key.get(k, 0) + 1
+    want2 = sum(fold(_jhash(k), _hive_hash_long(c))
+                for k, c in per_key.items())
+    assert src.sql(
+        "select sum(hash(*)) s from (select key, count(*) as c "
+        "from src group by key) t"
+    ).collect()[0].s == want2
+    # unresolvable output stays on Spark's native hash — runs, no error
+    assert src.sql(
+        "select sum(hash(*)) s from (select key||'x' z from src) t"
+    ).collect()[0].s is not None
+
+
+def _hive_hash_long(v: int) -> int:
+    a = v & 0xFFFFFFFFFFFFFFFF
+    x = ((a >> 32) ^ a) & 0xFFFFFFFF
+    return x - 2**32 if x >= 2**31 else x
+
+
 def test_textfile_all_null_row_roundtrip(eng, spark):
     """input7.q: the (NULL, NULL) row must survive the TEXTFILE
     write/read (csv nullValue \\N on every csv-mapped format)."""

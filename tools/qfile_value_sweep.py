@@ -355,14 +355,11 @@ def extract_file_records() -> list[dict]:
                 # nulls-first) — an oracle artifact, not a value bug
                 # (min_structvalue.q; adjudicated r9)
                 continue
-            if re.search(r"\bhash\s*\(\s*[\w.]*\*", s, re.IGNORECASE):
-                # hash(*) / hash(t.*): the star expansion needs the
-                # subquery's resolved schema — out of the typed-rewrite
-                # matrix, stays a documented skip. Explicit-arg hash()
-                # statements now COMPARE: the engine rewrites them to
-                # Hive's getBucketHashCode semantics and the duck side
-                # runs the identical fold (r12).
-                continue
+            # hash() statements COMPARE from r12 on: the engine
+            # rewrites them (stars included, via _expand_hash_star) to
+            # Hive's getBucketHashCode semantics and the duck side
+            # runs the identical fold; a call the typed rewrite can't
+            # resolve is skipped at RUN time (hash_native_skip).
             if re.search(r"\bover\s*\(", s, re.IGNORECASE) and \
                     "select *" in s.lower():
                 # select *, fn() over (...): the unaliased window column
