@@ -830,6 +830,30 @@ def duck_translate(s: str) -> str:
         s, "octet_length",
         lambda a: f"strlen({a[0]})" if len(a) == 1 else None,
     )
+    # Hive interval literals → duck spellings: INTERVAL '2' YEAR →
+    # INTERVAL 2 YEAR; the compound YEAR TO MONTH / DAY TO SECOND
+    # forms unpack into duck's multi-unit string literal
+    s = re.sub(
+        r"(?i)\binterval\s+'(\d+)'\s+"
+        r"(year|month|day|hour|minute|second)s?\b",
+        r"INTERVAL \1 \2", s,
+    )
+    s = re.sub(
+        r"(?i)\binterval\s+'(\d+)-(\d+)'\s+year(\s+to\s+month)?\b",
+        lambda m: (
+            f"INTERVAL '{m.group(1)} years {m.group(2)} months'"
+        ),
+        s,
+    )
+    s = re.sub(
+        r"(?i)\binterval\s+'(\d+)\s+(\d+):(\d+):(\d+(?:\.\d+)?)'"
+        r"\s+day(\s+to\s+second)?\b",
+        lambda m: (
+            f"INTERVAL '{m.group(1)} days {m.group(2)} hours "
+            f"{m.group(3)} minutes {m.group(4)} seconds'"
+        ),
+        s,
+    )
     # pmod(a, b) — Hive's positive modulus; DuckDB has only %
     s = _rewrite_calls(
         s, "pmod",
@@ -1807,6 +1831,33 @@ def duck_lenient(s: str) -> str:
     # & co return null on NumberFormatException); duck's CAST errors
     # (udf3.q: CAST('' AS INT)). \b keeps TRY_CAST itself untouched.
     s = _sub_nonliteral(r"\bCAST\s*\(", "TRY_CAST(", s, re.IGNORECASE)
+    # Hive resolves a bare ORDER BY ident against the statement's
+    # OUTPUT schema first; duck raises Ambiguous when a join input
+    # shares the name (authorization_view_3.q's `order by key`).
+    # Resolve Hive's way: replace with the matching select-list
+    # ordinal when exactly one output column carries the name.
+    om = re.search(r"(?is)\border\s+by\s+(\w+)\b(?!\s*[(.])", s)
+    if om is not None and re.search(r"\bjoin\b", s, re.IGNORECASE):
+        sm = re.match(
+            r"(?is)^\s*select\s+(?:distinct\s+)?(.*?)\s+from\b", s
+        )
+        if sm is not None:
+            names = []
+            for it in _split_top_args(sm.group(1)):
+                am = re.match(
+                    r"(?is)^.*\bas\s+`?(\w+)`?\s*$", it.strip()
+                ) or re.match(
+                    r"(?is)^(?:[\w.]+\.)?(\w+)\s*$", it.strip()
+                )
+                names.append(am.group(1).lower() if am else None)
+            tgt = om.group(1).lower()
+            if names.count(tgt) == 1:
+                pos = names.index(tgt) + 1
+                s = (
+                    s[:om.start()]
+                    + f"order by {pos}"
+                    + s[om.end():]
+                )
     im = re.match(
         r'(?is)^\s*insert\s+into\s+["`]?(\w+)["`]?\s+'
         r"((?:select|values|from)\b.*)$",
