@@ -1725,6 +1725,10 @@ class Engine:
             # Hive's hash() is the getBucketHashCode 31-fold, NOT
             # Spark's Murmur3 — schema-resolved typed rewrite
             query = self._rewrite_hive_hash(query)
+        if re.search(r"(?is)\bas\s+boolean\s*\)", query):
+            # Hive's getBoolean conversions (string non-empty,
+            # numeric (int)-truncated) — schema-resolved
+            query = self._rewrite_boolean_casts(query)
         if re.search(r"\badd_months\s*\(", query, re.IGNORECASE):
             # Hive's lenient string parse for add_months (rollover) —
             # must precede the months_between rewrite, which emits
@@ -5608,6 +5612,41 @@ class Engine:
             register_hive_hash_family(self.spark)
             self._hive_hash_registered = True
         return out
+
+    _CAST_BOOL = re.compile(r"\bcast\s*\(", re.IGNORECASE)
+
+    def _rewrite_boolean_casts(self, query: str) -> str:
+        """``CAST(x AS BOOLEAN)`` with Hive's conversion semantics
+        (PrimitiveObjectInspectorUtils.getBoolean:524-575): a STRING is
+        true iff NON-EMPTY (Spark NULLs anything that isn't a boolean
+        word); LONG/FLOAT/DOUBLE pass through a Java ``(int)`` cast
+        first, so cast(0.5 as boolean) is FALSE in Hive (Spark: any
+        nonzero → true); TIMESTAMP tests its SECONDS. Schema-resolved —
+        int-family and boolean operands keep Spark's native cast
+        (already Hive-identical); unresolvable operands stay native."""
+        from pyspark.sql import types as T
+
+        resolve = self._spark_type_resolver(query)
+
+        def fn(args):
+            if len(args) != 1:
+                return None
+            mm = re.match(
+                r"(?is)^(.*?)\s+AS\s+BOOLEAN\s*$", args[0]
+            )
+            if mm is None:
+                return None
+            x = mm.group(1).strip()
+            dt = resolve(x)
+            if isinstance(dt, T.StringType):
+                return f"(length({x}) != 0)"
+            if isinstance(dt, (T.DoubleType, T.FloatType, T.LongType)):
+                return f"(CAST({x} AS INT) != 0)"
+            if isinstance(dt, T.TimestampType):
+                return f"(CAST({x} AS BIGINT) != 0)"
+            return None
+
+        return _rewrite_call_args(query, self._CAST_BOOL, fn)
 
     _COMPUTE_STATS_CALL = re.compile(
         r"\bcompute_stats\s*\(", re.IGNORECASE

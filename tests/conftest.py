@@ -8,6 +8,7 @@ SQL on the same parquet, sort columns by name and rows by value, compare.
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 
@@ -69,8 +70,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            return "0"  # IEEE -0.0 == 0.0 — one rendering
         # collapse float noise: compare at 9 significant-ish digits
         return f"{v:.9g}"
+    if isinstance(v, decimal.Decimal) and v == 0:
+        return "0"  # Decimal('-0.0') == 0 — one rendering
     if hasattr(v, "asDict"):  # pyspark Row (struct) → dict for parity
         return _norm(v.asDict())
     if isinstance(v, (list, tuple)):
