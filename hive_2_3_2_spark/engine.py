@@ -2523,6 +2523,15 @@ class Engine:
                 )
             if bare in self.hiveconf:
                 return self.hiveconf[bare]
+            if bare == "hive.metastore.warehouse.dir":
+                # HiveConf METASTOREWAREHOUSE has a DEFAULT — resolve
+                # to the live warehouse (encryption_*.q substitute it)
+                try:
+                    return self.spark.conf.get(
+                        "spark.sql.warehouse.dir"
+                    ).removeprefix("file:")
+                except Exception:
+                    pass
             raise HiveQLUnsupportedError(
                 f"unbound script variable ${{{name}}} — SET {bare}=... "
                 "first, or pass it in run_script(variables={...})"

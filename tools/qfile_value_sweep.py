@@ -2054,6 +2054,25 @@ SPARK_ERROR_ADJUDICATIONS: dict[str, str] = {
         "class — custom serde/recordwriter classes are out of scope "
         "per SURVEY §2.2."
     ),
+    "input34": (
+        "TRANSFORM with ROW FORMAT SERDE <custom class>: Spark's "
+        "script transform supports Hive's DELIMITED row format only "
+        "(UNSUPPORTED_FEATURE.TRANSFORM_NON_HIVE) — custom serde "
+        "classes are out of scope per SURVEY §2.2."
+    ),
+    "masking_7": (
+        "ROW__ID virtual column (ACID row identity — "
+        "VirtualColumn.java:57): no Spark equivalent over parquet; "
+        "same documented family as BLOCK__OFFSET__INSIDE__FILE. The "
+        "masking functions themselves value-verify in "
+        "tests/test_qfile_mask_family.py."
+    ),
+    "masking_8": (
+        "ROW__ID virtual column (see masking_7) plus a CTAS with "
+        "duplicate unaliased '12' constants — Hive auto-names them "
+        "_c1.._cN where Spark raises AMBIGUOUS_REFERENCE; narrow "
+        "autoname gap, recorded."
+    ),
 }
 
 #: duck_errors carry a status: 'duck_cannot' = DuckDB lacks the
