@@ -385,7 +385,10 @@ _STORED_AS_MAP = {
 
 
 _SKEWED_BY = re.compile(
-    r"\s*\bSKEWED\s+BY\s*\([^)]*\)\s*ON\s*\((?:[^()]|\([^)]*\))*\)"
+    # the column list may carry backtick-quoted names with parens
+    # inside (`!@#$%^&*()_q`, quotedid_skew.q)
+    r"\s*\bSKEWED\s+BY\s*\((?:[^()`]|`[^`]*`)*\)\s*"
+    r"ON\s*\((?:[^()]|\([^)]*\))*\)"
     r"(\s+STORED\s+AS\s+DIRECTORIES)?",
     re.IGNORECASE,
 )

@@ -2073,6 +2073,12 @@ SPARK_ERROR_ADJUDICATIONS: dict[str, str] = {
         "_c1.._cN where Spark raises AMBIGUOUS_REFERENCE; narrow "
         "autoname gap, recorded."
     ),
+    "quotedid_stats": (
+        "same doubled-backtick escape family as quotedid_basic "
+        "(`x+1``` is x+1` inside the name) — lexer-level gap, "
+        "recorded; plain special-char quoted identifiers (including "
+        "SKEWED BY on them) work and are pinned."
+    ),
 }
 
 #: duck_errors carry a status: 'duck_cannot' = DuckDB lacks the
@@ -2185,6 +2191,13 @@ FIXTURE_ADJUDICATIONS: dict[tuple[str, str], str] = {
     # (cdouble*9.3)/13 to DECIMAL(23,14); evidence shows
     # '717.70961538461540' vs '...44', the 17th significant digit
     ("vector_between_in", "decimal_date_test"): _DEC_ULP,
+    ("encryption_select_read_only_encrypted_tbl", "encrypted_table"): (
+        "duck-side prelude cannot LOAD DATA INPATH (the encryption "
+        "fixture loads kv1.txt from the test tree) — duck table stays "
+        "empty while the engine loads 500 rows; selects over it are "
+        "unverified here, not divergent (encryption zones themselves "
+        "are out of scope per SURVEY §2.2)."
+    ),
 }
 
 
