@@ -1732,6 +1732,9 @@ class Engine:
             # Hive's getBoolean conversions (string non-empty,
             # numeric (int)-truncated) — schema-resolved
             query = self._rewrite_boolean_casts(query)
+        if re.search(r"(?is)\bin\s*\(\s*select\b", query):
+            # string IN (numeric subquery) compares at DOUBLE in Hive
+            query = self._rewrite_string_in_numeric_subquery(query)
         if re.search(r"\badd_months\s*\(", query, re.IGNORECASE):
             # Hive's lenient string parse for add_months (rollover) —
             # must precede the months_between rewrite, which emits
@@ -5624,6 +5627,39 @@ class Engine:
             register_hive_hash_family(self.spark)
             self._hive_hash_registered = True
         return out
+
+    _STR_IN_NUM_SUBQ = re.compile(
+        r"\b(\w+)\s+(not\s+)?in\s*\(\s*select\s+([^,()]+?)\s+from\b",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_string_in_numeric_subquery(self, query: str) -> str:
+        """``string_col IN (SELECT <numeric expr> ...)`` compares at
+        DOUBLE in Hive — getCommonClassForComparison resolves
+        string-vs-numeric to double (the lineage3.q golden's
+        PREDICATE edges spell it: ``UDFToDouble(src1.key) =
+        (UDFToDouble(src1.key) + 18.0)``). Spark's IN-subquery
+        coercion compares the same pair at STRING ('146' vs '146.0'
+        never matches — silent empty result). Schema-resolved: fires
+        only when the outer operand is a STRING column and the
+        subquery head is an arithmetic expression."""
+        from pyspark.sql import types as T
+
+        if self._STR_IN_NUM_SUBQ.search(query) is None:
+            return query
+        resolve = self._spark_type_resolver(query)
+
+        def repl(m: re.Match[str]) -> str:
+            col, neg, inner = m.group(1), m.group(2) or "", m.group(3)
+            if not isinstance(resolve(col), T.StringType):
+                return m.group(0)
+            if not re.search(r"[+\-*/]", inner):
+                return m.group(0)
+            return (
+                f"CAST({col} AS DOUBLE) {neg}in (select {inner} from"
+            )
+
+        return self._STR_IN_NUM_SUBQ.sub(repl, query)
 
     _CAST_BOOL = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 

@@ -262,6 +262,32 @@ def test_typed_operands_skip_lenient_normalization(typed_mb):
     )
 
 
+def test_string_in_numeric_subquery_compares_at_double(eng, spark):
+    """lineage3.q: ``key IN (SELECT key+18 ...)`` — Hive resolves the
+    string-vs-numeric pair at DOUBLE (the golden's UDFToDouble
+    predicate edges); Spark's IN-subquery coercion compares at STRING
+    ('146' vs '146.0' never matches → silent empty result)."""
+    spark.createDataFrame(
+        [("128", "v128"), ("146", "v146"), ("", "")],
+        "key string, value string",
+    ).createOrReplaceTempView("in_subq_t")
+    try:
+        got = eng.sql(
+            "select key, value from in_subq_t "
+            "where key in (select key+18 from in_subq_t) order by key"
+        ).collect()
+        assert [(r.key, r.value) for r in got] == [("146", "v146")]
+        # NOT IN over a list containing NULL ('' + 18) stays empty —
+        # standard three-valued semantics, same in Hive
+        got = eng.sql(
+            "select key from in_subq_t "
+            "where key not in (select key+18 from in_subq_t)"
+        ).collect()
+        assert got == []
+    finally:
+        spark.catalog.dropTempView("in_subq_t")
+
+
 def test_typed_timestamp_truncates_to_whole_seconds(typed_mb):
     """The reference counts the timestamp day-part in whole SECONDS
     (getDayPartInSec) — a .5s fraction must not leak into the result

