@@ -1735,6 +1735,11 @@ class Engine:
         if re.search(r"(?is)\bin\s*\(\s*select\b", query):
             # string IN (numeric subquery) compares at DOUBLE in Hive
             query = self._rewrite_string_in_numeric_subquery(query)
+        if re.search(r"(?is)\babs\s*\(", query):
+            # GenericUDFAbs evaluates BYTE/SHORT at INT width
+            # (GenericUDFAbs.java:80-86: abs(tinyint -128) is 128,
+            # where Spark wraps at the byte width to -128)
+            query = self._rewrite_abs_promote(query)
         if re.search(r"\badd_months\s*\(", query, re.IGNORECASE):
             # Hive's lenient string parse for add_months (rollover) —
             # must precede the months_between rewrite, which emits
@@ -5660,6 +5665,30 @@ class Engine:
             )
 
         return self._STR_IN_NUM_SUBQ.sub(repl, query)
+
+    _ABS_CALL = re.compile(r"\babs\s*\(", re.IGNORECASE)
+
+    def _rewrite_abs_promote(self, query: str) -> str:
+        """``abs(byte/short col)`` evaluates at INT width in Hive
+        (GenericUDFAbs.java:80-86,119-124: the operand converts to
+        IntWritable, so abs(tinyint -128) = 128) — Spark's abs keeps
+        the narrow type and WRAPS (-128). Schema-resolved; INT and
+        wider keep Spark's native abs (already Hive-identical,
+        including the Integer.MIN_VALUE wrap)."""
+        from pyspark.sql import types as T
+
+        resolve = self._spark_type_resolver(query)
+
+        def fn(args):
+            if len(args) != 1:
+                return None
+            if isinstance(
+                resolve(args[0].strip()), (T.ByteType, T.ShortType)
+            ):
+                return f"abs(CAST({args[0]} AS INT))"
+            return None
+
+        return _rewrite_call_args(query, self._ABS_CALL, fn)
 
     _CAST_BOOL = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 

@@ -288,6 +288,22 @@ def test_string_in_numeric_subquery_compares_at_double(eng, spark):
         spark.catalog.dropTempView("in_subq_t")
 
 
+def test_abs_narrow_ints_promote_to_int(eng, spark):
+    """vectorization_nested_udf.q: Hive's abs evaluates BYTE/SHORT at
+    INT width (GenericUDFAbs.java:80-86) — abs(tinyint -128) is 128,
+    where Spark's native abs wraps at the byte width to -128."""
+    spark.createDataFrame(
+        [(-128, -32768), (5, 7)], "t tinyint, s smallint"
+    ).createOrReplaceTempView("abs_t")
+    try:
+        r = eng.sql(
+            "select sum(abs(t)) st, sum(abs(s)) ss from abs_t"
+        ).collect()[0]
+        assert (r.st, r.ss) == (133, 32775)
+    finally:
+        spark.catalog.dropTempView("abs_t")
+
+
 def test_typed_timestamp_truncates_to_whole_seconds(typed_mb):
     """The reference counts the timestamp day-part in whole SECONDS
     (getDayPartInSec) — a .5s fraction must not leak into the result
