@@ -47,18 +47,38 @@ _REQUIRED_RUNTIME_CONFS = {
 }
 
 
-def ensure_engine_confs(spark: SparkSession) -> None:
+#: applicationIds whose session confs are already verified — each
+#: ``spark.conf.get`` is a py4j round trip (~2 ms on this host), and
+#: load_table calls this on every table of every query. Engine
+#: construction and any SET touching one of the required keys force a
+#: re-check (``force=True`` / ``invalidate_engine_confs``), so the memo
+#: only skips the steady-state no-op verification.
+_CONFS_APPLIED: set[str] = set()
+
+
+def invalidate_engine_confs(spark: SparkSession) -> None:
+    """Drop the confs-verified memo for this session — called when a
+    required conf may have been changed out from under us (Engine SET
+    of a spark.* key)."""
+    _CONFS_APPLIED.discard(spark.sparkContext.applicationId)
+
+
+def ensure_engine_confs(spark: SparkSession, force: bool = False) -> None:
     """Apply the engine's runtime-settable session confs idempotently.
 
     Called from every load path so the suite behaves identically under
     an externally-created SparkSession (driver contract) and our own
     session factory (which also sets the static confs)."""
+    app_id = spark.sparkContext.applicationId
+    if not force and app_id in _CONFS_APPLIED:
+        return
     for k, v in _REQUIRED_RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             pass  # static-only conf in this build — session factory covers it
+    _CONFS_APPLIED.add(app_id)
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
@@ -120,6 +140,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (applicationId, abs sf_dir, tables) → registered view map. Each
+#: ``createOrReplaceTempView`` is a py4j round trip; suite queries call
+#: register_star_schema once per construction, so re-registering the
+#: same immutable-fixture views cost ~10 round trips per query. The
+#: memo is only valid while the views still point at this sf_dir — any
+#: register_star_schema call for a DIFFERENT sf_dir on the same session
+#: re-registers (and re-owns) the view names.
+_VIEWS_REGISTERED: dict[str, tuple[str, tuple[str, ...]]] = {}
+
+
+def note_view_override(spark: SparkSession, name: str) -> None:
+    """Invalidate the star-schema view memo when ``name`` shadows (or
+    drops) one of the star view names — the next register_star_schema
+    call re-registers all views instead of trusting the memo. Called
+    from the Engine's temp-view registration/drop paths."""
+    if name in STAR_TABLES:
+        _VIEWS_REGISTERED.pop(spark.sparkContext.applicationId, None)
+
+
 def register_star_schema(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = STAR_TABLES
 ) -> dict[str, DataFrame]:
@@ -129,12 +168,18 @@ def register_star_schema(
     so predicate pushdown / column pruning / partition pruning all apply
     (verify with ``df.explain`` — PushedFilters/ReadSchema lines).
     """
+    app_id = spark.sparkContext.applicationId
+    sf_abs = os.path.abspath(sf_dir)
+    fresh = _VIEWS_REGISTERED.get(app_id) != (sf_abs, tables)
     dfs: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
         df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
+        if fresh:
+            df.createOrReplaceTempView(name)
         dfs[name] = df
+    if fresh:
+        _VIEWS_REGISTERED[app_id] = (sf_abs, tables)
     return dfs

@@ -21,7 +21,11 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hive_2_3_2_spark.catalog import ensure_engine_confs, register_star_schema
+from hive_2_3_2_spark.catalog import (
+    ensure_engine_confs,
+    note_view_override,
+    register_star_schema,
+)
 from hive_2_3_2_spark.session import get_spark
 
 
@@ -1358,8 +1362,10 @@ class Engine:
         # The driver (or an embedding app) may hand us a vanilla session;
         # the engine's Hive-parity semantics depend on these runtime confs
         # (non-ANSI casts, UTC, SimpleDateFormat patterns) from statement
-        # ONE — not only after the first table load.
-        ensure_engine_confs(self.spark)
+        # ONE — not only after the first table load. force=True: an
+        # embedding app may have flipped a conf since the last Engine;
+        # construction is the contract point that re-asserts them.
+        ensure_engine_confs(self.spark, force=True)
         self.tables: dict[str, DataFrame] = {}
         self.table_paths: dict[str, str] = {}
         self.table_partitions: dict[str, list[str]] = {}
@@ -1536,6 +1542,7 @@ class Engine:
         path: str,
         partition_cols: list[str] | None,
     ) -> DataFrame:
+        note_view_override(self.spark, name)
         if self.table_format.get(name) == "avro":
             df = self._avro_py_frame(name, path)
             df.createOrReplaceTempView(name)
@@ -1796,13 +1803,20 @@ class Engine:
         # (VariableSubstitution wraps each processor) — so substitute
         # first, then dispatch (CommandProcessorFactory.java:59).
         query = self._substitute(query)
-        if self._catalog_schema_memo and re.match(
+        if re.match(
             r"\s*(alter|create|drop|replace|truncate|import|load)\b",
             query,
             re.IGNORECASE,
         ):
             # DDL can change a catalog table's column types
             self._catalog_schema_memo.clear()
+            # ... and may create/drop a temp view shadowing a star-schema
+            # view name through ANY dispatch path (including raw
+            # spark.sql fall-through) — drop the suite's registered-view
+            # memo wholesale; the next register_star_schema re-registers.
+            from hive_2_3_2_spark.catalog import _VIEWS_REGISTERED
+
+            _VIEWS_REGISTERED.pop(self.spark.sparkContext.applicationId, None)
         if "`" in query and self.hiveconf.get(
             "hive.support.quoted.identifiers", "column"
         ).lower() != "none":
@@ -2612,6 +2626,12 @@ class Engine:
         self.hiveconf[name] = value
         if name.startswith("spark."):
             self.spark.conf.set(name, value)
+            # A SET may have overridden one of the engine-required
+            # runtime confs — drop the verified-memo so the next
+            # load path re-checks them.
+            from hive_2_3_2_spark.catalog import invalidate_engine_confs
+
+            invalidate_engine_confs(self.spark)
         elif name == "hive.auto.convert.join":
             # Hive's map-join auto-conversion toggle IS Spark's
             # auto-broadcast threshold (MapJoinProcessor parity).
@@ -4976,6 +4996,7 @@ class Engine:
                         self.part_basic_stats, self.part_column_stats,
                         self._fp_memo)
         carried = [(s, s.pop(key)) for s in stats_stores if key in s]
+        note_view_override(self.spark, key)
         self.spark.catalog.dropTempView(key)
         self.register_table(new_key, path, parts)
         for store, val in carried:
@@ -7101,6 +7122,7 @@ class Engine:
                     f"but the query supplies {len(df.columns)} columns"
                 )
             df = df.toDF(*aliases)
+        note_view_override(self.spark, key)
         df.createOrReplaceTempView(key)
         replaced = key in self.views
         self.views[key] = body
@@ -7213,6 +7235,8 @@ class Engine:
             )
             if nkey in self.view_aliases:
                 df = df.toDF(*self.view_aliases[nkey])
+            note_view_override(self.spark, nkey)
+            note_view_override(self.spark, okey)
             df.createOrReplaceTempView(nkey)
             self.spark.catalog.dropTempView(okey)
             return self._rows_affected(0)
@@ -7241,6 +7265,7 @@ class Engine:
         if key not in self.views:
             raise HiveQLUnsupportedError(f"ALTER VIEW: no such view {key!r}")
         body = body.rstrip().rstrip(";")
+        note_view_override(self.spark, key)
         self.spark.sql(
             rewrite_hiveql(self._expand_macros(body), spark=self.spark)
         ).createOrReplaceTempView(key)
@@ -7276,9 +7301,11 @@ class Engine:
                 aliases = self.view_aliases.get(vname)
                 if aliases:
                     df = df.toDF(*aliases)
+                note_view_override(self.spark, vname)
                 df.createOrReplaceTempView(vname)
             except Exception:
                 try:
+                    note_view_override(self.spark, vname)
                     self.spark.catalog.dropTempView(vname)
                 except Exception:
                     pass
@@ -7297,6 +7324,7 @@ class Engine:
             )
         if key not in self.views:
             return None
+        note_view_override(self.spark, key)
         self.spark.catalog.dropTempView(key)
         del self.views[key]
         self.view_aliases.pop(key, None)
@@ -7334,6 +7362,7 @@ class Engine:
         self.schema_epochs.pop(key, None)
         self._invalidate_stats(key)
         self.tables.pop(key, None)
+        note_view_override(self.spark, key)
         self.spark.catalog.dropTempView(key)
         if self.temp_tables.pop(key, None) is not None:
             # dropping a TEMPORARY table un-shadows whatever it hid
