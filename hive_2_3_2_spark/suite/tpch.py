@@ -4,10 +4,20 @@ These exercise the full scan→filter→join→aggregate→sort pipeline the
 reference compiles through SemanticAnalyzer (genTablePlan
 parse/SemanticAnalyzer.java:10325, genJoinPlan :8698, genBodyPlan :9756)
 and executes with TableScan/Filter/Select/GroupBy/Join/ReduceSink operators
-(SURVEY.md §2.1). Here the whole pipeline is declarative DataFrame code:
-Catalyst plans the shuffles (Exchange = ReduceSinkOperator,
-ql/.../exec/ReduceSinkOperator.java:62) and picks join strategies
-(broadcast for dims = MapJoinOperator, ql/.../exec/MapJoinOperator.java:78).
+(SURVEY.md §2.1). The whole pipeline is declarative Spark SQL over the
+memoized star-schema views: Catalyst plans the shuffles (Exchange =
+ReduceSinkOperator, ql/.../exec/ReduceSinkOperator.java:62) and picks join
+strategies (broadcast for dims = MapJoinOperator,
+ql/.../exec/MapJoinOperator.java:78).
+
+r12 note: these were DataFrame-API chains; each F.* call is a py4j round
+trip (~2-8 ms on this host) and plan construction alone cost ~200 ms per
+query — a large share of a sub-second benched query. The SQL text parses
+JVM-side in one call and produces the same analyzed plan (results verified
+identical against the DuckDB oracle; physical plans pinned under
+plans/r12/). Broadcast hints make the dimension-side build explicit where
+size estimation picked the fact side (q3 broadcast 319k filtered lineitem
+rows instead of the 14.5k-row orders⋈customer side at sf0.1).
 
 Scale notes (100 TB): every query below shuffles only on aggregation keys
 after pushing filters to the parquet scan; dimension joins broadcast
@@ -18,10 +28,31 @@ the only wide shuffles are fact-side groupBys, which AQE right-sizes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.catalog import register_star_schema
 from hive_2_3_2_spark.suite import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    register_star_schema(spark, sf_dir)
+    return spark.sql(q)
+
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+       COUNT(1)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
 
 
 @query(
@@ -48,23 +79,26 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst does the partial/final aggregate split automatically
     (= GroupByOperator modes PARTIAL1/FINAL, ql/.../plan/GroupByDesc.java:59).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    return _sql(spark, sf_dir, _Q1)
+
+
+_Q3 = """
+SELECT /*+ BROADCAST(oc) */
+       l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM lineitem
+JOIN (
+  SELECT /*+ BROADCAST(customer) */ o_orderkey, o_orderdate
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+) oc ON l_orderkey = oc.o_orderkey
+WHERE l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
 
 
 @query(
@@ -87,35 +121,35 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: dim-filter → broadcast join chain → agg → top-K.
 
-    ``customer`` (filtered) broadcasts into ``orders``; the result
-    broadcasts into ``lineitem`` when small enough, else AQE picks SMJ
-    (= Hive's conditional CommonJoinResolver task,
-    ql/.../optimizer/physical/CommonJoinResolver.java). The final
-    orderBy+limit compiles to TakeOrderedAndProject
-    (= ReduceSink TopNHash, ql/.../exec/TopNHash.java:45).
+    ``customer`` (filtered) broadcasts into ``orders``; the joined
+    dimension side broadcasts into ``lineitem`` — explicitly. Without
+    the hint Spark's size estimate picked BuildLeft on the FILTERED
+    LINEITEM side (319k rows × 3 cols at sf0.1) over the 14.5k-row
+    orders⋈customer side (r12 plan audit); the hint pins the
+    dimension-side build, which is also the only shape that scales —
+    at 100 TB the filtered fact side never fits a broadcast. The final
+    orderBy+limit compiles to TakeOrderedAndProject (= ReduceSink
+    TopNHash, ql/.../exec/TopNHash.java:45).
     """
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    return (
-        li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
+    return _sql(spark, sf_dir, _Q3)
+
+
+_Q5 = """
+SELECT /*+ BROADCAST(customer), BROADCAST(supplier), BROADCAST(nation), BROADCAST(region) */
+       n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
 
 
 @query(
@@ -146,32 +180,17 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the groupBy) — same shape Hive reaches only after its bucket-map-join
     optimizers (ql/.../optimizer/ConvertJoinMapJoin.java:78).
     """
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "n_name")
-    )
+    return _sql(spark, sf_dir, _Q5)
+
+
+_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
 
 
 @query(
@@ -190,20 +209,26 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final single-partition reduce. All four predicates push to parquet
     (PushedFilters) — Hive needs its PredicatePushDown rule chain for this
     (ql/.../ppd/PredicatePushDown.java); Catalyst does it natively."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
-        )
-    )
+    return _sql(spark, sf_dir, _Q6)
+
+
+_Q10 = """
+SELECT /*+ BROADCAST(customer), BROADCAST(nation) */
+       c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(c_acctbal, 2) AS c_acctbal,
+       n_name
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
 
 
 @query(
@@ -227,30 +252,4 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-items report: fact-fact join + dim broadcasts + agg + top-K."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select(
-            "c_custkey",
-            "c_name",
-            "revenue",
-            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
-            "n_name",
-        )
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(20)
-    )
+    return _sql(spark, sf_dir, _Q10)
