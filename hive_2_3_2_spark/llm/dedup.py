@@ -52,6 +52,43 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def _ngram_windows_sql(toks_sql: str, n: int, partial_tail: bool = False) -> str:
+    """SQL-text twin of functions/gaps.ngram_windows — parses to the same
+    Catalyst tree (zip_with over n shifted slices; parity-pinned in
+    tests/test_optimization_r12.py). Exists because building the Column
+    version costs dozens of py4j round trips (~2 ms each on this host)
+    per query construction; the SQL text parses JVM-side in one call."""
+    if partial_tail:
+        m = f"(greatest(size({toks_sql}) - {n}, 0) + 1)"
+    else:
+        m = f"greatest(size({toks_sql}) - {n - 1}, 0)"
+    g = f"slice({toks_sql}, 1, {m})"
+    for j in range(1, n):
+        g = (
+            f"zip_with({g}, slice({toks_sql}, {1 + j}, {m}), "
+            f"(a, b) -> concat_ws(' ', a, b))"
+        )
+    if partial_tail:
+        g = f"CASE WHEN size({toks_sql}) = 0 THEN array('') ELSE {g} END"
+    return g
+
+
+def _normalize_sql(text_sql: str) -> str:
+    """SQL-text twin of text.normalize_for_fingerprint."""
+    return f"trim(regexp_replace(lower({text_sql}), '[^a-z0-9]+', ' '))"
+
+
+def _word_shingles_sql(text_sql: str, k: int = 3) -> str:
+    """SQL-text twin of word_shingles (same expression, one py4j call)."""
+    toks = f"split({_normalize_sql(text_sql)}, ' ')"
+    return f"array_distinct({_ngram_windows_sql(toks, k, partial_tail=True)})"
+
+
+def _hashes_of_shingles_sql(sh_sql: str) -> str:
+    """SQL-text twin of hashes_of_shingles."""
+    return f"transform({sh_sql}, s -> abs(xxhash64(s)) % {_P})"
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of the normalized text (array<string>).
     partial_tail: a doc shorter than k words yields its one truncated
@@ -116,6 +153,20 @@ def minhash_signature(text: Column, num_perm: int = 32, k: int = 3) -> Column:
     return F.array(*mins)
 
 
+def _banded_inline_sql(num_perm: int, bands: int) -> str:
+    """SQL text for the LSH band projection: ``inline`` over one struct
+    per band, each bh = Murmur3 hash of that band's signature slice.
+    Same (band, bh) rows as the prior posexplode-of-structs Column build
+    (the unused ``pos`` output is simply never generated); one py4j call
+    instead of ~10 per band."""
+    rows = num_perm // bands
+    structs = ", ".join(
+        f"named_struct('band', {i}, 'bh', hash(slice(sig, {i * rows + 1}, {rows})))"
+        for i in range(bands)
+    )
+    return f"inline(array({structs}))"
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact (normalized-content) dedup: hash-groupBy on the md5
     fingerprint, keep the lowest id per group. One shuffle keyed on the
@@ -163,33 +214,18 @@ def minhash_lsh_candidates(
     # sf0.1 vs ~0.2s for this numpy version. This is the sanctioned
     # Pandas-UDF case: built-ins express the semantics but not the speed.
     if shingles is not None:
-        hashed = shingles.select(
-            "id", hashes_of_shingles(F.col("sh")).alias("hh")
+        hashed = shingles.selectExpr(
+            "id", _hashes_of_shingles_sql("sh") + " AS hh"
         )
     else:
-        hashed = _spread(df).select(
-            F.col(id_col).alias("id"),
-            shingle_hashes(F.col(text_col), k).alias("hh"),
+        hashed = _spread(df).selectExpr(
+            f"{id_col} AS id",
+            _hashes_of_shingles_sql(_word_shingles_sql(text_col, k)) + " AS hh",
         )
     sig = hashed.select(
         "id", _minhash_fold_udf(num_perm)(F.col("hh")).alias("sig")
     )
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(
-                            F.slice(F.col("sig"), i * rows + 1, rows)
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("pos", "bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = sig.selectExpr("id", _banded_inline_sql(num_perm, bands))
     # Materialize the banded signatures before the self-join: both join
     # sides read the cached (id, band, bh) rows — 3 longs per row — instead
     # of re-running the 32-permutation projection per side (the projection
@@ -202,13 +238,9 @@ def minhash_lsh_candidates(
     return (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.id") < F.col("r.id")),
+            F.expr("l.band = r.band AND l.bh = r.bh AND l.id < r.id"),
         )
-        .select(
-            F.col("l.id").alias("doc_id_a"), F.col("r.id").alias("doc_id_b")
-        )
+        .selectExpr("l.id AS doc_id_a", "r.id AS doc_id_b")
         .distinct()
     )
 
@@ -224,34 +256,18 @@ def _banded_signatures(
     """(id, band, bh, sh) rows: LSH band bucket keys plus the distinct
     shingle set, computed in one pass (shared by the store writer and
     the incremental probe side)."""
-    rows = num_perm // bands
-    base = _spread(df).select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), k).alias("hh"),
-        word_shingles(F.col(text_col), k).alias("sh"),
+    sh_sql = _word_shingles_sql(text_col, k)
+    base = _spread(df).selectExpr(
+        f"{id_col} AS id",
+        _hashes_of_shingles_sql(sh_sql) + " AS hh",
+        sh_sql + " AS sh",
     )
     sig = base.select(
         "id", "sh", _minhash_fold_udf(num_perm)(F.col("hh")).alias("sig")
     )
-    return sig.select(
-        "id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(
-                            F.slice(F.col("sig"), i * rows + 1, rows)
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("pos", "bb"),
-    ).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"), "sh"
-    )
+    return sig.selectExpr(
+        "id", _banded_inline_sql(num_perm, bands), "sh"
+    ).select("id", "band", "bh", "sh")
 
 
 def write_signature_store(
@@ -449,51 +465,51 @@ def jaccard_pairs(
     exact scorer serves (0.1-0.5) the prefix is nearly the whole set,
     so the straight inverted index wins.
     """
-    if block_col is None:
-        block_col = F.floor(F.length(F.col(text_col)) / 200)
-    docs = _spread(df).select(
-        F.col(id_col).alias("id"),
-        block_col.alias("blk"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-    ).persist()  # shingle once; the index and the size lookup reuse it
-    ex = docs.select("id", "blk", F.explode("sh").alias("g"))
+    blk_sql = (
+        f"floor(length({text_col}) / 200)" if block_col is None else None
+    )
+    base = _spread(df)
+    if blk_sql is not None:
+        docs = base.selectExpr(
+            f"{id_col} AS id",
+            blk_sql + " AS blk",
+            _word_shingles_sql(text_col, k) + " AS sh",
+        )
+    else:
+        docs = base.select(
+            F.col(id_col).alias("id"),
+            block_col.alias("blk"),
+            word_shingles(F.col(text_col), k).alias("sh"),
+        )
+    docs = docs.persist()  # shingle once; index and size lookup reuse it
+    ex = docs.selectExpr("id", "blk", "explode(sh) AS g")
     inter_counts = (
         ex.alias("pa")
         .join(
             ex.alias("pb"),
-            (F.col("pa.blk") == F.col("pb.blk"))
-            & (F.col("pa.g") == F.col("pb.g"))
-            & (F.col("pa.id") < F.col("pb.id")),
+            F.expr("pa.blk = pb.blk AND pa.g = pb.g AND pa.id < pb.id"),
         )
         .groupBy(
             F.col("pa.id").alias("doc_id_a"), F.col("pb.id").alias("doc_id_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.expr("count(1) AS inter"))
     )
-    sizes = docs.select("id", F.size("sh").alias("sz"))
+    sizes = docs.selectExpr("id", "size(sh) AS sz")
     return (
         inter_counts.join(
-            F.broadcast(
-                sizes.select(F.col("id").alias("doc_id_a"), F.col("sz").alias("sz_a"))
-            ),
+            F.broadcast(sizes.selectExpr("id AS doc_id_a", "sz AS sz_a")),
             "doc_id_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col("id").alias("doc_id_b"), F.col("sz").alias("sz_b"))
-            ),
+            F.broadcast(sizes.selectExpr("id AS doc_id_b", "sz AS sz_b")),
             "doc_id_b",
         )
-        .select(
+        .selectExpr(
             "doc_id_a",
             "doc_id_b",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
+            "round(inter / (sz_a + sz_b - inter), 6) AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {threshold}")
     )
 
 
@@ -518,36 +534,29 @@ def minhash_verified_near_dups(
     DuckDB can compute — a hashable end-to-end check of the whole
     shingle→minhash→band→verify pipeline.
     """
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
+    sh = _spread(df).selectExpr(
+        f"{id_col} AS id",
+        _word_shingles_sql(text_col, k) + " AS sh",
     ).persist()  # shingle ONCE: feeds the signatures and both pair sides
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_perm, bands, k, shingles=sh
     )
     return (
         cands.join(
-            sh.select(
-                F.col("id").alias("doc_id_a"), F.col("sh").alias("a_sh")
-            ).alias("a_t"),
+            sh.selectExpr("id AS doc_id_a", "sh AS a_sh").alias("a_t"),
             "doc_id_a",
         )
         .join(
-            sh.select(
-                F.col("id").alias("doc_id_b"), F.col("sh").alias("b_sh")
-            ).alias("b_t"),
+            sh.selectExpr("id AS doc_id_b", "sh AS b_sh").alias("b_t"),
             "doc_id_b",
         )
-        .select(
+        .selectExpr(
             "doc_id_a",
             "doc_id_b",
-            F.round(
-                F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-                / F.size(F.array_union(F.col("a_sh"), F.col("b_sh"))),
-                6,
-            ).alias("jaccard"),
+            "round(size(array_intersect(a_sh, b_sh)) / "
+            "size(array_union(a_sh, b_sh)), 6) AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {threshold}")
     )
 
 

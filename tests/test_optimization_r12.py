@@ -1,0 +1,95 @@
+"""Parity pins for the r12 optimization round's SQL-text expression twins.
+
+The round rewrote hot construction paths (dedup's shingle/minhash/band
+pipeline) from py4j Column building to SQL text that parses JVM-side in
+one call.  These tests pin that each SQL twin evaluates to exactly the
+same values as the Column builder it replaces, over the real documents
+fixture, so a future edit to either side cannot silently diverge them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_2_3_2_spark.catalog import load_table
+from hive_2_3_2_spark.functions.gaps import ngram_windows
+from hive_2_3_2_spark.llm import dedup as D
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _assert_same_rows(a, b):
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_word_shingles_sql_twin(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    col = docs.select("doc_id", D.word_shingles(F.col("text")).alias("sh"))
+    sql = docs.selectExpr("doc_id", D._word_shingles_sql("text") + " AS sh")
+    _assert_same_rows(col, sql)
+
+
+def test_hashes_of_shingles_sql_twin(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    col = docs.select(
+        "doc_id", D.shingle_hashes(F.col("text")).alias("hh")
+    )
+    sql = docs.selectExpr(
+        "doc_id",
+        D._hashes_of_shingles_sql(D._word_shingles_sql("text")) + " AS hh",
+    )
+    _assert_same_rows(col, sql)
+
+
+def test_ngram_windows_sql_twin(spark, sf_dir):
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "split(lower(text), ' ') AS toks"
+    )
+    for n in (2, 3):
+        for partial_tail in (False, True):
+            col = docs.select(
+                "doc_id",
+                ngram_windows(
+                    F.col("toks"), n, partial_tail=partial_tail
+                ).alias("g"),
+            )
+            sql = docs.selectExpr(
+                "doc_id",
+                D._ngram_windows_sql("toks", n, partial_tail=partial_tail)
+                + " AS g",
+            )
+            _assert_same_rows(col, sql)
+
+
+def test_banded_inline_sql_twin(spark, sf_dir):
+    """The inline(named_struct...) band projection yields the same
+    (id, band, bh) rows as the original posexplode-of-structs build."""
+    num_perm, bands = 32, 8
+    rows = num_perm // bands
+    docs = _docs(spark, sf_dir)
+    sig = docs.select(
+        F.col("doc_id").alias("id"),
+        D.minhash_signature(F.col("text"), num_perm).alias("sig"),
+    )
+    old = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice(F.col("sig"), i * rows + 1, rows)
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("pos", "bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    new = sig.selectExpr("id", D._banded_inline_sql(num_perm, bands))
+    _assert_same_rows(old, new)
