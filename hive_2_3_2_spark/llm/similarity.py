@@ -37,6 +37,26 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL-text twin of ``cosine`` — parses to the same Catalyst tree in
+    ONE py4j call where the Column version pays ~30 round trips of
+    lambda plumbing (~2-8 ms each on this host). Parity pinned in
+    tests/test_optimization_r12.py."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    na = f"sqrt(aggregate({a}, cast(0.0 as double), (acc, x) -> acc + x * x))"
+    nb = f"sqrt(aggregate({b}, cast(0.0 as double), (acc, x) -> acc + x * x))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+_TOPK_RANK_SQL = (
+    "cast(row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id ASC) as bigint) AS rank"
+)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,29 +69,22 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine, rank), rank 1..k, excluding
     self-matches. ``queries`` is broadcast — it must be the small side.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"cast({vec_col} as array<double>) AS cv",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"cast({vec_col} as array<double>) AS qv",
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-        )
+    scored = c.join(
+        F.broadcast(q), F.expr("query_id != neighbor_id")
+    ).selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"round({_cosine_sql('qv', 'cv')}, 6) AS cosine",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.selectExpr("*", _TOPK_RANK_SQL).filter(f"rank <= {k}")
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -182,21 +195,15 @@ def lsh_topk(
     # sf0.1, results identical).
     scored = (
         c.join(F.broadcast(q_probed), ["tbl", "bkt"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .filter(F.expr("query_id != neighbor_id"))
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            f"round({_cosine_sql('qv', 'cv')}, 6) AS cosine",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.selectExpr("*", _TOPK_RANK_SQL).filter(f"rank <= {k}")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -310,6 +317,43 @@ def _probe_cell_union(
 MAX_QUERY_BATCH = 100_000
 
 
+def _probe_cell_ranks(
+    q_vecs: list, centroids: list[list[float]], nprobe: int
+) -> list[list[int]]:
+    """Per-query nprobe nearest cells, driver-side — EXACTLY the math
+    and stable tie-break of _cell_ranks_udf (d = |c|² - 2 v·c, stable
+    argsort), so the literal probe map below reproduces the UDF's rows.
+    Parity pinned in tests/test_optimization_r12.py."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    out = []
+    for v in q_vecs:
+        V = np.asarray(v, dtype=np.float64)
+        d = c_sq - 2.0 * (C @ V)
+        out.append([int(x) for x in np.argsort(d, kind="stable")[:nprobe]])
+    return out
+
+
+def _literal_cell_map(ids: list, ranks: list[list[int]], id_type: str):
+    """`map(id -> array<cell>)` SQL literal for the probe side, or None
+    when the batch can't be expressed as a literal map (duplicate or
+    non-scalar ids — the caller falls back to the runtime UDF). Keys are
+    cast to the query-id column's exact type so element_at matches."""
+    if not ids or len(set(ids)) != len(ids):
+        return None
+    entries = []
+    for i, cells in zip(ids, ranks):
+        if isinstance(i, bool) or not isinstance(i, (int, float, str)):
+            return None
+        if isinstance(i, str):
+            lit = "'" + i.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        else:
+            lit = repr(i)
+        arr = ", ".join(str(c) for c in cells)
+        entries.append(f"cast({lit} as {id_type}), array({arr})")
+    return "map(" + ", ".join(entries) + ")"
+
+
 def _score_probed_cells(
     c: DataFrame, queries: DataFrame, centroids: list[list[float]],
     k: int, nprobe: int, id_col: str, vec_col: str,
@@ -317,16 +361,16 @@ def _score_probed_cells(
     """Shared IVF query stage: probe each query's nprobe nearest cells,
     score candidates within matching cells, per-query top-k window.
     The probed-cell UNION lands as a static partition filter on the
-    corpus scan (see _probe_cell_union)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+    corpus scan (see _probe_cell_union), and the per-query probe cells —
+    already computed driver-side from the same collected batch — land as
+    a literal `map(query_id -> cells)` so the probe side is pure
+    Catalyst (no ArrowEvalPython at run time; guide §4)."""
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"cast({vec_col} as array<double>) AS qv",
     )
-    q_probed = q.withColumn(
-        "cell", F.explode(_cell_ranks_udf(centroids, nprobe)(F.col("qv")))
-    )
-    qv_rows = q.select("qv").limit(MAX_QUERY_BATCH + 1).collect()
-    if len(qv_rows) > MAX_QUERY_BATCH:
+    q_rows = q.limit(MAX_QUERY_BATCH + 1).collect()
+    if len(q_rows) > MAX_QUERY_BATCH:
         raise ValueError(
             f"IVF query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}: "
             "this path collects the query vectors driver-side to compile "
@@ -334,25 +378,59 @@ def _score_probed_cells(
             "split the batch, or join the cell-assigned corpus against a "
             "cell-assigned query table for batches at corpus scale"
         )
-    probed_union = _probe_cell_union(
-        [r.qv for r in qv_rows], centroids, nprobe
+    q_vecs = [r.qv for r in q_rows]
+    probed_union = _probe_cell_union(q_vecs, centroids, nprobe)
+    ranks = _probe_cell_ranks(q_vecs, centroids, nprobe)
+    cell_map = _literal_cell_map(
+        [r.query_id for r in q_rows], ranks, dict(q.dtypes)["query_id"]
     )
+    if cell_map is not None:
+        q_probed = q.selectExpr(
+            "query_id",
+            "qv",
+            f"explode(element_at({cell_map}, query_id)) AS cell",
+        )
+    else:
+        q_probed = q.withColumn(
+            "cell", F.explode(_cell_ranks_udf(centroids, nprobe)(F.col("qv")))
+        )
+    if probed_union:
+        cell_filter = f"cell IN ({', '.join(str(x) for x in probed_union)})"
+    else:
+        cell_filter = "false"
     scored = (
-        c.filter(F.col("cell").isin(probed_union))
+        c.filter(cell_filter)
         .join(F.broadcast(q_probed), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .filter(F.expr("query_id != neighbor_id"))
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            f"round({_cosine_sql('qv', 'cv')}, 6) AS cosine",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.selectExpr("*", _TOPK_RANK_SQL).filter(f"rank <= {k}")
+
+
+#: (applicationId, path) -> DataFrame plan for a persisted index
+#: directory. spark.read.parquet costs ~160 ms of footer/schema listing
+#: per call on this host; the frame is immutable for a given index
+#: build, so the PLAN (not any result) is memoized. Invalidated by the
+#: build_* writers below whenever an index directory is rewritten.
+_INDEX_READ_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _read_index_parquet(spark, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _INDEX_READ_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _INDEX_READ_MEMO[key] = df
+    return df
+
+
+def _invalidate_index_read(spark, path: str) -> None:
+    _INDEX_READ_MEMO.pop((spark.sparkContext.applicationId, path), None)
 
 
 def build_ivf_index(
@@ -393,6 +471,9 @@ def build_ivf_index(
         .mode("overwrite")
         .parquet(os.path.join(index_path, "assigned"))
     )
+    _invalidate_index_read(
+        corpus.sparkSession, os.path.join(index_path, "assigned")
+    )
     with open(os.path.join(index_path, "centroids.json"), "w") as f:
         json.dump(centroids, f)
     return centroids
@@ -416,7 +497,7 @@ def ivf_topk_prebuilt(
 
     with open(os.path.join(index_path, "centroids.json")) as f:
         centroids = json.load(f)
-    c = spark.read.parquet(os.path.join(index_path, "assigned"))
+    c = _read_index_parquet(spark, os.path.join(index_path, "assigned"))
     return _score_probed_cells(
         c, queries, centroids, k, nprobe, id_col, vec_col
     )
@@ -703,6 +784,9 @@ def build_ivfpq_index(
         .mode("overwrite")
         .parquet(os.path.join(index_path, "codes"))
     )
+    _invalidate_index_read(
+        corpus.sparkSession, os.path.join(index_path, "codes")
+    )
     normed.unpersist()
     with open(os.path.join(index_path, "ivfpq.json"), "w") as f:
         json.dump({"centroids": centroids, "codebooks": codebooks}, f)
@@ -767,7 +851,7 @@ def ivfpq_topk_prebuilt(
         )
         return pd.Series(scores)
 
-    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    codes = _read_index_parquet(spark, os.path.join(index_path, "codes"))
     probed_union = sorted({cell for _qi, _qid, cell, _b in probed})
     scored = (
         # static `cell IN (...)` → real PartitionFilters on the code

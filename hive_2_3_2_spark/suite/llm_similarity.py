@@ -78,6 +78,39 @@ def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5, n_planes=5, n_tables=20)
 
 
+def _recall_booleans(
+    queries: DataFrame, approx: DataFrame, exact: DataFrame, floor: int
+) -> DataFrame:
+    """(query_id, recall_ok, corpus_recall_ok) invariant booleans shared
+    by the three ANN entries — identical frames to the per-entry builds
+    they replace, constructed with expression TEXT (selectExpr/F.expr)
+    instead of py4j Column algebra (~15 round trips saved per entry)."""
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.expr("count(1) AS hits"))
+    )
+    per_query = (
+        queries.selectExpr("vec_id AS query_id")
+        .join(hits, "query_id", "left")
+        .selectExpr("query_id", "coalesce(hits, 0) AS hits")
+    )
+    total = per_query.agg(F.expr("sum(hits) AS total_hits"))
+    return (
+        per_query.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "query_id",
+            "hits >= 1 AS recall_ok",
+            f"total_hits >= {floor} AS corpus_recall_ok",
+        )
+        .orderBy("query_id")
+    )
+
+
 def ivf_index_path(sf_dir: str) -> str:
     """Persisted IVF index directory for one fixture dir (under the
     system tmpdir via _scratch.scratch_root — repo root stays clean)."""
@@ -131,30 +164,8 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = ensure_ivf_index(spark, sf_dir)
     ivf = S.ivf_topk_prebuilt(spark, index_path, queries, k=5, nprobe=8)
     exact = S.brute_force_topk(emb, queries, k=5)
-    hits = (
-        ivf.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    per_query = (
-        queries.select(F.col("vec_id").alias("query_id"))
-        .join(hits, "query_id", "left")
-        .withColumn("hits", F.coalesce("hits", F.lit(0)))
-    )
-    total = per_query.agg(F.sum("hits").alias("total_hits"))
     n_exact = 25  # 5 queries × k=5 exact neighbors
-    return (
-        per_query.crossJoin(F.broadcast(total))
-        .select(
-            "query_id",
-            (F.col("hits") >= F.lit(1)).alias("recall_ok"),
-            (F.col("total_hits") >= F.lit(int(n_exact * 0.6))).alias(
-                "corpus_recall_ok"
-            ),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_booleans(queries, ivf, exact, int(n_exact * 0.6))
 
 
 @query(
@@ -182,27 +193,7 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = S.pq_encode(emb, books)
     pq = S.pq_topk(codes, queries, books, k=5)
     exact = S.brute_force_topk(emb, queries, k=5)
-    hits = (
-        pq.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    per_query = (
-        queries.select(F.col("vec_id").alias("query_id"))
-        .join(hits, "query_id", "left")
-        .withColumn("hits", F.coalesce("hits", F.lit(0)))
-    )
-    total = per_query.agg(F.sum("hits").alias("total_hits"))
-    return (
-        per_query.crossJoin(F.broadcast(total))
-        .select(
-            "query_id",
-            (F.col("hits") >= F.lit(1)).alias("recall_ok"),
-            (F.col("total_hits") >= F.lit(10)).alias("corpus_recall_ok"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_booleans(queries, pq, exact, 10)
 
 
 def ivfpq_index_path(sf_dir: str) -> str:
@@ -253,24 +244,4 @@ def topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = ensure_ivfpq_index(spark, sf_dir)
     approx = S.ivfpq_topk_prebuilt(spark, index_path, queries, k=5, nprobe=8)
     exact = S.brute_force_topk(emb, queries, k=5)
-    hits = (
-        approx.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    per_query = (
-        queries.select(F.col("vec_id").alias("query_id"))
-        .join(hits, "query_id", "left")
-        .withColumn("hits", F.coalesce("hits", F.lit(0)))
-    )
-    total = per_query.agg(F.sum("hits").alias("total_hits"))
-    return (
-        per_query.crossJoin(F.broadcast(total))
-        .select(
-            "query_id",
-            (F.col("hits") >= F.lit(1)).alias("recall_ok"),
-            (F.col("total_hits") >= F.lit(10)).alias("corpus_recall_ok"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_booleans(queries, approx, exact, 10)

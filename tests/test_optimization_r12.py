@@ -93,3 +93,44 @@ def test_banded_inline_sql_twin(spark, sf_dir):
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     new = sig.selectExpr("id", D._banded_inline_sql(num_perm, bands))
     _assert_same_rows(old, new)
+
+
+def test_cosine_sql_twin(spark, sf_dir):
+    from hive_2_3_2_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) AS v"
+    )
+    pairs = emb.alias("a").join(
+        emb.alias("b"), F.expr("a.vec_id < b.vec_id AND b.vec_id < 20")
+    )
+    col = pairs.select(
+        F.round(S.cosine(F.col("a.v"), F.col("b.v")), 6).alias("c")
+    )
+    sql = pairs.selectExpr(f"round({S._cosine_sql('a.v', 'b.v')}, 6) AS c")
+    _assert_same_rows(col, sql)
+
+
+def test_probe_cell_ranks_matches_udf(spark, sf_dir):
+    """Driver-side probe ranks (the literal map path) == the Arrow UDF's
+    ranks for the real embeddings fixture."""
+    from hive_2_3_2_spark.llm import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) AS v"
+    )
+    centroids = S.kmeans_centroids(
+        emb, n_cells=8, n_iter=2, vec_col="v", id_col="vec_id"
+    )
+    rows = emb.orderBy("vec_id").limit(64).collect()
+    udf_rows = (
+        emb.filter(F.col("vec_id") < 64)
+        .select(
+            "vec_id", S._cell_ranks_udf(centroids, 3)(F.col("v")).alias("r")
+        )
+        .collect()
+    )
+    udf_map = {r.vec_id: list(r.r) for r in udf_rows}
+    driver = S._probe_cell_ranks([r.v for r in rows], centroids, 3)
+    for r, d in zip(rows, driver):
+        assert udf_map[r.vec_id] == d
