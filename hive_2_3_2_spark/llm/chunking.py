@@ -41,32 +41,28 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(
-            F.floor((n - 1) / stride).cast("int") * stride, F.lit(0)
-        ),
-        F.lit(stride),
+    # Expression TEXT (selectExpr): same Catalyst tree as the former F.*
+    # chain, ~25 fewer py4j round trips per construction (r12).
+    toks = r"split(trim(" + text_col + r"), '\\s+')"
+    starts = (
+        f"sequence(0, greatest(cast(floor((size({toks}) - 1) / {stride}) "
+        f"as int) * {stride}, 0), {stride})"
     )
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            toks.alias("__toks"),
-            F.posexplode(starts).alias("chunk_id", "start"),
+        df.selectExpr(
+            f"{id_col} AS doc_id",
+            f"{toks} AS __toks",
+            f"posexplode({starts}) AS (chunk_id, start)",
         )
-        .select(
+        .selectExpr(
             "doc_id",
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            F.least(
-                F.size("__toks") - F.col("start"), F.lit(chunk_tokens)
-            ).cast("long").alias("n_tokens"),
-            F.concat_ws(
-                " ", F.slice("__toks", F.col("start") + 1, chunk_tokens)
-            ).alias("chunk_text"),
+            "cast(chunk_id as bigint) AS chunk_id",
+            f"cast(least(size(__toks) - start, {chunk_tokens}) as bigint)"
+            " AS n_tokens",
+            f"concat_ws(' ', slice(__toks, start + 1, {chunk_tokens}))"
+            " AS chunk_text",
         )
-        .filter(F.col("n_tokens") > 0)
+        .filter("n_tokens > 0")
     )
 
 

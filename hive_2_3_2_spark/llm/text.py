@@ -209,25 +209,27 @@ def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "tex
     from pyspark.sql import DataFrame, Window  # local: avoid cycle at import
 
     spark_df: DataFrame = df
-    toks = spark_df.select(
-        id_col, F.explode(F.split(text_col, " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = spark_df.select(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("df"), F.asc("tok"))
+    # Expression TEXT throughout (selectExpr/F.expr): same Catalyst tree
+    # as the former F.* chain, ~25 fewer py4j round trips per
+    # construction (r12; each round trip ~2-8 ms on slow localhost).
+    toks = spark_df.selectExpr(
+        id_col, f"explode(split({text_col}, ' ')) AS tok"
+    ).filter("tok != ''")
+    tf = toks.groupBy(id_col, "tok").agg(F.expr("count(1) AS tf"))
+    dfreq = tf.groupBy("tok").agg(F.expr("count(1) AS df"))
+    n_docs = spark_df.select(F.expr("count(1) AS n_docs"))
     return (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
-                6,
-            ),
+        .selectExpr(
+            id_col,
+            "tok",
+            "tf",
+            "df",
+            "round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score",
+            f"row_number() OVER (PARTITION BY {id_col} "
+            "ORDER BY tf DESC, df ASC, tok ASC) AS rn",
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        .filter(f"rn <= {k}")
         .select(id_col, "tok", "tf", "df", "score")
     )

@@ -59,15 +59,20 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with grouping() (parse/HiveParser.g:79-82 tokens;
-    FunctionRegistry.java:350 grouping)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        (
-            F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
-        ).cast("long").alias("grp_id"),
-    )
+    FunctionRegistry.java:350 grouping). SQL text over the memoized star
+    view — same analyzed plan as the former rollup().agg() chain (r12)."""
+    from hive_2_3_2_spark.catalog import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(1)                     AS n,
+               ROUND(SUM(o_totalprice), 2)  AS total,
+               CAST(GROUPING(o_orderstatus)
+                    + 2 * GROUPING(o_orderpriority) AS BIGINT) AS grp_id
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """)
 
 
 @query(

@@ -108,21 +108,22 @@ def session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 30-minute inactivity gap per user
     (F.session_window — Spark merges overlapping [ts, ts+gap) intervals;
     window.end = last event + gap). Oracle: classic gaps-and-islands."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "session_value",
-        )
-    )
+    from hive_2_3_2_spark.catalog import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    # SQL text over the memoized events view — same analyzed plan as the
+    # former groupBy(F.session_window(...)) chain (r12).
+    return spark.sql("""
+        SELECT user_id, w.start AS session_start, w.end AS session_end,
+               n_events, session_value
+        FROM (
+          SELECT session_window(ts, '30 minutes') AS w, user_id,
+                 COUNT(1) AS n_events,
+                 ROUND(SUM(value), 4) AS session_value
+          FROM events
+          GROUP BY session_window(ts, '30 minutes'), user_id
+        ) t
+    """)
 
 
 @query(

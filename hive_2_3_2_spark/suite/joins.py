@@ -220,16 +220,17 @@ def join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological producer-side skew beyond AQE, operators/joins.py
     provides an explicit salting helper.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-    )
+    from hive_2_3_2_spark.catalog import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    # SQL text over the memoized star views — same analyzed plan as the
+    # former join/groupBy chain (r12).
+    return spark.sql("""
+        SELECT l_returnflag, COUNT(1) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+    """)
 
 
 @query(

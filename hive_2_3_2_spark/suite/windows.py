@@ -39,20 +39,24 @@ from hive_2_3_2_spark.suite import query
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 parts per brand: row_number/rank/dense_rank + rank filter
     (Hive pushes this via PTFTopNHash, ql/.../exec/PTFTopNHash.java:35;
-    Spark infers a window group limit)."""
-    part = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
-    return (
-        part.select(
-            "p_brand",
-            "p_partkey",
-            F.round("p_retailprice", 2).alias("price"),
-            F.row_number().over(w).cast("long").alias("rn"),
-            F.rank().over(w).cast("long").alias("rnk"),
-            F.dense_rank().over(w).cast("long").alias("drnk"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
+    Spark infers a window group limit). SQL text over the memoized star
+    view — same analyzed plan as the former Window/F.* chain, built in
+    one py4j call instead of ~20 (r12)."""
+    from hive_2_3_2_spark.catalog import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand, p_partkey, price, rn, rnk, drnk FROM (
+          SELECT p_brand, p_partkey,
+                 ROUND(p_retailprice, 2)            AS price,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                 CAST(RANK()       OVER w AS BIGINT) AS rnk,
+                 CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+          FROM part
+          WINDOW w AS (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey)
+        ) t WHERE rn <= 3
+    """)
 
 
 @query(
