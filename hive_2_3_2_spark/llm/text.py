@@ -216,10 +216,18 @@ def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "tex
         id_col, f"explode(split({text_col}, ' ')) AS tok"
     ).filter("tok != ''")
     tf = toks.groupBy(id_col, "tok").agg(F.expr("count(1) AS tf"))
-    dfreq = tf.groupBy("tok").agg(F.expr("count(1) AS df"))
     n_docs = spark_df.select(F.expr("count(1) AS n_docs"))
+    # df (document frequency) = one count per tok over the tf rows. As a
+    # WINDOW over tf instead of a groupBy+join, the corpus is tokenized
+    # and aggregated ONCE — the join formulation planned the whole
+    # scan→explode→tf subtree twice (once per join side; no exchange
+    # reuse, since the sides partition on different keys). Values are
+    # identical (df = count of tf rows per tok either way); measured
+    # 1.45s → 1.09s interleaved at sf0.1 (r12).
     return (
-        tf.join(dfreq, "tok")
+        tf.selectExpr(
+            id_col, "tok", "tf", "count(1) OVER (PARTITION BY tok) AS df"
+        )
         .crossJoin(F.broadcast(n_docs))
         .selectExpr(
             id_col,

@@ -49,6 +49,17 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     # Arrow for the Pandas-UDF slow path (only used where JVM exprs can't).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4's DataFrame-debugging call-site capture (on by default)
+    # costs THREE extra py4j round trips per DataFrame/Column operation
+    # (a conf.get + PySparkCurrentOrigin.set/.clear around every call —
+    # pyspark/errors/utils.py:295-325) plus a Python stack walk. On this
+    # host's ~2 ms localhost sockets that is most of the measured ~8 ms
+    # per Column op; 100 ops cost 2.49 s with it on. It only enriches
+    # error messages with user-code line numbers — the engine raises its
+    # own typed errors — so it is pure per-op overhead here. Static conf:
+    # must be set at session build (r12, guide §1/§4: shrink the
+    # Python-to-JVM boundary).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Hive's datetime patterns ARE Java SimpleDateFormat (GenericUDFDateFormat
     # / UDFUnixTimeStamp wrap SimpleDateFormat directly) — week-based fields
     # ('Y'/'u'/'w'/'W'), 'E', 'G' are valid and lenient-parse semantics apply.

@@ -384,5 +384,15 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier pattern; l_returnflag='R' stands in for receipt>commit since
     the driver schema has no commit/receipt dates). Compiles to a
     left-semi then left-anti join, both on l_orderkey — Catalyst plans
-    both against the same exchange of lineitem."""
+    both against the same exchange of lineitem.
+
+    r12 note: a per-order-aggregation rewrite (n_supp >= 2 AND
+    n_r_supp = 1 against COUNT(DISTINCT ...) per l_orderkey) was built,
+    proven equivalent at all SFs, and MEASURED SLOWER — interleaved
+    medians 0.785 s (this form) vs 1.049 s (two-level agg) / 1.469 s
+    (multi-distinct Expand) at sf0.1. The before-plan's full-lineitem
+    broadcasts are a size-estimate planner choice (600k-row two-column
+    projections fit the 32 MB threshold), not a structural scale-killer:
+    past the threshold the same query plans as sort-merge semi/anti
+    joins keyed on l_orderkey. Kept on measurement (guide §1)."""
     return _sql(spark, sf_dir, _Q21)
