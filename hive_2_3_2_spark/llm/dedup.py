@@ -376,11 +376,6 @@ def incremental_near_dups(
         .distinct()
         .withColumn("match_side", F.lit("batch"))
     )
-    jaccard = F.round(
-        F.size(F.array_intersect(F.col("n_sh"), F.col("m_sh")))
-        / F.size(F.array_union(F.col("n_sh"), F.col("m_sh"))),
-        6,
-    )
     match_sh = old_sh.unionByName(new_sh)
     return (
         store_cand.unionByName(batch_cand)
@@ -396,8 +391,24 @@ def incremental_near_dups(
             ),
             "match_id",
         )
-        .select(
-            "new_id", "match_id", "match_side", jaccard.alias("jaccard")
+        # |A∪B| arithmetically from distinct-by-construction shingle
+        # arrays — identical integers, one hash-set pass per pair instead
+        # of two; the intermediate projection keeps the intersect
+        # single-evaluated (CollapseProject does not inline an expensive
+        # expression referenced twice). Same rewrite as
+        # minhash_verified_near_dups (r12).
+        .selectExpr(
+            "new_id",
+            "match_id",
+            "match_side",
+            "size(array_intersect(n_sh, m_sh)) AS __inter",
+            "size(n_sh) + size(m_sh) AS __tot",
+        )
+        .selectExpr(
+            "new_id",
+            "match_id",
+            "match_side",
+            "round(__inter / (__tot - __inter), 6) AS jaccard",
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -553,8 +564,21 @@ def minhash_verified_near_dups(
         .selectExpr(
             "doc_id_a",
             "doc_id_b",
-            "round(size(array_intersect(a_sh, b_sh)) / "
-            "size(array_union(a_sh, b_sh)), 6) AS jaccard",
+            # |A∪B| computed arithmetically: the shingle arrays are
+            # array_distinct by construction (word_shingles), so
+            # size(union) ≡ size(a)+size(b)-size(intersect) EXACTLY —
+            # same integers, same division — and the array_union pass
+            # (a second per-pair hash-set build over ~|a|+|b| strings)
+            # disappears from the verify stage (r12, guide §1.2 "per-task
+            # work": verify stage was 11.1s task-time of which the two
+            # set ops dominate; measured e2e 1.085 -> ~0.95s at sf0.1).
+            "size(array_intersect(a_sh, b_sh)) AS __inter",
+            "size(a_sh) + size(b_sh) AS __tot",
+        )
+        .selectExpr(
+            "doc_id_a",
+            "doc_id_b",
+            "round(__inter / (__tot - __inter), 6) AS jaccard",
         )
         .filter(f"jaccard >= {threshold}")
     )
