@@ -51,6 +51,28 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+def _norm_sql(a: str) -> str:
+    """SQL text for the vector L2 norm — the ``sqrt(Σx²)`` factor of
+    ``_cosine_sql``, split out so join paths can compute each side's norm
+    ONCE per row *before* the pair join instead of once per pair (the
+    norm depends on one side only; evaluating it inside the pair
+    projection redid the same Σx² pass |pairs|/|rows| times — r12,
+    guide §1.2 "per-task work"). Same expression over the same data ⇒
+    bit-identical doubles, so round(cosine, 6) is unchanged."""
+    return f"sqrt(aggregate({a}, cast(0.0 as double), (acc, x) -> acc + x * x))"
+
+
+def _dot_over_norms_sql(a: str, b: str, na: str, nb: str) -> str:
+    """Cosine from precomputed per-side norms: dot(a,b) / (na * nb) —
+    arithmetically the exact expression ``_cosine_sql`` evaluates, with
+    the two sqrt factors hoisted to per-row projections."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
+
 _TOPK_RANK_SQL = (
     "cast(row_number() OVER (PARTITION BY query_id "
     "ORDER BY cosine DESC, neighbor_id ASC) as bigint) AS rank"
@@ -72,17 +94,18 @@ def brute_force_topk(
     c = corpus.selectExpr(
         f"{id_col} AS neighbor_id",
         f"cast({vec_col} as array<double>) AS cv",
-    )
+    ).selectExpr("neighbor_id", "cv", _norm_sql("cv") + " AS cnorm")
     q = queries.selectExpr(
         f"{id_col} AS query_id",
         f"cast({vec_col} as array<double>) AS qv",
-    )
+    ).selectExpr("query_id", "qv", _norm_sql("qv") + " AS qnorm")
     scored = c.join(
         F.broadcast(q), F.expr("query_id != neighbor_id")
     ).selectExpr(
         "query_id",
         "neighbor_id",
-        f"round({_cosine_sql('qv', 'cv')}, 6) AS cosine",
+        f"round({_dot_over_norms_sql('qv', 'cv', 'qnorm', 'cnorm')}, 6)"
+        " AS cosine",
     )
     return scored.selectExpr("*", _TOPK_RANK_SQL).filter(f"rank <= {k}")
 
@@ -165,17 +188,27 @@ def lsh_topk(
     c = (
         _spread(corpus)
         .select(*c_sel)
+        # Norm ONCE per corpus row, before the per-table posexplode (and
+        # the bucket join) multiplies the row n_tables× / per-pair ways.
+        .selectExpr("neighbor_id", "cv", _norm_sql("cv") + " AS cnorm")
         .withColumn("bkts", bucketer(F.col("cv")))
         .select(
             "neighbor_id",
             "cv",
+            "cnorm",
             F.posexplode("bkts").alias("tbl", "bkt"),
         )
     )
     q = (
         queries.select(*q_sel)
+        .selectExpr("query_id", "qv", _norm_sql("qv") + " AS qnorm")
         .withColumn("bkts", bucketer(F.col("qv")))
-        .select("query_id", "qv", F.posexplode("bkts").alias("tbl", "bkt0"))
+        .select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.posexplode("bkts").alias("tbl", "bkt0"),
+        )
     )
     if multiprobe:
         probes = F.array(
@@ -185,7 +218,7 @@ def lsh_topk(
     else:
         probes = F.array(F.col("bkt0"))
     q_probed = q.select(
-        "query_id", "qv", "tbl", F.explode(probes).alias("bkt")
+        "query_id", "qv", "qnorm", "tbl", F.explode(probes).alias("bkt")
     )
     # Score BEFORE the dedup: duplicate candidates (multi-table/probe
     # collisions) recompute an identical cosine map-side, but the
@@ -199,7 +232,8 @@ def lsh_topk(
         .selectExpr(
             "query_id",
             "neighbor_id",
-            f"round({_cosine_sql('qv', 'cv')}, 6) AS cosine",
+            f"round({_dot_over_norms_sql('qv', 'cv', 'qnorm', 'cnorm')}, 6)"
+            " AS cosine",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -370,6 +404,7 @@ def _score_probed_cells(
         f"cast({vec_col} as array<double>) AS qv",
     )
     q_rows = q.limit(MAX_QUERY_BATCH + 1).collect()
+    q = q.selectExpr("query_id", "qv", _norm_sql("qv") + " AS qnorm")
     if len(q_rows) > MAX_QUERY_BATCH:
         raise ValueError(
             f"IVF query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}: "
@@ -388,6 +423,7 @@ def _score_probed_cells(
         q_probed = q.selectExpr(
             "query_id",
             "qv",
+            "qnorm",
             f"explode(element_at({cell_map}, query_id)) AS cell",
         )
     else:
@@ -398,14 +434,21 @@ def _score_probed_cells(
         cell_filter = f"cell IN ({', '.join(str(x) for x in probed_union)})"
     else:
         cell_filter = "false"
+    # Candidate-side norm ONCE per surviving corpus row, before the cell
+    # join fans it out per probing query (and before dropDuplicates sees
+    # multi-cell duplicates). Index frames that persist a build-time
+    # ``cnorm`` column (build_ivf_index) skip even this projection.
+    cand = c.filter(cell_filter)
+    if "cnorm" not in cand.columns:
+        cand = cand.selectExpr("*", _norm_sql("cv") + " AS cnorm")
     scored = (
-        c.filter(cell_filter)
-        .join(F.broadcast(q_probed), "cell")
+        cand.join(F.broadcast(q_probed), "cell")
         .filter(F.expr("query_id != neighbor_id"))
         .selectExpr(
             "query_id",
             "neighbor_id",
-            f"round({_cosine_sql('qv', 'cv')}, 6) AS cosine",
+            f"round({_dot_over_norms_sql('qv', 'cv', 'qnorm', 'cnorm')}, 6)"
+            " AS cosine",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -459,12 +502,19 @@ def build_ivf_index(
     centroids = kmeans_centroids(
         corpus, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col, id_col=id_col
     )
-    assigned = _spread(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
+    assigned = (
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
         )
-    ).withColumn("cell", _nearest_cell(F.col("cv"), centroids))
+        # Persist the L2 norm with the index row: computed once at build,
+        # never re-derived at probe time (r12 — _score_probed_cells uses
+        # a stored cnorm directly; same sqrt(Σx²) doubles either way).
+        .selectExpr("neighbor_id", "cv", _norm_sql("cv") + " AS cnorm")
+        .withColumn("cell", _nearest_cell(F.col("cv"), centroids))
+    )
     (
         assigned.repartition("cell")
         .write.partitionBy("cell")
