@@ -120,17 +120,30 @@ def _minhash_fold_udf(num_perm: int):
 
     @pandas_udf("array<bigint>")
     def fold(hh: pd.Series) -> pd.Series:
-        out = []
-        empty = np.full(num_perm, _P, dtype=np.int64)
-        with np.errstate(over="ignore"):
-            for row in hh:
-                if row is None or len(row) == 0:
-                    out.append(empty)
-                    continue
-                h = np.asarray(row, dtype=np.uint64)[None, :]
-                vals = (A * h + B) % P
-                out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        # Whole-batch vectorization (guide §4.2): flatten every row's
+        # hash array into ONE (num_perm, Σ|row|) permutation pass +
+        # a segmented min (minimum.reduceat) instead of a Python loop
+        # issuing ~|batch| tiny numpy ops. Arithmetic is element-wise
+        # identical to the per-row form (uint64 wrap multiply, % P,
+        # min per row), so signatures are bit-identical.
+        n = len(hh)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        rows = [
+            None if r is None or len(r) == 0 else np.asarray(r, dtype=np.uint64)
+            for r in hh
+        ]
+        out = np.full((n, num_perm), _P, dtype=np.int64)
+        valid = [i for i, r in enumerate(rows) if r is not None]
+        if valid:
+            flat = np.concatenate([rows[i] for i in valid])[None, :]
+            lens = np.array([len(rows[i]) for i in valid])
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            with np.errstate(over="ignore"):
+                vals = (A * flat + B) % P  # (num_perm, Σ|row|)
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (num_perm, v)
+            out[valid] = mins.T.astype(np.int64)
+        return pd.Series(list(out))
 
     return fold
 
@@ -591,15 +604,27 @@ def _simhash_fold_udf():
 
     @pandas_udf("long")
     def fold(hh: pd.Series) -> pd.Series:
-        out = np.zeros(len(hh), dtype=np.uint64)
-        for i, row in enumerate(hh):
-            if row is None or len(row) == 0:
-                continue
-            h = np.asarray(row, dtype=np.uint64)[:, None]
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
-            out[i] = np.packbits(
-                (bits.sum(axis=0) > 0)[::-1], bitorder="big"
-            ).view(">u8")[0]
+        # Whole-batch form (guide §4.2), same shape as the minhash fold:
+        # flatten to ONE (Σ|row|, 64) ±1 bit matrix + a segmented sum
+        # (add.reduceat) instead of per-row numpy calls. Bit math is
+        # element-wise identical, so fingerprints are unchanged.
+        n = len(hh)
+        out = np.zeros(n, dtype=np.uint64)
+        rows = [
+            None if r is None or len(r) == 0 else np.asarray(r, dtype=np.uint64)
+            for r in hh
+        ]
+        valid = [i for i, r in enumerate(rows) if r is not None]
+        if valid:
+            flat = np.concatenate([rows[i] for i in valid])[:, None]
+            lens = np.array([len(rows[i]) for i in valid])
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            bits = ((flat >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+            sums = np.add.reduceat(bits, starts, axis=0)  # (v, 64)
+            packed = np.packbits(
+                (sums > 0)[:, ::-1], axis=1, bitorder="big"
+            ).view(">u8")[:, 0]
+            out[valid] = packed
         return pd.Series(out.astype(np.int64))
 
     return fold
