@@ -109,10 +109,44 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     return hashes_of_shingles(word_shingles(text, k))
 
 
+def _minhash_mins_sql(num_perm: int, hh_sql: str = "hh") -> str:
+    """JVM-expression MinHash fold over a precomputed hash-array column:
+    ``array(num_perm × array_min(transform(hh, h -> ...)))``.
+
+    Bit-identical to ``_minhash_fold_udf``'s numpy uint64 arithmetic:
+    ``h*a + b`` wraps mod 2^64 identically in Java long bits; the
+    unsigned ``% P`` is recovered from the signed value with
+    ``pmod(v, P) + 8·[v < 0]`` (2^64 mod P = 8 for P = 2^61-1) — parity
+    is pinned over the real corpus in tests/test_optimization_r12.py.
+
+    Why this replaced the pandas-UDF fold on the query path (r12,
+    guide §4.1 "always prefer built-ins"): the Arrow boundary costs
+    ~0.3-0.5 s of per-task worker/transfer overhead per stage at sf0.1
+    (32 tasks), while the per-doc cost of the interpreted transform is
+    the same as numpy's at 20× corpus (measured: banded materialization
+    0.59 s Arrow vs 0.31 s JVM at sf0.1; 6.6 s vs 6.0 s at 20×). The
+    earlier 3.1 s "pure-Column fold" measurement that motivated the UDF
+    was an artifact of re-deriving the shingle hashes inside all
+    num_perm branches — folding over a dedicated ``hh`` column keeps the
+    shingling single-pass. IMPORTANT: callers must put ``hh`` in its own
+    projection; Catalyst's CollapseProject keeps it single-evaluation
+    because it is referenced num_perm times (non-cheap, multi-ref)."""
+    mins = ", ".join(
+        f"array_min(transform({hh_sql}, h -> pmod(pmod(h * {a}L + {b}L, "
+        f"{_P}L) + IF(h * {a}L + {b}L < 0, 8L, 0L), {_P}L)))"
+        for a, b in _perm_params(num_perm)
+    )
+    return f"array({mins})"
+
+
 def _minhash_fold_udf(num_perm: int):
     """Arrow-vectorized MinHash fold: per row, min over shingle hashes of
     (a_i*h + b_i) mod P for each permutation i. uint64 wrap-around
-    multiply (same family as the Column version; deterministic)."""
+    multiply (same family as the Column version; deterministic).
+
+    Kept as the parity reference for ``_minhash_mins_sql`` (and for any
+    embedder who wants the numpy fold); the query paths use the JVM
+    expression since r12."""
     params = _perm_params(num_perm)
     A = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
     B = np.array([b for _, b in params], dtype=np.uint64)[:, None]
@@ -219,13 +253,10 @@ def minhash_lsh_candidates(
     """
     rows = num_perm // bands
 
-    # Shingle+hash JVM-side (codegen-friendly string work), then fold the
-    # num_perm permutation-mins in ONE Arrow-vectorized pandas UDF. The
-    # pure-Column formulation (num_perm × array_min(transform(...))) is
-    # correct but exceeds whole-stage-codegen limits and falls back to
-    # interpreted expression walking — measured 3.1s for the fold at
-    # sf0.1 vs ~0.2s for this numpy version. This is the sanctioned
-    # Pandas-UDF case: built-ins express the semantics but not the speed.
+    # Shingle+hash JVM-side (codegen-friendly string work) into a
+    # dedicated ``hh`` projection, then the num_perm permutation-mins as
+    # one JVM expression over it (r12 — see _minhash_mins_sql for the
+    # measurements; this removed the plan's last ArrowEvalPython node).
     if shingles is not None:
         hashed = shingles.selectExpr(
             "id", _hashes_of_shingles_sql("sh") + " AS hh"
@@ -235,9 +266,7 @@ def minhash_lsh_candidates(
             f"{id_col} AS id",
             _hashes_of_shingles_sql(_word_shingles_sql(text_col, k)) + " AS hh",
         )
-    sig = hashed.select(
-        "id", _minhash_fold_udf(num_perm)(F.col("hh")).alias("sig")
-    )
+    sig = hashed.selectExpr("id", _minhash_mins_sql(num_perm) + " AS sig")
     banded = sig.selectExpr("id", _banded_inline_sql(num_perm, bands))
     # Materialize the banded signatures before the self-join: both join
     # sides read the cached (id, band, bh) rows — 3 longs per row — instead
@@ -275,9 +304,7 @@ def _banded_signatures(
         _hashes_of_shingles_sql(sh_sql) + " AS hh",
         sh_sql + " AS sh",
     )
-    sig = base.select(
-        "id", "sh", _minhash_fold_udf(num_perm)(F.col("hh")).alias("sig")
-    )
+    sig = base.selectExpr("id", "sh", _minhash_mins_sql(num_perm) + " AS sig")
     return sig.selectExpr(
         "id", _banded_inline_sql(num_perm, bands), "sh"
     ).select("id", "band", "bh", "sh")

@@ -95,6 +95,21 @@ def test_banded_inline_sql_twin(spark, sf_dir):
     _assert_same_rows(old, new)
 
 
+def test_minhash_mins_sql_matches_arrow_fold(spark, sf_dir):
+    """The JVM-expression MinHash fold (pmod unsigned-mod emulation,
+    2^64 % P == 8 correction for wrapped-negative products) is
+    bit-identical to the numpy uint64 Arrow fold it replaced on the
+    query path (r12)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.selectExpr(
+        "doc_id AS id",
+        D._hashes_of_shingles_sql(D._word_shingles_sql("text", 3)) + " AS hh",
+    )
+    arrow = base.select("id", D._minhash_fold_udf(32)(F.col("hh")).alias("sig"))
+    jvm = base.selectExpr("id", D._minhash_mins_sql(32) + " AS sig")
+    _assert_same_rows(arrow, jvm)
+
+
 def test_cosine_sql_twin(spark, sf_dir):
     from hive_2_3_2_spark.llm import similarity as S
 
