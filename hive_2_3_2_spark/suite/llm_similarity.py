@@ -99,16 +99,22 @@ def _recall_booleans(
         .join(hits, "query_id", "left")
         .selectExpr("query_id", "coalesce(hits, 0) AS hits")
     )
-    total = per_query.agg(F.expr("sum(hits) AS total_hits"))
-    return (
-        per_query.crossJoin(F.broadcast(total))
-        .selectExpr(
-            "query_id",
-            "hits >= 1 AS recall_ok",
-            f"total_hits >= {floor} AS corpus_recall_ok",
-        )
-        .orderBy("query_id")
-    )
+    # Corpus total as a window over per_query instead of agg + crossJoin:
+    # the crossJoin form referenced per_query TWICE (once under the total
+    # aggregate, once as the output side), planning the whole
+    # approx/exact/hits subtree twice — AQE stage reuse deduplicates only
+    # up to the exchange boundaries, so the post-shuffle joins/aggregates
+    # ran twice per execution. sum(hits) OVER () computes the same bigint
+    # on ONE pass; the single-partition window holds one row per QUERY
+    # vector (the bounded-small side by contract — brute_force_topk
+    # broadcasts it), so no skew exposure at scale. Same rows, same
+    # types; interleaved 9-run medians on the ivf entry at sf0.1:
+    # 0.415 s → 0.281 s, every paired run faster (r12).
+    return per_query.selectExpr(
+        "query_id",
+        "hits >= 1 AS recall_ok",
+        f"sum(hits) OVER () >= {floor} AS corpus_recall_ok",
+    ).orderBy("query_id")
 
 
 def ivf_index_path(sf_dir: str) -> str:

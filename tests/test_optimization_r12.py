@@ -126,6 +126,49 @@ def test_cosine_sql_twin(spark, sf_dir):
     _assert_same_rows(col, sql)
 
 
+def test_recall_booleans_window_matches_crossjoin(spark, sf_dir):
+    """_recall_booleans' corpus total as sum(hits) OVER () (one pass over
+    per_query) == the agg + broadcast-crossJoin form it replaced (which
+    planned the approx/exact subtree twice) — same rows, same types."""
+    from hive_2_3_2_spark.llm import similarity as S
+    from hive_2_3_2_spark.suite.llm_similarity import _recall_booleans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = S.lsh_topk(emb, queries, k=5, n_planes=5, n_tables=20)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    floor = 15
+
+    new = _recall_booleans(queries, approx, exact, floor)
+
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.expr("count(1) AS hits"))
+    )
+    per_query = (
+        queries.selectExpr("vec_id AS query_id")
+        .join(hits, "query_id", "left")
+        .selectExpr("query_id", "coalesce(hits, 0) AS hits")
+    )
+    total = per_query.agg(F.expr("sum(hits) AS total_hits"))
+    old = (
+        per_query.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "query_id",
+            "hits >= 1 AS recall_ok",
+            f"total_hits >= {floor} AS corpus_recall_ok",
+        )
+        .orderBy("query_id")
+    )
+    assert new.schema == old.schema
+    _assert_same_rows(old, new)
+
+
 def test_probe_cell_ranks_matches_udf(spark, sf_dir):
     """Driver-side probe ranks (the literal map path) == the Arrow UDF's
     ranks for the real embeddings fixture."""
