@@ -45,6 +45,17 @@ FLAG_VERDICTS: dict[str, str] = {
         "pinned variant; adaptive sign-bit blocking re-measures at "
         "~6.9x wall-clock for 10x rows (r10)."
     ),
+    "dedup_ngram_jaccard_pairs": (
+        "NOT a scale cliff and NOT a code regression — single-run "
+        "host-noise outlier: targeted re-measure at sf1 (15 runs in 5 "
+        "process sets interleaved against the r11 tag, r12 session 4) "
+        "spans 11.0-18.7 s with medians r11 12.4 s vs HEAD 13.4 s, win "
+        "direction mixed across sets (inside this host's measured ±25% "
+        "drift); the physical plan is byte-identical to the r11 tag's "
+        "modulo lambda variable naming (diffed explain('formatted')) "
+        "and row counts match exactly (248,924). The sweep's 32.4 s "
+        "reading landed in a slow host stretch."
+    ),
     "similarity_topk_ivfpq": (
         "NOT a scale cliff — the single-run number includes the "
         "one-time persisted PQ index build; steady-state probe "
