@@ -371,7 +371,7 @@ del _R11_WINDOW  # history above; the live window follows
 # r2 LSH + sorts, r3 events/hiveql dialect cohort). Computed from
 # verification_ledger.json regenerated through r11 (histogram
 # r7:30 r8:50 r9:50 r10:50 r11:50); post-r12 staleness floor is r8.
-_WINDOW = [
+_R12_WINDOW = [
     # -- stalest cohort: latest green row is r7 (all 30) --
     "fn_cast_coercion",
     "fn_complex_types",
@@ -424,6 +424,82 @@ _WINDOW = [
     "hiveql_grouping_sets_id",
     "hiveql_tablesample_bucket",
     "hiveql_tablesample_bucket_string",
+]
+del _R12_WINDOW  # history above; the live window follows
+
+# R13 WINDOW (the r12 verdict's prescription, optimization round 2/2):
+# every query whose construction or physical plan was rewritten in the
+# r12 optimization round gets a driver-side oracle row — the r12 window
+# rotation covered ZERO of them (its 50 entries were all untouched
+# staleness picks). Pinned: the 16 headline bench queries +
+# dedup_ngram_jaccard_pairs; 15 of the 17 are ALSO the natural oldest-r9
+# staleness picks (the r12 rewrites targeted exactly the queries last
+# driver-verified in r9), so the pinning and the staleness rotation
+# almost coincide. Window = ALL 30 r8-stale entries (latest green r8:
+# r3-origin lateral/subquery/op cohort + r4-origin agg/clean/ddl/dml/emb
+# heads + stats/database entries) + the 17 pins + 3 kept oldest-r9
+# re-verifications (agg_count_distinct, dedup_connected_clusters,
+# dml_delete_where — first-green r1/r2, A-Z). The marginal oldest-r9
+# picks displaced by the 2 non-r9-stale pins (similarity_topk_ivf,
+# agg_rollup_order_priority — r12-rewritten, latest green r10):
+# dml_merge_upsert, events_tumbling_window. Computed from
+# verification_ledger.json regenerated through r12 (histogram
+# r8:30 r9:50 r10:50 r11:50 r12:50); post-r13 staleness floor is r9.
+_WINDOW = [
+    # -- stalest cohort: latest green row is r8 (all 30, first-green, A-Z) --
+    "hiveql_union_mixed",
+    "lateral_explode_outer_empty",
+    "lateral_inline_structs",
+    "lateral_json_tuple_props",
+    "lateral_posexplode_first_tokens",
+    "lateral_stack_unpivot",
+    "op_masking_family",
+    "op_ngrams_top20",
+    "op_salted_skew_join",
+    "op_transform_script",
+    "pipeline_corpus_prep",
+    "setop_union_type_coercion",
+    "stream_stateful_running_totals",
+    "subq_cte_reuse",
+    "subq_in_uncorrelated",
+    "subq_not_exists_correlated",
+    "subq_not_in_uncorrelated",
+    "subq_scalar_uncorrelated",
+    "agg_histogram_numeric",
+    "agg_min_max_by",
+    "clean_pii_scrub",
+    "clean_quality_flags",
+    "ddl_sql_export_import",
+    "dedup_semantic_kept",
+    "dml_sql_multi_insert",
+    "emb_l2_normalize",
+    "sample_weighted_reservoir",
+    "stats_answered_aggregates",
+    "database_qualified_dml",
+    "stats_partition_pruned_aggregates",
+    # -- r12-rewritten pins (every headline query + the heaviest registry
+    # -- entry; 15/17 are also the natural oldest-r9 staleness picks) --
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_suppliers",
+    "window_rank_top_parts",
+    "agg_rollup_order_priority",
+    "events_session_window",
+    "join_skew_salted",
+    "dedup_minhash_near_duplicates",
+    "dedup_ngram_jaccard_pairs",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "chunk_documents_overlapping",
+    "text_tfidf_keywords",
+    # -- kept oldest-r9 re-verifications (first green r1/r2, A-Z) --
+    "agg_count_distinct",
+    "dedup_connected_clusters",
+    "dml_delete_where",
 ]
 
 
