@@ -44,6 +44,11 @@ HEADLINE = [
     "events_session_window",
     "chunk_documents_overlapping",
     "text_tfidf_keywords",
+    # r13 addition (additions-only keeps the round-over-round A/B valid):
+    # the IVF ANN probe path timed ALONE — similarity_topk_ivf's runtime
+    # is dominated by the exact brute-force reference its recall oracle
+    # needs, so it never measured the ANN path itself.
+    "similarity_probe_only",
 ]
 
 

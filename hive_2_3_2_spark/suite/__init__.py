@@ -499,7 +499,9 @@ _WINDOW = [
     # -- kept oldest-r9 re-verifications (first green r1/r2, A-Z) --
     "agg_count_distinct",
     "dedup_connected_clusters",
-    "dml_delete_where",
+    # -- new in r13 (freeze rule: new entries land inside the window,
+    # -- swapping the marginal oldest-r9 pick dml_delete_where) --
+    "similarity_probe_only",
 ]
 
 
