@@ -624,9 +624,38 @@ def minhash_verified_near_dups(
     )
 
 
+def _simhash_sql(hh_sql: str = "hh") -> str:
+    """JVM-expression SimHash fold over a precomputed hash-array column:
+    bit i of the result is set iff the majority of shingle hashes have
+    bit i set (sign of Σ±1 > 0 ⟺ 2·count_i > n — same integers as the
+    numpy fold, so fingerprints are bit-identical; parity pinned over
+    the real corpus in tests/test_optimization_r13.py). Bit 63 lands as
+    the sign bit via shiftleft(1L, 63) = Long.MIN, matching numpy's
+    uint64→int64 view. Empty arrays give 0 (no majority anywhere) and a
+    NULL array coalesces to 0, both exactly as the UDF's zero-fill.
+
+    Same rationale as _minhash_mins_sql (r12, guide §4.1): the Arrow
+    boundary costs a fixed ~0.3-0.5 s of per-stage worker/transfer
+    overhead while the interpreted per-element arithmetic is equivalent
+    to numpy's — and this removes the dedup family's last
+    ArrowEvalPython node. Callers must keep ``hh`` in its own projection
+    (multi-ref non-cheap alias: CollapseProject keeps the shingling
+    single-pass)."""
+    n = f"size({hh_sql})"
+    bits = " | ".join(
+        f"shiftleft(IF(2 * aggregate({hh_sql}, 0L, "
+        f"(acc, h) -> acc + (shiftright(h, {i}) & 1)) > {n}, 1L, 0L), {i})"
+        for i in range(64)
+    )
+    return f"coalesce(({bits}), 0L)"
+
+
 def _simhash_fold_udf():
     """Arrow-vectorized SimHash fold: per row, bit i of the output is the
-    sign of Σ over shingle hashes of (bit_i(h) ? +1 : -1)."""
+    sign of Σ over shingle hashes of (bit_i(h) ? +1 : -1).
+
+    Kept as the parity reference for ``_simhash_sql`` (r13); the query
+    path uses the JVM expression."""
     shifts = np.arange(64, dtype=np.uint64)[None, :]
 
     @pandas_udf("long")
@@ -696,16 +725,15 @@ def simhash_near_dups(
     at web scale; one table suffices for the suite), then filter by exact
     Hamming distance via bit_count(xor)."""
 
-    # Shingle-hash JVM-side; fold the 64 per-bit ±1 sums in one Arrow-
-    # vectorized pandas UDF (the 64-aggregate Column formulation falls out
-    # of codegen — same rationale as the MinHash fold).
-    hashed = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(text_col), 2), lambda s: F.xxhash64(s)
-        ).alias("hh"),
+    # Shingle-hash JVM-side into a dedicated ``hh`` projection, then the
+    # 64 per-bit majority sums as one JVM expression over it (r13 — see
+    # _simhash_sql; this removed the dedup family's last ArrowEvalPython
+    # node, same pattern as the r12 MinHash fold).
+    hashed = _spread(df).selectExpr(
+        f"{id_col} AS id",
+        f"transform({_word_shingles_sql(text_col, 2)}, s -> xxhash64(s)) AS hh",
     )
-    sh = hashed.select("id", _simhash_fold_udf()(F.col("hh")).alias("sh")).withColumn(
+    sh = hashed.selectExpr("id", _simhash_sql("hh") + " AS sh").withColumn(
         "blk", F.shiftrightunsigned(F.col("sh"), 64 - prefix_bits)
     )
     # materialize once for both join sides (see minhash_lsh_candidates)

@@ -154,7 +154,11 @@ def _portable_rfp_udf(k: int):
     normalized text. Engine-independent arithmetic (int32 wraparound fold,
     int64 sum) so an external system — or the DuckDB oracle — reproduces
     it bit-for-bit. Factory form per repo convention (module-level
-    @pandas_udf breaks executor-side imports)."""
+    @pandas_udf breaks executor-side imports).
+
+    Kept as the parity reference for the JVM fold in
+    :func:`rolling_shingle_fingerprint_portable` (r13, same pattern as
+    dedup._minhash_fold_udf); the query path no longer evaluates it."""
 
     def _shingle_hash(s: str) -> int:
         h = 0
@@ -184,12 +188,32 @@ def rolling_shingle_fingerprint_portable(text: Column, k: int = 5) -> Column:
     0..max(n-k,0), so short docs yield one partial shingle), but each
     shingle is hashed with the Hive/Java 31-byte-fold
     (ObjectInspectorUtils.hashCode — see functions/hive_hash.py) instead
-    of Spark's Murmur3, and summed as int64. Any engine can verify the
-    values — this is the form the DuckDB oracle checks. Python is
-    unavoidable here (Spark exposes no 31-fold built-in) so it rides an
-    Arrow batch, still map-side only; prefer the engine-hash twin when
-    the fingerprint never leaves Spark."""
-    return _portable_rfp_udf(k)(normalize_for_fingerprint(text))
+    of Spark's Murmur3, and summed as int64.
+
+    Since r13 the 31-fold runs as a JVM higher-order expression instead
+    of the Arrow pandas UDF (guide §4.1 — the minhash-fold technique:
+    the Arrow boundary costs a fixed ~0.3-0.5 s of worker/transfer
+    overhead per stage while the per-row arithmetic is equivalent, and
+    this removes another ArrowEvalPython node from the engine's plans).
+    Bit-parity with the UDF (kept above as the reference) is provable:
+    the normalized text is ASCII by construction ([a-z0-9 ] only), so
+    the UDF's signed-UTF-8-byte fold equals a per-character ``ascii()``
+    fold, and Spark's non-ANSI int arithmetic wraps int32 exactly like
+    the UDF's masked arithmetic — pinned over the real corpus in
+    tests/test_optimization_r13.py."""
+    # coalesce: the UDF folds None as "" (fingerprint 0) — match it
+    # instead of propagating NULL through split/aggregate.
+    toks = F.split(F.coalesce(normalize_for_fingerprint(text), F.lit("")), " ")
+    shingles = ngram_windows(toks, k, partial_tail=True)
+    hashes = F.transform(
+        shingles,
+        lambda s: F.aggregate(
+            F.split(s, ""), F.lit(0), lambda acc, c: acc * 31 + F.ascii(c)
+        ),
+    )
+    return F.aggregate(
+        hashes, F.lit(0).cast("long"), lambda acc, h: acc + h.cast("long")
+    )
 
 
 def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
@@ -201,10 +225,11 @@ def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "tex
     cross-engine floating-point tie ambiguity; the float score is
     emitted for consumers.
 
-    Scale: two shuffles (term-level df aggregate; per-doc window). The
-    corpus size N is a 1-row broadcast. df table is term-keyed —
-    heavy-hitter terms are fine because df is a pre-aggregated count,
-    not a row explosion.
+    Scale: three shuffles, all skew-safe (tf aggregate keyed on
+    (doc, tok); term-level df aggregate over tf partials; per-doc
+    window). The corpus size N is a 1-row broadcast. df table is
+    term-keyed — heavy-hitter terms are fine because df is a
+    pre-aggregated count, not a row explosion.
     """
     from pyspark.sql import DataFrame, Window  # local: avoid cycle at import
 
@@ -217,17 +242,28 @@ def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "tex
     ).filter("tok != ''")
     tf = toks.groupBy(id_col, "tok").agg(F.expr("count(1) AS tf"))
     n_docs = spark_df.select(F.expr("count(1) AS n_docs"))
-    # df (document frequency) = one count per tok over the tf rows. As a
-    # WINDOW over tf instead of a groupBy+join, the corpus is tokenized
-    # and aggregated ONCE — the join formulation planned the whole
-    # scan→explode→tf subtree twice (once per join side; no exchange
-    # reuse, since the sides partition on different keys). Values are
-    # identical (df = count of tf rows per tok either way); measured
-    # 1.45s → 1.09s interleaved at sf0.1 (r12).
+    # df (document frequency) = one count per tok over the tf rows,
+    # aggregated FROM tf and joined back (r13). The r12 form — count(1)
+    # OVER (PARTITION BY tok) — computed the same integers with one
+    # fewer plan node but NO partial aggregation: every (doc, tok) tf
+    # row of a hot token colocates in one window partition whose size is
+    # that token's document frequency (up to n_docs — "the" becomes a
+    # straggler task on natural text at 100 TB). The groupBy keeps
+    # map-side combine (each task emits ≤1 row per tok, so the tok
+    # exchange carries ≤ vocab × partitions partial rows, skew-free).
+    # Tokenization still happens ONCE: dfreq is derived from tf itself,
+    # so both join sides share the tf aggregate's exchange and Spark's
+    # ReuseExchange dedups the scan→explode→tf subtree (the pre-r12
+    # groupBy+join aggregated df from the RAW toks — different key, no
+    # shared exchange, corpus tokenized twice; that is what the window
+    # fixed, and this form keeps fixed). The join is left to the planner:
+    # AQE's runtime stats broadcast the vocab-sized dfreq side locally,
+    # and past the broadcast threshold it falls back to a shuffle join
+    # whose skewed tok partitions AQE's skew-join handling can split —
+    # a pinned broadcast would instead OOM on an unbounded vocabulary.
+    dfreq = tf.groupBy("tok").agg(F.expr("count(1) AS df"))
     return (
-        tf.selectExpr(
-            id_col, "tok", "tf", "count(1) OVER (PARTITION BY tok) AS df"
-        )
+        tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n_docs))
         .selectExpr(
             id_col,

@@ -496,9 +496,12 @@ _WINDOW = [
     "similarity_topk_ivf",
     "chunk_documents_overlapping",
     "text_tfidf_keywords",
-    # -- kept oldest-r9 re-verifications (first green r1/r2, A-Z) --
-    "agg_count_distinct",
-    "dedup_connected_clusters",
+    # -- changed-implementation pins (rule outranks staleness, as in
+    # -- r6/r8: the r13 Arrow-fold→JVM-expression rewrites change these
+    # -- entries' plans, so they displace the kept marginal oldest-r9
+    # -- re-verifications agg_count_distinct + dedup_connected_clusters) --
+    "text_rolling_fingerprint",
+    "dedup_simhash_near_duplicates",
     # -- new in r13 (freeze rule: new entries land inside the window,
     # -- swapping the marginal oldest-r9 pick dml_delete_where) --
     "similarity_probe_only",

@@ -84,7 +84,14 @@ def _recall_booleans(
     """(query_id, recall_ok, corpus_recall_ok) invariant booleans shared
     by the three ANN entries — identical frames to the per-entry builds
     they replace, constructed with expression TEXT (selectExpr/F.expr)
-    instead of py4j Column algebra (~15 round trips saved per entry)."""
+    instead of py4j Column algebra (~15 round trips saved per entry).
+
+    CONTRACT: ``queries`` must be driver-bounded small (the ANN paths
+    already collect/broadcast it — MAX_QUERY_BATCH). The corpus total is
+    ``sum(hits) OVER ()``, a single-partition window over one row per
+    query vector; a corpus-sized frame here would be a one-partition
+    funnel (the reason lm.py's PMI and text.py's n_docs scalars must
+    keep their 1-row aggregates and NOT adopt this form — r12 audit)."""
     hits = (
         approx.select("query_id", "neighbor_id")
         .join(
