@@ -4,6 +4,28 @@ The oracle comparison mirrors the driver's t2 gate (and the reference's
 QTestUtil golden-file diff with SortPrintStream, reference:
 itests/util/.../QTestUtil.java:~1160): run the Spark query and the DuckDB
 SQL on the same parquet, sort columns by name and rows by value, compare.
+
+r13 additions, both motivated by the r12 verdict's "the verify gate
+cannot finish" item:
+
+- PER-PROCESS SCRATCH: each pytest process gets its own scratch base
+  (warehouse, derby, dml/index scratch) via SPARK_GRAFT_SCRATCH, set
+  below BEFORE hive_2_3_2_spark.session is imported. Two concurrent
+  pytest processes previously shared /tmp/hive_2_3_2_spark_scratch and
+  the session-start warehouse wipe of one deleted the other's in-flight
+  managed tables (observed this round as a chmod-on-missing-_temporary
+  task failure). Production/bench processes are unaffected — they keep
+  the shared default unless the caller sets the env var.
+
+- SHARDED FULL-SUITE RUNS: ``pytest tests/`` is latency-bound, not
+  CPU-bound (~1,900 tests x ~1.3 s of fixed per-action Spark latency =
+  ~43 min wall on 32 mostly-idle cores; AQE/partition/conf knobs move
+  nothing because the cost is job-scheduling latency). pytest_cmdline_main
+  below therefore splits the test FILES across N worker subprocesses
+  (plain ``python -m pytest <files>`` each, nothing skipped, combined
+  exit code fails if any worker fails) when the invocation targets the
+  whole directory. SPARK_GRAFT_TEST_WORKERS=1 disables; targeted
+  invocations (specific files/tests) never shard.
 """
 
 from __future__ import annotations
@@ -11,6 +33,17 @@ from __future__ import annotations
 import decimal
 import math
 import os
+
+# Per-process scratch isolation — MUST precede the session import (the
+# module computes its scratch base at import time). Honor an explicit
+# caller override (the shard runner sets one per worker).
+_OWNS_SCRATCH = "SPARK_GRAFT_SCRATCH" not in os.environ
+if _OWNS_SCRATCH:
+    import tempfile as _tf
+
+    os.environ["SPARK_GRAFT_SCRATCH"] = _tf.mkdtemp(
+        prefix="hive232_test_scratch_"
+    )
 
 import duckdb
 import pytest
@@ -38,6 +71,8 @@ def _hermetic_scratch_warehouse():
     wh = ENGINE_CONFS["spark.sql.warehouse.dir"]
     shutil.rmtree(wh, ignore_errors=True)
     yield
+    if _OWNS_SCRATCH:  # don't leave per-run tempdirs behind
+        shutil.rmtree(os.environ["SPARK_GRAFT_SCRATCH"], ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
@@ -110,3 +145,158 @@ def assert_matches_oracle(spark_df, oracle_con, oracle_sql):
     )
     for i, (a, b) in enumerate(zip(sp_canon, du_canon)):
         assert a == b, f"row {i} mismatch:\n  spark : {a}\n  duckdb: {b}"
+
+
+# --------------------------------------------------------------------------
+# Sharded full-suite runner (r13 — see module docstring). The suite is
+# latency-bound: ~6,000 sub-second Spark actions whose ~150 ms fixed
+# job-scheduling cost no conf removes (measured: AQE off / shuffle
+# partitions / committer algorithm all within host noise), so wall-time
+# scales down only with PROCESS parallelism. pytest-xdist is not
+# installed in this sandbox (no network), hence this minimal file-level
+# equivalent: the controller splits test files into N weight-balanced
+# shards (tests/_shard_weights.json — measured seconds per file from a
+# full serial run, ~1 s floor per test), runs one plain
+# ``python -m pytest <files>`` subprocess per shard with an isolated
+# scratch base, streams each worker's genuine output, and fails if any
+# worker fails. Every collected test still runs exactly once; -x
+# propagates and the first failure cancels the remaining workers.
+# --------------------------------------------------------------------------
+
+_SHARD_WORKER_ENV = "SPARK_GRAFT_TEST_SHARD"
+
+
+def _shard_files(paths: list[str], n: int) -> list[list[str]]:
+    """Deterministic greedy balance of test files into n shards by the
+    committed per-file weights (unknown files weigh their test count)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "_shard_weights.json")) as f:
+            weights = json.load(f)
+    except OSError:
+        weights = {}
+
+    def weight(path: str) -> float:
+        base = os.path.basename(path)
+        if base in weights:
+            return max(weights[base], 1.0)
+        try:
+            src = open(path).read()
+        except OSError:
+            return 1.0
+        return max(1.0, len(re.findall(r"^def test_", src, re.M)))
+
+    files: list[str] = []
+    for p in paths:
+        files.extend(sorted(glob.glob(os.path.join(p, "test_*.py"))))
+    shards: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n)]
+    for f in sorted(files, key=lambda f: (-weight(f), f)):
+        i = min(range(n), key=lambda j: shards[j][0])
+        shards[i] = (shards[i][0] + weight(f), shards[i][1] + [f])
+    return [s[1] for s in shards if s[1]]
+
+
+def pytest_cmdline_main(config):
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    if os.environ.get(_SHARD_WORKER_ENV):
+        return None  # worker process: run the given files normally
+    try:
+        n = int(os.environ.get("SPARK_GRAFT_TEST_WORKERS", "4"))
+    except ValueError:
+        n = 4
+    if n <= 1:
+        return None
+    raw = list(config.invocation_params.args)
+    paths = [a for a in raw if not a.startswith("-")]
+    flags = [a for a in raw if a.startswith("-")]
+    # Shard ONLY whole-directory invocations (the driver's / CI's
+    # ``pytest tests/``); targeted runs keep the ordinary inline flow.
+    if len(paths) != 1 or not os.path.isdir(paths[0]):
+        return None
+    shards = _shard_files(paths, n)
+    if len(shards) < 2:
+        return None
+
+    fail_fast = "-x" in flags or "--exitfirst" in flags
+    t0 = time.time()
+    procs = []
+    for i, files in enumerate(shards):
+        env = dict(os.environ)
+        env[_SHARD_WORKER_ENV] = str(i + 1)
+        env["SPARK_GRAFT_SCRATCH"] = tempfile.mkdtemp(
+            prefix=f"hive232_test_shard{i + 1}_"
+        )
+        # Split the cores the invoker intended across the workers.
+        total_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        env["SPARK_GRAFT_CPUS"] = str(max(2, total_cpus // len(shards)))
+        out = tempfile.NamedTemporaryFile(
+            mode="w+", prefix=f"shard{i + 1}_", suffix=".log", delete=False
+        )
+        p = subprocess.Popen(
+            [sys.executable, "-m", "pytest", *files, *flags,
+             "-p", "no:cacheprovider"],
+            stdout=out, stderr=subprocess.STDOUT, env=env,
+        )
+        procs.append((i + 1, p, out, files))
+
+    print(
+        f"[shard-runner] {sum(len(f) for f in shards)} test files across "
+        f"{len(shards)} workers (SPARK_GRAFT_TEST_WORKERS={n}; "
+        f"set =1 for the serial flow)",
+        flush=True,
+    )
+    rcs: dict[int, int] = {}
+    failed_early = False
+    pending = {i for i, *_ in procs}
+    while pending:
+        for i, p, out, files in procs:
+            if i not in pending:
+                continue
+            rc = p.poll()
+            if rc is None:
+                continue
+            pending.discard(i)
+            rcs[i] = rc
+            out.flush()
+            out.seek(0)
+            body = out.read()
+            print(f"\n===== shard {i}/{len(shards)} (rc={rc}) =====")
+            sys.stdout.write(body)
+            sys.stdout.flush()
+            if rc != 0 and fail_fast and not failed_early:
+                failed_early = True
+                for j, q, *_ in procs:
+                    if j in pending:
+                        q.terminate()
+        time.sleep(0.5)
+
+    import re as _re
+
+    passed = failed = skipped = 0
+    for i, p, out, files in procs:
+        out.seek(0)
+        tail = out.read()[-2000:]
+        for num, kind in _re.findall(r"(\d+) (passed|failed|skipped)", tail):
+            if kind == "passed":
+                passed += int(num)
+            elif kind == "failed":
+                failed += int(num)
+            else:
+                skipped += int(num)
+        out.close()
+    wall = time.time() - t0
+    bad = {i: rc for i, rc in rcs.items() if rc != 0}
+    print(
+        f"\n[shard-runner] TOTAL: {passed} passed, {failed} failed, "
+        f"{skipped} skipped across {len(shards)} shards in {wall:.1f}s"
+        + (f" — FAILING shards: {bad}" if bad else " — all shards green")
+    )
+    return max(rcs.values()) if rcs else 1
