@@ -191,29 +191,65 @@ def rolling_shingle_fingerprint_portable(text: Column, k: int = 5) -> Column:
     of Spark's Murmur3, and summed as int64.
 
     Since r13 the 31-fold runs as a JVM higher-order expression instead
-    of the Arrow pandas UDF (guide §4.1 — the minhash-fold technique:
-    the Arrow boundary costs a fixed ~0.3-0.5 s of worker/transfer
-    overhead per stage while the per-row arithmetic is equivalent, and
-    this removes another ArrowEvalPython node from the engine's plans).
-    Bit-parity with the UDF (kept above as the reference) is provable:
-    the normalized text is ASCII by construction ([a-z0-9 ] only), so
-    the UDF's signed-UTF-8-byte fold equals a per-character ``ascii()``
-    fold, and Spark's non-ANSI int arithmetic wraps int32 exactly like
-    the UDF's masked arithmetic — pinned over the real corpus in
-    tests/test_optimization_r13.py."""
-    # coalesce: the UDF folds None as "" (fingerprint 0) — match it
-    # instead of propagating NULL through split/aggregate.
+    of the Arrow pandas UDF (guide §4.1 — the minhash-fold technique;
+    this removes another ArrowEvalPython node from the engine's plans at
+    measured-equal local cost). Bit-parity with the UDF (kept above as
+    the reference) is provable: the normalized text is ASCII by
+    construction ([a-z0-9 ] only), so the UDF's signed-UTF-8-byte fold
+    equals a per-character ``ascii()`` fold, and Spark's non-ANSI int
+    arithmetic wraps int32 exactly like the UDF's masked arithmetic —
+    pinned over the real corpus in tests/test_optimization_r13.py.
+
+    The fold is WORD-factored: hashing each k-word shingle
+    independently re-folds every character k times (measured 2× slower
+    than the UDF at sf0.1); instead each word is folded ONCE into
+    (h, p) = (hashCode(w), 31^len(w)) and a shingle's hash composes in
+    O(k) int ops via hash(a ⧺ b) = hash(a)·31^len(b) + hash(b) — so
+    hash(s ⧺ ' ' ⧺ w) = (hash(s)·31 + 32)·p_w + h_w, every character
+    touched exactly once (an algorithmic win any engine would keep).
+    The when(i + j <= n) guards realize partial_tail: for n ≥ k every
+    window is full (i ≤ n-k+1 ⇒ i+k-1 ≤ n); for n < k the single
+    window folds only the n real words. Empty docs hash to 0 (their
+    one window is the '' token, h = 0). The (h, p) array is bound as a
+    one-element transform's lambda variable so it is evaluated ONCE per
+    row regardless of how many times the composition references it
+    (a Column expression has no projection to alias it in)."""
     toks = F.split(F.coalesce(normalize_for_fingerprint(text), F.lit("")), " ")
-    shingles = ngram_windows(toks, k, partial_tail=True)
-    hashes = F.transform(
-        shingles,
-        lambda s: F.aggregate(
-            F.split(s, ""), F.lit(0), lambda acc, c: acc * 31 + F.ascii(c)
+    hp_arr = F.transform(
+        toks,
+        lambda w: F.aggregate(
+            F.split(w, ""),
+            F.struct(F.lit(0).alias("h"), F.lit(1).alias("p")),
+            lambda acc, c: F.struct(
+                (acc.getField("h") * 31 + F.ascii(c)).alias("h"),
+                (acc.getField("p") * 31).alias("p"),
+            ),
         ),
     )
-    return F.aggregate(
-        hashes, F.lit(0).cast("long"), lambda acc, h: acc + h.cast("long")
-    )
+
+    def fold(hp: Column) -> Column:
+        n = F.size(hp)
+
+        def shingle(i: Column) -> Column:
+            s = F.element_at(hp, i).getField("h")
+            for j in range(1, k):
+                e = F.element_at(hp, i + F.lit(j))
+                s = F.when(
+                    i + F.lit(j) <= n,
+                    s * 31 * e.getField("p")
+                    + F.lit(32) * e.getField("p")
+                    + e.getField("h"),
+                ).otherwise(s)
+            return s
+
+        windows = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k, F.lit(0)) + 1), shingle
+        )
+        return F.aggregate(
+            windows, F.lit(0).cast("long"), lambda acc, h: acc + h.cast("long")
+        )
+
+    return F.element_at(F.transform(F.array(hp_arr), fold), 1)
 
 
 def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
