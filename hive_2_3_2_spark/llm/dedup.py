@@ -534,10 +534,21 @@ def jaccard_pairs(
         )
     docs = docs.persist()  # shingle once; index and size lookup reuse it
     ex = docs.selectExpr("id", "blk", "explode(sh) AS g")
+    # MERGE hint on the index self-join (r13): Catalyst estimates the
+    # exploded index at its cached CHILD's size (Generate fanout is
+    # invisible to stats — ~50 shingles/doc here), so it auto-broadcast
+    # a 344 MiB / 2.6M-row relation at sf1 (43× past the 32 MB
+    # threshold): ~3.2 s of driver collect+build+ship per run, and the
+    # same misestimate at borderline corpus sizes would OOM the driver.
+    # Sort-merge shuffles the compact (id, blk, g) rows instead and
+    # spills gracefully at any scale; measured interleaved at sf1:
+    # 12.59 s → 10.63 s medians, identical 248,924 output pairs
+    # (SHUFFLE_HASH measured equal at 10.84 s — MERGE kept for its
+    # no-OOM posture on a skewed build side).
     inter_counts = (
         ex.alias("pa")
         .join(
-            ex.alias("pb"),
+            ex.hint("MERGE").alias("pb"),
             F.expr("pa.blk = pb.blk AND pa.g = pb.g AND pa.id < pb.id"),
         )
         .groupBy(

@@ -476,7 +476,11 @@ _WINDOW = [
     "sample_weighted_reservoir",
     "stats_answered_aggregates",
     "database_qualified_dml",
-    "stats_partition_pruned_aggregates",
+    # -- changed-implementation pin (outranks staleness, r6/r8 precedent:
+    # -- jaccard_pairs' r13 MERGE hint also changes dedup_connected_clusters'
+    # -- plan; displaces stats_partition_pruned_aggregates, the youngest
+    # -- first-green r8-stale entry) --
+    "dedup_connected_clusters",
     # -- r12-rewritten pins (every headline query + the heaviest registry
     # -- entry; 15/17 are also the natural oldest-r9 staleness picks) --
     "tpch_q1_pricing_summary",
