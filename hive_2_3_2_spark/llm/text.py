@@ -288,16 +288,27 @@ def tfidf_top_terms(df, k: int = 3, id_col: str = "doc_id", text_col: str = "tex
     # map-side combine (each task emits ≤1 row per tok, so the tok
     # exchange carries ≤ vocab × partitions partial rows, skew-free).
     # Tokenization still happens ONCE: dfreq is derived from tf itself,
-    # so both join sides share the tf aggregate's exchange and Spark's
-    # ReuseExchange dedups the scan→explode→tf subtree (the pre-r12
-    # groupBy+join aggregated df from the RAW toks — different key, no
-    # shared exchange, corpus tokenized twice; that is what the window
-    # fixed, and this form keeps fixed). The join is left to the planner:
+    # so both join sides contain the tf aggregate's exchange and
+    # ReuseExchange/AQE-stage-reuse dedups the scan→explode→tf subtree —
+    # but ONLY if the two exchange subtrees stay canonically identical.
+    # A plain count(1) df lets column pruning strip the count buffer
+    # from this side's partial aggregate (functions=[] vs
+    # [partial_count(1)] — verified by canonicalized-plan diff), and
+    # count(tf) is rewritten back to count(1) because tf is provably
+    # non-null; sum(IF(tf > 0, 1, 0)) — the same integer, tf ≥ 1 by
+    # construction — is opaque enough to keep the buffer, and the
+    # coalesce restores count's non-nullable schema. Measured: the plan
+    # drops to ONE Generate/scan with a ReusedExchange (the pre-r12
+    # groupBy+join aggregated df from the RAW toks — different subtree,
+    # no reuse possible, corpus tokenized twice; that is what the window
+    # fixed and this form keeps fixed). The join is left to the planner:
     # AQE's runtime stats broadcast the vocab-sized dfreq side locally,
     # and past the broadcast threshold it falls back to a shuffle join
     # whose skewed tok partitions AQE's skew-join handling can split —
     # a pinned broadcast would instead OOM on an unbounded vocabulary.
-    dfreq = tf.groupBy("tok").agg(F.expr("count(1) AS df"))
+    dfreq = tf.groupBy("tok").agg(
+        F.expr("coalesce(sum(IF(tf > 0, 1, 0)), 0L) AS df")
+    )
     return (
         tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n_docs))
