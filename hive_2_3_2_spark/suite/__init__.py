@@ -474,13 +474,17 @@ _WINDOW = [
     "dml_sql_multi_insert",
     "emb_l2_normalize",
     "sample_weighted_reservoir",
-    "stats_answered_aggregates",
-    "database_qualified_dml",
-    # -- changed-implementation pin (outranks staleness, r6/r8 precedent:
-    # -- jaccard_pairs' r13 MERGE hint also changes dedup_connected_clusters'
-    # -- plan; displaces stats_partition_pruned_aggregates, the youngest
-    # -- first-green r8-stale entry) --
+    # -- changed-implementation pins (rule outranks staleness, r6/r8
+    # -- precedent; displace the three youngest-first-green r8-stale
+    # -- entries stats_partition_pruned_aggregates, database_qualified_dml,
+    # -- stats_answered_aggregates): jaccard_pairs' r13 MERGE hint also
+    # -- changes dedup_connected_clusters' plan, and the r13
+    # -- count()-integrity guard in the shared _recall_booleans changes
+    # -- similarity_topk_pq / similarity_topk_ivfpq (similarity_topk_ivf
+    # -- is already pinned below) --
     "dedup_connected_clusters",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     # -- r12-rewritten pins (every headline query + the heaviest registry
     # -- entry; 15/17 are also the natural oldest-r9 staleness picks) --
     "tpch_q1_pricing_summary",

@@ -117,11 +117,26 @@ def _recall_booleans(
     # broadcasts it), so no skew exposure at scale. Same rows, same
     # types; interleaved 9-run medians on the ivf entry at sf0.1:
     # 0.415 s → 0.281 s, every paired run faster (r12).
-    return per_query.selectExpr(
-        "query_id",
-        "hits >= 1 AS recall_ok",
-        f"sum(hits) OVER () >= {floor} AS corpus_recall_ok",
-    ).orderBy("query_id")
+    # The trailing filter is ALWAYS TRUE (hits is a coalesced count, so
+    # ≥ 0 by construction) and exists purely for measurement integrity:
+    # without a reference to a computed column, Dataset.count() lets the
+    # optimizer ELIMINATE the provably-unique-keyed left join and with
+    # it the whole approx/exact/hits subtree — the count plan collapses
+    # to a bare 4-line scan of `queries`, so a count()-timed bench run
+    # (bench.py's methodology) measured nothing (discovered r13 while
+    # profiling the new probe-only entry; guide §1.4's count() warning).
+    # Catalyst has no value-range analysis for aggregates, so it cannot
+    # fold the predicate; collected rows are bit-identical with or
+    # without it (asserted in tests/test_optimization_r13.py).
+    return (
+        per_query.filter("hits >= 0")
+        .selectExpr(
+            "query_id",
+            "hits >= 1 AS recall_ok",
+            f"sum(hits) OVER () >= {floor} AS corpus_recall_ok",
+        )
+        .orderBy("query_id")
+    )
 
 
 def ivf_index_path(sf_dir: str) -> str:
@@ -216,9 +231,14 @@ def probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(IF(neighbor_id = query_id, 1, 0)) AS self_hits"),
         F.expr("count(DISTINCT neighbor_id) AS n_distinct"),
     )
+    # Always-true count()-integrity guard, as in _recall_booleans: the
+    # filter's reference to the probe-derived `n` stops the optimizer
+    # from eliminating the unique-keyed left join (and the entire IVF
+    # probe under it) when the bench times this entry with count().
     return (
         queries.selectExpr("vec_id AS query_id")
         .join(agg, "query_id", "left")
+        .filter("coalesce(n, 0) >= 0")
         .selectExpr(
             "query_id",
             "coalesce(n, 0) = 5 AS k_rows_ok",

@@ -155,3 +155,22 @@ def test_recall_booleans_false_branches(spark, sf_dir):
     assert len(rows) == 5
     assert all(r.recall_ok is True for r in rows)
     assert all(r.corpus_recall_ok is False for r in rows)  # 25 hits < 26
+
+
+def test_ann_boolean_entries_count_plan_not_eliminated(spark, sf_dir):
+    """Measurement-integrity pin (r13): Dataset.count() on the
+    boolean-invariant ANN entries must still execute the ANN subtree.
+    Without the always-true hits/n guard filters, the optimizer
+    eliminates the provably-unique-keyed left join and the count plan
+    collapses to a bare scan of `queries` — the bench would time
+    nothing. The guard keeps a Join (and therefore the probe/exact
+    computation) in the count-optimized plan."""
+    from hive_2_3_2_spark.suite import load_all
+
+    registry = load_all()
+    for name in ("similarity_topk_ivf", "similarity_probe_only"):
+        df = registry[name].fn(spark, sf_dir)
+        plan = (
+            df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "Join" in plan, f"{name}: count() plan eliminated the probe"
