@@ -43,6 +43,17 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Hermetic scratch per sweep run (r13): the sweep's preludes LOAD DATA
+# and INSERT into managed tables under the scratch warehouse; with the
+# shared default scratch, a SECOND sweep run inherits the first run's
+# table contents (dynamic-partition INSERTs append) and a handful of
+# encryption-family statements flip from match to fixture_skip. Must
+# precede the session import (scratch base is computed at import time).
+if "SPARK_GRAFT_SCRATCH" not in os.environ:
+    os.environ["SPARK_GRAFT_SCRATCH"] = tempfile.mkdtemp(
+        prefix="hive232_qfile_sweep_"
+    )
+
 from hive_2_3_2_spark.hiveql_rewrites import (  # noqa: E402
     _rewrite_groupby_ordinal_constants,
 )

@@ -28,6 +28,18 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Hermetic scratch per sweep run (r13, same rationale as
+# qfile_value_sweep): DML-family registry entries mutate managed
+# tables / scratch copies, so a shared scratch lets one run's state
+# leak into the next run's measurements. Must precede the session
+# import.
+if "SPARK_GRAFT_SCRATCH" not in os.environ:
+    import tempfile as _tf
+
+    os.environ["SPARK_GRAFT_SCRATCH"] = _tf.mkdtemp(
+        prefix="hive232_registry_sweep_"
+    )
+
 
 #: standing adjudications for scale-sweep flags, by entry name —
 #: written into the artifact so a fresh reader sees the verdict next
